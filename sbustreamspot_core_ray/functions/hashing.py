@@ -1,0 +1,114 @@
+"""Hashing kernels (vectorized re-expressions of the reference's hash layer).
+
+Reference semantics (behavior only, no code reuse):
+- H1 `hashmulti` — multilinear universal string hash to {-1,+1}
+  (Kaser & Lemire; `/root/reference/hash.cpp:20-26`): over uint64
+  wraparound arithmetic, ``sum = r0 + sum_i r[i+1] * byte_i``; output is the
+  MSB mapped to +1 (set) / -1 (clear).
+- H3 `allocate_random_bits` — hash family H of L rows of (C+2) random
+  uint64 (`/root/reference/main.cpp:562-582`), seeded (SEED=23).
+
+Ours is numpy-vectorized: one matmul per (batch of chunks) x L instead of a
+per-string loop, with explicit ``np.uint64`` wraparound semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+SEED = 23  # reference param.h:19
+L = 1000  # sketch bits, reference param.h:18
+B = 100  # LSH bands, reference param.h:14
+R = 20  # bits per band, reference param.h:15 (L == B * R)
+
+
+def hash_family(chunk_length: int, l: int = L, seed: int = SEED) -> np.ndarray:
+    """Seeded hash family H: shape (l, chunk_length + 2) of uint64.
+
+    Mirrors the reference's shape contract (C+2 coefficients per row:
+    one bias + one per byte of a max-length chunk + one spare for the
+    ragged-last-chunk case, `main.cpp:566`). Uses PCG64 instead of
+    mt19937_64 — the north rule requires self-consistency, not bit parity
+    with the C++ binary (SURVEY.md H3 note).
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 2**64, size=(l, chunk_length + 2), dtype=np.uint64)
+
+
+def hashmulti_batch(chunks: list[str] | np.ndarray, H: np.ndarray) -> np.ndarray:
+    """Vectorized H1 for a batch of chunk strings.
+
+    Returns an int8 array of shape (len(chunks), L) with values in {-1,+1}:
+    ``out[j, i] = sign_bit(H[i,0] + sum_k H[i,k+1] * byte(chunks[j][k]))``
+    mapped to +1 if the MSB is set else -1 (reference `hash.cpp:24-25`).
+
+    Chunks of differing lengths are grouped by length so each group is one
+    uint64 matmul (mod 2^64 wraparound via explicit uint64 dtype).
+    """
+    n = len(chunks)
+    out = np.empty((n, H.shape[0]), dtype=np.int8)
+    if n == 0:
+        return out
+    lengths = np.fromiter((len(c) for c in chunks), dtype=np.int64, count=n)
+    order = np.argsort(lengths, kind="stable")
+    H0 = H[:, 0]
+    i = 0
+    while i < n:
+        j = i
+        ln = lengths[order[i]]
+        while j < n and lengths[order[j]] == ln:
+            j += 1
+        idx = order[i:j]
+        if ln == 0:
+            sums = np.broadcast_to(H0, (len(idx), H.shape[0]))
+        else:
+            # byte matrix: (group, ln) uint64
+            raw = b"".join(
+                chunks[k].encode("utf-8", errors="surrogateescape") for k in idx
+            )
+            bytes_mat = np.frombuffer(raw, dtype=np.uint8).reshape(len(idx), ln)
+            coeff = H[:, 1 : ln + 1]  # (L, ln)
+            with np.errstate(over="ignore"):
+                sums = (
+                    bytes_mat.astype(np.uint64) @ coeff.T.astype(np.uint64)
+                ) + H0  # wraps mod 2^64
+        out[idx] = np.where((sums >> np.uint64(63)) & np.uint64(1), 1, -1).astype(
+            np.int8
+        )
+        i = j
+    return out
+
+
+def sha256_hex(values) -> list[str]:
+    """Per-row sha256 hexdigest of a sequence of strings (ingest invariant)."""
+    return [hashlib.sha256(v.encode("utf-8")).hexdigest() for v in values]
+
+
+def stable_id64(values, prefix: str = "") -> np.ndarray:
+    """Deterministic 64-bit vertex ids for strings via blake2b-8.
+
+    Collision probability over 10^12 vertices is ~2.7e-5 (birthday bound on
+    64 bits); at that scale switch digest_size to 16. ids are guaranteed
+    nonzero (0 is reserved as a sentinel).
+    """
+    out = np.empty(len(values), dtype=np.uint64)
+    pfx = prefix.encode()
+    for i, v in enumerate(values):
+        d = hashlib.blake2b(pfx + v.encode("utf-8"), digest_size=8).digest()
+        x = int.from_bytes(d, "little")
+        out[i] = x if x != 0 else 1
+    return out
+
+
+def part_of(vertex: np.ndarray, num_parts: int) -> np.ndarray:
+    """Partition assignment for a uint64 vertex id column.
+
+    Fibonacci-style multiplicative mix before the modulo so sequential
+    integer keys (TPC-H keys) spread uniformly across partitions.
+    """
+    v = vertex.astype(np.uint64, copy=False)
+    with np.errstate(over="ignore"):
+        mixed = v * np.uint64(0x9E3779B97F4A7C15)
+    return ((mixed >> np.uint64(33)) % np.uint64(num_parts)).astype(np.int32)

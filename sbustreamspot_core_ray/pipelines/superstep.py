@@ -1,0 +1,568 @@
+"""The superstep engine + the four north-star link-graph algorithms.
+
+Architecture (BASELINE.json north_star, SURVEY.md §7.1): edges are
+hash-partitioned into CSR shards held by a stateful actor pool
+(`state/csr.py`); one superstep =
+
+1. **gather-scatter**: every shard emits per-vertex partial contributions
+   as an Arrow table (already combined by destination inside the shard —
+   the combiner half of the aggregation);
+2. **groupby-aggregate shuffle**: the partials become a Ray `Dataset`
+   (`from_arrow_refs`, zero-copy) and are hash-shuffled by destination
+   partition; per-partition reduce merges partials and pushes the result
+   back into the owning shard;
+3. convergence is a tiny per-partition scalar reduced on the driver.
+
+Per-superstep data movement is O(partials) = O(min(E, V·P)) after
+combining, never O(E) re-shuffles of the graph itself. Skewed high-degree
+destinations are absorbed by the combiner (each shard emits at most one row
+per distinct destination per superstep — this IS the salting: a hot vertex's
+in-contributions arrive pre-summed per source partition, max P rows).
+
+The generalization of the reference's only iterative graph routine — the
+BFS connected components over the LSH co-bucket graph
+(`/root/reference/main.cpp:672-721`) — plus the three algorithms the north
+rule adds (PageRank, label propagation, triangle counting).
+
+Triangle counting is pure Dataset dataflow (degree-ordered orientation +
+wedge hash join, SURVEY.md §7.4) — no mutable state, so no actors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.hashing import part_of
+from ..state.csr import CsrShard
+
+_EMPTY_I64 = np.empty(0, np.int64)
+_EMPTY_F64 = np.empty(0, np.float64)
+
+
+class ShardedGraph:
+    """A graph distributed over a CsrShard actor pool."""
+
+    def __init__(self, num_parts: int, symmetric: bool):
+        self.P = num_parts
+        self.symmetric = symmetric
+        self.actors = [CsrShard.remote(p, num_parts) for p in range(num_parts)]
+        self.n_vertices = 0
+
+    @classmethod
+    def build(
+        cls,
+        edges: ray.data.Dataset,
+        num_parts: int = 32,
+        symmetric: bool = False,
+    ) -> "ShardedGraph":
+        """Stream the (src, dst) dataset into shards — no global shuffle.
+
+        Each read/extract task routes its batch rows directly to the owning
+        shard actors (edge → part(src), reverse edge → part(dst) when
+        symmetric, vertex registration → part(vertex)). finalize() dedups,
+        so task retries are idempotent.
+        """
+        g = cls(num_parts, symmetric)
+        actors = g.actors
+        P = num_parts
+
+        def route(batch: pa.Table) -> pa.Table:
+            src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pending = []
+            sp = part_of(src, P)
+            dp = part_of(dst, P)
+            for p in np.unique(sp):
+                m = sp == p
+                pending.append(actors[p].add_edges.remote(src[m], dst[m]))
+            for p in np.unique(dp):
+                m = dp == p
+                pending.append(actors[p].add_vertices.remote(dst[m]))
+                if symmetric:
+                    pending.append(actors[p].add_edges.remote(dst[m], src[m]))
+            if symmetric:
+                for p in np.unique(sp):
+                    pending.append(actors[p].add_vertices.remote(src[sp == p]))
+            ray.get(pending)
+            return pa.table({"n": pa.array([len(src)], pa.int64())})
+
+        edges.select_columns(["src", "dst"]).map_batches(
+            route, batch_format="pyarrow", batch_size=65536
+        ).count()
+        infos = ray.get([a.finalize.remote() for a in actors])
+        g.n_vertices = sum(i["owned"] for i in infos)
+        g.n_edges = sum(i["edges"] for i in infos)
+        return g
+
+    # ------------------------------------------------------------------
+
+    def _combine_push(self, scatter_refs, combine_and_apply):
+        """Steps 2-3 of a superstep: groupby-aggregate shuffle of partials,
+        reduce-side merge, push into owning shard. Returns {part: result}."""
+        contribs = ray.data.from_arrow_refs(scatter_refs)
+
+        def push(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table({"part": _EMPTY_I64, "res": _EMPTY_F64})
+            p = int(g["dpart"][0].as_py())
+            res = combine_and_apply(p, g)
+            return pa.table(
+                {
+                    "part": pa.array([p], pa.int64()),
+                    "res": pa.array([float(res)], pa.float64()),
+                }
+            )
+
+        rows = (
+            contribs.groupby("dpart")
+            .map_groups(push, batch_format="pyarrow")
+            .take_all()
+        )
+        return {int(r["part"]): r["res"] for r in rows}
+
+    def state_dataset(self, col: str) -> ray.data.Dataset:
+        return ray.data.from_arrow_refs(
+            [a.state_table.remote(col) for a in self.actors]
+        )
+
+    def checkpoint(self, col: str, ckpt_dir: str, iteration: int, counters: dict):
+        """Per-partition parquet + manifest (lineage unit, north_rule)."""
+        import pyarrow.parquet as pq
+
+        d = os.path.join(ckpt_dir, f"iter={iteration}")
+        os.makedirs(d, exist_ok=True)
+        tables = ray.get([a.state_table.remote(col) for a in self.actors])
+        for p, t in enumerate(tables):
+            path = os.path.join(d, f"part-{p:05d}.parquet")
+            pq.write_table(t, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        manifest = {
+            "iteration": iteration,
+            "column": col,
+            "num_parts": self.P,
+            "counters": counters,
+        }
+        tmp = os.path.join(ckpt_dir, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(ckpt_dir, "manifest.json"))
+
+    def restore(self, ckpt_dir: str) -> dict | None:
+        """Load the latest complete checkpoint into the shards; returns the
+        manifest (or None when there is nothing to resume from)."""
+        import pyarrow.parquet as pq
+
+        mpath = os.path.join(ckpt_dir, "manifest.json")
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            manifest = json.load(f)
+        col = manifest["column"]
+        d = os.path.join(ckpt_dir, f"iter={manifest['iteration']}")
+        pending = []
+        for p, a in enumerate(self.actors):
+            t = pq.read_table(os.path.join(d, f"part-{p:05d}.parquet"))
+            pending.append(
+                a.load_state.remote(
+                    col,
+                    t["vertex"].to_numpy(),
+                    t[col].to_numpy(zero_copy_only=False),
+                )
+            )
+        ray.get(pending)
+        return manifest
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    graph: ShardedGraph,
+    damping: float = 0.85,
+    max_iters: int = 100,
+    tol: float = 1e-10,
+    ckpt_dir: str | None = None,
+    ckpt_every: int = 5,
+) -> ray.data.Dataset:
+    """Synchronous power iteration with dangling-mass redistribution.
+
+    rank_{t+1}(v) = (1-d)/N + d * (dangling_t/N + sum_{u->v} rank_t(u)/deg(u));
+    stops when the L1 delta < tol or at max_iters. Matches the single-node
+    oracle to allclose(1e-6) (order-free float sums within f64 tolerance).
+    """
+    actors = graph.actors
+    start_iter = 0
+    if ckpt_dir is not None:
+        manifest = graph.restore(ckpt_dir)
+        if manifest is not None and manifest["column"] == "rank":
+            start_iter = manifest["iteration"] + 1
+    if start_iter == 0:
+        ray.get([a.pagerank_init.remote(graph.n_vertices) for a in actors])
+    else:
+        ray.get([a.set_n_total.remote(graph.n_vertices) for a in actors])
+
+    for it in range(start_iter, max_iters):
+        dangling = sum(ray.get([a.dangling_rank.remote() for a in actors]))
+        refs = [a.pagerank_scatter.remote(damping) for a in actors]
+
+        def apply_pr(p: int, g: pa.Table) -> float:
+            v = g["vertex"].to_numpy()
+            c = g["contrib"].to_numpy()
+            vu, inv = np.unique(v, return_inverse=True)
+            sums = np.bincount(inv, weights=c, minlength=len(vu))
+            return ray.get(
+                actors[p].pagerank_apply.remote(vu, sums, dangling, damping)
+            )
+
+        results = graph._combine_push(refs, apply_pr)
+        # partitions that received no contributions still need teleport+dangling
+        for p in range(graph.P):
+            if p not in results:
+                results[p] = ray.get(
+                    actors[p].pagerank_apply.remote(
+                        _EMPTY_I64, _EMPTY_F64, dangling, damping
+                    )
+                )
+        delta = sum(results.values())
+        if ckpt_dir is not None and (it % ckpt_every == 0 or delta < tol):
+            graph.checkpoint(
+                "rank", ckpt_dir, it, {"l1_delta": delta, "dangling": dangling}
+            )
+        if delta < tol:
+            break
+    return graph.state_dataset("rank")
+
+
+# ---------------------------------------------------------------------------
+# Connected components (min-label propagation to fixpoint)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(graph: ShardedGraph, max_iters: int = 200) -> ray.data.Dataset:
+    """Min-label propagation over the symmetrized graph until no label
+    changes. Frontier-based: only vertices whose label changed last round
+    scatter (the generalization of the reference's BFS co-bucket clustering,
+    `main.cpp:672-721`). Requires graph built with symmetric=True."""
+    assert graph.symmetric, "connected_components needs a symmetric graph"
+    actors = graph.actors
+    ray.get([a.cc_init.remote() for a in actors])
+    for _ in range(max_iters):
+        refs = [a.cc_scatter.remote() for a in actors]
+
+        def apply_cc(p: int, g: pa.Table) -> float:
+            v = g["vertex"].to_numpy()
+            l = g["label"].to_numpy()
+            order = np.lexsort((l, v))
+            v, l = v[order], l[order]
+            first = np.concatenate([[True], v[1:] != v[:-1]])
+            return ray.get(actors[p].cc_apply.remote(v[first], l[first]))
+
+        results = graph._combine_push(refs, apply_cc)
+        for p in range(graph.P):
+            if p not in results:
+                ray.get(actors[p].cc_apply.remote(_EMPTY_I64, _EMPTY_I64))
+        if sum(results.values()) == 0:
+            break
+    return graph.state_dataset("label").rename_columns({"label": "component"})
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (mode aggregation, deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(graph: ShardedGraph, iters: int = 5) -> ray.data.Dataset:
+    """Synchronous LP: label_{t+1}(v) = most frequent label among in-neighbors
+    (symmetrized graph → all neighbors), ties broken by min label, isolated
+    vertices keep their own. Fixed iteration count for determinism."""
+    assert graph.symmetric, "label_propagation needs a symmetric graph"
+    actors = graph.actors
+    ray.get([a.lp_init.remote() for a in actors])
+    for _ in range(iters):
+        refs = [a.lp_scatter.remote() for a in actors]
+
+        def apply_lp(p: int, g: pa.Table) -> float:
+            v = g["vertex"].to_numpy()
+            l = g["label"].to_numpy()
+            c = g["cnt"].to_numpy()
+            pairs = np.stack([v, l], axis=1)
+            uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+            sums = np.bincount(inv, weights=c, minlength=len(uniq)).astype(np.int64)
+            return ray.get(
+                actors[p].lp_apply.remote(uniq[:, 0], uniq[:, 1], sums)
+            )
+
+        graph._combine_push(refs, apply_lp)
+    return graph.state_dataset("label")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered wedge join — pure Dataset dataflow)
+# ---------------------------------------------------------------------------
+
+
+def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    """Distinct rows via the native (vectorized) groupby-count aggregate —
+    never per-group Python calls."""
+    return ds.groupby(cols).count().drop_columns(["count()"])
+
+
+def _pair_struct(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n,) structured int64-pair array (lexicographically comparable)."""
+    out = np.empty(len(a), dtype=[("a", "<i8"), ("b", "<i8")])
+    out["a"] = a
+    out["b"] = b
+    return out
+
+
+def _pair_part(v: np.ndarray, w: np.ndarray, num_parts: int) -> np.ndarray:
+    """Partition id for a composite (v, w) key."""
+    with np.errstate(over="ignore"):
+        mixed = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + w.astype(
+            np.uint64
+        )
+    return part_of(mixed, num_parts)
+
+
+def _attach_value(
+    keyed: ray.data.Dataset,
+    lookup: ray.data.Dataset,
+    key_col: str,
+    carry_cols: list[str],
+    val_col: str,
+    out_col: str,
+    num_parts: int,
+    lookup_key: str = "vertex",
+) -> ray.data.Dataset:
+    """Co-partitioned hash join of a V-scale int64 lookup (vertex -> value)
+    onto `keyed` rows (both sides too large to broadcast at corpus scale):
+    union with a side tag, ONE shuffle by hash(key) %% P, vectorized
+    searchsorted merge per partition (P groups total, no per-group Python).
+    All columns must be int64. Inner-join semantics (keys missing from the
+    lookup are dropped)."""
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy()
+        cols = {"__k": t[key_col]}
+        for i, c in enumerate(carry_cols):
+            cols[f"__c{i}"] = t[c]
+        cols["__val"] = pa.array(np.zeros(t.num_rows, np.int64))
+        cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols["__p"] = pa.array(part_of(k, num_parts), pa.int32())
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        k = t[lookup_key].to_numpy()
+        cols = {"__k": t[lookup_key]}
+        for i in range(len(carry_cols)):
+            cols[f"__c{i}"] = pa.array(np.zeros(t.num_rows, np.int64))
+        cols["__val"] = t[val_col]
+        cols["__side"] = pa.array(np.ones(t.num_rows, np.int8))
+        cols["__p"] = pa.array(part_of(k, num_parts), pa.int32())
+        return pa.table(cols)
+
+    left = keyed.map_batches(tag_left, batch_format="pyarrow")
+    right = lookup.map_batches(tag_right, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False).astype(bool)
+        lk_keys = t["__k"].to_numpy(zero_copy_only=False)[~side]
+        rk_keys = t["__k"].to_numpy(zero_copy_only=False)[side]
+        vals = pc_cast_i64(t["__val"])[side]
+        order = np.argsort(rk_keys, kind="stable")
+        rk_keys, vals = rk_keys[order], vals[order]
+        if len(rk_keys):
+            pos = np.clip(np.searchsorted(rk_keys, lk_keys), 0, len(rk_keys) - 1)
+            hit = rk_keys[pos] == lk_keys
+        else:
+            pos = np.zeros(len(lk_keys), np.int64)
+            hit = np.zeros(len(lk_keys), bool)
+        cols = {key_col: pa.array(lk_keys[hit], pa.int64())}
+        for i, c in enumerate(carry_cols):
+            cols[c] = pa.array(
+                t[f"__c{i}"].to_numpy(zero_copy_only=False)[~side][hit], pa.int64()
+            )
+        cols[out_col] = pa.array(vals[pos][hit], pa.int64())
+        return pa.table(cols)
+
+    return left.union(right).groupby("__p").map_groups(merge, batch_format="pyarrow")
+
+
+def pc_cast_i64(col: "pa.ChunkedArray") -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def triangle_count(
+    edges: ray.data.Dataset, num_partitions: int = 32, per_vertex: bool = False
+) -> ray.data.Dataset:
+    """Exact triangle counting via degree-ordered orientation.
+
+    1. canonicalize to undirected distinct edges (a<b), drop self-loops;
+    2. degree table (native groupby-count shuffle);
+    3. orient each edge from the endpoint with smaller (degree, id) rank —
+       bounds every vertex oriented out-degree by O(sqrt(E)), so the wedge
+       table is O(E^1.5) worst case instead of O(sum deg^2) (SURVEY.md §7.4);
+    4. wedges (ordered out-neighbor pairs, generated vectorized per hash
+       partition) matched against the oriented edge table on (v, w) by a
+       co-partitioned sorted-membership probe: each match = one triangle.
+
+    Every wide step shuffles on an explicit hash key; all per-partition
+    kernels are numpy (no per-group Python). Returns a one-row Dataset
+    {"triangles": n}, or per-vertex counts when per_vertex=True.
+    """
+    import pyarrow.compute as pc
+
+    P = num_partitions
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["src"], pa.int64())
+        d = pc.cast(t["dst"], pa.int64())
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table(
+            {"a": pc.min_element_wise(s, d), "b": pc.max_element_wise(s, d)}
+        )
+
+    # shared intermediates are consumed by multiple downstream branches;
+    # materialize() pins them in the object store (spillable) so the diamond
+    # DAG does not re-execute the upstream once per consumer
+    und = distinct(
+        edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"]
+    ).materialize()
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()])
+        return pa.table({"vertex": v})
+
+    deg = (
+        und.map_batches(both_ends, batch_format="pyarrow")
+        .groupby("vertex")
+        .count()
+        .rename_columns({"count()": "deg"})
+        .materialize()
+    )
+
+    wd = _attach_value(und, deg, "a", ["b"], "deg", "deg_a", P)
+    wd = _attach_value(
+        wd.rename_columns({"a": "oa", "b": "a"}),  # key on b now
+        deg,
+        "a",
+        ["oa", "deg_a"],
+        "deg",
+        "deg_b",
+        P,
+    ).rename_columns({"a": "b", "oa": "a"})
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        da = t["deg_a"].to_numpy()
+        db = t["deg_b"].to_numpy()
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        rv = np.where(a_first, db, da)  # orientation rank key of v
+        return pa.table(
+            {"u": u, "v": v, "rv": rv, "up": pa.array(part_of(u, P), pa.int32())}
+        )
+
+    oriented = wd.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(t: pa.Table) -> pa.Table:
+        # one call per hash partition; group by u inside via numpy runs
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        rv = t["rv"].to_numpy()
+        order = np.lexsort((v, rv, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        bounds = np.concatenate([starts, [len(u)]])
+        wv, ww, wu = [], [], []
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            n = hi - lo
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            wv.append(v[lo + iu])
+            ww.append(v[lo + ju])
+            wu.append(np.full(len(iu), u[lo]))
+        if not wv:
+            e = np.empty(0, np.int64)
+            return pa.table({"wv": e, "ww": e, "wu": e, "kp": np.empty(0, np.int32)})
+        wvc = np.concatenate(wv)
+        wwc = np.concatenate(ww)
+        return pa.table(
+            {
+                "wv": wvc,
+                "ww": wwc,
+                "wu": np.concatenate(wu),
+                "kp": pa.array(_pair_part(wvc, wwc, P), pa.int32()),
+            }
+        )
+
+    wedge_ds = oriented.groupby("up").map_groups(wedges, batch_format="pyarrow")
+
+    def key_edge(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        return pa.table(
+            {
+                "wv": t["u"],
+                "ww": t["v"],
+                "wu": pa.array(np.full(len(u), np.iinfo(np.int64).min, np.int64)),
+                "kp": pa.array(_pair_part(u, v, P), pa.int32()),
+            }
+        )
+
+    SENTINEL = np.iinfo(np.int64).min
+    probes = wedge_ds.union(oriented.map_batches(key_edge, batch_format="pyarrow"))
+
+    def match(t: pa.Table) -> pa.Table:
+        wu = t["wu"].to_numpy(zero_copy_only=False)
+        is_edge = wu == SENTINEL
+        wv = t["wv"].to_numpy(zero_copy_only=False)
+        ww = t["ww"].to_numpy(zero_copy_only=False)
+        es = np.sort(_pair_struct(wv[is_edge], ww[is_edge]))
+        qs = _pair_struct(wv[~is_edge], ww[~is_edge])
+        qu = wu[~is_edge]
+        e = np.empty(0, np.int64)
+        if len(es) == 0 or len(qs) == 0:
+            return pa.table({"tu": e, "tv": e, "tw": e})
+        pos = np.clip(np.searchsorted(es, qs), 0, len(es) - 1)
+        hit = es[pos] == qs
+        return pa.table(
+            {"tu": qu[hit], "tv": qs["a"][hit], "tw": qs["b"][hit]}
+        )
+
+    closed = probes.groupby("kp").map_groups(match, batch_format="pyarrow")
+
+    if not per_vertex:
+        n = closed.count()
+        return ray.data.from_arrow(pa.table({"triangles": pa.array([n], pa.int64())}))
+
+    def explode(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays(
+            [
+                t["tu"].combine_chunks(),
+                t["tv"].combine_chunks(),
+                t["tw"].combine_chunks(),
+            ]
+        )
+        return pa.table({"vertex": v})
+
+    return (
+        closed.map_batches(explode, batch_format="pyarrow")
+        .groupby("vertex")
+        .count()
+        .rename_columns({"count()": "triangles"})
+    )

@@ -1,0 +1,200 @@
+"""Synthetic source-code corpus: generator + validated ingest.
+
+The engine's external-facing input shape (BASELINE.json ``input_hint``):
+Parquet table ``(repo: string, path: string, commit: string, lang: string,
+content: string)``. This module
+
+- synthesizes a deterministic, seeded corpus at any scale (FIXTURES.md §1):
+  Zipf(a=1.5) repo→file fan-out for high-degree skew, contents containing
+  ``import {repo}/{path}`` lines referencing other rows so cross-repo edges
+  exist, and a manifest parquet of per-row ``sha256(content)``;
+- ingests a corpus with the per-row sha256 invariant enforced inside
+  ``map_batches`` (the manifest is hash-joined on the (repo,path,commit)
+  key — at 10^12-file scale this is a co-partitioned hash join, never a
+  driver-side lookup).
+
+No external data; everything is generated from the seed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+SEED = 23
+LANGS = ["py", "c", "cpp", "js", "go"]
+_EXT = {"py": "py", "c": "c", "cpp": "cc", "js": "js", "go": "go"}
+
+CORPUS_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+    ]
+)
+
+
+def generate_corpus(
+    out_dir: str,
+    n_files: int = 2000,
+    seed: int = SEED,
+    files_per_shard: int = 250_000,
+    imports_per_file: int = 3,
+) -> str:
+    """Write a deterministic synthetic corpus + manifest under ``out_dir``.
+
+    Layout (resumable: a rerun skips shards that already exist)::
+
+        out_dir/corpus/part-{i:05d}.parquet
+        out_dir/manifest/part-{i:05d}.parquet   (repo, path, commit, content_sha256)
+
+    Fan-out: repo of row k is drawn Zipf(a=1.5) over ``n_repos`` ranks so a
+    few repos own most files (the skew the salting path must survive).
+    Imports reference other rows' (repo, path) pairs chosen by a seeded
+    uniform draw, so the repo→import graph is connected across repos.
+    """
+    corpus_dir = os.path.join(out_dir, "corpus")
+    manifest_dir = os.path.join(out_dir, "manifest")
+    os.makedirs(corpus_dir, exist_ok=True)
+    os.makedirs(manifest_dir, exist_ok=True)
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n_repos = max(4, n_files // 40)
+
+    # repo rank per file: Zipf truncated to n_repos
+    ranks = rng.zipf(1.5, size=n_files * 2)
+    ranks = ranks[ranks <= n_repos][:n_files]
+    while len(ranks) < n_files:
+        extra = rng.zipf(1.5, size=n_files)
+        ranks = np.concatenate([ranks, extra[extra <= n_repos]])[:n_files]
+    repo_idx = ranks - 1  # 0-based repo index per file
+
+    langs = rng.choice(len(LANGS), size=n_files)
+    mods = rng.integers(0, max(2, n_files // 100), size=n_files)
+    # per-repo running file number → unique path within repo
+    file_no = np.zeros(n_files, dtype=np.int64)
+    counters: dict[int, int] = {}
+    for i, r in enumerate(repo_idx):
+        c = counters.get(int(r), 0)
+        file_no[i] = c
+        counters[int(r)] = c + 1
+
+    repos = [f"org{r % 97}/repo{r}" for r in repo_idx]
+    paths = [
+        f"src/mod{mods[i]}/file{file_no[i]}.{_EXT[LANGS[langs[i]]]}"
+        for i in range(n_files)
+    ]
+    commit_bytes = rng.integers(0, 256, size=(n_files, 20), dtype=np.uint8)
+    commits = [bytes(row).hex() for row in commit_bytes]
+
+    # import targets: uniform over all rows (self-imports dropped at extract)
+    targets = rng.integers(0, n_files, size=(n_files, imports_per_file))
+
+    shard = 0
+    for lo in range(0, n_files, files_per_shard):
+        hi = min(lo + files_per_shard, n_files)
+        cpath = os.path.join(corpus_dir, f"part-{shard:05d}.parquet")
+        mpath = os.path.join(manifest_dir, f"part-{shard:05d}.parquet")
+        if os.path.exists(cpath) and os.path.exists(mpath):
+            shard += 1
+            continue
+        contents, shas = [], []
+        for i in range(lo, hi):
+            lines = [f"// {repos[i]}:{paths[i]} lang={LANGS[langs[i]]}"]
+            for t in targets[i]:
+                if t != i:
+                    lines.append(f"import {repos[t]}/{paths[t]}")
+            lines.append(f"fn main_{file_no[i]}() {{ return {int(mods[i])}; }}")
+            content = "\n".join(lines)
+            contents.append(content)
+            shas.append(hashlib.sha256(content.encode()).hexdigest())
+        tbl = pa.table(
+            {
+                "repo": repos[lo:hi],
+                "path": paths[lo:hi],
+                "commit": commits[lo:hi],
+                "lang": [LANGS[l] for l in langs[lo:hi]],
+                "content": contents,
+            },
+            schema=CORPUS_SCHEMA,
+        )
+        pq.write_table(tbl, cpath + ".tmp")
+        os.replace(cpath + ".tmp", cpath)  # atomic → resumable
+        mtbl = pa.table(
+            {
+                "repo": repos[lo:hi],
+                "path": paths[lo:hi],
+                "commit": commits[lo:hi],
+                "content_sha256": shas,
+            }
+        )
+        pq.write_table(mtbl, mpath + ".tmp")
+        os.replace(mpath + ".tmp", mpath)
+        shard += 1
+    return out_dir
+
+
+class _Sha256Stage:
+    """Actor-pool stage: append content_sha256 to each batch (zero-copy in)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        shas = [
+            hashlib.sha256(v.encode("utf-8")).hexdigest()
+            for v in batch["content"].to_pylist()
+        ]
+        return batch.append_column("computed_sha256", pa.array(shas, pa.string()))
+
+
+def read_corpus(corpus_root: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Read the corpus with schema validation (fixed explicit contract)."""
+    ds = ray.data.read_parquet(os.path.join(corpus_root, "corpus"), columns=columns)
+    want = set(columns) if columns else set(CORPUS_SCHEMA.names)
+    have = set(ds.schema().names)
+    if not want <= have:
+        raise ValueError(f"corpus schema mismatch: missing {want - have}")
+    return ds
+
+
+def ingest_corpus(corpus_root: str, num_partitions: int = 32) -> ray.data.Dataset:
+    """Validated ingest: per-row sha256(content) equality vs the manifest.
+
+    Re-expresses the reference's fixed-schema trusted parse (`io.cpp:57-95`)
+    as a typed-Parquet contract plus a content-integrity invariant
+    (BASELINE.json input_hint). The manifest join is a hash-partitioned
+    equi-join on (repo, path, commit) — both sides shuffle once; at corpus
+    scale neither side is broadcastable.
+
+    Raises ValueError if any row's content hash disagrees with the manifest.
+    Returns the validated corpus dataset (original 5 columns).
+    """
+    ds = read_corpus(corpus_root).map_batches(
+        _Sha256Stage, batch_format="pyarrow", concurrency=(1, 8), batch_size=4096
+    )
+    manifest = ray.data.read_parquet(os.path.join(corpus_root, "manifest"))
+    joined = ds.join(
+        manifest,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("repo", "path", "commit"),
+    )
+
+    def _check(batch: pa.Table) -> pa.Table:
+        got = batch["computed_sha256"].to_pylist()
+        want = batch["content_sha256"].to_pylist()
+        bad = sum(1 for g, w in zip(got, want) if w is None or g != w)
+        return pa.table({"bad": pa.array([bad], pa.int64())})
+
+    bad_total = sum(
+        r["bad"] for r in joined.map_batches(_check, batch_format="pyarrow").take_all()
+    )
+    if bad_total:
+        raise ValueError(f"ingest invariant violated: {bad_total} rows failed sha256")
+    return read_corpus(corpus_root)

@@ -1,0 +1,253 @@
+"""Edge-table sources: the engine's unit record.
+
+Data model (SURVEY.md §1.2, re-expressing the reference's edge tuple
+`/root/reference/graph.h:22-31` as a typed Arrow schema)::
+
+    src: int64      # vertex id (64-bit stable hash, or arithmetic id)
+    dst: int64
+    src_type: uint8 # categorical node type (reference: single char)
+    dst_type: uint8
+    e_type: uint8   # categorical edge type
+    gid: int64      # graph id — the reference's partitioning key
+    seq: int64      # arrival order (reference: implicit file order)
+
+Three producers:
+- ``extract_edges(corpus)`` — repo→path *contains* and repo→import-target
+  *imports* edges from the source-code corpus (the north-star input);
+- ``edges_from_tpch(sf_dir)`` — deterministic customer→order→part→supplier
+  reference graph from the driver's TPC-H-ish tables (SQL-checkable: the
+  same derivation is expressible in ANSI SQL for the DuckDB oracle);
+- ``streamspot_fixture_edges()`` — the reference's 12-edge smoke fixture
+  (`/root/reference/test_edges.txt`, data not code) for sketch parity tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.hashing import stable_id64
+
+EDGE_SCHEMA = pa.schema(
+    [
+        ("src", pa.int64()),
+        ("dst", pa.int64()),
+        ("src_type", pa.uint8()),
+        ("dst_type", pa.uint8()),
+        ("e_type", pa.uint8()),
+        ("gid", pa.int64()),
+        ("seq", pa.int64()),
+    ]
+)
+
+# node / edge type enums for the corpus graph
+NT_REPO, NT_PATH = 0, 1
+ET_CONTAINS, ET_IMPORTS = 0, 1
+
+# vertex-id offsets for the TPC-H-derived graph (arithmetic so ANSI SQL can
+# reproduce them exactly; key ranges at any sf stay far below the offsets)
+OFF_ORDER = 10_000_000
+OFF_PART = 20_000_000
+OFF_SUPP = 30_000_000
+
+_IMPORT_RE = re.compile(r"^import\s+(\S+)$", re.M)
+
+
+def _i64(u: np.ndarray) -> np.ndarray:
+    return u.view(np.int64) if u.dtype == np.uint64 else u.astype(np.int64)
+
+
+def _seq64(keys: list[str]) -> np.ndarray:
+    """Deterministic pseudo-arrival-order: 63-bit blake2b of a row key.
+
+    The corpus has no event time; the reference's 'time' is file order
+    (`graph.cpp:111`). A seeded permutation of rows is equivalent for our
+    purposes; a keyed hash IS a deterministic permutation and needs no
+    global coordination at 10^12 rows.
+    """
+    out = np.empty(len(keys), dtype=np.int64)
+    for i, k in enumerate(keys):
+        d = hashlib.blake2b(k.encode(), digest_size=8).digest()
+        out[i] = int.from_bytes(d, "little") >> 1
+    return out
+
+
+class EdgeExtractor:
+    """Actor-pool stage: corpus batch → edge rows (regex compiled once).
+
+    Emits, per corpus row (repo, path, content):
+    - one *contains* edge  repo → "repo/path"
+    - one *imports* edge per ``import {target}`` line, repo → target
+      (self-imports dropped)
+    gid = repo-id mod ``num_gids`` (scenario bucket, mirrors the
+    reference's gid/100 scenario notion, `io.cpp:97`).
+    """
+
+    def __init__(self, num_gids: int = 1000):
+        self.num_gids = num_gids
+        self.re = _IMPORT_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        repos = batch["repo"].to_pylist()
+        paths = batch["path"].to_pylist()
+        contents = batch["content"].to_pylist()
+        e_src: list[str] = []
+        e_dst: list[str] = []
+        e_type: list[int] = []
+        seq_key: list[str] = []
+        for repo, path, content in zip(repos, paths, contents):
+            full = f"{repo}/{path}"
+            e_src.append(repo)
+            e_dst.append(full)
+            e_type.append(ET_CONTAINS)
+            seq_key.append(f"{full}#c")
+            for k, tgt in enumerate(self.re.findall(content)):
+                if tgt != full:
+                    e_src.append(repo)
+                    e_dst.append(tgt)
+                    e_type.append(ET_IMPORTS)
+                    seq_key.append(f"{full}#i{k}")
+        src = stable_id64(e_src, "R:")
+        dst = stable_id64(e_dst, "P:")
+        gid = (src % np.uint64(self.num_gids)).astype(np.int64)
+        return pa.table(
+            {
+                "src": _i64(src),
+                "dst": _i64(dst),
+                "src_type": np.full(len(e_src), NT_REPO, np.uint8),
+                "dst_type": np.full(len(e_src), NT_PATH, np.uint8),
+                "e_type": np.asarray(e_type, np.uint8),
+                "gid": gid,
+                "seq": _seq64(seq_key),
+            },
+            schema=EDGE_SCHEMA,
+        )
+
+
+def extract_edges(corpus: ray.data.Dataset, num_gids: int = 1000) -> ray.data.Dataset:
+    """Corpus → typed edge table (stateless-per-batch actor pool)."""
+    return corpus.select_columns(["repo", "path", "content"]).map_batches(
+        EdgeExtractor,
+        fn_constructor_kwargs={"num_gids": num_gids},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+
+def edges_from_tpch(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic (src, dst) graph from the TPC-H-ish tables.
+
+    customer --places--> order --contains--> part --supplied_by--> supplier,
+    with arithmetic vertex ids (see OFF_* above) and distinct edges. The
+    identical derivation in ANSI SQL::
+
+        SELECT DISTINCT o_custkey AS src, 10000000 + o_orderkey AS dst FROM orders
+        UNION
+        SELECT DISTINCT 10000000 + l_orderkey, 20000000 + l_partkey FROM lineitem
+        UNION
+        SELECT DISTINCT 20000000 + l_partkey, 30000000 + l_suppkey FROM lineitem
+    """
+    import pyarrow.compute as pc
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey", "l_suppkey"]
+    )
+
+    def co(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t["o_custkey"], pa.int64()),
+                "dst": pc.add(pc.cast(t["o_orderkey"], pa.int64()), OFF_ORDER),
+            }
+        )
+
+    def op(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.add(pc.cast(t["l_orderkey"], pa.int64()), OFF_ORDER),
+                "dst": pc.add(pc.cast(t["l_partkey"], pa.int64()), OFF_PART),
+            }
+        )
+
+    def ps(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.add(pc.cast(t["l_partkey"], pa.int64()), OFF_PART),
+                "dst": pc.add(pc.cast(t["l_suppkey"], pa.int64()), OFF_SUPP),
+            }
+        )
+
+    ds = (
+        orders.map_batches(co, batch_format="pyarrow")
+        .union(li.map_batches(op, batch_format="pyarrow"))
+        .union(li.map_batches(ps, batch_format="pyarrow"))
+    )
+    return dedup_edges(ds)
+
+
+def dedup_edges(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact edge dedup: hash-partition on the edge key, first-wins.
+
+    SURVEY.md §7.3 'exact dedup' row: groupby((src,dst)) is the shuffle.
+    Batch-local pre-dedup inside map_batches cuts shuffle volume before the
+    groupby; the final distinct is the native vectorized count aggregate
+    (never per-group Python).
+    """
+
+    def local(t: pa.Table) -> pa.Table:
+        return t.group_by(["src", "dst"]).aggregate([]).select(["src", "dst"])
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .drop_columns(["count()"])
+    )
+
+
+# The reference's 12-edge fixture (data, verbatim from
+# /root/reference/test_edges.txt): (src_id, src_type, dst_id, dst_type,
+# e_type, gid); arrival order = row order.
+STREAMSPOT_FIXTURE = [
+    (4, "a", 5, "b", "t", 0),
+    (4, "a", 5, "b", "t", 1),
+    (6, "p", 5, "b", "t", 1),
+    (5, "b", 7, "q", "t", 1),
+    (5, "b", 8, "r", "t", 1),
+    (4, "a", 5, "b", "t", 2),
+    (6, "p", 5, "b", "t", 2),
+    (5, "b", 7, "q", "t", 2),
+    (5, "b", 8, "r", "t", 2),
+    (4, "a", 5, "b", "t", 3),
+    (5, "b", 10, "p", "t", 3),
+    (5, "b", 11, "q", "t", 3),
+]
+
+
+def streamspot_fixture_table() -> pa.Table:
+    rows = STREAMSPOT_FIXTURE
+    return pa.table(
+        {
+            "src": pa.array([r[0] for r in rows], pa.int64()),
+            "dst": pa.array([r[2] for r in rows], pa.int64()),
+            "src_type": pa.array([ord(r[1]) for r in rows], pa.uint8()),
+            "dst_type": pa.array([ord(r[3]) for r in rows], pa.uint8()),
+            "e_type": pa.array([ord(r[4]) for r in rows], pa.uint8()),
+            "gid": pa.array([r[5] for r in rows], pa.int64()),
+            "seq": pa.array(list(range(len(rows))), pa.int64()),
+        },
+        schema=EDGE_SCHEMA,
+    )
+
+
+def streamspot_fixture_edges() -> ray.data.Dataset:
+    return ray.data.from_arrow(streamspot_fixture_table())

@@ -1,0 +1,245 @@
+"""Similarity search over the `embeddings` table (list<float> column).
+
+- brute-force cosine top-k: the baseline — numpy matmul per batch against a
+  broadcast query matrix (`ray.put` once, read zero-copy in every task),
+  per-batch partial top-k, tiny final merge. One pass, no shuffle.
+- IVF (inverted-file) variant: the scale path — k-means-ish coarse
+  centroids (seeded sample), vectors bucketed by nearest centroid
+  (groupby), queries probe only the nearest n_probe buckets.
+- embedding-cosine near-dup: all-pairs within LSH-ish buckets (random
+  hyperplane signs) → pairs above a cosine threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _mat(batch_col) -> np.ndarray:
+    return np.stack([np.asarray(v, np.float32) for v in batch_col.to_pylist()])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _BruteTopK:
+    """Per-batch partial top-k against the broadcast query matrix."""
+
+    def __init__(self, q_ref, k: int):
+        q = ray.get(q_ref[0]) if isinstance(q_ref, list) else ray.get(q_ref)
+        self.q = _normalize(np.asarray(q, np.float32))  # (nq, d)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_mat(batch["embedding"]))  # (n, d)
+        ids = batch["vec_id"].to_numpy()
+        sims = vecs @ self.q.T  # (n, nq)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k]
+            out_q.append(np.full(k, qi, np.int64))
+            out_id.append(ids[top].astype(np.int64))
+            out_sim.append(col[top].astype(np.float64))
+        return pa.table(
+            {
+                "query_idx": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_id),
+                "cosine": np.concatenate(out_sim),
+            }
+        )
+
+
+def knn_brute_force(
+    embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10
+) -> ray.data.Dataset:
+    """Exact cosine top-k per query row. Partial top-k per batch (map), one
+    small global sort+limit per query at the end (the partials are k rows
+    per batch per query — tiny)."""
+    q_ref = ray.put(np.asarray(queries, np.float32))
+    partials = embeddings.map_batches(
+        _BruteTopK,
+        fn_constructor_kwargs={"q_ref": [q_ref], "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_idx").map_groups(final, batch_format="pandas")
+
+
+def train_ivf_centroids(
+    embeddings: ray.data.Dataset, n_centroids: int = 16, sample: int = 2048,
+    iters: int = 5, seed: int = 23
+) -> np.ndarray:
+    """Seeded mini-batch k-means on a driver-side sample (the coarse
+    quantizer is a small model; training data is a bounded sample)."""
+    samp = embeddings.random_sample(1.0, seed=seed).limit(sample).to_pandas()
+    X = _normalize(np.stack([np.asarray(v, np.float32) for v in samp["embedding"]]))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_assign(embeddings: ray.data.Dataset, centroids: np.ndarray) -> ray.data.Dataset:
+    """Bucket each vector by nearest coarse centroid (broadcast lookup)."""
+    c_ref = ray.put(np.asarray(centroids, np.float32))
+
+    class Assign:
+        def __init__(self):
+            self.c = _normalize(ray.get(c_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_mat(batch["embedding"]))
+            bucket = (vecs @ self.c.T).argmax(axis=1).astype(np.int32)
+            return batch.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    return embeddings.map_batches(
+        Assign, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
+
+
+def knn_ivf(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 23,
+) -> ray.data.Dataset:
+    """IVF approximate top-k: probe only the n_probe nearest buckets per
+    query — at scale the filter prunes (1 - n_probe/n_centroids) of data."""
+    cent = train_ivf_centroids(embeddings, n_centroids, seed=seed)
+    assigned = ivf_assign(embeddings, cent)
+    qn = _normalize(np.asarray(queries, np.float32))
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    wanted = set(np.unique(probes).tolist())
+    pruned = assigned.filter(
+        expr=f"bucket in {sorted(wanted)}" if wanted else "bucket < 0"
+    )
+    q_ref = ray.put(qn)
+    probe_ref = ray.put(probes)
+
+    class TopK(_BruteTopK):
+        def __init__(self):
+            super().__init__([q_ref], k)
+            self.probes = ray.get(probe_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_mat(batch["embedding"]))
+            ids = batch["vec_id"].to_numpy()
+            bucket = batch["bucket"].to_numpy()
+            sims = vecs @ self.q.T
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(self.q.shape[0]):
+                mask = np.isin(bucket, self.probes[qi])
+                if not mask.any():
+                    continue
+                col = sims[mask, qi]
+                kk = min(k, len(col))
+                top = np.argpartition(-col, kk - 1)[:kk]
+                out_q.append(np.full(kk, qi, np.int64))
+                out_id.append(ids[mask][top].astype(np.int64))
+                out_sim.append(col[top].astype(np.float64))
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_idx": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_idx": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_id),
+                    "cosine": np.concatenate(out_sim),
+                }
+            )
+
+    partials = pruned.map_batches(
+        TopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_idx").map_groups(final, batch_format="pandas")
+
+
+def embedding_near_dup(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 23,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup: random-hyperplane bucket (n_planes sign
+    bits) → within-bucket all-pairs cosine → (src, dst, cosine) above
+    threshold. Recall grows with fewer planes; exactness within buckets."""
+    first = embeddings.take(1)
+    d = len(first[0]["embedding"])
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.normal(size=(n_planes, d)).astype(np.float32)
+    p_ref = ray.put(planes)
+
+    class Bucket:
+        def __init__(self):
+            self.planes = ray.get(p_ref)
+            self.pow2 = (1 << np.arange(n_planes)).astype(np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_mat(batch["embedding"]))
+            signs = (vecs @ self.planes.T) >= 0
+            bucket = signs @ self.pow2
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "embedding": batch["embedding"],
+                    "bucket": pa.array(bucket, pa.int64()),
+                }
+            )
+
+    bucketed = embeddings.map_batches(
+        Bucket, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64),
+                 "cosine": np.empty(0, np.float64)}
+            )
+        g = g.sort_values("vec_id", kind="stable")
+        ids = g["vec_id"].to_numpy()
+        vecs = _normalize(np.stack([np.asarray(v, np.float32) for v in g["embedding"]]))
+        sims = vecs @ vecs.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "src": ids[iu[keep]].astype(np.int64),
+                "dst": ids[ju[keep]].astype(np.int64),
+                "cosine": sims[iu[keep], ju[keep]].astype(np.float64),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")

@@ -1,0 +1,160 @@
+"""LSH banding + co-bucket analytics (reference C1-C4).
+
+The reference's B hash tables keyed by R-bit bands (`cluster.cpp:23-42`,
+`main.cpp:88`) become ONE relational table of rows
+``(gid: int64, band_idx: int32, band_value: int64)`` — bucket membership is
+just a groupby key, the anomaly test (C2, `cluster.cpp:44-57`) is an
+anti-join, shared-bucket lookup (C3, `cluster.cpp:59-74`) is a semi-join,
+and the reference's BFS bucket clustering (C4, `main.cpp:672-721`) is
+connected components over the co-bucket pair graph, run on the superstep
+engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.hashing import B, L, R
+
+
+class _BandStage:
+    """C1 vectorized: packed sketch → B (gid, band_idx, band_value) rows."""
+
+    def __init__(self, b: int, r: int, l: int):
+        assert b * r == l
+        self.b, self.r, self.l = b, r, l
+        self.pow2 = (1 << np.arange(r, dtype=np.int64))[::-1].copy()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        gids = batch["gid"].to_numpy()
+        raw = np.frombuffer(
+            b"".join(batch["sketch"].to_pylist()), dtype=np.uint8
+        ).reshape(n, -1)
+        bits = np.unpackbits(raw, axis=1)[:, : self.l]  # (n, L)
+        bands = bits.reshape(n, self.b, self.r).astype(np.int64) @ self.pow2
+        return pa.table(
+            {
+                "gid": np.repeat(gids, self.b),
+                "band_idx": np.tile(np.arange(self.b, dtype=np.int32), n),
+                "band_value": bands.ravel(),
+            }
+        )
+
+
+def hash_bands(
+    sketches: ray.data.Dataset, b: int = B, r: int = R, l: int = L
+) -> ray.data.Dataset:
+    """C1: sketch table → band table (the LSH 'index' as data, not pointers)."""
+    return sketches.select_columns(["gid", "sketch"]).map_batches(
+        _BandStage,
+        fn_constructor_kwargs={"b": b, "r": r, "l": l},
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+
+
+def isolated_gids(
+    query_bands: ray.data.Dataset,
+    index_bands: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """C2 `is_isolated` as an anti-join: a gid is anomalous iff NONE of its
+    B band buckets exists in the index (`cluster.cpp:44-57`).
+
+    Returns (gid, isolated: bool). Distinct index buckets first so the join
+    build side is bounded by the bucket count, not the gid count."""
+    idx = (
+        index_bands.select_columns(["band_idx", "band_value"])
+        .groupby(["band_idx", "band_value"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    idx = idx.add_column("hit", lambda df: np.ones(len(df), np.int64), batch_format="pandas")
+    probed = query_bands.join(
+        idx,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("band_idx", "band_value"),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        hits = df.groupby("gid")["hit"].max().fillna(0)
+        return pa.table(
+            {
+                "gid": pa.array(hits.index.to_numpy(), pa.int64()),
+                "hits": pa.array(hits.to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        probed.map_batches(fold, batch_format="pyarrow")
+        .groupby("gid")
+        .max("hits")
+        .rename_columns({"max(hits)": "hits"})
+    )
+    return agg.add_column(
+        "isolated", lambda df: df["hits"] == 0, batch_format="pandas"
+    ).select_columns(["gid", "isolated"])
+
+
+def shared_bucket_pairs(bands: ray.data.Dataset) -> ray.data.Dataset:
+    """C3/C4 support: co-bucket pair edges (src, dst) — for each bucket,
+    star edges from the minimum member to the others (sufficient for
+    connectivity, avoids the O(k^2) clique blow-up on hot buckets)."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        gids = np.unique(g["gid"].to_numpy())
+        if len(gids) < 2:
+            return pd.DataFrame({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
+        return pd.DataFrame({"src": np.full(len(gids) - 1, gids[0]), "dst": gids[1:]})
+
+    return (
+        bands.groupby(["band_idx", "band_value"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def shared_bucket_gids(
+    query_bands: ray.data.Dataset,
+    index_bands: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """C3: distinct gids sharing >=1 band bucket with the query's bands
+    (semi-join, `cluster.cpp:59-74`). Returns (gid)."""
+    q = (
+        query_bands.select_columns(["band_idx", "band_value"])
+        .groupby(["band_idx", "band_value"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    hit = index_bands.join(
+        q, join_type="inner", num_partitions=num_partitions, on=("band_idx", "band_value")
+    )
+    return hit.groupby("gid").map_groups(lambda g: g.head(1)[["gid"]], batch_format="pandas")
+
+
+def lsh_clusters(
+    sketches: ray.data.Dataset, num_parts: int = 8, b: int = B, r: int = R, l: int = L
+) -> ray.data.Dataset:
+    """C4 `print_lsh_clusters`: connected components over the co-bucket
+    relation (`main.cpp:672-721`), generalized onto the superstep engine.
+    Returns (gid, cluster) where cluster = min gid of the component;
+    singletons keep their own gid."""
+    from ..pipelines.superstep import ShardedGraph, connected_components
+
+    bands = hash_bands(sketches, b=b, r=r, l=l)
+    pairs = shared_bucket_pairs(bands)
+    singles = sketches.select_columns(["gid"])
+    # self-loops register isolated gids as vertices of the CC graph
+    loops = singles.map_batches(
+        lambda t: pa.table({"src": t["gid"], "dst": t["gid"]}),
+        batch_format="pyarrow",
+    )
+    g = ShardedGraph.build(pairs.union(loops), num_parts=num_parts, symmetric=True)
+    return connected_components(g).rename_columns(
+        {"vertex": "gid", "component": "cluster"}
+    )

@@ -1,0 +1,96 @@
+"""Engine vs single-node oracle parity for the four link-graph algorithms
+(FIXTURES.md §4: PageRank allclose 1e-6, CC / labels / triangles exact)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from sbustreamspot_core_ray.pipelines.superstep import (
+    ShardedGraph,
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+from .oracles import (
+    oracle_components,
+    oracle_label_propagation,
+    oracle_pagerank,
+    oracle_triangles,
+    random_graph,
+)
+
+P = 8  # partitions (small but >1 so the shuffle paths are exercised)
+
+
+@pytest.fixture(scope="module")
+def edges():
+    return random_graph(n=250, m=1500, seed=23)
+
+
+def edges_ds(edges):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    ).repartition(6)
+
+
+def test_pagerank_matches_oracle(edges):
+    g = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=False)
+    got = pagerank(g, damping=0.85, max_iters=60, tol=1e-12).to_pandas()
+    want = oracle_pagerank(edges, damping=0.85, max_iters=60, tol=1e-12)
+    assert len(got) == len(want)
+    got_map = dict(zip(got["vertex"], got["rank"]))
+    for v, r in want.items():
+        assert got_map[v] == pytest.approx(r, abs=1e-6)
+    assert abs(sum(got_map.values()) - 1.0) < 1e-9
+
+
+def test_connected_components_matches_oracle(edges):
+    g = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    got = connected_components(g).to_pandas()
+    want = oracle_components(edges)
+    got_map = dict(zip(got["vertex"], got["component"]))
+    assert got_map == want
+    assert len(set(got_map.values())) == len(set(want.values()))
+
+
+def test_label_propagation_matches_oracle(edges):
+    g = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    got = label_propagation(g, iters=5).to_pandas()
+    want = oracle_label_propagation(edges, iters=5)
+    got_map = dict(zip(got["vertex"], got["label"]))
+    assert got_map == want
+
+
+def test_triangle_count_matches_oracle(edges):
+    total, per = oracle_triangles(edges)
+    got_pv = triangle_count(edges_ds(edges), num_partitions=2, per_vertex=True).to_pandas()
+    got_map = dict(zip(got_pv["vertex"], got_pv["triangles"]))
+    assert got_map == per
+    assert int(got_pv["triangles"].sum()) == 3 * total
+
+
+def test_pagerank_checkpoint_resume(tmp_path, edges):
+    """Kill-and-resume: a run restarted from the checkpoint manifest ends in
+    the identical state (FIXTURES.md §5 resume property)."""
+    ck = str(tmp_path / "ck")
+    g1 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=False)
+    full = pagerank(g1, max_iters=40, tol=0.0).to_pandas()
+
+    g2 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=False)
+    pagerank(g2, max_iters=20, tol=0.0, ckpt_dir=ck, ckpt_every=1)  # "killed" at 20
+    g3 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=False)
+    resumed = pagerank(g3, max_iters=40, tol=0.0, ckpt_dir=ck, ckpt_every=1).to_pandas()
+
+    a = dict(zip(full["vertex"], full["rank"]))
+    b = dict(zip(resumed["vertex"], resumed["rank"]))
+    assert set(a) == set(b)
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
