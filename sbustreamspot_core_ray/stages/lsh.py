@@ -8,6 +8,12 @@ anti-join, shared-bucket lookup (C3, `cluster.cpp:59-74`) is a semi-join,
 and the reference's BFS bucket clustering (C4, `main.cpp:672-721`) is
 connected components over the co-bucket pair graph, run on the superstep
 engine.
+
+Deviation from the reference, documented: param.h sets B=100, R=20 with
+L=1000, but `hash_bands` (`cluster.cpp:29-41`) shifts by R*i for i<B, so
+bands 50..99 read past the 1000-bit sketch and are identically zero — every
+graph trivially co-buckets in them, which defeats the band test. We use the
+consistent B = L/R = 50 real bands by default (b/r remain parameters).
 """
 
 from __future__ import annotations
@@ -18,7 +24,12 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.hashing import B, L, R
+from ..functions.hashing import B, L, R, part_of
+
+
+def _distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    """Native vectorized distinct (groupby-count, no per-group Python)."""
+    return ds.groupby(cols).count().drop_columns(["count()"])
 
 
 class _BandStage:
@@ -40,14 +51,14 @@ class _BandStage:
         return pa.table(
             {
                 "gid": np.repeat(gids, self.b),
-                "band_idx": np.tile(np.arange(self.b, dtype=np.int32), n),
+                "band_idx": np.tile(np.arange(self.b, dtype=np.int64), n),
                 "band_value": bands.ravel(),
             }
         )
 
 
 def hash_bands(
-    sketches: ray.data.Dataset, b: int = B, r: int = R, l: int = L
+    sketches: ray.data.Dataset, b: int = L // R, r: int = R, l: int = L
 ) -> ray.data.Dataset:
     """C1: sketch table → band table (the LSH 'index' as data, not pointers)."""
     return sketches.select_columns(["gid", "sketch"]).map_batches(
@@ -55,6 +66,7 @@ def hash_bands(
         fn_constructor_kwargs={"b": b, "r": r, "l": l},
         batch_format="pyarrow",
         batch_size=4096,
+        concurrency=(1, 4),
     )
 
 
@@ -68,12 +80,13 @@ def isolated_gids(
 
     Returns (gid, isolated: bool). Distinct index buckets first so the join
     build side is bounded by the bucket count, not the gid count."""
-    idx = (
-        index_bands.select_columns(["band_idx", "band_value"])
-        .groupby(["band_idx", "band_value"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    idx = _distinct(
+        index_bands.select_columns(["band_idx", "band_value"]),
+        ["band_idx", "band_value"],
+    ).map_batches(
+        lambda t: t.append_column("hit", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow",
     )
-    idx = idx.add_column("hit", lambda df: np.ones(len(df), np.int64), batch_format="pandas")
     probed = query_bands.join(
         idx,
         join_type="left_outer",
@@ -102,20 +115,38 @@ def isolated_gids(
     ).select_columns(["gid", "isolated"])
 
 
-def shared_bucket_pairs(bands: ray.data.Dataset) -> ray.data.Dataset:
+def shared_bucket_pairs(bands: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset:
     """C3/C4 support: co-bucket pair edges (src, dst) — for each bucket,
     star edges from the minimum member to the others (sufficient for
-    connectivity, avoids the O(k^2) clique blow-up on hot buckets)."""
+    connectivity, avoids the O(k^2) clique blow-up on hot buckets).
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        gids = np.unique(g["gid"].to_numpy())
-        if len(gids) < 2:
-            return pd.DataFrame({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
-        return pd.DataFrame({"src": np.full(len(gids) - 1, gids[0]), "dst": gids[1:]})
+    One shuffle on hash(band key) % num_parts; pair generation is a
+    vectorized numpy run-scan per partition (no per-bucket Python)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            mixed = t["band_idx"].to_numpy().astype(np.uint64) * np.uint64(
+                0x9E3779B97F4A7C15
+            ) + t["band_value"].to_numpy().astype(np.uint64)
+        return t.append_column("kp", pa.array(part_of(mixed, num_parts), pa.int32()))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        bi = t["band_idx"].to_numpy()
+        bv = t["band_value"].to_numpy()
+        gid = t["gid"].to_numpy(zero_copy_only=False)
+        keys = np.stack([bi.astype(np.int64), bv, gid], axis=1)
+        keys = np.unique(keys, axis=0)  # sorts by (band_idx, band_value, gid)
+        bi, bv, gid = keys[:, 0], keys[:, 1], keys[:, 2]
+        starts = np.concatenate([[True], (bi[1:] != bi[:-1]) | (bv[1:] != bv[:-1])])
+        run_id = np.cumsum(starts) - 1
+        firsts = gid[starts][run_id]  # min gid of each bucket, broadcast
+        mask = ~starts
+        return pa.table({"src": firsts[mask], "dst": gid[mask]})
 
     return (
-        bands.groupby(["band_idx", "band_value"])
-        .map_groups(pairs, batch_format="pandas")
+        bands.map_batches(tag, batch_format="pyarrow")
+        .groupby("kp")
+        .map_groups(pairs, batch_format="pyarrow")
     )
 
 
@@ -126,19 +157,18 @@ def shared_bucket_gids(
 ) -> ray.data.Dataset:
     """C3: distinct gids sharing >=1 band bucket with the query's bands
     (semi-join, `cluster.cpp:59-74`). Returns (gid)."""
-    q = (
-        query_bands.select_columns(["band_idx", "band_value"])
-        .groupby(["band_idx", "band_value"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    q = _distinct(
+        query_bands.select_columns(["band_idx", "band_value"]),
+        ["band_idx", "band_value"],
     )
     hit = index_bands.join(
         q, join_type="inner", num_partitions=num_partitions, on=("band_idx", "band_value")
     )
-    return hit.groupby("gid").map_groups(lambda g: g.head(1)[["gid"]], batch_format="pandas")
+    return _distinct(hit.select_columns(["gid"]), ["gid"])
 
 
 def lsh_clusters(
-    sketches: ray.data.Dataset, num_parts: int = 8, b: int = B, r: int = R, l: int = L
+    sketches: ray.data.Dataset, num_parts: int = 8, b: int = L // R, r: int = R, l: int = L
 ) -> ray.data.Dataset:
     """C4 `print_lsh_clusters`: connected components over the co-bucket
     relation (`main.cpp:672-721`), generalized onto the superstep engine.

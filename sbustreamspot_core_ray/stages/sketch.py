@@ -43,6 +43,10 @@ class _PartialProjection:
     projection vectors for the shingles seen in this batch."""
 
     def __init__(self, h_ref, l: int):
+        # h_ref arrives as [ObjectRef] (wrapped in a list so Ray does not
+        # auto-resolve it at task-arg time; each actor fetches it zero-copy)
+        if isinstance(h_ref, list):
+            h_ref = h_ref[0]
         self.H = ray.get(h_ref) if isinstance(h_ref, ray.ObjectRef) else h_ref
         self.l = l
 
