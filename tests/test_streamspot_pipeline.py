@@ -1,0 +1,106 @@
+"""Bootstrap + windowed scoring pipeline tests (SURVEY.md §3.1/§3.2).
+
+Uses the reference's 12-edge fixture: train gids {0,1} (2 bootstrap
+clusters), test gids {2,3} streamed. Graph 2 is edge-identical to graph 1,
+so it must join cluster 1 with ~zero distance; windowed eviction must equal
+batch recompute of the final window (FIXTURES.md §5 properties)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from sbustreamspot_core_ray.pipelines.streamspot import (
+    ANOMALY,
+    UNSEEN,
+    bootstrap_pipeline,
+    score_stream,
+    sketch_dataset_to_numpy,
+)
+from sbustreamspot_core_ray.sources.bootstrap import fixture_bootstrap
+from sbustreamspot_core_ray.sources.edges import streamspot_fixture_edges
+from sbustreamspot_core_ray.stages.shingle import construct_shingle_vectors
+from sbustreamspot_core_ray.stages.sketch import construct_streamhash_sketches
+
+C = 10
+
+
+def split_fixture():
+    ds = streamspot_fixture_edges()
+    train = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t["gid"], 1)), batch_format="pyarrow"
+    )
+    test = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["gid"], 2)), batch_format="pyarrow"
+    )
+    return train, test
+
+
+def test_bootstrap_state():
+    train, _ = split_fixture()
+    state = bootstrap_pipeline(train, fixture_bootstrap(), C)
+    assert set(state.projections) == {0, 1}
+    assert state.cluster_map == {0: 0, 1: 1}
+    # single-member clusters: centroid == member projection -> distance 0
+    assert state.anomaly_scores[0] == 0.0
+    assert state.anomaly_scores[1] == 0.0
+    # centroid sketch equals the member's sketch
+    assert (state.centroid_sketch[1] == state.sketches[1]).all()
+
+
+def test_score_stream_assigns_identical_graph():
+    train, test = split_fixture()
+    state = bootstrap_pipeline(train, fixture_bootstrap(), C)
+    snaps = score_stream(state, test, C, interval=100)
+    last = snaps[snaps["interval"] == snaps["interval"].max()]
+    row2 = last[last["gid"] == 2].iloc[0]
+    # graph 2 == graph 1 -> joins cluster 1 at distance ~0
+    assert row2["cluster_id"] == 1
+    assert row2["anomaly_score"] < 1e-9
+    # all four gids reported each snapshot, sentinels respected
+    assert set(last["gid"]) == {0, 1, 2, 3}
+    assert set(last["cluster_id"]) <= {0, 1, ANOMALY, UNSEEN}
+
+
+def test_windowed_eviction_equals_batch_recompute(tmp_path):
+    """W1 property: streaming N windows with a max_edges cache equals one
+    batch recompute over the last max_edges window."""
+    train, test = split_fixture()
+    state = bootstrap_pipeline(train, fixture_bootstrap(), C)
+    max_edges = 4
+    snaps = score_stream(
+        state, test, C, interval=2, max_edges=max_edges,
+        snapshot_dir=str(tmp_path / "snaps"),
+    )
+    # direct recompute over the final active window (same window arithmetic
+    # as score_stream: windows of `interval` starting at the min test seq)
+    tbl = streamspot_fixture_edges().take_all()
+    seqs = [r["seq"] for r in tbl if r["gid"] >= 2]
+    lo, hi = min(seqs), max(seqs)
+    interval = 2
+    n_windows = (hi - lo) // interval + 1
+    w_end = lo + n_windows * interval - 1
+    active = [
+        r for r in tbl if r["gid"] >= 2 and w_end - max_edges + 1 <= r["seq"] <= w_end
+    ]
+    act_ds = ray.data.from_arrow(
+        pa.Table.from_pylist(active, schema=streamspot_fixture_edges().schema().base_schema)
+    )
+    sk = construct_streamhash_sketches(
+        construct_shingle_vectors(act_ds, C), C
+    )
+    gids, proj, sketches = sketch_dataset_to_numpy(sk)
+    seen = set()
+    for i, g in enumerate(gids):
+        seen.add(int(g))
+        assert (state.projections[int(g)] == proj[i]).all(), g
+        assert (state.sketches[int(g)] == sketches[i]).all(), g
+    # test gids fully evicted by the final window -> zero projection
+    for g in {2, 3} - seen:
+        assert (state.projections[g] == 0).all(), g
+    # snapshots wrote one parquet per interval
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "snaps" / "interval=*/snapshot.parquet"))) == \
+        snaps["interval"].nunique()
