@@ -20,8 +20,8 @@ import ray
 import ray.data
 
 
-def _mat(batch_col) -> np.ndarray:
-    return np.stack([np.asarray(v, np.float32) for v in batch_col.to_pylist()])
+def _mat(batch_col, dtype=np.float32) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype) for v in batch_col.to_pylist()])
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -31,15 +31,19 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class _BruteTopK:
-    """Per-batch partial top-k against the broadcast query matrix."""
+    """Per-batch partial top-k against the broadcast query matrix.
 
-    def __init__(self, q_ref, k: int):
+    dtype float32 by default (the scale path); float64 when exact parity
+    with a double-precision oracle is required."""
+
+    def __init__(self, q_ref, k: int, dtype=np.float32):
         q = ray.get(q_ref[0]) if isinstance(q_ref, list) else ray.get(q_ref)
-        self.q = _normalize(np.asarray(q, np.float32))  # (nq, d)
+        self.dtype = dtype
+        self.q = _normalize(np.asarray(q, dtype))  # (nq, d)
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(_mat(batch["embedding"]))  # (n, d)
+        vecs = _normalize(_mat(batch["embedding"], self.dtype))  # (n, d)
         ids = batch["vec_id"].to_numpy()
         sims = vecs @ self.q.T  # (n, nq)
         k = min(self.k, len(ids))
@@ -60,15 +64,15 @@ class _BruteTopK:
 
 
 def knn_brute_force(
-    embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10
+    embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10, dtype=np.float32
 ) -> ray.data.Dataset:
     """Exact cosine top-k per query row. Partial top-k per batch (map), one
     small global sort+limit per query at the end (the partials are k rows
     per batch per query — tiny)."""
-    q_ref = ray.put(np.asarray(queries, np.float32))
+    q_ref = ray.put(np.asarray(queries, dtype))
     partials = embeddings.map_batches(
         _BruteTopK,
-        fn_constructor_kwargs={"q_ref": [q_ref], "k": k},
+        fn_constructor_kwargs={"q_ref": [q_ref], "k": k, "dtype": dtype},
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),

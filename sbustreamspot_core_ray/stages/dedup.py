@@ -173,16 +173,22 @@ def ngram_jaccard_verify(
         right_on=("doc_id",),
     ).rename_columns({"text": "text_dst"})
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
+    def verify(df: pd.DataFrame) -> pa.Table:
         jac = np.empty(len(df), np.float64)
         for i, (a, b) in enumerate(zip(df["text_src"], df["text_dst"])):
             sa = set(_char_shingles(a or "", shingle_k).tolist())
             sb = set(_char_shingles(b or "", shingle_k).tolist())
             u = len(sa | sb)
             jac[i] = (len(sa & sb) / u) if u else 1.0
-        out = df[["src", "dst"]].copy()
-        out["jaccard"] = jac
-        return out[out["jaccard"] >= threshold]
+        keep = jac >= threshold
+        # Arrow out so downstream unions mix with Arrow-block datasets
+        return pa.table(
+            {
+                "src": df["src"].to_numpy(np.int64)[keep],
+                "dst": df["dst"].to_numpy(np.int64)[keep],
+                "jaccard": jac[keep],
+            }
+        )
 
     return withd.map_batches(verify, batch_format="pandas", batch_size=512)
 

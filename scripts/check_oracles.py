@@ -1,0 +1,119 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry at sf0.01 alongside its oracle_sql() and compare row count, column
+names, and order-insensitive values. Usage:
+
+    python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
+    if len(ray_df) != len(sql_df):
+        return f"ROWS {len(ray_df)} vs {len(sql_df)}"
+    if sorted(ray_df.columns) != sorted(sql_df.columns):
+        return f"SCHEMA {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}"
+    a, b = canon(ray_df), canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            ok = np.allclose(av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True)
+        else:
+            ok = (av == bv).all()
+        if not ok:
+            bad = np.flatnonzero(
+                ~(np.isclose(av.astype(float), bv.astype(float), atol=1e-9)
+                  if np.issubdtype(av.dtype, np.floating) else (av == bv))
+            )[:3]
+            return f"VALUES col={c} rows={bad.tolist()} ray={av[bad]} sql={bv[bad]}"
+    return "OK"
+
+
+def main():
+    import ray
+
+    ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as mod
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            ray_df = to_df(fn(sf))
+        except Exception as e:
+            print(f"{name:26s} RAY-ERROR {type(e).__name__}: {str(e)[:200]}")
+            failures.append(name)
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"{name:26s} rows-only  {len(ray_df):7d} rows  {dt:6.1f}s")
+            continue
+        try:
+            sql_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"{name:26s} SQL-ERROR {type(e).__name__}: {str(e)[:200]}")
+            failures.append(name)
+            continue
+        verdict = compare(name, ray_df, sql_df)
+        print(f"{name:26s} {verdict:40s} {len(ray_df):7d} rows  {dt:6.1f}s")
+        if verdict != "OK":
+            failures.append(name)
+    print("FAILURES:", failures if failures else "none")
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
