@@ -559,6 +559,81 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(emb, threshold=0.35, n_planes=4)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Rows-only: exact n-gram Jaccard scores for LSH candidate pairs
+    (pair set depends on the seeded minhash permutations)."""
+    from sbustreamspot_core_ray.stages.dedup import (
+        candidate_pairs,
+        minhash_band_table,
+        ngram_jaccard_verify,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cands = candidate_pairs(minhash_band_table(docs))
+    out = ngram_jaccard_verify(cands, docs, threshold=0.0).to_pandas()
+    out["jaccard"] = out["jaccard"].round(6)
+    return out
+
+
+def q_media_features(sf_dir: str):
+    """Rows-only: binary media columns -> actor-pool fake-decode ->
+    per-image pixel features (multimodal plumbing; codec stubbed)."""
+    from sbustreamspot_core_ray.stages.multimodal import (
+        image_features,
+        media_from_documents,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = image_features(media_from_documents(docs)).to_pandas()
+    for c in ("px_mean", "px_std", "edge_energy"):
+        out[c] = out[c].round(6)
+    return out
+
+
+def q_audio_frames(sf_dir: str):
+    """Rows-only: audio payloads -> frame-sampled RMS energy rows."""
+    from sbustreamspot_core_ray.stages.multimodal import (
+        audio_frames,
+        media_from_documents,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = audio_frames(media_from_documents(docs)).to_pandas()
+    out["rms"] = out["rms"].round(6)
+    return out
+
+
+def q_video_frames(sf_dir: str):
+    """Rows-only: video payloads -> sampled frame payload rows (frame count
+    + byte length per sampled frame)."""
+    from sbustreamspot_core_ray.stages.multimodal import (
+        media_from_documents,
+        video_frame_sample,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    frames = video_frame_sample(media_from_documents(docs))
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "frame_no": t["frame_no"],
+                "frame_bytes": pc.binary_length(t["frame_payload"]),
+            }
+        )
+
+    return frames.map_batches(fmt, batch_format="pyarrow")
+
+
 def q_corpus_pipeline(sf_dir: str):
     """Rows-only: the flagship corpus pipeline (synthetic deterministic
     corpus -> sha256-validated ingest -> edge extraction -> counts)."""
@@ -613,6 +688,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "media_features": q_media_features,
+        "audio_frames": q_audio_frames,
+        "video_frames": q_video_frames,
         "corpus_pipeline": q_corpus_pipeline,
     }
 

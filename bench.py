@@ -1,0 +1,221 @@
+"""Benchmark harness (driver contract).
+
+Default mode: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N}
+
+--scaling: run the headline PageRank job twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and report throughput at
+both plus scaling efficiency (BASELINE.json north_rule evidence).
+
+--one NAME --cpus N: internal single-query mode used by --scaling; prints
+a JSON line for that query only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# queries timed in the default full run (names = __ray_entry__.queries() keys)
+BENCH_QUERIES = [
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "q1_revenue",
+    "events_windowed",
+    "exact_dedup",
+    "minhash_dedup",
+    "simhash_dedup",
+    "lang_id",
+    "token_counts",
+    "knn_cosine",
+    "lsh_clusters",
+]
+
+
+def _consume(res) -> int:
+    """Force full execution; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return len(res)
+    return 0
+
+
+def _sf_label(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base[2:] if base.startswith("sf") else base
+
+
+def run_headline_pagerank(sf_dir: str) -> dict:
+    """Build the sharded graph once, then time the PageRank supersteps —
+    the north metric is edges-processed/sec PER SUPERSTEP, so graph build
+    is reported separately."""
+    import __ray_entry__ as E
+    from sbustreamspot_core_ray.pipelines.superstep import ShardedGraph, pagerank
+
+    t0 = time.perf_counter()
+    g = ShardedGraph.build(E._edges_full(sf_dir), num_parts=E.P, symmetric=False)
+    build_s = time.perf_counter() - t0
+
+    iters = E.PR_ITERS
+    t0 = time.perf_counter()
+    ranks = pagerank(g, damping=E.PR_DAMPING, max_iters=iters, tol=0.0)
+    n_rows = ranks.count()
+    pr_s = time.perf_counter() - t0
+    return {
+        "build_sec": round(build_s, 3),
+        "pagerank_sec": round(pr_s, 3),
+        "n_edges": g.n_edges,
+        "n_vertices": g.n_vertices,
+        "n_rows": n_rows,
+        "iters": iters,
+        "edges_per_sec_per_superstep": round(g.n_edges * iters / pr_s, 1),
+    }
+
+
+def run_full(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    try:
+        import __ray_entry__ as E
+
+        qmap = E.queries()
+        timings: dict[str, float] = {}
+        headline = run_headline_pagerank(sf_dir)
+        timings["pagerank"] = headline["pagerank_sec"]
+        timings["pagerank_build"] = headline["build_sec"]
+        for name in BENCH_QUERIES:
+            if name == "pagerank":
+                continue
+            t0 = time.perf_counter()
+            _consume(qmap[name](sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        total = round(sum(timings.values()), 3)
+        return {
+            "metric": "edges_per_sec_per_pagerank_superstep",
+            "value": headline["edges_per_sec_per_superstep"],
+            "unit": "edges/sec",
+            "total_sec": total,
+            "queries": timings,
+            "headline": headline,
+            "sf": _sf_label(sf_dir),
+            "num_cpus": num_cpus,
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_one(sf_dir: str, name: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    try:
+        if name == "pagerank":
+            headline = run_headline_pagerank(sf_dir)
+            return {"query": name, "num_cpus": num_cpus, **headline}
+        import __ray_entry__ as E
+
+        t0 = time.perf_counter()
+        n = _consume(E.queries()[name](sf_dir))
+        return {
+            "query": name,
+            "num_cpus": num_cpus,
+            "sec": round(time.perf_counter() - t0, 3),
+            "rows": n,
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
+    """Fresh-process scaling evidence: same PageRank job at num_cpus=lo and
+    num_cpus=hi; efficiency = (tput_hi / tput_lo) / (hi / lo)."""
+    results = {}
+    for cpus in (lo, hi):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--one",
+                "pagerank",
+                "--cpus",
+                str(cpus),
+                "--sf-dir",
+                sf_dir,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    tput_lo = results[lo]["edges_per_sec_per_superstep"]
+    tput_hi = results[hi]["edges_per_sec_per_superstep"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "pagerank_scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "sf": _sf_label(sf_dir),
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "edges_per_sec_lo": tput_lo,
+        "edges_per_sec_hi": tput_hi,
+        "pagerank_sec_lo": results[lo]["pagerank_sec"],
+        "pagerank_sec_hi": results[hi]["pagerank_sec"],
+        "n_edges": results[lo]["n_edges"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-lo", type=int, default=8)
+    ap.add_argument("--scaling-hi", type=int, default=32)
+    ap.add_argument("--one", default=None, help="run a single query (internal)")
+    args = ap.parse_args()
+
+    if args.scaling:
+        out = run_scaling(args.sf_dir, args.scaling_lo, args.scaling_hi)
+    elif args.one:
+        out = run_one(args.sf_dir, args.one, args.cpus)
+    else:
+        out = run_full(args.sf_dir, args.cpus)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
