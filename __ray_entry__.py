@@ -38,15 +38,15 @@ KNN_NQ = 3
 # --------------------------------------------------------------------------
 
 
-def _edges_full(sf_dir: str) -> ray.data.Dataset:
+def _edges_full(sf_dir: str, dedup: bool = True) -> ray.data.Dataset:
     from sbustreamspot_core_ray.sources.edges import edges_from_tpch
 
-    return edges_from_tpch(sf_dir)
+    return edges_from_tpch(sf_dir, dedup=dedup)
 
 
 def _edges_custorder(sf_dir: str) -> ray.data.Dataset:
-    from sbustreamspot_core_ray.sources.edges import dedup_edges
-
+    # (o_custkey, o_orderkey) is unique by construction (o_orderkey is the
+    # PK), so no dedup shuffle; the CSR shards dedup defensively anyway
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
     )
@@ -59,14 +59,13 @@ def _edges_custorder(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return dedup_edges(orders.map_batches(co, batch_format="pyarrow"))
+    return orders.map_batches(co, batch_format="pyarrow")
 
 
 def _edges_triangle(sf_dir: str) -> ray.data.Dataset:
     """order-part, part-supplier, order-supplier (lineitem co-occurrence) --
-    a graph that actually contains triangles."""
-    from sbustreamspot_core_ray.sources.edges import dedup_edges
-
+    a graph that actually contains triangles. No pre-dedup: triangle_count's
+    first step canonicalizes + dedups anyway."""
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey", "l_suppkey"]
     )
@@ -82,7 +81,7 @@ def _edges_triangle(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return dedup_edges(li.map_batches(mk, batch_format="pyarrow"))
+    return li.map_batches(mk, batch_format="pyarrow")
 
 
 def _edges_typed(sf_dir: str) -> ray.data.Dataset:
@@ -133,15 +132,18 @@ def _edges_typed(sf_dir: str) -> ray.data.Dataset:
             "p", "s", "z",
         )
 
-    ds = (
-        orders.map_batches(co, batch_format="pyarrow")
-        .union(li.map_batches(op, batch_format="pyarrow"))
-        .union(li.map_batches(ps, batch_format="pyarrow"))
-    )
+    from sbustreamspot_core_ray.sources.edges import distinct_int_rows
+
+    # per-layer distinct on (src, dst) only — all other columns are
+    # functions of (src, dst, layer) and the layers' id ranges are disjoint,
+    # so two cheap narrow shuffles replace one 7-column sort (the orders
+    # layer needs none: o_orderkey is the PK)
     return (
-        ds.groupby(["src", "dst", "src_type", "dst_type", "e_type", "gid", "seq"])
-        .count()
-        .drop_columns(["count()"])
+        orders.map_batches(co, batch_format="pyarrow")
+        .union(distinct_int_rows(li, ["l_orderkey", "l_partkey"], 16)
+               .map_batches(op, batch_format="pyarrow"))
+        .union(distinct_int_rows(li, ["l_partkey", "l_suppkey"], 16)
+               .map_batches(ps, batch_format="pyarrow"))
     )
 
 
@@ -280,7 +282,8 @@ def q_degrees(sf_dir: str):
 def q_pagerank(sf_dir: str):
     from sbustreamspot_core_ray.pipelines.superstep import ShardedGraph, pagerank
 
-    g = ShardedGraph.build(_edges_full(sf_dir), num_parts=P, symmetric=False)
+    # dedup=False: the CSR shards dedup locally, so the pre-shuffle is skipped
+    g = ShardedGraph.build(_edges_full(sf_dir, dedup=False), num_parts=P, symmetric=False)
     df = pagerank(g, damping=PR_DAMPING, max_iters=PR_ITERS, tol=0.0).to_pandas()
     df["rank"] = df["rank"].round(7)
     return df

@@ -74,7 +74,9 @@ def run_headline_pagerank(sf_dir: str) -> dict:
     from sbustreamspot_core_ray.pipelines.superstep import ShardedGraph, pagerank
 
     t0 = time.perf_counter()
-    g = ShardedGraph.build(E._edges_full(sf_dir), num_parts=E.P, symmetric=False)
+    g = ShardedGraph.build(
+        E._edges_full(sf_dir, dedup=False), num_parts=E.P, symmetric=False
+    )
     build_s = time.perf_counter() - t0
 
     iters = E.PR_ITERS

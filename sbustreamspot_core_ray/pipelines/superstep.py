@@ -103,6 +103,34 @@ class ShardedGraph:
 
     # ------------------------------------------------------------------
 
+    def _scatter_refs(self, method: str, *args) -> list[list]:
+        """Direct-exchange scatter: every shard returns P destination slices
+        as separate object refs (num_returns=P). refs[q][p] = shard q's
+        partial for owner p — never fetched by the driver, forwarded
+        actor-to-actor through the object store."""
+        out = []
+        for a in self.actors:
+            f = getattr(a, method).options(num_returns=self.P)
+            r = f.remote(*args)
+            out.append([r] if self.P == 1 else list(r))
+        return out
+
+    def _exchange(self, scatter: str, apply: str, scatter_args=(), apply_args=()):
+        """One superstep via the direct object-store exchange (default
+        combine path; see state/csr.py). Returns the per-partition apply
+        results. The Dataset groupby path (_combine_push) expresses the
+        same partial/final aggregation when P is large enough that O(P^2)
+        refs per superstep matters."""
+        refs = self._scatter_refs(scatter, *scatter_args)
+        return ray.get(
+            [
+                getattr(self.actors[p], apply).remote(
+                    *apply_args, *[refs[q][p] for q in range(self.P)]
+                )
+                for p in range(self.P)
+            ]
+        )
+
     def _combine_push(self, scatter_refs, combine_and_apply):
         """Steps 2-3 of a superstep: groupby-aggregate shuffle of partials,
         reduce-side merge, push into owning shard. Returns {part: result}."""
@@ -192,12 +220,17 @@ def pagerank(
     tol: float = 1e-10,
     ckpt_dir: str | None = None,
     ckpt_every: int = 5,
+    combine: str = "direct",
 ) -> ray.data.Dataset:
     """Synchronous power iteration with dangling-mass redistribution.
 
     rank_{t+1}(v) = (1-d)/N + d * (dangling_t/N + sum_{u->v} rank_t(u)/deg(u));
     stops when the L1 delta < tol or at max_iters. Matches the single-node
     oracle to allclose(1e-6) (order-free float sums within f64 tolerance).
+
+    combine="direct" (default): actor-to-actor object-store exchange of the
+    pre-partitioned partials. combine="dataset": the same partial/final
+    aggregation as a Ray Data groupby shuffle (for very large P).
     """
     actors = graph.actors
     start_iter = 0
@@ -212,27 +245,36 @@ def pagerank(
 
     for it in range(start_iter, max_iters):
         dangling = sum(ray.get([a.dangling_rank.remote() for a in actors]))
-        refs = [a.pagerank_scatter.remote(damping) for a in actors]
-
-        def apply_pr(p: int, g: pa.Table) -> float:
-            v = g["vertex"].to_numpy()
-            c = g["contrib"].to_numpy()
-            vu, inv = np.unique(v, return_inverse=True)
-            sums = np.bincount(inv, weights=c, minlength=len(vu))
-            return ray.get(
-                actors[p].pagerank_apply.remote(vu, sums, dangling, damping)
+        if combine == "direct":
+            deltas = graph._exchange(
+                "pagerank_scatter_parts",
+                "pagerank_apply_parts",
+                scatter_args=(damping,),
+                apply_args=(dangling, damping),
             )
+            delta = sum(deltas)
+        else:
+            refs = [a.pagerank_scatter.remote(damping) for a in actors]
 
-        results = graph._combine_push(refs, apply_pr)
-        # partitions that received no contributions still need teleport+dangling
-        for p in range(graph.P):
-            if p not in results:
-                results[p] = ray.get(
-                    actors[p].pagerank_apply.remote(
-                        _EMPTY_I64, _EMPTY_F64, dangling, damping
-                    )
+            def apply_pr(p: int, g: pa.Table) -> float:
+                v = g["vertex"].to_numpy()
+                c = g["contrib"].to_numpy()
+                vu, inv = np.unique(v, return_inverse=True)
+                sums = np.bincount(inv, weights=c, minlength=len(vu))
+                return ray.get(
+                    actors[p].pagerank_apply.remote(vu, sums, dangling, damping)
                 )
-        delta = sum(results.values())
+
+            results = graph._combine_push(refs, apply_pr)
+            # partitions with no contributions still need teleport+dangling
+            for p in range(graph.P):
+                if p not in results:
+                    results[p] = ray.get(
+                        actors[p].pagerank_apply.remote(
+                            _EMPTY_I64, _EMPTY_F64, dangling, damping
+                        )
+                    )
+            delta = sum(results.values())
         if ckpt_dir is not None and (it % ckpt_every == 0 or delta < tol):
             graph.checkpoint(
                 "rank", ckpt_dir, it, {"l1_delta": delta, "dangling": dangling}
@@ -247,7 +289,9 @@ def pagerank(
 # ---------------------------------------------------------------------------
 
 
-def connected_components(graph: ShardedGraph, max_iters: int = 200) -> ray.data.Dataset:
+def connected_components(
+    graph: ShardedGraph, max_iters: int = 200, combine: str = "direct"
+) -> ray.data.Dataset:
     """Min-label propagation over the symmetrized graph until no label
     changes. Frontier-based: only vertices whose label changed last round
     scatter (the generalization of the reference's BFS co-bucket clustering,
@@ -256,6 +300,11 @@ def connected_components(graph: ShardedGraph, max_iters: int = 200) -> ray.data.
     actors = graph.actors
     ray.get([a.cc_init.remote() for a in actors])
     for _ in range(max_iters):
+        if combine == "direct":
+            changed = sum(graph._exchange("cc_scatter_parts", "cc_apply_parts"))
+            if changed == 0:
+                break
+            continue
         refs = [a.cc_scatter.remote() for a in actors]
 
         def apply_cc(p: int, g: pa.Table) -> float:
@@ -280,7 +329,9 @@ def connected_components(graph: ShardedGraph, max_iters: int = 200) -> ray.data.
 # ---------------------------------------------------------------------------
 
 
-def label_propagation(graph: ShardedGraph, iters: int = 5) -> ray.data.Dataset:
+def label_propagation(
+    graph: ShardedGraph, iters: int = 5, combine: str = "direct"
+) -> ray.data.Dataset:
     """Synchronous LP: label_{t+1}(v) = most frequent label among in-neighbors
     (symmetrized graph → all neighbors), ties broken by min label, isolated
     vertices keep their own. Fixed iteration count for determinism."""
@@ -288,6 +339,9 @@ def label_propagation(graph: ShardedGraph, iters: int = 5) -> ray.data.Dataset:
     actors = graph.actors
     ray.get([a.lp_init.remote() for a in actors])
     for _ in range(iters):
+        if combine == "direct":
+            graph._exchange("lp_scatter_parts", "lp_apply_parts")
+            continue
         refs = [a.lp_scatter.remote() for a in actors]
 
         def apply_lp(p: int, g: pa.Table) -> float:

@@ -92,6 +92,13 @@ class CsrShard:
         self.dst_u, self.dst_inv = np.unique(dst, return_inverse=True)
         self.dst_part = part_of(self.dst_u, self.P)
         self.src_in_owned = np.searchsorted(self.owned, self.srcs)
+        # per-destination-partition index lists for the direct exchange
+        order = np.argsort(self.dst_part, kind="stable")
+        bounds = np.searchsorted(self.dst_part[order], np.arange(self.P + 1))
+        self.dst_by_part = [
+            order[bounds[p] : bounds[p + 1]] for p in range(self.P)
+        ]
+        self.has_out = np.isin(self.owned, self.srcs, assume_unique=True)
         return {"part": self.part, "edges": len(dst), "owned": len(self.owned)}
 
     def num_owned(self) -> int:
@@ -151,8 +158,99 @@ class CsrShard:
 
     def dangling_rank(self) -> float:
         # owned vertices with no out-edges (incl. dst-only vertices)
-        has_out = np.isin(self.owned, self.srcs, assume_unique=True)
-        return float(self.rank[~has_out].sum())
+        return float(self.rank[~self.has_out].sum())
+
+    # ---- direct actor-to-actor exchange (default combine path) ----------
+    #
+    # The scatter partials are already hash-partitioned by destination
+    # (dst_by_part), so the per-superstep shuffle can be a direct object
+    # store exchange: scatter returns P slices (num_returns=P), the driver
+    # forwards each ref to its owning shard, combine happens shard-side.
+    # O(P^2) refs per superstep — fine to P ~ thousands; the Dataset
+    # groupby path (superstep.py combine="dataset") expresses the same
+    # partial/final aggregation through Ray Data when P is larger.
+
+    def pagerank_scatter_parts(self, damping: float):
+        src_rank = self.rank[self.src_in_owned]
+        per_edge = self._rank_per_edge(src_rank / self.outdeg)
+        sums = np.bincount(self.dst_inv, weights=per_edge, minlength=len(self.dst_u))
+        sums *= damping
+        return tuple(
+            (self.dst_u[idx], sums[idx]) for idx in self.dst_by_part
+        )
+
+    def pagerank_apply_parts(
+        self, dangling: float, damping: float, *parts
+    ) -> float:
+        parts = [p for p in parts if len(p[0])]
+        if parts:
+            v = np.concatenate([p[0] for p in parts])
+            c = np.concatenate([p[1] for p in parts])
+            vu, inv = np.unique(v, return_inverse=True)
+            sums = np.bincount(inv, weights=c, minlength=len(vu))
+        else:
+            vu = np.empty(0, np.int64)
+            sums = np.empty(0, np.float64)
+        return self.pagerank_apply(vu, sums, dangling, damping)
+
+    def cc_scatter_parts(self):
+        active = self.changed[self.src_in_owned]
+        if not active.any():
+            e = (np.empty(0, np.int64), np.empty(0, np.int64))
+            return tuple(e for _ in range(self.P))
+        lbl_edge = self._rank_per_edge(self.label[self.src_in_owned])
+        act_edge = np.repeat(active, self.outdeg)
+        inv = self.dst_inv[act_edge]
+        lbl = lbl_edge[act_edge]
+        mins = np.full(len(self.dst_u), np.iinfo(np.int64).max)
+        np.minimum.at(mins, inv, lbl)
+        out = []
+        for idx in self.dst_by_part:
+            m = mins[idx]
+            live = m != np.iinfo(np.int64).max
+            out.append((self.dst_u[idx][live], m[live]))
+        return tuple(out)
+
+    def cc_apply_parts(self, *parts) -> int:
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return self.cc_apply(np.empty(0, np.int64), np.empty(0, np.int64))
+        v = np.concatenate([p[0] for p in parts])
+        l = np.concatenate([p[1] for p in parts])
+        order = np.lexsort((l, v))
+        v, l = v[order], l[order]
+        first = np.concatenate([[True], v[1:] != v[:-1]])
+        return self.cc_apply(v[first], l[first])
+
+    def lp_scatter_parts(self):
+        lbl_edge = self._rank_per_edge(self.label[self.src_in_owned])
+        pairs = np.stack([self.dst_inv, lbl_edge], axis=1)
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        inv = uniq[:, 0].astype(np.int64)
+        dpart = self.dst_part[inv]
+        order = np.argsort(dpart, kind="stable")
+        bounds = np.searchsorted(dpart[order], np.arange(self.P + 1))
+        out = []
+        for p in range(self.P):
+            sl = order[bounds[p] : bounds[p + 1]]
+            out.append(
+                (self.dst_u[inv[sl]], uniq[sl, 1], counts[sl].astype(np.int64))
+            )
+        return tuple(out)
+
+    def lp_apply_parts(self, *parts) -> int:
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return self.lp_apply(
+                np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+            )
+        v = np.concatenate([p[0] for p in parts])
+        l = np.concatenate([p[1] for p in parts])
+        c = np.concatenate([p[2] for p in parts])
+        pairs = np.stack([v, l], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        sums = np.bincount(inv, weights=c, minlength=len(uniq)).astype(np.int64)
+        return self.lp_apply(uniq[:, 0], uniq[:, 1], sums)
 
     def pagerank_apply(
         self, vertex: np.ndarray, contrib: np.ndarray, dangling: float, damping: float

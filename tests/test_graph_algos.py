@@ -77,6 +77,37 @@ def test_triangle_count_matches_oracle(edges):
     assert int(got_pv["triangles"].sum()) == 3 * total
 
 
+def test_combine_paths_agree(edges):
+    """The direct actor-exchange and the Ray Data groupby shuffle are two
+    implementations of the same partial/final aggregation — identical
+    results (PageRank to 1e-12; CC/LP exact)."""
+    g1 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=False)
+    direct = pagerank(g1, max_iters=15, tol=0.0, combine="direct").to_pandas()
+    g2 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=False)
+    viads = pagerank(g2, max_iters=15, tol=0.0, combine="dataset").to_pandas()
+    a = dict(zip(direct["vertex"], direct["rank"]))
+    b = dict(zip(viads["vertex"], viads["rank"]))
+    assert set(a) == set(b)
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+    g3 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    g4 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    cc_a = connected_components(g3, combine="direct").to_pandas()
+    cc_b = connected_components(g4, combine="dataset").to_pandas()
+    assert dict(zip(cc_a["vertex"], cc_a["component"])) == dict(
+        zip(cc_b["vertex"], cc_b["component"])
+    )
+
+    g5 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    g6 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    lp_a = label_propagation(g5, iters=3, combine="direct").to_pandas()
+    lp_b = label_propagation(g6, iters=3, combine="dataset").to_pandas()
+    assert dict(zip(lp_a["vertex"], lp_a["label"])) == dict(
+        zip(lp_b["vertex"], lp_b["label"])
+    )
+
+
 def test_pagerank_checkpoint_resume(tmp_path, edges):
     """Kill-and-resume: a run restarted from the checkpoint manifest ends in
     the identical state (FIXTURES.md §5 resume property)."""
