@@ -34,23 +34,46 @@ import ray.data
 
 
 class _ContentHash:
+    def __init__(self, num_parts: int = 32):
+        self.num_parts = num_parts
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["content_hash"] = [
-            hashlib.sha256(t.encode("utf-8")).hexdigest() for t in df["text"].fillna("")
+        digests = [
+            hashlib.sha256(t.encode("utf-8")).digest() for t in df["text"].fillna("")
         ]
+        df["content_hash"] = [d.hex() for d in digests]
+        # partition on the first 8 digest bytes: ONE cheap-key shuffle, then
+        # all rows of a hash land in the same partition for vectorized dedup
+        df["__p"] = np.array(
+            [int.from_bytes(d[:8], "little") % self.num_parts for d in digests],
+            np.int32,
+        )
         return df
 
 
-def exact_dedup(docs: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
-    """Exact dedup: keep the min-id row per sha256(text) group."""
+def exact_dedup(
+    docs: ray.data.Dataset, id_col: str = "doc_id", num_parts: int = 32
+) -> ray.data.Dataset:
+    """Exact dedup: keep the min-id row per sha256(text) group.
+
+    Hash-partitioned (shuffle key = digest-derived int32, num_parts groups)
+    with a vectorized per-partition drop_duplicates — never a per-hash
+    Python call (content-hash cardinality ~= corpus size at 100 TB)."""
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="stable").head(1)
+        return g.sort_values(id_col, kind="stable").drop_duplicates(
+            "content_hash", keep="first"
+        ).drop(columns="__p")
 
     return (
-        docs.map_batches(_ContentHash, batch_format="pandas", concurrency=(1, 4))
-        .groupby("content_hash")
+        docs.map_batches(
+            _ContentHash,
+            fn_constructor_kwargs={"num_parts": num_parts},
+            batch_format="pandas",
+            concurrency=(1, 8),
+        )
+        .groupby("__p")
         .map_groups(first, batch_format="pandas")
     )
 
@@ -62,7 +85,12 @@ def exact_dedup(docs: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Data
 
 def _char_shingles(text: str, k: int) -> np.ndarray:
     if len(text) < k:
-        return np.array([hash(text) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
+        # deterministic across processes (builtin hash() is salted per
+        # process and would break cross-worker bucket equality)
+        d = hashlib.blake2b(text.encode("utf-8", "ignore"), digest_size=8).digest()
+        return np.array(
+            [int.from_bytes(d, "little") & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64
+        )
     # rolling 64-bit hashes of k-grams via polynomial hashing
     b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
     if len(b) < k:
@@ -98,19 +126,23 @@ class _MinHash:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy()
-        out_id, out_band, out_val = [], [], []
+        n = len(ids)
+        vals = np.empty((n, self.bands), np.int64)
+        GOLD = np.uint64(0x9E3779B97F4A7C15)
         for i, t in enumerate(df["text"].fillna("")):
-            sig = self.signature(t)
-            bands = sig.reshape(self.bands, self.rows)
-            for bi in range(self.bands):
-                out_id.append(ids[i])
-                out_band.append(bi)
-                out_val.append(hash(bands[bi].tobytes()) & 0x7FFFFFFFFFFFFFFF)
+            S = self.signature(t).reshape(self.bands, self.rows)
+            # deterministic vectorized band fold (NOT builtin hash(), which
+            # is salted per process and breaks cross-worker bucket equality)
+            acc = np.zeros(self.bands, np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(self.rows):
+                    acc = acc * GOLD + S[:, j]
+            vals[i] = (acc >> np.uint64(1)).astype(np.int64)
         return pd.DataFrame(
             {
-                "doc_id": np.asarray(out_id, np.int64),
-                "band_idx": np.asarray(out_band, np.int32),
-                "band_value": np.asarray(out_val, np.int64),
+                "doc_id": np.repeat(ids.astype(np.int64), self.bands),
+                "band_idx": np.tile(np.arange(self.bands, dtype=np.int32), n),
+                "band_value": vals.ravel(),
             }
         )
 
@@ -136,21 +168,98 @@ def minhash_band_table(
     )
 
 
-def candidate_pairs(bands: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
-    """Bucket groupby → star pairs (min member → others); hot buckets cost
-    O(k) rows, not O(k^2)."""
+def candidate_pairs(
+    bands: ray.data.Dataset, id_col: str = "doc_id", num_parts: int = 32
+) -> ray.data.Dataset:
+    """Bucket → star pairs (min member → others); hot buckets cost O(k)
+    rows, not O(k^2). Same shape as the sketch-LSH co-bucket scan: one
+    shuffle on hash(bucket) % num_parts, vectorized run-scan per partition
+    (bucket cardinality is ~corpus size — never a per-bucket Python call),
+    then a distinct on the pair key."""
+    from ..sources.edges import distinct_int_rows
+    from .lsh import shared_bucket_pairs
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
-        return pd.DataFrame({"src": np.full(len(ids) - 1, ids[0]), "dst": ids[1:]})
-
-    return (
-        bands.groupby(["band_idx", "band_value"]).map_groups(pairs, batch_format="pandas")
-        .groupby(["src", "dst"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    return distinct_int_rows(
+        shared_bucket_pairs(bands, num_parts=num_parts, id_col=id_col),
+        ["src", "dst"],
+        num_parts,
     )
+
+
+def _attach_text(
+    keyed: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    key_col: str,
+    carry: str,
+    out_col: str,
+    num_parts: int,
+    carry_text: str | None = None,
+) -> ray.data.Dataset:
+    """Co-partitioned hash join attaching docs.text onto `keyed` rows by
+    int64 key (inner semantics). One shuffle on hash(key) % num_parts;
+    per-partition merge is a vectorized searchsorted + Arrow take."""
+    from ..functions.hashing import part_of
+
+    EMPTY_TXT = pa.array([], pa.string())
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "__k": pa.array(k),
+                "__carry": t[carry],
+                "__ctext": t[carry_text] if carry_text else pa.nulls(len(k), pa.string()),
+                "__text": pa.nulls(len(k), pa.string()),
+                "__side": pa.array(np.zeros(len(k), np.int8)),
+                "__p": pa.array(part_of(k, num_parts), pa.int32()),
+            }
+        )
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "__k": pa.array(k),
+                "__carry": pa.array(np.zeros(len(k), np.int64)),
+                "__ctext": pa.nulls(len(k), pa.string()),
+                "__text": t["text"],
+                "__side": pa.array(np.ones(len(k), np.int8)),
+                "__p": pa.array(part_of(k, num_parts), pa.int32()),
+            }
+        )
+
+    left = keyed.map_batches(tag_left, batch_format="pyarrow")
+    right = docs.select_columns(["doc_id", "text"]).map_batches(
+        tag_right, batch_format="pyarrow"
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False).astype(bool)
+        lk = t["__k"].to_numpy(zero_copy_only=False)[~side]
+        rk = t["__k"].to_numpy(zero_copy_only=False)[side]
+        rtext = t["__text"].combine_chunks().filter(pa.array(side))
+        order = np.argsort(rk, kind="stable")
+        rk = rk[order]
+        rtext = rtext.take(pa.array(order))
+        if len(rk):
+            pos = np.clip(np.searchsorted(rk, lk), 0, len(rk) - 1)
+            hit = rk[pos] == lk
+        else:
+            pos = np.zeros(len(lk), np.int64)
+            hit = np.zeros(len(lk), bool)
+        hit_pa = pa.array(hit)
+        cols = {
+            key_col: pa.array(lk[hit]),
+            carry: t["__carry"].combine_chunks().filter(pa.array(~side)).filter(hit_pa),
+            out_col: rtext.take(pa.array(pos[hit])) if hit.any() else EMPTY_TXT,
+        }
+        if carry_text:
+            cols[carry_text] = (
+                t["__ctext"].combine_chunks().filter(pa.array(~side)).filter(hit_pa)
+            )
+        return pa.table(cols)
+
+    return left.union(right).groupby("__p").map_groups(merge, batch_format="pyarrow")
 
 
 def ngram_jaccard_verify(
@@ -158,20 +267,26 @@ def ngram_jaccard_verify(
     docs: ray.data.Dataset,
     threshold: float,
     shingle_k: int = 5,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """n-gram Jaccard verification of candidate pairs via two hash joins
     (text attached per side), Jaccard computed per batch; returns
-    (src, dst, jaccard) with jaccard >= threshold."""
-    d = docs.select_columns(["doc_id", "text"])
-    withs = pairs.join(
-        d, join_type="inner", num_partitions=num_partitions, on=("src",),
-        right_on=("doc_id",),
-    ).rename_columns({"text": "text_src"})
-    withd = withs.join(
-        d, join_type="inner", num_partitions=num_partitions, on=("dst",),
-        right_on=("doc_id",),
-    ).rename_columns({"text": "text_dst"})
+    (src, dst, jaccard) with jaccard >= threshold.
+
+    Text is attached per side by a co-partitioned hash join (union + one
+    shuffle on hash(key) % P + vectorized searchsorted merge per partition
+    — same pattern as superstep._attach_value), not Dataset.join: no
+    aggregator-actor scheduling constraints and robust to empty blocks."""
+    if num_partitions is None:
+        num_partitions = 16
+    withs = _attach_text(
+        pairs, docs, key_col="src", carry="dst", out_col="text_src",
+        num_parts=num_partitions,
+    )
+    withd = _attach_text(
+        withs, docs, key_col="dst", carry="src", out_col="text_dst",
+        num_parts=num_partitions, carry_text="text_src",
+    )
 
     def verify(df: pd.DataFrame) -> pa.Table:
         jac = np.empty(len(df), np.float64)
@@ -206,7 +321,7 @@ def minhash_lsh_dedup(
     from ..pipelines.superstep import ShardedGraph, connected_components
 
     bands_ds = minhash_band_table(docs, num_perm, shingle_k, bands)
-    cands = candidate_pairs(bands_ds)
+    cands = candidate_pairs(bands_ds, num_parts=max(num_parts, 8))
     verified = ngram_jaccard_verify(cands, docs, threshold, shingle_k)
     loops = docs.select_columns(["doc_id"]).map_batches(
         lambda t: pa.table({"src": t["doc_id"], "dst": t["doc_id"]}),
@@ -246,17 +361,37 @@ class _SimHash64:
         return df
 
 
-def simhash_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+def simhash_dedup(docs: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset:
     """(doc_id, simhash, dup_group): rows sharing a simhash form a group
-    (group id = min doc_id in the bucket)."""
+    (group id = min doc_id in the bucket). One shuffle on
+    hash(simhash) % num_parts; group-id assignment is a vectorized
+    run-scan per partition (simhash cardinality ~= corpus size)."""
+    from ..functions.hashing import part_of
+
     hashed = docs.select_columns(["doc_id", "text"]).map_batches(
         _SimHash64, batch_format="pandas", batch_size=1024, concurrency=(1, 8)
     )
 
-    def group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="stable")
-        g = g[["doc_id", "simhash"]].copy()
-        g["dup_group"] = g["doc_id"].iloc[0]
-        return g
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "simhash"]].copy()
+        df["__p"] = part_of(df["simhash"].to_numpy(np.int64), num_parts).astype(
+            np.int32
+        )
+        return df
 
-    return hashed.groupby("simhash").map_groups(group, batch_format="pandas")
+    def group(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["simhash"].to_numpy(np.int64)
+        did = g["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((did, sh))
+        sh, did = sh[order], did[order]
+        starts = np.concatenate([[True], sh[1:] != sh[:-1]])
+        run_id = np.cumsum(starts) - 1
+        return pd.DataFrame(
+            {"doc_id": did, "simhash": sh, "dup_group": did[starts][run_id]}
+        )
+
+    return (
+        hashed.map_batches(tag, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(group, batch_format="pandas")
+    )

@@ -115,7 +115,9 @@ def isolated_gids(
     ).select_columns(["gid", "isolated"])
 
 
-def shared_bucket_pairs(bands: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset:
+def shared_bucket_pairs(
+    bands: ray.data.Dataset, num_parts: int = 32, id_col: str = "gid"
+) -> ray.data.Dataset:
     """C3/C4 support: co-bucket pair edges (src, dst) — for each bucket,
     star edges from the minimum member to the others (sufficient for
     connectivity, avoids the O(k^2) clique blow-up on hot buckets).
@@ -124,6 +126,7 @@ def shared_bucket_pairs(bands: ray.data.Dataset, num_parts: int = 32) -> ray.dat
     vectorized numpy run-scan per partition (no per-bucket Python)."""
 
     def tag(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, "band_idx", "band_value"])
         with np.errstate(over="ignore"):
             mixed = t["band_idx"].to_numpy().astype(np.uint64) * np.uint64(
                 0x9E3779B97F4A7C15
@@ -133,7 +136,7 @@ def shared_bucket_pairs(bands: ray.data.Dataset, num_parts: int = 32) -> ray.dat
     def pairs(t: pa.Table) -> pa.Table:
         bi = t["band_idx"].to_numpy()
         bv = t["band_value"].to_numpy()
-        gid = t["gid"].to_numpy(zero_copy_only=False)
+        gid = t[id_col].to_numpy(zero_copy_only=False)
         keys = np.stack([bi.astype(np.int64), bv, gid], axis=1)
         keys = np.unique(keys, axis=0)  # sorts by (band_idx, band_value, gid)
         bi, bv, gid = keys[:, 0], keys[:, 1], keys[:, 2]

@@ -1,0 +1,130 @@
+"""Dedup family: exact / minhash-LSH / simhash / n-gram Jaccard.
+
+Fixtures are built so ground truth is known: exact duplicates, one
+near-duplicate pair (small edit), and distinct fillers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from sbustreamspot_core_ray.stages.dedup import (
+    _MinHash,
+    candidate_pairs,
+    exact_dedup,
+    minhash_band_table,
+    minhash_lsh_dedup,
+    ngram_jaccard_verify,
+    simhash_dedup,
+)
+
+
+def _docs() -> ray.data.Dataset:
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the afternoon sun, thinking about dinner"
+    )
+    texts = {
+        0: base,
+        1: base,  # exact dup of 0
+        2: base.replace("afternoon", "morning"),  # near dup of 0
+        3: "completely different content about ray data pipelines and arrow",
+        4: "another unrelated document mentioning minhash and lsh banding",
+        5: base,  # exact dup of 0
+    }
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)]),
+            }
+        )
+    )
+
+
+def test_exact_dedup_keeps_min_id():
+    out = exact_dedup(_docs()).to_pandas()
+    kept = set(out["doc_id"])
+    assert 0 in kept and 1 not in kept and 5 not in kept
+    assert {2, 3, 4} <= kept
+    assert len(out) == 4
+    # content_hash is the real sha256
+    import hashlib
+
+    row = out[out["doc_id"] == 3].iloc[0]
+    assert row["content_hash"] == hashlib.sha256(row["text"].encode()).hexdigest()
+
+
+def test_minhash_bands_deterministic_across_calls():
+    a = minhash_band_table(_docs()).to_pandas().sort_values(
+        ["doc_id", "band_idx"]
+    )
+    b = minhash_band_table(_docs()).to_pandas().sort_values(
+        ["doc_id", "band_idx"]
+    )
+    assert (a["band_value"].to_numpy() == b["band_value"].to_numpy()).all()
+    # identical texts -> identical signatures in every band
+    pivot = a.pivot(index="doc_id", columns="band_idx", values="band_value")
+    assert (pivot.loc[0] == pivot.loc[1]).all()
+    assert (pivot.loc[0] == pivot.loc[5]).all()
+    assert not (pivot.loc[0] == pivot.loc[3]).all()
+
+
+def test_candidate_pairs_star_shape():
+    bands = minhash_band_table(_docs())
+    pairs = candidate_pairs(bands).to_pandas()
+    got = {tuple(r) for r in pairs[["src", "dst"]].to_numpy()}
+    assert (0, 1) in got and (0, 5) in got  # exact dups always co-bucket
+    assert all(s < d for s, d in got)  # star pairs from the min member
+
+
+def test_ngram_jaccard_scores():
+    docs = _docs()
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array([0, 0], pa.int64()), "dst": pa.array([1, 3], pa.int64())}
+        )
+    )
+    out = ngram_jaccard_verify(pairs, docs, threshold=0.0).to_pandas()
+    j = dict(zip(zip(out["src"], out["dst"]), out["jaccard"]))
+    assert j[(0, 1)] == 1.0  # identical
+    assert j[(0, 3)] < 0.2  # unrelated
+
+
+def test_minhash_lsh_dedup_groups():
+    out = minhash_lsh_dedup(_docs(), threshold=0.7, num_parts=4).to_pandas()
+    grp = dict(zip(out["doc_id"], out["dup_group"]))
+    assert grp[0] == grp[1] == grp[5] == 0
+    assert grp[2] == 0  # near-dup joins the group at threshold 0.7
+    assert grp[3] == 3 and grp[4] == 4  # singletons keep their own id
+    assert len(out) == 6
+
+
+def test_simhash_dedup_buckets():
+    out = simhash_dedup(_docs()).to_pandas()
+    grp = dict(zip(out["doc_id"], out["dup_group"]))
+    assert grp[0] == grp[1] == grp[5] == 0  # identical text, same simhash
+    assert len(out) == 6
+    sh = dict(zip(out["doc_id"], out["simhash"]))
+    assert sh[0] == sh[1] == sh[5]
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    """MinHash property: P(sig match) ~= true shingle Jaccard."""
+    from sbustreamspot_core_ray.stages.dedup import _char_shingles
+
+    rng = np.random.default_rng(23)
+    words = ["".join(rng.choice(list("abcdefghij"), 6)) for _ in range(120)]
+    base = " ".join(words)
+    variant = " ".join(words[:110] + ["zzz" + w for w in words[110:]])
+    sa = set(_char_shingles(base, 5).tolist())
+    sb = set(_char_shingles(variant, 5).tolist())
+    true_j = len(sa & sb) / len(sa | sb)
+    mh = _MinHash(num_perm=256, k=5, bands=64)
+    est = (mh.signature(base) == mh.signature(variant)).mean()
+    assert abs(est - true_j) < 0.12  # 256 permutations -> se ~= 0.03
+    s3 = mh.signature("entirely different text with no shared shingles at all")
+    assert (mh.signature(base) == s3).mean() < 0.2
