@@ -81,6 +81,53 @@ def hashmulti_batch(chunks: list[str] | np.ndarray, H: np.ndarray) -> np.ndarray
     return out
 
 
+def hashmulti_arrow(col, H: np.ndarray) -> np.ndarray:
+    """H1 for an Arrow string/binary column — same output as
+    `hashmulti_batch` but reads the offsets + byte buffer directly (no
+    per-string Python objects)."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    out = np.empty((n, H.shape[0]), dtype=np.int8)
+    if n == 0:
+        return out
+    odtype = (
+        np.int64
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    offsets = np.frombuffer(arr.buffers()[1], odtype)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    starts = offsets[:-1].astype(np.int64)
+    lengths = np.diff(offsets).astype(np.int64)
+    order = np.argsort(lengths, kind="stable")
+    H0 = H[:, 0]
+    i = 0
+    while i < n:
+        j = i
+        ln = int(lengths[order[i]])
+        while j < n and lengths[order[j]] == ln:
+            j += 1
+        idx = order[i:j]
+        if ln == 0:
+            sums = np.broadcast_to(H0, (len(idx), H.shape[0]))
+        else:
+            bytes_mat = data[starts[idx][:, None] + np.arange(ln)]
+            coeff = H[:, 1 : ln + 1]
+            with np.errstate(over="ignore"):
+                sums = (
+                    bytes_mat.astype(np.uint64) @ coeff.T.astype(np.uint64)
+                ) + H0
+        out[idx] = np.where((sums >> np.uint64(63)) & np.uint64(1), 1, -1).astype(
+            np.int8
+        )
+        i = j
+    return out
+
+
 def sha256_hex(values) -> list[str]:
     """Per-row sha256 hexdigest of a sequence of strings (ingest invariant)."""
     return [hashlib.sha256(v.encode("utf-8")).hexdigest() for v in values]

@@ -365,9 +365,42 @@ def label_propagation(
 
 
 def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
-    """Distinct rows via the native (vectorized) groupby-count aggregate —
-    never per-group Python calls."""
-    return ds.groupby(cols).count().drop_columns(["count()"])
+    """Distinct int rows — hash-partitioned vectorized dedup (one cheap-key
+    shuffle; see sources/edges.distinct_int_rows)."""
+    from ..sources.edges import distinct_int_rows
+
+    return distinct_int_rows(ds, cols)
+
+
+def int_degrees(
+    ds: ray.data.Dataset, num_parts: int = 32
+) -> ray.data.Dataset:
+    """(vertex, deg) from a 'vertex' column: batch-local bincount combiner
+    → one shuffle on hash(vertex) %% P → vectorized per-partition merge."""
+
+    def local(t: pa.Table) -> pa.Table:
+        v = t["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vu, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "vertex": vu,
+                "deg": cnt.astype(np.int64),
+                "__p": pa.array(part_of(vu, num_parts), pa.int32()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        v = t["vertex"].to_numpy()
+        c = t["deg"].to_numpy()
+        vu, inv = np.unique(v, return_inverse=True)
+        sums = np.bincount(inv, weights=c, minlength=len(vu)).astype(np.int64)
+        return pa.table({"vertex": vu, "deg": sums})
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(merge, batch_format="pyarrow")
+    )
 
 
 def _pair_struct(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -455,23 +488,130 @@ def pc_cast_i64(col: "pa.ChunkedArray") -> np.ndarray:
     return col.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+@ray.remote
+def _close_wedges_task(u, v, es_packed, lo: int, hi: int, per_vertex: bool):
+    """Close all wedges whose first edge lies in [lo, hi) of the oriented,
+    (u, rank, v)-sorted edge arrays. Args arrive as zero-copy object-store
+    refs; the probe is one SIMD int64 searchsorted against the packed
+    canonical edge array."""
+    n = len(u)
+    pos = np.arange(lo, hi)
+    # run end per edge: next index where u changes, scanning within [lo, n)
+    run_end = np.searchsorted(u, u[lo:hi], side="right")
+    sizes = run_end - pos - 1
+    sizes[sizes < 0] = 0
+    tot = int(sizes.sum())
+    if tot == 0:
+        return (0, None, None, None)
+    rep = np.repeat(pos, sizes)
+    within = np.arange(tot) - np.concatenate([[0], np.cumsum(sizes)])[rep - lo]
+    gather = rep + 1 + within
+    v1, v2 = v[rep], v[gather]
+    qa, qb = np.minimum(v1, v2), np.maximum(v1, v2)
+    qpack = (qa.astype(np.uint64) << np.uint64(32)) | qb.astype(np.uint64)
+    p = np.clip(np.searchsorted(es_packed, qpack), 0, len(es_packed) - 1)
+    hit = es_packed[p] == qpack
+    if not per_vertex:
+        return (int(hit.sum()), None, None, None)
+    return (int(hit.sum()), u[rep][hit], qa[hit], qb[hit])
+
+
+def _triangles_broadcast(
+    und: ray.data.Dataset, num_tasks: int, per_vertex: bool
+) -> ray.data.Dataset:
+    """Broadcast-closure regime (|E| bounded): degrees, orientation and the
+    packed canonical edge array are cheap dense-id numpy on the driver; the
+    O(E^1.5) wedge enumeration+probe fans out as balanced Ray tasks over
+    u-ranges reading the broadcast arrays zero-copy. NO shuffle at any
+    step. (The co-partitioned Dataset path in triangle_count handles
+    graphs whose edge list cannot be broadcast.)"""
+    df = und.to_pandas()
+    a = df["a"].to_numpy()
+    b = df["b"].to_numpy()
+    del df
+    vs_sorted = np.unique(np.concatenate([a, b]))
+    nv = len(vs_sorted)
+    assert nv < (1 << 32)
+    ra = np.searchsorted(vs_sorted, a).astype(np.int64)
+    rb = np.searchsorted(vs_sorted, b).astype(np.int64)
+    deg = np.bincount(ra, minlength=nv) + np.bincount(rb, minlength=nv)
+    es_packed = np.sort((ra.astype(np.uint64) << np.uint64(32)) | rb.astype(np.uint64))
+    # orient from the endpoint with smaller (deg, id)
+    da, db = deg[ra], deg[rb]
+    a_first = (da < db) | ((da == db) & (ra < rb))
+    u = np.where(a_first, ra, rb)
+    v = np.where(a_first, rb, ra)
+    rv = np.where(a_first, db, da)
+    order = np.lexsort((v, rv, u))
+    u, v = u[order], v[order]
+    # balance tasks by wedge work: split cumulative sizes, snap to u-runs
+    n = len(u)
+    run_end_all = np.searchsorted(u, u, side="right")
+    sizes_all = run_end_all - np.arange(n) - 1
+    cum = np.cumsum(sizes_all)
+    total_w = int(cum[-1]) if n else 0
+    T = max(1, min(num_tasks, n))
+    targets = (np.arange(1, T) * (total_w / T)).astype(np.int64)
+    cuts = np.searchsorted(cum, targets)
+    # snap each cut forward to its run start boundary (searchsorted on u)
+    cuts = np.searchsorted(u, u[np.clip(cuts, 0, n - 1)], side="left")
+    bounds = np.unique(np.concatenate([[0], cuts, [n]]))
+    u_ref = ray.put(u)
+    v_ref = ray.put(v)
+    es_ref = ray.put(es_packed)
+    results = ray.get(
+        [
+            _close_wedges_task.remote(
+                u_ref, v_ref, es_ref, int(bounds[i]), int(bounds[i + 1]), per_vertex
+            )
+            for i in range(len(bounds) - 1)
+        ]
+    )
+    if not per_vertex:
+        nt = sum(r[0] for r in results)
+        return ray.data.from_arrow(
+            pa.table({"triangles": pa.array([nt], pa.int64())})
+        )
+    counts = np.zeros(nv, np.int64)
+    for _, tu, tv, tw in results:
+        if tu is not None:
+            counts += np.bincount(tu, minlength=nv)
+            counts += np.bincount(tv, minlength=nv)
+            counts += np.bincount(tw, minlength=nv)
+    nz = np.flatnonzero(counts)
+    return ray.data.from_arrow(
+        pa.table(
+            {"vertex": vs_sorted[nz], "triangles": counts[nz]}
+        )
+    )
+
+
 def triangle_count(
-    edges: ray.data.Dataset, num_partitions: int = 32, per_vertex: bool = False
+    edges: ray.data.Dataset,
+    num_partitions: int = 32,
+    per_vertex: bool = False,
+    broadcast_edges_max: int = 50_000_000,
 ) -> ray.data.Dataset:
     """Exact triangle counting via degree-ordered orientation.
 
     1. canonicalize to undirected distinct edges (a<b), drop self-loops;
-    2. degree table (native groupby-count shuffle);
+    2. degree table (combiner + one cheap-key shuffle);
     3. orient each edge from the endpoint with smaller (degree, id) rank —
        bounds every vertex oriented out-degree by O(sqrt(E)), so the wedge
        table is O(E^1.5) worst case instead of O(sum deg^2) (SURVEY.md §7.4);
     4. wedges (ordered out-neighbor pairs, generated vectorized per hash
-       partition) matched against the oriented edge table on (v, w) by a
-       co-partitioned sorted-membership probe: each match = one triangle.
+       partition) closed against the edge set:
+       - |E| <= broadcast_edges_max: the sorted canonical pair array is
+         `ray.put` ONCE and every wedge task probes it in-place
+         (searchsorted) — wedges never leave their task, no O(wedges)
+         shuffle. 50M edges ~= 800 MB, comfortably broadcastable.
+       - larger graphs: co-partitioned sorted-membership probe — wedges
+         union the oriented edges, ONE shuffle on hash(v,w) %% P, match per
+         partition (the all-scale path; O(wedges) shuffle volume).
 
-    Every wide step shuffles on an explicit hash key; all per-partition
-    kernels are numpy (no per-group Python). Returns a one-row Dataset
-    {"triangles": n}, or per-vertex counts when per_vertex=True.
+    All per-partition kernels are numpy (no per-group Python). Returns a
+    one-row Dataset {"triangles": n}, or per-vertex counts when
+    per_vertex=True.
     """
     import pyarrow.compute as pc
 
@@ -493,17 +633,17 @@ def triangle_count(
         edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"]
     ).materialize()
 
+    n_edges = und.count()
+    if n_edges <= broadcast_edges_max:
+        return _triangles_broadcast(und, num_partitions, per_vertex)
+
     def both_ends(t: pa.Table) -> pa.Table:
         v = pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()])
         return pa.table({"vertex": v})
 
-    deg = (
-        und.map_batches(both_ends, batch_format="pyarrow")
-        .groupby("vertex")
-        .count()
-        .rename_columns({"count()": "deg"})
-        .materialize()
-    )
+    deg = int_degrees(
+        und.map_batches(both_ends, batch_format="pyarrow"), P
+    ).materialize()
 
     wd = _attach_value(und, deg, "a", ["b"], "deg", "deg_a", P)
     wd = _attach_value(
@@ -532,34 +672,33 @@ def triangle_count(
     oriented = wd.map_batches(orient, batch_format="pyarrow").materialize()
 
     def wedges(t: pa.Table) -> pa.Table:
-        # one call per hash partition; group by u inside via numpy runs
+        # one call per hash partition, fully vectorized: for each edge at
+        # position p of its u-run, pair it with every LATER edge in the run
+        # (grouped-arange gather; no per-source Python loop)
         u = t["u"].to_numpy()
         v = t["v"].to_numpy()
         rv = t["rv"].to_numpy()
         order = np.lexsort((v, rv, u))
         u, v = u[order], v[order]
+        n = len(u)
         starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
-        bounds = np.concatenate([starts, [len(u)]])
-        wv, ww, wu = [], [], []
-        for i in range(len(starts)):
-            lo, hi = bounds[i], bounds[i + 1]
-            n = hi - lo
-            if n < 2:
-                continue
-            iu, ju = np.triu_indices(n, k=1)
-            wv.append(v[lo + iu])
-            ww.append(v[lo + ju])
-            wu.append(np.full(len(iu), u[lo]))
-        if not wv:
+        run_id = np.cumsum(np.concatenate([[True], u[1:] != u[:-1]])) - 1
+        run_end = np.concatenate([starts[1:], [n]])[run_id]  # per edge
+        pos = np.arange(n)
+        sizes = run_end - pos - 1  # later edges in the same run
+        tot = int(sizes.sum())
+        if tot == 0:
             e = np.empty(0, np.int64)
             return pa.table({"wv": e, "ww": e, "wu": e, "kp": np.empty(0, np.int32)})
-        wvc = np.concatenate(wv)
-        wwc = np.concatenate(ww)
+        rep = np.repeat(pos, sizes)  # first-edge position per wedge
+        within = np.arange(tot) - np.concatenate([[0], np.cumsum(sizes)])[rep]
+        gather = rep + 1 + within  # second-edge position
+        wvc, wwc = v[rep], v[gather]
         return pa.table(
             {
                 "wv": wvc,
                 "ww": wwc,
-                "wu": np.concatenate(wu),
+                "wu": u[rep],
                 "kp": pa.array(_pair_part(wvc, wwc, P), pa.int32()),
             }
         )

@@ -21,7 +21,19 @@ import ray.data
 
 
 def _mat(batch_col, dtype=np.float32) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype) for v in batch_col.to_pylist()])
+    """(n, d) matrix from a list<float> / fixed_size_list<float> column —
+    flatten + reshape (zero-copy from Arrow when dtypes line up), never a
+    per-row Python materialization."""
+    col = (
+        batch_col.combine_chunks()
+        if isinstance(batch_col, pa.ChunkedArray)
+        else batch_col
+    )
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if n and flat.size % n == 0:
+        return flat.astype(dtype, copy=False).reshape(n, -1)
+    return np.stack([np.asarray(v, dtype) for v in col.to_pylist()])
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -235,6 +247,8 @@ def embedding_near_dup(
         g = g.sort_values("vec_id", kind="stable")
         ids = g["vec_id"].to_numpy()
         vecs = _normalize(np.stack([np.asarray(v, np.float32) for v in g["embedding"]]))
+        # all-pairs is O(|bucket|^2): bounded because buckets split by
+        # n_planes sign bits; raise n_planes if a bucket outgrows memory
         sims = vecs @ vecs.T
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = sims[iu, ju] >= threshold

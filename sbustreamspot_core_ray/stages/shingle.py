@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -30,28 +31,60 @@ def get_string_chunks(s: str, chunk_length: int) -> list[str]:
 
 
 def shingles_for_group(g: pd.DataFrame, chunk_length: int) -> dict[str, int]:
-    """Chunk→count map for one gid (the reference's temp shingle vector)."""
-    g = g.sort_values(["src", "src_type", "seq"], kind="stable")
-    src = g["src"].to_numpy()
-    stype = g["src_type"].to_numpy()
-    etype = g["e_type"].to_numpy()
-    dtype_ = g["dst_type"].to_numpy()
-    counts: dict[str, int] = {}
-    # boundaries of each (src, src_type) run
-    key_change = np.flatnonzero(
-        np.concatenate([[True], (src[1:] != src[:-1]) | (stype[1:] != stype[:-1])])
+    """Chunk→count map for one gid (test/bootstrap-scale reference form —
+    the dataflow path uses the vectorized `_chunk_counts_table`)."""
+    t = _chunk_counts_table(g, chunk_length)
+    return dict(zip(t["shingle"].to_pylist(), t["shingle_count"].to_pylist()))
+
+
+def _chunk_counts_table(g: pd.DataFrame, C: int) -> pa.Table:
+    """Fully vectorized F1: per-(src,src_type) traversal strings built by a
+    numpy byte scatter, chunk boundaries derived arithmetically, the chunk
+    column materialized as ONE Arrow string array over the shared byte
+    buffer (no per-string Python), counted by Arrow group_by.
+
+    Type bytes must be ASCII (<128) so the buffer is valid UTF-8 — true by
+    construction (types come from ord(single_char))."""
+    order = np.lexsort(
+        (g["seq"].to_numpy(), g["src_type"].to_numpy(), g["src"].to_numpy())
     )
-    bounds = np.concatenate([key_change, [len(src)]])
-    for i in range(len(key_change)):
-        lo, hi = bounds[i], bounds[i + 1]
-        parts = [" ", chr(stype[lo])]
-        for j in range(lo, hi):
-            parts.append(chr(etype[j]))
-            parts.append(chr(dtype_[j]))
-        shingle = "".join(parts)
-        for chunk in get_string_chunks(shingle, chunk_length):
-            counts[chunk] = counts.get(chunk, 0) + 1
-    return counts
+    src = g["src"].to_numpy()[order]
+    stype = g["src_type"].to_numpy()[order].astype(np.uint8)
+    etype = g["e_type"].to_numpy()[order].astype(np.uint8)
+    dtype_ = g["dst_type"].to_numpy()[order].astype(np.uint8)
+    n = len(src)
+    first = np.concatenate(
+        [[True], (src[1:] != src[:-1]) | (stype[1:] != stype[:-1])]
+    )
+    run_starts = np.flatnonzero(first)
+    nruns = len(run_starts)
+    run_len = np.diff(np.concatenate([run_starts, [n]]))
+    m = 2 + 2 * run_len  # per-run string length: ' ' + stype + (etype dtype)*
+    S = np.concatenate([[0], np.cumsum(m)])  # run string offsets
+    M = int(S[-1])
+    buf = np.empty(M, np.uint8)
+    buf[S[:-1]] = 0x20  # ' '
+    buf[S[:-1] + 1] = stype[run_starts]
+    rep = np.repeat(np.arange(nruns), run_len)
+    within = np.arange(n) - run_starts[rep]
+    pos = S[:-1][rep] + 2 + 2 * within
+    buf[pos] = etype
+    buf[pos + 1] = dtype_
+    # chunk starts tile the buffer exactly (runs are contiguous), so the
+    # Arrow offsets vector is just every chunk start plus the final M
+    n_chunks = (m + C - 1) // C
+    K = int(n_chunks.sum())
+    crep = np.repeat(np.arange(nruns), n_chunks)
+    cwithin = np.arange(K) - np.concatenate([[0], np.cumsum(n_chunks)])[crep]
+    offsets = np.concatenate([S[:-1][crep] + C * cwithin, [M]]).astype(np.int32)
+    chunks = pa.Array.from_buffers(
+        pa.utf8(),
+        K,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+    return pa.table({"shingle": chunks}).group_by("shingle").aggregate(
+        [("shingle", "count")]
+    )
 
 
 def construct_shingle_vectors(
@@ -64,14 +97,14 @@ def construct_shingle_vectors(
     and the incremental actor path must match it (tests/test_streamspot).
     """
 
-    def per_gid(g: pd.DataFrame) -> pd.DataFrame:
-        counts = shingles_for_group(g, chunk_length)
+    def per_gid(g: pd.DataFrame) -> pa.Table:
+        t = _chunk_counts_table(g, chunk_length)
         gid = int(g["gid"].iloc[0])
-        return pd.DataFrame(
+        return pa.table(
             {
-                "gid": np.full(len(counts), gid, np.int64),
-                "shingle": list(counts.keys()),
-                "count": np.fromiter(counts.values(), np.int64, len(counts)),
+                "gid": pa.array(np.full(t.num_rows, gid, np.int64)),
+                "shingle": t["shingle"],
+                "count": t["shingle_count"].cast(pa.int64()),
             }
         )
 

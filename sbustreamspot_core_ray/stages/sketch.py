@@ -28,7 +28,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.hashing import L, hash_family, hashmulti_batch
+from ..functions.hashing import L, hash_family, hashmulti_arrow, hashmulti_batch
 
 _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
 
@@ -53,8 +53,7 @@ class _PartialProjection:
     def __call__(self, batch: pa.Table) -> pa.Table:
         gids = batch["gid"].to_numpy()
         counts = batch["count"].to_numpy()
-        shingles = batch["shingle"].to_pylist()
-        signs = hashmulti_batch(shingles, self.H)  # (n, L) ±1
+        signs = hashmulti_arrow(batch["shingle"], self.H)  # (n, L) ±1
         contrib = signs.astype(np.int64) * counts[:, None]
         order = np.argsort(gids, kind="stable")
         gs, cs = gids[order], contrib[order]

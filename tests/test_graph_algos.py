@@ -77,6 +77,18 @@ def test_triangle_count_matches_oracle(edges):
     assert int(got_pv["triangles"].sum()) == 3 * total
 
 
+def test_triangle_copartitioned_fallback_matches_oracle(edges):
+    """The >broadcast-threshold shuffle path (forced via
+    broadcast_edges_max=0) must agree with the broadcast path."""
+    total, per = oracle_triangles(edges)
+    got = triangle_count(
+        edges_ds(edges), num_partitions=2, per_vertex=True, broadcast_edges_max=0
+    ).to_pandas()
+    got_map = dict(zip(got["vertex"], got["triangles"]))
+    assert got_map == per
+    assert int(got["triangles"].sum()) == 3 * total
+
+
 def test_combine_paths_agree(edges):
     """The direct actor-exchange and the Ray Data groupby shuffle are two
     implementations of the same partial/final aggregation — identical
