@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "token_counts",
     "knn_cosine",
     "lsh_clusters",
+    "ngram_jaccard",
+    "media_features",
 ]
 
 
@@ -66,16 +68,45 @@ def _sf_label(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else base
 
 
-def run_headline_pagerank(sf_dir: str) -> dict:
+def _edges_scaled(sf_dir: str, k: int):
+    """The sf edge table replicated k times with disjoint vertex-id offsets
+    (deterministic) — scales superstep WORK so the scaling measurement is
+    compute-bound, not fixed-overhead-bound. k=1 returns the plain table."""
+    import numpy as np
+    import pyarrow as pa
+
+    import __ray_entry__ as E
+
+    ds = E._edges_full(sf_dir, dedup=False)
+    if k <= 1:
+        return ds
+
+    def repl(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        outs, outd = [], []
+        for i in range(k):
+            off = np.int64(i * 100_000_000)
+            outs.append(src + off)
+            outd.append(dst + off)
+        return pa.table({"src": np.concatenate(outs), "dst": np.concatenate(outd)})
+
+    return ds.map_batches(repl, batch_format="pyarrow")
+
+
+def run_headline_pagerank(
+    sf_dir: str, num_parts: int | None = None, scale_k: int = 1
+) -> dict:
     """Build the sharded graph once, then time the PageRank supersteps —
     the north metric is edges-processed/sec PER SUPERSTEP, so graph build
     is reported separately."""
     import __ray_entry__ as E
     from sbustreamspot_core_ray.pipelines.superstep import ShardedGraph, pagerank
 
+    P = num_parts or E.P
     t0 = time.perf_counter()
     g = ShardedGraph.build(
-        E._edges_full(sf_dir, dedup=False), num_parts=E.P, symmetric=False
+        _edges_scaled(sf_dir, scale_k), num_parts=P, symmetric=False
     )
     build_s = time.perf_counter() - t0
 
@@ -133,7 +164,10 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
         ray.shutdown()
 
 
-def run_one(sf_dir: str, name: str, num_cpus: int) -> dict:
+def run_one(
+    sf_dir: str, name: str, num_cpus: int, num_parts: int | None = None,
+    scale_k: int = 1,
+) -> dict:
     import ray
 
     ray.init(
@@ -144,7 +178,7 @@ def run_one(sf_dir: str, name: str, num_cpus: int) -> dict:
     )
     try:
         if name == "pagerank":
-            headline = run_headline_pagerank(sf_dir)
+            headline = run_headline_pagerank(sf_dir, num_parts, scale_k)
             return {"query": name, "num_cpus": num_cpus, **headline}
         import __ray_entry__ as E
 
@@ -160,22 +194,37 @@ def run_one(sf_dir: str, name: str, num_cpus: int) -> dict:
         ray.shutdown()
 
 
-def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
-    """Fresh-process scaling evidence: same PageRank job at num_cpus=lo and
-    num_cpus=hi; efficiency = (tput_hi / tput_lo) / (hi / lo)."""
+def run_scaling(
+    sf_dir: str, lo: int, hi: int, scale_k: int = 64, parts: int = 32
+) -> dict:
+    """Fresh-process scaling evidence (north_rule sandbox protocol): the
+    SAME PageRank job — same input scaled x scale_k, same fixed P-shard
+    layout — under an OS-level core budget of lo vs hi cores (taskset;
+    Ray's logical num_cpus alone does not constrain num_cpus=0 shard
+    actors, so the pin is what makes the two 'cluster sizes' real).
+    efficiency = (tput_hi / tput_lo) / (hi / lo)."""
     results = {}
     for cpus in (lo, hi):
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--one",
+            "pagerank",
+            "--cpus",
+            str(cpus),
+            "--parts",
+            str(parts),
+            "--scale-k",
+            str(scale_k),
+            "--sf-dir",
+            sf_dir,
+        ]
+        import shutil
+
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--one",
-                "pagerank",
-                "--cpus",
-                str(cpus),
-                "--sf-dir",
-                sf_dir,
-            ],
+            cmd,
             capture_output=True,
             text=True,
             timeout=3600,
@@ -208,12 +257,14 @@ def main() -> None:
     ap.add_argument("--scaling-lo", type=int, default=8)
     ap.add_argument("--scaling-hi", type=int, default=32)
     ap.add_argument("--one", default=None, help="run a single query (internal)")
+    ap.add_argument("--parts", type=int, default=None, help="shard count override")
+    ap.add_argument("--scale-k", type=int, default=1, help="edge replication factor")
     args = ap.parse_args()
 
     if args.scaling:
         out = run_scaling(args.sf_dir, args.scaling_lo, args.scaling_hi)
     elif args.one:
-        out = run_one(args.sf_dir, args.one, args.cpus)
+        out = run_one(args.sf_dir, args.one, args.cpus, args.parts, args.scale_k)
     else:
         out = run_full(args.sf_dir, args.cpus)
     print(json.dumps(out))

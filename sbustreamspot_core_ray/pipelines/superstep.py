@@ -53,6 +53,11 @@ class ShardedGraph:
         self.P = num_parts
         self.symmetric = symmetric
         self.actors = [CsrShard.remote(p, num_parts) for p in range(num_parts)]
+        # fire-and-forget: per-caller actor mailboxes are FIFO, so set_peers
+        # is processed before any later call; blocking here would serialize
+        # on every actor process cold-start
+        for a in self.actors:
+            a.set_peers.remote(self.actors)
         self.n_vertices = 0
 
     @classmethod
@@ -99,36 +104,31 @@ class ShardedGraph:
         infos = ray.get([a.finalize.remote() for a in actors])
         g.n_vertices = sum(i["owned"] for i in infos)
         g.n_edges = sum(i["edges"] for i in infos)
+        # one-time routing exchange: owner-local int32 indexes for every
+        # shard's destination slices — supersteps then ship indexes, not
+        # vertex ids, and the apply side needs no searchsorted
+        pending = []
+        for q in range(P):
+            for p in range(P):
+                vref = actors[q].route_request.remote(p)
+                iref = actors[p].rank_vertices.remote(vref)
+                pending.append(actors[q].set_route.remote(p, iref))
+        ray.get(pending)
         return g
 
     # ------------------------------------------------------------------
 
-    def _scatter_refs(self, method: str, *args) -> list[list]:
-        """Direct-exchange scatter: every shard returns P destination slices
-        as separate object refs (num_returns=P). refs[q][p] = shard q's
-        partial for owner p — never fetched by the driver, forwarded
-        actor-to-actor through the object store."""
-        out = []
-        for a in self.actors:
-            f = getattr(a, method).options(num_returns=self.P)
-            r = f.remote(*args)
-            out.append([r] if self.P == 1 else list(r))
-        return out
-
-    def _exchange(self, scatter: str, apply: str, scatter_args=(), apply_args=()):
-        """One superstep via the direct object-store exchange (default
-        combine path; see state/csr.py). Returns the per-partition apply
-        results. The Dataset groupby path (_combine_push) expresses the
-        same partial/final aggregation when P is large enough that O(P^2)
-        refs per superstep matters."""
-        refs = self._scatter_refs(scatter, *scatter_args)
+    def _exchange(self, algo: str, scatter_args=(), apply_args=()):
+        """One superstep via the push-based actor-to-actor exchange (see
+        state/csr.py): every shard fires its pre-partitioned partials
+        directly at the owning peers; applies await the P-message barrier.
+        Driver cost is 2P refs per superstep (the earlier driver-routed
+        ref matrix cost O(P^2) object handoffs and dominated wall-time at
+        P>16). The Dataset groupby path (_combine_push) expresses the same
+        partial/final aggregation as dataflow when preferred."""
+        ray.get([a.push_parts.remote(algo, *scatter_args) for a in self.actors])
         return ray.get(
-            [
-                getattr(self.actors[p], apply).remote(
-                    *apply_args, *[refs[q][p] for q in range(self.P)]
-                )
-                for p in range(self.P)
-            ]
+            [a.apply_pushed.remote(algo, *apply_args) for a in self.actors]
         )
 
     def _combine_push(self, scatter_refs, combine_and_apply):
@@ -247,8 +247,7 @@ def pagerank(
         dangling = sum(ray.get([a.dangling_rank.remote() for a in actors]))
         if combine == "direct":
             deltas = graph._exchange(
-                "pagerank_scatter_parts",
-                "pagerank_apply_parts",
+                "pagerank",
                 scatter_args=(damping,),
                 apply_args=(dangling, damping),
             )
@@ -301,7 +300,7 @@ def connected_components(
     ray.get([a.cc_init.remote() for a in actors])
     for _ in range(max_iters):
         if combine == "direct":
-            changed = sum(graph._exchange("cc_scatter_parts", "cc_apply_parts"))
+            changed = sum(graph._exchange("cc"))
             if changed == 0:
                 break
             continue
@@ -340,7 +339,7 @@ def label_propagation(
     ray.get([a.lp_init.remote() for a in actors])
     for _ in range(iters):
         if combine == "direct":
-            graph._exchange("lp_scatter_parts", "lp_apply_parts")
+            graph._exchange("lp")
             continue
         refs = [a.lp_scatter.remote() for a in actors]
 

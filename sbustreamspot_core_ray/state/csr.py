@@ -25,6 +25,8 @@ from per-partition parquet checkpoints written by the engine
 
 from __future__ import annotations
 
+import asyncio
+
 import numpy as np
 import pyarrow as pa
 
@@ -35,7 +37,14 @@ from ..functions.hashing import part_of
 
 @ray.remote(num_cpus=0)
 class CsrShard:
-    """One hash partition of the graph + the vertex state it owns."""
+    """One hash partition of the graph + the vertex state it owns.
+
+    Async actor: the superstep exchange is PUSH-based — every shard fires
+    its pre-partitioned partials directly at the owning peers
+    (`receive_parts`, actor-to-actor through the object store) and
+    `apply_pushed` awaits the P-message barrier before reducing. The driver
+    touches only 2P refs per superstep; with the earlier driver-routed
+    ref-matrix the P^2 object handoffs dominated wall-time beyond P~16."""
 
     def __init__(self, part: int, num_parts: int):
         self.part = part
@@ -57,6 +66,10 @@ class CsrShard:
         self.label: np.ndarray | None = None
         self.changed: np.ndarray | None = None
         self.src_in_owned: np.ndarray | None = None  # srcs → index into owned
+        # push-exchange state
+        self.peers: list | None = None
+        self._inbox: list = []
+        self._barrier = asyncio.Event()
 
     # ---- build ----------------------------------------------------------
 
@@ -98,8 +111,30 @@ class CsrShard:
         self.dst_by_part = [
             order[bounds[p] : bounds[p + 1]] for p in range(self.P)
         ]
+        # owner-local routing indexes (dst_route[p][i] = position of
+        # dst_u[dst_by_part[p][i]] within owner p's owned array) are filled
+        # by ShardedGraph.build via one build-time exchange — supersteps
+        # then need no per-iteration searchsorted on the apply side
+        self.dst_route: list[np.ndarray | None] = [None] * self.P
         self.has_out = np.isin(self.owned, self.srcs, assume_unique=True)
         return {"part": self.part, "edges": len(dst), "owned": len(self.owned)}
+
+    def route_request(self, p: int) -> np.ndarray:
+        """The dst vertex ids this shard scatters to owner p."""
+        return self.dst_u[self.dst_by_part[p]]
+
+    def rank_vertices(self, vertices: np.ndarray) -> np.ndarray:
+        """Owner-side: positions of `vertices` within this shard's owned
+        array (all of them are owned here by the partitioning contract)."""
+        return np.searchsorted(self.owned, vertices).astype(np.int32)
+
+    def set_route(self, p: int, idx: np.ndarray) -> None:
+        self.dst_route[p] = np.asarray(idx, np.int32)
+        if all(r is not None for r in self.dst_route):
+            # flat lookup dst_u position -> owner-local index (lp path)
+            self.dst_loc = np.empty(len(self.dst_u), np.int32)
+            for pp, route in enumerate(self.dst_route):
+                self.dst_loc[self.dst_by_part[pp]] = route
 
     def num_owned(self) -> int:
         return int(len(self.owned))
@@ -160,7 +195,50 @@ class CsrShard:
         # owned vertices with no out-edges (incl. dst-only vertices)
         return float(self.rank[~self.has_out].sum())
 
-    # ---- direct actor-to-actor exchange (default combine path) ----------
+    # ---- push-based actor-to-actor exchange (default combine path) ------
+
+    def set_peers(self, peers: list) -> None:
+        self.peers = peers
+
+    _SCATTERS = {
+        "pagerank": "pagerank_scatter_parts",
+        "cc": "cc_scatter_parts",
+        "lp": "lp_scatter_parts",
+    }
+    _APPLIES = {
+        "pagerank": "pagerank_apply_parts",
+        "cc": "cc_apply_parts",
+        "lp": "lp_apply_parts",
+    }
+
+    def push_parts(self, algo: str, *scatter_args) -> int:
+        """Compute this shard's partials and fire each destination slice at
+        its owning peer (fire-and-forget actor calls; ordering is driver-
+        barriered per superstep)."""
+        parts = getattr(self, self._SCATTERS[algo])(*scatter_args)
+        for p, peer in enumerate(self.peers):
+            if p == self.part:
+                self._deliver(parts[p])
+            else:
+                peer.receive_parts.remote(parts[p])
+        return self.part
+
+    def _deliver(self, part) -> None:
+        self._inbox.append(part)
+        if len(self._inbox) >= self.P:
+            self._barrier.set()
+
+    def receive_parts(self, part) -> None:
+        self._deliver(part)
+
+    async def apply_pushed(self, algo: str, *apply_args):
+        """Await all P partials, then run the reduce+apply kernel."""
+        await self._barrier.wait()
+        parts, self._inbox = self._inbox, []
+        self._barrier.clear()
+        return getattr(self, self._APPLIES[algo])(*apply_args, *parts)
+
+    # ---- direct actor-to-actor exchange (ref-matrix variant) -------------
     #
     # The scatter partials are already hash-partitioned by destination
     # (dst_by_part), so the per-superstep shuffle can be a direct object
@@ -171,32 +249,39 @@ class CsrShard:
     # partial/final aggregation through Ray Data when P is larger.
 
     def pagerank_scatter_parts(self, damping: float):
+        """Partial contributions per destination owner, addressed by the
+        PRECOMPUTED owner-local int32 route (no ids on the wire, no
+        searchsorted on the apply side)."""
         src_rank = self.rank[self.src_in_owned]
         per_edge = self._rank_per_edge(src_rank / self.outdeg)
         sums = np.bincount(self.dst_inv, weights=per_edge, minlength=len(self.dst_u))
         sums *= damping
         return tuple(
-            (self.dst_u[idx], sums[idx]) for idx in self.dst_by_part
+            (self.dst_route[p], sums[idx])
+            for p, idx in enumerate(self.dst_by_part)
         )
 
     def pagerank_apply_parts(
         self, dangling: float, damping: float, *parts
     ) -> float:
-        parts = [p for p in parts if len(p[0])]
-        if parts:
-            v = np.concatenate([p[0] for p in parts])
-            c = np.concatenate([p[1] for p in parts])
-            vu, inv = np.unique(v, return_inverse=True)
-            sums = np.bincount(inv, weights=c, minlength=len(vu))
+        base = (1.0 - damping) / self.n_total + damping * dangling / self.n_total
+        live = [p for p in parts if len(p[0])]
+        if live:
+            # ONE concatenated bincount over owner-local indexes:
+            # O(rows + |owned|), independent of the sender count
+            idx = np.concatenate([p[0] for p in live])
+            c = np.concatenate([p[1] for p in live])
+            new = base + np.bincount(idx, weights=c, minlength=len(self.owned))
         else:
-            vu = np.empty(0, np.int64)
-            sums = np.empty(0, np.float64)
-        return self.pagerank_apply(vu, sums, dangling, damping)
+            new = np.full(len(self.owned), base)
+        delta = float(np.abs(new - self.rank).sum())
+        self.rank = new
+        return delta
 
     def cc_scatter_parts(self):
         active = self.changed[self.src_in_owned]
         if not active.any():
-            e = (np.empty(0, np.int64), np.empty(0, np.int64))
+            e = (np.empty(0, np.int32), np.empty(0, np.int64))
             return tuple(e for _ in range(self.P))
         lbl_edge = self._rank_per_edge(self.label[self.src_in_owned])
         act_edge = np.repeat(active, self.outdeg)
@@ -205,22 +290,26 @@ class CsrShard:
         mins = np.full(len(self.dst_u), np.iinfo(np.int64).max)
         np.minimum.at(mins, inv, lbl)
         out = []
-        for idx in self.dst_by_part:
+        for p, idx in enumerate(self.dst_by_part):
             m = mins[idx]
             live = m != np.iinfo(np.int64).max
-            out.append((self.dst_u[idx][live], m[live]))
+            out.append((self.dst_route[p][live], m[live]))
         return tuple(out)
 
     def cc_apply_parts(self, *parts) -> int:
-        parts = [p for p in parts if len(p[0])]
-        if not parts:
-            return self.cc_apply(np.empty(0, np.int64), np.empty(0, np.int64))
-        v = np.concatenate([p[0] for p in parts])
-        l = np.concatenate([p[1] for p in parts])
-        order = np.lexsort((l, v))
-        v, l = v[order], l[order]
-        first = np.concatenate([[True], v[1:] != v[:-1]])
-        return self.cc_apply(v[first], l[first])
+        """Min-combine incoming labels via the precomputed owner-local
+        indexes (no searchsorted, no sort)."""
+        self.changed = np.zeros(len(self.owned), bool)
+        live = [p for p in parts if len(p[0])]
+        if not live:
+            return 0
+        mins = np.full(len(self.owned), np.iinfo(np.int64).max)
+        for idx, l in live:
+            np.minimum.at(mins, idx, l)
+        better = mins < self.label
+        self.label[better] = mins[better]
+        self.changed[better] = True
+        return int(better.sum())
 
     def lp_scatter_parts(self):
         lbl_edge = self._rank_per_edge(self.label[self.src_in_owned])
@@ -234,23 +323,33 @@ class CsrShard:
         for p in range(self.P):
             sl = order[bounds[p] : bounds[p + 1]]
             out.append(
-                (self.dst_u[inv[sl]], uniq[sl, 1], counts[sl].astype(np.int64))
+                (
+                    self.dst_loc[inv[sl]],  # owner-local int32 index
+                    uniq[sl, 1],
+                    counts[sl].astype(np.int64),
+                )
             )
         return tuple(out)
 
     def lp_apply_parts(self, *parts) -> int:
-        parts = [p for p in parts if len(p[0])]
-        if not parts:
-            return self.lp_apply(
-                np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
-            )
-        v = np.concatenate([p[0] for p in parts])
-        l = np.concatenate([p[1] for p in parts])
-        c = np.concatenate([p[2] for p in parts])
-        pairs = np.stack([v, l], axis=1)
+        """Mode aggregation in owner-local index space (ties → min label)."""
+        live = [p for p in parts if len(p[0])]
+        if not live:
+            return 0
+        idx = np.concatenate([p[0] for p in live]).astype(np.int64)
+        lab = np.concatenate([p[1] for p in live])
+        cnt = np.concatenate([p[2] for p in live])
+        pairs = np.stack([idx, lab], axis=1)
         uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
-        sums = np.bincount(inv, weights=c, minlength=len(uniq)).astype(np.int64)
-        return self.lp_apply(uniq[:, 0], uniq[:, 1], sums)
+        sums = np.bincount(inv, weights=cnt, minlength=len(uniq)).astype(np.int64)
+        order = np.lexsort((uniq[:, 1], -sums, uniq[:, 0]))
+        u2 = uniq[order]
+        first = np.concatenate([[True], u2[1:, 0] != u2[:-1, 0]])
+        vidx = u2[first, 0]
+        ll = u2[first, 1]
+        changed = int((self.label[vidx] != ll).sum())
+        self.label[vidx] = ll
+        return changed
 
     def pagerank_apply(
         self, vertex: np.ndarray, contrib: np.ndarray, dangling: float, damping: float
