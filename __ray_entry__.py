@@ -455,7 +455,7 @@ def q_doc_quality(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return quality(docs).select_columns(
-        ["doc_id", "punct_ratio", "alpha_ratio", "mean_word_len"]
+        ["doc_id", "punct_ratio", "alpha_ratio", "mean_word_len", "stopword_ratio"]
     )
 
 
@@ -765,7 +765,12 @@ SELECT doc_id,
   ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
         / greatest(length(text), 1), 6) AS alpha_ratio,
   ROUND(CAST(length(text) AS DOUBLE)
-        / (length(regexp_replace(text, '\S', '', 'g')) + 1), 6) AS mean_word_len
+        / (length(regexp_replace(text, '\S', '', 'g')) + 1), 6) AS mean_word_len,
+  ROUND(CAST(len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|is|a|in|that|it)\b')) AS DOUBLE)
+        / greatest(CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                        THEN 0
+                        ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+                   END, 1), 6) AS stopword_ratio
 FROM documents
 """,
         "token_counts": r"""

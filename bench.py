@@ -126,6 +126,52 @@ def run_headline_pagerank(
     }
 
 
+def run_minhash_scale(sf_dir: str, num_cpus: int, k: int = 10) -> dict:
+    """Compute-bound Dataset-stage scaling job: minhash signatures (128
+    perms) over the documents table replicated k times. Pure actor-pool
+    map_batches — parallelism follows the CPU budget honestly."""
+    import pyarrow as pa
+
+    import ray.data
+    from sbustreamspot_core_ray.stages.dedup import minhash_band_table
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def repl(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id, out_tx = [], []
+        for i in range(k):
+            out_id.append(ids + i * 10_000_000)
+            out_tx.append(t["text"].combine_chunks())
+        return pa.table(
+            {
+                "doc_id": np.concatenate(out_id),
+                "text": pa.concat_arrays(out_tx),
+            }
+        )
+
+    # split into enough blocks that the actor pool can use every core
+    # (map_batches parallelism is block-granular)
+    big = docs.map_batches(repl, batch_format="pyarrow").repartition(
+        num_cpus * 8
+    ).materialize()
+    t0 = time.perf_counter()
+    # fixed-size pool: every actor starts immediately (an autoscaling pool
+    # spends the whole short job ramping up)
+    n = minhash_band_table(big, concurrency=(num_cpus, num_cpus)).count()
+    dt = time.perf_counter() - t0
+    n_docs = n // 32  # 32 bands per doc
+    return {
+        "sec": round(dt, 3),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / dt, 1),
+    }
+
+
 def run_full(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -180,6 +226,13 @@ def run_one(
         if name == "pagerank":
             headline = run_headline_pagerank(sf_dir, num_parts, scale_k)
             return {"query": name, "num_cpus": num_cpus, **headline}
+        if name == "minhash_scale":
+            k = scale_k if scale_k > 1 else 256
+            return {
+                "query": name,
+                "num_cpus": num_cpus,
+                **run_minhash_scale(sf_dir, num_cpus, k),
+            }
         import __ray_entry__ as E
 
         t0 = time.perf_counter()
@@ -203,49 +256,56 @@ def run_scaling(
     Ray's logical num_cpus alone does not constrain num_cpus=0 shard
     actors, so the pin is what makes the two 'cluster sizes' real).
     efficiency = (tput_hi / tput_lo) / (hi / lo)."""
-    results = {}
-    for cpus in (lo, hi):
+    import shutil
+
+    def leg(name: str, cpus: int, sk: int) -> dict:
         cmd = [
             sys.executable,
             os.path.abspath(__file__),
             "--one",
-            "pagerank",
+            name,
             "--cpus",
             str(cpus),
             "--parts",
             str(parts),
             "--scale-k",
-            str(scale_k),
+            str(sk),
             "--sf-dir",
             sf_dir,
         ]
-        import shutil
-
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        proc = subprocess.run(
-            cmd,
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-    tput_lo = results[lo]["edges_per_sec_per_superstep"]
-    tput_hi = results[hi]["edges_per_sec_per_superstep"]
-    eff = (tput_hi / tput_lo) / (hi / lo)
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    pr = {c: leg("pagerank", c, scale_k) for c in (lo, hi)}
+    mh = {c: leg("minhash_scale", c, 256) for c in (lo, hi)}
+    pr_eff = (
+        pr[hi]["edges_per_sec_per_superstep"]
+        / pr[lo]["edges_per_sec_per_superstep"]
+    ) / (hi / lo)
+    mh_eff = (mh[hi]["docs_per_sec"] / mh[lo]["docs_per_sec"]) / (hi / lo)
     return {
-        "metric": "pagerank_scaling_efficiency",
-        "value": round(eff, 4),
+        "metric": "scaling_efficiency",
+        "value": round(mh_eff, 4),
         "unit": "ratio",
         "sf": _sf_label(sf_dir),
         "cpus_lo": lo,
         "cpus_hi": hi,
-        "edges_per_sec_lo": tput_lo,
-        "edges_per_sec_hi": tput_hi,
-        "pagerank_sec_lo": results[lo]["pagerank_sec"],
-        "pagerank_sec_hi": results[hi]["pagerank_sec"],
-        "n_edges": results[lo]["n_edges"],
+        "pagerank": {
+            "edges_per_sec_lo": pr[lo]["edges_per_sec_per_superstep"],
+            "edges_per_sec_hi": pr[hi]["edges_per_sec_per_superstep"],
+            "sec_lo": pr[lo]["pagerank_sec"],
+            "sec_hi": pr[hi]["pagerank_sec"],
+            "n_edges": pr[lo]["n_edges"],
+            "efficiency": round(pr_eff, 4),
+        },
+        "minhash_dataset_stage": {
+            "docs_per_sec_lo": mh[lo]["docs_per_sec"],
+            "docs_per_sec_hi": mh[hi]["docs_per_sec"],
+            "docs": mh[lo]["docs"],
+            "efficiency": round(mh_eff, 4),
+        },
     }
 
 

@@ -153,6 +153,7 @@ def minhash_band_table(
     shingle_k: int = 5,
     bands: int = 32,
     seed: int = 23,
+    concurrency: tuple[int, int] = (1, 8),
 ) -> ray.data.Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(
         _MinHash,
@@ -164,7 +165,7 @@ def minhash_band_table(
         },
         batch_format="pandas",
         batch_size=1024,
-        concurrency=(1, 8),
+        concurrency=concurrency,
     )
 
 

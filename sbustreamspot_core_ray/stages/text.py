@@ -31,8 +31,11 @@ class QualityScore:
     """Quality scoring: length, punctuation ratio, stopword ratio,
     mean word length → a [0,1] heuristic quality score."""
 
+    STOPWORDS = ("the", "and", "of", "to", "is", "a", "in", "that", "it")
+
     def __init__(self):
-        self.stop = {"the", "and", "of", "to", "is", "a", "in", "that", "it"}
+        # pattern string (pandas .str.count compiles it per call)
+        self.stop_re = r"\b(?:" + "|".join(self.STOPWORDS) + r")\b"
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         text = df["text"].fillna("")
@@ -41,10 +44,13 @@ class QualityScore:
         n_punct = text.str.count(r"[^\w\s]")
         n_space = text.str.count(r"\s")
         words = n_space + 1
+        n_stop = text.str.lower().str.count(self.stop_re)
+        ws_tokens = text.str.split().str.len().fillna(0).astype(np.int64)
         df = df.copy()
         df["punct_ratio"] = (n_punct / n_chars.clip(lower=1)).round(6)
         df["alpha_ratio"] = (n_alpha / n_chars.clip(lower=1)).round(6)
         df["mean_word_len"] = (n_chars / words).round(6)
+        df["stopword_ratio"] = (n_stop / ws_tokens.clip(lower=1)).round(6)
         return df
 
 
