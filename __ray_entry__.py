@@ -315,6 +315,47 @@ def q_triangle_count(sf_dir: str):
     return triangle_count(_edges_triangle(sf_dir), num_partitions=P)
 
 
+def q_triangles_per_vertex(sf_dir: str):
+    from sbustreamspot_core_ray.pipelines.superstep import triangle_count
+
+    return triangle_count(_edges_triangle(sf_dir), num_partitions=P, per_vertex=True)
+
+
+def q_lsh_isolated(sf_dir: str):
+    """Rows-only: C2 anti-join — typed-graph sketches split into an index
+    (gid < 40) and queries (gid >= 40); a query gid is isolated iff none of
+    its band buckets exists in the index."""
+    from sbustreamspot_core_ray.stages.lsh import hash_bands, isolated_gids
+    from sbustreamspot_core_ray.stages.shingle import construct_shingle_vectors
+    from sbustreamspot_core_ray.stages.sketch import construct_streamhash_sketches
+
+    sk = construct_streamhash_sketches(
+        construct_shingle_vectors(_edges_typed(sf_dir), SHINGLE_C), SHINGLE_C
+    ).materialize()
+    bands = hash_bands(sk).materialize()
+    idx = bands.filter(expr="gid < 40")
+    qry = bands.filter(expr="gid >= 40")
+    return isolated_gids(qry, idx, num_partitions=4)
+
+
+def q_similarity_report(sf_dir: str):
+    """Rows-only: H10 all-pairs validation report (exact cosine vs
+    StreamHash estimate) over the StreamSpot 12-edge fixture graphs."""
+    from sbustreamspot_core_ray.sources.edges import streamspot_fixture_edges
+    from sbustreamspot_core_ray.stages.shingle import construct_shingle_vectors
+    from sbustreamspot_core_ray.stages.sketch import (
+        compute_similarities,
+        construct_streamhash_sketches,
+    )
+
+    sh = construct_shingle_vectors(streamspot_fixture_edges(), 5).materialize()
+    sk = construct_streamhash_sketches(sh, 5)
+    out = compute_similarities(sh, sk).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    out["streamhash_est"] = out["streamhash_est"].round(6)
+    return out
+
+
 def q_shingles(sf_dir: str):
     from sbustreamspot_core_ray.stages.shingle import construct_shingle_vectors
 
@@ -675,6 +716,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "triangle_count": q_triangle_count,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "lsh_isolated": q_lsh_isolated,
+        "similarity_report": q_similarity_report,
         "shingles": q_shingles,
         "streamhash_sketches": q_streamhash_sketches,
         "lsh_clusters": q_lsh_clusters,
@@ -722,6 +766,19 @@ und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         FROM de WHERE src <> dst)
 SELECT count(*) AS triangles
 FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
+        "triangles_per_vertex": f"""
+WITH de AS ({_SQL_EDGES_TRI}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM de WHERE src <> dst),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT vertex, count(*) AS triangles FROM (
+  SELECT x AS vertex FROM tri UNION ALL
+  SELECT y FROM tri UNION ALL
+  SELECT z FROM tri
+) GROUP BY vertex
 """,
         "shingles": f"""
 WITH e AS (

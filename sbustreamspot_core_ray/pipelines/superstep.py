@@ -289,18 +289,35 @@ def pagerank(
 
 
 def connected_components(
-    graph: ShardedGraph, max_iters: int = 200, combine: str = "direct"
+    graph: ShardedGraph,
+    max_iters: int = 200,
+    combine: str = "direct",
+    ckpt_dir: str | None = None,
+    ckpt_every: int = 10,
 ) -> ray.data.Dataset:
     """Min-label propagation over the symmetrized graph until no label
     changes. Frontier-based: only vertices whose label changed last round
     scatter (the generalization of the reference's BFS co-bucket clustering,
-    `main.cpp:672-721`). Requires graph built with symmetric=True."""
+    `main.cpp:672-721`). Requires graph built with symmetric=True.
+
+    ckpt_dir: per-partition parquet + manifest every ckpt_every supersteps;
+    a restarted run resumes from the manifest (restore marks every vertex
+    changed, so the next round re-propagates from the restored labels —
+    idempotent for min-label convergence)."""
     assert graph.symmetric, "connected_components needs a symmetric graph"
     actors = graph.actors
-    ray.get([a.cc_init.remote() for a in actors])
-    for _ in range(max_iters):
+    start_iter = 0
+    if ckpt_dir is not None:
+        manifest = graph.restore(ckpt_dir)
+        if manifest is not None and manifest["column"] == "label":
+            start_iter = manifest["iteration"] + 1
+    if start_iter == 0:
+        ray.get([a.cc_init.remote() for a in actors])
+    for it in range(start_iter, max_iters):
         if combine == "direct":
             changed = sum(graph._exchange("cc"))
+            if ckpt_dir is not None and (it % ckpt_every == 0 or changed == 0):
+                graph.checkpoint("label", ckpt_dir, it, {"changed": changed})
             if changed == 0:
                 break
             continue

@@ -120,6 +120,21 @@ def test_combine_paths_agree(edges):
     )
 
 
+def test_cc_checkpoint_resume(tmp_path, edges):
+    ck = str(tmp_path / "cc_ck")
+    g1 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    full = connected_components(g1).to_pandas()
+
+    g2 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    connected_components(g2, max_iters=2, ckpt_dir=ck, ckpt_every=1)  # "killed"
+    g3 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    resumed = connected_components(g3, ckpt_dir=ck, ckpt_every=1).to_pandas()
+
+    assert dict(zip(full["vertex"], full["component"])) == dict(
+        zip(resumed["vertex"], resumed["component"])
+    )
+
+
 def test_pagerank_checkpoint_resume(tmp_path, edges):
     """Kill-and-resume: a run restarted from the checkpoint manifest ends in
     the identical state (FIXTURES.md §5 resume property)."""
