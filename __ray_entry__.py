@@ -489,6 +489,26 @@ def q_events_windowed(sf_dir: str):
     return out
 
 
+def q_sessionize(sf_dir: str):
+    from sbustreamspot_core_ray.stages.events import sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    out = sessionize(ev, num_parts=8).to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+def q_top_users(sf_dir: str):
+    from sbustreamspot_core_ray.stages.events import top_k_by_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    return top_k_by_sum(ev, k=20)
+
+
 def q_doc_quality(sf_dir: str):
     from sbustreamspot_core_ray.stages.text import quality
 
@@ -725,6 +745,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streamspot_snapshots": q_streamspot_snapshots,
         "q1_revenue": q_q1_revenue,
         "events_windowed": q_events_windowed,
+        "sessionize": q_sessionize,
+        "top_users": q_top_users,
         "doc_quality": q_doc_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -814,6 +836,24 @@ SELECT event_type,
        count(*) AS n,
        ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+t AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM s)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(us) AS first_us, max(us) AS last_us,
+       ROUND(SUM(value), 4) AS sum_value
+FROM t GROUP BY user_id, session_id
+""",
+        "top_users": """
+SELECT user_id, ROUND(SUM(value), 4) AS total
+FROM events GROUP BY user_id
+ORDER BY total DESC, user_id ASC LIMIT 20
 """,
         "doc_quality": r"""
 SELECT doc_id,
