@@ -52,6 +52,7 @@ class ShardedGraph:
     def __init__(self, num_parts: int, symmetric: bool):
         self.P = num_parts
         self.symmetric = symmetric
+        self.salted = False
         self.actors = [CsrShard.remote(p, num_parts) for p in range(num_parts)]
         # fire-and-forget: per-caller actor mailboxes are FIFO, so set_peers
         # is processed before any later call; blocking here would serialize
@@ -66,6 +67,7 @@ class ShardedGraph:
         edges: ray.data.Dataset,
         num_parts: int = 32,
         symmetric: bool = False,
+        salt_threshold: int | None = None,
     ) -> "ShardedGraph":
         """Stream the (src, dst) dataset into shards — no global shuffle.
 
@@ -73,6 +75,13 @@ class ShardedGraph:
         shard actors (edge → part(src), reverse edge → part(dst) when
         symmetric, vertex registration → part(vertex)). finalize() dedups,
         so task retries are idempotent.
+
+        salt_threshold: sources with out-degree above it are SALTED — their
+        adjacency is split into P mirror chunks spread across all shards
+        (store-to-store, never via the driver); each superstep the owner
+        pushes the hot ranks once per peer. Currently wired for the
+        PageRank kernels (the CC/LP combiners already bound hot-destination
+        fan-in at P rows).
         """
         g = cls(num_parts, symmetric)
         actors = g.actors
@@ -104,6 +113,31 @@ class ShardedGraph:
         infos = ray.get([a.finalize.remote() for a in actors])
         g.n_vertices = sum(i["owned"] for i in infos)
         g.n_edges = sum(i["edges"] for i in infos)
+
+        g.salted = False
+        if salt_threshold is not None:
+            hot = ray.get([a.hot_srcs.remote(salt_threshold) for a in actors])
+            if any(len(h) for h in hot):
+                g.salted = True
+                # chunk refs flow store-to-store: the driver only forwards
+                # ObjectRefs, never the adjacency data
+                refs = []
+                for a in actors:
+                    f = a.split_hot.options(num_returns=P)
+                    r = f.remote(salt_threshold)
+                    refs.append([r] if P == 1 else list(r))
+                ray.get(
+                    [
+                        actors[p].add_mirror.remote(q, refs[q][p])
+                        for q in range(P)
+                        for p in range(P)
+                    ]
+                )
+                ray.get(
+                    [a.set_hot_order.remote(h) for a, h in zip(actors, hot)]
+                )
+                ray.get([a.finalize_mirrors.remote() for a in actors])
+
         # one-time routing exchange: owner-local int32 indexes for every
         # shard's destination slices — supersteps then ship indexes, not
         # vertex ids, and the apply side needs no searchsorted
@@ -113,6 +147,12 @@ class ShardedGraph:
                 vref = actors[q].route_request.remote(p)
                 iref = actors[p].rank_vertices.remote(vref)
                 pending.append(actors[q].set_route.remote(p, iref))
+        if g.salted:
+            for q in range(P):
+                for p in range(P):
+                    vref = actors[q].mirror_route_request.remote(p)
+                    iref = actors[p].rank_vertices.remote(vref)
+                    pending.append(actors[q].set_mirror_route.remote(p, iref))
         ray.get(pending)
         return g
 
@@ -233,6 +273,10 @@ def pagerank(
     aggregation as a Ray Data groupby shuffle (for very large P).
     """
     actors = graph.actors
+    assert not (graph.salted and combine != "direct"), (
+        "salted graphs use the direct exchange (mirror contributions are "
+        "not wired into the dataset combine path)"
+    )
     start_iter = 0
     if ckpt_dir is not None:
         manifest = graph.restore(ckpt_dir)
@@ -245,6 +289,10 @@ def pagerank(
 
     for it in range(start_iter, max_iters):
         dangling = sum(ray.get([a.dangling_rank.remote() for a in actors]))
+        if graph.salted:
+            # owners fan the salted hot ranks out to mirror holders; the
+            # scatter on each holder awaits this superstep's delivery
+            ray.get([a.push_hot_ranks.remote() for a in actors])
         if combine == "direct":
             deltas = graph._exchange(
                 "pagerank",
@@ -305,6 +353,7 @@ def connected_components(
     changed, so the next round re-propagates from the restored labels —
     idempotent for min-label convergence)."""
     assert graph.symmetric, "connected_components needs a symmetric graph"
+    assert not graph.salted, "salting is currently wired for PageRank only"
     actors = graph.actors
     start_iter = 0
     if ckpt_dir is not None:
@@ -352,6 +401,7 @@ def label_propagation(
     (symmetrized graph → all neighbors), ties broken by min label, isolated
     vertices keep their own. Fixed iteration count for determinism."""
     assert graph.symmetric, "label_propagation needs a symmetric graph"
+    assert not graph.salted, "salting is currently wired for PageRank only"
     actors = graph.actors
     ray.get([a.lp_init.remote() for a in actors])
     for _ in range(iters):

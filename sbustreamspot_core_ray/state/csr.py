@@ -70,6 +70,8 @@ class CsrShard:
         self.peers: list | None = None
         self._inbox: list = []
         self._barrier = asyncio.Event()
+        self._hot_received = 0
+        self._hot_barrier = asyncio.Event()
 
     # ---- build ----------------------------------------------------------
 
@@ -118,6 +120,144 @@ class CsrShard:
         self.dst_route: list[np.ndarray | None] = [None] * self.P
         self.has_out = np.isin(self.owned, self.srcs, assume_unique=True)
         return {"part": self.part, "edges": len(dst), "owned": len(self.owned)}
+
+    # ---- high-degree salting (vertex-cut mirrors) -----------------------
+    #
+    # BASELINE.json mandate: "skewed high-degree vertices are salted and
+    # split across partitions". After finalize, hot sources' adjacency is
+    # split into P chunks shipped to every shard as MIRRORS; each
+    # superstep the owner pushes the hot ranks once per peer (O(#hot)
+    # rows) and every mirror scatters its chunk locally. Combined with the
+    # combiner on the inbound side (a hot DESTINATION receives at most P
+    # pre-summed rows), both tails of a power-law degree distribution are
+    # spread across the pool.
+
+    def hot_srcs(self, threshold: int) -> np.ndarray:
+        return self.srcs[self.outdeg > threshold]
+
+    def split_hot(self, threshold: int) -> list:
+        """Remove hot sources' adjacency from the local CSR and return P
+        chunk tables [(src, total_outdeg, dsts), ...] — one per peer
+        (round-robin slices of each hot adjacency list)."""
+        hot_mask = self.outdeg > threshold
+        if not hot_mask.any():
+            return [None] * self.P
+        chunks: list[list] = [[] for _ in range(self.P)]
+        keep_edge = np.ones(len(self.dsts), bool)
+        for i in np.flatnonzero(hot_mask):
+            lo, hi = self.indptr[i], self.indptr[i + 1]
+            keep_edge[lo:hi] = False
+            dsts = self.dsts[lo:hi]
+            total = hi - lo
+            for p in range(self.P):
+                sl = dsts[p::self.P]
+                if len(sl):
+                    chunks[p].append((int(self.srcs[i]), int(total), sl))
+        # rebuild the local CSR without the hot adjacency
+        src_edge = np.repeat(self.srcs, self.outdeg)[keep_edge]
+        dst_edge = self.dsts[keep_edge]
+        self.srcs, counts = np.unique(src_edge, return_counts=True)
+        self.outdeg = counts.astype(np.int64)
+        self.indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self.dsts = dst_edge
+        self.dst_u, self.dst_inv = np.unique(dst_edge, return_inverse=True)
+        self.dst_part = part_of(self.dst_u, self.P)
+        order = np.argsort(self.dst_part, kind="stable")
+        bounds = np.searchsorted(self.dst_part[order], np.arange(self.P + 1))
+        self.dst_by_part = [order[bounds[p] : bounds[p + 1]] for p in range(self.P)]
+        self.dst_route = [None] * self.P
+        self.src_in_owned = np.searchsorted(self.owned, self.srcs)
+        # owner keeps the hot vertices' rank/dangling bookkeeping: they
+        # still HAVE out-edges (now at mirrors), so has_out stays True
+        return chunks
+
+    def add_mirror(self, owner: int, entries: list) -> int:
+        """Accept mirror chunks [(src, total_outdeg, dsts), ...] from
+        `owner`. Mirror srcs are keyed (owner, position) — the owner pushes
+        ranks in the same order every superstep."""
+        if not hasattr(self, "mirrors"):
+            self.mirrors: dict[int, dict] = {}
+        if not entries:
+            return 0
+        src = np.array([e[0] for e in entries], np.int64)
+        deg = np.array([e[1] for e in entries], np.int64)
+        dsts = np.concatenate([e[2] for e in entries])
+        cnt = np.array([len(e[2]) for e in entries], np.int64)
+        self.mirrors[owner] = {
+            "src": src,
+            "deg": deg,
+            "cnt": cnt,
+            "dsts": dsts,
+            "rank": np.zeros(len(src)),
+        }
+        return len(src)
+
+    def finalize_mirrors(self) -> int:
+        """Precompute per-mirror dst grouping: unique dsts, inverse, and
+        per-destination-part slices (ids; routes are filled by a second
+        routing exchange in ShardedGraph)."""
+        if not hasattr(self, "mirrors"):
+            self.mirrors = {}
+        all_dsts = (
+            np.concatenate([m["dsts"] for m in self.mirrors.values()])
+            if self.mirrors
+            else np.empty(0, np.int64)
+        )
+        self.m_dst_u, self.m_dst_inv = np.unique(all_dsts, return_inverse=True)
+        m_part = part_of(self.m_dst_u, self.P)
+        order = np.argsort(m_part, kind="stable")
+        bounds = np.searchsorted(m_part[order], np.arange(self.P + 1))
+        self.m_dst_by_part = [order[bounds[p] : bounds[p + 1]] for p in range(self.P)]
+        self.m_dst_route: list[np.ndarray | None] = [None] * self.P
+        return len(self.m_dst_u)
+
+    def mirror_route_request(self, p: int) -> np.ndarray:
+        return self.m_dst_u[self.m_dst_by_part[p]]
+
+    def set_mirror_route(self, p: int, idx: np.ndarray) -> None:
+        self.m_dst_route[p] = np.asarray(idx, np.int32)
+
+    def set_hot_order(self, srcs: np.ndarray) -> None:
+        self.hot_order = np.sort(np.asarray(srcs, np.int64))
+
+    def push_hot_ranks(self) -> int:
+        """Owner side: fire (hot_srcs, ranks) at every peer holding
+        mirrors from this shard."""
+        hot = getattr(self, "hot_order", None)
+        if hot is None or len(hot) == 0:
+            return 0
+        idx = np.searchsorted(self.owned, self.hot_order)
+        ranks = self.rank[idx]
+        for p, peer in enumerate(self.peers):
+            if p == self.part:
+                self.receive_hot_ranks(self.part, self.hot_order, ranks)
+            else:
+                peer.receive_hot_ranks.remote(self.part, self.hot_order, ranks)
+        return len(ranks)
+
+    def receive_hot_ranks(self, owner: int, srcs, ranks) -> None:
+        if getattr(self, "mirrors", None) and owner in self.mirrors:
+            m = self.mirrors[owner]
+            pos = np.searchsorted(srcs, m["src"])
+            m["rank"] = np.asarray(ranks)[pos]
+            self._hot_received += 1
+            if self._hot_received >= len(self.mirrors):
+                self._hot_barrier.set()
+
+    def _mirror_partials(self):
+        """Per-destination-part (idx, contrib) slices from mirror chunks."""
+        if not getattr(self, "mirrors", None) or len(self.m_dst_u) == 0:
+            return None
+        per_edge = np.concatenate(
+            [
+                np.repeat(m["rank"] / m["deg"], m["cnt"])
+                for m in self.mirrors.values()
+            ]
+        )
+        sums = np.bincount(
+            self.m_dst_inv, weights=per_edge, minlength=len(self.m_dst_u)
+        )
+        return sums
 
     def route_request(self, p: int) -> np.ndarray:
         """The dst vertex ids this shard scatters to owner p."""
@@ -211,10 +351,16 @@ class CsrShard:
         "lp": "lp_apply_parts",
     }
 
-    def push_parts(self, algo: str, *scatter_args) -> int:
+    async def push_parts(self, algo: str, *scatter_args) -> int:
         """Compute this shard's partials and fire each destination slice at
         its owning peer (fire-and-forget actor calls; ordering is driver-
-        barriered per superstep)."""
+        barriered per superstep). With salted hot sources, awaits this
+        superstep's hot-rank delivery first (cross-sender actor calls have
+        no ordering guarantee)."""
+        if algo == "pagerank" and getattr(self, "mirrors", None):
+            await self._hot_barrier.wait()
+            self._hot_received = 0
+            self._hot_barrier.clear()
         parts = getattr(self, self._SCATTERS[algo])(*scatter_args)
         for p, peer in enumerate(self.peers):
             if p == self.part:
@@ -251,15 +397,24 @@ class CsrShard:
     def pagerank_scatter_parts(self, damping: float):
         """Partial contributions per destination owner, addressed by the
         PRECOMPUTED owner-local int32 route (no ids on the wire, no
-        searchsorted on the apply side)."""
+        searchsorted on the apply side). Mirror chunks of salted hot
+        sources contribute through their own precomputed routes."""
         src_rank = self.rank[self.src_in_owned]
         per_edge = self._rank_per_edge(src_rank / self.outdeg)
         sums = np.bincount(self.dst_inv, weights=per_edge, minlength=len(self.dst_u))
         sums *= damping
-        return tuple(
-            (self.dst_route[p], sums[idx])
-            for p, idx in enumerate(self.dst_by_part)
-        )
+        msums = self._mirror_partials()
+        out = []
+        for p, idx in enumerate(self.dst_by_part):
+            i1 = self.dst_route[p]
+            c1 = sums[idx]
+            if msums is not None:
+                midx = self.m_dst_by_part[p]
+                if len(midx):
+                    i1 = np.concatenate([i1, self.m_dst_route[p]])
+                    c1 = np.concatenate([c1, msums[midx] * damping])
+            out.append((i1, c1))
+        return tuple(out)
 
     def pagerank_apply_parts(
         self, dangling: float, damping: float, *parts

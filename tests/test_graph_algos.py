@@ -120,6 +120,27 @@ def test_combine_paths_agree(edges):
     )
 
 
+def test_salted_pagerank_matches_unsalted(edges):
+    """High-degree salting (vertex-cut mirrors) must not change results:
+    a skewed graph (one hub with 300 out-edges) run with salt_threshold
+    low enough to trigger splitting equals the unsalted run to 1e-12."""
+    hub_edges = list(edges) + [(9999, i) for i in range(300)]
+    g_plain = ShardedGraph.build(edges_ds(hub_edges), num_parts=P, symmetric=False)
+    plain = pagerank(g_plain, max_iters=25, tol=0.0).to_pandas()
+
+    g_salt = ShardedGraph.build(
+        edges_ds(hub_edges), num_parts=P, symmetric=False, salt_threshold=50
+    )
+    assert g_salt.salted
+    salted = pagerank(g_salt, max_iters=25, tol=0.0).to_pandas()
+
+    a = dict(zip(plain["vertex"], plain["rank"]))
+    b = dict(zip(salted["vertex"], salted["rank"]))
+    assert set(a) == set(b)
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
 def test_cc_checkpoint_resume(tmp_path, edges):
     ck = str(tmp_path / "cc_ck")
     g1 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
