@@ -93,25 +93,36 @@ class EdgeExtractor:
         self.re = _IMPORT_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        repos = batch["repo"].to_pylist()
-        paths = batch["path"].to_pylist()
-        contents = batch["content"].to_pylist()
-        e_src: list[str] = []
-        e_dst: list[str] = []
-        e_type: list[int] = []
-        seq_key: list[str] = []
-        for repo, path, content in zip(repos, paths, contents):
-            full = f"{repo}/{path}"
-            e_src.append(repo)
-            e_dst.append(full)
-            e_type.append(ET_CONTAINS)
-            seq_key.append(f"{full}#c")
-            for k, tgt in enumerate(self.re.findall(content)):
-                if tgt != full:
-                    e_src.append(repo)
-                    e_dst.append(tgt)
-                    e_type.append(ET_IMPORTS)
-                    seq_key.append(f"{full}#i{k}")
+        import pandas as pd
+
+        repos = pd.Series(batch["repo"].to_pylist())
+        paths = pd.Series(batch["path"].to_pylist())
+        contents = pd.Series(batch["content"].to_pylist())
+        full = repos + "/" + paths
+        # vectorized import extraction: one extractall over the batch
+        # (row index -> all import targets of that row, in line order)
+        hits = contents.str.extractall(self.re)
+        row_idx = hits.index.get_level_values(0).to_numpy()
+        match_no = hits.index.get_level_values(1).to_numpy()
+        tgts = hits[0].to_numpy()
+        keep = tgts != full.to_numpy()[row_idx]
+        row_idx, match_no, tgts = row_idx[keep], match_no[keep], tgts[keep]
+
+        e_src = np.concatenate([repos.to_numpy(), repos.to_numpy()[row_idx]])
+        e_dst = np.concatenate([full.to_numpy(), tgts])
+        e_type = np.concatenate(
+            [
+                np.full(len(repos), ET_CONTAINS, np.uint8),
+                np.full(len(row_idx), ET_IMPORTS, np.uint8),
+            ]
+        )
+        seq_key = np.concatenate(
+            [
+                (full + "#c").to_numpy(),
+                (full.to_numpy()[row_idx] + "#i"
+                 + pd.Series(match_no).astype(str).to_numpy()),
+            ]
+        ).tolist()
         src = stable_id64(e_src, "R:")
         dst = stable_id64(e_dst, "P:")
         gid = (src % np.uint64(self.num_gids)).astype(np.int64)

@@ -1,0 +1,77 @@
+"""Corpus generation, sha256-validated ingest, and edge extraction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sbustreamspot_core_ray.functions.hashing import stable_id64
+from sbustreamspot_core_ray.sources.corpus import generate_corpus, ingest_corpus
+from sbustreamspot_core_ray.sources.edges import (
+    ET_CONTAINS,
+    ET_IMPORTS,
+    EdgeExtractor,
+    extract_edges,
+)
+
+
+def test_edge_extractor_semantics():
+    batch = pa.table(
+        {
+            "repo": ["org/a", "org/b"],
+            "path": ["src/x.py", "src/y.py"],
+            "content": [
+                "import org/b/src/y.py\nimport org/a/src/x.py\ncode here",
+                "no imports at all",
+            ],
+        }
+    )
+    out = EdgeExtractor(num_gids=10)(batch)
+    rows = list(zip(out["src"].to_pylist(), out["dst"].to_pylist(),
+                    out["e_type"].to_pylist()))
+    ra = int(np.int64(stable_id64(["org/a"], "R:")[0].view(np.int64)))
+    rb = int(np.int64(stable_id64(["org/b"], "R:")[0].view(np.int64)))
+    pa_full = int(np.int64(stable_id64(["org/a/src/x.py"], "P:")[0].view(np.int64)))
+    pb_full = int(np.int64(stable_id64(["org/b/src/y.py"], "P:")[0].view(np.int64)))
+    # contains edges for both rows, ONE import edge (the self-import of
+    # org/a/src/x.py is dropped)
+    assert (ra, pa_full, ET_CONTAINS) in rows
+    assert (rb, pb_full, ET_CONTAINS) in rows
+    assert (ra, pb_full, ET_IMPORTS) in rows
+    assert len(rows) == 3
+    # deterministic across calls (seq included)
+    out2 = EdgeExtractor(num_gids=10)(batch)
+    assert out.equals(out2)
+
+
+def test_corpus_roundtrip_and_invariant(tmp_path):
+    root = str(tmp_path / "corp")
+    generate_corpus(root, n_files=300, seed=23)
+    corpus = ingest_corpus(root, num_partitions=2)  # raises on sha mismatch
+    assert corpus.count() == 300
+    edges = extract_edges(corpus)
+    n = edges.count()
+    assert n >= 300  # at least the contains edges
+    schema = edges.schema()
+    assert schema.names == [
+        "src", "dst", "src_type", "dst_type", "e_type", "gid", "seq"
+    ]
+
+
+def test_ingest_rejects_corruption(tmp_path):
+    import pyarrow.parquet as pq
+    import os
+
+    root = str(tmp_path / "corp2")
+    generate_corpus(root, n_files=100, seed=23)
+    part = os.path.join(root, "corpus", "part-00000.parquet")
+    t = pq.read_table(part)
+    tampered = t.set_column(
+        t.column_names.index("content"),
+        "content",
+        pa.array(["tampered!"] + t["content"].to_pylist()[1:]),
+    )
+    pq.write_table(tampered, part)
+    with pytest.raises(ValueError, match="ingest invariant"):
+        ingest_corpus(root, num_partitions=2)
