@@ -388,6 +388,27 @@ def q_streamhash_sketches(sf_dir: str):
     return sk.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_incremental_sketches(sf_dir: str):
+    """Rows-only: F3 incremental chunk-delta sketches on the reference's
+    12-edge fixture fed as a 3-batch stream (parity with the batch
+    recompute is the reference's own invariant, tested in
+    tests/test_incremental.py)."""
+    from sbustreamspot_core_ray.sources.edges import streamspot_fixture_table
+    from sbustreamspot_core_ray.stages.incremental import IncrementalSketcher
+
+    t = streamspot_fixture_table()
+    inc = IncrementalSketcher(num_parts=2, chunk_length=5)
+    for lo, sz in ((0, 5), (5, 4), (9, 3)):
+        inc.feed(t.slice(lo, sz))
+    out = inc.sketches().to_pandas()
+    return pa.table(
+        {
+            "gid": pa.array(out["gid"].to_numpy(), pa.int64()),
+            "sketch_hex": pa.array([bytes(b).hex() for b in out["sketch"]]),
+        }
+    )
+
+
 def q_lsh_clusters(sf_dir: str):
     """Rows-only: LSH co-bucket clustering of the typed-graph sketches."""
     from sbustreamspot_core_ray.stages.lsh import lsh_clusters
@@ -741,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_report": q_similarity_report,
         "shingles": q_shingles,
         "streamhash_sketches": q_streamhash_sketches,
+        "incremental_sketches": q_incremental_sketches,
         "lsh_clusters": q_lsh_clusters,
         "streamspot_snapshots": q_streamspot_snapshots,
         "q1_revenue": q_q1_revenue,
