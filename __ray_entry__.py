@@ -388,6 +388,28 @@ def q_streamhash_sketches(sf_dir: str):
     return sk.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_simhash_sketches(sf_dir: str):
+    """Rows-only: H6/H7 exact-SimHash sketches (independent Rademacher
+    family, seed 101) over the typed TPC-H graph."""
+    from sbustreamspot_core_ray.stages.shingle import construct_shingle_vectors
+    from sbustreamspot_core_ray.stages.sketch import construct_simhash_sketches
+
+    sk = construct_simhash_sketches(
+        construct_shingle_vectors(_edges_typed(sf_dir), SHINGLE_C), SHINGLE_C
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        raw = [bytes(b) for b in t["sketch"].to_pylist()]
+        return pa.table(
+            {
+                "gid": t["gid"],
+                "sketch_hex": pa.array([b.hex() for b in raw]),
+            }
+        )
+
+    return sk.map_batches(fmt, batch_format="pyarrow")
+
+
 def q_incremental_sketches(sf_dir: str):
     """Rows-only: F3 incremental chunk-delta sketches on the reference's
     12-edge fixture fed as a 3-batch stream (parity with the batch
@@ -762,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_report": q_similarity_report,
         "shingles": q_shingles,
         "streamhash_sketches": q_streamhash_sketches,
+        "simhash_sketches": q_simhash_sketches,
         "incremental_sketches": q_incremental_sketches,
         "lsh_clusters": q_lsh_clusters,
         "streamspot_snapshots": q_streamspot_snapshots,

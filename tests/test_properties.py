@@ -1,0 +1,110 @@
+"""Hypothesis property tests for the distributed kernels against plain
+pandas/numpy oracles (FIXTURES.md §4: per-operator parity on arbitrary
+inputs, not just fixtures)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+import ray.data
+
+from sbustreamspot_core_ray.sources.edges import distinct_int_rows
+from sbustreamspot_core_ray.stages.events import sessionize
+
+_settings = settings(max_examples=12, deadline=None)
+
+pairs = st.lists(
+    st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)),
+    min_size=0,
+    max_size=300,
+)
+
+
+@given(pairs)
+@_settings
+def test_distinct_int_rows_equals_pandas(rows):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([r[0] for r in rows], pa.int64()),
+                "dst": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+    )
+    got = distinct_int_rows(ds, ["src", "dst"], num_parts=4).to_pandas()
+    want = (
+        pd.DataFrame(rows, columns=["src", "dst"]).drop_duplicates()
+        if rows
+        else pd.DataFrame({"src": [], "dst": []})
+    )
+    got_set = set(map(tuple, got.to_numpy()))
+    want_set = set(map(tuple, want.to_numpy().astype(np.int64)))
+    assert got_set == want_set
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # user
+        st.integers(0, 10_000),  # t seconds
+        st.floats(0, 100, allow_nan=False, width=32),
+    ),
+    min_size=0,
+    max_size=200,
+)
+
+
+def _oracle_sessions(rows, gap_s: int):
+    df = pd.DataFrame(rows, columns=["user_id", "t", "value"])
+    df["event_id"] = np.arange(len(df))
+    df = df.sort_values(["user_id", "t", "event_id"], kind="stable")
+    out = {}
+    for uid, g in df.groupby("user_id"):
+        sess = -1
+        prev = None
+        for r in g.itertuples():
+            if prev is None or r.t - prev > gap_s:
+                sess += 1
+                out[(uid, sess)] = [0, r.t, r.t, 0.0]
+            rec = out[(uid, sess)]
+            rec[0] += 1
+            rec[2] = r.t
+            rec[3] += r.value
+            prev = r.t
+    return out
+
+
+@given(events_strategy)
+@_settings
+def test_sessionize_equals_oracle(rows):
+    gap_s = 100
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(list(range(len(rows))), pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "value": pa.array([float(r[2]) for r in rows], pa.float64()),
+            }
+        )
+    )
+    got = sessionize(ds, gap_us=gap_s * 1_000_000, num_parts=3).to_pandas()
+    want = _oracle_sessions(rows, gap_s)
+    got_map = {
+        (r.user_id, r.session_id): (
+            r.n_events,
+            r.first_us // 1_000_000,
+            r.last_us // 1_000_000,
+        )
+        for r in got.itertuples()
+    }
+    assert set(got_map) == set(want)
+    for k, (n, lo, hi, sv) in want.items():
+        gn, glo, ghi = got_map[k]
+        assert (gn, glo, ghi) == (n, lo, hi)
+        row = got[(got.user_id == k[0]) & (got.session_id == k[1])]
+        assert np.isclose(row["sum_value"].iloc[0], sv, atol=1e-6)
