@@ -353,7 +353,7 @@ def connected_components(
     changed, so the next round re-propagates from the restored labels —
     idempotent for min-label convergence)."""
     assert graph.symmetric, "connected_components needs a symmetric graph"
-    assert not graph.salted, "salting is currently wired for PageRank only"
+    assert not (graph.salted and combine != "direct")
     actors = graph.actors
     start_iter = 0
     if ckpt_dir is not None:
@@ -364,6 +364,8 @@ def connected_components(
         ray.get([a.cc_init.remote() for a in actors])
     for it in range(start_iter, max_iters):
         if combine == "direct":
+            if graph.salted:
+                ray.get([a.push_hot_ranks.remote("cc") for a in actors])
             changed = sum(graph._exchange("cc"))
             if ckpt_dir is not None and (it % ckpt_every == 0 or changed == 0):
                 graph.checkpoint("label", ckpt_dir, it, {"changed": changed})
@@ -401,11 +403,13 @@ def label_propagation(
     (symmetrized graph → all neighbors), ties broken by min label, isolated
     vertices keep their own. Fixed iteration count for determinism."""
     assert graph.symmetric, "label_propagation needs a symmetric graph"
-    assert not graph.salted, "salting is currently wired for PageRank only"
+    assert not (graph.salted and combine != "direct")
     actors = graph.actors
     ray.get([a.lp_init.remote() for a in actors])
     for _ in range(iters):
         if combine == "direct":
+            if graph.salted:
+                ray.get([a.push_hot_ranks.remote("lp") for a in actors])
             graph._exchange("lp")
             continue
         refs = [a.lp_scatter.remote() for a in actors]

@@ -216,30 +216,47 @@ class CsrShard:
 
     def set_mirror_route(self, p: int, idx: np.ndarray) -> None:
         self.m_dst_route[p] = np.asarray(idx, np.int32)
+        if all(r is not None for r in self.m_dst_route):
+            # flat lookup m_dst_u position -> (owner part, owner-local idx)
+            self.m_dst_loc = np.empty(len(self.m_dst_u), np.int32)
+            self.m_dst_partof = part_of(self.m_dst_u, self.P)
+            for pp, route in enumerate(self.m_dst_route):
+                self.m_dst_loc[self.m_dst_by_part[pp]] = route
 
     def set_hot_order(self, srcs: np.ndarray) -> None:
         self.hot_order = np.sort(np.asarray(srcs, np.int64))
 
-    def push_hot_ranks(self) -> int:
-        """Owner side: fire (hot_srcs, ranks) at every peer holding
-        mirrors from this shard."""
+    def push_hot_ranks(self, algo: str = "pagerank") -> int:
+        """Owner side: fire the hot sources' per-superstep state at every
+        peer holding mirrors from this shard — ranks for pagerank,
+        (labels, changed) for cc, labels for lp."""
         hot = getattr(self, "hot_order", None)
         if hot is None or len(hot) == 0:
             return 0
         idx = np.searchsorted(self.owned, self.hot_order)
-        ranks = self.rank[idx]
+        if algo == "pagerank":
+            state = (self.rank[idx], None)
+        elif algo == "cc":
+            state = (self.label[idx], self.changed[idx])
+        else:  # lp
+            state = (self.label[idx], None)
         for p, peer in enumerate(self.peers):
             if p == self.part:
-                self.receive_hot_ranks(self.part, self.hot_order, ranks)
+                self.receive_hot_ranks(self.part, self.hot_order, *state)
             else:
-                peer.receive_hot_ranks.remote(self.part, self.hot_order, ranks)
-        return len(ranks)
+                peer.receive_hot_ranks.remote(self.part, self.hot_order, *state)
+        return len(idx)
 
-    def receive_hot_ranks(self, owner: int, srcs, ranks) -> None:
+    def receive_hot_ranks(self, owner: int, srcs, values, changed=None) -> None:
         if getattr(self, "mirrors", None) and owner in self.mirrors:
             m = self.mirrors[owner]
             pos = np.searchsorted(srcs, m["src"])
-            m["rank"] = np.asarray(ranks)[pos]
+            m["rank"] = np.asarray(values)[pos]
+            m["changed"] = (
+                np.asarray(changed)[pos]
+                if changed is not None
+                else np.ones(len(pos), bool)
+            )
             self._hot_received += 1
             if self._hot_received >= len(self.mirrors):
                 self._hot_barrier.set()
@@ -357,7 +374,7 @@ class CsrShard:
         barriered per superstep). With salted hot sources, awaits this
         superstep's hot-rank delivery first (cross-sender actor calls have
         no ordering guarantee)."""
-        if algo == "pagerank" and getattr(self, "mirrors", None):
+        if getattr(self, "mirrors", None):
             await self._hot_barrier.wait()
             self._hot_received = 0
             self._hot_barrier.clear()
@@ -433,22 +450,55 @@ class CsrShard:
         self.rank = new
         return delta
 
+    def _mirror_label_mins(self):
+        """Min label per mirror destination from CHANGED salted sources
+        (None when this shard holds no mirrors)."""
+        if not getattr(self, "mirrors", None) or len(self.m_dst_u) == 0:
+            return None
+        lbl = np.concatenate(
+            [np.repeat(m["rank"], m["cnt"]) for m in self.mirrors.values()]
+        ).astype(np.int64)
+        act = np.concatenate(
+            [np.repeat(m["changed"], m["cnt"]) for m in self.mirrors.values()]
+        ).astype(bool)
+        if not act.any():
+            return None
+        mins = np.full(len(self.m_dst_u), np.iinfo(np.int64).max)
+        np.minimum.at(mins, self.m_dst_inv[act], lbl[act])
+        return mins
+
     def cc_scatter_parts(self):
+        INF = np.iinfo(np.int64).max
         active = self.changed[self.src_in_owned]
-        if not active.any():
-            e = (np.empty(0, np.int32), np.empty(0, np.int64))
-            return tuple(e for _ in range(self.P))
-        lbl_edge = self._rank_per_edge(self.label[self.src_in_owned])
-        act_edge = np.repeat(active, self.outdeg)
-        inv = self.dst_inv[act_edge]
-        lbl = lbl_edge[act_edge]
-        mins = np.full(len(self.dst_u), np.iinfo(np.int64).max)
-        np.minimum.at(mins, inv, lbl)
+        if active.any():
+            lbl_edge = self._rank_per_edge(self.label[self.src_in_owned])
+            act_edge = np.repeat(active, self.outdeg)
+            inv = self.dst_inv[act_edge]
+            lbl = lbl_edge[act_edge]
+            mins = np.full(len(self.dst_u), INF)
+            np.minimum.at(mins, inv, lbl)
+        else:
+            mins = None
+        mmins = self._mirror_label_mins()
         out = []
-        for p, idx in enumerate(self.dst_by_part):
-            m = mins[idx]
-            live = m != np.iinfo(np.int64).max
-            out.append((self.dst_route[p][live], m[live]))
+        for p in range(self.P):
+            idxs, vals = [], []
+            if mins is not None:
+                idx = self.dst_by_part[p]
+                m = mins[idx]
+                live = m != INF
+                idxs.append(self.dst_route[p][live])
+                vals.append(m[live])
+            if mmins is not None:
+                midx = self.m_dst_by_part[p]
+                mm = mmins[midx]
+                live = mm != INF
+                idxs.append(self.m_dst_route[p][live])
+                vals.append(mm[live])
+            if idxs:
+                out.append((np.concatenate(idxs), np.concatenate(vals)))
+            else:
+                out.append((np.empty(0, np.int32), np.empty(0, np.int64)))
         return tuple(out)
 
     def cc_apply_parts(self, *parts) -> int:
@@ -472,18 +522,27 @@ class CsrShard:
         uniq, counts = np.unique(pairs, axis=0, return_counts=True)
         inv = uniq[:, 0].astype(np.int64)
         dpart = self.dst_part[inv]
+        loc = self.dst_loc[inv]
+        lab = uniq[:, 1]
+        cnt = counts.astype(np.int64)
+        # salted hot sources: per-(mirror dst, label) counts ride along
+        if getattr(self, "mirrors", None) and len(self.m_dst_u):
+            mlbl = np.concatenate(
+                [np.repeat(m["rank"], m["cnt"]) for m in self.mirrors.values()]
+            ).astype(np.int64)
+            mpairs = np.stack([self.m_dst_inv, mlbl], axis=1)
+            muniq, mcounts = np.unique(mpairs, axis=0, return_counts=True)
+            minv = muniq[:, 0].astype(np.int64)
+            dpart = np.concatenate([dpart, self.m_dst_partof[minv]])
+            loc = np.concatenate([loc, self.m_dst_loc[minv]])
+            lab = np.concatenate([lab, muniq[:, 1]])
+            cnt = np.concatenate([cnt, mcounts.astype(np.int64)])
         order = np.argsort(dpart, kind="stable")
         bounds = np.searchsorted(dpart[order], np.arange(self.P + 1))
         out = []
         for p in range(self.P):
             sl = order[bounds[p] : bounds[p + 1]]
-            out.append(
-                (
-                    self.dst_loc[inv[sl]],  # owner-local int32 index
-                    uniq[sl, 1],
-                    counts[sl].astype(np.int64),
-                )
-            )
+            out.append((loc[sl], lab[sl], cnt[sl]))
         return tuple(out)
 
     def lp_apply_parts(self, *parts) -> int:

@@ -141,6 +141,30 @@ def test_salted_pagerank_matches_unsalted(edges):
         assert a[v] == pytest.approx(b[v], abs=1e-12)
 
 
+def test_salted_cc_lp_match_unsalted(edges):
+    hub_edges = list(edges) + [(9999, i) for i in range(300)]
+    g_plain = ShardedGraph.build(edges_ds(hub_edges), num_parts=P, symmetric=True)
+    g_salt = ShardedGraph.build(
+        edges_ds(hub_edges), num_parts=P, symmetric=True, salt_threshold=50
+    )
+    assert g_salt.salted
+    cc_a = connected_components(g_plain).to_pandas()
+    cc_b = connected_components(g_salt).to_pandas()
+    assert dict(zip(cc_a["vertex"], cc_a["component"])) == dict(
+        zip(cc_b["vertex"], cc_b["component"])
+    )
+
+    g3 = ShardedGraph.build(edges_ds(hub_edges), num_parts=P, symmetric=True)
+    g4 = ShardedGraph.build(
+        edges_ds(hub_edges), num_parts=P, symmetric=True, salt_threshold=50
+    )
+    lp_a = label_propagation(g3, iters=4).to_pandas()
+    lp_b = label_propagation(g4, iters=4).to_pandas()
+    assert dict(zip(lp_a["vertex"], lp_a["label"])) == dict(
+        zip(lp_b["vertex"], lp_b["label"])
+    )
+
+
 def test_cc_checkpoint_resume(tmp_path, edges):
     ck = str(tmp_path / "cc_ck")
     g1 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
