@@ -79,9 +79,9 @@ class ShardedGraph:
         salt_threshold: sources with out-degree above it are SALTED — their
         adjacency is split into P mirror chunks spread across all shards
         (store-to-store, never via the driver); each superstep the owner
-        pushes the hot ranks once per peer. Currently wired for the
-        PageRank kernels (the CC/LP combiners already bound hot-destination
-        fan-in at P rows).
+        pushes the hot state (ranks / labels+changed) once per peer. Wired
+        for PageRank, CC and LP; the combiner independently bounds
+        hot-DESTINATION fan-in at P rows.
         """
         g = cls(num_parts, symmetric)
         actors = g.actors
