@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from sbustreamspot_core_ray.functions.rounding import round_half_away
+
 P = 8  # partition count for query-scale runs (fixed per run)
 PR_ITERS = 10
 PR_DAMPING = 0.85
@@ -285,7 +287,7 @@ def q_pagerank(sf_dir: str):
     # dedup=False: the CSR shards dedup locally, so the pre-shuffle is skipped
     g = ShardedGraph.build(_edges_full(sf_dir, dedup=False), num_parts=P, symmetric=False)
     df = pagerank(g, damping=PR_DAMPING, max_iters=PR_ITERS, tol=0.0).to_pandas()
-    df["rank"] = df["rank"].round(7)
+    df["rank"] = round_half_away(df["rank"], 7)
     return df
 
 
@@ -351,8 +353,8 @@ def q_similarity_report(sf_dir: str):
     sh = construct_shingle_vectors(streamspot_fixture_edges(), 5).materialize()
     sk = construct_streamhash_sketches(sh, 5)
     out = compute_similarities(sh, sk).to_pandas()
-    out["cosine"] = out["cosine"].round(6)
-    out["streamhash_est"] = out["streamhash_est"].round(6)
+    out["cosine"] = round_half_away(out["cosine"], 6)
+    out["streamhash_est"] = round_half_away(out["streamhash_est"], 6)
     return out
 
 
@@ -462,7 +464,7 @@ def q_streamspot_snapshots(sf_dir: str):
     )
     state = bootstrap_pipeline(train, fixture_bootstrap(), 10)
     snaps = score_stream(state, test, 10, interval=4)
-    snaps["anomaly_score"] = snaps["anomaly_score"].round(6)
+    snaps["anomaly_score"] = round_half_away(snaps["anomaly_score"], 6)
     return snaps
 
 
@@ -503,8 +505,8 @@ def q_q1_revenue(sf_dir: str):
         )
         .to_pandas()
     )
-    out["sum_qty"] = out["sum_qty"].round(2)
-    out["sum_revenue"] = out["sum_revenue"].round(2)
+    out["sum_qty"] = round_half_away(out["sum_qty"], 2)
+    out["sum_revenue"] = round_half_away(out["sum_revenue"], 2)
     return out
 
 
@@ -528,7 +530,7 @@ def q_events_windowed(sf_dir: str):
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
         .to_pandas()
     )
-    out["sum_value"] = out["sum_value"].round(4)
+    out["sum_value"] = round_half_away(out["sum_value"], 4)
     return out
 
 
@@ -539,7 +541,7 @@ def q_sessionize(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
     )
     out = sessionize(ev, num_parts=8).to_pandas()
-    out["sum_value"] = out["sum_value"].round(4)
+    out["sum_value"] = round_half_away(out["sum_value"], 4)
     return out
 
 
@@ -582,13 +584,14 @@ def q_lang_id(sf_dir: str):
 
 
 def q_fingerprints(sf_dir: str):
-    """Rows-only: 64-bit rolling-hash document fingerprints."""
+    """sha256-slice + 61-bit polynomial rolling-hash fingerprints (both
+    SQL-mirrored: hex-slice cast / HUGEINT Horner sum)."""
     from sbustreamspot_core_ray.stages.text import fingerprints
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return fingerprints(docs).select_columns(["doc_id", "fingerprint"])
+    return fingerprints(docs).select_columns(["doc_id", "fingerprint", "rolling61"])
 
 
 def q_exact_dedup(sf_dir: str):
@@ -632,7 +635,7 @@ def q_knn_cosine(sf_dir: str):
     queries = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
     out = knn_brute_force(emb, queries, k=KNN_K, dtype=np.float64).to_pandas()
     out["query_idx"] = qdf["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
-    out["cosine"] = out["cosine"].round(6)
+    out["cosine"] = round_half_away(out["cosine"], 6)
     # deterministic re-rank on the rounded value (mirrors the SQL QUALIFY)
     out = (
         out.sort_values(
@@ -680,7 +683,7 @@ def q_ngram_jaccard(sf_dir: str):
     )
     cands = candidate_pairs(minhash_band_table(docs))
     out = ngram_jaccard_verify(cands, docs, threshold=0.0).to_pandas()
-    out["jaccard"] = out["jaccard"].round(6)
+    out["jaccard"] = round_half_away(out["jaccard"], 6)
     return out
 
 
@@ -697,7 +700,7 @@ def q_media_features(sf_dir: str):
     )
     out = image_features(media_from_documents(docs)).to_pandas()
     for c in ("px_mean", "px_std", "edge_energy"):
-        out[c] = out[c].round(6)
+        out[c] = round_half_away(out[c], 6)
     return out
 
 
@@ -712,7 +715,7 @@ def q_audio_frames(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     out = audio_frames(media_from_documents(docs)).to_pandas()
-    out["rms"] = out["rms"].round(6)
+    out["rms"] = round_half_away(out["rms"], 6)
     return out
 
 
@@ -924,6 +927,28 @@ SELECT doc_id,
 FROM documents
 """,
         "lang_id": _lang_id_sql(),
+        "fingerprints": """
+WITH RECURSIVE pw(i, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT i+1, (p * 257) % 2305843009213693951 FROM pw
+  WHERE i < (SELECT max(length(text)) FROM documents)
+),
+b AS (
+  SELECT doc_id, g.i AS pos, ascii(substring(text, CAST(g.i AS INT), 1)) AS byte,
+         length(text) AS n
+  FROM documents, generate_series(1, 8192) g(i) WHERE g.i <= length(text)
+)
+SELECT d.doc_id,
+       CAST(('0x' || substring(sha256(d.text), 1, 15)) AS BIGINT) AS fingerprint,
+       COALESCE(r.rolling61, 0) AS rolling61
+FROM documents d LEFT JOIN (
+  SELECT doc_id,
+         CAST(SUM((CAST(byte AS HUGEINT) * pw.p) % 2305843009213693951)
+              % 2305843009213693951 AS BIGINT) AS rolling61
+  FROM b JOIN pw ON pw.i = b.n - b.pos GROUP BY doc_id
+) r ON r.doc_id = d.doc_id
+""",
         "exact_dedup": """
 SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

@@ -367,26 +367,27 @@ def connected_components(
             if graph.salted:
                 ray.get([a.push_hot_ranks.remote("cc") for a in actors])
             changed = sum(graph._exchange("cc"))
-            if ckpt_dir is not None and (it % ckpt_every == 0 or changed == 0):
-                graph.checkpoint("label", ckpt_dir, it, {"changed": changed})
-            if changed == 0:
-                break
-            continue
-        refs = [a.cc_scatter.remote() for a in actors]
+        else:
+            refs = [a.cc_scatter.remote() for a in actors]
 
-        def apply_cc(p: int, g: pa.Table) -> float:
-            v = g["vertex"].to_numpy()
-            l = g["label"].to_numpy()
-            order = np.lexsort((l, v))
-            v, l = v[order], l[order]
-            first = np.concatenate([[True], v[1:] != v[:-1]])
-            return ray.get(actors[p].cc_apply.remote(v[first], l[first]))
+            def apply_cc(p: int, g: pa.Table) -> float:
+                v = g["vertex"].to_numpy()
+                l = g["label"].to_numpy()
+                order = np.lexsort((l, v))
+                v, l = v[order], l[order]
+                first = np.concatenate([[True], v[1:] != v[:-1]])
+                return ray.get(actors[p].cc_apply.remote(v[first], l[first]))
 
-        results = graph._combine_push(refs, apply_cc)
-        for p in range(graph.P):
-            if p not in results:
-                ray.get(actors[p].cc_apply.remote(_EMPTY_I64, _EMPTY_I64))
-        if sum(results.values()) == 0:
+            results = graph._combine_push(refs, apply_cc)
+            for p in range(graph.P):
+                if p not in results:
+                    ray.get(actors[p].cc_apply.remote(_EMPTY_I64, _EMPTY_I64))
+            changed = sum(results.values())
+        # checkpoint on the path COMMON to both combine modes — resumability
+        # must not silently depend on the exchange strategy
+        if ckpt_dir is not None and (it % ckpt_every == 0 or changed == 0):
+            graph.checkpoint("label", ckpt_dir, it, {"changed": changed})
+        if changed == 0:
             break
     return graph.state_dataset("label").rename_columns({"label": "component"})
 

@@ -32,7 +32,14 @@ def _mat(batch_col, dtype=np.float32) -> np.ndarray:
     n = len(col)
     flat = col.flatten().to_numpy(zero_copy_only=False)
     if n and flat.size % n == 0:
-        return flat.astype(dtype, copy=False).reshape(n, -1)
+        # divisibility alone is not proof of rectangularity (rows of lengths
+        # 2 and 4 divide evenly but would reshape misaligned) — require a
+        # fixed_size_list type or uniform offsets before the zero-copy path
+        if pa.types.is_fixed_size_list(col.type):
+            return flat.astype(dtype, copy=False).reshape(n, -1)
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        if (np.diff(offsets) == flat.size // n).all():
+            return flat.astype(dtype, copy=False).reshape(n, -1)
     return np.stack([np.asarray(v, dtype) for v in col.to_pylist()])
 
 

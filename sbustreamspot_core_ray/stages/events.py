@@ -117,8 +117,15 @@ def top_k_by_sum(
     def rnd(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # half_towards_infinity == SQL ROUND (half away from zero); Arrow's
+        # default half_to_even would diverge from the DuckDB oracle on ties
         return pa.table(
-            {key: t[key], "total": pc.round(t["total"], ndigits=4)}
+            {
+                key: t[key],
+                "total": pc.round(
+                    t["total"], ndigits=4, round_mode="half_towards_infinity"
+                ),
+            }
         )
 
     return (

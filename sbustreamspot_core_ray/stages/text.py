@@ -15,6 +15,8 @@ import pandas as pd
 
 import ray.data
 
+from ..functions.rounding import round_half_away
+
 # tiny deterministic stopword/function-word profiles per language — a
 # public-knowledge n-gram/stopword heuristic, not a trained model
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -47,10 +49,10 @@ class QualityScore:
         n_stop = text.str.lower().str.count(self.stop_re)
         ws_tokens = text.str.split().str.len().fillna(0).astype(np.int64)
         df = df.copy()
-        df["punct_ratio"] = (n_punct / n_chars.clip(lower=1)).round(6)
-        df["alpha_ratio"] = (n_alpha / n_chars.clip(lower=1)).round(6)
-        df["mean_word_len"] = (n_chars / words).round(6)
-        df["stopword_ratio"] = (n_stop / ws_tokens.clip(lower=1)).round(6)
+        df["punct_ratio"] = round_half_away(n_punct / n_chars.clip(lower=1), 6)
+        df["alpha_ratio"] = round_half_away(n_alpha / n_chars.clip(lower=1), 6)
+        df["mean_word_len"] = round_half_away(n_chars / words, 6)
+        df["stopword_ratio"] = round_half_away(n_stop / ws_tokens.clip(lower=1), 6)
         return df
 
 
@@ -101,25 +103,83 @@ def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
 
 
-class Fingerprint:
-    """Document fingerprinting: 64-bit polynomial rolling hash of the full
-    text (deterministic; SQL-mirrorable as an iterative hash is not, so the
-    query variant fingerprints via hash of text — see dedup.exact)."""
+_MERS = np.uint64((1 << 61) - 1)  # 2^61 - 1 (Mersenne prime)
 
-    MOD = (1 << 61) - 1
-    BASE = 257
+
+def rolling_hash_61(texts) -> np.ndarray:
+    """Vectorized 61-bit polynomial rolling hash per document:
+    ``h = (h*257 + byte) mod (2^61 - 1)`` over the UTF-8 bytes — identical
+    to the sequential Horner loop, computed without a Python byte loop.
+
+    Per-byte contributions ``byte * 257^(n-1-i) mod p`` use the Mersenne
+    split (2^61 ≡ 1 mod p, so ``x*2^32 mod p`` needs only shifts), then a
+    log-depth modular fold sums each doc's contributions. All uint64."""
+    enc = [t.encode("utf-8") for t in texts]
+    lens = np.array([len(b) for b in enc], np.int64)
+    n = len(enc)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(n, np.int64)
+    flat = np.frombuffer(b"".join(enc), np.uint8).astype(np.uint64)
+    maxlen = int(lens.max())
+    p = int(_MERS)
+    pows = np.empty(maxlen, np.uint64)
+    acc = 1
+    for i in range(maxlen):  # O(maxlen), not O(corpus bytes)
+        pows[i] = acc
+        acc = (acc * 257) % p
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    pw = pows[np.repeat(lens, lens) - 1 - pos_in_doc]
+    pw_hi = pw >> np.uint64(32)  # < 2^29
+    pw_lo = pw & np.uint64(0xFFFFFFFF)
+    x = flat * pw_hi  # < 2^37
+    # x * 2^32 mod p == (x >> 29) + ((x & (2^29-1)) << 32), both < 2^61
+    hi_part = (x >> np.uint64(29)) + ((x & np.uint64((1 << 29) - 1)) << np.uint64(32))
+    contrib = hi_part + flat * pw_lo  # < 2^61 + 2^8 + 2^40 < 2^62, no overflow
+    contrib = np.where(contrib >= _MERS, contrib - _MERS, contrib)
+    contrib = np.where(contrib >= _MERS, contrib - _MERS, contrib)
+    # pad into (n, pow2) and fold halves with one conditional subtract per
+    # level (a+b < 2p fits uint64); memory bounded by map_batches batch_size
+    width = 1 << int(maxlen - 1).bit_length() if maxlen > 1 else 1
+    M = np.zeros((n, width), np.uint64)
+    M[np.repeat(np.arange(n), lens), pos_in_doc] = contrib
+    w = width
+    while w > 1:
+        h = w // 2
+        s = M[:, :h] + M[:, h:w]
+        M[:, :h] = np.where(s >= _MERS, s - _MERS, s)
+        w = h
+    return M[:, 0].astype(np.int64)
+
+
+class Fingerprint:
+    """Document fingerprinting (two deterministic fingerprints per doc):
+
+    - ``fingerprint``: 60-bit int64 = first 15 hex chars of sha256(text)
+      (hashlib's C kernel per row). SQL-mirrorable:
+      ``CAST(('0x' || substring(sha256(text),1,15)) AS BIGINT)``.
+    - ``rolling61``: the 61-bit polynomial rolling hash (base 257 mod
+      2^61-1), vectorized via :func:`rolling_hash_61`.
+    """
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        out = np.empty(len(df), np.int64)
-        for i, s in enumerate(df["text"].fillna("")):
-            h = 0
-            for ch in s.encode("utf-8"):
-                h = (h * self.BASE + ch) % self.MOD
-            out[i] = h
+        import hashlib
+
+        texts = df["text"].fillna("").tolist()
         df = df.copy()
-        df["fingerprint"] = out
+        df["fingerprint"] = np.array(
+            [
+                int(hashlib.sha256(t.encode("utf-8")).hexdigest()[:15], 16)
+                for t in texts
+            ],
+            np.int64,
+        )
+        df["rolling61"] = rolling_hash_61(texts)
         return df
 
 
 def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
-    return docs.map_batches(Fingerprint, batch_format="pandas", concurrency=(1, 4))
+    return docs.map_batches(
+        Fingerprint, batch_format="pandas", batch_size=1024, concurrency=(1, 4)
+    )

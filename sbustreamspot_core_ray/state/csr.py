@@ -226,7 +226,7 @@ class CsrShard:
     def set_hot_order(self, srcs: np.ndarray) -> None:
         self.hot_order = np.sort(np.asarray(srcs, np.int64))
 
-    def push_hot_ranks(self, algo: str = "pagerank") -> int:
+    async def push_hot_ranks(self, algo: str = "pagerank") -> int:
         """Owner side: fire the hot sources' per-superstep state at every
         peer holding mirrors from this shard — ranks for pagerank,
         (labels, changed) for cc, labels for lp."""
@@ -240,11 +240,18 @@ class CsrShard:
             state = (self.label[idx], self.changed[idx])
         else:  # lp
             state = (self.label[idx], None)
+        sends = []
         for p, peer in enumerate(self.peers):
             if p == self.part:
                 self.receive_hot_ranks(self.part, self.hot_order, *state)
             else:
-                peer.receive_hot_ranks.remote(self.part, self.hot_order, *state)
+                sends.append(
+                    peer.receive_hot_ranks.remote(self.part, self.hot_order, *state)
+                )
+        # await delivery acks: a lost mirror-state message must raise here,
+        # not leave the receiver's _hot_barrier waiting forever
+        if sends:
+            await asyncio.gather(*sends)
         return len(idx)
 
     def receive_hot_ranks(self, owner: int, srcs, values, changed=None) -> None:
@@ -379,11 +386,18 @@ class CsrShard:
             self._hot_received = 0
             self._hot_barrier.clear()
         parts = getattr(self, self._SCATTERS[algo])(*scatter_args)
+        sends = []
         for p, peer in enumerate(self.peers):
             if p == self.part:
                 self._deliver(parts[p])
             else:
-                peer.receive_parts.remote(parts[p])
+                sends.append(peer.receive_parts.remote(parts[p]))
+        # await delivery acks: a lost superstep message (peer death,
+        # serialization failure) must fail loudly here instead of hanging
+        # the apply-side P-message barrier; peers keep processing incoming
+        # receive_parts while this task awaits, so no cross-shard deadlock
+        if sends:
+            await asyncio.gather(*sends)
         return self.part
 
     def _deliver(self, part) -> None:
