@@ -170,6 +170,266 @@ _SQL_EDGES_TRI = """
 """
 
 
+# --------------------------------------------------------------------------
+# sketch-family SQL oracles: the seeded hash constants are INPUTS (the same
+# family the Ray stages draw), embedded as VALUES; all hash arithmetic is
+# recomputed independently in SQL via HUGEINT modular math (uint64
+# wraparound == % 2^64; products stay under 2^127).
+# --------------------------------------------------------------------------
+
+_POW64 = "18446744073709551616::HUGEINT"  # 2^64
+_MSB64 = "9223372036854775808::HUGEINT"  # 2^63
+
+# typed-graph shingle chain (identical text is the body of the passing
+# `shingles` oracle)
+_SQL_SHINGLE_CTES = f"""
+te AS (
+  SELECT DISTINCT o_custkey AS src, 10000000 + o_orderkey AS dst,
+         'c' AS st, 'o' AS dt, 'x' AS et FROM orders
+  UNION
+  SELECT DISTINCT 10000000 + l_orderkey, 20000000 + l_partkey, 'o', 'p', 'y' FROM lineitem
+  UNION
+  SELECT DISTINCT 20000000 + l_partkey, 30000000 + l_suppkey, 'p', 's', 'z' FROM lineitem
+),
+strs AS (
+  SELECT src % 53 AS gid, src,
+         ' ' || st || string_agg(et || dt, '' ORDER BY dst) AS s
+  FROM te GROUP BY src % 53, src, st
+),
+chunks AS (
+  SELECT gid, substring(s, CAST(i AS INT), {SHINGLE_C}) AS shingle
+  FROM strs, generate_series(1, 8192, {SHINGLE_C}) g(i)
+  WHERE g.i <= length(s)
+),
+shing AS (SELECT gid, shingle, count(*) AS cnt FROM chunks GROUP BY gid, shingle)"""
+
+
+def _hash_family_values(seed: int) -> str:
+    """The seeded H family (L x (C+2) uint64) as a VALUES list — one row
+    per hash i with its first C+1 coefficients (chunks are <= C bytes)."""
+    from sbustreamspot_core_ray.functions.hashing import hash_family
+
+    H = hash_family(SHINGLE_C, seed=seed)
+    return ",".join(
+        "({},{})".format(i, ",".join(f"{v}::HUGEINT" for v in r[: SHINGLE_C + 1]))
+        for i, r in enumerate(H)
+    )
+
+
+def _sketch_bits_ctes(seed: int) -> str:
+    """CTEs hh/sg/proj/bits: hashmulti (H1) + projection (H4) + sign bits,
+    over the `shing` CTE. hashmulti = (r0 + sum_k r_{k+1}*byte_k) mod 2^64,
+    MSB set -> +1 (reference hash.cpp:20-26 semantics)."""
+    byte_terms = " + ".join(
+        f"hh.r{k} * CASE WHEN length(s.shingle) >= {k} THEN"
+        f" ascii(substring(s.shingle,{k},1)) ELSE 0 END"
+        for k in range(1, SHINGLE_C + 1)
+    )
+    cols = ", ".join(f"r{k}" for k in range(SHINGLE_C + 1))
+    return f"""
+hh(i, {cols}) AS (VALUES {_hash_family_values(seed)}),
+sg AS (
+  SELECT s.gid, s.cnt, hh.i,
+    CASE WHEN ((hh.r0 + {byte_terms}) % {_POW64}) >= {_MSB64}
+         THEN 1 ELSE -1 END AS sgn
+  FROM shing s CROSS JOIN hh
+),
+proj AS (SELECT gid, i, SUM(cnt * sgn) AS p FROM sg GROUP BY gid, i),
+bits AS (SELECT gid, i, CASE WHEN p >= 0 THEN 1 ELSE 0 END AS bit FROM proj)"""
+
+
+_SQL_SKETCH_HEX = """
+byt AS (SELECT gid, i // 8 AS byte_idx, SUM(bit * (128 >> (i % 8))) AS bv
+        FROM bits GROUP BY gid, i // 8),
+hx AS (SELECT gid, string_agg(printf('%02x', CAST(bv AS INT)), '' ORDER BY byte_idx)
+              AS sketch_hex
+       FROM byt GROUP BY gid)"""
+
+# LSH bands (C1): band b = bits [20b, 20b+20), MSB-first within the band
+_SQL_BANDS_CTE = """
+bands AS (
+  SELECT gid, i // 20 AS band_idx,
+         SUM(bit * (1 << (19 - (i % 20)))) AS band_value
+  FROM bits GROUP BY gid, i // 20
+)"""
+
+
+def _streamhash_sketches_sql() -> str:
+    return (
+        f"WITH {_SQL_SHINGLE_CTES}, {_sketch_bits_ctes(23)}, {_SQL_SKETCH_HEX}\n"
+        "SELECT h.gid, h.sketch_hex, CAST(p.pop AS BIGINT) AS pop FROM hx h\n"
+        "JOIN (SELECT gid, SUM(bit) AS pop FROM bits GROUP BY gid) p USING (gid)"
+    )
+
+
+def _simhash_sketches_sql() -> str:
+    return (
+        f"WITH {_SQL_SHINGLE_CTES}, {_sketch_bits_ctes(101)}, {_SQL_SKETCH_HEX}\n"
+        "SELECT gid, sketch_hex FROM hx"
+    )
+
+
+def _lsh_isolated_sql() -> str:
+    """C2 anti-join: query gid (>=40) isolated iff none of its band buckets
+    exists in the index (gid < 40)."""
+    return f"""
+WITH {_SQL_SHINGLE_CTES}, {_sketch_bits_ctes(23)}, {_SQL_BANDS_CTE}
+SELECT q.gid, (COUNT(ix.band_value) = 0) AS isolated
+FROM (SELECT * FROM bands WHERE gid >= 40) q
+LEFT JOIN (SELECT DISTINCT band_idx, band_value FROM bands WHERE gid < 40) ix
+  USING (band_idx, band_value)
+GROUP BY q.gid"""
+
+
+def _lsh_clusters_sql() -> str:
+    """C4: connected components over the co-bucket star-pair graph;
+    cluster = min gid of the component."""
+    return f"""
+WITH RECURSIVE {_SQL_SHINGLE_CTES}, {_sketch_bits_ctes(23)}, {_SQL_BANDS_CTE},
+bp AS (
+  SELECT min(gid) OVER (PARTITION BY band_idx, band_value) AS src, gid AS dst
+  FROM bands
+),
+sym AS (SELECT src AS s, dst AS d FROM bp WHERE src <> dst
+        UNION SELECT dst, src FROM bp WHERE src <> dst),
+reach(vx, lbl) AS (
+  SELECT DISTINCT gid, gid FROM bands
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.vx
+)
+SELECT vx AS gid, MIN(lbl) AS cluster FROM reach GROUP BY vx"""
+
+
+# ---- document shingle / minhash / simhash chain over `documents` ---------
+
+
+def _doc_shingle_ctes() -> str:
+    """dsh CTE: distinct 64-bit k-gram rolling hashes per doc (base
+    1099511628211 Horner over UTF-8 bytes, uint64 wraparound) — the SQL twin
+    of dedup._char_shingles (text is ASCII-checked synthetic data, so
+    ascii(char) == byte)."""
+    base = 1099511628211
+    pows = [pow(base, SHINGLE_C - 1 - j, 1 << 64) for j in range(SHINGLE_C)]
+    terms = " + ".join(
+        f"(ascii(substring(text, CAST(i+{j} AS INT), 1)) * {pows[j]}::HUGEINT) % {_POW64}"
+        for j in range(SHINGLE_C)
+    )
+    return f"""
+dpos AS (
+  SELECT doc_id, text, g.i AS i
+  FROM documents, generate_series(1, 8192) g(i)
+  WHERE g.i <= length(text) - {SHINGLE_C - 1}
+),
+dsh AS (SELECT DISTINCT doc_id, ({terms}) % {_POW64} AS sh FROM dpos)"""
+
+
+def _minhash_cand_ctes(num_perm: int = 128, bands: int = 32, seed: int = 23) -> str:
+    """sig/bandv/cand CTEs: minhash signatures (uint64-wraparound (a*x+b)
+    mod 2^61-1, matching dedup._MinHash), banded with the golden-ratio fold,
+    then star candidate pairs per bucket."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, 2**61 - 1, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, 2**61 - 1, size=num_perm, dtype=np.uint64)
+    perm_vals = ",".join(
+        f"({m},{a[m]}::HUGEINT,{b[m]}::HUGEINT)" for m in range(num_perm)
+    )
+    rows = num_perm // bands
+    gold = 0x9E3779B97F4A7C15
+    gp_vals = ",".join(
+        f"({j},{pow(gold, rows - 1 - j, 1 << 64)}::HUGEINT)" for j in range(rows)
+    )
+    return f"""
+perm(m, a, b) AS (VALUES {perm_vals}),
+gp(j, g) AS (VALUES {gp_vals}),
+sig AS (
+  SELECT doc_id, m,
+         MIN((((sh * a) % {_POW64} + b) % {_POW64}) % 2305843009213693951::HUGEINT) AS s
+  FROM dsh CROSS JOIN perm GROUP BY doc_id, m
+),
+bandv AS (
+  SELECT doc_id, m // {rows} AS band_idx,
+         CAST((SUM((s * gp.g) % {_POW64}) % {_POW64}) // 2 AS BIGINT) AS band_value
+  FROM sig JOIN gp ON gp.j = m % {rows}
+  GROUP BY doc_id, m // {rows}
+),
+cand AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT min(doc_id) OVER (PARTITION BY band_idx, band_value) AS src,
+           doc_id AS dst
+    FROM bandv
+  ) WHERE src <> dst
+)"""
+
+
+def _ngram_jaccard_core() -> str:
+    """jac CTE: exact shingle-set Jaccard for every candidate pair."""
+    return f"""
+{_doc_shingle_ctes()},
+{_minhash_cand_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.src, c.dst, count(*) AS ninter
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.src
+  JOIN dsh b2 ON b2.doc_id = c.dst AND b2.sh = a.sh
+  GROUP BY c.src, c.dst
+),
+jac AS (
+  SELECT c.src, c.dst,
+         CAST(COALESCE(i.ninter, 0) AS DOUBLE)
+           / (sa.n + sb.n - COALESCE(i.ninter, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.src = c.src AND i.dst = c.dst
+  JOIN sizes sa ON sa.doc_id = c.src
+  JOIN sizes sb ON sb.doc_id = c.dst
+)"""
+
+
+def _ngram_jaccard_sql() -> str:
+    return f"WITH {_ngram_jaccard_core()}\nSELECT src, dst, ROUND(jaccard, 6) AS jaccard FROM jac"
+
+
+def _minhash_dedup_sql(threshold: float = 0.8) -> str:
+    """Full near-dup pipeline in SQL: verified pairs (unrounded jaccard >=
+    threshold) -> connected components (recursive CTE) -> min-doc_id group."""
+    return f"""
+WITH RECURSIVE {_ngram_jaccard_core()},
+ver AS (SELECT src, dst FROM jac WHERE jaccard >= {threshold}),
+sym AS (SELECT src AS s, dst AS d FROM ver UNION SELECT dst, src FROM ver),
+reach(vx, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.vx
+)
+SELECT vx AS doc_id, MIN(lbl) AS dup_group FROM reach GROUP BY vx"""
+
+
+def _simhash_dedup_sql() -> str:
+    """64-bit simhash over the doc shingles (bit b of each shingle votes
+    +/-1; bit set iff score >= 0; top bit masked off), groups = equal
+    simhash, group id = min doc_id."""
+    return f"""
+WITH {_doc_shingle_ctes()},
+shb AS (
+  SELECT doc_id, b.b AS bit_pos,
+    SUM(2 * (CASE WHEN b.b < 32
+             THEN (CAST(sh % 4294967296 AS BIGINT) >> b.b)
+             ELSE (CAST(sh // 4294967296 AS BIGINT) >> (b.b - 32)) END & 1) - 1)
+      AS score
+  FROM dsh CROSS JOIN generate_series(0, 63) b(b)
+  GROUP BY doc_id, b.b
+),
+simh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN score >= 0 AND bit_pos < 63
+                  THEN (1::BIGINT << CAST(bit_pos AS INT)) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM shb GROUP BY doc_id
+)
+SELECT doc_id, simhash, MIN(doc_id) OVER (PARTITION BY simhash) AS dup_group
+FROM simh"""
+
+
 def _pagerank_sql() -> str:
     """Power iteration unrolled to PR_ITERS chained CTEs (same semantics as
     pipelines/superstep.pagerank: teleport + uniform dangling mass)."""
@@ -324,7 +584,7 @@ def q_triangles_per_vertex(sf_dir: str):
 
 
 def q_lsh_isolated(sf_dir: str):
-    """Rows-only: C2 anti-join — typed-graph sketches split into an index
+    """C2 anti-join (SQL-mirrored): typed-graph sketches split into an index
     (gid < 40) and queries (gid >= 40); a query gid is isolated iff none of
     its band buckets exists in the index."""
     from sbustreamspot_core_ray.stages.lsh import hash_bands, isolated_gids
@@ -365,8 +625,9 @@ def q_shingles(sf_dir: str):
 
 
 def q_streamhash_sketches(sf_dir: str):
-    """Rows-only check (seeded hash family has no SQL equivalent): returns
-    (gid, sketch_hex, pop) for the typed TPC-H graph."""
+    """(gid, sketch_hex, pop) for the typed TPC-H graph. SQL-mirrored: the
+    seeded H family is embedded as constants and hashmulti/projection/sign
+    are recomputed in DuckDB HUGEINT arithmetic."""
     from sbustreamspot_core_ray.stages.shingle import construct_shingle_vectors
     from sbustreamspot_core_ray.stages.sketch import construct_streamhash_sketches
 
@@ -391,8 +652,8 @@ def q_streamhash_sketches(sf_dir: str):
 
 
 def q_simhash_sketches(sf_dir: str):
-    """Rows-only: H6/H7 exact-SimHash sketches (independent Rademacher
-    family, seed 101) over the typed TPC-H graph."""
+    """H6/H7 exact-SimHash sketches (independent Rademacher family, seed
+    101) over the typed TPC-H graph; SQL-mirrored like streamhash."""
     from sbustreamspot_core_ray.stages.shingle import construct_shingle_vectors
     from sbustreamspot_core_ray.stages.sketch import construct_simhash_sketches
 
@@ -434,7 +695,8 @@ def q_incremental_sketches(sf_dir: str):
 
 
 def q_lsh_clusters(sf_dir: str):
-    """Rows-only: LSH co-bucket clustering of the typed-graph sketches."""
+    """LSH co-bucket clustering of the typed-graph sketches (SQL-mirrored:
+    band table + star pairs + recursive-CTE connected components)."""
     from sbustreamspot_core_ray.stages.lsh import lsh_clusters
     from sbustreamspot_core_ray.stages.shingle import construct_shingle_vectors
     from sbustreamspot_core_ray.stages.sketch import construct_streamhash_sketches
@@ -604,7 +866,9 @@ def q_exact_dedup(sf_dir: str):
 
 
 def q_minhash_dedup(sf_dir: str):
-    """Rows-only: minhash-LSH near-dup groups (seeded permutations)."""
+    """Minhash-LSH near-dup groups. SQL-mirrored end-to-end: seeded
+    permutation constants -> HUGEINT minhash/banding -> star candidate
+    pairs -> exact Jaccard verify -> recursive-CTE components."""
     from sbustreamspot_core_ray.stages.dedup import minhash_lsh_dedup
 
     docs = ray.data.read_parquet(
@@ -614,7 +878,7 @@ def q_minhash_dedup(sf_dir: str):
 
 
 def q_simhash_dedup(sf_dir: str):
-    """Rows-only: 64-bit simhash buckets."""
+    """64-bit simhash buckets (SQL-mirrored bit-vote recomputation)."""
     from sbustreamspot_core_ray.stages.dedup import simhash_dedup
 
     docs = ray.data.read_parquet(
@@ -670,8 +934,8 @@ def q_embedding_near_dup(sf_dir: str):
 
 
 def q_ngram_jaccard(sf_dir: str):
-    """Rows-only: exact n-gram Jaccard scores for LSH candidate pairs
-    (pair set depends on the seeded minhash permutations)."""
+    """Exact n-gram Jaccard scores for LSH candidate pairs (SQL-mirrored;
+    the seeded minhash permutations are embedded as SQL constants)."""
     from sbustreamspot_core_ray.stages.dedup import (
         candidate_pairs,
         minhash_band_table,
@@ -926,6 +1190,13 @@ SELECT doc_id,
   len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS re_tokens
 FROM documents
 """,
+        "streamhash_sketches": _streamhash_sketches_sql(),
+        "simhash_sketches": _simhash_sketches_sql(),
+        "lsh_isolated": _lsh_isolated_sql(),
+        "lsh_clusters": _lsh_clusters_sql(),
+        "ngram_jaccard": _ngram_jaccard_sql(),
+        "minhash_dedup": _minhash_dedup_sql(),
+        "simhash_dedup": _simhash_dedup_sql(),
         "lang_id": _lang_id_sql(),
         "fingerprints": """
 WITH RECURSIVE pw(i, p) AS (
