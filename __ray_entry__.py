@@ -430,6 +430,151 @@ SELECT doc_id, simhash, MIN(doc_id) OVER (PARTITION BY simhash) AS dup_group
 FROM simh"""
 
 
+# ---- ANN oracles (constants generated lazily in oracle_sql) --------------
+
+_ORACLE_SF = "/root/testdata/sf0.01"  # the driver's compare scale
+
+
+def _sql_list(vec) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+
+def _knn_ivf_sql() -> str:
+    """IVF in SQL: embedded float64 centroids; assignment = argmax dot
+    (normalization-invariant), probes = top n_probe centroids per query,
+    top-k by (rounded cosine desc, vec_id) among probed buckets."""
+    cent = _ivf_centroids(_ORACLE_SF)
+    cvals = ",".join(f"({c}, {_sql_list(v)})" for c, v in enumerate(cent))
+    return f"""
+WITH cent(c, v) AS (VALUES {cvals}),
+asg AS (
+  SELECT vec_id, c AS bucket FROM (
+    SELECT e.vec_id, c.c,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, c.v) DESC, c.c) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {KNN_NQ}),
+probe AS (
+  SELECT qid, c AS bucket FROM (
+    SELECT q.qid, c.c,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY list_dot_product(q.qe, c.v) DESC, c.c) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+sims AS (
+  SELECT q.qid AS query_idx, a.vec_id,
+         ROUND(list_cosine_similarity(q.qe, e.embedding), 6) AS cosine
+  FROM q JOIN probe p ON p.qid = q.qid
+  JOIN asg a ON a.bucket = p.bucket
+  JOIN embeddings e ON e.vec_id = a.vec_id
+)
+SELECT query_idx, vec_id, cosine FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY cosine DESC, vec_id)
+        <= {KNN_K}"""
+
+
+def _embedding_near_dup_sql() -> str:
+    """Sign-bucket near-dup in SQL: embedded float64 hyperplanes; bucket =
+    sum of sign bits (scale-invariant, so no normalization needed); exact
+    within-bucket cosine pairs above the (unrounded) threshold."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{_ORACLE_SF}/embeddings.parquet", columns=["embedding"])
+    d = len(t["embedding"][0])
+    from sbustreamspot_core_ray.stages.ann import hyperplanes
+
+    planes = hyperplanes(NEARDUP_PLANES, d, seed=23, dtype=np.float64)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, {_sql_list(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH bk AS (
+  SELECT vec_id, embedding, {bucket_terms} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS src, b.vec_id AS dst,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM bk a JOIN bk b ON b.bucket = a.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEARDUP_THRESH}"""
+
+
+# ---- multimodal fake-codec oracles ---------------------------------------
+# The sandbox media codecs are deterministic byte functions of the ASCII
+# payload (stages/multimodal.py: _decode_image tiles bytes into (h,w,c);
+# _decode_audio maps bytes to (b-128)/128; VideoFrameSample slices byte
+# chunks), so each feature is recomputable in SQL over ascii(substring(..)).
+
+_SQL_MEDIA_FEATURES = """
+WITH img AS (
+  SELECT doc_id, text, length(text) AS n,
+         greatest(CAST(floor(sqrt(length(text))) AS BIGINT), 1) AS w
+  FROM documents WHERE doc_id % 3 = 0
+),
+dims AS (
+  SELECT doc_id, text, n, w, greatest(n // w, 1) * w * 3 AS need FROM img
+),
+px AS (
+  SELECT doc_id, n, w, need, g.i AS i,
+         ascii(substring(text, CAST((g.i % n) + 1 AS INT), 1)) AS b
+  FROM dims, generate_series(0, 8191) g(i) WHERE g.i < need
+),
+m AS (SELECT doc_id, AVG(CAST(b AS DOUBLE)) AS mean FROM px GROUP BY doc_id),
+sd AS (
+  SELECT p.doc_id, sqrt(AVG((p.b - m.mean) * (p.b - m.mean))) AS sdev
+  FROM px p JOIN m ON m.doc_id = p.doc_id GROUP BY p.doc_id
+),
+ed AS (
+  SELECT a.doc_id, AVG(CAST(abs(b2.b - a.b) AS DOUBLE)) AS ee
+  FROM px a JOIN px b2 ON b2.doc_id = a.doc_id AND b2.i = a.i + 3
+  WHERE (a.i // 3) % a.w <> a.w - 1
+  GROUP BY a.doc_id
+)
+SELECT m.doc_id AS media_id, ROUND(m.mean, 6) AS px_mean,
+       ROUND(sd.sdev, 6) AS px_std, ROUND(ed.ee, 6) AS edge_energy
+FROM m JOIN sd ON sd.doc_id = m.doc_id JOIN ed ON ed.doc_id = m.doc_id
+"""
+
+_SQL_AUDIO_FRAMES = """
+WITH aud AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 3 = 1
+),
+starts AS (
+  SELECT doc_id, text, n, g.s AS fstart, g.s // 2048 AS frame_idx
+  FROM aud, generate_series(0, 65536, 2048) g(s)
+  WHERE (g.s <= n - 512 AND g.s // 2048 < 16) OR (n < 512 AND g.s = 0)
+),
+vals AS (
+  -- frame indexes are CLIPPED to the last sample (numpy np.clip semantics
+  -- in AudioFrames), so short payloads repeat their final byte, not zeros
+  SELECT s.doc_id, s.frame_idx,
+         SUM(((ascii(substring(s.text, CAST(least(s.fstart + g.j, s.n - 1) + 1 AS INT), 1))
+               - 128.0) / 128.0)
+             * ((ascii(substring(s.text, CAST(least(s.fstart + g.j, s.n - 1) + 1 AS INT), 1))
+               - 128.0) / 128.0)) AS ss
+  FROM starts s, generate_series(0, 511) g(j)
+  GROUP BY s.doc_id, s.frame_idx
+)
+SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+       ROUND(sqrt(ss / 512.0), 6) AS rms
+FROM vals
+"""
+
+_SQL_VIDEO_FRAMES = """
+WITH vid AS (
+  SELECT doc_id, length(text) AS n, greatest(length(text) // 256, 1) AS nf
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id AS media_id, CAST(g.f AS INT) AS frame_no,
+       least(256, 2 * n - ((g.f * 256) % n)) AS frame_bytes
+FROM vid, generate_series(0, 65536, 4) g(f)
+WHERE g.f < nf AND g.f // 4 < 8
+"""
+
+
 def _pagerank_sql() -> str:
     """Power iteration unrolled to PR_ITERS chained CTEs (same semantics as
     pipelines/superstep.pagerank: teleport + uniform dangling mass)."""
@@ -911,26 +1056,77 @@ def q_knn_cosine(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+IVF_NC = 8
+IVF_NPROBE = 3
+NEARDUP_PLANES = 4
+NEARDUP_THRESH = 0.35
+
+
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic IVF quantizer: pure-numpy spherical k-means (float64)
+    on the first 2048 embedding rows. Shared verbatim between q_knn_ivf and
+    the SQL oracle's embedded constants — the quantizer is a model INPUT;
+    assignment, probing and top-k are recomputed independently in SQL."""
+    import pyarrow.parquet as pq
+
+    from sbustreamspot_core_ray.stages.ann import kmeans_centroids
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    X = np.stack(
+        [np.asarray(v, np.float64) for v in t["embedding"].to_pylist()[:2048]]
+    )
+    return kmeans_centroids(X, IVF_NC, seed=23)
+
+
 def q_knn_ivf(sf_dir: str):
-    """Rows-only: IVF approximate top-k (bucketed scale path)."""
+    """IVF approximate top-k (bucketed scale path), double-precision query
+    variant. SQL-mirrored: centroids embedded as constants; bucket
+    assignment, probe choice and pruned top-k recomputed in SQL. Ray keeps
+    k+8 raw candidates per query, then both sides cut to k on
+    (rounded cosine desc, vec_id)."""
     from sbustreamspot_core_ray.stages.ann import knn_ivf
 
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     qdf = emb.filter(expr=f"vec_id < {KNN_NQ}").to_pandas().sort_values("vec_id")
-    queries = np.stack([np.asarray(v, np.float32) for v in qdf["embedding"]])
-    return knn_ivf(emb, queries, k=KNN_K, n_centroids=8, n_probe=3)
+    queries = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    out = knn_ivf(
+        emb,
+        queries,
+        k=KNN_K + 8,
+        n_centroids=IVF_NC,
+        n_probe=IVF_NPROBE,
+        dtype=np.float64,
+        centroids=_ivf_centroids(sf_dir),
+    ).to_pandas()
+    out["query_idx"] = qdf["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
+    out["cosine"] = round_half_away(out["cosine"], 6)
+    out = (
+        out.sort_values(
+            ["query_idx", "cosine", "vec_id"], ascending=[True, False, True]
+        )
+        .groupby("query_idx", as_index=False)
+        .head(KNN_K)
+    )
+    return out.reset_index(drop=True)
 
 
 def q_embedding_near_dup(sf_dir: str):
-    """Rows-only: hyperplane-bucketed cosine near-dup pairs."""
+    """Hyperplane-bucketed cosine near-dup pairs (double-precision query
+    variant; SQL-mirrored with the seeded planes embedded as constants)."""
     from sbustreamspot_core_ray.stages.ann import embedding_near_dup
 
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    return embedding_near_dup(emb, threshold=0.35, n_planes=4)
+    out = embedding_near_dup(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        threshold=NEARDUP_THRESH,
+        n_planes=NEARDUP_PLANES,
+        dtype=np.float64,
+    ).to_pandas()
+    out["cosine"] = round_half_away(out["cosine"], 6)
+    return out
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -984,8 +1180,9 @@ def q_audio_frames(sf_dir: str):
 
 
 def q_video_frames(sf_dir: str):
-    """Rows-only: video payloads -> sampled frame payload rows (frame count
-    + byte length per sampled frame)."""
+    """Video payloads -> sampled frame payload rows (frame count + byte
+    length per sampled frame); SQL-mirrored through the deterministic fake
+    codec's byte arithmetic."""
     from sbustreamspot_core_ray.stages.multimodal import (
         media_from_documents,
         video_frame_sample,
@@ -1001,7 +1198,9 @@ def q_video_frames(sf_dir: str):
             {
                 "media_id": t["media_id"],
                 "frame_no": t["frame_no"],
-                "frame_bytes": pc.binary_length(t["frame_payload"]),
+                "frame_bytes": pc.cast(
+                    pc.binary_length(t["frame_payload"]), pa.int64()
+                ),
             }
         )
 
@@ -1197,6 +1396,11 @@ FROM documents
         "ngram_jaccard": _ngram_jaccard_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "simhash_dedup": _simhash_dedup_sql(),
+        "knn_ivf": _knn_ivf_sql(),
+        "embedding_near_dup": _embedding_near_dup_sql(),
+        "media_features": _SQL_MEDIA_FEATURES,
+        "audio_frames": _SQL_AUDIO_FRAMES,
+        "video_frames": _SQL_VIDEO_FRAMES,
         "lang_id": _lang_id_sql(),
         "fingerprints": """
 WITH RECURSIVE pw(i, p) AS (

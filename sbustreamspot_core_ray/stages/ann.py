@@ -103,14 +103,13 @@ def knn_brute_force(
     return partials.groupby("query_idx").map_groups(final, batch_format="pandas")
 
 
-def train_ivf_centroids(
-    embeddings: ray.data.Dataset, n_centroids: int = 16, sample: int = 2048,
-    iters: int = 5, seed: int = 23
+def kmeans_centroids(
+    X: np.ndarray, n_centroids: int, iters: int = 5, seed: int = 23
 ) -> np.ndarray:
-    """Seeded mini-batch k-means on a driver-side sample (the coarse
-    quantizer is a small model; training data is a bounded sample)."""
-    samp = embeddings.random_sample(1.0, seed=seed).limit(sample).to_pandas()
-    X = _normalize(np.stack([np.asarray(v, np.float32) for v in samp["embedding"]]))
+    """Seeded spherical k-means on an in-memory sample (pure numpy,
+    deterministic; shared by the Ray pipeline and the SQL-oracle constant
+    generation so both sides quantize with identical centroids)."""
+    X = _normalize(np.asarray(X))
     rng = np.random.Generator(np.random.PCG64(seed))
     cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
     for _ in range(iters):
@@ -123,16 +122,29 @@ def train_ivf_centroids(
     return cent
 
 
-def ivf_assign(embeddings: ray.data.Dataset, centroids: np.ndarray) -> ray.data.Dataset:
+def train_ivf_centroids(
+    embeddings: ray.data.Dataset, n_centroids: int = 16, sample: int = 2048,
+    iters: int = 5, seed: int = 23, dtype=np.float32
+) -> np.ndarray:
+    """Seeded mini-batch k-means on a driver-side sample (the coarse
+    quantizer is a small model; training data is a bounded sample)."""
+    samp = embeddings.random_sample(1.0, seed=seed).limit(sample).to_pandas()
+    X = np.stack([np.asarray(v, dtype) for v in samp["embedding"]])
+    return kmeans_centroids(X, n_centroids, iters=iters, seed=seed)
+
+
+def ivf_assign(
+    embeddings: ray.data.Dataset, centroids: np.ndarray, dtype=np.float32
+) -> ray.data.Dataset:
     """Bucket each vector by nearest coarse centroid (broadcast lookup)."""
-    c_ref = ray.put(np.asarray(centroids, np.float32))
+    c_ref = ray.put(np.asarray(centroids, dtype))
 
     class Assign:
         def __init__(self):
             self.c = _normalize(ray.get(c_ref))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize(_mat(batch["embedding"]))
+            vecs = _normalize(_mat(batch["embedding"], dtype))
             bucket = (vecs @ self.c.T).argmax(axis=1).astype(np.int32)
             return batch.append_column("bucket", pa.array(bucket, pa.int32()))
 
@@ -148,12 +160,20 @@ def knn_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 23,
+    dtype=np.float32,
+    centroids: np.ndarray | None = None,
 ) -> ray.data.Dataset:
     """IVF approximate top-k: probe only the n_probe nearest buckets per
-    query — at scale the filter prunes (1 - n_probe/n_centroids) of data."""
-    cent = train_ivf_centroids(embeddings, n_centroids, seed=seed)
-    assigned = ivf_assign(embeddings, cent)
-    qn = _normalize(np.asarray(queries, np.float32))
+    query — at scale the filter prunes (1 - n_probe/n_centroids) of data.
+    Pass precomputed `centroids` to pin the quantizer (e.g. shared with an
+    external oracle); dtype=float64 for double-arithmetic parity."""
+    cent = (
+        np.asarray(centroids, dtype)
+        if centroids is not None
+        else train_ivf_centroids(embeddings, n_centroids, seed=seed, dtype=dtype)
+    )
+    assigned = ivf_assign(embeddings, cent, dtype=dtype)
+    qn = _normalize(np.asarray(queries, dtype))
     probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
     wanted = set(np.unique(probes).tolist())
     pruned = assigned.filter(
@@ -164,11 +184,11 @@ def knn_ivf(
 
     class TopK(_BruteTopK):
         def __init__(self):
-            super().__init__([q_ref], k)
+            super().__init__([q_ref], k, dtype=dtype)
             self.probes = ray.get(probe_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize(_mat(batch["embedding"]))
+            vecs = _normalize(_mat(batch["embedding"], self.dtype))
             ids = batch["vec_id"].to_numpy()
             bucket = batch["bucket"].to_numpy()
             sims = vecs @ self.q.T
@@ -209,19 +229,26 @@ def knn_ivf(
     return partials.groupby("query_idx").map_groups(final, batch_format="pandas")
 
 
+def hyperplanes(n_planes: int, d: int, seed: int = 23, dtype=np.float32) -> np.ndarray:
+    """Seeded random hyperplanes for sign-bucketing (shared with the SQL
+    oracle's embedded constants)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.normal(size=(n_planes, d)).astype(dtype)
+
+
 def embedding_near_dup(
     embeddings: ray.data.Dataset,
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 23,
+    dtype=np.float32,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup: random-hyperplane bucket (n_planes sign
     bits) → within-bucket all-pairs cosine → (src, dst, cosine) above
     threshold. Recall grows with fewer planes; exactness within buckets."""
     first = embeddings.take(1)
     d = len(first[0]["embedding"])
-    rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.normal(size=(n_planes, d)).astype(np.float32)
+    planes = hyperplanes(n_planes, d, seed=seed, dtype=dtype)
     p_ref = ray.put(planes)
 
     class Bucket:
@@ -253,7 +280,7 @@ def embedding_near_dup(
             )
         g = g.sort_values("vec_id", kind="stable")
         ids = g["vec_id"].to_numpy()
-        vecs = _normalize(np.stack([np.asarray(v, np.float32) for v in g["embedding"]]))
+        vecs = _normalize(np.stack([np.asarray(v, dtype) for v in g["embedding"]]))
         # all-pairs is O(|bucket|^2): bounded because buckets split by
         # n_planes sign bits; raise n_planes if a bucket outgrows memory
         sims = vecs @ vecs.T

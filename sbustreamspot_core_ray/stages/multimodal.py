@@ -180,7 +180,10 @@ class AudioFrames:
                 wave = np.pad(wave, (0, self.frame_len - len(wave)))
             idx = starts[:, None] + np.arange(self.frame_len)[None, :]
             frames = wave[np.clip(idx, 0, len(wave) - 1)]
-            rms = np.sqrt((frames**2).mean(axis=1))
+            # float64 RMS: the float32 samples are exact dyadics (k/128), so
+            # the accumulation dtype is the only precision difference vs the
+            # double-arithmetic SQL oracle
+            rms = np.sqrt((frames.astype(np.float64) ** 2).mean(axis=1))
             out_id.extend([int(mids[i])] * len(starts))
             out_idx.extend(range(len(starts)))
             out_rms.extend(rms.tolist())
