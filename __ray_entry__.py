@@ -430,6 +430,100 @@ SELECT doc_id, simhash, MIN(doc_id) OVER (PARTITION BY simhash) AS dup_group
 FROM simh"""
 
 
+# ---- fixture-based oracles (reference 12-edge smoke data as VALUES) ------
+
+
+def _fixture_shing_ctes() -> str:
+    """F1 shingle chain over the reference's 12-edge fixture: per (gid,
+    src, src_type) traversal string in seq order, chunked by C, counted —
+    the `shing` CTE the sketch machinery consumes."""
+    from sbustreamspot_core_ray.sources.edges import STREAMSPOT_FIXTURE
+
+    vals = ",".join(
+        f"({r[0]},'{r[1]}','{r[3]}','{r[4]}',{r[5]},{i})"
+        for i, r in enumerate(STREAMSPOT_FIXTURE)
+    )
+    return f"""
+fx(src, st, dt, et, gid, seq) AS (VALUES {vals}),
+strs AS (
+  SELECT gid, ' ' || st || string_agg(et || dt, '' ORDER BY seq) AS s
+  FROM fx GROUP BY gid, src, st
+),
+chunks AS (
+  SELECT gid, substring(s, CAST(i AS INT), {SHINGLE_C}) AS shingle
+  FROM strs, generate_series(1, 512, {SHINGLE_C}) g(i) WHERE g.i <= length(s)
+),
+shing AS (SELECT gid, shingle, count(*) AS cnt FROM chunks GROUP BY gid, shingle)"""
+
+
+def _incremental_sketches_sql() -> str:
+    """The incremental chunk-delta path must equal the batch recompute (the
+    reference's own invariant, graph.cpp:346-363) — so its oracle IS the
+    batch sketch of the fixture, recomputed in SQL."""
+    return (
+        f"WITH {_fixture_shing_ctes()}, {_sketch_bits_ctes(23)}, {_SQL_SKETCH_HEX}\n"
+        "SELECT gid, sketch_hex FROM hx"
+    )
+
+
+def _similarity_report_sql() -> str:
+    """H10 all-pairs report over the fixture: exact sparse-vector cosine
+    (integer dot/norms — exact in double on both sides) + the StreamHash
+    angular estimate cos(pi*(1-sim)) with the same double-op order as the
+    numpy implementation."""
+    return f"""
+WITH {_fixture_shing_ctes()}, {_sketch_bits_ctes(23)},
+gids AS (SELECT DISTINCT gid FROM shing),
+pr AS (SELECT a.gid AS ga, b.gid AS gb FROM gids a JOIN gids b ON a.gid < b.gid),
+dotp AS (
+  SELECT p.ga, p.gb, SUM(a.cnt * b.cnt) AS dp
+  FROM pr p
+  JOIN shing a ON a.gid = p.ga
+  JOIN shing b ON b.gid = p.gb AND b.shingle = a.shingle
+  GROUP BY p.ga, p.gb
+),
+nrm AS (SELECT gid, sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS nn FROM shing GROUP BY gid),
+neq AS (
+  SELECT a.gid AS ga, b.gid AS gb,
+         SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ne
+  FROM bits a JOIN bits b ON b.i = a.i AND a.gid < b.gid
+  GROUP BY a.gid, b.gid
+)
+SELECT p.ga AS gid_a, p.gb AS gid_b,
+       ROUND(CAST(COALESCE(d.dp, 0) AS DOUBLE) / (na.nn * nb.nn), 6) AS cosine,
+       ROUND(cos(pi() * (1.0 - (1.0 - n.ne / 1000.0))), 6) AS streamhash_est
+FROM pr p
+LEFT JOIN dotp d ON d.ga = p.ga AND d.gb = p.gb
+JOIN nrm na ON na.gid = p.ga
+JOIN nrm nb ON nb.gid = p.gb
+JOIN neq n ON n.ga = p.ga AND n.gb = p.gb"""
+
+
+def _corpus_pipeline_sql() -> str:
+    """Independent SQL extraction over the SAME deterministic corpus files
+    the query ingests: contains = one edge per corpus row; imports = each
+    '^import <target>$' line whose target is not the row itself. The corpus
+    is (re)generated here so the oracle is order-independent (generation is
+    seeded, shard-atomic and skips existing files)."""
+    from sbustreamspot_core_ray.sources.corpus import generate_corpus
+
+    generate_corpus("/tmp/graft_corpus_q", n_files=2000, seed=23)
+    return r"""
+WITH c AS (
+  SELECT repo, path, content
+  FROM read_parquet('/tmp/graft_corpus_q/corpus/*.parquet')
+),
+imp AS (
+  SELECT repo || '/' || path AS fullpath,
+         unnest(regexp_extract_all(content, '(?m)^import\s+(\S+)$', 1)) AS tgt
+  FROM c
+)
+SELECT CAST(0 AS BIGINT) AS e_type, count(*) AS n_edges FROM c
+UNION ALL
+SELECT 1, count(*) FROM imp WHERE tgt <> fullpath
+"""
+
+
 # ---- ANN oracles (constants generated lazily in oracle_sql) --------------
 
 _ORACLE_SF = "/root/testdata/sf0.01"  # the driver's compare scale
@@ -1208,8 +1302,9 @@ def q_video_frames(sf_dir: str):
 
 
 def q_corpus_pipeline(sf_dir: str):
-    """Rows-only: the flagship corpus pipeline (synthetic deterministic
-    corpus -> sha256-validated ingest -> edge extraction -> counts)."""
+    """The flagship corpus pipeline (synthetic deterministic corpus ->
+    sha256-validated ingest -> edge extraction -> counts); SQL-mirrored by
+    an independent regexp extraction over the same corpus files."""
     from sbustreamspot_core_ray.sources.corpus import generate_corpus, ingest_corpus
     from sbustreamspot_core_ray.sources.edges import extract_edges
 
@@ -1223,6 +1318,7 @@ def q_corpus_pipeline(sf_dir: str):
         .rename_columns({"count()": "n_edges"})
         .to_pandas()
     )
+    out["e_type"] = out["e_type"].astype(np.int64)
     return out.sort_values("e_type").reset_index(drop=True)
 
 
@@ -1396,6 +1492,9 @@ FROM documents
         "ngram_jaccard": _ngram_jaccard_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "simhash_dedup": _simhash_dedup_sql(),
+        "incremental_sketches": _incremental_sketches_sql(),
+        "similarity_report": _similarity_report_sql(),
+        "corpus_pipeline": _corpus_pipeline_sql(),
         "knn_ivf": _knn_ivf_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),
         "media_features": _SQL_MEDIA_FEATURES,
