@@ -9,27 +9,30 @@ Reference lifecycle (SURVEY.md §3):
 
 Ours is the **mini-batch re-expression** (SURVEY.md C6 row, §7.4):
 
-- the stream is consumed window-by-window (window id = seq //
-  interval — W3); within a window, touched graphs' shingle vectors and
-  sketches are **batch-recomputed** from the active edge set. The reference
-  itself asserts incremental == batch recompute (`graph.cpp:346-363`), so
-  this is semantics-preserving for the sketches.
-- the sliding edge cache (W1, `--max-num-edges`) becomes a `seq`-window
-  predicate: a graph's active edges are those with
-  ``seq > window_end - max_edges`` — eviction by recompute, not mutation.
-- C6's per-edge running-mean centroid updates become a per-window exact
-  recompute: assign/flag each touched graph against the broadcast
-  centroids, then recompute each centroid as the exact mean of its current
-  members' projections (order-free). **Documented semantic delta**: the
+- the stream is sorted by `seq` ONCE (one shuffle) and consumed in a single
+  `iter_batches` pass; window boundaries (W3: window id = seq // interval)
+  are contiguous runs of the sorted stream, so no window ever re-reads the
+  edge table.
+- per-gid sketch state (the L-sized projections and packed sketches) lives
+  in the hash(gid)-partitioned `IncrementalSketchShard` actor pool
+  (stages/incremental.py), which applies the reference's chunk-delta rules
+  per batch and per-source delta-eviction for the sliding cache (W1,
+  `--max-num-edges` as a `seq >= window_end - max_edges + 1` predicate).
+  The driver holds only O(#clusters·L) centroid state plus scalar per-gid
+  outputs (cluster id, anomaly score) — never per-gid vectors.
+- C6's per-edge running-mean centroid updates become per-window exact
+  means, maintained incrementally as INTEGER projection sums per cluster:
+  when a touched graph changes projection or membership, its old int64
+  projection is subtracted and its new one added — bit-identical to a full
+  recompute because the sums are exact. **Documented semantic delta**: the
   reference nudges centroids per edge; ours moves them per window. Both
   emit outputs only at interval boundaries (`main.cpp:478-490`), where the
   two coincide on stable streams.
 
-Scale shape: per window = one shingle/sketch recompute over the active
-edges (groupby(gid) shuffle) + one broadcast distance `map_batches` + one
-small centroid aggregation. Cluster state (centroids, assignment map,
-scores) is O(#clusters·L + #gids) — kept on the driver and broadcast, with
-per-window parquet snapshots as checkpoint/lineage (S3 doubles as resume).
+Scale shape: one sort shuffle up front, then per window: one routed
+actor-pool delta batch + one O(touched × clusters) distance kernel on the
+driver + an O(touched) centroid-sum update. Snapshots land as per-interval
+parquet (S3 doubles as checkpoint/lineage for resume).
 """
 
 from __future__ import annotations
@@ -46,6 +49,7 @@ import ray.data
 
 from ..functions.hashing import L
 from ..sources.bootstrap import BootstrapClusters
+from ..stages.incremental import IncrementalSketcher
 from ..stages.shingle import construct_shingle_vectors
 from ..stages.sketch import (
     construct_streamhash_sketches,
@@ -81,32 +85,64 @@ def sketch_dataset_to_numpy(sk: ray.data.Dataset) -> tuple[np.ndarray, np.ndarra
 
 
 class StreamSpotState:
-    """Driver-held cluster state: O(#clusters * L + #gids). Snapshotted per
-    window; reconstructable from the last snapshot (resume path)."""
+    """Driver-held cluster state: O(#clusters * L) centroid vectors plus
+    scalar per-gid outputs (cluster id, anomaly score). Per-gid L-vectors
+    live in the actor pool (`self.pool`); the bounded bootstrap set's
+    vectors are kept for centroid-delta bookkeeping and inspection."""
 
     def __init__(self, bootstrap: BootstrapClusters, l: int = L):
         self.l = l
         self.bootstrap = bootstrap
         self.nclusters = bootstrap.nclusters
+        # exact integer projection sums per cluster -> float centroids
+        self.centroid_sums = np.zeros((self.nclusters, l), np.int64)
+        self.centroid_counts = np.zeros(self.nclusters, np.int64)
         self.centroid_proj = np.zeros((self.nclusters, l))
         self.centroid_sketch = np.zeros((self.nclusters, l // 8), np.uint8)
         self.cluster_map: dict[int, int] = dict(bootstrap.cluster_map)
         self.anomaly_scores: dict[int, float] = {}
-        self.projections: dict[int, np.ndarray] = {}  # latest per-gid proj
-        self.sketches: dict[int, np.ndarray] = {}
+        # bounded: bootstrap (training) gids only
+        self._train_proj: dict[int, np.ndarray] = {}
+        self._train_sketch: dict[int, np.ndarray] = {}
+        self._boot_consumed: set[int] = set()
+        self.pool: IncrementalSketcher | None = None
 
-    def recompute_centroids(self) -> None:
-        """C5/C6 centroid refresh: exact mean of member projections."""
-        sums = np.zeros((self.nclusters, self.l))
-        counts = np.zeros(self.nclusters, np.int64)
-        for gid, c in self.cluster_map.items():
-            if c >= 0 and gid in self.projections:
-                sums[c] += self.projections[gid]
-                counts[c] += 1
+    # -- centroid maintenance ------------------------------------------------
+
+    def _refresh_centroids(self) -> None:
         for c in range(self.nclusters):
-            if counts[c]:
-                self.centroid_proj[c] = sums[c] / counts[c]
+            if self.centroid_counts[c]:
+                self.centroid_proj[c] = self.centroid_sums[c] / self.centroid_counts[c]
             self.centroid_sketch[c] = pack_sketch(self.centroid_proj[c])
+
+    def _old_contribution(self, gid: int, pool_old: np.ndarray) -> np.ndarray:
+        """The projection this gid last contributed to a centroid sum: its
+        bootstrap vector until first re-touch, the pool's window-start
+        vector afterwards."""
+        if gid in self._train_proj and gid not in self._boot_consumed:
+            self._boot_consumed.add(gid)
+            return self._train_proj[gid]
+        return pool_old
+
+    # -- inspection views (tests / small graphs; NOT the scale path) --------
+
+    @property
+    def projections(self) -> dict[int, np.ndarray]:
+        out = dict(self._train_proj)
+        if self.pool is not None:
+            df = self.pool.sketches().to_pandas()
+            for g, p in zip(df["gid"], df["projection"]):
+                out[int(g)] = np.asarray(p, np.int64)
+        return out
+
+    @property
+    def sketches(self) -> dict[int, np.ndarray]:
+        out = dict(self._train_sketch)
+        if self.pool is not None:
+            df = self.pool.sketches().to_pandas()
+            for g, b in zip(df["gid"], df["sketch"]):
+                out[int(g)] = np.frombuffer(b, np.uint8)
+        return out
 
     def snapshot_table(self, interval: int) -> pa.Table:
         gids = sorted(set(self.cluster_map) | set(self.anomaly_scores))
@@ -135,24 +171,32 @@ def bootstrap_pipeline(
     """§3.1: shingles → sketches → centroids → initial member scores.
 
     Entirely stateless tasks + groupby shuffles; the resulting cluster
-    state is tiny and lives on the driver (broadcast to scoring tasks).
+    state is tiny (the training set is the bounded bootstrap file) and the
+    centroid sums live on the driver as exact integers.
     """
     shingles = construct_shingle_vectors(train_edges, chunk_length)
     sk = construct_streamhash_sketches(shingles, chunk_length, l=l, seed=seed)
     gids, proj, sketches = sketch_dataset_to_numpy(sk)
 
     state = StreamSpotState(bootstrap, l=l)
+    state._chunk_length = chunk_length
+    state._seed = seed
     for i, g in enumerate(gids):
-        state.projections[int(g)] = proj[i]
-        state.sketches[int(g)] = sketches[i]
-    state.recompute_centroids()
+        g = int(g)
+        state._train_proj[g] = proj[i]
+        state._train_sketch[g] = sketches[i]
+        c = state.cluster_map.get(g, UNSEEN)
+        if c >= 0:
+            state.centroid_sums[c] += proj[i]
+            state.centroid_counts[c] += 1
+    state._refresh_centroids()
 
     # C7: initial anomaly score = distance to own cluster centroid
     for g in bootstrap.train_gids:
         c = state.cluster_map[g]
-        if g in state.sketches:
+        if g in state._train_sketch:
             sim = streamhash_similarity_np(
-                state.sketches[g][None, :], state.centroid_sketch[c][None, :], l
+                state._train_sketch[g][None, :], state.centroid_sketch[c][None, :], l
             )[0]
             state.anomaly_scores[g] = float(1.0 - np.cos(np.pi * (1.0 - sim)))
     return state
@@ -167,86 +211,41 @@ def score_stream(
     snapshot_dir: str | None = None,
     l: int = L,
     seed: int = 23,
+    num_parts: int = 4,
 ) -> pd.DataFrame:
     """§3.2 as windowed mini-batch scoring; returns the snapshot table
     (interval, gid, anomaly_score, cluster_id) over all intervals.
 
-    The driver iterates windows; all heavy work per window is Ray dataflow:
-    shingle/sketch recompute (groupby(gid)), distance scoring (broadcast
-    centroids inside map_batches). max_edges implements W1 eviction as a
-    seq-window predicate. Snapshots land in parquet per interval
-    (checkpoint + lineage unit) when snapshot_dir is given.
-    """
-    bounds = test_edges.select_columns(["seq"]).materialize()
-    if bounds.count() == 0:
-        return state.snapshot_table(0).to_pandas()
-    lo = bounds.min("seq")
-    hi = bounds.max("seq")
-    edges_mat = test_edges.materialize()
-
+    ONE sort by `seq` (windows become contiguous runs), ONE streaming pass:
+    each window's edges are routed to the sketch actor pool (chunk-delta
+    appends + delta-eviction for max_edges), the pool reports the touched
+    gids' (old, new) projections and sketches, and the driver runs the C6
+    mini-batch kernel: distances to broadcast centroids, assign/flag,
+    exact integer centroid-sum update, score refresh. Snapshots land in
+    parquet per interval (checkpoint + lineage unit) when snapshot_dir is
+    given."""
+    if state.pool is None:
+        state.pool = IncrementalSketcher(num_parts, chunk_length, l=l, seed=seed)
+    pool = state.pool
     snapshots: list[pa.Table] = []
-    n_windows = (hi - lo) // interval + 1
-    prev_active_lo = 0
-    for w in range(n_windows):
+
+    def close_window(w: int, lo: int) -> None:
         w_end = lo + (w + 1) * interval - 1
-        w_lo = lo + w * interval
-        active_lo = 0 if max_edges is None else max(0, w_end - max_edges + 1)
-
-        # gids touched in this window, plus gids that LOST edges to the
-        # sliding cache this window (the reference mutates the evicted
-        # graph immediately, graph.cpp:39-78 — recompute them too)
-        def in_window(t: pa.Table, w_lo=w_lo, w_end=w_end, e_lo=prev_active_lo,
-                      e_hi=active_lo) -> pa.Table:
-            import pyarrow.compute as pc
-
-            m = pc.and_(
-                pc.greater_equal(t["seq"], pa.scalar(w_lo)),
-                pc.less_equal(t["seq"], pa.scalar(w_end)),
+        if max_edges is not None:
+            pool.evict_before(max(0, w_end - max_edges + 1))
+        res = pool.window_result()
+        if res.num_rows:
+            gids = res["gid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            proj = np.stack(
+                [np.asarray(p, np.int64) for p in res["projection"].to_pylist()]
             )
-            if e_hi > e_lo:
-                evict = pc.and_(
-                    pc.greater_equal(t["seq"], pa.scalar(e_lo)),
-                    pc.less(t["seq"], pa.scalar(e_hi)),
-                )
-                m = pc.or_(m, evict)
-            return t.filter(m)
-
-        touched = set(
-            edges_mat.map_batches(in_window, batch_format="pyarrow")
-            .select_columns(["gid"])
-            .unique("gid")
-        )
-        prev_active_lo = active_lo
-        if touched:
-            # active edge set for touched graphs (W1 eviction by predicate)
-            def active(t: pa.Table, g=tuple(sorted(touched)), alo=active_lo, wend=w_end) -> pa.Table:
-                import pyarrow.compute as pc
-
-                m = pc.and_(
-                    pc.is_in(t["gid"], value_set=pa.array(g, pa.int64())),
-                    pc.and_(
-                        pc.greater_equal(t["seq"], pa.scalar(alo)),
-                        pc.less_equal(t["seq"], pa.scalar(wend)),
-                    ),
-                )
-                return t.filter(m)
-
-            act = edges_mat.map_batches(active, batch_format="pyarrow")
-            shingles = construct_shingle_vectors(act, chunk_length)
-            sk = construct_streamhash_sketches(shingles, chunk_length, l=l, seed=seed)
-            gids, proj, sketches = sketch_dataset_to_numpy(sk)
-            # touched gids whose active edge set is now empty: empty graph ->
-            # zero projection, all-ones sketch (projection >= 0 everywhere)
-            emptied = touched - set(int(g) for g in gids)
-            if emptied:
-                zeros = np.zeros(l, np.int64)
-                gids = np.concatenate([gids, np.fromiter(emptied, np.int64)])
-                proj = np.concatenate([proj, np.tile(zeros, (len(emptied), 1))])
-                sketches = np.concatenate(
-                    [sketches, np.tile(pack_sketch(zeros), (len(emptied), 1))]
-                )
-
-            # C6 mini-batch: distances to broadcast centroids, vectorized
+            old_proj = np.stack(
+                [np.asarray(p, np.int64) for p in res["old_projection"].to_pylist()]
+            )
+            sketches = np.stack(
+                [np.frombuffer(b, np.uint8) for b in res["sketch"].to_pylist()]
+            )
+            # C6 mini-batch: distances to the window-start centroids
             dists = _distance_matrix(sketches, state.centroid_sketch, l)
             nearest = dists.argmin(axis=1)
             min_d = dists.min(axis=1)
@@ -256,26 +255,35 @@ def score_stream(
             )
             for i, g in enumerate(gids):
                 g = int(g)
-                state.projections[g] = proj[i]
-                state.sketches[g] = sketches[i]
+                c_old = state.cluster_map.get(g, UNSEEN)
+                if c_old >= 0:
+                    state.centroid_sums[c_old] -= state._old_contribution(
+                        g, old_proj[i]
+                    )
+                    state.centroid_counts[c_old] -= 1
+                else:
+                    state._old_contribution(g, old_proj[i])  # mark consumed
+                c_new = ANOMALY if min_d[i] > thr[i] else int(nearest[i])
+                if c_new >= 0:
+                    state.centroid_sums[c_new] += proj[i]
+                    state.centroid_counts[c_new] += 1
+                state.cluster_map[g] = c_new
                 state.anomaly_scores[g] = float(min_d[i])
-                state.cluster_map[g] = (
-                    ANOMALY if min_d[i] > thr[i] else int(nearest[i])
-                )
-            state.recompute_centroids()
+            state._refresh_centroids()
             # refresh scores against the moved centroids (reference refreshes
             # the updated graph's score after every centroid move)
             for i, g in enumerate(gids):
                 g = int(g)
                 c = state.cluster_map[g]
                 ref_sketch = (
-                    state.centroid_sketch[c] if c >= 0 else state.centroid_sketch[nearest[i]]
+                    state.centroid_sketch[c]
+                    if c >= 0
+                    else state.centroid_sketch[nearest[i]]
                 )
                 sim = streamhash_similarity_np(
-                    state.sketches[g][None, :], ref_sketch[None, :], l
+                    sketches[i][None, :], ref_sketch[None, :], l
                 )[0]
                 state.anomaly_scores[g] = float(1.0 - np.cos(np.pi * (1.0 - sim)))
-
         snap = state.snapshot_table(w)
         snapshots.append(snap)
         if snapshot_dir:
@@ -285,4 +293,24 @@ def score_stream(
             pq.write_table(snap, path + ".tmp")
             os.replace(path + ".tmp", path)
 
+    # one shuffle; windows are contiguous runs of the sorted stream
+    stream = test_edges.sort("seq")
+    lo: int | None = None
+    w = 0
+    for batch in stream.iter_batches(batch_format="pyarrow", batch_size=8192):
+        if batch.num_rows == 0:
+            continue
+        seqs = batch["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if lo is None:
+            lo = int(seqs[0])
+        wid = (seqs - lo) // interval
+        for u in np.unique(wid):
+            u = int(u)
+            while w < u:  # close finished windows (empty ones still evict)
+                close_window(w, lo)
+                w += 1
+            pool.feed(batch.filter(pa.array(wid == u)))
+    if lo is None:
+        return state.snapshot_table(0).to_pandas()
+    close_window(w, lo)
     return pa.concat_tables(snapshots).to_pandas()

@@ -63,6 +63,51 @@ def test_score_stream_assigns_identical_graph():
     assert set(last["cluster_id"]) <= {0, 1, ANOMALY, UNSEEN}
 
 
+def test_stream_reads_edges_once():
+    """Scale property: score_stream consumes the edge table in ONE pass
+    (one sort + one iter_batches) — with 20 windows, each edge row passes
+    the read stage exactly once, never once per window."""
+    import ray
+
+    train, _ = split_fixture()
+    state = bootstrap_pipeline(train, fixture_bootstrap(), C)
+
+    n = 40
+    stream = pa.table(
+        {
+            "src": pa.array([4] * n, pa.int64()),
+            "dst": pa.array(list(range(100, 100 + n)), pa.int64()),
+            "src_type": pa.array([ord("a")] * n, pa.uint8()),
+            "dst_type": pa.array([ord("b")] * n, pa.uint8()),
+            "e_type": pa.array([ord("t")] * n, pa.uint8()),
+            "gid": pa.array([2] * n, pa.int64()),
+            "seq": pa.array(list(range(n)), pa.int64()),
+        }
+    )
+
+    @ray.remote(num_cpus=0)
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, k):
+            self.n += k
+
+        def get(self):
+            return self.n
+
+    counter = Counter.remote()
+
+    def count(t: pa.Table) -> pa.Table:
+        ray.get(counter.add.remote(t.num_rows))
+        return t
+
+    ds = ray.data.from_arrow(stream).map_batches(count, batch_format="pyarrow")
+    snaps = score_stream(state, ds, C, interval=2)
+    assert snaps["interval"].nunique() == n // 2  # 20 windows emitted
+    assert ray.get(counter.get.remote()) == n  # every edge read exactly once
+
+
 def test_windowed_eviction_equals_batch_recompute(tmp_path):
     """W1 property: streaming N windows with a max_edges cache equals one
     batch recompute over the last max_edges window."""
