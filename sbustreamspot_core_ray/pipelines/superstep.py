@@ -45,6 +45,13 @@ from ..state.csr import CsrShard
 _EMPTY_I64 = np.empty(0, np.int64)
 _EMPTY_F64 = np.empty(0, np.float64)
 
+# per-worker-process in-flight window for graph-build ingest pushes: module
+# globals persist across map_batches invocations inside one Ray worker, so
+# the fused read+route task overlaps parsing with shard ingest instead of
+# barriering every batch (completion is enforced by the build's counter
+# barrier, not by draining this list)
+_ROUTE_PENDING: list = []
+
 
 class ShardedGraph:
     """A graph distributed over a CsrShard actor pool."""
@@ -88,28 +95,69 @@ class ShardedGraph:
         P = num_parts
 
         def route(batch: pa.Table) -> pa.Table:
+            """ONE combined ingest call per (batch, partition), and no
+            per-batch barrier: sends stay in a bounded per-worker in-flight
+            window (`_ROUTE_PENDING`, module-global so it persists across
+            batches in the fused read+route task), overlapping parse with
+            shard ingest. Completion is guaranteed by the counter barrier
+            below, not by awaiting each batch."""
             src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
             dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-            pending = []
             sp = part_of(src, P)
             dp = part_of(dst, P)
-            for p in np.unique(sp):
-                m = sp == p
-                pending.append(actors[p].add_edges.remote(src[m], dst[m]))
-            for p in np.unique(dp):
-                m = dp == p
-                pending.append(actors[p].add_vertices.remote(dst[m]))
+            for p in range(P):
+                ms = sp == p
+                md = dp == p
                 if symmetric:
-                    pending.append(actors[p].add_edges.remote(dst[m], src[m]))
-            if symmetric:
-                for p in np.unique(sp):
-                    pending.append(actors[p].add_vertices.remote(src[sp == p]))
-            ray.get(pending)
-            return pa.table({"n": pa.array([len(src)], pa.int64())})
+                    e_src = np.concatenate([src[ms], dst[md]])
+                    e_dst = np.concatenate([dst[ms], src[md]])
+                    vtx = np.concatenate([dst[md], src[ms]])
+                else:
+                    e_src, e_dst, vtx = src[ms], dst[ms], dst[md]
+                if len(e_src) or len(vtx):
+                    _ROUTE_PENDING.append(
+                        actors[p].ingest.remote(e_src, e_dst, vtx)
+                    )
+            if len(_ROUTE_PENDING) > 64:
+                _, rest = ray.wait(
+                    _ROUTE_PENDING,
+                    num_returns=len(_ROUTE_PENDING) - 32,
+                    fetch_local=False,
+                )
+                _ROUTE_PENDING[:] = rest
+            k = 2 if symmetric else 1
+            return pa.table(
+                {
+                    "e": pa.array([len(src) * k], pa.int64()),
+                    "v": pa.array([len(dst) + (len(src) if symmetric else 0)], pa.int64()),
+                }
+            )
 
-        edges.select_columns(["src", "dst"]).map_batches(
+        routed = edges.select_columns(["src", "dst"]).map_batches(
             route, batch_format="pyarrow", batch_size=65536
-        ).count()
+        )
+        expected_e = expected_v = 0
+        for r in routed.take_all():
+            expected_e += r["e"]
+            expected_v += r["v"]
+        # completion barrier: wait until every shard has RECEIVED the routed
+        # totals (>=, not ==: a retried route task re-delivers and
+        # finalize() dedups). Fails loudly after a deadline.
+        import time as _time
+
+        deadline = _time.monotonic() + 300
+        while True:
+            got = ray.get([a.ingest_counts.remote() for a in actors])
+            ge = sum(e for e, _ in got)
+            gv = sum(v for _, v in got)
+            if ge >= expected_e and gv >= expected_v:
+                break
+            if _time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"graph build barrier timeout: got ({ge},{gv}) "
+                    f"expected ({expected_e},{expected_v})"
+                )
+            _time.sleep(0.005)
         infos = ray.get([a.finalize.remote() for a in actors])
         g.n_vertices = sum(i["owned"] for i in infos)
         g.n_edges = sum(i["edges"] for i in infos)
@@ -428,6 +476,40 @@ def label_propagation(
 
         graph._combine_push(refs, apply_lp)
     return graph.state_dataset("label")
+
+
+def driver_components(
+    src: np.ndarray, dst: np.ndarray, vertices: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side vectorized connected components for SMALL graphs
+    (min-label propagation + pointer jumping over numpy index arrays).
+
+    The fast path for CC consumers whose pair tables are tiny relative to
+    the cluster (LSH co-bucket graphs, verified near-dup pairs): building a
+    ShardedGraph actor pool for a few thousand vertices costs ~10s of fixed
+    machinery; this converges in O(log n) vectorized rounds. Returns
+    (vertex, component) with component = min vertex id of the component —
+    identical output to `connected_components` on the superstep engine."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    vs = np.unique(np.concatenate([np.asarray(vertices, np.int64), src, dst]))
+    lab = np.arange(len(vs), dtype=np.int64)
+    s = np.searchsorted(vs, src)
+    d = np.searchsorted(vs, dst)
+    while True:
+        new = lab.copy()
+        if len(s):
+            np.minimum.at(new, d, lab[s])
+            np.minimum.at(new, s, lab[d])
+        while True:  # pointer jumping (path halving)
+            nn = new[new]
+            if (nn == new).all():
+                break
+            new = nn
+        if (new == lab).all():
+            break
+        lab = new
+    return vs, vs[lab]
 
 
 # ---------------------------------------------------------------------------

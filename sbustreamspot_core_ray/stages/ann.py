@@ -272,6 +272,8 @@ def embedding_near_dup(
         Bucket, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
     )
 
+    BLOCK = 2048  # tile edge: peak sim matrix is BLOCK^2 floats (~32 MB)
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame(
@@ -281,16 +283,29 @@ def embedding_near_dup(
         g = g.sort_values("vec_id", kind="stable")
         ids = g["vec_id"].to_numpy()
         vecs = _normalize(np.stack([np.asarray(v, dtype) for v in g["embedding"]]))
-        # all-pairs is O(|bucket|^2): bounded because buckets split by
-        # n_planes sign bits; raise n_planes if a bucket outgrows memory
-        sims = vecs @ vecs.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold
+        n = len(ids)
+        # hot-bucket safeguard: the O(n^2) pass runs in BLOCK x BLOCK tiles
+        # of the upper triangle, so a degenerate bucket costs bounded peak
+        # memory (work stays O(n^2) but never materializes an n x n matrix)
+        out_s, out_d, out_c = [], [], []
+        for i0 in range(0, n, BLOCK):
+            vi = vecs[i0 : i0 + BLOCK]
+            for j0 in range(i0, n, BLOCK):
+                sims = vi @ vecs[j0 : j0 + BLOCK].T
+                w = sims.shape[1]
+                flat = np.flatnonzero(sims.ravel() >= threshold)
+                iu, ju = flat // w, flat % w
+                if i0 == j0:
+                    m = ju > iu  # upper triangle only on diagonal tiles
+                    iu, ju = iu[m], ju[m]
+                out_s.append(ids[i0 + iu].astype(np.int64))
+                out_d.append(ids[j0 + ju].astype(np.int64))
+                out_c.append(sims[iu, ju].astype(np.float64))
         return pd.DataFrame(
             {
-                "src": ids[iu[keep]].astype(np.int64),
-                "dst": ids[ju[keep]].astype(np.int64),
-                "cosine": sims[iu[keep], ju[keep]].astype(np.float64),
+                "src": np.concatenate(out_s),
+                "dst": np.concatenate(out_d),
+                "cosine": np.concatenate(out_c),
             }
         )
 

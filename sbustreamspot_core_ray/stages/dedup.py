@@ -118,26 +118,53 @@ class _MinHash:
         self.bands = bands
         self.rows = num_perm // bands
 
+    # shingle-count budget per vectorized block: keeps the (shingles x
+    # num_perm) uint64 working set ~2 MB (L2/L3-resident — a 64 MB block
+    # is 5-8x slower purely from memory-bandwidth churn) while still
+    # amortizing Python per-doc overhead across the block
+    BLOCK_SHINGLES = 2048
+
     def signature(self, text: str) -> np.ndarray:
         sh = _char_shingles(text, self.k)
         with np.errstate(over="ignore"):
             vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % self.p
         return vals.min(axis=0)
 
+    def _signatures_block(self, texts: list[str]) -> np.ndarray:
+        """Signatures for a block of docs in ONE (total_shingles, num_perm)
+        broadcast + np.minimum.reduceat — no per-document hash loop."""
+        shs = [_char_shingles(t, self.k) for t in texts]
+        lens = np.array([len(s) for s in shs], np.int64)
+        flat = np.concatenate(shs)
+        with np.errstate(over="ignore"):
+            vals = (flat[:, None] * self.a[None, :] + self.b[None, :]) % self.p
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        return np.minimum.reduceat(vals, starts, axis=0)  # (n, num_perm)
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy()
+        texts = df["text"].fillna("").tolist()
         n = len(ids)
-        vals = np.empty((n, self.bands), np.int64)
         GOLD = np.uint64(0x9E3779B97F4A7C15)
-        for i, t in enumerate(df["text"].fillna("")):
-            S = self.signature(t).reshape(self.bands, self.rows)
+        vals = np.empty((n, self.bands), np.int64)
+        lo = 0
+        while lo < n:
+            # grow the block until the shingle budget is hit
+            hi, budget = lo, self.BLOCK_SHINGLES
+            while hi < n and budget > 0:
+                budget -= max(len(texts[hi]) - self.k + 1, 1)
+                hi += 1
+            S = self._signatures_block(texts[lo:hi]).reshape(
+                hi - lo, self.bands, self.rows
+            )
             # deterministic vectorized band fold (NOT builtin hash(), which
             # is salted per process and breaks cross-worker bucket equality)
-            acc = np.zeros(self.bands, np.uint64)
+            acc = np.zeros((hi - lo, self.bands), np.uint64)
             with np.errstate(over="ignore"):
                 for j in range(self.rows):
-                    acc = acc * GOLD + S[:, j]
-            vals[i] = (acc >> np.uint64(1)).astype(np.int64)
+                    acc = acc * GOLD + S[:, :, j]
+            vals[lo:hi] = (acc >> np.uint64(1)).astype(np.int64)
+            lo = hi
         return pd.DataFrame(
             {
                 "doc_id": np.repeat(ids.astype(np.int64), self.bands),
@@ -269,17 +296,47 @@ def ngram_jaccard_verify(
     threshold: float,
     shingle_k: int = 5,
     num_partitions: int | None = None,
+    broadcast_threshold: int = 100_000,
 ) -> ray.data.Dataset:
-    """n-gram Jaccard verification of candidate pairs via two hash joins
-    (text attached per side), Jaccard computed per batch; returns
+    """n-gram Jaccard verification of candidate pairs; returns
     (src, dst, jaccard) with jaccard >= threshold.
 
-    Text is attached per side by a co-partitioned hash join (union + one
-    shuffle on hash(key) % P + vectorized searchsorted merge per partition
-    — same pattern as superstep._attach_value), not Dataset.join: no
-    aggregator-actor scheduling constraints and robust to empty blocks."""
+    Regime split on the doc-table size:
+    - small side (<= broadcast_threshold docs): the id→text map is
+      `ray.put` ONCE and every verify task reads it zero-copy — both
+      attach shuffles disappear.
+    - large side: text attached per side by a co-partitioned hash join
+      (union + one shuffle on hash(key) % P + vectorized searchsorted
+      merge per partition — same pattern as superstep._attach_value), not
+      Dataset.join: no aggregator-actor scheduling constraints and robust
+      to empty blocks."""
     if num_partitions is None:
         num_partitions = 16
+    if docs.count() <= broadcast_threshold:
+        import ray as _ray
+
+        tbl = docs.select_columns(["doc_id", "text"]).to_pandas()
+        ref = _ray.put(
+            dict(zip(tbl["doc_id"].to_numpy(np.int64).tolist(), tbl["text"]))
+        )
+
+        class _BroadcastVerify:
+            def __init__(self):
+                self.texts = _ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame) -> pa.Table:
+                m = self.texts
+                df = df.copy()
+                df["text_src"] = [m.get(int(k)) for k in df["src"]]
+                df["text_dst"] = [m.get(int(k)) for k in df["dst"]]
+                return _jaccard_kernel(df, shingle_k, threshold)
+
+        return pairs.map_batches(
+            _BroadcastVerify,
+            batch_format="pandas",
+            batch_size=4096,
+            concurrency=(1, 8),
+        )
     withs = _attach_text(
         pairs, docs, key_col="src", carry="dst", out_col="text_src",
         num_parts=num_partitions,
@@ -290,23 +347,43 @@ def ngram_jaccard_verify(
     )
 
     def verify(df: pd.DataFrame) -> pa.Table:
-        jac = np.empty(len(df), np.float64)
-        for i, (a, b) in enumerate(zip(df["text_src"], df["text_dst"])):
-            sa = set(_char_shingles(a or "", shingle_k).tolist())
-            sb = set(_char_shingles(b or "", shingle_k).tolist())
-            u = len(sa | sb)
-            jac[i] = (len(sa & sb) / u) if u else 1.0
-        keep = jac >= threshold
-        # Arrow out so downstream unions mix with Arrow-block datasets
-        return pa.table(
-            {
-                "src": df["src"].to_numpy(np.int64)[keep],
-                "dst": df["dst"].to_numpy(np.int64)[keep],
-                "jaccard": jac[keep],
-            }
-        )
+        return _jaccard_kernel(df, shingle_k, threshold)
 
     return withd.map_batches(verify, batch_format="pandas", batch_size=512)
+
+
+def _jaccard_kernel(df: pd.DataFrame, shingle_k: int, threshold: float) -> pa.Table:
+    """Exact shingle-set Jaccard per (text_src, text_dst) row.
+
+    _char_shingles returns sorted-unique uint64 arrays: intersect via
+    np.intersect1d(assume_unique) — no Python set churn; shingle arrays
+    are cached per distinct text within the batch (candidate pairs repeat
+    hub documents)."""
+    cache: dict[str, np.ndarray] = {}
+
+    def sh(t: str | None) -> np.ndarray:
+        t = t or ""
+        r = cache.get(t)
+        if r is None:
+            r = _char_shingles(t, shingle_k)
+            cache[t] = r
+        return r
+
+    jac = np.empty(len(df), np.float64)
+    for i, (a, b) in enumerate(zip(df["text_src"], df["text_dst"])):
+        sa, sb = sh(a), sh(b)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        u = sa.size + sb.size - inter
+        jac[i] = (inter / u) if u else 1.0
+    keep = jac >= threshold
+    # Arrow out so downstream unions mix with Arrow-block datasets
+    return pa.table(
+        {
+            "src": df["src"].to_numpy(np.int64)[keep],
+            "dst": df["dst"].to_numpy(np.int64)[keep],
+            "jaccard": jac[keep],
+        }
+    )
 
 
 def minhash_lsh_dedup(
@@ -316,20 +393,43 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     bands: int = 32,
     num_parts: int = 8,
+    small_threshold: int = 1_000_000,
 ) -> ray.data.Dataset:
     """Full near-dup pipeline: minhash bands → candidates → Jaccard verify →
-    CC over verified pairs → (doc_id, dup_group). dup_group = min doc_id."""
-    from ..pipelines.superstep import ShardedGraph, connected_components
+    CC over verified pairs → (doc_id, dup_group). dup_group = min doc_id.
 
+    Small verified-pair tables (<= small_threshold rows, likewise doc
+    count) take the vectorized driver-side components fast path; large
+    graphs run on the superstep engine."""
     bands_ds = minhash_band_table(docs, num_perm, shingle_k, bands)
     cands = candidate_pairs(bands_ds, num_parts=max(num_parts, 8))
-    verified = ngram_jaccard_verify(cands, docs, threshold, shingle_k)
-    loops = docs.select_columns(["doc_id"]).map_batches(
+    verified = (
+        ngram_jaccard_verify(cands, docs, threshold, shingle_k)
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+    ids = docs.select_columns(["doc_id"]).materialize()
+    if verified.count() <= small_threshold and ids.count() <= small_threshold:
+        import ray as _ray
+
+        from ..pipelines.superstep import driver_components
+
+        pt = verified.to_pandas()
+        vs, comp = driver_components(
+            pt["src"].to_numpy(), pt["dst"].to_numpy(),
+            ids.to_pandas()["doc_id"].to_numpy(np.int64),
+        )
+        return _ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(vs), "dup_group": pa.array(comp)})
+        )
+    from ..pipelines.superstep import ShardedGraph, connected_components
+
+    loops = ids.map_batches(
         lambda t: pa.table({"src": t["doc_id"], "dst": t["doc_id"]}),
         batch_format="pyarrow",
     )
     g = ShardedGraph.build(
-        verified.select_columns(["src", "dst"]).union(loops),
+        verified.union(loops),
         num_parts=num_parts,
         symmetric=True,
     )

@@ -171,17 +171,40 @@ def shared_bucket_gids(
 
 
 def lsh_clusters(
-    sketches: ray.data.Dataset, num_parts: int = 8, b: int = L // R, r: int = R, l: int = L
+    sketches: ray.data.Dataset,
+    num_parts: int = 8,
+    b: int = L // R,
+    r: int = R,
+    l: int = L,
+    small_threshold: int = 1_000_000,
 ) -> ray.data.Dataset:
     """C4 `print_lsh_clusters`: connected components over the co-bucket
-    relation (`main.cpp:672-721`), generalized onto the superstep engine.
-    Returns (gid, cluster) where cluster = min gid of the component;
-    singletons keep their own gid."""
+    relation (`main.cpp:672-721`). Returns (gid, cluster) where cluster =
+    min gid of the component; singletons keep their own gid.
+
+    Regime split: when the pair table AND the gid count fit the driver
+    (<= small_threshold rows), a vectorized driver-side components pass
+    replaces the ShardedGraph actor pool — the pool's fixed build cost
+    dwarfs a toy graph. Large graphs take the superstep engine."""
+    sketches = sketches.materialize()  # consumed by bands AND the gid list
+    bands = hash_bands(sketches, b=b, r=r, l=l)
+    pairs = shared_bucket_pairs(bands).materialize()
+    singles = sketches.select_columns(["gid"]).materialize()
+    if pairs.count() <= small_threshold and singles.count() <= small_threshold:
+        from ..pipelines.superstep import driver_components
+
+        pt = pairs.to_pandas()
+        vs, comp = driver_components(
+            pt["src"].to_numpy(), pt["dst"].to_numpy(),
+            singles.to_pandas()["gid"].to_numpy(np.int64),
+        )
+        import ray as _ray
+
+        return _ray.data.from_arrow(
+            pa.table({"gid": pa.array(vs), "cluster": pa.array(comp)})
+        )
     from ..pipelines.superstep import ShardedGraph, connected_components
 
-    bands = hash_bands(sketches, b=b, r=r, l=l)
-    pairs = shared_bucket_pairs(bands)
-    singles = sketches.select_columns(["gid"])
     # self-loops register isolated gids as vertices of the CC graph
     loops = singles.map_batches(
         lambda t: pa.table({"src": t["gid"], "dst": t["gid"]}),

@@ -52,6 +52,8 @@ class CsrShard:
         self._src_chunks: list[np.ndarray] = []
         self._dst_chunks: list[np.ndarray] = []
         self._vtx_chunks: list[np.ndarray] = []
+        self._edges_in = 0
+        self._vtx_in = 0
         # built by finalize():
         self.srcs: np.ndarray | None = None  # unique local src ids, sorted
         self.indptr: np.ndarray | None = None
@@ -78,11 +80,26 @@ class CsrShard:
     def add_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
         self._src_chunks.append(np.asarray(src, np.int64))
         self._dst_chunks.append(np.asarray(dst, np.int64))
+        self._edges_in += len(src)
         return len(src)
 
     def add_vertices(self, vtx: np.ndarray) -> int:
         self._vtx_chunks.append(np.asarray(vtx, np.int64))
+        self._vtx_in += len(vtx)
         return len(vtx)
+
+    def ingest(self, src: np.ndarray, dst: np.ndarray, vtx: np.ndarray) -> int:
+        """One combined build push (edges + vertex registrations) — a
+        single actor round trip per (batch, partition) instead of three."""
+        self.add_edges(src, dst)
+        self.add_vertices(vtx)
+        return len(src)
+
+    def ingest_counts(self) -> tuple[int, int]:
+        """(edges received, vertices received) — the build's completion
+        barrier compares these against the routed totals, so in-flight
+        fire-and-forget pushes are awaited without a per-batch barrier."""
+        return self._edges_in, self._vtx_in
 
     def finalize(self) -> dict:
         """Dedup + sort into CSR. Idempotent: retried pushes collapse in
