@@ -38,6 +38,7 @@ parquet (S3 doubles as checkpoint/lineage for resume).
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -224,15 +225,24 @@ def score_stream(
     exact integer centroid-sum update, score refresh. Snapshots land in
     parquet per interval (checkpoint + lineage unit) when snapshot_dir is
     given."""
+    from ..functions.metrics import StageMetrics
+
     if state.pool is None:
         state.pool = IncrementalSketcher(num_parts, chunk_length, l=l, seed=seed)
     pool = state.pool
     snapshots: list[pa.Table] = []
+    # S4: the reference's four per-edge timers (graph update, shingle
+    # construction, sketch update, cluster update; main.cpp:433-465) map to
+    # these stages; written alongside the snapshots
+    metrics = StageMetrics()
+    state.metrics = metrics
 
     def close_window(w: int, lo: int) -> None:
         w_end = lo + (w + 1) * interval - 1
         if max_edges is not None:
-            pool.evict_before(max(0, w_end - max_edges + 1))
+            with metrics.stage("evict"):
+                n_ev = pool.evict_before(max(0, w_end - max_edges + 1))
+            metrics.add("evicted_edges", n_ev, 0.0)
         res = pool.window_result()
         if res.num_rows:
             gids = res["gid"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -246,6 +256,7 @@ def score_stream(
                 [np.frombuffer(b, np.uint8) for b in res["sketch"].to_pylist()]
             )
             # C6 mini-batch: distances to the window-start centroids
+            t_cl = time.perf_counter()
             dists = _distance_matrix(sketches, state.centroid_sketch, l)
             nearest = dists.argmin(axis=1)
             min_d = dists.min(axis=1)
@@ -284,6 +295,7 @@ def score_stream(
                     sketches[i][None, :], ref_sketch[None, :], l
                 )[0]
                 state.anomaly_scores[g] = float(1.0 - np.cos(np.pi * (1.0 - sim)))
+            metrics.add("cluster_update", len(gids), time.perf_counter() - t_cl)
         snap = state.snapshot_table(w)
         snapshots.append(snap)
         if snapshot_dir:
@@ -309,8 +321,14 @@ def score_stream(
             while w < u:  # close finished windows (empty ones still evict)
                 close_window(w, lo)
                 w += 1
-            pool.feed(batch.filter(pa.array(wid == u)))
+            part = batch.filter(pa.array(wid == u))
+            # graph update + shingle construction + sketch update happen
+            # together inside the chunk-delta actors (one routed push)
+            with metrics.stage("graph_sketch_update", units=part.num_rows):
+                pool.feed(part)
     if lo is None:
         return state.snapshot_table(0).to_pandas()
     close_window(w, lo)
+    if snapshot_dir:
+        metrics.write(snapshot_dir)
     return pa.concat_tables(snapshots).to_pandas()

@@ -264,6 +264,81 @@ def dedup_edges(ds: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset:
     return distinct_int_rows(ds, ["src", "dst"], num_parts)
 
 
+# Dataset presets: scenario id = gid/100 (`/root/reference/io.cpp:97`);
+# preset -> scenario set (`main.cpp:128-146`; scenario 3 is the attack)
+STREAMSPOT_DATASETS: dict[str, tuple[int, ...]] = {
+    "all": (0, 1, 2, 3, 4, 5),
+    "ydc": (0, 4, 5, 3),
+    "gfc": (1, 2, 5, 3),
+}
+
+
+def scenario_filter(edges: ray.data.Dataset, dataset: str = "all") -> ray.data.Dataset:
+    """M1 scenario predicate as a first-class operator: keep edges whose
+    scenario (gid // 100) is in the preset (`io.cpp:97-113`,
+    `main.cpp:128-146`). Vectorized `pc.is_in` per batch."""
+    import pyarrow.compute as pc
+
+    scenarios = STREAMSPOT_DATASETS[dataset]
+
+    def flt(t: pa.Table) -> pa.Table:
+        scen = pc.divide(t["gid"], pa.scalar(100, pa.int64()))
+        return t.filter(pc.is_in(scen, value_set=pa.array(scenarios, pa.int64())))
+
+    return edges.map_batches(flt, batch_format="pyarrow")
+
+
+def read_streamspot_tsv(
+    path: str, dataset: str = "all"
+) -> ray.data.Dataset:
+    """S1: read the reference's native TSV edge format
+    (``src_id \\t src_type \\t dst_id \\t dst_type \\t e_type \\t gid``,
+    `/root/reference/io.cpp:57-95`, sample `test_edges.txt`) into the typed
+    EDGE_SCHEMA table, with `seq` = file line number (arrival order IS the
+    timestamp, `graph.cpp:111`) and the scenario preset filter applied.
+
+    The reference's input is one sequentially-ordered TSV whose line order
+    carries the stream semantics, so the parse is a single ordered pass
+    (pyarrow's C csv reader); corpus-scale inputs use the parquet path
+    (`extract_edges`) where `seq` is explicit per row."""
+    import pyarrow.csv as pacsv
+
+    tbl = pacsv.read_csv(
+        path,
+        read_options=pacsv.ReadOptions(
+            column_names=["src", "src_type", "dst", "dst_type", "e_type", "gid"]
+        ),
+        parse_options=pacsv.ParseOptions(delimiter="\t"),
+        convert_options=pacsv.ConvertOptions(
+            column_types={
+                "src": pa.int64(),
+                "dst": pa.int64(),
+                "gid": pa.int64(),
+                "src_type": pa.string(),
+                "dst_type": pa.string(),
+                "e_type": pa.string(),
+            }
+        ),
+    )
+
+    def ch(col) -> np.ndarray:
+        return np.array([ord(s[0]) for s in col.to_pylist()], np.uint8)
+
+    out = pa.table(
+        {
+            "src": tbl["src"],
+            "dst": tbl["dst"],
+            "src_type": pa.array(ch(tbl["src_type"])),
+            "dst_type": pa.array(ch(tbl["dst_type"])),
+            "e_type": pa.array(ch(tbl["e_type"])),
+            "gid": tbl["gid"],
+            "seq": pa.array(np.arange(tbl.num_rows, dtype=np.int64)),
+        },
+        schema=EDGE_SCHEMA,
+    )
+    return scenario_filter(ray.data.from_arrow(out), dataset)
+
+
 # The reference's 12-edge fixture (data, verbatim from
 # /root/reference/test_edges.txt): (src_id, src_type, dst_id, dst_type,
 # e_type, gid); arrival order = row order.

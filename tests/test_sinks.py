@@ -37,3 +37,49 @@ def test_write_then_resume_skips_finished(tmp_path):
     back = read_partitioned(root).to_pandas().sort_values("x")
     assert back["x"].tolist() == [10, 11, 20, 21, 30]
     assert os.path.exists(os.path.join(root, "_MANIFEST.json"))
+
+
+def test_stage_metrics_table_and_write(tmp_path):
+    """S4: per-stage counters table (reference main.cpp:433-465 analog)."""
+    from sbustreamspot_core_ray.functions.metrics import StageMetrics
+
+    m = StageMetrics()
+    with m.stage("graph_sketch_update", units=100):
+        pass
+    m.add("cluster_update", 10, 0.5)
+    t = m.table().to_pandas().set_index("stage")
+    assert t.loc["cluster_update", "units"] == 10
+    assert abs(t.loc["cluster_update", "mean_us_per_unit"] - 50_000) < 1e-6
+    assert t.loc["graph_sketch_update", "calls"] == 1
+    path = m.write(str(tmp_path))
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(path).num_rows == 2
+
+
+def test_score_stream_writes_metrics(tmp_path):
+    """The windowed scorer writes _METRICS.parquet beside the snapshots."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sbustreamspot_core_ray.pipelines.streamspot import (
+        bootstrap_pipeline,
+        score_stream,
+    )
+    from sbustreamspot_core_ray.sources.bootstrap import fixture_bootstrap
+    from sbustreamspot_core_ray.sources.edges import streamspot_fixture_edges
+
+    ds = streamspot_fixture_edges()
+    train = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t["gid"], 1)), batch_format="pyarrow"
+    )
+    test = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["gid"], 2)), batch_format="pyarrow"
+    )
+    state = bootstrap_pipeline(train, fixture_bootstrap(), 10)
+    score_stream(state, test, 10, interval=4, snapshot_dir=str(tmp_path / "s"))
+    mt = pq.read_table(str(tmp_path / "s" / "_METRICS.parquet")).to_pandas()
+    stages = set(mt["stage"])
+    assert {"graph_sketch_update", "cluster_update"} <= stages
+    row = mt.set_index("stage").loc["graph_sketch_update"]
+    assert row["units"] == 7  # all streamed test edges counted once

@@ -119,3 +119,38 @@ def test_isolated_anti_join():
     out = isolated_gids(hash_bands(q_sk), hash_bands(idx_sk), num_partitions=4).to_pandas()
     m = dict(zip(out["gid"], out["isolated"]))
     assert m == {1: False, 2: True}
+
+
+def test_read_streamspot_tsv_matches_fixture():
+    """S1: the native TSV reader on the reference's own sample file must
+    reproduce the inlined fixture table exactly (including seq order)."""
+    from sbustreamspot_core_ray.sources.edges import (
+        read_streamspot_tsv,
+        streamspot_fixture_table,
+    )
+
+    ds = read_streamspot_tsv("/root/reference/test_edges.txt")
+    got = ds.to_pandas().sort_values("seq").reset_index(drop=True)
+    want = streamspot_fixture_table().to_pandas()
+    assert got.equals(want)
+
+
+def test_scenario_presets():
+    """M1 presets (main.cpp:128-146): gid//100 scenario membership."""
+    import pyarrow as pa
+
+    import ray.data
+    from sbustreamspot_core_ray.sources.edges import scenario_filter
+
+    gids = [0, 150, 250, 350, 450, 550]  # scenarios 0..5
+    t = pa.table(
+        {
+            "src": pa.array([1] * 6, pa.int64()),
+            "dst": pa.array([2] * 6, pa.int64()),
+            "gid": pa.array(gids, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    assert sorted(scenario_filter(ds, "all").to_pandas()["gid"]) == gids
+    assert sorted(scenario_filter(ds, "ydc").to_pandas()["gid"]) == [0, 350, 450, 550]
+    assert sorted(scenario_filter(ds, "gfc").to_pandas()["gid"]) == [150, 250, 350, 550]
