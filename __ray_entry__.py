@@ -430,6 +430,42 @@ SELECT doc_id, simhash, MIN(doc_id) OVER (PARTITION BY simhash) AS dup_group
 FROM simh"""
 
 
+NMH_ITERS = 2
+NMH_K = 16
+
+
+def _neighborhood_sketch_sql(iters: int = NMH_ITERS, k: int = NMH_K, seed: int = 23) -> str:
+    """ANF sketch unrolled: per (vertex, perm) min-hash over the <= t-hop
+    in-reachable set, iterated as t chained CTEs; the permutation constants
+    are the same seeded draw the engine makes (uint64-wraparound modmul in
+    HUGEINT)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, 2**61 - 1, size=k, dtype=np.uint64)
+    b = rng.integers(0, 2**61 - 1, size=k, dtype=np.uint64)
+    pj = ",".join(f"({j},{a[j]}::HUGEINT,{b[j]}::HUGEINT)" for j in range(k))
+    ctes = [
+        f"e AS ({_SQL_EDGES_CO})",
+        "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        f"pj(j, a, b) AS (VALUES {pj})",
+        f"s0 AS (SELECT vertex, j, CAST(((vertex::HUGEINT * a) % {_POW64} + b)"
+        f" % {_POW64} % 2305843009213693951::HUGEINT AS BIGINT) AS m"
+        f" FROM v CROSS JOIN pj)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"s{t} AS (SELECT vertex, j, MIN(m) AS m FROM ("
+            f" SELECT vertex, j, m FROM s{t - 1}"
+            f" UNION ALL SELECT e.dst, s.j, s.m FROM e"
+            f" JOIN s{t - 1} s ON s.vertex = e.src"
+            f") GROUP BY vertex, j)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vertex, ROUND({float(k)} / SUM(m / 2305843009213693951.0)"
+        f" - 1.0, 6) AS nf_est FROM s{iters} GROUP BY vertex"
+    )
+
+
 # ---- fixture-based oracles (reference 12-edge smoke data as VALUES) ------
 
 
@@ -808,6 +844,21 @@ def q_label_propagation(sf_dir: str):
 
     g = ShardedGraph.build(_edges_custorder(sf_dir), num_parts=P, symmetric=True)
     return label_propagation(g, iters=LP_ITERS)
+
+
+def q_neighborhood_sketch(sf_dir: str):
+    """ANF/HyperANF-style neighborhood-function estimates over the
+    customer->order graph (k=16 permuted min-hashes, 2 supersteps);
+    SQL-mirrored with the seeded permutation constants embedded."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        neighborhood_sketch,
+    )
+
+    g = ShardedGraph.build(_edges_custorder(sf_dir), num_parts=P, symmetric=False)
+    df = neighborhood_sketch(g, iters=NMH_ITERS, num_perm=NMH_K, seed=23).to_pandas()
+    df["nf_est"] = round_half_away(df["nf_est"], 6)
+    return df
 
 
 def q_triangle_count(sf_dir: str):
@@ -1340,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
+        "neighborhood_sketch": q_neighborhood_sketch,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "lsh_isolated": q_lsh_isolated,
@@ -1389,6 +1441,7 @@ reach(vx, lbl) AS (
 SELECT vx AS vertex, MIN(lbl) AS component FROM reach GROUP BY vx
 """,
         "label_propagation": _lp_sql(),
+        "neighborhood_sketch": _neighborhood_sketch_sql(),
         "triangle_count": f"""
 WITH de AS ({_SQL_EDGES_TRI}),
 und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

@@ -478,6 +478,30 @@ def label_propagation(
     return graph.state_dataset("label")
 
 
+def neighborhood_sketch(
+    graph: ShardedGraph,
+    iters: int = 2,
+    num_perm: int = 16,
+    seed: int = 23,
+) -> ray.data.Dataset:
+    """ANF/HyperANF-style neighborhood-function estimation on the superstep
+    engine: every vertex keeps k permuted min-hashes of the vertex set
+    reaching it within <= `iters` hops (superstep aggregate = elementwise
+    min over in-neighbors); returns (vertex, nf_est) with the k-min
+    cardinality estimate n̂ = k / Σ(m_j/p) − 1.
+
+    Doubles as the engine's COMPUTE-BOUND scaling workload: per-edge work
+    is k element-mins versus PageRank's single multiply-add, so wall time
+    is dominated by vectorized arithmetic rather than memory traffic
+    (bench.py --scaling runs it at num_perm=64)."""
+    assert not graph.salted, "nmh mirrors are not wired; build unsalted"
+    actors = graph.actors
+    ray.get([a.nmh_init.remote(num_perm, seed) for a in actors])
+    for _ in range(iters):
+        graph._exchange("nmh")
+    return ray.data.from_arrow_refs([a.nmh_state.remote() for a in actors])
+
+
 def driver_components(
     src: np.ndarray, dst: np.ndarray, vertices: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -376,6 +376,96 @@ class CsrShard:
         # owned vertices with no out-edges (incl. dst-only vertices)
         return float(self.rank[~self.has_out].sum())
 
+    # ---- neighborhood min-hash sketches (ANF/HyperANF-style) -------------
+    #
+    # Per-vertex bottom sketch of the set of vertices reaching it within
+    # <= t hops after t supersteps: k permuted hashes, superstep aggregate
+    # = elementwise min over in-neighbors. Per-edge work is k element mins
+    # (vs PageRank's one multiply-add), so this is the COMPUTE-BOUND
+    # superstep workload of the engine (the scaling benchmark's honest
+    # high-arithmetic-intensity leg) as well as a real operator
+    # (neighborhood-function / reachable-set cardinality estimation).
+
+    def nmh_init(self, num_perm: int, seed: int = 23) -> int:
+        """h_j(v) = ((v*a_j mod 2^64) + b_j mod 2^64) mod (2^61-1) — the
+        same uint64-wraparound modmul family as the minhash dedup stage
+        (SQL-mirrorable with HUGEINT arithmetic)."""
+        rng = np.random.Generator(np.random.PCG64(seed))
+        a = rng.integers(1, 2**61 - 1, size=num_perm, dtype=np.uint64)
+        b = rng.integers(0, 2**61 - 1, size=num_perm, dtype=np.uint64)
+        self.nmh_p = np.uint64((1 << 61) - 1)
+        v = self.owned.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            self.nmh = ((v[:, None] * a[None, :]) + b[None, :]) % self.nmh_p
+        # per-edge gather index (owned row of the edge's source) in
+        # dst-sorted order + run starts, for segment-min via reduceat
+        esrc_owned = np.repeat(self.src_in_owned, self.outdeg)
+        order = np.argsort(self.dst_inv, kind="stable")
+        self._nmh_ge = esrc_owned[order]
+        di = self.dst_inv[order]
+        self._nmh_starts = np.searchsorted(di, np.arange(len(self.dst_u)))
+        return len(v)
+
+    # temp-memory budgets for the scatter: perm-chunk x edge-chunk bounds
+    # the gathered value matrix to ~64 MB regardless of shard size
+    _NMH_PERM_CHUNK = 8
+    _NMH_EDGE_BUDGET = 1 << 21
+
+    def nmh_scatter_parts(self):
+        S = self.nmh
+        k = S.shape[1]
+        nd = len(self.dst_u)
+        mins = np.empty((nd, k), np.uint64)
+        ge, starts = self._nmh_ge, self._nmh_starts
+        E = len(ge)
+        for j0 in range(0, k, self._NMH_PERM_CHUNK):
+            col = S[:, j0 : j0 + self._NMH_PERM_CHUNK]
+            r0 = 0
+            while r0 < nd:
+                # edge-chunk aligned to destination-run boundaries
+                r1 = int(
+                    np.searchsorted(starts, starts[r0] + self._NMH_EDGE_BUDGET)
+                )
+                r1 = max(r1, r0 + 1)
+                e0 = starts[r0]
+                e1 = starts[r1] if r1 < nd else E
+                vals = col[ge[e0:e1]]
+                mins[r0:r1, j0 : j0 + self._NMH_PERM_CHUNK] = (
+                    np.minimum.reduceat(vals, starts[r0:r1] - e0, axis=0)
+                )
+                r0 = r1
+        return tuple(
+            (self.dst_route[p], mins[idx])
+            for p, idx in enumerate(self.dst_by_part)
+        )
+
+    def nmh_apply_parts(self, *parts) -> float:
+        new = self.nmh
+        changed_any = np.zeros(len(self.owned), bool)
+        for idx, m in parts:
+            if len(idx):
+                # idx rows are distinct within a part (dst_route lists each
+                # destination once), so fancy-index min is collision-free
+                cur = new[idx]
+                upd = np.minimum(cur, m)
+                ch = (upd != cur).any(axis=1)
+                if ch.any():
+                    new[idx] = upd
+                    changed_any[idx] |= ch
+        return float(changed_any.sum())
+
+    def nmh_state(self) -> pa.Table:
+        """(vertex, nf_est): k-min cardinality estimate of the <= t-hop
+        in-reachable set, n̂ = k / sum_j(m_j / p) - 1."""
+        m = self.nmh.astype(np.float64) / float(self.nmh_p)
+        est = self.nmh.shape[1] / m.sum(axis=1) - 1.0
+        return pa.table(
+            {
+                "vertex": pa.array(self.owned, pa.int64()),
+                "nf_est": pa.array(est, pa.float64()),
+            }
+        )
+
     # ---- push-based actor-to-actor exchange (default combine path) ------
 
     def set_peers(self, peers: list) -> None:
@@ -385,11 +475,13 @@ class CsrShard:
         "pagerank": "pagerank_scatter_parts",
         "cc": "cc_scatter_parts",
         "lp": "lp_scatter_parts",
+        "nmh": "nmh_scatter_parts",
     }
     _APPLIES = {
         "pagerank": "pagerank_apply_parts",
         "cc": "cc_apply_parts",
         "lp": "lp_apply_parts",
+        "nmh": "nmh_apply_parts",
     }
 
     async def push_parts(self, algo: str, *scatter_args) -> int:

@@ -197,3 +197,41 @@ def test_pagerank_checkpoint_resume(tmp_path, edges):
     assert set(a) == set(b)
     for v in a:
         assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_neighborhood_sketch_parity(edges):
+    """nmh supersteps == synchronous numpy simulation (exact: the state is
+    integer min-hashes, so equality is bitwise)."""
+    from sbustreamspot_core_ray.pipelines.superstep import neighborhood_sketch
+
+    k, iters, seed = 8, 3, 23
+    g = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=False)
+    out = (
+        neighborhood_sketch(g, iters=iters, num_perm=k, seed=seed)
+        .to_pandas()
+        .sort_values("vertex")
+        .reset_index(drop=True)
+    )
+
+    # pure-numpy oracle with the identical seeded permutation family
+    src = np.array([e[0] for e in edges], np.int64)
+    dst = np.array([e[1] for e in edges], np.int64)
+    vs = np.unique(np.concatenate([src, dst]))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, 2**61 - 1, size=k, dtype=np.uint64)
+    b = rng.integers(0, 2**61 - 1, size=k, dtype=np.uint64)
+    p = np.uint64((1 << 61) - 1)
+    with np.errstate(over="ignore"):
+        S = ((vs.astype(np.uint64)[:, None] * a[None, :]) + b[None, :]) % p
+    si = np.searchsorted(vs, src)
+    di = np.searchsorted(vs, dst)
+    for _ in range(iters):
+        nxt = S.copy()
+        np.minimum.at(nxt, di, S[si])
+        S = nxt
+    est = k / (S.astype(np.float64) / float(p)).sum(axis=1) - 1.0
+
+    assert (out["vertex"].to_numpy() == vs).all()
+    assert np.array_equal(out["nf_est"].to_numpy(), est)
+    # sanity: estimates grow with reach and are >= 0-ish for singles
+    assert (out["nf_est"] > -0.5).all()
