@@ -204,30 +204,30 @@ chunks AS (
 shing AS (SELECT gid, shingle, count(*) AS cnt FROM chunks GROUP BY gid, shingle)"""
 
 
-def _hash_family_values(seed: int) -> str:
+def _hash_family_values(seed: int, c: int = SHINGLE_C) -> str:
     """The seeded H family (L x (C+2) uint64) as a VALUES list — one row
     per hash i with its first C+1 coefficients (chunks are <= C bytes)."""
     from sbustreamspot_core_ray.functions.hashing import hash_family
 
-    H = hash_family(SHINGLE_C, seed=seed)
+    H = hash_family(c, seed=seed)
     return ",".join(
-        "({},{})".format(i, ",".join(f"{v}::HUGEINT" for v in r[: SHINGLE_C + 1]))
+        "({},{})".format(i, ",".join(f"{v}::HUGEINT" for v in r[: c + 1]))
         for i, r in enumerate(H)
     )
 
 
-def _sketch_bits_ctes(seed: int) -> str:
+def _sketch_bits_ctes(seed: int, c: int = SHINGLE_C) -> str:
     """CTEs hh/sg/proj/bits: hashmulti (H1) + projection (H4) + sign bits,
     over the `shing` CTE. hashmulti = (r0 + sum_k r_{k+1}*byte_k) mod 2^64,
     MSB set -> +1 (reference hash.cpp:20-26 semantics)."""
     byte_terms = " + ".join(
         f"hh.r{k} * CASE WHEN length(s.shingle) >= {k} THEN"
         f" ascii(substring(s.shingle,{k},1)) ELSE 0 END"
-        for k in range(1, SHINGLE_C + 1)
+        for k in range(1, c + 1)
     )
-    cols = ", ".join(f"r{k}" for k in range(SHINGLE_C + 1))
+    cols = ", ".join(f"r{k}" for k in range(c + 1))
     return f"""
-hh(i, {cols}) AS (VALUES {_hash_family_values(seed)}),
+hh(i, {cols}) AS (VALUES {_hash_family_values(seed, c)}),
 sg AS (
   SELECT s.gid, s.cnt, hh.i,
     CASE WHEN ((hh.r0 + {byte_terms}) % {_POW64}) >= {_MSB64}
@@ -469,7 +469,7 @@ def _neighborhood_sketch_sql(iters: int = NMH_ITERS, k: int = NMH_K, seed: int =
 # ---- fixture-based oracles (reference 12-edge smoke data as VALUES) ------
 
 
-def _fixture_shing_ctes() -> str:
+def _fixture_shing_ctes(c: int = SHINGLE_C) -> str:
     """F1 shingle chain over the reference's 12-edge fixture: per (gid,
     src, src_type) traversal string in seq order, chunked by C, counted —
     the `shing` CTE the sketch machinery consumes."""
@@ -486,8 +486,8 @@ strs AS (
   FROM fx GROUP BY gid, src, st
 ),
 chunks AS (
-  SELECT gid, substring(s, CAST(i AS INT), {SHINGLE_C}) AS shingle
-  FROM strs, generate_series(1, 512, {SHINGLE_C}) g(i) WHERE g.i <= length(s)
+  SELECT gid, substring(s, CAST(i AS INT), {c}) AS shingle
+  FROM strs, generate_series(1, 512, {c}) g(i) WHERE g.i <= length(s)
 ),
 shing AS (SELECT gid, shingle, count(*) AS cnt FROM chunks GROUP BY gid, shingle)"""
 
@@ -558,6 +558,96 @@ SELECT CAST(0 AS BIGINT) AS e_type, count(*) AS n_edges FROM c
 UNION ALL
 SELECT 1, count(*) FROM imp WHERE tgt <> fullpath
 """
+
+
+def _streamspot_snapshots_sql() -> str:
+    """The full bootstrap + windowed scoring pipeline on the fixture,
+    recomputed in SQL. Window structure of THIS fixture (interval=4, test
+    gids {2,3}; lo = min test seq = 5): window 0 touches only gid 2 (its
+    edges all fall in seqs 5-8), window 1 only gid 3 (seqs 9-11), and both
+    graphs' cumulative sketches equal their full-fixture sketches — so the
+    two C6 mini-batch rounds unroll to two assignment/centroid-update
+    stages. Every arithmetic step (hashmulti, integer centroid sums,
+    1-cos(pi*(1-sim)) distances, min(global, cluster) thresholds, argmin
+    tie-break, post-move score refresh) mirrors pipelines/streamspot.py
+    exactly; the bootstrap constants ({0},{1}, thr 0.5/0.5, global 0.6)
+    are the reference's own fixture."""
+    C = 10  # q_streamspot_snapshots runs with chunk_length=10
+    dist = "1.0 - cos(pi() * (1.0 - (1.0 - ({ne}) / 1000.0)))"
+    return f"""
+WITH {_fixture_shing_ctes(C)}, {_sketch_bits_ctes(23, C)},
+thr(k, t) AS (VALUES (0, 0.5), (1, 0.5)),
+-- bootstrap: singleton clusters -> integer sums = member projections
+csum0 AS (SELECT gid AS k, i, p AS s FROM proj WHERE gid IN (0, 1)),
+cbits0 AS (SELECT k, i, CASE WHEN s / 1.0 >= 0 THEN 1 ELSE 0 END AS bit FROM csum0),
+boot AS (
+  SELECT b.gid, {dist.format(ne="SUM(CASE WHEN b.bit <> c.bit THEN 1 ELSE 0 END)")} AS score
+  FROM bits b JOIN cbits0 c ON c.i = b.i AND c.k = b.gid
+  WHERE b.gid IN (0, 1) GROUP BY b.gid
+),
+-- window 0: gid 2 vs bootstrap centroids
+d0 AS (
+  SELECT c.k, {dist.format(ne="SUM(CASE WHEN b.bit <> c.bit THEN 1 ELSE 0 END)")} AS d
+  FROM (SELECT i, bit FROM bits WHERE gid = 2) b
+  JOIN cbits0 c ON c.i = b.i GROUP BY c.k
+),
+a0 AS (
+  SELECT k AS nearest, d,
+         CASE WHEN d > least(0.6, (SELECT t FROM thr WHERE thr.k = q.k))
+              THEN -1 ELSE k END AS cl
+  FROM (SELECT k, d, row_number() OVER (ORDER BY d, k) AS rn FROM d0) q
+  WHERE rn = 1
+),
+csum1 AS (
+  SELECT c.k, c.i,
+         c.s + CASE WHEN (SELECT cl FROM a0) = c.k
+                    THEN (SELECT p FROM proj WHERE gid = 2 AND proj.i = c.i)
+                    ELSE 0 END AS s,
+         1 + CASE WHEN (SELECT cl FROM a0) = c.k THEN 1 ELSE 0 END AS n
+  FROM csum0 c
+),
+cbits1 AS (SELECT k, i, CASE WHEN s / CAST(n AS DOUBLE) >= 0 THEN 1 ELSE 0 END AS bit FROM csum1),
+sc2 AS (
+  SELECT {dist.format(ne="SUM(CASE WHEN b.bit <> c.bit THEN 1 ELSE 0 END)")} AS score
+  FROM (SELECT i, bit FROM bits WHERE gid = 2) b
+  JOIN cbits1 c ON c.i = b.i AND c.k = (SELECT nearest FROM a0)
+),
+-- window 1: gid 3 vs the window-0 centroids
+d1 AS (
+  SELECT c.k, {dist.format(ne="SUM(CASE WHEN b.bit <> c.bit THEN 1 ELSE 0 END)")} AS d
+  FROM (SELECT i, bit FROM bits WHERE gid = 3) b
+  JOIN cbits1 c ON c.i = b.i GROUP BY c.k
+),
+a1 AS (
+  SELECT k AS nearest, d,
+         CASE WHEN d > least(0.6, (SELECT t FROM thr WHERE thr.k = q.k))
+              THEN -1 ELSE k END AS cl
+  FROM (SELECT k, d, row_number() OVER (ORDER BY d, k) AS rn FROM d1) q
+  WHERE rn = 1
+),
+csum2 AS (
+  SELECT c.k, c.i,
+         c.s + CASE WHEN (SELECT cl FROM a1) = c.k
+                    THEN (SELECT p FROM proj WHERE gid = 3 AND proj.i = c.i)
+                    ELSE 0 END AS s,
+         c.n + CASE WHEN (SELECT cl FROM a1) = c.k THEN 1 ELSE 0 END AS n
+  FROM csum1 c
+),
+cbits2 AS (SELECT k, i, CASE WHEN s / CAST(n AS DOUBLE) >= 0 THEN 1 ELSE 0 END AS bit FROM csum2),
+sc3 AS (
+  SELECT {dist.format(ne="SUM(CASE WHEN b.bit <> c.bit THEN 1 ELSE 0 END)")} AS score
+  FROM (SELECT i, bit FROM bits WHERE gid = 3) b
+  JOIN cbits2 c ON c.i = b.i AND c.k = (SELECT nearest FROM a1)
+)
+SELECT CAST(iv AS INT) AS interval, gid, ROUND(score, 6) AS anomaly_score,
+       CAST(cl AS INT) AS cluster_id
+FROM (
+  SELECT 0 AS iv, gid, score, gid AS cl FROM boot
+  UNION ALL SELECT 0, 2, (SELECT score FROM sc2), (SELECT cl FROM a0)
+  UNION ALL SELECT 1, gid, score, gid FROM boot
+  UNION ALL SELECT 1, 2, (SELECT score FROM sc2), (SELECT cl FROM a0)
+  UNION ALL SELECT 1, 3, (SELECT score FROM sc3), (SELECT cl FROM a1)
+)"""
 
 
 # ---- ANN oracles (constants generated lazily in oracle_sql) --------------
@@ -1546,6 +1636,7 @@ FROM documents
         "minhash_dedup": _minhash_dedup_sql(),
         "simhash_dedup": _simhash_dedup_sql(),
         "incremental_sketches": _incremental_sketches_sql(),
+        "streamspot_snapshots": _streamspot_snapshots_sql(),
         "similarity_report": _similarity_report_sql(),
         "corpus_pipeline": _corpus_pipeline_sql(),
         "knn_ivf": _knn_ivf_sql(),

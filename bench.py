@@ -432,7 +432,10 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.scaling:
-        out = run_scaling(args.sf_dir, args.scaling_lo, args.scaling_hi)
+        out = run_scaling(
+            args.sf_dir, args.scaling_lo, args.scaling_hi,
+            scale_k=args.scale_k if args.scale_k > 1 else 64,
+        )
     elif args.one:
         out = run_one(args.sf_dir, args.one, args.cpus, args.parts, args.scale_k)
     else:

@@ -811,6 +811,18 @@ def triangle_count(
     ).materialize()
 
     n_edges = und.count()
+    # memory-aware guard: the broadcast regime materializes ~16 bytes/edge
+    # on the driver; cap the threshold at 10% of currently-available RAM so
+    # a generous default can never OOM a loaded driver
+    try:
+        import psutil
+
+        broadcast_edges_max = min(
+            broadcast_edges_max,
+            int(psutil.virtual_memory().available * 0.10) // 16,
+        )
+    except ImportError:  # pragma: no cover - psutil ships with ray
+        pass
     if n_edges <= broadcast_edges_max:
         return _triangles_broadcast(und, num_partitions, per_vertex)
 

@@ -95,12 +95,21 @@ def isolated_gids(
     )
 
     def fold(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        hits = df.groupby("gid")["hit"].max().fillna(0)
+        import pyarrow.compute as pc
+
+        g = t["gid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = (
+            pc.fill_null(t["hit"], 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.argsort(g, kind="stable")
+        gs, hs = g[order], hit[order]
+        starts = np.flatnonzero(np.concatenate([[True], gs[1:] != gs[:-1]]))
         return pa.table(
             {
-                "gid": pa.array(hits.index.to_numpy(), pa.int64()),
-                "hits": pa.array(hits.to_numpy(np.int64)),
+                "gid": pa.array(gs[starts], pa.int64()),
+                "hits": pa.array(np.maximum.reduceat(hs, starts)),
             }
         )
 
