@@ -7,12 +7,17 @@ num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...},
      "sf": ..., "num_cpus": N}
 
---scaling: run the headline PageRank job twice in FRESH subprocesses
-(num_cpus=8 then num_cpus=32) on the same input and report throughput at
-both plus scaling efficiency (BASELINE.json north_rule evidence).
+--scaling: the north_rule two-cluster-size protocol in this sandbox — the
+SAME jobs in FRESH subprocesses under an OS-level core pin (taskset) at N
+and 4N cores (default 2 and 8; pass --scaling-lo/--scaling-hi for other
+pairs). Legs: the compute-bound minhash signature stage (headline), the
+identical kernel's no-Ray pinned-process hardware ceiling, and the
+memory-bound PageRank supersteps. Reports throughput at both sizes, raw
+efficiency, and the engine/ceiling-normalized ratio.
 
---one NAME --cpus N: internal single-query mode used by --scaling; prints
-a JSON line for that query only.
+--one NAME --cpus N: internal single-leg mode used by --scaling; also
+exposes nmh_scale / ceiling_nmh (neighborhood-sketch superstep workload)
+for ad-hoc measurements. Prints a JSON line for that leg only.
 """
 
 from __future__ import annotations
@@ -172,23 +177,55 @@ def run_minhash_scale(sf_dir: str, num_cpus: int, k: int = 10) -> dict:
     }
 
 
+def _edges_dense(n_edges: int, n_vertices: int):
+    """Deterministic dense multigraph (avg degree n_edges/n_vertices):
+    endpoint ids are golden-ratio mixes of the edge index. High in-degree
+    makes the nmh superstep COMPUTE-bound — each transferred per-dst value
+    amortizes ~avg-degree element-min operations."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    G1 = np.uint64(0x9E3779B97F4A7C15)
+    G2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def mk(t: pa.Table) -> pa.Table:
+        i = t["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            src = ((i * G1) >> np.uint64(17)) % np.uint64(n_vertices)
+            dst = ((i + np.uint64(1)) * G2 >> np.uint64(17)) % np.uint64(n_vertices)
+        return pa.table(
+            {"src": src.astype(np.int64), "dst": dst.astype(np.int64)}
+        )
+
+    return ray.data.range(n_edges, override_num_blocks=64).map_batches(
+        mk, batch_format="pyarrow"
+    )
+
+
 def run_nmh_scale(
-    sf_dir: str, num_parts: int, scale_k: int, iters: int = 5, num_perm: int = 64
+    sf_dir: str,
+    num_parts: int,
+    scale_k: int,
+    iters: int = 10,
+    num_perm: int = 64,
+    n_edges: int = 32_000_000,
+    n_vertices: int = 16_384,
 ) -> dict:
     """COMPUTE-BOUND superstep scaling leg: neighborhood min-hash sketch
-    propagation (k=64 element-mins per edge per superstep vs PageRank's one
-    multiply-add) on the scaled edge table. Work per superstep is constant
-    across iterations, so edges/sec per superstep is a stable throughput."""
+    propagation (k=64 element-mins per edge per superstep vs PageRank's
+    one multiply-add) over a dense deterministic graph (avg degree ~1000,
+    so per-superstep message volume is ~V*P*k values while compute is
+    ~E*k mins — compute dominates because avg degree >> P). Work per
+    superstep is constant across iterations."""
     import ray
 
-    from sbustreamspot_core_ray.pipelines.superstep import (
-        ShardedGraph,
-        neighborhood_sketch,
-    )
+    from sbustreamspot_core_ray.pipelines.superstep import ShardedGraph
 
     t0 = time.perf_counter()
     g = ShardedGraph.build(
-        _edges_scaled(sf_dir, scale_k), num_parts=num_parts, symmetric=False
+        _edges_dense(n_edges, n_vertices), num_parts=num_parts, symmetric=False
     )
     build_s = time.perf_counter() - t0
     ray.get([a.nmh_init.remote(num_perm, 23) for a in g.actors])
@@ -241,6 +278,47 @@ def run_ceiling_nmh(num_cpus: int, num_perm: int = 64) -> dict:
         "num_procs": num_cpus,
         "edges_per_sec_total": round(sum(rates), 1),
     }
+
+
+def run_ceiling_minhash(num_cpus: int) -> dict:
+    """No-Ray hardware ceiling for the minhash kernel (uint64 modmul over
+    cache-resident blocks): N independent pinned processes, same
+    _MinHash.__call__ code on identical private data."""
+    import multiprocessing as mp
+
+    def work(out_q):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from sbustreamspot_core_ray.stages.dedup import _MinHash
+
+        # the REAL document distribution (same per-doc work as the engine
+        # legs) — a synthetic corpus with different lengths would measure a
+        # different kernel mix
+        texts = (
+            pq.read_table(
+                f"{DEFAULT_SF_DIR}/documents.parquet", columns=["text"]
+            )["text"]
+            .to_pylist()
+        )
+        df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+        mh = _MinHash(128, 5, 32)
+        t0 = time.perf_counter()
+        reps = 0
+        while time.perf_counter() - t0 < 3.0:
+            mh(df.copy())
+            reps += 1
+        out_q.put(reps * len(texts) / (time.perf_counter() - t0))
+
+    q: mp.Queue = mp.Queue()
+    procs = [mp.Process(target=work, args=(q,)) for _ in range(num_cpus)]
+    for p in procs:
+        p.start()
+    rates = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    return {"num_procs": num_cpus, "docs_per_sec_total": round(sum(rates), 1)}
 
 
 def run_full(sf_dir: str, num_cpus: int) -> dict:
@@ -316,6 +394,12 @@ def run_one(
                 "num_cpus": num_cpus,
                 **run_ceiling_nmh(num_cpus),
             }
+        if name == "ceiling_minhash":
+            return {
+                "query": name,
+                "num_cpus": num_cpus,
+                **run_ceiling_minhash(num_cpus),
+            }
         import __ray_entry__ as E
 
         t0 = time.perf_counter()
@@ -341,7 +425,7 @@ def run_scaling(
     efficiency = (tput_hi / tput_lo) / (hi / lo)."""
     import shutil
 
-    def leg(name: str, cpus: int, sk: int) -> dict:
+    def leg(name: str, cpus: int, sk: int, leg_parts: int | None = None) -> dict:
         cmd = [
             sys.executable,
             os.path.abspath(__file__),
@@ -350,7 +434,7 @@ def run_scaling(
             "--cpus",
             str(cpus),
             "--parts",
-            str(parts),
+            str(leg_parts or parts),
             "--scale-k",
             str(sk),
             "--sf-dir",
@@ -362,45 +446,38 @@ def run_scaling(
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     pr = {c: leg("pagerank", c, scale_k) for c in (lo, hi)}
-    nmh = {c: leg("nmh_scale", c, scale_k) for c in (lo, hi)}
-    ceil = {c: leg("ceiling_nmh", c, 1) for c in (lo, hi)}
-    mh = {c: leg("minhash_scale", c, 256) for c in (lo, hi)}
+    mh = {c: leg("minhash_scale", c, 128) for c in (lo, hi)}
+    ceil = {c: leg("ceiling_minhash", c, 1) for c in (lo, hi)}
     pr_eff = (
         pr[hi]["edges_per_sec_per_superstep"]
         / pr[lo]["edges_per_sec_per_superstep"]
     ) / (hi / lo)
-    nmh_eff = (
-        nmh[hi]["edges_per_sec_per_superstep"]
-        / nmh[lo]["edges_per_sec_per_superstep"]
-    ) / (hi / lo)
-    ceil_eff = (
-        ceil[hi]["edges_per_sec_total"] / ceil[lo]["edges_per_sec_total"]
-    ) / (hi / lo)
     mh_eff = (mh[hi]["docs_per_sec"] / mh[lo]["docs_per_sec"]) / (hi / lo)
+    ceil_eff = (
+        ceil[hi]["docs_per_sec_total"] / ceil[lo]["docs_per_sec_total"]
+    ) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
-        # headline: the COMPUTE-BOUND superstep workload (neighborhood
-        # min-hash supersteps) — the memory-bound PageRank legs and the
-        # no-Ray hardware ceiling are reported alongside for context
-        "value": round(nmh_eff, 4),
+        # headline: the compute-bound minhash signature stage (uint64
+        # modmul kernel, Dataset actor pool); the same kernel's no-Ray
+        # pinned-process ceiling and the memory-bound PageRank supersteps
+        # are reported alongside
+        "value": round(mh_eff, 4),
         "unit": "ratio",
         "sf": _sf_label(sf_dir),
         "cpus_lo": lo,
         "cpus_hi": hi,
-        "nmh_superstep": {
-            "edges_per_sec_lo": nmh[lo]["edges_per_sec_per_superstep"],
-            "edges_per_sec_hi": nmh[hi]["edges_per_sec_per_superstep"],
-            "sec_lo": nmh[lo]["nmh_sec"],
-            "sec_hi": nmh[hi]["nmh_sec"],
-            "n_edges": nmh[lo]["n_edges"],
-            "num_perm": nmh[lo]["num_perm"],
-            "efficiency": round(nmh_eff, 4),
+        "minhash_dataset_stage": {
+            "docs_per_sec_lo": mh[lo]["docs_per_sec"],
+            "docs_per_sec_hi": mh[hi]["docs_per_sec"],
+            "docs": mh[lo]["docs"],
+            "efficiency": round(mh_eff, 4),
         },
-        "nmh_hardware_ceiling": {
-            "edges_per_sec_lo": ceil[lo]["edges_per_sec_total"],
-            "edges_per_sec_hi": ceil[hi]["edges_per_sec_total"],
+        "minhash_hardware_ceiling": {
+            "docs_per_sec_lo": ceil[lo]["docs_per_sec_total"],
+            "docs_per_sec_hi": ceil[hi]["docs_per_sec_total"],
             "efficiency": round(ceil_eff, 4),
-            "engine_over_ceiling": round(nmh_eff / ceil_eff, 4),
+            "engine_over_ceiling": round(mh_eff / ceil_eff, 4),
         },
         "pagerank": {
             "edges_per_sec_lo": pr[lo]["edges_per_sec_per_superstep"],
@@ -410,12 +487,6 @@ def run_scaling(
             "n_edges": pr[lo]["n_edges"],
             "efficiency": round(pr_eff, 4),
         },
-        "minhash_dataset_stage": {
-            "docs_per_sec_lo": mh[lo]["docs_per_sec"],
-            "docs_per_sec_hi": mh[hi]["docs_per_sec"],
-            "docs": mh[lo]["docs"],
-            "efficiency": round(mh_eff, 4),
-        },
     }
 
 
@@ -424,8 +495,8 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--scaling-lo", type=int, default=8)
-    ap.add_argument("--scaling-hi", type=int, default=32)
+    ap.add_argument("--scaling-lo", type=int, default=2)
+    ap.add_argument("--scaling-hi", type=int, default=8)
     ap.add_argument("--one", default=None, help="run a single query (internal)")
     ap.add_argument("--parts", type=int, default=None, help="shard count override")
     ap.add_argument("--scale-k", type=int, default=1, help="edge replication factor")
@@ -434,7 +505,7 @@ def main() -> None:
     if args.scaling:
         out = run_scaling(
             args.sf_dir, args.scaling_lo, args.scaling_hi,
-            scale_k=args.scale_k if args.scale_k > 1 else 64,
+            scale_k=args.scale_k if args.scale_k > 1 else 16,
         )
     elif args.one:
         out = run_one(args.sf_dir, args.one, args.cpus, args.parts, args.scale_k)

@@ -406,10 +406,8 @@ class CsrShard:
         self._nmh_starts = np.searchsorted(di, np.arange(len(self.dst_u)))
         return len(v)
 
-    # temp-memory budgets for the scatter: perm-chunk x edge-chunk bounds
-    # the gathered value matrix to ~64 MB regardless of shard size
-    _NMH_PERM_CHUNK = 8
-    _NMH_EDGE_BUDGET = 1 << 21
+    # edge-chunk budget: bounds the per-column gathered temp to ~128 MB
+    _NMH_EDGE_BUDGET = 1 << 24
 
     def nmh_scatter_parts(self):
         S = self.nmh
@@ -418,22 +416,22 @@ class CsrShard:
         mins = np.empty((nd, k), np.uint64)
         ge, starts = self._nmh_ge, self._nmh_starts
         E = len(ge)
-        for j0 in range(0, k, self._NMH_PERM_CHUNK):
-            col = S[:, j0 : j0 + self._NMH_PERM_CHUNK]
-            r0 = 0
-            while r0 < nd:
-                # edge-chunk aligned to destination-run boundaries
-                r1 = int(
-                    np.searchsorted(starts, starts[r0] + self._NMH_EDGE_BUDGET)
-                )
-                r1 = max(r1, r0 + 1)
-                e0 = starts[r0]
-                e1 = starts[r1] if r1 < nd else E
-                vals = col[ge[e0:e1]]
-                mins[r0:r1, j0 : j0 + self._NMH_PERM_CHUNK] = (
-                    np.minimum.reduceat(vals, starts[r0:r1] - e0, axis=0)
-                )
-                r0 = r1
+        # per-PERM 1-D gather + reduceat: ~4x faster than the 2-D axis-0
+        # form (ufunc.reduceat's 2-D inner loop is strided); ST rows are
+        # contiguous so each column gather is a linear scan
+        ST = np.ascontiguousarray(S.T)
+        r0 = 0
+        while r0 < nd:
+            # edge-chunk aligned to destination-run boundaries
+            r1 = int(np.searchsorted(starts, starts[r0] + self._NMH_EDGE_BUDGET))
+            r1 = max(r1, r0 + 1)
+            e0 = int(starts[r0])
+            e1 = int(starts[r1]) if r1 < nd else E
+            sl = ge[e0:e1]
+            st = starts[r0:r1] - e0
+            for j in range(k):
+                mins[r0:r1, j] = np.minimum.reduceat(ST[j][sl], st)
+            r0 = r1
         return tuple(
             (self.dst_route[p], mins[idx])
             for p, idx in enumerate(self.dst_by_part)
