@@ -39,18 +39,25 @@ BENCH_QUERIES = [
     "pagerank",
     "connected_components",
     "label_propagation",
+    "neighborhood_sketch",
     "triangle_count",
     "q1_revenue",
     "events_windowed",
+    "sessionize",
     "exact_dedup",
     "minhash_dedup",
     "simhash_dedup",
     "lang_id",
     "token_counts",
+    "doc_quality",
+    "fingerprints",
     "knn_cosine",
+    "knn_ivf",
+    "embedding_near_dup",
     "lsh_clusters",
     "ngram_jaccard",
     "media_features",
+    "audio_frames",
 ]
 
 
