@@ -954,13 +954,17 @@ def q_neighborhood_sketch(sf_dir: str):
 def q_triangle_count(sf_dir: str):
     from sbustreamspot_core_ray.pipelines.superstep import triangle_count
 
-    return triangle_count(_edges_triangle(sf_dir), num_partitions=P)
+    # 4P closure tasks: the broadcast regime's wedge work is balanced by
+    # cumulative size, so more tasks = better core usage at zero cost
+    return triangle_count(_edges_triangle(sf_dir), num_partitions=4 * P)
 
 
 def q_triangles_per_vertex(sf_dir: str):
     from sbustreamspot_core_ray.pipelines.superstep import triangle_count
 
-    return triangle_count(_edges_triangle(sf_dir), num_partitions=P, per_vertex=True)
+    return triangle_count(
+        _edges_triangle(sf_dir), num_partitions=4 * P, per_vertex=True
+    )
 
 
 def q_lsh_isolated(sf_dir: str):
