@@ -1191,6 +1191,32 @@ def q_sessionize(sf_dir: str):
     return out
 
 
+def q_asof_attribution(sf_dir: str):
+    """As-of join (attribution): each purchase matched to the user's latest
+    prior click; SQL-mirrored with an explicit rank-1 window (deterministic
+    tie-break = max event_id per (user, ts) on the right side)."""
+    from sbustreamspot_core_ray.stages.events import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return asof_join(ev, num_parts=8)
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (1h windows every 15min) over the events
+    stream — the overlapping-window generalization of events_windowed."""
+    from sbustreamspot_core_ray.stages.events import hopping_window_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    out = hopping_window_agg(ev).to_pandas()
+    out["sum_value"] = round_half_away(out["sum_value"], 4)
+    return out
+
+
 def q_top_users(sf_dir: str):
     from sbustreamspot_core_ray.stages.events import top_k_by_sum
 
@@ -1499,6 +1525,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_revenue": q_q1_revenue,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
+        "asof_attribution": q_asof_attribution,
+        "events_hopping": q_events_hopping,
         "top_users": q_top_users,
         "doc_quality": q_doc_quality,
         "token_counts": q_token_counts,
@@ -1603,6 +1631,37 @@ SELECT user_id, session_id, count(*) AS n_events,
        min(us) AS first_us, max(us) AS last_us,
        ROUND(SUM(value), 4) AS sum_value
 FROM t GROUP BY user_id, session_id
+""",
+        "asof_attribution": """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, epoch_us(ts) AS us, MAX(event_id) AS event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)
+),
+j AS (
+  SELECT l.event_id, l.user_id, l.us,
+         r.event_id AS matched_event_id, r.us AS matched_us,
+         row_number() OVER (PARTITION BY l.event_id ORDER BY r.us DESC) AS rn
+  FROM l JOIN r ON r.user_id = l.user_id AND r.us <= l.us
+)
+SELECT event_id, user_id, us, matched_event_id, matched_us,
+       us - matched_us AS gap_us
+FROM j WHERE rn = 1
+""",
+        "events_hopping": """
+WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+x AS (
+  SELECT event_type, value,
+         (us // 900000000 - g.k) * 900000000 AS window_start_us
+  FROM e, generate_series(0, 3) g(k)
+  WHERE us // 900000000 - g.k >= 0
+)
+SELECT event_type, window_start_us, count(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM x GROUP BY 1, 2
 """,
         "top_users": """
 SELECT user_id, ROUND(SUM(value), 4) AS total

@@ -89,6 +89,138 @@ def sessionize(
     )
 
 
+def asof_join(
+    events: ray.data.Dataset,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """As-of join (the brief's custom-operator family): for each left-type
+    event, the LATEST right-type event of the same user with ts <= left ts
+    (inner semantics: unmatched lefts drop). Returns
+    (event_id, user_id, us, matched_event_id, matched_us, gap_us).
+
+    Shape: ONE shuffle on hash(user) % P co-locates both sides, then a
+    per-partition sorted C merge (pandas merge_asof). Rights are first
+    deduped to one row per (user, us) keeping the max event_id, so the
+    tie-break is deterministic and SQL-mirrorable (the matching DuckDB
+    oracle ranks by us DESC after the same dedup)."""
+    import pyarrow.compute as pc
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            t["event_type"], value_set=pa.array([left_type, right_type])
+        )
+        t = t.filter(m)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pa.array(u),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(df) -> pa.Table:
+        import pandas as pd
+
+        l = (
+            df[df["event_type"] == left_type]
+            .sort_values("us", kind="stable")
+            .reset_index(drop=True)
+        )
+        r = (
+            df[df["event_type"] == right_type]
+            .groupby(["user_id", "us"], as_index=False)["event_id"]
+            .max()
+            .sort_values("us", kind="stable")
+            .reset_index(drop=True)
+        )
+        if len(l) == 0 or len(r) == 0:
+            z = np.empty(0, np.int64)
+            return pa.table(
+                {
+                    "event_id": z, "user_id": z, "us": z,
+                    "matched_event_id": z, "matched_us": z, "gap_us": z,
+                }
+            )
+        out = pd.merge_asof(
+            l[["event_id", "user_id", "us"]],
+            r.rename(columns={"event_id": "matched_event_id", "us": "matched_us"}),
+            left_on="us",
+            right_on="matched_us",
+            by="user_id",
+            direction="backward",
+        ).dropna(subset=["matched_event_id"])
+        return pa.table(
+            {
+                "event_id": out["event_id"].to_numpy(np.int64),
+                "user_id": out["user_id"].to_numpy(np.int64),
+                "us": out["us"].to_numpy(np.int64),
+                "matched_event_id": out["matched_event_id"].to_numpy(np.int64),
+                "matched_us": out["matched_us"].to_numpy(np.int64),
+                "gap_us": (
+                    out["us"].to_numpy(np.int64)
+                    - out["matched_us"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        events.select_columns(["event_id", "ts", "user_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def hopping_window_agg(
+    events: ray.data.Dataset,
+    window_us: int = 3_600_000_000,
+    hop_us: int = 900_000_000,
+) -> ray.data.Dataset:
+    """Hopping (sliding) window aggregate: each event lands in every window
+    [w*hop, w*hop + window) covering its timestamp — the overlapping-window
+    generalization of the tumbling events_windowed query. Returns
+    (event_type, window_start_us, n, sum_value) per covered window.
+
+    Shape: a flat_map fan-out of window_us/hop_us rows per event inside
+    map_batches (vectorized repeat), then a combiner + one groupby — no
+    per-event Python."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    fan = window_us // hop_us
+
+    def expand(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(us)
+        # windows w with w*hop <= us < w*hop + window
+        w_hi = us // hop_us  # last window containing the event
+        offs = np.arange(fan, dtype=np.int64)
+        w = w_hi[:, None] - offs[None, :]  # (n, fan)
+        keep = (w >= 0).ravel()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": np.repeat(et, fan)[keep],
+                "window_start_us": (w.ravel() * hop_us)[keep],
+                "value": np.repeat(val, fan)[keep],
+            }
+        )
+
+    return (
+        events.select_columns(["ts", "event_type", "value"])
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start_us"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+
 def top_k_by_sum(
     events: ray.data.Dataset,
     key: str = "user_id",

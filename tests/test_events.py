@@ -53,3 +53,77 @@ def test_top_k_by_sum():
     assert len(out) == 1
     assert out.iloc[0]["user_id"] == 2
     assert np.isclose(out.iloc[0]["total"], 70.0)
+
+
+def test_asof_join_semantics():
+    """Hand-checked attribution: latest prior click per purchase; equal-ts
+    clicks collapse to max event_id; clickless purchases drop."""
+    import pyarrow as pa
+
+    import ray.data
+    from sbustreamspot_core_ray.stages.events import asof_join
+
+    rows = [
+        # (event_id, us, user, type)
+        (1, 100, 7, "click"),
+        (2, 100, 7, "click"),      # same ts: max event_id (2) wins
+        (3, 150, 7, "purchase"),   # -> click 2, gap 50
+        (4, 200, 7, "click"),
+        (5, 200, 7, "purchase"),   # ts tie with click 4 -> matched (<=)
+        (6, 50, 9, "purchase"),    # user 9 has no prior click -> dropped
+        (7, 60, 9, "click"),
+        (8, 90, 9, "purchase"),    # -> click 7, gap 30
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    out = (
+        asof_join(ray.data.from_arrow(t), num_parts=2)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got = {
+        int(r.event_id): (int(r.matched_event_id), int(r.gap_us))
+        for r in out.itertuples()
+    }
+    assert got == {3: (2, 50), 5: (4, 0), 8: (7, 30)}
+
+
+def test_hopping_window_agg():
+    """1-unit-hop, 2-unit-window: each event lands in two windows."""
+    import pyarrow as pa
+
+    import ray.data
+    from sbustreamspot_core_ray.stages.events import hopping_window_agg
+
+    t = pa.table(
+        {
+            "ts": pa.array([5, 15, 25], pa.timestamp("us")),
+            "event_type": pa.array(["a", "a", "b"]),
+            "value": pa.array([1.0, 2.0, 4.0]),
+        }
+    )
+    out = (
+        hopping_window_agg(ray.data.from_arrow(t), window_us=20, hop_us=10)
+        .to_pandas()
+        .sort_values(["event_type", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    got = {
+        (r.event_type, int(r.window_start_us)): (int(r.n), r.sum_value)
+        for r in out.itertuples()
+    }
+    # event at 5 covers windows starting 0 (only: window -10 clipped);
+    # event at 15 covers 0 and 10; event at 25 covers 10 and 20
+    assert got == {
+        ("a", 0): (2, 3.0),
+        ("a", 10): (1, 2.0),
+        ("b", 10): (1, 4.0),
+        ("b", 20): (1, 4.0),
+    }
