@@ -203,6 +203,60 @@ def bootstrap_pipeline(
     return state
 
 
+def _write_scoring_ckpt(snapshot_dir: str, state: StreamSpotState, w: int, lo: int) -> None:
+    """Checkpoint the full scoring state (driver centroid sums/maps + every
+    shard's sketch state) atomically beside the snapshots — W4's
+    'actor-pool state checkpointed per window', the resume source."""
+    import pickle
+
+    d = os.path.join(snapshot_dir, "_STATE")
+    os.makedirs(d, exist_ok=True)
+    blob = pickle.dumps(
+        {
+            "w": w,
+            "lo": lo,
+            "centroid_sums": state.centroid_sums,
+            "centroid_counts": state.centroid_counts,
+            "cluster_map": state.cluster_map,
+            "anomaly_scores": state.anomaly_scores,
+            "train_proj": state._train_proj,
+            "train_sketch": state._train_sketch,
+            "boot_consumed": state._boot_consumed,
+            "num_parts": state.pool.P,
+            "shards": state.pool.dump_states(),
+        }
+    )
+    tmp = os.path.join(d, "state.pkl.tmp")
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, os.path.join(d, "state.pkl"))
+
+
+def _load_scoring_ckpt(
+    snapshot_dir: str, state: StreamSpotState, chunk_length: int, l: int, seed: int
+) -> tuple[int, int] | None:
+    """Restore driver + shard state from the latest checkpoint; returns
+    (last_completed_window, lo) or None when there is nothing to resume."""
+    import pickle
+
+    path = os.path.join(snapshot_dir, "_STATE", "state.pkl")
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        st = pickle.load(f)
+    state.centroid_sums = st["centroid_sums"]
+    state.centroid_counts = st["centroid_counts"]
+    state.cluster_map = st["cluster_map"]
+    state.anomaly_scores = st["anomaly_scores"]
+    state._train_proj = st["train_proj"]
+    state._train_sketch = st["train_sketch"]
+    state._boot_consumed = st["boot_consumed"]
+    state._refresh_centroids()
+    state.pool = IncrementalSketcher(st["num_parts"], chunk_length, l=l, seed=seed)
+    state.pool.load_states(st["shards"])
+    return int(st["w"]), int(st["lo"])
+
+
 def score_stream(
     state: StreamSpotState,
     test_edges: ray.data.Dataset,
@@ -213,6 +267,8 @@ def score_stream(
     l: int = L,
     seed: int = 23,
     num_parts: int = 4,
+    resume: bool = False,
+    ckpt_every: int = 1,
 ) -> pd.DataFrame:
     """§3.2 as windowed mini-batch scoring; returns the snapshot table
     (interval, gid, anomaly_score, cluster_id) over all intervals.
@@ -227,6 +283,13 @@ def score_stream(
     given."""
     from ..functions.metrics import StageMetrics
 
+    start_w = 0
+    resumed_lo: int | None = None
+    if resume and snapshot_dir:
+        got = _load_scoring_ckpt(snapshot_dir, state, chunk_length, l, seed)
+        if got is not None:
+            last_w, resumed_lo = got
+            start_w = last_w + 1
     if state.pool is None:
         state.pool = IncrementalSketcher(num_parts, chunk_length, l=l, seed=seed)
     pool = state.pool
@@ -304,11 +367,13 @@ def score_stream(
             path = os.path.join(d, "snapshot.parquet")
             pq.write_table(snap, path + ".tmp")
             os.replace(path + ".tmp", path)
+            if w % ckpt_every == 0:
+                _write_scoring_ckpt(snapshot_dir, state, w, lo)
 
     # one shuffle; windows are contiguous runs of the sorted stream
     stream = test_edges.sort("seq")
-    lo: int | None = None
-    w = 0
+    lo: int | None = resumed_lo
+    w = start_w
     for batch in stream.iter_batches(batch_format="pyarrow", batch_size=8192):
         if batch.num_rows == 0:
             continue
@@ -316,6 +381,12 @@ def score_stream(
         if lo is None:
             lo = int(seqs[0])
         wid = (seqs - lo) // interval
+        if start_w:  # resumed: windows before start_w were already scored
+            keep = wid >= start_w
+            if not keep.any():
+                continue
+            batch = batch.filter(pa.array(keep))
+            wid = wid[keep]
         for u in np.unique(wid):
             u = int(u)
             while w < u:  # close finished windows (empty ones still evict)

@@ -231,6 +231,33 @@ class IncrementalSketchShard:
     def sketches(self) -> pa.Table:
         return self._state_table(sorted(self.proj), with_old=False)
 
+    # -- checkpoint/resume (per-shard state as opaque bytes; the driver
+    # owns placement so the layout matches the superstep checkpoints) -----
+
+    def dump_state(self) -> bytes:
+        import pickle
+
+        return pickle.dumps(
+            {
+                "strings": {k: bytes(v) for k, v in self.strings.items()},
+                "seqs": self.seqs,
+                "proj": self.proj,
+                "heap": self._heap,
+            }
+        )
+
+    def load_state(self, blob: bytes) -> int:
+        import pickle
+
+        st = pickle.loads(blob)
+        self.strings = {k: bytearray(v) for k, v in st["strings"].items()}
+        self.seqs = st["seqs"]
+        self.proj = st["proj"]
+        self._heap = st["heap"]
+        self._touched = set()
+        self._old = {}
+        return len(self.proj)
+
 
 class IncrementalSketcher:
     """Actor-pool front: routes stream-ordered edge batches to the owning
@@ -267,3 +294,12 @@ class IncrementalSketcher:
         driver); the scoring pipeline consumes per-window `window_result`."""
         tables = ray.get([s.sketches.remote() for s in self.shards])
         return pa.concat_tables([t for t in tables if t.num_rows])
+
+    def dump_states(self) -> list[bytes]:
+        return ray.get([s.dump_state.remote() for s in self.shards])
+
+    def load_states(self, blobs: list[bytes]) -> None:
+        assert len(blobs) == self.P, "shard count changed between runs"
+        ray.get(
+            [s.load_state.remote(b) for s, b in zip(self.shards, blobs)]
+        )

@@ -149,3 +149,46 @@ def test_windowed_eviction_equals_batch_recompute(tmp_path):
 
     assert len(glob.glob(str(tmp_path / "snaps" / "interval=*/snapshot.parquet"))) == \
         snaps["interval"].nunique()
+
+
+def test_score_stream_checkpoint_resume(tmp_path):
+    """North-rule resumability for the scoring path: a run cut off after
+    two windows, then resumed from the on-disk checkpoint with the full
+    stream, must end in exactly the state an uninterrupted run reaches."""
+    import pyarrow.parquet as pq
+
+    train, test = split_fixture()
+
+    # uninterrupted reference
+    s_full = bootstrap_pipeline(train, fixture_bootstrap(), C)
+    full = score_stream(
+        s_full, test, C, interval=2, snapshot_dir=str(tmp_path / "full")
+    )
+
+    # "crashed" run: stream truncated at the window-1 boundary (seq <= 8)
+    import pyarrow.compute as pc_
+
+    part1 = test.map_batches(
+        lambda t: t.filter(pc_.less_equal(t["seq"], 8)), batch_format="pyarrow"
+    )
+    s_a = bootstrap_pipeline(train, fixture_bootstrap(), C)
+    score_stream(s_a, part1, C, interval=2, snapshot_dir=str(tmp_path / "r"))
+
+    # restart from scratch: fresh state + resume=True picks up the ckpt
+    s_b = bootstrap_pipeline(train, fixture_bootstrap(), C)
+    rest = score_stream(
+        s_b, test, C, interval=2, snapshot_dir=str(tmp_path / "r"), resume=True
+    )
+    assert rest["interval"].min() == 2  # windows 0-1 not re-scored
+
+    last_full = full[full["interval"] == full["interval"].max()].reset_index(drop=True)
+    last_rest = rest[rest["interval"] == rest["interval"].max()].reset_index(drop=True)
+    assert last_full.equals(last_rest)
+    # the on-disk interval snapshots cover every window across both runs
+    import glob
+
+    snaps = sorted(glob.glob(str(tmp_path / "r" / "interval=*/snapshot.parquet")))
+    assert len(snaps) == full["interval"].nunique()
+    # and the final written snapshot equals the reference's final one
+    a = pq.read_table(snaps[-1]).to_pandas()
+    assert a.equals(last_full)
