@@ -404,12 +404,10 @@ reach(vx, lbl) AS (
 SELECT vx AS doc_id, MIN(lbl) AS dup_group FROM reach GROUP BY vx"""
 
 
-def _simhash_dedup_sql() -> str:
-    """64-bit simhash over the doc shingles (bit b of each shingle votes
-    +/-1; bit set iff score >= 0; top bit masked off), groups = equal
-    simhash, group id = min doc_id."""
-    return f"""
-WITH {_doc_shingle_ctes()},
+def _simhash_ctes() -> str:
+    """dsh/shb/simh CTEs: the 64-bit simhash per document (bit b of each
+    shingle votes +/-1; bit set iff score >= 0; top bit masked off)."""
+    return f"""{_doc_shingle_ctes()},
 shb AS (
   SELECT doc_id, b.b AS bit_pos,
     SUM(2 * (CASE WHEN b.b < 32
@@ -425,9 +423,36 @@ simh AS (
                   THEN (1::BIGINT << CAST(bit_pos AS INT)) ELSE 0 END) AS BIGINT)
            AS simhash
   FROM shb GROUP BY doc_id
-)
+)"""
+
+
+def _simhash_dedup_sql() -> str:
+    """Groups = equal simhash, group id = min doc_id."""
+    return f"""
+WITH {_simhash_ctes()}
 SELECT doc_id, simhash, MIN(doc_id) OVER (PARTITION BY simhash) AS dup_group
 FROM simh"""
+
+
+def _simhash_near_dup_sql(max_hamming: int = 16, bands: int = 4) -> str:
+    """Banded simhash candidates (pigeonhole on equal bit-bands) verified
+    by bit_count(xor) <= max_hamming — mirrors dedup.simhash_near_dup."""
+    width = 64 // bands
+    return f"""
+WITH {_simhash_ctes()},
+bnd AS (
+  SELECT doc_id, simhash, g.k AS band,
+         (simhash >> CAST(g.k * {width} AS INT)) & {(1 << width) - 1} AS bv
+  FROM simh, generate_series(0, {bands - 1}) g(k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b2.doc_id AS dst,
+         a.simhash AS ha, b2.simhash AS hb
+  FROM bnd a
+  JOIN bnd b2 ON b2.band = a.band AND b2.bv = a.bv AND a.doc_id < b2.doc_id
+)
+SELECT src, dst, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
 
 
 NMH_ITERS = 2
@@ -1297,6 +1322,18 @@ def q_simhash_dedup(sf_dir: str):
     return simhash_dedup(docs)
 
 
+def q_simhash_near_dup(sf_dir: str):
+    """Banded simhash near-dup pairs for hamming distance > 0 (pigeonhole
+    candidates on 16-bit bands, popcount-verified); SQL-mirrored via
+    bit_count(xor) over the recomputed simhashes."""
+    from sbustreamspot_core_ray.stages.dedup import simhash_near_dup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return simhash_near_dup(docs, max_hamming=16, bands=4)
+
+
 def q_knn_cosine(sf_dir: str):
     """Exact cosine top-k of every embedding vs the first KNN_NQ vectors
     (float64 so the values match DuckDB's double arithmetic)."""
@@ -1535,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
+        "simhash_near_dup": q_simhash_near_dup,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1698,6 +1736,7 @@ FROM documents
         "ngram_jaccard": _ngram_jaccard_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "simhash_dedup": _simhash_dedup_sql(),
+        "simhash_near_dup": _simhash_near_dup_sql(),
         "incremental_sketches": _incremental_sketches_sql(),
         "streamspot_snapshots": _streamspot_snapshots_sql(),
         "similarity_report": _similarity_report_sql(),

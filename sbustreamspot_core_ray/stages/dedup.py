@@ -462,6 +462,128 @@ class _SimHash64:
         return df
 
 
+def simhash_near_dup(
+    docs: ray.data.Dataset,
+    max_hamming: int = 3,
+    bands: int = 4,
+    num_parts: int = 32,
+    bucket_cap: int = 100_000,
+) -> ray.data.Dataset:
+    """Banded simhash near-dup PAIRS for hamming distance > 0: split the
+    64-bit simhash into `bands` equal bit-bands; by pigeonhole, any pair
+    within hamming <= bands-1 (and most within max_hamming) shares at least
+    one exact band. Candidates = within-bucket pairs per (band, value),
+    verified by popcount(xor) <= max_hamming. Returns distinct
+    (src, dst, hamming).
+
+    Shape: one flat fan-out to `bands` rows per doc, ONE shuffle on
+    hash(band key) % num_parts, vectorized run-scan pair generation per
+    partition (no per-bucket Python), distinct on the pair key, then a
+    vectorized verify. bucket_cap bounds degenerate buckets: a bucket
+    bigger than the cap is truncated WITH a logged count (explicit recall
+    loss, never silent)."""
+    from ..functions.hashing import part_of
+    from ..sources.edges import distinct_int_rows
+
+    assert 64 % bands == 0
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    hashed = docs.select_columns(["doc_id", "text"]).map_batches(
+        _SimHash64, batch_format="pandas", batch_size=1024, concurrency=(1, 8)
+    )
+
+    def band_rows(df: pd.DataFrame) -> pa.Table:
+        sh = df["simhash"].to_numpy(np.int64).astype(np.uint64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        n = len(ids)
+        out_b = np.tile(np.arange(bands, dtype=np.int64), n)
+        vals = np.empty(n * bands, np.int64)
+        for k in range(bands):
+            vals[k::bands] = ((sh >> np.uint64(k * width)) & mask).astype(np.int64)
+        key = out_b * (1 << width) + vals
+        return pa.table(
+            {
+                "doc_id": np.repeat(ids, bands),
+                "simhash": np.repeat(df["simhash"].to_numpy(np.int64), bands),
+                "bkey": key,
+                "__p": part_of(key.astype(np.uint64), num_parts).astype(np.int32),
+            }
+        )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        bk = t["bkey"].to_numpy()
+        did = t["doc_id"].to_numpy()
+        sh = t["simhash"].to_numpy()
+        order = np.lexsort((did, bk))
+        bk, did, sh = bk[order], did[order], sh[order]
+        starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(bk)]]))
+        over = lens > bucket_cap
+        if over.any():
+            print(
+                f"simhash_near_dup: truncating {int(over.sum())} buckets "
+                f"over cap={bucket_cap} (explicit recall loss)"
+            )
+            lens = np.minimum(lens, bucket_cap)
+        # all ordered pairs (i<j) within each run, fully vectorized
+        np_pairs = lens * (lens - 1) // 2
+        tot = int(np_pairs.sum())
+        if tot == 0:
+            z = np.empty(0, np.int64)
+            return pa.table({"src": z, "dst": z, "hsrc": z, "hdst": z})
+        run_id = np.repeat(np.arange(len(lens)), np_pairs)
+        within = np.arange(tot) - np.concatenate([[0], np.cumsum(np_pairs)])[run_id]
+        # map flat pair index w -> (i, j), i<j, in triangular enumeration:
+        # i = largest t with t*(L-1) - t*(t-1)/2 <= w (closed form below,
+        # verified exhaustively for L in [2, 60])
+        L = lens[run_id]
+        i = np.floor(
+            ((2 * L - 1) - np.sqrt((2 * L - 1).astype(np.float64) ** 2 - 8 * within))
+            / 2
+        ).astype(np.int64)
+        off = i * (L - 1) - i * (i - 1) // 2
+        j = within - off + i + 1
+        base = starts[run_id]
+        a_idx, b_idx = base + i, base + j
+        src, dst = did[a_idx], did[b_idx]
+        lohi = np.minimum(src, dst), np.maximum(src, dst)
+        return pa.table(
+            {
+                "src": lohi[0],
+                "dst": lohi[1],
+                "hsrc": np.where(src <= dst, sh[a_idx], sh[b_idx]),
+                "hdst": np.where(src <= dst, sh[b_idx], sh[a_idx]),
+            }
+        )
+
+    cand = distinct_int_rows(
+        hashed.map_batches(band_rows, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(pairs, batch_format="pyarrow"),
+        ["src", "dst", "hsrc", "hdst"],
+        num_parts,
+    )
+
+    _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["hsrc"].to_numpy().astype(np.uint64)
+        b = t["hdst"].to_numpy().astype(np.uint64)
+        x = (a ^ b).view(np.uint8).reshape(-1, 8)
+        ham = _POP[x].sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "src": t["src"].to_numpy()[keep],
+                "dst": t["dst"].to_numpy()[keep],
+                "hamming": ham[keep],
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
 def simhash_dedup(docs: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset:
     """(doc_id, simhash, dup_group): rows sharing a simhash form a group
     (group id = min doc_id in the bucket). One shuffle on

@@ -128,3 +128,38 @@ def test_minhash_signature_similarity_tracks_jaccard():
     assert abs(est - true_j) < 0.12  # 256 permutations -> se ~= 0.03
     s3 = mh.signature("entirely different text with no shared shingles at all")
     assert (mh.signature(base) == s3).mean() < 0.2
+
+
+def test_simhash_near_dup_banded():
+    """Hamming>0 path: a small edit keeps the pair within the hamming
+    budget and the banded candidates find it; unrelated docs don't pair at
+    tight budgets."""
+    import pyarrow as pa
+
+    from sbustreamspot_core_ray.stages.dedup import simhash_near_dup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the afternoon sun thinking about dinner"
+    )
+    texts = [
+        base,
+        base.replace("dinner", "supper"),  # near-dup of 0
+        "completely different content about graph engines and arrow batches "
+        "streaming through a ray data pipeline with actor pools",
+        base,  # exact dup of 0 -> hamming 0
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    out = simhash_near_dup(ds, max_hamming=10, bands=4).to_pandas()
+    got = {(int(r.src), int(r.dst)): int(r.hamming) for r in out.itertuples()}
+    assert got[(0, 3)] == 0  # exact dup
+    assert (0, 1) in got and got[(0, 1)] <= 10  # small edit
+    assert (1, 3) in got and got[(1, 3)] == got[(0, 1)]
+    assert (0, 2) not in got and (1, 2) not in got and (2, 3) not in got
