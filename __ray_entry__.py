@@ -684,67 +684,88 @@ def _sql_list(vec) -> str:
     return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
 
 
+# quantized-embedding SQL fragments (mirror stages/ann.py quantize /
+# exact_cosine: integer dots are exact in DOUBLE regardless of summation
+# order, then one sqrt/sqrt/mul/div chain — bit-identical to numpy)
+_Q_EMB = (
+    "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 65536.0 + 0.5))"
+)
+
+
+def _q_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
 def _knn_ivf_sql() -> str:
-    """IVF in SQL: embedded float64 centroids; assignment = argmax dot
-    (normalization-invariant), probes = top n_probe centroids per query,
-    top-k by (rounded cosine desc, vec_id) among probed buckets."""
-    cent = _ivf_centroids(_ORACLE_SF)
+    """IVF in SQL over quantized integers: centroids embedded as quantized
+    constants; assignment = argmax exact dot (tie -> lowest c), probes =
+    top n_probe centroids per query, top-k by (raw cosine desc, vec_id)
+    among probed buckets; ROUND only on output."""
+    from sbustreamspot_core_ray.stages.ann import quantize
+
+    cent = quantize(_ivf_centroids(_ORACLE_SF))
     cvals = ",".join(f"({c}, {_sql_list(v)})" for c, v in enumerate(cent))
     return f"""
-WITH cent(c, v) AS (VALUES {cvals}),
+WITH qe AS (SELECT vec_id, {_Q_EMB} AS q FROM embeddings),
+cent(c, v) AS (VALUES {cvals}),
 asg AS (
   SELECT vec_id, c AS bucket FROM (
     SELECT e.vec_id, c.c,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY list_dot_product(e.embedding, c.v) DESC, c.c) AS rn
-    FROM embeddings e CROSS JOIN cent c
+             ORDER BY list_dot_product(e.q, c.v) DESC, c.c) AS rn
+    FROM qe e CROSS JOIN cent c
   ) WHERE rn = 1
 ),
-q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {KNN_NQ}),
+q AS (SELECT vec_id AS qid, q AS qq FROM qe WHERE vec_id < {KNN_NQ}),
 probe AS (
   SELECT qid, c AS bucket FROM (
     SELECT q.qid, c.c,
            row_number() OVER (PARTITION BY q.qid
-             ORDER BY list_dot_product(q.qe, c.v) DESC, c.c) AS rn
+             ORDER BY list_dot_product(q.qq, c.v) DESC, c.c) AS rn
     FROM q CROSS JOIN cent c
   ) WHERE rn <= {IVF_NPROBE}
 ),
 sims AS (
   SELECT q.qid AS query_idx, a.vec_id,
-         ROUND(list_cosine_similarity(q.qe, e.embedding), 6) AS cosine
+         {_q_cos('q.qq', 'e.q')} AS raw
   FROM q JOIN probe p ON p.qid = q.qid
   JOIN asg a ON a.bucket = p.bucket
-  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN qe e ON e.vec_id = a.vec_id
 )
-SELECT query_idx, vec_id, cosine FROM sims
-QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY cosine DESC, vec_id)
+SELECT query_idx, vec_id, ROUND(raw, 6) AS cosine FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY raw DESC, vec_id)
         <= {KNN_K}"""
 
 
 def _embedding_near_dup_sql() -> str:
-    """Sign-bucket near-dup in SQL: embedded float64 hyperplanes; bucket =
-    sum of sign bits (scale-invariant, so no normalization needed); exact
-    within-bucket cosine pairs above the (unrounded) threshold."""
+    """Sign-bucket near-dup in SQL over quantized integers: hyperplanes
+    embedded as quantized constants, so sign bits are exact-integer dot
+    signs; within-bucket pair cosines via the exact 4-op expression with
+    the threshold tested on the raw value (ROUND only on output)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{_ORACLE_SF}/embeddings.parquet", columns=["embedding"])
     d = len(t["embedding"][0])
-    from sbustreamspot_core_ray.stages.ann import hyperplanes
+    from sbustreamspot_core_ray.stages.ann import hyperplanes, quantize
 
-    planes = hyperplanes(NEARDUP_PLANES, d, seed=23, dtype=np.float64)
+    planes = quantize(hyperplanes(NEARDUP_PLANES, d, seed=23, dtype=np.float64))
     bucket_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(embedding, {_sql_list(p)}) >= 0"
+        f"(CASE WHEN list_dot_product(q, {_sql_list(p)}) >= 0"
         f" THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
     return f"""
-WITH bk AS (
-  SELECT vec_id, embedding, {bucket_terms} AS bucket FROM embeddings
+WITH qe AS (SELECT vec_id, {_Q_EMB} AS q FROM embeddings),
+bk AS (
+  SELECT vec_id, q, {bucket_terms} AS bucket FROM qe
 )
 SELECT a.vec_id AS src, b.vec_id AS dst,
-       ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+       ROUND({_q_cos('a.q', 'b.q')}, 6) AS cosine
 FROM bk a JOIN bk b ON b.bucket = a.bucket AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEARDUP_THRESH}"""
+WHERE {_q_cos('a.q', 'b.q')} >= {NEARDUP_THRESH}"""
 
 
 # ---- multimodal fake-codec oracles ---------------------------------------
@@ -1140,6 +1161,11 @@ def q_streamspot_snapshots(sf_dir: str):
 
 
 def q_q1_revenue(sf_dir: str):
+    """TPC-H Q1-shaped rollup. Revenue is summed in exact integer 1e-4
+    units: the per-row product p = l_extendedprice * (1 - l_discount) is
+    the identical IEEE expression on both sides, floor(p*1e4 + 0.5) the
+    identical quantization, and the int64 sum is order-independent — so
+    the rounded output is bit-identical to the SQL mirror."""
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=[
@@ -1154,13 +1180,14 @@ def q_q1_revenue(sf_dir: str):
     def pre(t: pa.Table) -> pa.Table:
         rev = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-        )
+        ).to_numpy(zero_copy_only=False)
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
                 "l_quantity": t["l_quantity"],
-                "revenue": rev,
+                "revenue": units,
             }
         )
 
@@ -1177,11 +1204,18 @@ def q_q1_revenue(sf_dir: str):
         .to_pandas()
     )
     out["sum_qty"] = round_half_away(out["sum_qty"], 2)
-    out["sum_revenue"] = round_half_away(out["sum_revenue"], 2)
+    out["sum_revenue"] = round_half_away(
+        out["sum_revenue"].astype(np.float64) / 10000.0, 2
+    )
     return out
 
 
 def q_events_windowed(sf_dir: str):
+    """Tumbling 1h windows. sum_value summed in exact integer cents
+    (order-independent; see stages/events.py quantize_units) so the value
+    is bit-identical to the SQL mirror regardless of block order."""
+    from sbustreamspot_core_ray.stages.events import quantize_units
+
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
@@ -1189,8 +1223,9 @@ def q_events_windowed(sf_dir: str):
     def pre(t: pa.Table) -> pa.Table:
         us = pc.cast(t["ts"], pa.int64())  # epoch micros
         hour = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        units = quantize_units(t["value"].to_numpy(zero_copy_only=False), 100)
         return pa.table(
-            {"event_type": t["event_type"], "hour_bucket": hour, "value": t["value"]}
+            {"event_type": t["event_type"], "hour_bucket": hour, "value": units}
         )
 
     from ray.data.aggregate import Count, Sum
@@ -1201,19 +1236,21 @@ def q_events_windowed(sf_dir: str):
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
         .to_pandas()
     )
-    out["sum_value"] = round_half_away(out["sum_value"], 4)
+    out["sum_value"] = out["sum_value"] / 100.0
     return out
 
 
 def q_sessionize(sf_dir: str):
+    """Gap-window sessionization. sum_value is summed in exact integer
+    cents (value_scale=100 — the synthetic `value` column is cent-exact) so
+    the int64 sum is order-independent and the final /100.0 is a single
+    IEEE division, bit-identical to the SQL mirror."""
     from sbustreamspot_core_ray.stages.events import sessionize
 
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
     )
-    out = sessionize(ev, num_parts=8).to_pandas()
-    out["sum_value"] = round_half_away(out["sum_value"], 4)
-    return out
+    return sessionize(ev, num_parts=8, value_scale=100).to_pandas()
 
 
 def q_asof_attribution(sf_dir: str):
@@ -1237,18 +1274,19 @@ def q_events_hopping(sf_dir: str):
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
-    out = hopping_window_agg(ev).to_pandas()
-    out["sum_value"] = round_half_away(out["sum_value"], 4)
-    return out
+    return hopping_window_agg(ev, value_scale=100).to_pandas()
 
 
 def q_top_users(sf_dir: str):
+    """Top-20 users by summed value, in exact integer cents (value_scale)
+    so the totals — and therefore the desc sort and the LIMIT cut — are
+    bit-identical to the SQL mirror."""
     from sbustreamspot_core_ray.stages.events import top_k_by_sum
 
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "value"]
     )
-    return top_k_by_sum(ev, k=20)
+    return top_k_by_sum(ev, k=20, value_scale=100)
 
 
 def q_doc_quality(sf_dir: str):
@@ -1335,26 +1373,23 @@ def q_simhash_near_dup(sf_dir: str):
 
 
 def q_knn_cosine(sf_dir: str):
-    """Exact cosine top-k of every embedding vs the first KNN_NQ vectors
-    (float64 so the values match DuckDB's double arithmetic)."""
-    from sbustreamspot_core_ray.stages.ann import knn_brute_force
+    """Exact cosine top-k of every embedding vs the first KNN_NQ vectors,
+    in integer-quantized parity mode (stages/ann.py QUANT_SCALE): dots and
+    norms are exact integers on both sides, the cut ranks on the RAW
+    cosine with a (desc, vec_id) tie-break identical to the SQL window,
+    and rounding happens only on output."""
+    from sbustreamspot_core_ray.stages.ann import QUANT_SCALE, knn_brute_force
 
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     qdf = emb.filter(expr=f"vec_id < {KNN_NQ}").to_pandas().sort_values("vec_id")
     queries = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
-    out = knn_brute_force(emb, queries, k=KNN_K, dtype=np.float64).to_pandas()
+    out = knn_brute_force(
+        emb, queries, k=KNN_K, quantize_scale=QUANT_SCALE
+    ).to_pandas()
     out["query_idx"] = qdf["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
     out["cosine"] = round_half_away(out["cosine"], 6)
-    # deterministic re-rank on the rounded value (mirrors the SQL QUALIFY)
-    out = (
-        out.sort_values(
-            ["query_idx", "cosine", "vec_id"], ascending=[True, False, True]
-        )
-        .groupby("query_idx", as_index=False)
-        .head(KNN_K)
-    )
     return out.reset_index(drop=True)
 
 
@@ -1381,12 +1416,12 @@ def _ivf_centroids(sf_dir: str) -> np.ndarray:
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF approximate top-k (bucketed scale path), double-precision query
-    variant. SQL-mirrored: centroids embedded as constants; bucket
-    assignment, probe choice and pruned top-k recomputed in SQL. Ray keeps
-    k+8 raw candidates per query, then both sides cut to k on
-    (rounded cosine desc, vec_id)."""
-    from sbustreamspot_core_ray.stages.ann import knn_ivf
+    """IVF approximate top-k (bucketed scale path) in integer-quantized
+    parity mode. Centroids embedded as quantized constants in SQL; bucket
+    assignment (argmax of exact integer dot, tie -> lowest centroid),
+    probe choice, and pruned top-k (raw cosine desc, vec_id) recomputed
+    independently on both sides over the identical integers."""
+    from sbustreamspot_core_ray.stages.ann import QUANT_SCALE, knn_ivf
 
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -1396,28 +1431,22 @@ def q_knn_ivf(sf_dir: str):
     out = knn_ivf(
         emb,
         queries,
-        k=KNN_K + 8,
+        k=KNN_K,
         n_centroids=IVF_NC,
         n_probe=IVF_NPROBE,
-        dtype=np.float64,
         centroids=_ivf_centroids(sf_dir),
+        quantize_scale=QUANT_SCALE,
     ).to_pandas()
     out["query_idx"] = qdf["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
     out["cosine"] = round_half_away(out["cosine"], 6)
-    out = (
-        out.sort_values(
-            ["query_idx", "cosine", "vec_id"], ascending=[True, False, True]
-        )
-        .groupby("query_idx", as_index=False)
-        .head(KNN_K)
-    )
     return out.reset_index(drop=True)
 
 
 def q_embedding_near_dup(sf_dir: str):
-    """Hyperplane-bucketed cosine near-dup pairs (double-precision query
-    variant; SQL-mirrored with the seeded planes embedded as constants)."""
-    from sbustreamspot_core_ray.stages.ann import embedding_near_dup
+    """Hyperplane-bucketed cosine near-dup pairs in integer-quantized
+    parity mode: sign bits and pair cosines computed on the identical
+    exact integers both sides; threshold tested on the raw value."""
+    from sbustreamspot_core_ray.stages.ann import QUANT_SCALE, embedding_near_dup
 
     out = embedding_near_dup(
         ray.data.read_parquet(
@@ -1425,7 +1454,7 @@ def q_embedding_near_dup(sf_dir: str):
         ),
         threshold=NEARDUP_THRESH,
         n_planes=NEARDUP_PLANES,
-        dtype=np.float64,
+        quantize_scale=QUANT_SCALE,
     ).to_pandas()
     out["cosine"] = round_half_away(out["cosine"], 6)
     return out
@@ -1646,7 +1675,9 @@ SELECT gid, shingle, count(*) AS "count" FROM chunks GROUP BY gid, shingle
         "q1_revenue": """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+       ROUND(CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0
+                                 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0,
+             2) AS sum_revenue,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
@@ -1654,7 +1685,8 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 SELECT event_type,
        CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
        count(*) AS n,
-       ROUND(SUM(value), 4) AS sum_value
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
 FROM events GROUP BY 1, 2
 """,
         "sessionize": """
@@ -1667,7 +1699,8 @@ t AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
       FROM s)
 SELECT user_id, session_id, count(*) AS n_events,
        min(us) AS first_us, max(us) AS last_us,
-       ROUND(SUM(value), 4) AS sum_value
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
 FROM t GROUP BY user_id, session_id
 """,
         "asof_attribution": """
@@ -1698,11 +1731,14 @@ x AS (
   WHERE us // 900000000 - g.k >= 0
 )
 SELECT event_type, window_start_us, count(*) AS n,
-       ROUND(SUM(value), 4) AS sum_value
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
 FROM x GROUP BY 1, 2
 """,
         "top_users": """
-SELECT user_id, ROUND(SUM(value), 4) AS total
+SELECT user_id,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total
 FROM events GROUP BY user_id
 ORDER BY total DESC, user_id ASC LIMIT 20
 """,
@@ -1774,13 +1810,14 @@ SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """,
         "knn_cosine": f"""
-WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {KNN_NQ}),
+WITH qe AS (SELECT vec_id, {_Q_EMB} AS q FROM embeddings),
+q AS (SELECT vec_id AS qid, q AS qq FROM qe WHERE vec_id < {KNN_NQ}),
 sims AS (
   SELECT q.qid AS query_idx, e.vec_id,
-         ROUND(list_cosine_similarity(q.qe, e.embedding), 6) AS cosine
-  FROM q, embeddings e
+         {_q_cos('q.qq', 'e.q')} AS raw
+  FROM q, qe e
 )
-SELECT query_idx, vec_id, cosine FROM sims
-QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY cosine DESC, vec_id) <= {KNN_K}
+SELECT query_idx, vec_id, ROUND(raw, 6) AS cosine FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY raw DESC, vec_id) <= {KNN_K}
 """,
     }

@@ -49,27 +49,79 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+# ---- integer-quantized exact-parity arithmetic ---------------------------
+# float32 embeddings quantized as floor(x*2^16 + 0.5) give integer-valued
+# float64 vectors whose dots and squared norms are EXACT in float64 for
+# d <= ~1000 (|q| < 2^19 -> products < 2^38, sums < 2^48 < 2^53): any
+# summation order — numpy SIMD-pairwise or SQL sequential — yields the
+# identical value. cosine is then the fixed 4-op IEEE expression
+# dot / (sqrt(na) * sqrt(nb)), bit-identical between numpy elementwise ops
+# and DuckDB scalar ops. This turns float sum-order parity (the round-2
+# hash failures) into integer parity.
+
+QUANT_SCALE = 65536.0  # 2^16: x*scale is exact (power of two), then +0.5/floor
+
+
+def quantize(m, scale: float = QUANT_SCALE) -> np.ndarray:
+    """floor(x*scale + 0.5) as integer-valued float64 (SQL-mirrorable:
+    ``floor(CAST(x AS DOUBLE) * scale + 0.5)``)."""
+    return np.floor(np.asarray(m, np.float64) * scale + 0.5)
+
+
+def exact_cosine(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(nA, nB) cosine matrix of integer-valued float64 rows via the fixed
+    expression dot / (sqrt(na) * sqrt(nb)) — each output element is one
+    exact dot, two correctly-rounded sqrts, one multiply, one divide, so it
+    is bit-identical to DuckDB's
+    ``list_dot_product(a,b) / (sqrt(list_dot_product(a,a)) * sqrt(list_dot_product(b,b)))``.
+    Zero vectors get cosine 0 (guarded denominator)."""
+    dots = A @ B.T
+    na = np.sqrt((A * A).sum(axis=1))
+    nb = np.sqrt((B * B).sum(axis=1))
+    denom = na[:, None] * nb[None, :]
+    denom[denom == 0] = 1.0
+    return dots / denom
+
+
 class _BruteTopK:
     """Per-batch partial top-k against the broadcast query matrix.
 
-    dtype float32 by default (the scale path); float64 when exact parity
-    with a double-precision oracle is required."""
+    dtype float32 by default (the scale path); quantize_scale switches to
+    the integer-quantized exact-parity kernel (bit-identical to the SQL
+    oracle, with deterministic (cosine desc, vec_id asc) tie-breaks)."""
 
-    def __init__(self, q_ref, k: int, dtype=np.float32):
+    def __init__(self, q_ref, k: int, dtype=np.float32, quantize_scale=None):
         q = ray.get(q_ref[0]) if isinstance(q_ref, list) else ray.get(q_ref)
         self.dtype = dtype
-        self.q = _normalize(np.asarray(q, dtype))  # (nq, d)
+        self.qscale = quantize_scale
+        if quantize_scale:
+            self.q = quantize(np.asarray(q, np.float64), quantize_scale)
+        else:
+            self.q = _normalize(np.asarray(q, dtype))  # (nq, d)
         self.k = k
 
+    def _sims(self, batch: pa.Table) -> np.ndarray:
+        if self.qscale:
+            vecs = quantize(_mat(batch["embedding"], np.float64), self.qscale)
+            return exact_cosine(vecs, self.q)  # (n, nq)
+        vecs = _normalize(_mat(batch["embedding"], self.dtype))
+        return vecs @ self.q.T
+
+    def _top(self, col: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+        if self.qscale:
+            # exact mode: full (cosine desc, vec_id asc) order so boundary
+            # ties resolve identically to the SQL row_number window
+            return np.lexsort((ids, -col))[:k]
+        return np.argpartition(-col, k - 1)[:k]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(_mat(batch["embedding"], self.dtype))  # (n, d)
         ids = batch["vec_id"].to_numpy()
-        sims = vecs @ self.q.T  # (n, nq)
+        sims = self._sims(batch)  # (n, nq)
         k = min(self.k, len(ids))
         out_q, out_id, out_sim = [], [], []
         for qi in range(self.q.shape[0]):
             col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k]
+            top = self._top(col, ids, k)
             out_q.append(np.full(k, qi, np.int64))
             out_id.append(ids[top].astype(np.int64))
             out_sim.append(col[top].astype(np.float64))
@@ -83,15 +135,19 @@ class _BruteTopK:
 
 
 def knn_brute_force(
-    embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10, dtype=np.float32
+    embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10,
+    dtype=np.float32, quantize_scale=None,
 ) -> ray.data.Dataset:
     """Exact cosine top-k per query row. Partial top-k per batch (map), one
     small global sort+limit per query at the end (the partials are k rows
     per batch per query — tiny)."""
-    q_ref = ray.put(np.asarray(queries, dtype))
+    q_ref = ray.put(np.asarray(queries, np.float64 if quantize_scale else dtype))
     partials = embeddings.map_batches(
         _BruteTopK,
-        fn_constructor_kwargs={"q_ref": [q_ref], "k": k, "dtype": dtype},
+        fn_constructor_kwargs={
+            "q_ref": [q_ref], "k": k, "dtype": dtype,
+            "quantize_scale": quantize_scale,
+        },
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
@@ -134,17 +190,25 @@ def train_ivf_centroids(
 
 
 def ivf_assign(
-    embeddings: ray.data.Dataset, centroids: np.ndarray, dtype=np.float32
+    embeddings: ray.data.Dataset, centroids: np.ndarray, dtype=np.float32,
+    quantize_scale=None,
 ) -> ray.data.Dataset:
-    """Bucket each vector by nearest coarse centroid (broadcast lookup)."""
-    c_ref = ray.put(np.asarray(centroids, dtype))
+    """Bucket each vector by nearest coarse centroid (broadcast lookup).
+    In quantized mode the argmax runs over exact integer dots (ties take
+    the lowest centroid index — numpy argmax first-max == the SQL
+    ``ORDER BY dot DESC, c`` rank-1 window)."""
+    c_ref = ray.put(np.asarray(centroids, np.float64 if quantize_scale else dtype))
 
     class Assign:
         def __init__(self):
-            self.c = _normalize(ray.get(c_ref))
+            c = ray.get(c_ref)
+            self.c = quantize(c, quantize_scale) if quantize_scale else _normalize(c)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize(_mat(batch["embedding"], dtype))
+            if quantize_scale:
+                vecs = quantize(_mat(batch["embedding"], np.float64), quantize_scale)
+            else:
+                vecs = _normalize(_mat(batch["embedding"], dtype))
             bucket = (vecs @ self.c.T).argmax(axis=1).astype(np.int32)
             return batch.append_column("bucket", pa.array(bucket, pa.int32()))
 
@@ -162,36 +226,48 @@ def knn_ivf(
     seed: int = 23,
     dtype=np.float32,
     centroids: np.ndarray | None = None,
+    quantize_scale=None,
 ) -> ray.data.Dataset:
     """IVF approximate top-k: probe only the n_probe nearest buckets per
     query — at scale the filter prunes (1 - n_probe/n_centroids) of data.
     Pass precomputed `centroids` to pin the quantizer (e.g. shared with an
-    external oracle); dtype=float64 for double-arithmetic parity."""
+    external oracle); quantize_scale switches assignment/probing/top-k to
+    the integer-quantized exact-parity kernels."""
     cent = (
-        np.asarray(centroids, dtype)
+        np.asarray(centroids, np.float64 if quantize_scale else dtype)
         if centroids is not None
         else train_ivf_centroids(embeddings, n_centroids, seed=seed, dtype=dtype)
     )
-    assigned = ivf_assign(embeddings, cent, dtype=dtype)
-    qn = _normalize(np.asarray(queries, dtype))
-    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    assigned = ivf_assign(embeddings, cent, dtype=dtype, quantize_scale=quantize_scale)
+    if quantize_scale:
+        qn = quantize(np.asarray(queries, np.float64), quantize_scale)
+        qdots = qn @ quantize(cent, quantize_scale).T  # exact integer dots
+        # top n_probe per query on (dot desc, centroid idx asc) — ties
+        # mirror the SQL rank window exactly
+        idx = np.arange(qdots.shape[1])
+        probes = np.stack(
+            [np.lexsort((idx, -row))[:n_probe] for row in qdots]
+        )
+    else:
+        qn = _normalize(np.asarray(queries, dtype))
+        probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
     wanted = set(np.unique(probes).tolist())
     pruned = assigned.filter(
         expr=f"bucket in {sorted(wanted)}" if wanted else "bucket < 0"
     )
-    q_ref = ray.put(qn)
+    # in quantized mode ship the RAW queries; _BruteTopK re-quantizes
+    q_ref = ray.put(np.asarray(queries, np.float64) if quantize_scale else qn)
     probe_ref = ray.put(probes)
 
     class TopK(_BruteTopK):
         def __init__(self):
-            super().__init__([q_ref], k, dtype=dtype)
+            super().__init__([q_ref], k, dtype=dtype, quantize_scale=quantize_scale)
             self.probes = ray.get(probe_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize(_mat(batch["embedding"], self.dtype))
             ids = batch["vec_id"].to_numpy()
             bucket = batch["bucket"].to_numpy()
-            sims = vecs @ self.q.T
+            sims = self._sims(batch)
             out_q, out_id, out_sim = [], [], []
             for qi in range(self.q.shape[0]):
                 mask = np.isin(bucket, self.probes[qi])
@@ -199,7 +275,7 @@ def knn_ivf(
                     continue
                 col = sims[mask, qi]
                 kk = min(k, len(col))
-                top = np.argpartition(-col, kk - 1)[:kk]
+                top = self._top(col, ids[mask], kk)
                 out_q.append(np.full(kk, qi, np.int64))
                 out_id.append(ids[mask][top].astype(np.int64))
                 out_sim.append(col[top].astype(np.float64))
@@ -242,22 +318,31 @@ def embedding_near_dup(
     n_planes: int = 12,
     seed: int = 23,
     dtype=np.float32,
+    quantize_scale=None,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup: random-hyperplane bucket (n_planes sign
     bits) → within-bucket all-pairs cosine → (src, dst, cosine) above
-    threshold. Recall grows with fewer planes; exactness within buckets."""
+    threshold. Recall grows with fewer planes; exactness within buckets.
+    quantize_scale: sign bits and pair cosines computed on quantized
+    integers (exact-parity mode)."""
     first = embeddings.take(1)
     d = len(first[0]["embedding"])
-    planes = hyperplanes(n_planes, d, seed=seed, dtype=dtype)
+    planes = hyperplanes(
+        n_planes, d, seed=seed, dtype=np.float64 if quantize_scale else dtype
+    )
     p_ref = ray.put(planes)
 
     class Bucket:
         def __init__(self):
-            self.planes = ray.get(p_ref)
+            p = ray.get(p_ref)
+            self.planes = quantize(p, quantize_scale) if quantize_scale else p
             self.pow2 = (1 << np.arange(n_planes)).astype(np.int64)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize(_mat(batch["embedding"]))
+            if quantize_scale:
+                vecs = quantize(_mat(batch["embedding"], np.float64), quantize_scale)
+            else:
+                vecs = _normalize(_mat(batch["embedding"]))
             signs = (vecs @ self.planes.T) >= 0
             bucket = signs @ self.pow2
             return pa.table(
@@ -282,7 +367,17 @@ def embedding_near_dup(
             )
         g = g.sort_values("vec_id", kind="stable")
         ids = g["vec_id"].to_numpy()
-        vecs = _normalize(np.stack([np.asarray(v, dtype) for v in g["embedding"]]))
+        raw = np.stack(
+            [np.asarray(v, np.float64 if quantize_scale else dtype)
+             for v in g["embedding"]]
+        )
+        if quantize_scale:
+            vecs = quantize(raw, quantize_scale)
+            nrm = np.sqrt((vecs * vecs).sum(axis=1))
+            nrm[nrm == 0] = 1.0
+        else:
+            vecs = _normalize(raw)
+            nrm = None
         n = len(ids)
         # hot-bucket safeguard: the O(n^2) pass runs in BLOCK x BLOCK tiles
         # of the upper triangle, so a degenerate bucket costs bounded peak
@@ -292,6 +387,12 @@ def embedding_near_dup(
             vi = vecs[i0 : i0 + BLOCK]
             for j0 in range(i0, n, BLOCK):
                 sims = vi @ vecs[j0 : j0 + BLOCK].T
+                if quantize_scale:
+                    # exact dot / (sqrt(na)*sqrt(nb)) — the SQL expression
+                    sims = sims / (
+                        nrm[i0 : i0 + BLOCK, None]
+                        * nrm[None, j0 : j0 + BLOCK]
+                    )
                 w = sims.shape[1]
                 flat = np.flatnonzero(sims.ravel() >= threshold)
                 iu, ju = flat // w, flat % w

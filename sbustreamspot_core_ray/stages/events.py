@@ -23,11 +23,18 @@ def sessionize(
     events: ray.data.Dataset,
     gap_us: int = 1_800_000_000,
     num_parts: int = 32,
+    value_scale: int | None = None,
 ) -> ray.data.Dataset:
     """(user_id, session_id, n_events, first_us, last_us, sum_value):
     per-user sessions split where the inter-event gap exceeds gap_us.
     session_id is 0-based per user in time order (ties broken by
-    event_id, mirrored in the SQL oracle)."""
+    event_id, mirrored in the SQL oracle).
+
+    value_scale: when set (e.g. 100 for cent-exact values), each value is
+    quantized to floor(value*scale + 0.5) integer units, summed in int64
+    (exact, order-independent — eliminates the float sum-order divergence
+    vs a SQL SUM), and divided back by scale. SQL mirror:
+    ``CAST(SUM(CAST(floor(value*scale + 0.5) AS BIGINT)) AS DOUBLE)/scale``."""
 
     def tag(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -69,7 +76,11 @@ def sessionize(
         session_id = sess_global - first_run_of_user
         bounds = np.concatenate([run_starts, [n]])
         counts = np.diff(bounds)
-        sums = np.add.reduceat(val, run_starts)
+        if value_scale:
+            units = np.floor(val * float(value_scale) + 0.5).astype(np.int64)
+            sums = np.add.reduceat(units, run_starts) / float(value_scale)
+        else:
+            sums = np.add.reduceat(val, run_starts)
         return pa.table(
             {
                 "user_id": u[run_starts],
@@ -176,10 +187,19 @@ def asof_join(
     )
 
 
+def quantize_units(val: np.ndarray, scale: int) -> np.ndarray:
+    """floor(value*scale + 0.5) as integer-valued float64 units. Sums of
+    integer-valued float64 are exact (order-independent) while totals stay
+    below 2^53, so any Sum aggregate over units is bit-reproducible and
+    SQL-mirrorable as ``SUM(CAST(floor(value*scale + 0.5) AS BIGINT))``."""
+    return np.floor(np.asarray(val, np.float64) * float(scale) + 0.5)
+
+
 def hopping_window_agg(
     events: ray.data.Dataset,
     window_us: int = 3_600_000_000,
     hop_us: int = 900_000_000,
+    value_scale: int | None = None,
 ) -> ray.data.Dataset:
     """Hopping (sliding) window aggregate: each event lands in every window
     [w*hop, w*hop + window) covering its timestamp — the overlapping-window
@@ -188,7 +208,11 @@ def hopping_window_agg(
 
     Shape: a flat_map fan-out of window_us/hop_us rows per event inside
     map_batches (vectorized repeat), then a combiner + one groupby — no
-    per-event Python."""
+    per-event Python.
+
+    value_scale: when set (e.g. 100 for cent-exact values), sum in exact
+    integer units and divide back — order-independent, SQL-parity-safe
+    (see quantize_units)."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Count, Sum
@@ -205,6 +229,8 @@ def hopping_window_agg(
         keep = (w >= 0).ravel()
         et = t["event_type"].to_numpy(zero_copy_only=False)
         val = t["value"].to_numpy(zero_copy_only=False)
+        if value_scale:
+            val = quantize_units(val, value_scale)
         return pa.table(
             {
                 "event_type": np.repeat(et, fan)[keep],
@@ -213,12 +239,26 @@ def hopping_window_agg(
             }
         )
 
-    return (
+    out = (
         events.select_columns(["ts", "event_type", "value"])
         .map_batches(expand, batch_format="pyarrow")
         .groupby(["event_type", "window_start_us"])
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
     )
+    if value_scale:
+
+        def unscale(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index("sum_value"),
+                "sum_value",
+                pa.array(
+                    t["sum_value"].to_numpy(zero_copy_only=False)
+                    / float(value_scale)
+                ),
+            )
+
+        out = out.map_batches(unscale, batch_format="pyarrow")
+    return out
 
 
 def top_k_by_sum(
@@ -226,15 +266,21 @@ def top_k_by_sum(
     key: str = "user_id",
     value: str = "value",
     k: int = 20,
+    value_scale: int | None = None,
 ) -> ray.data.Dataset:
     """Top-k keys by summed value (the reference's sort-desc report shape,
     SURVEY.md §7.3 top-k row): combiner partial sums per batch → small
-    groupby sum → sort desc → limit. Ties broken by key ascending."""
+    groupby sum → sort desc → limit. Ties broken by key ascending.
+
+    value_scale: sum in exact integer units (order-independent, SQL-parity
+    -safe; see quantize_units) and divide back — no rounding needed."""
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         kv = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
         vv = t[value].to_numpy(zero_copy_only=False)
+        if value_scale:
+            vv = quantize_units(vv, value_scale)
         ku, inv = np.unique(kv, return_inverse=True)
         sums = np.bincount(inv, weights=vv, minlength=len(ku))
         return pa.table({key: ku, value: sums})
@@ -249,16 +295,19 @@ def top_k_by_sum(
     def rnd(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # half_towards_infinity == SQL ROUND (half away from zero); Arrow's
-        # default half_to_even would diverge from the DuckDB oracle on ties
-        return pa.table(
-            {
-                key: t[key],
-                "total": pc.round(
-                    t["total"], ndigits=4, round_mode="half_towards_infinity"
-                ),
-            }
-        )
+        if value_scale:
+            # exact integer units -> one IEEE division, bit-reproducible
+            total = pa.array(
+                t["total"].to_numpy(zero_copy_only=False) / float(value_scale)
+            )
+        else:
+            # half_towards_infinity == SQL ROUND (half away from zero);
+            # Arrow's default half_to_even would diverge from the DuckDB
+            # oracle on ties
+            total = pc.round(
+                t["total"], ndigits=4, round_mode="half_towards_infinity"
+            )
+        return pa.table({key: t[key], "total": total})
 
     return (
         agg.map_batches(rnd, batch_format="pyarrow")

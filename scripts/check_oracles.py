@@ -2,7 +2,11 @@
 entry at sf0.01 alongside its oracle_sql() and compare row count, column
 names, and order-insensitive values. Usage:
 
-    python scripts/check_oracles.py [sf_dir] [query ...]
+    python scripts/check_oracles.py [--exact] [sf_dir] [query ...]
+
+--exact: require BIT-IDENTICAL float values (the driver hashes canonical
+values, so a 1-ulp divergence that passes allclose still fails the
+driver's hash_match — this mode reproduces that failure locally).
 """
 
 from __future__ import annotations
@@ -43,7 +47,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
-def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
+def compare(
+    name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame, exact: bool = False
+) -> str:
     if len(ray_df) != len(sql_df):
         return f"ROWS {len(ray_df)} vs {len(sql_df)}"
     if sorted(ray_df.columns) != sorted(sql_df.columns):
@@ -52,15 +58,18 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
-            ok = np.allclose(av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True)
+            af, bf = av.astype(float), bv.astype(float)
+            eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
+            if not exact:
+                eq |= np.isclose(af, bf, atol=1e-9, equal_nan=True)
+            ok = eq.all()
         else:
-            ok = (av == bv).all()
+            eq = av == bv
+            ok = eq.all()
         if not ok:
-            bad = np.flatnonzero(
-                ~(np.isclose(av.astype(float), bv.astype(float), atol=1e-9)
-                  if np.issubdtype(av.dtype, np.floating) else (av == bv))
-            )[:3]
-            return f"VALUES col={c} rows={bad.tolist()} ray={av[bad]} sql={bv[bad]}"
+            bad = np.flatnonzero(~eq)[:3]
+            tag = "VALUES-EXACT" if exact else "VALUES"
+            return f"{tag} col={c} rows={bad.tolist()} ray={av[bad]} sql={bv[bad]}"
     return "OK"
 
 
@@ -74,8 +83,10 @@ def main():
 
     import __ray_entry__ as mod
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    exact = "--exact" in sys.argv[1:]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     qs = mod.queries()
     oracles = mod.oracle_sql()
 
@@ -106,7 +117,7 @@ def main():
             print(f"{name:26s} SQL-ERROR {type(e).__name__}: {str(e)[:200]}")
             failures.append(name)
             continue
-        verdict = compare(name, ray_df, sql_df)
+        verdict = compare(name, ray_df, sql_df, exact=exact)
         print(f"{name:26s} {verdict:40s} {len(ray_df):7d} rows  {dt:6.1f}s")
         if verdict != "OK":
             failures.append(name)
