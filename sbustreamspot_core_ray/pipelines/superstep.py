@@ -686,25 +686,38 @@ def _close_wedges_task(u, v, es_packed, lo: int, hi: int, per_vertex: bool):
     v1, v2 = v[rep], v[gather]  # int32 gathers: half the memory traffic
     qa, qb = np.minimum(v1, v2), np.maximum(v1, v2)
     qpack = (qa.astype(np.uint64) << np.uint64(32)) | qb.astype(np.uint64)
-    # INVERTED probe: sort this task's wedges once and binary-search the
-    # (much smaller) edge array into them — |E| log |W| probes instead of
-    # |W| log |E|, ~5x faster when wedges outnumber edges (they do:
-    # |W| = O(E^1.5) worst case). es_packed values are distinct, so the
-    # per-edge [lo, hi) match ranges are disjoint.
+    # ADAPTIVE probe direction. es_packed is already sorted (driver sorts it
+    # once), so the forward probe is one searchsorted of this task's wedges
+    # into the edges: |W_t| log |E|, no sort. The inverted probe must first
+    # sort the wedges (|W_t| log |W_t|) and then probe |E| log |W_t| — it
+    # only wins when this task's wedges far outnumber the FULL edge array
+    # (the round-2 hard-coded inversion regressed 21s->50s because at
+    # corpus scale W_t = W/T << 8|E|). Threshold 8x covers the sort
+    # constant; both directions are exact (es_packed values are distinct).
+    invert = tot > 8 * len(es_packed)
     if not per_vertex:
-        qs = np.sort(qpack)
+        if invert:
+            qs = np.sort(qpack)
+            lo_i = np.searchsorted(qs, es_packed, side="left")
+            hi_i = np.searchsorted(qs, es_packed, side="right")
+            return (int((hi_i - lo_i).sum()), None, None, None)
+        pos = np.searchsorted(es_packed, qpack)
+        np.clip(pos, 0, len(es_packed) - 1, out=pos)
+        return (int((es_packed[pos] == qpack).sum()), None, None, None)
+    if invert:
+        o = np.argsort(qpack, kind="stable")
+        qs = qpack[o]
         lo_i = np.searchsorted(qs, es_packed, side="left")
         hi_i = np.searchsorted(qs, es_packed, side="right")
-        return (int((hi_i - lo_i).sum()), None, None, None)
-    o = np.argsort(qpack, kind="stable")
-    qs = qpack[o]
-    lo_i = np.searchsorted(qs, es_packed, side="left")
-    hi_i = np.searchsorted(qs, es_packed, side="right")
-    delta = np.zeros(len(qs) + 1, np.int32)
-    np.add.at(delta, lo_i, 1)
-    np.add.at(delta, hi_i, -1)
-    hit = np.empty(len(qs), bool)
-    hit[o] = np.cumsum(delta[:-1]) > 0
+        delta = np.zeros(len(qs) + 1, np.int32)
+        np.add.at(delta, lo_i, 1)
+        np.add.at(delta, hi_i, -1)
+        hit = np.empty(len(qs), bool)
+        hit[o] = np.cumsum(delta[:-1]) > 0
+    else:
+        pos = np.searchsorted(es_packed, qpack)
+        np.clip(pos, 0, len(es_packed) - 1, out=pos)
+        hit = es_packed[pos] == qpack
     return (int(hit.sum()), u[rep][hit], qa[hit], qb[hit])
 
 
