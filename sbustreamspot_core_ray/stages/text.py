@@ -1,7 +1,10 @@
 """Text-analysis ops over the `documents` table (training-data pipeline).
 
 All stages are vectorized per batch (pandas string kernels / numpy); the
-language-ID model and token regex are compiled once per actor. Each op has
+language-ID profiles and token regex are built once per worker process
+(``functions.proccache``) and the stages run as Ray tasks — an actor pool
+respawns per execution and costs ~2 s of cold-start per stage at bench
+scale for state that takes microseconds to build. Each op has
 a matching ANSI-SQL oracle in ``__ray_entry__.oracle_sql`` — column names
 and rounding are mirrored exactly on both sides.
 """
@@ -15,6 +18,9 @@ import pandas as pd
 
 import ray.data
 
+from functools import partial
+
+from ..functions.proccache import call_singleton
 from ..functions.rounding import round_half_away
 
 # tiny deterministic stopword/function-word profiles per language — a
@@ -57,7 +63,9 @@ class QualityScore:
 
 
 def quality(docs: ray.data.Dataset) -> ray.data.Dataset:
-    return docs.map_batches(QualityScore, batch_format="pandas", concurrency=(1, 4))
+    return docs.map_batches(
+        partial(call_singleton, QualityScore), batch_format="pandas"
+    )
 
 
 class TokenCount:
@@ -75,7 +83,7 @@ class TokenCount:
 
 
 def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
-    return docs.map_batches(TokenCount, batch_format="pandas", concurrency=(1, 4))
+    return docs.map_batches(partial(call_singleton, TokenCount), batch_format="pandas")
 
 
 class LangId:
@@ -100,7 +108,7 @@ class LangId:
 
 
 def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
-    return docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    return docs.map_batches(partial(call_singleton, LangId), batch_format="pandas")
 
 
 _MERS = np.uint64((1 << 61) - 1)  # 2^61 - 1 (Mersenne prime)
@@ -181,5 +189,7 @@ class Fingerprint:
 
 def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(
-        Fingerprint, batch_format="pandas", batch_size=1024, concurrency=(1, 4)
+        partial(call_singleton, Fingerprint),
+        batch_format="pandas",
+        batch_size=1024,
     )
