@@ -527,13 +527,29 @@ def _incremental_sketches_sql() -> str:
     )
 
 
+def _sketch_bits_ctes_suffixed(seed: int, suffix: str, c: int = SHINGLE_C) -> str:
+    """The hh/sg/proj/bits CTE chain with every CTE name suffixed, so two
+    independent hash families (StreamHash seed 23, SimHash seed 101) can
+    coexist in one query."""
+    import re
+
+    sql = _sketch_bits_ctes(seed, c)
+    for name in ("hh", "sg", "proj", "bits"):
+        sql = re.sub(rf"\b{name}\b", f"{name}{suffix}", sql)
+    return sql
+
+
 def _similarity_report_sql() -> str:
-    """H10 all-pairs report over the fixture: exact sparse-vector cosine
-    (integer dot/norms — exact in double on both sides) + the StreamHash
-    angular estimate cos(pi*(1-sim)) with the same double-op order as the
-    numpy implementation."""
+    """H10 all-pairs report over the fixture, the reference's FULL column
+    set (`main.cpp:584-605`): exact sparse-vector cosine (integer dot/norms
+    — exact in double on both sides), angular similarity 1-acos(cos)/pi,
+    bit-agreement + cos(pi*(1-sim)) estimate for BOTH sketch families
+    (StreamHash seed 23, exact SimHash seed 101), and the StreamHash
+    estimate's error vs angular — every double expression in the same op
+    order as the numpy implementation."""
     return f"""
 WITH {_fixture_shing_ctes()}, {_sketch_bits_ctes(23)},
+{_sketch_bits_ctes_suffixed(101, "2")},
 gids AS (SELECT DISTINCT gid FROM shing),
 pr AS (SELECT a.gid AS ga, b.gid AS gb FROM gids a JOIN gids b ON a.gid < b.gid),
 dotp AS (
@@ -549,15 +565,34 @@ neq AS (
          SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ne
   FROM bits a JOIN bits b ON b.i = a.i AND a.gid < b.gid
   GROUP BY a.gid, b.gid
+),
+neq2 AS (
+  SELECT a.gid AS ga, b.gid AS gb,
+         SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ne
+  FROM bits2 a JOIN bits2 b ON b.i = a.i AND a.gid < b.gid
+  GROUP BY a.gid, b.gid
+),
+raw AS (
+  SELECT p.ga, p.gb,
+         CAST(COALESCE(d.dp, 0) AS DOUBLE) / (na.nn * nb.nn) AS cos_raw,
+         1.0 - n.ne / 1000.0 AS ssim,
+         1.0 - n2.ne / 1000.0 AS hsim
+  FROM pr p
+  LEFT JOIN dotp d ON d.ga = p.ga AND d.gb = p.gb
+  JOIN nrm na ON na.gid = p.ga
+  JOIN nrm nb ON nb.gid = p.gb
+  JOIN neq n ON n.ga = p.ga AND n.gb = p.gb
+  JOIN neq2 n2 ON n2.ga = p.ga AND n2.gb = p.gb
 )
-SELECT p.ga AS gid_a, p.gb AS gid_b,
-       ROUND(CAST(COALESCE(d.dp, 0) AS DOUBLE) / (na.nn * nb.nn), 6) AS cosine,
-       ROUND(cos(pi() * (1.0 - (1.0 - n.ne / 1000.0))), 6) AS streamhash_est
-FROM pr p
-LEFT JOIN dotp d ON d.ga = p.ga AND d.gb = p.gb
-JOIN nrm na ON na.gid = p.ga
-JOIN nrm nb ON nb.gid = p.gb
-JOIN neq n ON n.ga = p.ga AND n.gb = p.gb"""
+SELECT ga AS gid_a, gb AS gid_b,
+       ROUND(cos_raw, 6) AS cosine,
+       ROUND(1.0 - acos(LEAST(cos_raw, 1.0)) / pi(), 6) AS angular,
+       ROUND(ssim, 6) AS streamhash_sim,
+       ROUND(cos(pi() * (1.0 - ssim)), 6) AS streamhash_est,
+       ROUND(ssim - (1.0 - acos(LEAST(cos_raw, 1.0)) / pi()), 6) AS streamhash_err,
+       ROUND(hsim, 6) AS simhash_sim,
+       ROUND(cos(pi() * (1.0 - hsim)), 6) AS simhash_est
+FROM raw"""
 
 
 def _corpus_pipeline_sql() -> str:
@@ -1031,20 +1066,25 @@ def q_lsh_isolated(sf_dir: str):
 
 
 def q_similarity_report(sf_dir: str):
-    """Rows-only: H10 all-pairs validation report (exact cosine vs
-    StreamHash estimate) over the StreamSpot 12-edge fixture graphs."""
+    """H10 all-pairs validation report over the StreamSpot 12-edge fixture
+    graphs — the reference's full column set (main.cpp:584-605): exact
+    cosine, angular similarity, StreamHash sim/estimate/error, and the
+    seed-101 exact-SimHash sim/estimate."""
     from sbustreamspot_core_ray.sources.edges import streamspot_fixture_edges
     from sbustreamspot_core_ray.stages.shingle import construct_shingle_vectors
     from sbustreamspot_core_ray.stages.sketch import (
         compute_similarities,
+        construct_simhash_sketches,
         construct_streamhash_sketches,
     )
 
     sh = construct_shingle_vectors(streamspot_fixture_edges(), 5).materialize()
     sk = construct_streamhash_sketches(sh, 5)
-    out = compute_similarities(sh, sk).to_pandas()
-    out["cosine"] = round_half_away(out["cosine"], 6)
-    out["streamhash_est"] = round_half_away(out["streamhash_est"], 6)
+    sm = construct_simhash_sketches(sh, 5)
+    out = compute_similarities(sh, sk, simhash_sketches=sm).to_pandas()
+    for col in out.columns:
+        if col not in ("gid_a", "gid_b"):
+            out[col] = round_half_away(out[col], 6)
     return out
 
 

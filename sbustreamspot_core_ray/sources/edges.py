@@ -300,7 +300,15 @@ def read_streamspot_tsv(
     The reference's input is one sequentially-ordered TSV whose line order
     carries the stream semantics, so the parse is a single ordered pass
     (pyarrow's C csv reader); corpus-scale inputs use the parquet path
-    (`extract_edges`) where `seq` is explicit per row."""
+    (`extract_edges`) where `seq` is explicit per row.
+
+    `seq` numbers the KEPT rows 0..n-1 (the scenario preset is applied
+    BEFORE numbering): the reference's snapshot interval counts only
+    processed edges (`main.cpp:394` `edge_num % CLUSTER_UPDATE_INTERVAL`),
+    so a raw-line-number seq would shift `score_stream` window boundaries
+    under ydc/gfc presets. Callers that further split train/test should
+    renumber the test stream with `renumber_seq`."""
+    import pyarrow.compute as pc
     import pyarrow.csv as pacsv
 
     tbl = pacsv.read_csv(
@@ -320,23 +328,69 @@ def read_streamspot_tsv(
             }
         ),
     )
+    scenarios = STREAMSPOT_DATASETS[dataset]
+    tbl = tbl.filter(
+        pc.is_in(
+            pc.divide(tbl["gid"], pa.scalar(100, pa.int64())),
+            value_set=pa.array(scenarios, pa.int64()),
+        )
+    )
 
-    def ch(col) -> np.ndarray:
-        return np.array([ord(s[0]) for s in col.to_pylist()], np.uint8)
+    def ch(col: pa.ChunkedArray) -> pa.Array:
+        # dictionary-cast route: ord() runs once per DISTINCT type char
+        # (a handful), then a vectorized take over the index array — scales
+        # to a 100M-row TSV where a per-row Python loop would not
+        d = pc.dictionary_encode(col.combine_chunks())
+        vals = np.array([ord(s[0]) for s in d.dictionary.to_pylist()], np.uint8)
+        return pa.array(vals[d.indices.to_numpy()])
 
     out = pa.table(
         {
             "src": tbl["src"],
             "dst": tbl["dst"],
-            "src_type": pa.array(ch(tbl["src_type"])),
-            "dst_type": pa.array(ch(tbl["dst_type"])),
-            "e_type": pa.array(ch(tbl["e_type"])),
+            "src_type": ch(tbl["src_type"]),
+            "dst_type": ch(tbl["dst_type"]),
+            "e_type": ch(tbl["e_type"]),
             "gid": tbl["gid"],
             "seq": pa.array(np.arange(tbl.num_rows, dtype=np.int64)),
         },
         schema=EDGE_SCHEMA,
     )
-    return scenario_filter(ray.data.from_arrow(out), dataset)
+    return ray.data.from_arrow(out)
+
+
+def renumber_seq(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Reassign `seq` to a dense 0..n-1 numbering in current-seq order.
+
+    Used after any filter/split of an ordered stream (e.g. dropping train
+    gids from a StreamSpot TSV) so window ids in `score_stream` count only
+    PROCESSED edges, matching the reference's `edge_num` counter
+    (`main.cpp:394`). One sort; block-local renumber via the per-block row
+    offsets (no driver materialization)."""
+    srt = edges.sort("seq").materialize()
+    # per-block start offsets from the block row counts (ordered after sort)
+    bundles = srt.iter_internal_ref_bundles()
+    import ray as _ray
+
+    sizes: list[int] = []
+    blocks = []
+    for b in bundles:
+        for ref, meta in b.blocks:
+            sizes.append(meta.num_rows)
+            blocks.append(ref)
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+
+    @_ray.remote
+    def renum(block, off: int) -> pa.Table:
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        return t.set_column(
+            t.schema.get_field_index("seq"),
+            "seq",
+            pa.array(np.arange(off, off + t.num_rows, dtype=np.int64)),
+        )
+
+    out = [renum.remote(ref, int(off)) for ref, off in zip(blocks, offsets)]
+    return ray.data.from_arrow_refs(out)
 
 
 # The reference's 12-edge fixture (data, verbatim from

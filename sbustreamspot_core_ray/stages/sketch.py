@@ -149,13 +149,21 @@ def cosine_similarity_sparse(
 
 
 def compute_similarities(
-    shingles: ray.data.Dataset, sketches: ray.data.Dataset, l: int = L
+    shingles: ray.data.Dataset,
+    sketches: ray.data.Dataset,
+    l: int = L,
+    simhash_sketches: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
-    """H10: all-pairs validation report (gid_a, gid_b, cosine, streamhash_est).
+    """H10: all-pairs validation report mirroring the reference's full
+    column set (`main.cpp:584-605`): per pair (gid_a < gid_b) the exact
+    sparse cosine, the angular similarity 1-acos(cosine)/pi, the StreamHash
+    bit-agreement + its cos(pi*(1-sim)) estimate and the estimate's error
+    vs angular; when `simhash_sketches` is given (the seed-101 exact
+    SimHash family, H6/H7) also simhash_sim + simhash_est.
 
     Cartesian over gids — the small-side is collected and broadcast; only
-    for validation corpora (the reference's dead batch path,
-    `main.cpp:584-605`). The production similarity path is stages/lsh.py.
+    for validation corpora (the reference's dead batch path). The
+    production similarity path is stages/lsh.py.
     """
     import pandas as pd
 
@@ -168,17 +176,33 @@ def compute_similarities(
         int(g): np.frombuffer(b, dtype=np.uint8)
         for g, b in zip(sk["gid"], sk["sketch"])
     }
+    sim_map: dict[int, np.ndarray] | None = None
+    if simhash_sketches is not None:
+        sm = simhash_sketches.to_pandas()
+        sim_map = {
+            int(g): np.frombuffer(b, dtype=np.uint8)
+            for g, b in zip(sm["gid"], sm["sketch"])
+        }
     gids = sorted(vecs)
     rows = []
     for i, a in enumerate(gids):
         for b in gids[i + 1 :]:
             cos = cosine_similarity_sparse(vecs[a], vecs[b])
-            est = float(
-                sketch_angular_distance(
-                    streamhash_similarity_np(sk_map[a], sk_map[b], l)
-                )
-            )
-            rows.append((a, b, cos, est))
-    return ray.data.from_pandas(
-        pd.DataFrame(rows, columns=["gid_a", "gid_b", "cosine", "streamhash_est"])
-    )
+            ang = 1.0 - np.arccos(min(cos, 1.0)) / np.pi
+            ssim = float(streamhash_similarity_np(sk_map[a], sk_map[b], l))
+            est = float(sketch_angular_distance(np.float64(ssim)))
+            row = {
+                "gid_a": a,
+                "gid_b": b,
+                "cosine": cos,
+                "angular": float(ang),
+                "streamhash_sim": ssim,
+                "streamhash_est": est,
+                "streamhash_err": float(ssim - ang),
+            }
+            if sim_map is not None:
+                hsim = float(streamhash_similarity_np(sim_map[a], sim_map[b], l))
+                row["simhash_sim"] = hsim
+                row["simhash_est"] = float(sketch_angular_distance(np.float64(hsim)))
+            rows.append(row)
+    return ray.data.from_pandas(pd.DataFrame(rows))
