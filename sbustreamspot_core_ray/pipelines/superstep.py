@@ -321,10 +321,6 @@ def pagerank(
     aggregation as a Ray Data groupby shuffle (for very large P).
     """
     actors = graph.actors
-    assert not (graph.salted and combine != "direct"), (
-        "salted graphs use the direct exchange (mirror contributions are "
-        "not wired into the dataset combine path)"
-    )
     start_iter = 0
     if ckpt_dir is not None:
         manifest = graph.restore(ckpt_dir)
@@ -349,6 +345,9 @@ def pagerank(
             )
             delta = sum(deltas)
         else:
+            if graph.salted:
+                # consume the hot barrier before scatters read mirror state
+                ray.get([a.await_hot_delivery.remote() for a in actors])
             refs = [a.pagerank_scatter.remote(damping) for a in actors]
 
             def apply_pr(p: int, g: pa.Table) -> float:
@@ -401,7 +400,6 @@ def connected_components(
     changed, so the next round re-propagates from the restored labels —
     idempotent for min-label convergence)."""
     assert graph.symmetric, "connected_components needs a symmetric graph"
-    assert not (graph.salted and combine != "direct")
     actors = graph.actors
     start_iter = 0
     if ckpt_dir is not None:
@@ -411,11 +409,13 @@ def connected_components(
     if start_iter == 0:
         ray.get([a.cc_init.remote() for a in actors])
     for it in range(start_iter, max_iters):
+        if graph.salted:
+            ray.get([a.push_hot_ranks.remote("cc") for a in actors])
         if combine == "direct":
-            if graph.salted:
-                ray.get([a.push_hot_ranks.remote("cc") for a in actors])
             changed = sum(graph._exchange("cc"))
         else:
+            if graph.salted:
+                ray.get([a.await_hot_delivery.remote() for a in actors])
             refs = [a.cc_scatter.remote() for a in actors]
 
             def apply_cc(p: int, g: pa.Table) -> float:
@@ -452,15 +452,16 @@ def label_propagation(
     (symmetrized graph → all neighbors), ties broken by min label, isolated
     vertices keep their own. Fixed iteration count for determinism."""
     assert graph.symmetric, "label_propagation needs a symmetric graph"
-    assert not (graph.salted and combine != "direct")
     actors = graph.actors
     ray.get([a.lp_init.remote() for a in actors])
     for _ in range(iters):
+        if graph.salted:
+            ray.get([a.push_hot_ranks.remote("lp") for a in actors])
         if combine == "direct":
-            if graph.salted:
-                ray.get([a.push_hot_ranks.remote("lp") for a in actors])
             graph._exchange("lp")
             continue
+        if graph.salted:
+            ray.get([a.await_hot_delivery.remote() for a in actors])
         refs = [a.lp_scatter.remote() for a in actors]
 
         def apply_lp(p: int, g: pa.Table) -> float:
@@ -494,10 +495,13 @@ def neighborhood_sketch(
     is k element-mins versus PageRank's single multiply-add, so wall time
     is dominated by vectorized arithmetic rather than memory traffic
     (bench.py --scaling runs it at num_perm=64)."""
-    assert not graph.salted, "nmh mirrors are not wired; build unsalted"
     actors = graph.actors
     ray.get([a.nmh_init.remote(num_perm, seed) for a in actors])
     for _ in range(iters):
+        if graph.salted:
+            # owners fan the hot sources' CURRENT sketch rows to their
+            # mirror holders; push_parts awaits delivery before scattering
+            ray.get([a.push_hot_ranks.remote("nmh") for a in actors])
         graph._exchange("nmh")
     return ray.data.from_arrow_refs([a.nmh_state.remote() for a in actors])
 

@@ -222,10 +222,18 @@ class CsrShard:
         )
         self.m_dst_u, self.m_dst_inv = np.unique(all_dsts, return_inverse=True)
         m_part = part_of(self.m_dst_u, self.P)
+        self.m_dst_partof = m_part
         order = np.argsort(m_part, kind="stable")
         bounds = np.searchsorted(m_part[order], np.arange(self.P + 1))
         self.m_dst_by_part = [order[bounds[p] : bounds[p + 1]] for p in range(self.P)]
         self.m_dst_route: list[np.ndarray | None] = [None] * self.P
+        # segmented-reduce layout over the concatenated mirror edges (for
+        # element-min partials: nmh): edge order sorted by destination + run
+        # starts, mirroring nmh_init's local layout
+        self._m_order = np.argsort(self.m_dst_inv, kind="stable")
+        self._m_starts = np.searchsorted(
+            self.m_dst_inv[self._m_order], np.arange(len(self.m_dst_u))
+        )
         return len(self.m_dst_u)
 
     def mirror_route_request(self, p: int) -> np.ndarray:
@@ -255,6 +263,8 @@ class CsrShard:
             state = (self.rank[idx], None)
         elif algo == "cc":
             state = (self.label[idx], self.changed[idx])
+        elif algo == "nmh":
+            state = (self.nmh[idx], None)  # (hot, k) sketch rows
         else:  # lp
             state = (self.label[idx], None)
         sends = []
@@ -299,6 +309,34 @@ class CsrShard:
             self.m_dst_inv, weights=per_edge, minlength=len(self.m_dst_u)
         )
         return sums
+
+    def _mirror_nmh_mins(self) -> np.ndarray | None:
+        """Elementwise-min sketch per mirror destination from the salted hot
+        sources' pushed sketch rows (None when this shard holds no mirrors).
+        Same per-perm gather + minimum.reduceat kernel as the local path."""
+        if not getattr(self, "mirrors", None) or len(self.m_dst_u) == 0:
+            return None
+        rows = np.concatenate(
+            [np.repeat(m["rank"], m["cnt"], axis=0) for m in self.mirrors.values()],
+            axis=0,
+        )  # (mirror_edges, k), rows aligned with the concatenated dsts
+        k = rows.shape[1]
+        out = np.empty((len(self.m_dst_u), k), rows.dtype)
+        sl = self._m_order
+        for j in range(k):
+            out[:, j] = np.minimum.reduceat(rows[sl, j], self._m_starts)
+        return out
+
+    async def await_hot_delivery(self) -> int:
+        """Dataset-combine counterpart of the push_parts hot barrier: the
+        driver awaits this on every shard (after push_hot_ranks) before
+        issuing scatter calls, so mirror state for THIS superstep is in
+        place and the barrier counters are consumed."""
+        if getattr(self, "mirrors", None):
+            await self._hot_barrier.wait()
+            self._hot_received = 0
+            self._hot_barrier.clear()
+        return self.part
 
     def route_request(self, p: int) -> np.ndarray:
         """The dst vertex ids this shard scatters to owner p."""
@@ -364,13 +402,15 @@ class CsrShard:
         src_rank = self.rank[self.src_in_owned]
         per_edge = self._rank_per_edge(src_rank / self.outdeg)
         sums = np.bincount(self.dst_inv, weights=per_edge, minlength=len(self.dst_u))
-        return pa.table(
-            {
-                "dpart": self.dst_part,
-                "vertex": self.dst_u,
-                "contrib": sums * damping,
-            }
-        )
+        dpart, vertex, contrib = self.dst_part, self.dst_u, sums * damping
+        msums = self._mirror_partials()
+        if msums is not None:
+            # salted hot sources: mirror-chunk partials ride along as extra
+            # rows (the dataset combine SUMS per vertex, duplicates are fine)
+            dpart = np.concatenate([dpart, self.m_dst_partof])
+            vertex = np.concatenate([vertex, self.m_dst_u])
+            contrib = np.concatenate([contrib, msums * damping])
+        return pa.table({"dpart": dpart, "vertex": vertex, "contrib": contrib})
 
     def dangling_rank(self) -> float:
         # owned vertices with no out-edges (incl. dst-only vertices)
@@ -432,24 +472,36 @@ class CsrShard:
             for j in range(k):
                 mins[r0:r1, j] = np.minimum.reduceat(ST[j][sl], st)
             r0 = r1
-        return tuple(
-            (self.dst_route[p], mins[idx])
-            for p, idx in enumerate(self.dst_by_part)
-        )
+        # each peer's part is a LIST of (route, mins) pairs: the local slice
+        # plus (salted graphs) the mirror-chunk slice. The pairs stay
+        # separate because a destination may appear in both, and the apply
+        # kernel's fancy-index min is only collision-free WITHIN a pair.
+        mmins = self._mirror_nmh_mins()
+        out = []
+        for p, idx in enumerate(self.dst_by_part):
+            pairs = [(self.dst_route[p], mins[idx])]
+            if mmins is not None:
+                midx = self.m_dst_by_part[p]
+                if len(midx):
+                    pairs.append((self.m_dst_route[p], mmins[midx]))
+            out.append(pairs)
+        return tuple(out)
 
     def nmh_apply_parts(self, *parts) -> float:
         new = self.nmh
         changed_any = np.zeros(len(self.owned), bool)
-        for idx, m in parts:
-            if len(idx):
-                # idx rows are distinct within a part (dst_route lists each
-                # destination once), so fancy-index min is collision-free
-                cur = new[idx]
-                upd = np.minimum(cur, m)
-                ch = (upd != cur).any(axis=1)
-                if ch.any():
-                    new[idx] = upd
-                    changed_any[idx] |= ch
+        for pairs in parts:
+            for idx, m in pairs:
+                if len(idx):
+                    # idx rows are distinct within a pair (each route lists a
+                    # destination once), so fancy-index min is collision-free;
+                    # pairs apply sequentially against the refreshed state
+                    cur = new[idx]
+                    upd = np.minimum(cur, m)
+                    ch = (upd != cur).any(axis=1)
+                    if ch.any():
+                        new[idx] = upd
+                        changed_any[idx] |= ch
         return float(changed_any.sum())
 
     def nmh_state(self) -> pa.Table:
@@ -706,9 +758,29 @@ class CsrShard:
 
     def cc_scatter(self) -> pa.Table:
         """Frontier scatter: labels of changed srcs propagated to dsts,
-        combined by dst with min (the partial aggregate)."""
+        combined by dst with min (the partial aggregate). Salted mirror
+        chunks contribute extra rows (the dataset combine min-dedups)."""
+        INF = np.iinfo(np.int64).max
         active = self.changed[self.src_in_owned]
-        if not active.any():
+        dparts, verts, lbls = [], [], []
+        if active.any():
+            lbl_edge = self._rank_per_edge(self.label[self.src_in_owned])
+            act_edge = self._rank_per_edge(active.astype(np.int64)).astype(bool)
+            inv = self.dst_inv[act_edge]
+            lbl = lbl_edge[act_edge]
+            mins = np.full(len(self.dst_u), INF)
+            np.minimum.at(mins, inv, lbl)
+            live = mins != INF
+            dparts.append(self.dst_part[live])
+            verts.append(self.dst_u[live])
+            lbls.append(mins[live])
+        mmins = self._mirror_label_mins()
+        if mmins is not None:
+            live = mmins != INF
+            dparts.append(self.m_dst_partof[live])
+            verts.append(self.m_dst_u[live])
+            lbls.append(mmins[live])
+        if not dparts:
             return pa.table(
                 {
                     "dpart": np.empty(0, np.int32),
@@ -716,18 +788,11 @@ class CsrShard:
                     "label": np.empty(0, np.int64),
                 }
             )
-        lbl_edge = self._rank_per_edge(self.label[self.src_in_owned])
-        act_edge = self._rank_per_edge(active.astype(np.int64)).astype(bool)
-        inv = self.dst_inv[act_edge]
-        lbl = lbl_edge[act_edge]
-        mins = np.full(len(self.dst_u), np.iinfo(np.int64).max)
-        np.minimum.at(mins, inv, lbl)
-        live = mins != np.iinfo(np.int64).max
         return pa.table(
             {
-                "dpart": self.dst_part[live],
-                "vertex": self.dst_u[live],
-                "label": mins[live],
+                "dpart": np.concatenate(dparts).astype(np.int32),
+                "vertex": np.concatenate(verts),
+                "label": np.concatenate(lbls),
             }
         )
 
@@ -747,18 +812,30 @@ class CsrShard:
         self.label = self.owned.copy()
 
     def lp_scatter(self) -> pa.Table:
-        """Emit per-(dst, label) counts — the combiner for the mode agg."""
+        """Emit per-(dst, label) counts — the combiner for the mode agg.
+        Salted mirror chunks ride along as extra rows (the dataset combine
+        sums counts per (vertex, label))."""
         lbl_edge = self._rank_per_edge(self.label[self.src_in_owned])
         pairs = np.stack([self.dst_inv, lbl_edge], axis=1)
         uniq, counts = np.unique(pairs, axis=0, return_counts=True)
         inv = uniq[:, 0].astype(np.int64)
+        dpart = self.dst_part[inv]
+        vertex = self.dst_u[inv]
+        lab = uniq[:, 1]
+        cnt = counts.astype(np.int64)
+        if getattr(self, "mirrors", None) and len(self.m_dst_u):
+            mlbl = np.concatenate(
+                [np.repeat(m["rank"], m["cnt"]) for m in self.mirrors.values()]
+            ).astype(np.int64)
+            mpairs = np.stack([self.m_dst_inv, mlbl], axis=1)
+            muniq, mcounts = np.unique(mpairs, axis=0, return_counts=True)
+            minv = muniq[:, 0].astype(np.int64)
+            dpart = np.concatenate([dpart, self.m_dst_partof[minv]])
+            vertex = np.concatenate([vertex, self.m_dst_u[minv]])
+            lab = np.concatenate([lab, muniq[:, 1]])
+            cnt = np.concatenate([cnt, mcounts.astype(np.int64)])
         return pa.table(
-            {
-                "dpart": self.dst_part[inv],
-                "vertex": self.dst_u[inv],
-                "label": uniq[:, 1],
-                "cnt": counts.astype(np.int64),
-            }
+            {"dpart": dpart, "vertex": vertex, "label": lab, "cnt": cnt}
         )
 
     def lp_apply(self, vertex: np.ndarray, label: np.ndarray, cnt: np.ndarray) -> int:

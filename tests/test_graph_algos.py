@@ -165,6 +165,64 @@ def test_salted_cc_lp_match_unsalted(edges):
     )
 
 
+def test_salted_dataset_combine_matches_unsalted(edges):
+    """Round-3 wiring: salted graphs through the Ray Data groupby combine
+    path (mirror contributions ride along as extra scatter rows) must equal
+    the unsalted run — PageRank to 1e-12, CC/LP exact."""
+    hub_edges = list(edges) + [(9999, i) for i in range(300)]
+
+    g_plain = ShardedGraph.build(edges_ds(hub_edges), num_parts=P, symmetric=False)
+    plain = pagerank(g_plain, max_iters=20, tol=0.0, combine="dataset").to_pandas()
+    g_salt = ShardedGraph.build(
+        edges_ds(hub_edges), num_parts=P, symmetric=False, salt_threshold=50
+    )
+    assert g_salt.salted
+    salted = pagerank(g_salt, max_iters=20, tol=0.0, combine="dataset").to_pandas()
+    a = dict(zip(plain["vertex"], plain["rank"]))
+    b = dict(zip(salted["vertex"], salted["rank"]))
+    assert set(a) == set(b)
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+    g1 = ShardedGraph.build(edges_ds(hub_edges), num_parts=P, symmetric=True)
+    g2 = ShardedGraph.build(
+        edges_ds(hub_edges), num_parts=P, symmetric=True, salt_threshold=50
+    )
+    cc_a = connected_components(g1, combine="dataset").to_pandas()
+    cc_b = connected_components(g2, combine="dataset").to_pandas()
+    assert dict(zip(cc_a["vertex"], cc_a["component"])) == dict(
+        zip(cc_b["vertex"], cc_b["component"])
+    )
+
+    g3 = ShardedGraph.build(edges_ds(hub_edges), num_parts=P, symmetric=True)
+    g4 = ShardedGraph.build(
+        edges_ds(hub_edges), num_parts=P, symmetric=True, salt_threshold=50
+    )
+    lp_a = label_propagation(g3, iters=4, combine="dataset").to_pandas()
+    lp_b = label_propagation(g4, iters=4, combine="dataset").to_pandas()
+    assert dict(zip(lp_a["vertex"], lp_a["label"])) == dict(
+        zip(lp_b["vertex"], lp_b["label"])
+    )
+
+
+def test_salted_nmh_matches_unsalted(edges):
+    """Round-3 wiring: neighborhood sketches on a salted graph (owner pushes
+    hot sketch rows to mirrors each superstep) — bitwise-equal estimates."""
+    from sbustreamspot_core_ray.pipelines.superstep import neighborhood_sketch
+
+    hub_edges = list(edges) + [(9999, i) for i in range(300)]
+    g_plain = ShardedGraph.build(edges_ds(hub_edges), num_parts=P, symmetric=False)
+    plain = neighborhood_sketch(g_plain, iters=3, num_perm=8).to_pandas()
+    g_salt = ShardedGraph.build(
+        edges_ds(hub_edges), num_parts=P, symmetric=False, salt_threshold=50
+    )
+    assert g_salt.salted
+    salted = neighborhood_sketch(g_salt, iters=3, num_perm=8).to_pandas()
+    a = dict(zip(plain["vertex"], plain["nf_est"]))
+    b = dict(zip(salted["vertex"], salted["nf_est"]))
+    assert a == b  # integer min-hash state -> bitwise-equal floats
+
+
 def test_cc_checkpoint_resume(tmp_path, edges):
     ck = str(tmp_path / "cc_ck")
     g1 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
