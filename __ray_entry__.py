@@ -595,6 +595,38 @@ SELECT ga AS gid_a, gb AS gid_b,
 FROM raw"""
 
 
+def _anomaly_scenarios_sql() -> str:
+    """The CLI's per-scenario anomaly evaluation (main.cpp:531-557 +
+    test_anomalies): seed-101 SimHash LSH isolation with the index built
+    from the NORMAL gids (lower half of 53 graphs -> gids < 26 normal,
+    >= 26 attack), aggregated per scenario (gid//100)."""
+    return f"""
+WITH {_SQL_SHINGLE_CTES}, {_sketch_bits_ctes(101)}, {_SQL_BANDS_CTE},
+iso AS (
+  SELECT q.gid, (COUNT(ix.band_value) = 0) AS isolated
+  FROM bands q
+  LEFT JOIN (SELECT DISTINCT band_idx, band_value FROM bands WHERE gid < 26) ix
+    USING (band_idx, band_value)
+  GROUP BY q.gid
+)
+SELECT gid // 100 AS scenario,
+       COUNT(*) AS n_graphs,
+       SUM(CASE WHEN gid >= 26 THEN 1 ELSE 0 END) AS n_attack,
+       SUM(CASE WHEN isolated THEN 1 ELSE 0 END) AS n_flagged,
+       SUM(CASE WHEN isolated AND gid >= 26 THEN 1 ELSE 0 END) AS true_pos,
+       ROUND(CASE WHEN SUM(CASE WHEN isolated THEN 1 ELSE 0 END) = 0 THEN -1.0
+             ELSE CAST(SUM(CASE WHEN isolated AND gid >= 26 THEN 1 ELSE 0 END)
+                       AS DOUBLE)
+                  / SUM(CASE WHEN isolated THEN 1 ELSE 0 END) END, 6)
+         AS precision,
+       ROUND(CASE WHEN SUM(CASE WHEN gid >= 26 THEN 1 ELSE 0 END) = 0 THEN -1.0
+             ELSE CAST(SUM(CASE WHEN isolated AND gid >= 26 THEN 1 ELSE 0 END)
+                       AS DOUBLE)
+                  / SUM(CASE WHEN gid >= 26 THEN 1 ELSE 0 END) END, 6)
+         AS recall
+FROM iso GROUP BY gid // 100"""
+
+
 def _corpus_pipeline_sql() -> str:
     """Independent SQL extraction over the SAME deterministic corpus files
     the query ingests: contains = one edge per corpus row; imports = each
@@ -1086,6 +1118,21 @@ def q_similarity_report(sf_dir: str):
         if col not in ("gid_a", "gid_b"):
             out[col] = round_half_away(out[col], 6)
     return out
+
+
+def q_anomaly_scenarios(sf_dir: str):
+    """The CLI's per-scenario anomaly evaluation kernel (SQL-mirrored):
+    seed-101 SimHash LSH isolation over the typed TPC-H graph, indexed on
+    the normal gids (lower half), aggregated per scenario. NaN ratios are
+    mapped to the -1.0 sentinel so both sides hash identically."""
+    from sbustreamspot_core_ray.cli import anomaly_report
+
+    rep = anomaly_report(_edges_typed(sf_dir), SHINGLE_C)
+    for col in ("precision", "recall"):
+        rep[col] = round_half_away(rep[col].fillna(-1.0), 6)
+    for col in ("scenario", "n_graphs", "n_attack", "n_flagged", "true_pos"):
+        rep[col] = rep[col].astype(np.int64)
+    return rep
 
 
 def q_shingles(sf_dir: str):
@@ -1621,6 +1668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "lsh_isolated": q_lsh_isolated,
+        "anomaly_scenarios": q_anomaly_scenarios,
         "similarity_report": q_similarity_report,
         "shingles": q_shingles,
         "streamhash_sketches": q_streamhash_sketches,
@@ -1808,6 +1856,7 @@ FROM documents
         "streamhash_sketches": _streamhash_sketches_sql(),
         "simhash_sketches": _simhash_sketches_sql(),
         "lsh_isolated": _lsh_isolated_sql(),
+        "anomaly_scenarios": _anomaly_scenarios_sql(),
         "lsh_clusters": _lsh_clusters_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "minhash_dedup": _minhash_dedup_sql(),

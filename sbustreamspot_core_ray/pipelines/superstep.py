@@ -142,20 +142,28 @@ class ShardedGraph:
             expected_v += r["v"]
         # completion barrier: wait until every shard has RECEIVED the routed
         # totals (>=, not ==: a retried route task re-delivers and
-        # finalize() dedups). Fails loudly after a deadline.
+        # finalize() dedups). Fails loudly only when delivery STALLS: the
+        # deadline is an inactivity window that resets whenever the received
+        # counters make progress, so a large or contended build that is
+        # still legitimately draining never trips it.
         import time as _time
 
-        deadline = _time.monotonic() + 300
+        STALL_S = 300.0
+        deadline = _time.monotonic() + STALL_S
+        last = (-1, -1)
         while True:
             got = ray.get([a.ingest_counts.remote() for a in actors])
             ge = sum(e for e, _ in got)
             gv = sum(v for _, v in got)
             if ge >= expected_e and gv >= expected_v:
                 break
-            if _time.monotonic() > deadline:
+            if (ge, gv) != last:
+                last = (ge, gv)
+                deadline = _time.monotonic() + STALL_S
+            elif _time.monotonic() > deadline:
                 raise RuntimeError(
-                    f"graph build barrier timeout: got ({ge},{gv}) "
-                    f"expected ({expected_e},{expected_v})"
+                    f"graph build barrier stalled >{STALL_S:.0f}s: got "
+                    f"({ge},{gv}) expected ({expected_e},{expected_v})"
                 )
             _time.sleep(0.005)
         infos = ray.get([a.finalize.remote() for a in actors])
