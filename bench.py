@@ -91,6 +91,28 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat. Hypervisor CPU steal is the
+    noise source loadavg CANNOT see on this box (measured: identical numpy
+    prep 4s vs 25s at loadavg < 2); the delta between two samples gives the
+    steal fraction DURING the bench."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float | None:
+    dt = after[1] - before[1]
+    if dt <= 0:
+        return None
+    return round(100.0 * (after[0] - before[0]) / dt, 2)
+
+
 def _edges_scaled(sf_dir: str, k: int):
     """The sf edge table replicated k times with disjoint vertex-id offsets
     (deterministic) — scales superstep WORK so the scaling measurement is
@@ -363,6 +385,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
 
         qmap = E.queries()
         load_start = _loadavg()
+        jif_start = _cpu_jiffies()
         timings: dict[str, float] = {}
         # queries whose r01->r02 swings were noise-suspect get raw repeats
         # in the output (best-of-N headline number, all N recorded)
@@ -394,6 +417,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
             "headline": headline,
             "loadavg_start": load_start,
             "loadavg_end": _loadavg(),
+            "cpu_steal_pct": _steal_pct(jif_start, _cpu_jiffies()),
             "sf": _sf_label(sf_dir),
             "num_cpus": num_cpus,
         }

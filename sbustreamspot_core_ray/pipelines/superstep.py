@@ -734,35 +734,58 @@ def _close_wedges_task(u, v, es_packed, lo: int, hi: int, per_vertex: bool):
 
 
 def _triangles_broadcast(
-    und: ray.data.Dataset, num_tasks: int, per_vertex: bool
+    raw: ray.data.Dataset, num_tasks: int, per_vertex: bool
 ) -> ray.data.Dataset:
-    """Broadcast-closure regime (|E| bounded): degrees, orientation and the
-    packed canonical edge array are cheap dense-id numpy on the driver; the
-    O(E^1.5) wedge enumeration+probe fans out as balanced Ray tasks over
-    u-ranges reading the broadcast arrays zero-copy. NO shuffle at any
-    step. (The co-partitioned Dataset path in triangle_count handles
-    graphs whose edge list cannot be broadcast.)"""
-    df = und.to_pandas()
+    """Broadcast-closure regime (|E| bounded): takes the CANONICALIZED but
+    not-yet-deduped (a, b) table — dedup happens here as one np.unique over
+    the packed pairs, replacing a whole Ray `distinct` shuffle (~4 s of
+    wide-op overhead at sf0.1) with a driver sort it needed anyway.
+    Degrees, orientation and the packed canonical edge array are cheap
+    dense-id numpy on the driver; the O(E^1.5) wedge enumeration+probe fans
+    out as balanced Ray tasks over u-ranges reading the broadcast arrays
+    zero-copy. NO shuffle at any step. (The co-partitioned Dataset path in
+    triangle_count handles graphs whose edge list cannot be broadcast.)"""
+    df = raw.to_pandas()
     a = df["a"].to_numpy()
     b = df["b"].to_numpy()
     del df
-    vs_sorted = np.unique(np.concatenate([a, b]))
-    nv = len(vs_sorted)
-    assert nv < (1 << 31)  # int32 ranks; far above the broadcast-regime cap
-    ra = np.searchsorted(vs_sorted, a).astype(np.int64)
-    rb = np.searchsorted(vs_sorted, b).astype(np.int64)
+    # Every step below is SINGLE-THREADED driver numpy — the phase the
+    # hypervisor's CPU steal amplifies 3-6x on this box (parallel task
+    # phases average the steal out over 32 cpus; a serial phase eats it
+    # 1:1). Keep it as lean as possible.
+    vmax = int(max(a.max(), b.max())) if len(a) else 0
+    if vmax < (1 << 26):
+        # direct-id fast path: ids are small enough that an id-indexed
+        # degree array (<= 512 MB transient) is cheaper than the rank
+        # compaction's unique+searchsorted sorts over 2E elements
+        nv = vmax + 1
+        vs_sorted = None
+        ra, rb = a, b
+    else:
+        vs_sorted = np.unique(np.concatenate([a, b]))
+        nv = len(vs_sorted)
+        assert nv < (1 << 31)  # int32 ranks; above the broadcast-regime cap
+        ra = np.searchsorted(vs_sorted, a).astype(np.int64)
+        rb = np.searchsorted(vs_sorted, b).astype(np.int64)
+    # dedup + sort in ONE pass: unique over the packed pairs, then unpack
+    # the now-distinct (ra, rb)
+    es_packed = np.unique(
+        (ra.astype(np.uint64) << np.uint64(32)) | rb.astype(np.uint64)
+    )
+    ra = (es_packed >> np.uint64(32)).astype(np.int64)
+    rb = (es_packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
     deg = np.bincount(ra, minlength=nv) + np.bincount(rb, minlength=nv)
-    es_packed = np.sort((ra.astype(np.uint64) << np.uint64(32)) | rb.astype(np.uint64))
-    # orient from the endpoint with smaller (deg, id)
+    # orient from the endpoint with smaller (deg, id); int32 BEFORE the
+    # lexsort (deg <= 2E < 2^31 in the broadcast regime) — the sort and the
+    # wedge enumeration are gather-bound, so halving element width halves
+    # their memory traffic
     da, db = deg[ra], deg[rb]
     a_first = (da < db) | ((da == db) & (ra < rb))
-    u = np.where(a_first, ra, rb)
-    v = np.where(a_first, rb, ra)
-    rv = np.where(a_first, db, da)
+    u = np.where(a_first, ra, rb).astype(np.int32)
+    v = np.where(a_first, rb, ra).astype(np.int32)
+    rv = np.where(a_first, db, da).astype(np.int32)
     order = np.lexsort((v, rv, u))
-    # int32 ranks (nv < 2^32 asserted): the wedge enumeration is gather-
-    # bound, so halving the element width halves its memory traffic
-    u, v = u[order].astype(np.int32), v[order].astype(np.int32)
+    u, v = u[order], v[order]
     # balance tasks by wedge work: split cumulative sizes, snap to u-runs
     n = len(u)
     run_end_all = np.searchsorted(u, u, side="right")
@@ -798,9 +821,10 @@ def _triangles_broadcast(
             counts += np.bincount(tv, minlength=nv)
             counts += np.bincount(tw, minlength=nv)
     nz = np.flatnonzero(counts)
+    vout = nz if vs_sorted is None else vs_sorted[nz]
     return ray.data.from_arrow(
         pa.table(
-            {"vertex": vs_sorted[nz], "triangles": counts[nz]}
+            {"vertex": pa.array(vout, pa.int64()), "triangles": counts[nz]}
         )
     )
 
@@ -848,11 +872,12 @@ def triangle_count(
     # shared intermediates are consumed by multiple downstream branches;
     # materialize() pins them in the object store (spillable) so the diamond
     # DAG does not re-execute the upstream once per consumer
-    und = distinct(
-        edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"]
-    ).materialize()
+    raw = edges.map_batches(canon, batch_format="pyarrow").materialize()
 
-    n_edges = und.count()
+    # regime guard on the PRE-dedup count (>= deduped count, so it is a
+    # conservative stand-in that saves the dedup shuffle in the broadcast
+    # regime — the broadcast path dedups in-driver via one np.unique)
+    n_edges = raw.count()
     # memory-aware guard: the broadcast regime materializes ~16 bytes/edge
     # on the driver; cap the threshold at 10% of currently-available RAM so
     # a generous default can never OOM a loaded driver
@@ -862,7 +887,8 @@ def triangle_count(
     except (ValueError, OSError, AttributeError):  # non-Linux fallback
         pass
     if n_edges <= broadcast_edges_max:
-        return _triangles_broadcast(und, num_partitions, per_vertex)
+        return _triangles_broadcast(raw, num_partitions, per_vertex)
+    und = distinct(raw, ["a", "b"]).materialize()
 
     def both_ends(t: pa.Table) -> pa.Table:
         v = pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()])

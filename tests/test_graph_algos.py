@@ -89,6 +89,21 @@ def test_triangle_copartitioned_fallback_matches_oracle(edges):
     assert int(got["triangles"].sum()) == 3 * total
 
 
+def test_triangle_compaction_path_matches_direct(edges):
+    """The broadcast regime's two id layouts — direct-id (small ids) vs
+    rank-compaction (ids >= 2^26) — must agree: same graph shifted into the
+    huge-id range yields the same count and shifted per-vertex table."""
+    total, per = oracle_triangles(edges)
+    OFF = 1 << 40
+    shifted = [(s + OFF, d + OFF) for s, d in edges]
+    got = triangle_count(
+        edges_ds(shifted), num_partitions=2, per_vertex=True
+    ).to_pandas()
+    got_map = {int(v) - OFF: int(t) for v, t in zip(got["vertex"], got["triangles"])}
+    assert got_map == per
+    assert int(got["triangles"].sum()) == 3 * total
+
+
 def test_combine_paths_agree(edges):
     """The direct actor-exchange and the Ray Data groupby shuffle are two
     implementations of the same partial/final aggregation — identical
