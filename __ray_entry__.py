@@ -1416,6 +1416,44 @@ def q_fingerprints(sf_dir: str):
     return fingerprints(docs).select_columns(["doc_id", "fingerprint", "rolling61"])
 
 
+# driver config for the stratified-sample query: downsample the dominant
+# language to rebalance the mix; rates in basis points of SAMPLE_BUCKETS
+STRATA_RATES_BP = {"en": 2000, "de": 8000, "fr": 8000, "es": 8000}
+
+
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style repetition quality signals (distinct-word / top-word /
+    top-bigram fractions), whitespace tokenization mirrored in SQL."""
+    from sbustreamspot_core_ray.stages.curation import repetition_signals
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return repetition_signals(docs)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language hash-bucket downsampling (data mixing).
+    Pure filter — the Fibonacci-hash bucket is mirrored in HUGEINT SQL."""
+    from sbustreamspot_core_ray.stages.curation import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(docs, STRATA_RATES_BP)
+
+
+def q_pii_redact(sf_dir: str):
+    """PII counts + redacted-text sha fingerprint (emails→phones→IPv4 in
+    fixed order; RE2-compatible patterns, parity pytest-enforced)."""
+    from sbustreamspot_core_ray.stages.curation import pii_redact
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pii_redact(docs)
+
+
 def q_exact_dedup(sf_dir: str):
     from sbustreamspot_core_ray.stages.dedup import exact_dedup
 
@@ -1686,6 +1724,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "repetition_signals": q_repetition_signals,
+        "stratified_sample": q_stratified_sample,
+        "pii_redact": q_pii_redact,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1852,6 +1893,67 @@ SELECT doc_id,
   END AS ws_tokens,
   len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS re_tokens
 FROM documents
+""",
+        "repetition_signals": r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+), words AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM base
+), wc AS (
+  SELECT doc_id, count(*) AS nw, count(DISTINCT w) AS nd
+  FROM words GROUP BY doc_id
+), twc AS (
+  SELECT doc_id, max(c) AS topw FROM (
+    SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+  ) GROUP BY doc_id
+), bg AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+), bgc AS (
+  SELECT doc_id, max(c) AS topb, sum(c) AS nb FROM (
+    SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY doc_id, w1, w2
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(wc.nw, 0) AS n_words,
+  ROUND(COALESCE(CAST(wc.nd AS DOUBLE) / wc.nw, 0.0), 6) AS distinct_word_frac,
+  ROUND(COALESCE(CAST(twc.topw AS DOUBLE) / wc.nw, 0.0), 6) AS top_word_frac,
+  ROUND(COALESCE(CAST(bgc.topb AS DOUBLE) / bgc.nb, 0.0), 6) AS top_bigram_frac
+FROM documents d
+LEFT JOIN wc USING (doc_id) LEFT JOIN twc USING (doc_id)
+LEFT JOIN bgc USING (doc_id)
+ORDER BY doc_id
+""",
+        "stratified_sample": r"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(
+    (((CAST(doc_id AS HUGEINT) * 11400714819323198485) % 18446744073709551616)
+     // 4294967296) % 10000 AS BIGINT)
+  < CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 8000
+              WHEN 'fr' THEN 8000 WHEN 'es' THEN 8000 ELSE 10000 END
+ORDER BY doc_id
+""",
+        "pii_redact": r"""
+WITH s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM documents
+), s2 AS (
+  SELECT doc_id, n_emails,
+    len(regexp_extract_all(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+    regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_emails, n_phones,
+    len(regexp_extract_all(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+    regexp_replace(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_emails, n_phones, n_ipv4,
+  CAST(('0x' || substring(sha256(t3), 1, 15)) AS BIGINT) AS redacted_sha
+FROM s3 ORDER BY doc_id
 """,
         "streamhash_sketches": _streamhash_sketches_sql(),
         "simhash_sketches": _simhash_sketches_sql(),

@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "simhash_dedup",
     "lang_id",
+    "repetition_signals",
+    "stratified_sample",
+    "pii_redact",
     "token_counts",
     "doc_quality",
     "fingerprints",

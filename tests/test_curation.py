@@ -1,0 +1,139 @@
+"""Curation ops: repetition signals, stratified sampling, PII redaction.
+
+Each op's Ray kernel is checked against (a) hand-computed expectations and
+(b) the DuckDB formulation used by the driver oracle — on adversarial
+inputs the sf tables don't contain (PII spans, empty docs, heavy repeats).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from sbustreamspot_core_ray.stages.curation import (
+    PiiRedact,
+    RepetitionSignals,
+    sample_bucket,
+    stratified_sample,
+)
+
+
+def _docs_ds(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] if len(r) > 2 else "en" for r in rows]),
+            }
+        )
+    )
+
+
+def test_repetition_signals_hand_cases():
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a a a b",          # 4 words, 2 distinct, top=3; bigrams: aa aa ab -> top 2/3
+                "x",                # 1 word, no bigrams
+                "",                 # empty
+                "p q p q p",        # 5 words, top=3; bigrams pq qp pq qp -> top 2/4
+            ],
+        }
+    )
+    out = RepetitionSignals()(df)
+    assert out["n_words"].tolist() == [4, 1, 0, 5]
+    assert out["distinct_word_frac"].tolist() == [0.5, 1.0, 0.0, 0.4]
+    assert out["top_word_frac"].tolist() == [0.75, 1.0, 0.0, 0.6]
+    assert out["top_bigram_frac"].tolist() == [
+        round(2 / 3, 6),
+        0.0,
+        0.0,
+        0.5,
+    ]
+
+
+def test_repetition_signals_matches_duckdb():
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "x"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        for _ in range(60)
+    ] + ["", "   ", "solo"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = (
+        RepetitionSignals()(df).sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    import __ray_entry__ as E
+
+    want = con.sql(E.oracle_sql()["repetition_signals"]).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sample_bucket_matches_hugeint_formula():
+    ids = np.array([0, 1, 2, 17, 499, 123456789, 2**40 + 3], np.int64)
+    got = sample_bucket(ids)
+    want = [
+        int((((i * 11400714819323198485) % 2**64) // 2**32) % 10000)
+        for i in ids.tolist()
+    ]
+    assert got.tolist() == want
+
+
+def test_stratified_sample_rates_and_determinism():
+    rows = [(i, "t", ["en", "de", "zh"][i % 3]) for i in range(3000)]
+    rates = {"en": 0, "de": 5000}
+    out1 = stratified_sample(_docs_ds(rows), rates).to_pandas()
+    out2 = stratified_sample(_docs_ds(rows), rates).to_pandas()
+    pd.testing.assert_frame_equal(
+        out1.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )
+    by_lang = out1.groupby("lang").size()
+    assert "en" not in by_lang  # rate 0 drops everything
+    assert by_lang["zh"] == 1000  # default rate keeps everything
+    assert 350 <= by_lang["de"] <= 650  # ~50% of 1000
+
+
+PII_CASES = [
+    "contact john.doe+spam@sub.example.co.uk or x@y.io today",
+    "call 555-867-5309 or 212.555.1234 now",
+    "server at 192.168.1.1 and 10.0.0.255, not 1234.5.6.7890",
+    "mixed bob@corp.com 303-555-0000 172.16.0.1 end",
+    "no pii here at all",
+    "",
+    "edge a@b.cd trailing@dot. 999-999-99999",
+]
+
+
+def test_pii_redact_counts_and_duckdb_parity():
+    df = pd.DataFrame({"doc_id": np.arange(len(PII_CASES)), "text": PII_CASES})
+    got = PiiRedact()(df)
+    assert got["n_emails"].tolist()[0] == 2
+    assert got["n_phones"].tolist()[1] == 2
+    assert got["n_ipv4"].tolist()[2] == 2
+    assert got.loc[4, ["n_emails", "n_phones", "n_ipv4"]].tolist() == [0, 0, 0]
+    con = duckdb.connect()
+    con.register("documents", df)
+    import __ray_entry__ as E
+
+    want = con.sql(E.oracle_sql()["pii_redact"]).df()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        want,
+        check_dtype=False,
+    )
+
+
+def test_pii_redact_order_dependence():
+    # a phone-shaped string adjacent to an email must not double-count:
+    # the email is redacted first, the remainder re-scanned
+    df = pd.DataFrame({"doc_id": [0], "text": ["a 555-123-4567@mail.com b"]})
+    out = PiiRedact()(df)
+    assert out["n_emails"][0] == 1
+    assert out["n_phones"][0] == 0
