@@ -120,32 +120,40 @@ def _edges_typed(sf_dir: str) -> ray.data.Dataset:
             "c", "o", "x",
         )
 
-    def op(t: pa.Table) -> pa.Table:
-        return typed(
-            pc.add(pc.cast(t["l_orderkey"], pa.int64()), 10_000_000),
-            pc.add(pc.cast(t["l_partkey"], pa.int64()), 20_000_000),
-            "o", "p", "y",
-        )
+    def pairs(t: pa.Table) -> pa.Table:
+        o = pc.add(pc.cast(t["l_orderkey"], pa.int64()), 10_000_000).combine_chunks()
+        p = pc.add(pc.cast(t["l_partkey"], pa.int64()), 20_000_000).combine_chunks()
+        s = pc.add(pc.cast(t["l_suppkey"], pa.int64()), 30_000_000).combine_chunks()
+        return pa.table({"src": pa.concat_arrays([o, p]), "dst": pa.concat_arrays([p, s])})
 
-    def ps(t: pa.Table) -> pa.Table:
-        return typed(
-            pc.add(pc.cast(t["l_partkey"], pa.int64()), 20_000_000),
-            pc.add(pc.cast(t["l_suppkey"], pa.int64()), 30_000_000),
-            "p", "s", "z",
+    def typed_by_range(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        is_op = s < 20_000_000  # src layer decides the (st, dt, et) triple
+        return pa.table(
+            {
+                "src": s,
+                "dst": d,
+                "src_type": np.where(is_op, ord("o"), ord("p")).astype(np.uint8),
+                "dst_type": np.where(is_op, ord("p"), ord("s")).astype(np.uint8),
+                "e_type": np.where(is_op, ord("y"), ord("z")).astype(np.uint8),
+                "gid": s % 53,
+                "seq": d,
+            }
         )
 
     from sbustreamspot_core_ray.sources.edges import distinct_int_rows
 
-    # per-layer distinct on (src, dst) only — all other columns are
-    # functions of (src, dst, layer) and the layers' id ranges are disjoint,
-    # so two cheap narrow shuffles replace one 7-column sort (the orders
-    # layer needs none: o_orderkey is the PK)
-    return (
-        orders.map_batches(co, batch_format="pyarrow")
-        .union(distinct_int_rows(li, ["l_orderkey", "l_partkey"], 16)
-               .map_batches(op, batch_format="pyarrow"))
-        .union(distinct_int_rows(li, ["l_partkey", "l_suppkey"], 16)
-               .map_batches(ps, batch_format="pyarrow"))
+    # ONE distinct over the union of both lineitem layers — their id ranges
+    # are disjoint, so distinct(union) == union(distinct per layer), and the
+    # type columns are recoverable from the src range afterward. One
+    # lineitem read and one shuffle replace two of each (the orders layer
+    # needs neither: o_orderkey is the PK).
+    ded = distinct_int_rows(
+        li.map_batches(pairs, batch_format="pyarrow"), ["src", "dst"], 16
+    )
+    return orders.map_batches(co, batch_format="pyarrow").union(
+        ded.map_batches(typed_by_range, batch_format="pyarrow")
     )
 
 

@@ -43,11 +43,14 @@ class _PartialProjection:
     projection vectors for the shingles seen in this batch."""
 
     def __init__(self, h_ref, l: int):
-        # h_ref arrives as [ObjectRef] (wrapped in a list so Ray does not
-        # auto-resolve it at task-arg time; each actor fetches it zero-copy)
-        if isinstance(h_ref, list):
+        # h_ref arrives as [ObjectRef] / (ObjectRef,) (wrapped so Ray does
+        # not auto-resolve it at arg time; each worker fetches it zero-copy,
+        # memoized per process by cached_get)
+        if isinstance(h_ref, (list, tuple)):
             h_ref = h_ref[0]
-        self.H = ray.get(h_ref) if isinstance(h_ref, ray.ObjectRef) else h_ref
+        from ..functions.proccache import cached_get
+
+        self.H = cached_get(h_ref) if isinstance(h_ref, ray.ObjectRef) else h_ref
         self.l = l
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -83,12 +86,17 @@ def construct_streamhash_sketches(
     O(#shingle-rows × l).
     """
     h_ref = broadcast_hash_family(chunk_length, l=l, seed=seed)
+    # task-based with a per-process singleton: the state (one ray.get of
+    # the broadcast family) is too cheap to justify actor-pool cold-starts
+    # (~2 s per execution measured; see functions/proccache.py)
+    from functools import partial as _partial
+
+    from ..functions.proccache import call_singleton
+
     partials = shingles.map_batches(
-        _PartialProjection,
-        fn_constructor_kwargs={"h_ref": [h_ref], "l": l},
+        _partial(call_singleton, _PartialProjection, (h_ref,), l),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, 8),
     )
 
     def merge(g: pa.Table) -> pa.Table:
