@@ -410,7 +410,20 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
             if len(runs) > 1:
                 repeats[name] = runs
         total = round(sum(timings.values()), 3)
+        # embed the most recent recorded `bench.py --scaling` blob (written
+        # by scripts/record_scaling.sh / committed as SCALING.json) so the
+        # per-round BENCH capture carries the scaling evidence too
+        scaling_rec = None
+        rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
+        if os.path.exists(rec_path):
+            try:
+                with open(rec_path) as f:
+                    scaling_rec = json.load(f)
+            except Exception:
+                scaling_rec = None
         return {
+            "scaling_recorded": scaling_rec,
             "metric": "edges_per_sec_per_pagerank_superstep",
             "value": headline["edges_per_sec_per_superstep"],
             "unit": "edges/sec",
@@ -484,7 +497,12 @@ def run_one(
 
 
 def run_scaling(
-    sf_dir: str, lo: int, hi: int, scale_k: int = 64, parts: int = 32
+    sf_dir: str,
+    lo: int,
+    hi: int,
+    scale_k: int = 64,
+    parts: int = 32,
+    extra_levels: tuple[int, ...] = (),
 ) -> dict:
     """Fresh-process scaling evidence (north_rule sandbox protocol): the
     SAME PageRank job — same input scaled x scale_k, same fixed P-shard
@@ -514,50 +532,69 @@ def run_scaling(
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    pr = {c: leg("pagerank", c, scale_k) for c in (lo, hi)}
-    mh = {c: leg("minhash_scale", c, 128) for c in (lo, hi)}
-    ceil = {c: leg("ceiling_minhash", c, 1) for c in (lo, hi)}
-    pr_eff = (
-        pr[hi]["edges_per_sec_per_superstep"]
-        / pr[lo]["edges_per_sec_per_superstep"]
-    ) / (hi / lo)
-    mh_eff = (mh[hi]["docs_per_sec"] / mh[lo]["docs_per_sec"]) / (hi / lo)
-    ceil_eff = (
-        ceil[hi]["docs_per_sec_total"] / ceil[lo]["docs_per_sec_total"]
-    ) / (hi / lo)
-    return {
+    cpu_levels = sorted({lo, hi} | set(extra_levels or ()))
+    pr = {c: leg("pagerank", c, scale_k) for c in cpu_levels}
+    mh = {c: leg("minhash_scale", c, 128) for c in cpu_levels}
+    ceil = {c: leg("ceiling_minhash", c, 1) for c in cpu_levels}
+
+    def _pair(a: int, b: int) -> dict:
+        pr_eff = (
+            pr[b]["edges_per_sec_per_superstep"]
+            / pr[a]["edges_per_sec_per_superstep"]
+        ) / (b / a)
+        mh_eff = (mh[b]["docs_per_sec"] / mh[a]["docs_per_sec"]) / (b / a)
+        ceil_eff = (
+            ceil[b]["docs_per_sec_total"] / ceil[a]["docs_per_sec_total"]
+        ) / (b / a)
+        return {
+            "cpus_lo": a,
+            "cpus_hi": b,
+            "minhash_dataset_stage": {
+                "docs_per_sec_lo": mh[a]["docs_per_sec"],
+                "docs_per_sec_hi": mh[b]["docs_per_sec"],
+                "docs": mh[a]["docs"],
+                "efficiency": round(mh_eff, 4),
+            },
+            "minhash_hardware_ceiling": {
+                "docs_per_sec_lo": ceil[a]["docs_per_sec_total"],
+                "docs_per_sec_hi": ceil[b]["docs_per_sec_total"],
+                "efficiency": round(ceil_eff, 4),
+                "engine_over_ceiling": round(mh_eff / ceil_eff, 4),
+            },
+            "pagerank": {
+                "edges_per_sec_lo": pr[a]["edges_per_sec_per_superstep"],
+                "edges_per_sec_hi": pr[b]["edges_per_sec_per_superstep"],
+                "sec_lo": pr[a]["pagerank_sec"],
+                "sec_hi": pr[b]["pagerank_sec"],
+                "n_edges": pr[a]["n_edges"],
+                "efficiency": round(pr_eff, 4),
+            },
+        }
+
+    # consecutive pairs over the measured levels (e.g. 2->8 and 8->32);
+    # each leg is measured ONCE and reused by both pairs that touch it
+    pairs = [
+        _pair(cpu_levels[i], cpu_levels[i + 1])
+        for i in range(len(cpu_levels) - 1)
+    ]
+    primary = pairs[0]
+    out = {
         "metric": "scaling_efficiency",
         "loadavg_end": _loadavg(),
         # headline: the compute-bound minhash signature stage (uint64
-        # modmul kernel, Dataset actor pool); the same kernel's no-Ray
-        # pinned-process ceiling and the memory-bound PageRank supersteps
-        # are reported alongside
-        "value": round(mh_eff, 4),
+        # modmul kernel, Dataset actor pool) on the first (lowest) pair;
+        # the same kernel's no-Ray pinned-process ceiling and the
+        # memory-bound PageRank supersteps are reported alongside, for
+        # EVERY consecutive pair of the measured cpu levels
+        "value": primary["minhash_dataset_stage"]["efficiency"],
         "unit": "ratio",
         "sf": _sf_label(sf_dir),
-        "cpus_lo": lo,
-        "cpus_hi": hi,
-        "minhash_dataset_stage": {
-            "docs_per_sec_lo": mh[lo]["docs_per_sec"],
-            "docs_per_sec_hi": mh[hi]["docs_per_sec"],
-            "docs": mh[lo]["docs"],
-            "efficiency": round(mh_eff, 4),
-        },
-        "minhash_hardware_ceiling": {
-            "docs_per_sec_lo": ceil[lo]["docs_per_sec_total"],
-            "docs_per_sec_hi": ceil[hi]["docs_per_sec_total"],
-            "efficiency": round(ceil_eff, 4),
-            "engine_over_ceiling": round(mh_eff / ceil_eff, 4),
-        },
-        "pagerank": {
-            "edges_per_sec_lo": pr[lo]["edges_per_sec_per_superstep"],
-            "edges_per_sec_hi": pr[hi]["edges_per_sec_per_superstep"],
-            "sec_lo": pr[lo]["pagerank_sec"],
-            "sec_hi": pr[hi]["pagerank_sec"],
-            "n_edges": pr[lo]["n_edges"],
-            "efficiency": round(pr_eff, 4),
-        },
+        "cpu_levels": cpu_levels,
+        "pairs": pairs,
     }
+    # flat fields for the primary pair (back-compat with round-2 consumers)
+    out.update(primary)
+    return out
 
 
 def main() -> None:
@@ -567,15 +604,27 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-lo", type=int, default=2)
     ap.add_argument("--scaling-hi", type=int, default=8)
+    ap.add_argument(
+        "--scaling-levels",
+        default=None,
+        help="comma-separated cpu levels (e.g. 2,8,32); overrides lo/hi and "
+        "reports every consecutive pair in one blob",
+    )
     ap.add_argument("--one", default=None, help="run a single query (internal)")
     ap.add_argument("--parts", type=int, default=None, help="shard count override")
     ap.add_argument("--scale-k", type=int, default=1, help="edge replication factor")
     args = ap.parse_args()
 
     if args.scaling:
+        if args.scaling_levels:
+            levels = sorted(int(x) for x in args.scaling_levels.split(","))
+            lo, hi, extra = levels[0], levels[-1], tuple(levels[1:-1])
+        else:
+            lo, hi, extra = args.scaling_lo, args.scaling_hi, ()
         out = run_scaling(
-            args.sf_dir, args.scaling_lo, args.scaling_hi,
+            args.sf_dir, lo, hi,
             scale_k=args.scale_k if args.scale_k > 1 else 16,
+            extra_levels=extra,
         )
     elif args.one:
         out = run_one(args.sf_dir, args.one, args.cpus, args.parts, args.scale_k)
