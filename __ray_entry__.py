@@ -1462,6 +1462,36 @@ def q_pii_redact(sf_dir: str):
     return pii_redact(docs)
 
 
+# driver config for the decontamination query: every 7th doc_id plays the
+# role of the (small) held-out benchmark/eval set; the rest is the corpus
+DECON_BENCH_MOD = 7
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: word-5-gram overlap of the corpus against
+    a broadcast benchmark set (docs with doc_id % 7 == 0). Gram membership
+    is string equality on both sides — no hash to keep in parity."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sbustreamspot_core_ray.stages.curation import decontaminate
+
+    def _is_bench(t):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return ids % DECON_BENCH_MOD == 0
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bench = docs.map_batches(
+        lambda t: t.filter(pa.array(_is_bench(t))), batch_format="pyarrow"
+    )
+    corpus = docs.map_batches(
+        lambda t: t.filter(pa.array(~_is_bench(t))), batch_format="pyarrow"
+    )
+    return decontaminate(corpus, bench)
+
+
 def q_exact_dedup(sf_dir: str):
     from sbustreamspot_core_ray.stages.dedup import exact_dedup
 
@@ -1733,6 +1763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "repetition_signals": q_repetition_signals,
+        "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
         "exact_dedup": q_exact_dedup,
@@ -1932,6 +1963,35 @@ FROM documents d
 LEFT JOIN wc USING (doc_id) LEFT JOIN twc USING (doc_id)
 LEFT JOIN bgc USING (doc_id)
 ORDER BY doc_id
+""",
+        "decontaminate": r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE trim(text) <> ''
+), bg AS (
+  SELECT DISTINCT array_to_string(words[i:i+4], ' ') AS gram
+  FROM w, UNNEST(range(1, len(words) - 3)) AS t(i)
+  WHERE doc_id % 7 = 0 AND len(words) >= 5
+), cg AS (
+  SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+  FROM w, UNNEST(range(1, len(words) - 3)) AS t(i)
+  WHERE doc_id % 7 <> 0 AND len(words) >= 5
+), m AS (
+  SELECT doc_id,
+         count(*) AS n_grams,
+         count(*) FILTER (WHERE gram IN (SELECT gram FROM bg)) AS matched
+  FROM cg GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(m.n_grams, 0) AS n_grams,
+  COALESCE(m.matched, 0) AS matched_grams,
+  CAST(CASE WHEN COALESCE(m.matched, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS contaminated,
+  ROUND(COALESCE(CAST(m.matched AS DOUBLE) / m.n_grams, 0.0), 6)
+    AS contamination_frac
+FROM documents d LEFT JOIN m USING (doc_id)
+WHERE d.doc_id % 7 <> 0
+ORDER BY d.doc_id
 """,
         "stratified_sample": r"""
 SELECT doc_id, lang FROM documents

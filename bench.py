@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "simhash_dedup",
     "lang_id",
     "repetition_signals",
+    "decontaminate",
     "stratified_sample",
     "pii_redact",
     "token_counts",

@@ -32,7 +32,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.proccache import call_singleton
+from ..functions.proccache import cached_get, call_singleton
 from ..functions.rounding import round_half_away
 
 # ---------------------------------------------------------------------------
@@ -200,4 +200,101 @@ class PiiRedact:
 def pii_redact(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(
         partial(call_singleton, PiiRedact), batch_format="pandas", batch_size=2048
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+DECON_N = 5  # word n-gram order (public-standard range is 8-13 for token
+#              n-grams; 5 keeps the synthetic fixture's overlap non-trivial)
+
+
+def doc_word_ngrams(texts: list[str], n: int = DECON_N):
+    """(flat gram array, per-doc gram counts) for whitespace-tokenized
+    word n-grams. Grams are the literal joined strings (``'w1 w2 ... wn'``)
+    so membership tests are string-equality on BOTH the engine and SQL
+    sides — no hash to keep in sync. Vectorized: one flat word array per
+    batch, gram assembly is n elementwise object-array concats (C loop),
+    never a per-document Python loop."""
+    word_lists = [t.split() for t in texts]
+    lens = np.array([len(w) for w in word_lists], np.int64)
+    counts = np.maximum(lens - (n - 1), 0)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=object), counts
+    flat = np.empty(int(lens.sum()), dtype=object)
+    flat[:] = [w for ws in word_lists for w in ws]
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    gstarts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # start index (into flat) of every gram
+    gs = np.repeat(starts - gstarts, counts) + np.arange(total)
+    g = flat[gs]
+    for k in range(1, n):
+        g = g + " "
+        g = g + flat[gs + k]
+    return g, counts
+
+
+class _DeconScan:
+    """Per-process state: the broadcast benchmark gram set, fetched once
+    per worker (``cached_get``) and binary-searched per batch."""
+
+    def __init__(self, bench_ref):
+        self.bench_ref = bench_ref
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        bench: np.ndarray = cached_get(self.bench_ref)  # sorted str array
+        texts = df["text"].fillna("").tolist()
+        grams, counts = doc_word_ngrams(texts)
+        if len(grams) and len(bench):
+            idx = np.searchsorted(bench, grams)
+            idx_c = np.minimum(idx, len(bench) - 1)
+            hit = (bench[idx_c] == grams) & (idx < len(bench))
+        else:
+            hit = np.zeros(len(grams), bool)
+        gstarts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        matched = np.zeros(len(df), np.int64)
+        nz = counts > 0
+        if nz.any():
+            matched[nz] = np.add.reduceat(hit.astype(np.int64), gstarts[nz])
+        n_grams = counts
+        frac = np.where(n_grams > 0, matched / np.maximum(n_grams, 1), 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_grams": n_grams,
+                "matched_grams": matched,
+                "contaminated": (matched > 0).astype(np.int64),
+                "contamination_frac": round_half_away(frac, 6),
+            }
+        )
+
+
+def decontaminate(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    n: int = DECON_N,
+) -> ray.data.Dataset:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with a (small) benchmark/test set — the standard pre-training
+    hygiene op (public method: n-gram-overlap decontamination as described
+    in open LLM training reports).
+
+    Scale shape: the benchmark side is SMALL by construction (eval sets);
+    its distinct gram set is built once on the driver and broadcast via
+    ``ray.put`` — the 100-TB corpus side is ONE stateless ``map_batches``
+    pass with a per-worker cached binary search, no shuffle, no join."""
+    import ray as _ray
+
+    bench_texts = [
+        r["text"] or "" for r in benchmark.select_columns(["text"]).take_all()
+    ]
+    grams, _ = doc_word_ngrams(bench_texts, n)
+    bench = np.unique(grams.astype(str)) if len(grams) else np.empty(0, "U1")
+    ref = _ray.put(bench)
+    return docs.map_batches(
+        partial(call_singleton, _DeconScan, ref),
+        batch_format="pandas",
+        batch_size=2048,
     )

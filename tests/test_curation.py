@@ -137,3 +137,88 @@ def test_pii_redact_order_dependence():
     out = PiiRedact()(df)
     assert out["n_emails"][0] == 1
     assert out["n_phones"][0] == 0
+
+
+def test_doc_word_ngrams_hand_cases():
+    from sbustreamspot_core_ray.stages.curation import doc_word_ngrams
+
+    grams, counts = doc_word_ngrams(["a b c d e f", "x y", ""], n=5)
+    assert counts.tolist() == [2, 0, 0]
+    assert grams.tolist() == ["a b c d e", "b c d e f"]
+
+
+def test_decontaminate_hand_case():
+    from sbustreamspot_core_ray.stages.curation import decontaminate
+
+    bench = _docs_ds([(0, "one two three four five six")])
+    corpus = _docs_ds(
+        [
+            (1, "zero one two three four five seven"),  # shares 'one..five'
+            (2, "totally different words here with no overlap at all"),
+            (3, "shorty"),  # < 5 words -> 0 grams
+        ]
+    )
+    out = (
+        decontaminate(corpus, bench)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "matched_grams"] == 1  # "one two three four five"
+    assert out.loc[1, "contaminated"] == 1
+    assert out.loc[1, "n_grams"] == 3
+    assert out.loc[2, "matched_grams"] == 0
+    assert out.loc[2, "contaminated"] == 0
+    assert out.loc[3, "n_grams"] == 0
+    assert out.loc[3, "contamination_frac"] == 0.0
+
+
+def test_decontaminate_matches_duckdb():
+    rng = np.random.default_rng(11)
+    vocab = np.array("a b c d e f g h i j".split())
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(0, 30))
+        rows.append((i, " ".join(rng.choice(vocab, n))))
+    from sbustreamspot_core_ray.stages.curation import decontaminate
+
+    ds = _docs_ds(rows)
+    bench = ds.filter(lambda r: r["doc_id"] % 7 == 0)
+    corpus = ds.filter(lambda r: r["doc_id"] % 7 != 0)
+    got = (
+        decontaminate(corpus, bench)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE trim(text) <> ''
+), bg AS (
+  SELECT DISTINCT array_to_string(words[i:i+4], ' ') AS gram
+  FROM w, UNNEST(range(1, len(words) - 3)) AS t(i)
+  WHERE doc_id % 7 = 0 AND len(words) >= 5
+), cg AS (
+  SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+  FROM w, UNNEST(range(1, len(words) - 3)) AS t(i)
+  WHERE doc_id % 7 <> 0 AND len(words) >= 5
+), m AS (
+  SELECT doc_id, count(*) AS n_grams,
+         count(*) FILTER (WHERE gram IN (SELECT gram FROM bg)) AS matched
+  FROM cg GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(m.n_grams, 0) AS n_grams,
+  COALESCE(m.matched, 0) AS matched_grams,
+  CAST(CASE WHEN COALESCE(m.matched, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS contaminated,
+  ROUND(COALESCE(CAST(m.matched AS DOUBLE) / m.n_grams, 0.0), 6)
+    AS contamination_frac
+FROM documents d LEFT JOIN m USING (doc_id)
+WHERE d.doc_id % 7 <> 0 ORDER BY d.doc_id
+""").df()
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_dtype=False
+    )
