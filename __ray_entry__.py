@@ -1361,6 +1361,18 @@ def q_asof_attribution(sf_dir: str):
     return asof_join(ev, num_parts=8)
 
 
+def q_interval_join(sf_dir: str):
+    """Range/interval join: same-user purchases within 10 minutes after
+    each error event (count + cent-exact value sum per incident window)."""
+    from sbustreamspot_core_ray.stages.events import interval_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return interval_join(ev, num_parts=8)
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping-window aggregate (1h windows every 15min) over the events
     stream — the overlapping-window generalization of events_windowed."""
@@ -1756,6 +1768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
         "asof_attribution": q_asof_attribution,
+        "interval_join": q_interval_join,
         "events_hopping": q_events_hopping,
         "top_users": q_top_users,
         "doc_quality": q_doc_quality,
@@ -1870,6 +1883,23 @@ SELECT user_id, session_id, count(*) AS n_events,
        CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
          AS sum_value
 FROM t GROUP BY user_id, session_id
+""",
+        "interval_join": """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'error'
+), r AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS units
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.us,
+  COALESCE(count(r.us), 0) AS n_in_window,
+  CAST(COALESCE(sum(r.units), 0) AS DOUBLE) / 100 AS sum_value
+FROM l LEFT JOIN r
+  ON r.user_id = l.user_id AND r.us >= l.us AND r.us < l.us + 600000000
+GROUP BY l.event_id, l.user_id, l.us
+ORDER BY l.event_id
 """,
         "asof_attribution": """
 WITH l AS (

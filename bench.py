@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "q1_revenue",
     "events_windowed",
     "sessionize",
+    "interval_join",
     "exact_dedup",
     "minhash_dedup",
     "simhash_dedup",

@@ -127,3 +127,93 @@ def test_hopping_window_agg():
         ("b", 10): (1, 4.0),
         ("b", 20): (1, 4.0),
     }
+
+
+def test_interval_join_semantics():
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from sbustreamspot_core_ray.stages.events import interval_join
+
+    # user 1: error at t=100; purchases at 100 (inclusive), 150, 699,
+    #         700 (exclusive end), 50 (before) -> 3 in [100, 700)
+    # user 2: error at t=0; no purchases
+    # user 3: purchase only (no error -> no output row)
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "ts": pa.array([100, 100, 150, 699, 700, 50, 0, 10], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1, 1, 1, 2, 3], pa.int64()),
+            "event_type": pa.array(
+                ["error", "purchase", "purchase", "purchase", "purchase",
+                 "purchase", "error", "purchase"]
+            ),
+            "value": pa.array([0.0, 1.25, 2.5, 4.0, 8.0, 16.0, 0.0, 32.0]),
+        }
+    )
+    out = (
+        interval_join(
+            ray.data.from_arrow(t), window_us=600, num_parts=4, value_scale=100
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["event_id"].tolist() == [0, 6]
+    assert out["n_in_window"].tolist() == [3, 0]
+    assert out["sum_value"].tolist() == [7.75, 0.0]
+
+
+def test_interval_join_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from sbustreamspot_core_ray.stages.events import interval_join
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10_000_000, n), unit="us"
+            ).astype("datetime64[us]"),
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "event_type": rng.choice(
+                ["error", "purchase", "click"], n, p=[0.2, 0.5, 0.3]
+            ),
+            "value": np.round(rng.uniform(0, 100, n), 2),
+        }
+    )
+    got = (
+        interval_join(
+            ray.data.from_pandas(df), window_us=600_000, num_parts=4
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute("""
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'error'
+), r AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS units
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.us,
+  COALESCE(count(r.us), 0) AS n_in_window,
+  CAST(COALESCE(sum(r.units), 0) AS DOUBLE) / 100 AS sum_value
+FROM l LEFT JOIN r
+  ON r.user_id = l.user_id AND r.us >= l.us AND r.us < l.us + 600000
+GROUP BY l.event_id, l.user_id, l.us
+ORDER BY l.event_id
+""").df()
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
