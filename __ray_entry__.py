@@ -1734,6 +1734,88 @@ def q_corpus_pipeline(sf_dir: str):
     return out.sort_values("e_type").reset_index(drop=True)
 
 
+KNN_LSH_PLANES = 5
+
+
+def q_knn_lsh(sf_dir: str):
+    """LSH sign-bucketed approximate top-k (the hash-bucket scale path,
+    sibling of IVF) in integer-quantized parity mode: hyperplanes embedded
+    as quantized SQL constants, each query multiprobes its own bucket plus
+    the hamming-1 neighbors, top-k ranks on (raw cosine desc, vec_id)."""
+    from sbustreamspot_core_ray.stages.ann import QUANT_SCALE, knn_lsh
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qdf = emb.filter(expr=f"vec_id < {KNN_NQ}").to_pandas().sort_values("vec_id")
+    queries = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    out = knn_lsh(
+        emb, queries, k=KNN_K, n_planes=KNN_LSH_PLANES, quantize_scale=QUANT_SCALE
+    ).to_pandas()
+    out["query_idx"] = qdf["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
+    out["cosine"] = round_half_away(out["cosine"], 6)
+    return out.reset_index(drop=True)
+
+
+def _knn_lsh_sql() -> str:
+    """LSH ANN in SQL over quantized integers: the seeded hyperplanes are
+    embedded as quantized constants (model input); bucket bits, multiprobe
+    set (own bucket UNION one-bit xor flips) and the pruned top-k are
+    recomputed independently over the identical integers."""
+    import pyarrow.parquet as pq
+
+    from sbustreamspot_core_ray.stages.ann import hyperplanes, quantize
+
+    t = pq.read_table(f"{_ORACLE_SF}/embeddings.parquet", columns=["embedding"])
+    d = len(t["embedding"][0])
+    planes = quantize(hyperplanes(KNN_LSH_PLANES, d, seed=23, dtype=np.float64))
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(q, {_sql_list(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    flips = ", ".join(f"({1 << i})" for i in range(KNN_LSH_PLANES))
+    return f"""
+WITH qe AS (SELECT vec_id, {_Q_EMB} AS q FROM embeddings),
+bk AS (SELECT vec_id, q, {bucket_terms} AS bucket FROM qe),
+qq AS (SELECT vec_id AS qid, q AS qv, bucket AS qb FROM bk WHERE vec_id < {KNN_NQ}),
+probe AS (
+  SELECT qid, qb AS bucket FROM qq
+  UNION
+  SELECT qid, xor(qb, f.b) FROM qq, (VALUES {flips}) f(b)
+),
+sims AS (
+  SELECT q.qid AS query_idx, a.vec_id, {_q_cos('q.qv', 'a.q')} AS raw
+  FROM qq q JOIN probe p ON p.qid = q.qid JOIN bk a ON a.bucket = p.bucket
+)
+SELECT query_idx, vec_id, ROUND(raw, 6) AS cosine FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY raw DESC, vec_id)
+        <= {KNN_K}"""
+
+
+def q_term_df(sf_dir: str):
+    """Top-100 corpus terms by document frequency (vocabulary/stopword
+    stats): per-batch distinct-(doc, term) combiner -> one groupby over
+    partial counts -> sort+limit. Tokenization = lower + single-space
+    split, mirroring string_split(lower(text), ' ') exactly."""
+    from sbustreamspot_core_ray.stages.text import term_doc_freq
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return term_doc_freq(docs, top_n=100)
+
+
+def q_doc_percentiles(sf_dir: str):
+    """Exact per-language percentiles (p50/p90/p99) of whitespace token
+    counts via histogram pre-aggregation; percentile-q = value at 1-based
+    rank ceil(q*n) ascending, rank arithmetic in float64 on both sides."""
+    from sbustreamspot_core_ray.stages.text import lang_token_percentiles
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return lang_token_percentiles(docs)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1785,7 +1867,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": q_simhash_near_dup,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
+        "knn_lsh": q_knn_lsh,
         "embedding_near_dup": q_embedding_near_dup,
+        "term_df": q_term_df,
+        "doc_percentiles": q_doc_percentiles,
         "ngram_jaccard": q_ngram_jaccard,
         "media_features": q_media_features,
         "audio_frames": q_audio_frames,
@@ -2067,7 +2152,36 @@ FROM s3 ORDER BY doc_id
         "similarity_report": _similarity_report_sql(),
         "corpus_pipeline": _corpus_pipeline_sql(),
         "knn_ivf": _knn_ivf_sql(),
+        "knn_lsh": _knn_lsh_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),
+        "term_df": """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), d AS (SELECT DISTINCT doc_id, term FROM t WHERE term <> '')
+SELECT term, count(*) AS df FROM d GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 100
+""",
+        "doc_percentiles": r"""
+WITH tc AS (
+  SELECT lang,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens
+  FROM documents
+), r AS (
+  SELECT lang, ws_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY ws_tokens) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM tc
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+  CAST(max(CASE WHEN rn = CAST(ceil(0.5e0 * n) AS BIGINT) THEN ws_tokens END)
+       AS BIGINT) AS p50,
+  CAST(max(CASE WHEN rn = CAST(ceil(0.9e0 * n) AS BIGINT) THEN ws_tokens END)
+       AS BIGINT) AS p90,
+  CAST(max(CASE WHEN rn = CAST(ceil(0.99e0 * n) AS BIGINT) THEN ws_tokens END)
+       AS BIGINT) AS p99
+FROM r GROUP BY lang
+""",
         "media_features": _SQL_MEDIA_FEATURES,
         "audio_frames": _SQL_AUDIO_FRAMES,
         "video_frames": _SQL_VIDEO_FRAMES,

@@ -305,6 +305,134 @@ def knn_ivf(
     return partials.groupby("query_idx").map_groups(final, batch_format="pandas")
 
 
+def sign_bucket_assign(
+    embeddings: ray.data.Dataset,
+    planes: np.ndarray,
+    quantize_scale=None,
+    dtype=np.float32,
+    keep_embedding: bool = True,
+) -> ray.data.Dataset:
+    """Append an int64 `bucket` column: the sign bits of the vector against
+    the broadcast hyperplanes (LSH bucket key). One map, no shuffle."""
+    n_planes = len(planes)
+    p_ref = ray.put(np.asarray(planes, np.float64 if quantize_scale else dtype))
+
+    class Bucket:
+        def __init__(self):
+            p = ray.get(p_ref)
+            self.planes = quantize(p, quantize_scale) if quantize_scale else p
+            self.pow2 = (1 << np.arange(n_planes)).astype(np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if quantize_scale:
+                vecs = quantize(_mat(batch["embedding"], np.float64), quantize_scale)
+            else:
+                vecs = _normalize(_mat(batch["embedding"], dtype))
+            bucket = ((vecs @ self.planes.T) >= 0) @ self.pow2
+            cols = {"vec_id": batch["vec_id"]}
+            if keep_embedding:
+                cols["embedding"] = batch["embedding"]
+            cols["bucket"] = pa.array(bucket, pa.int64())
+            return pa.table(cols)
+
+    return embeddings.map_batches(
+        Bucket, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
+
+
+class _ProbeTopK(_BruteTopK):
+    """Per-batch partial top-k restricted to each query's probe buckets
+    (shared by bucketed ANN variants; candidates carry a `bucket` column)."""
+
+    def __init__(self, q_ref, probe_ref, k, dtype=np.float32, quantize_scale=None):
+        super().__init__(q_ref, k, dtype=dtype, quantize_scale=quantize_scale)
+        self.probes = ray.get(probe_ref[0] if isinstance(probe_ref, list) else probe_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        bucket = batch["bucket"].to_numpy()
+        sims = self._sims(batch)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            mask = np.isin(bucket, self.probes[qi])
+            if not mask.any():
+                continue
+            col = sims[mask, qi]
+            kk = min(self.k, len(col))
+            top = self._top(col, ids[mask], kk)
+            out_q.append(np.full(kk, qi, np.int64))
+            out_id.append(ids[mask][top].astype(np.int64))
+            out_sim.append(col[top].astype(np.float64))
+        if not out_q:
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_idx": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_id),
+                "cosine": np.concatenate(out_sim),
+            }
+        )
+
+
+def knn_lsh(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 23,
+    dtype=np.float32,
+    quantize_scale=None,
+) -> ray.data.Dataset:
+    """LSH-bucketed approximate top-k (the hash-bucket scale path, sibling
+    of the IVF variant): vectors land in 2^n_planes sign buckets; each
+    query multiprobes its own bucket plus the n_planes hamming-1 neighbors
+    (one flipped sign bit), so only (n_planes+1)/2^n_planes of the data is
+    scanned. Same exact integer-quantized parity kernel as knn_brute_force
+    when quantize_scale is set; deterministic (raw cosine desc, vec_id)
+    tie-break mirrors the SQL row_number window."""
+    q = np.asarray(queries, np.float64 if quantize_scale else dtype)
+    planes = hyperplanes(
+        n_planes, q.shape[1], seed=seed, dtype=np.float64 if quantize_scale else dtype
+    )
+    pmat = quantize(planes, quantize_scale) if quantize_scale else planes
+    qmat = quantize(q, quantize_scale) if quantize_scale else _normalize(q)
+    pow2 = (1 << np.arange(n_planes)).astype(np.int64)
+    qb = ((qmat @ pmat.T) >= 0) @ pow2  # (nq,) own bucket
+    probes = np.stack([qb] + [qb ^ (1 << i) for i in range(n_planes)], axis=1)
+
+    bucketed = sign_bucket_assign(
+        embeddings, planes, quantize_scale=quantize_scale, dtype=dtype
+    )
+    wanted = sorted(set(np.unique(probes).tolist()))
+    pruned = bucketed.filter(
+        expr=f"bucket in {wanted}" if wanted else "bucket < 0"
+    )
+    # ship RAW queries; the quantized kernel re-quantizes in the worker
+    q_ref = ray.put(np.asarray(queries, np.float64) if quantize_scale else qmat)
+    probe_ref = ray.put(probes)
+    partials = pruned.map_batches(
+        _ProbeTopK,
+        fn_constructor_kwargs={
+            "q_ref": [q_ref], "probe_ref": [probe_ref], "k": k,
+            "dtype": dtype, "quantize_scale": quantize_scale,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_idx").map_groups(final, batch_format="pandas")
+
+
 def hyperplanes(n_planes: int, d: int, seed: int = 23, dtype=np.float32) -> np.ndarray:
     """Seeded random hyperplanes for sign-bucketing (shared with the SQL
     oracle's embedded constants)."""

@@ -193,3 +193,97 @@ def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
         batch_format="pandas",
         batch_size=1024,
     )
+
+
+class _TermDocFreqPartial:
+    """Per-batch combiner for document frequency: explode lower-cased
+    single-space tokens, dedup per document (each doc lives in exactly one
+    batch, so per-batch distinct is exact), emit (term, partial count).
+    Shrinks each batch to at most its distinct-term cardinality before the
+    one global shuffle — the pre-aggregate pattern that keeps the groupby
+    cheap at corpus scale."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        pairs = pd.DataFrame(
+            {"d": ex.index.to_numpy(), "term": ex.to_numpy()}
+        ).drop_duplicates()
+        counts = pairs.groupby("term", sort=False).size()
+        return pd.DataFrame(
+            {
+                "term": counts.index.to_numpy(dtype=object),
+                "df_partial": counts.to_numpy(np.int64),
+            }
+        )
+
+
+def term_doc_freq(docs: ray.data.Dataset, top_n: int = 100) -> ray.data.Dataset:
+    """Corpus vocabulary stats: top-`top_n` terms by document frequency
+    (stopword discovery / vocabulary pruning for curation). One combiner
+    map, one groupby over (term) — partial counts only, never the exploded
+    pairs — then a sort+limit over the vocabulary-sized aggregate.
+    Tokenization is lower() + split on a single space, mirroring the SQL
+    ``string_split(lower(text), ' ')`` oracle exactly."""
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.map_batches(
+            partial(call_singleton, _TermDocFreqPartial), batch_format="pandas"
+        )
+        .groupby("term")
+        .aggregate(Sum("df_partial", alias_name="df"))
+    )
+    return agg.sort(["df", "term"], descending=[True, False]).limit(top_n)
+
+
+class _LangTokenHistPartial:
+    """Per-batch (lang, ws_tokens) histogram — whitespace token counts
+    collapse to a tiny key space, so the global shuffle moves histograms,
+    not documents."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ws = df["text"].fillna("").str.split().str.len().fillna(0).astype(np.int64)
+        counts = (
+            pd.DataFrame({"lang": df["lang"].to_numpy(), "ws_tokens": ws.to_numpy()})
+            .groupby(["lang", "ws_tokens"], sort=False)
+            .size()
+        )
+        out = counts.index.to_frame(index=False)
+        out["cnt"] = counts.to_numpy(np.int64)
+        return out
+
+
+def lang_token_percentiles(
+    docs: ray.data.Dataset, quantiles: dict[str, float] | None = None
+) -> ray.data.Dataset:
+    """Exact per-language token-count percentiles (distribution stats for
+    corpus curation): the percentile-q value is the element at 1-based rank
+    ``ceil(q * n)`` of the ascending token counts — computed from the
+    aggregated histogram (cumulative counts + searchsorted), never from a
+    global sort of the documents. ``ceil(q * n)`` is evaluated in float64
+    on both sides (SQL literal ``0.9e0``), so rank parity is exact."""
+    from ray.data.aggregate import Sum
+
+    qs = quantiles or {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    hist = (
+        docs.map_batches(
+            partial(call_singleton, _LangTokenHistPartial), batch_format="pandas"
+        )
+        .groupby(["lang", "ws_tokens"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ws_tokens")
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        vals = g["ws_tokens"].to_numpy(np.int64)
+        n = int(cum[-1])
+        out = {"lang": [g["lang"].iloc[0]], "n_docs": np.array([n], np.int64)}
+        for name, q in qs.items():
+            rank = int(np.ceil(q * n))  # float64, mirrors SQL ceil(qe0 * n)
+            out[name] = np.array([vals[np.searchsorted(cum, rank)]], np.int64)
+        return pd.DataFrame(out)
+
+    return hist.groupby("lang").map_groups(pick, batch_format="pandas")

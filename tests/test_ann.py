@@ -13,6 +13,7 @@ from sbustreamspot_core_ray.stages.ann import (
     embedding_near_dup,
     hyperplanes,
     knn_brute_force,
+    knn_lsh,
 )
 
 
@@ -100,3 +101,33 @@ def test_knn_brute_force_small():
         top = out[out["query_idx"] == q].sort_values("cosine", ascending=False)
         assert top.iloc[0]["vec_id"] == q
         assert abs(top.iloc[0]["cosine"] - 1.0) < 1e-12
+
+
+def test_knn_lsh_self_hit_and_probe_subset():
+    """LSH top-k: each query's own bucket contains itself, so the best hit
+    is the query vector (cosine 1); every returned candidate must live in a
+    probed bucket (own bucket or one flipped sign bit)."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    n, d, n_planes = 200, 16, 4
+    vecs = rng.normal(size=(n, d)).astype(np.float64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = knn_lsh(ds, vecs[:3], k=5, n_planes=n_planes, dtype=np.float64).to_pandas()
+    planes = hyperplanes(n_planes, d, seed=23, dtype=np.float64)
+    nrm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    pow2 = 1 << np.arange(n_planes)
+    bucket = ((nrm @ planes.T) >= 0) @ pow2
+    for q in (0, 1, 2):
+        rows = out[out["query_idx"] == q]
+        assert len(rows) >= 1
+        top = rows.sort_values("cosine", ascending=False)
+        assert top.iloc[0]["vec_id"] == q
+        assert abs(top.iloc[0]["cosine"] - 1.0) < 1e-12
+        probes = {int(bucket[q])} | {int(bucket[q] ^ (1 << i)) for i in range(n_planes)}
+        assert all(int(bucket[v]) in probes for v in rows["vec_id"])

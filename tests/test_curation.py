@@ -222,3 +222,69 @@ WHERE d.doc_id % 7 <> 0 ORDER BY d.doc_id
     pd.testing.assert_frame_equal(
         got[want.columns], want, check_dtype=False
     )
+
+
+def test_term_doc_freq_hand_case():
+    from sbustreamspot_core_ray.stages.text import term_doc_freq
+
+    docs = ray.data.from_items(
+        [
+            {"text": "The cat  sat"},          # double space -> empty token dropped
+            {"text": "cat cat dog"},           # repeated term counts once per doc
+            {"text": ""},
+            {"text": "Dog runs"},
+        ]
+    )
+    out = term_doc_freq(docs, top_n=3).to_pandas()
+    # df: cat 2, dog 2, runs/sat/the 1 -> top3 = cat, dog, then 'runs'
+    assert list(out["term"]) == ["cat", "dog", "runs"]
+    assert list(out["df"]) == [2, 2, 1]
+
+
+def test_lang_token_percentiles_matches_duckdb():
+    from sbustreamspot_core_ray.stages.text import lang_token_percentiles
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    rows = [
+        {
+            "lang": ["en", "de", "fr"][int(rng.integers(3))],
+            "text": " ".join(["w"] * int(rng.integers(0, 40))),
+        }
+        for _ in range(300)
+    ]
+    out = (
+        lang_token_percentiles(ray.data.from_items(rows))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows))
+    want = con.execute(
+        r"""
+WITH tc AS (
+  SELECT lang,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens
+  FROM documents
+), r AS (
+  SELECT lang, ws_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY ws_tokens) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM tc
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+  CAST(max(CASE WHEN rn = CAST(ceil(0.5e0 * n) AS BIGINT) THEN ws_tokens END)
+       AS BIGINT) AS p50,
+  CAST(max(CASE WHEN rn = CAST(ceil(0.9e0 * n) AS BIGINT) THEN ws_tokens END)
+       AS BIGINT) AS p90,
+  CAST(max(CASE WHEN rn = CAST(ceil(0.99e0 * n) AS BIGINT) THEN ws_tokens END)
+       AS BIGINT) AS p99
+FROM r GROUP BY lang ORDER BY lang
+"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        out[["lang", "n_docs", "p50", "p90", "p99"]],
+        want,
+        check_dtype=False,
+    )
