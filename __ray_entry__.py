@@ -1072,6 +1072,51 @@ def q_neighborhood_sketch(sf_dir: str):
     return df
 
 
+KCORE_K = 5
+KCORE_SQL_ROUNDS = 12  # peeling converges in 3 rounds at sf0.01; 4x margin
+
+
+def q_kcore(sf_dir: str):
+    """k-core decomposition (k=5) of the full derived graph on the
+    superstep engine: round-based peeling where newly-dead vertices push
+    per-edge decrements (O(E) total message volume across all rounds).
+    Returns (vertex, core_deg) for core members."""
+    from sbustreamspot_core_ray.pipelines.superstep import ShardedGraph, kcore
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    return kcore(g, k=KCORE_K)
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_SQL_ROUNDS) -> str:
+    """Unrolled peeling oracle: each round keeps vertices with >= k
+    neighbors among the previous round's survivors. Extra rounds past
+    convergence are no-ops, so the fixed unroll is safe as long as it
+    exceeds the true round count (measured 3 at sf0.01; unroll 12)."""
+    # every CTE is MATERIALIZED: each round references the previous one
+    # twice, so default inlining would expand the plan (and the parquet
+    # scans) 2^rounds times — enough to exhaust the process fd limit
+    ctes = [
+        f"e0 AS MATERIALIZED ({_SQL_EDGES})",
+        "sym AS MATERIALIZED (SELECT src AS s, dst AS d FROM e0 "
+        "UNION ALL SELECT dst, src FROM e0)",
+        f"v0 AS MATERIALIZED (SELECT s AS v FROM sym GROUP BY s HAVING count(*) >= {k})",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT s AS v FROM sym "
+            f"JOIN v{r - 1} x ON x.v = sym.s JOIN v{r - 1} y ON y.v = sym.d "
+            f"GROUP BY s HAVING count(*) >= {k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT s AS vertex, count(*) AS core_deg
+FROM sym JOIN v{rounds} x ON x.v = sym.s JOIN v{rounds} y ON y.v = sym.d
+GROUP BY s"""
+    )
+
+
 def q_triangle_count(sf_dir: str):
     from sbustreamspot_core_ray.pipelines.superstep import triangle_count
 
@@ -1837,6 +1882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighborhood_sketch": q_neighborhood_sketch,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "kcore": q_kcore,
         "lsh_isolated": q_lsh_isolated,
         "anomaly_scenarios": q_anomaly_scenarios,
         "similarity_report": q_similarity_report,
@@ -2151,6 +2197,7 @@ FROM s3 ORDER BY doc_id
         "streamspot_snapshots": _streamspot_snapshots_sql(),
         "similarity_report": _similarity_report_sql(),
         "corpus_pipeline": _corpus_pipeline_sql(),
+        "kcore": _kcore_sql(),
         "knn_ivf": _knn_ivf_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),

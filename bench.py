@@ -384,6 +384,9 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
         num_cpus=num_cpus,
         include_dashboard=False,
         ignore_reinit_error=True,
+        # keep stdout clean: the driver parses the single JSON line this
+        # script prints, and forwarded raylet/worker warnings would corrupt it
+        log_to_driver=False,
     )
     try:
         import __ray_entry__ as E
@@ -454,6 +457,9 @@ def run_one(
         num_cpus=num_cpus,
         include_dashboard=False,
         ignore_reinit_error=True,
+        # keep stdout clean: the driver parses the single JSON line this
+        # script prints, and forwarded raylet/worker warnings would corrupt it
+        log_to_driver=False,
     )
     try:
         if name == "pagerank":
@@ -617,6 +623,15 @@ def main() -> None:
     ap.add_argument("--scale-k", type=int, default=1, help="edge replication factor")
     args = ap.parse_args()
 
+    # hard stdout contract: the driver parses ONE JSON line from fd 1, but
+    # Ray pushes some messages (e.g. the raylet worker-count warning) to the
+    # driver's stdout through its error-message subscription even with
+    # log_to_driver=False. Keep the real stdout fd aside, point fd 1 at
+    # stderr for the whole run, and write only the final JSON to the real fd.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     if args.scaling:
         if args.scaling_levels:
             levels = sorted(int(x) for x in args.scaling_levels.split(","))
@@ -632,7 +647,7 @@ def main() -> None:
         out = run_one(args.sf_dir, args.one, args.cpus, args.parts, args.scale_k)
     else:
         out = run_full(args.sf_dir, args.cpus)
-    print(json.dumps(out))
+    os.write(real_stdout, (json.dumps(out) + "\n").encode())
 
 
 if __name__ == "__main__":

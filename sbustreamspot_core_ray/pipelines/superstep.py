@@ -514,6 +514,34 @@ def neighborhood_sketch(
     return ray.data.from_arrow_refs([a.nmh_state.remote() for a in actors])
 
 
+def kcore(graph: ShardedGraph, k: int, max_iters: int = 1_000_000) -> ray.data.Dataset:
+    """Distributed k-core decomposition by round-based peeling on the
+    superstep engine: vertices whose remaining degree drops below k die and
+    push one decrement per incident edge to each neighbor's owner; rounds
+    continue until no vertex dies. Total message volume across the whole
+    run is O(E) — each edge carries at most one decrement per endpoint
+    death — so the cost is one graph build plus a geometrically-shrinking
+    frontier, not O(E * rounds).
+
+    Returns (vertex, core_deg) for the members of the k-core, where
+    core_deg is the vertex's degree within the core. Requires a symmetric,
+    unsalted graph (clear error otherwise)."""
+    if graph.salted:
+        raise ValueError(
+            "kcore supports unsalted graphs only; build the ShardedGraph "
+            "without salt_threshold"
+        )
+    if not graph.symmetric:
+        raise ValueError("kcore needs a symmetric graph (symmetric=True build)")
+    actors = graph.actors
+    pending = sum(ray.get([a.kcore_init.remote(k) for a in actors]))
+    it = 0
+    while pending and it < max_iters:
+        pending = sum(graph._exchange("kcore"))
+        it += 1
+    return ray.data.from_arrow_refs([a.kcore_state.remote() for a in actors])
+
+
 def driver_components(
     src: np.ndarray, dst: np.ndarray, vertices: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -526,12 +526,14 @@ class CsrShard:
         "cc": "cc_scatter_parts",
         "lp": "lp_scatter_parts",
         "nmh": "nmh_scatter_parts",
+        "kcore": "kcore_scatter_parts",
     }
     _APPLIES = {
         "pagerank": "pagerank_apply_parts",
         "cc": "cc_apply_parts",
         "lp": "lp_apply_parts",
         "nmh": "nmh_apply_parts",
+        "kcore": "kcore_apply_parts",
     }
 
     async def push_parts(self, algo: str, *scatter_args) -> int:
@@ -688,6 +690,82 @@ class CsrShard:
         self.label[better] = mins[better]
         self.changed[better] = True
         return int(better.sum())
+
+    # ---- k-core peeling ---------------------------------------------------
+    #
+    # Distributed k-core decomposition by round-based peeling: a vertex
+    # dies when its remaining degree drops below k; each death pushes ONE
+    # decrement per incident edge to the neighbor's owner. Total message
+    # volume across ALL rounds is O(E) (every edge carries at most one
+    # decrement per endpoint death), unlike recompute-degrees-per-round
+    # formulations whose volume is O(E * rounds). Requires a symmetric,
+    # unsalted graph (the adjacency of an owned vertex is its full
+    # neighborhood).
+
+    def kcore_init(self, k: int) -> int:
+        if getattr(self, "mirrors", None):
+            raise ValueError(
+                "kcore supports unsalted graphs only; rebuild without "
+                "salt_threshold (salted mirror chunks would need their own "
+                "decrement routes)"
+            )
+        self.kc_k = int(k)
+        deg = np.zeros(len(self.owned), np.int64)
+        deg[self.src_in_owned] = self.outdeg
+        self.kc_deg = deg
+        self.kc_alive = deg >= self.kc_k
+        # newly-dead vertices queue their decrements for the first superstep
+        self.kc_pending = ~self.kc_alive
+        return int(self.kc_pending.sum())
+
+    def kcore_scatter_parts(self):
+        """Decrement counts toward the neighbors of newly-dead vertices,
+        combined per destination and addressed by the precomputed
+        owner-local routes (same shape as the pagerank scatter)."""
+        dead_src = self.kc_pending[self.src_in_owned]
+        decs = None
+        if dead_src.any():
+            mask = np.repeat(dead_src, self.outdeg)
+            decs = np.bincount(self.dst_inv[mask], minlength=len(self.dst_u))
+        out = []
+        for p in range(self.P):
+            if decs is None:
+                out.append((np.empty(0, np.int32), np.empty(0, np.int64)))
+                continue
+            idx = self.dst_by_part[p]
+            c = decs[idx]
+            live = c > 0
+            out.append((self.dst_route[p][live], c[live].astype(np.int64)))
+        return tuple(out)
+
+    def kcore_apply_parts(self, *parts) -> int:
+        """Apply incoming decrements; vertices falling below k die and
+        become the next round's frontier. Returns the newly-dead count."""
+        live = [p for p in parts if len(p[0])]
+        if not live:
+            self.kc_pending = np.zeros(len(self.owned), bool)
+            return 0
+        idx = np.concatenate([p[0] for p in live])
+        c = np.concatenate([p[1] for p in live])
+        self.kc_deg -= np.bincount(
+            idx, weights=c, minlength=len(self.owned)
+        ).astype(np.int64)
+        newly = self.kc_alive & (self.kc_deg < self.kc_k)
+        self.kc_alive[newly] = False
+        self.kc_pending = newly
+        return int(newly.sum())
+
+    def kcore_state(self) -> pa.Table:
+        """(vertex, core_deg) for k-core members; core_deg is the degree
+        within the surviving core (initial degree minus one decrement per
+        dead neighbor)."""
+        m = self.kc_alive
+        return pa.table(
+            {
+                "vertex": pa.array(self.owned[m], pa.int64()),
+                "core_deg": pa.array(self.kc_deg[m], pa.int64()),
+            }
+        )
 
     def lp_scatter_parts(self):
         lbl_edge = self._rank_per_edge(self.label[self.src_in_owned])

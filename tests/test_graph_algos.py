@@ -308,3 +308,40 @@ def test_neighborhood_sketch_parity(edges):
     assert np.array_equal(out["nf_est"].to_numpy(), est)
     # sanity: estimates grow with reach and are >= 0-ish for singles
     assert (out["nf_est"] > -0.5).all()
+
+
+def test_kcore_multi_round_peeling():
+    """Triangle {1,2,3} with a tail 3-4-5: k=2 peeling kills 5 (deg 1),
+    then 4 (deg drops to 1) — two rounds — leaving the triangle with
+    core degrees 2/2/2. Also checks the numpy brute-force on a random
+    graph."""
+    from sbustreamspot_core_ray.pipelines.superstep import kcore
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    g = ShardedGraph.build(edges_ds(edges), num_parts=4, symmetric=True)
+    out = kcore(g, k=2).to_pandas().sort_values("vertex").reset_index(drop=True)
+    assert list(out["vertex"]) == [1, 2, 3]
+    assert list(out["core_deg"]) == [2, 2, 2]
+
+    rnd = random_graph(n=120, m=500, seed=7)
+    g2 = ShardedGraph.build(edges_ds(rnd), num_parts=4, symmetric=True)
+    got = kcore(g2, k=3).to_pandas().sort_values("vertex").reset_index(drop=True)
+    # numpy brute-force peeling oracle
+    a = np.array([min(e) for e in rnd]); b = np.array([max(e) for e in rnd])
+    m = a != b
+    pairs = np.unique(np.stack([a[m], b[m]], 1), axis=0)
+    s = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    d = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    verts = np.unique(s)
+    si = np.searchsorted(verts, s); di = np.searchsorted(verts, d)
+    alive = np.ones(len(verts), bool)
+    while True:
+        deg = np.bincount(si[alive[si] & alive[di]], minlength=len(verts))
+        newdead = alive & (deg < 3)
+        if not newdead.any():
+            break
+        alive[newdead] = False
+    want_v = verts[alive]
+    want_deg = np.bincount(si[alive[si] & alive[di]], minlength=len(verts))[alive]
+    assert list(got["vertex"]) == list(want_v)
+    assert list(got["core_deg"]) == list(want_deg)
