@@ -1117,6 +1117,39 @@ GROUP BY s"""
     )
 
 
+CN_TOP = 100
+
+
+def q_common_neighbors(sf_dir: str):
+    """Link prediction: top-100 non-adjacent vertex pairs by common-neighbor
+    count over the full derived graph (wedge enumeration with per-partition
+    combiners, one pair-keyed shuffle, local top-n, tiny global cut)."""
+    from sbustreamspot_core_ray.pipelines.superstep import common_neighbors
+
+    # dedup=False: common_neighbors canonicalizes + dedups internally, so
+    # the pre-shuffle would be a second identical distinct
+    return common_neighbors(
+        _edges_full(sf_dir, dedup=False), top_n=CN_TOP, num_partitions=P
+    )
+
+
+_SQL_COMMON_NEIGHBORS = f"""
+WITH e0 AS MATERIALIZED ({_SQL_EDGES}),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+sym AS MATERIALIZED (SELECT a AS s, b AS d FROM canon UNION ALL SELECT b, a FROM canon),
+w AS (
+  SELECT x.d AS a, y.d AS b, count(*) AS cn
+  FROM sym x JOIN sym y ON y.s = x.s AND y.d > x.d
+  GROUP BY x.d, y.d
+),
+nonadj AS (SELECT w.a, w.b, w.cn FROM w ANTI JOIN canon c ON c.a = w.a AND c.b = w.b)
+SELECT a AS src, b AS dst, cn FROM nonadj
+ORDER BY cn DESC, a, b LIMIT {CN_TOP}"""
+
+
 def q_triangle_count(sf_dir: str):
     from sbustreamspot_core_ray.pipelines.superstep import triangle_count
 
@@ -1883,6 +1916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "kcore": q_kcore,
+        "common_neighbors": q_common_neighbors,
         "lsh_isolated": q_lsh_isolated,
         "anomaly_scenarios": q_anomaly_scenarios,
         "similarity_report": q_similarity_report,
@@ -2198,6 +2232,7 @@ FROM s3 ORDER BY doc_id
         "similarity_report": _similarity_report_sql(),
         "corpus_pipeline": _corpus_pipeline_sql(),
         "kcore": _kcore_sql(),
+        "common_neighbors": _SQL_COMMON_NEIGHBORS,
         "knn_ivf": _knn_ivf_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),

@@ -345,3 +345,24 @@ def test_kcore_multi_round_peeling():
     want_deg = np.bincount(si[alive[si] & alive[di]], minlength=len(verts))[alive]
     assert list(got["vertex"]) == list(want_v)
     assert list(got["core_deg"]) == list(want_deg)
+
+
+def test_common_neighbors_both_regimes():
+    """Square 1-2-4-3 with diagonal 2-3: the only non-adjacent pair is
+    (1,4) with common neighbors {2,3}. Both anti-join regimes (broadcast
+    edge array; sentinel rows through the reducers) must agree."""
+    from sbustreamspot_core_ray.pipelines.superstep import common_neighbors
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    for cap in (50_000_000, 0):  # broadcast regime / sentinel regime
+        out = (
+            common_neighbors(
+                edges_ds(edges), top_n=10, num_partitions=4,
+                broadcast_edges_max=cap,
+            )
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert list(out["src"]) == [1], (cap, out)
+        assert list(out["dst"]) == [4]
+        assert list(out["cn"]) == [2]
