@@ -1894,6 +1894,68 @@ def q_doc_percentiles(sf_dir: str):
     return lang_token_percentiles(docs)
 
 
+BM25_TERMS = ("stream", "join", "vector", "window", "dup")
+BM25_TOP = 50
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 seed-query retrieval over the corpus (top-50 docs for a fixed
+    5-term query). Bit-exact vs SQL: integer corpus stats + one fixed IEEE
+    expression chain per term + math.log == DuckDB ln (same libm); ranked
+    on the raw score, rounded only on output."""
+    from sbustreamspot_core_ray.stages.text import bm25_search
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = bm25_search(
+        docs, BM25_TERMS, top_n=BM25_TOP, k1=BM25_K1, b=BM25_B
+    ).to_pandas()
+    out["score"] = round_half_away(out["score"], 6)
+    return out.reset_index(drop=True)
+
+
+def _bm25_sql() -> str:
+    """The independent SQL recomputation: same tokenization, its own corpus
+    stats, the identical left-associated score expression (float literals
+    rendered with repr() so both parsers bind the same doubles)."""
+    k1p1 = repr(BM25_K1 + 1.0)
+    k1 = repr(BM25_K1)
+    omb = repr(1.0 - BM25_B)
+    bb = repr(BM25_B)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(ts, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"count(*) FILTER (WHERE tf{i} > 0) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(
+        f"(ln((st.n - st.df{i} + 0.5e0) / (st.df{i} + 0.5e0) + 1.0e0)"
+        f" * (b.tf{i} * {k1p1}e0)"
+        f" / (b.tf{i} + {k1}e0 * ({omb}e0 + {bb}e0"
+        f" * (b.dl / (CAST(st.sdl AS DOUBLE) / st.n)))))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(ts) AS dl,
+         {tf_cols}
+  FROM tok
+),
+st AS (SELECT count(*) AS n, sum(dl) AS sdl, {df_cols} FROM base),
+sc AS (SELECT b.doc_id, {score} AS score FROM base b, st)
+SELECT doc_id, ROUND(score, 6) AS score FROM sc WHERE score > 0.0e0
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= {BM25_TOP}"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1951,6 +2013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "term_df": q_term_df,
         "doc_percentiles": q_doc_percentiles,
+        "bm25_search": q_bm25_search,
         "ngram_jaccard": q_ngram_jaccard,
         "media_features": q_media_features,
         "audio_frames": q_audio_frames,
@@ -2236,6 +2299,7 @@ FROM s3 ORDER BY doc_id
         "knn_ivf": _knn_ivf_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),
+        "bm25_search": _bm25_sql(),
         "term_df": """
 WITH t AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents

@@ -238,6 +238,93 @@ def term_doc_freq(docs: ray.data.Dataset, top_n: int = 100) -> ray.data.Dataset:
     return agg.sort(["df", "term"], descending=[True, False]).limit(top_n)
 
 
+class _Bm25TermCounts:
+    """Per-batch (doc_id, dl, tf_i...) table for a fixed query-term list:
+    one explode + isin over the lower/single-space tokens — the same
+    tokenization as term_doc_freq (and its SQL mirror)."""
+
+    def __init__(self, terms: tuple):
+        self.terms = list(terms)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        dl = (
+            ex.groupby(level=0).size().reindex(df.index, fill_value=0)
+            .to_numpy(np.int64)
+        )
+        out = {"doc_id": df["doc_id"].to_numpy(np.int64), "dl": dl}
+        sel = ex[ex.isin(self.terms)]
+        for i, t in enumerate(self.terms):
+            out[f"tf{i}"] = (
+                sel[sel == t].groupby(level=0).size()
+                .reindex(df.index, fill_value=0).to_numpy(np.int64)
+            )
+        return pd.DataFrame(out)
+
+
+def bm25_search(
+    docs: ray.data.Dataset,
+    terms: tuple,
+    top_n: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> ray.data.Dataset:
+    """BM25 relevance ranking of the corpus against a fixed term list
+    (seed-query retrieval for curation): top-`top_n` docs by
+    score = Σ_i idf_i · tf_i(k1+1) / (tf_i + k1(1-b + b·dl/avgdl)).
+
+    Float-parity posture (the oracle technique): every corpus statistic
+    (N, Σdl, df_i, tf_i, dl) is an exact integer on both sides; the score
+    is ONE fixed left-associated IEEE expression chain over those integers,
+    and idf uses math.log — bit-identical to DuckDB's ln (both call the
+    same libm; np.log's SIMD path is NOT and is deliberately avoided).
+    Ranking is on the raw score; rounding happens only at output.
+
+    One corpus pass (term-count map), a one-row-per-batch stats combiner
+    summed on the driver (exact ints, order-free), then a broadcast-scalar
+    scoring map + top-n sort of the matching docs only."""
+    import math
+
+    base = docs.map_batches(
+        _Bm25TermCounts(tuple(terms)), batch_format="pandas"
+    ).materialize()  # consumed twice: stats + scoring
+    nt = len(terms)
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        row = {
+            "n": np.array([len(df)], np.int64),
+            "sdl": np.array([df["dl"].sum()], np.int64),
+        }
+        for i in range(nt):
+            row[f"df{i}"] = np.array([(df[f"tf{i}"] > 0).sum()], np.int64)
+        return pd.DataFrame(row)
+
+    st = base.map_batches(stats_partial, batch_format="pandas").to_pandas().sum()
+    n, sdl = int(st["n"]), int(st["sdl"])
+    avgdl = float(sdl) / n  # mirrors CAST(sdl AS DOUBLE) / n
+    idf = [
+        math.log((n - int(st[f"df{i}"]) + 0.5) / (int(st[f"df{i}"]) + 0.5) + 1.0)
+        for i in range(nt)
+    ]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df["dl"].to_numpy(np.int64)
+        x = dl / avgdl
+        acc = np.zeros(len(df), np.float64)
+        for i in range(nt):
+            tf = df[f"tf{i}"].to_numpy(np.int64)
+            # EXACT mirror of the SQL term expression (same parenthesization)
+            s = idf[i] * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * x))
+            acc = acc + s
+        out = pd.DataFrame({"doc_id": df["doc_id"], "score": acc})
+        return out[out["score"] > 0.0]
+
+    ranked = base.map_batches(score, batch_format="pandas")
+    return ranked.sort(["score", "doc_id"], descending=[True, False]).limit(top_n)
+
+
 class _LangTokenHistPartial:
     """Per-batch (lang, ws_tokens) histogram — whitespace token counts
     collapse to a tiny key space, so the global shuffle moves histograms,

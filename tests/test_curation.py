@@ -288,3 +288,49 @@ FROM r GROUP BY lang ORDER BY lang
         want,
         check_dtype=False,
     )
+
+
+def test_bm25_search_matches_duckdb():
+    from sbustreamspot_core_ray.stages.text import bm25_search
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(
+                vocab[int(j)] for j in rng.integers(0, len(vocab), rng.integers(1, 30))
+            ),
+        }
+        for i in range(200)
+    ]
+    terms = ("alpha", "zeta")
+    out = bm25_search(ray.data.from_items(rows), terms, top_n=20).to_pandas()
+    out = out.reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows))
+    import math
+    base = con.execute("""
+      WITH tok AS (SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+            FROM documents)
+      SELECT doc_id, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'alpha')) AS tf0,
+             len(list_filter(ts, t -> t = 'zeta')) AS tf1
+      FROM tok""").df()
+    n = len(base); sdl = int(base["dl"].sum()); avgdl = float(sdl) / n
+    score = np.zeros(n)
+    for i in range(2):
+        df_i = int((base[f"tf{i}"] > 0).sum())
+        idf = math.log((n - df_i + 0.5) / (df_i + 0.5) + 1.0)
+        tf = base[f"tf{i}"].to_numpy(np.int64)
+        score = score + idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (base["dl"].to_numpy(np.int64) / avgdl)))
+    base["score"] = score
+    want = (
+        base[base["score"] > 0.0]
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(20)[["doc_id", "score"]]
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == list(want["doc_id"])
+    assert np.array_equal(out["score"].to_numpy(), want["score"].to_numpy())  # bit-exact
