@@ -1894,6 +1894,37 @@ def q_doc_percentiles(sf_dir: str):
     return lang_token_percentiles(docs)
 
 
+def q_tfidf_topterms(sf_dir: str):
+    """Per-document top-3 keywords by the integer-exact tf-idf surrogate
+    (tf * N * 10^6) // df — no float surface, pure BIGINT parity."""
+    from sbustreamspot_core_ray.stages.text import tfidf_top_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_top_terms(docs, top_k=3)
+
+
+_SQL_TFIDF_TOPTERMS = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM t WHERE term <> '' GROUP BY 1, 2
+),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         (tf.tf * n.c * 1000000) // dfx.df AS score_micro
+  FROM tf, n JOIN dfx ON dfx.term = tf.term
+)
+SELECT doc_id, term, score_micro,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score_micro DESC, term) AS rank
+FROM sc QUALIFY rank <= 3"""
+
+
 BM25_TERMS = ("stream", "join", "vector", "window", "dup")
 BM25_TOP = 50
 BM25_K1 = 1.2
@@ -2014,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": q_term_df,
         "doc_percentiles": q_doc_percentiles,
         "bm25_search": q_bm25_search,
+        "tfidf_topterms": q_tfidf_topterms,
         "ngram_jaccard": q_ngram_jaccard,
         "media_features": q_media_features,
         "audio_frames": q_audio_frames,
@@ -2300,6 +2332,7 @@ FROM s3 ORDER BY doc_id
         "knn_lsh": _knn_lsh_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),
         "bm25_search": _bm25_sql(),
+        "tfidf_topterms": _SQL_TFIDF_TOPTERMS,
         "term_df": """
 WITH t AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents

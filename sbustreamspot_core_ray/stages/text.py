@@ -238,6 +238,72 @@ def term_doc_freq(docs: ray.data.Dataset, top_n: int = 100) -> ray.data.Dataset:
     return agg.sort(["df", "term"], descending=[True, False]).limit(top_n)
 
 
+def tfidf_top_terms(
+    docs: ray.data.Dataset,
+    top_k: int = 3,
+    max_vocab: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Per-document keyword extraction: the top-`top_k` terms of each doc
+    by an INTEGER-exact tf-idf surrogate, score_micro = (tf * N * 10^6) //
+    df (monotone in tf * N/df; floor-div keeps both sides in int64, no
+    float parity surface at all). Ties break (score desc, term asc).
+
+    Two passes: the term_doc_freq combiner aggregate yields the vocabulary
+    df map, which is broadcast (`ray.put` once) — the right shape for
+    curated/stopword-scale vocabularies; corpora whose vocabulary exceeds
+    `max_vocab` get a clear error pointing at a term-keyed co-partitioned
+    join instead of a silent driver OOM. Pass two scores each doc's terms
+    against the broadcast map, vectorized per batch."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    n_docs = docs.count()
+    vocab = (
+        docs.map_batches(
+            partial(call_singleton, _TermDocFreqPartial), batch_format="pandas"
+        )
+        .groupby("term")
+        .aggregate(Sum("df_partial", alias_name="df"))
+    )
+    if vocab.count() > max_vocab:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab={max_vocab}; use a term-keyed "
+            "co-partitioned join for the df attach instead of the broadcast"
+        )
+    vdf = vocab.to_pandas()
+    df_ref = _ray.put(pd.Series(vdf["df"].to_numpy(np.int64), index=vdf["term"]))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = _ray.get(df_ref)
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        pairs = pd.DataFrame({"d": ex.index.to_numpy(), "term": ex.to_numpy()})
+        tf = pairs.groupby(["d", "term"], sort=False).size().reset_index(name="tf")
+        dfv = tf["term"].map(dmap).to_numpy(np.int64)
+        tf["score_micro"] = (
+            tf["tf"].to_numpy(np.int64) * np.int64(n_docs) * np.int64(1_000_000)
+        ) // dfv
+        tf = tf.sort_values(
+            ["d", "score_micro", "term"], ascending=[True, False, True]
+        )
+        top = tf.groupby("d", sort=False).head(top_k).copy()
+        top["rank"] = top.groupby("d", sort=False).cumcount() + 1
+        doc_ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids[
+                    df.index.get_indexer(top["d"].to_numpy())
+                ],
+                "term": top["term"].to_numpy(dtype=object),
+                "score_micro": top["score_micro"].to_numpy(np.int64),
+                "rank": top["rank"].to_numpy(np.int64),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 class _Bm25TermCounts:
     """Per-batch (doc_id, dl, tf_i...) table for a fixed query-term list:
     one explode + isin over the lower/single-space tokens — the same
