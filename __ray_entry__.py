@@ -1894,6 +1894,51 @@ def q_doc_percentiles(sf_dir: str):
     return lang_token_percentiles(docs)
 
 
+GROUP_SAMPLE_N = 50
+
+
+def q_group_sample(sf_dir: str):
+    """Exact-n deterministic uniform sample per language (bijective
+    Fibonacci-mix hash order; combiner caps each batch at n per stratum)."""
+    from sbustreamspot_core_ray.stages.curation import group_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return group_sample(docs, n_per_group=GROUP_SAMPLE_N)
+
+
+_SQL_GROUP_SAMPLE = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                    % 18446744073709551616, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {GROUP_SAMPLE_N}"""
+
+
+def q_events_cumsum(sf_dir: str):
+    """Per-user running totals (the SUM OVER window analog): segmented
+    integer-cents prefix sums after one hash(user) shuffle — bit-exact vs
+    the SQL window (int64 prefix sums have no accumulation-order surface)."""
+    from sbustreamspot_core_ray.stages.events import running_totals
+
+    return running_totals(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"), num_parts=P
+    )
+
+
+_SQL_EVENTS_CUMSUM = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS DOUBLE) / 100.0 AS running
+FROM events"""
+
+
 def q_tfidf_topterms(sf_dir: str):
     """Per-document top-3 keywords by the integer-exact tf-idf surrogate
     (tf * N * 10^6) // df — no float surface, pure BIGINT parity."""
@@ -2046,6 +2091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_percentiles": q_doc_percentiles,
         "bm25_search": q_bm25_search,
         "tfidf_topterms": q_tfidf_topterms,
+        "group_sample": q_group_sample,
+        "events_cumsum": q_events_cumsum,
         "ngram_jaccard": q_ngram_jaccard,
         "media_features": q_media_features,
         "audio_frames": q_audio_frames,
@@ -2333,6 +2380,8 @@ FROM s3 ORDER BY doc_id
         "embedding_near_dup": _embedding_near_dup_sql(),
         "bm25_search": _bm25_sql(),
         "tfidf_topterms": _SQL_TFIDF_TOPTERMS,
+        "group_sample": _SQL_GROUP_SAMPLE,
+        "events_cumsum": _SQL_EVENTS_CUMSUM,
         "term_df": """
 WITH t AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents

@@ -155,6 +155,45 @@ def stratified_sample(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def group_sample(
+    ds: ray.data.Dataset,
+    n_per_group: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact-size deterministic uniform sample per stratum: the
+    `n_per_group` rows with the SMALLEST Fibonacci-mix hash of their id.
+    The multiply-mod-2^64 hash is a bijection, so ordering by it is a
+    deterministic uniform permutation — an exact-n sample with no RNG,
+    stable under any partitioning and on resume (the reservoir-sampling
+    use case, made idempotent).
+
+    Per-batch combiner keeps at most n rows per stratum, so the final
+    per-stratum cut (groupby on the SMALL strata key) sees at most
+    n x num_blocks rows — the shuffle never carries the corpus."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            h = df[id_col].to_numpy().astype(np.uint64) * FIB_MIX
+        out = df[[id_col, strata_col]].copy()
+        out["_h"] = h  # uint64: ascending == the SQL HUGEINT order
+        return (
+            out.sort_values([strata_col, "_h"], kind="stable")
+            .groupby(strata_col, sort=False)
+            .head(n_per_group)
+        )
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_h", kind="stable").head(n_per_group)
+        return g.drop(columns=["_h"])
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby(strata_col)
+        .map_groups(cut, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 

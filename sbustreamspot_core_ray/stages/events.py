@@ -100,6 +100,69 @@ def sessionize(
     )
 
 
+def running_totals(
+    events: ray.data.Dataset,
+    num_parts: int = 32,
+    value_scale: int = 100,
+) -> ray.data.Dataset:
+    """Per-user running totals in event-time order (the window-function
+    analog SUM() OVER (PARTITION BY user ORDER BY ts, event_id)): one
+    shuffle on hash(user) % P, then a per-partition lexsort + segmented
+    cumsum over integer value units (exact prefix sums — no float
+    accumulation-order surface; the divide back to currency happens per
+    output element, mirroring CAST(x AS DOUBLE)/scale)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "value": t["value"],
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        e = t["event_id"].to_numpy()
+        us = t["us"].to_numpy()
+        val = t["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, us, u))
+        u, e, us, val = u[order], e[order], us[order], val[order]
+        n = len(u)
+        if n == 0:
+            z = np.empty(0, np.int64)
+            return pa.table(
+                {"event_id": z, "user_id": z,
+                 "running": np.empty(0, np.float64)}
+            )
+        units = np.floor(val * float(value_scale) + 0.5).astype(np.int64)
+        tot = np.cumsum(units)
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        starts = np.flatnonzero(new_user)
+        base = np.concatenate([[0], tot[starts[1:] - 1]])
+        run_id = np.cumsum(new_user) - 1
+        running = (tot - base[run_id]) / float(value_scale)
+        return pa.table(
+            {
+                "event_id": e,
+                "user_id": u,
+                "running": running,
+            }
+        )
+
+    return (
+        events.select_columns(["event_id", "ts", "user_id", "value"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 def asof_join(
     events: ray.data.Dataset,
     left_type: str = "purchase",

@@ -334,3 +334,29 @@ def test_bm25_search_matches_duckdb():
     )
     assert list(out["doc_id"]) == list(want["doc_id"])
     assert np.array_equal(out["score"].to_numpy(), want["score"].to_numpy())  # bit-exact
+
+
+def test_group_sample_exact_n_and_deterministic():
+    from sbustreamspot_core_ray.stages.curation import FIB_MIX, group_sample
+
+    rows = [{"doc_id": i, "lang": ["en", "de"][i % 2]} for i in range(200)]
+    out = group_sample(ray.data.from_items(rows), n_per_group=10).to_pandas()
+    assert len(out) == 20
+    assert (out.groupby("lang").size() == 10).all()
+    # the kept ids per group are exactly the 10 with the smallest hash
+    import numpy as np
+    ids = np.arange(200, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.uint64) * FIB_MIX
+    for lang, par in (("en", 0), ("de", 1)):
+        grp = ids[ids % 2 == par]
+        want = set(grp[np.argsort(h[grp])][:10].tolist())
+        got = set(out[out["lang"] == lang]["doc_id"].tolist())
+        assert got == want
+    # determinism across runs/partitionings
+    out2 = group_sample(
+        ray.data.from_items(rows).repartition(7), n_per_group=10
+    ).to_pandas()
+    assert set(map(tuple, out2[["doc_id", "lang"]].to_numpy())) == set(
+        map(tuple, out[["doc_id", "lang"]].to_numpy())
+    )

@@ -217,3 +217,26 @@ GROUP BY l.event_id, l.user_id, l.us
 ORDER BY l.event_id
 """).df()
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_running_totals_prefix_semantics():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from sbustreamspot_core_ray.stages.events import running_totals
+
+    rows = [
+        {"event_id": 1, "user_id": 7, "ts": pd.Timestamp("2026-01-01 10:00"), "value": 1.25},
+        {"event_id": 2, "user_id": 7, "ts": pd.Timestamp("2026-01-01 10:05"), "value": 2.50},
+        {"event_id": 3, "user_id": 7, "ts": pd.Timestamp("2026-01-01 10:05"), "value": 0.25},
+        {"event_id": 4, "user_id": 9, "ts": pd.Timestamp("2026-01-01 09:00"), "value": 10.0},
+    ]
+    out = (
+        running_totals(ray.data.from_items(rows), num_parts=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # ts tie between events 2 and 3 breaks by event_id
+    assert np.allclose(out["running"].to_numpy(), [1.25, 3.75, 4.0, 10.0])
