@@ -1791,6 +1791,64 @@ def q_video_frames(sf_dir: str):
     return frames.map_batches(fmt, batch_format="pyarrow")
 
 
+RESIZE_TO = 16
+
+
+def q_image_resize(sf_dir: str):
+    """Multimodal resize path: fake-decode -> REAL vectorized
+    nearest-neighbor resize to 16x16 -> per-image features. The SQL oracle
+    replays the integer index mapping ri=(oi*h)//16, ci=(oj*w)//16 over the
+    tiled byte space."""
+    from sbustreamspot_core_ray.stages.multimodal import (
+        image_features,
+        media_from_documents,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = image_features(
+        media_from_documents(docs), resize_to=RESIZE_TO
+    ).to_pandas()
+    for c in ("px_mean", "px_std", "edge_energy"):
+        out[c] = round_half_away(out[c], 6)
+    return out
+
+
+_SQL_IMAGE_RESIZE = f"""
+WITH img AS (
+  SELECT doc_id, text, length(text) AS n,
+         greatest(CAST(floor(sqrt(length(text))) AS BIGINT), 1) AS w
+  FROM documents WHERE doc_id % 3 = 0
+),
+dims AS (SELECT doc_id, text, n, w, greatest(n // w, 1) AS h FROM img),
+px AS (
+  SELECT doc_id, g.oi AS oi, g2.oj AS oj, g3.ch AS ch,
+         ascii(substring(text,
+           CAST((((((g.oi * h) // {RESIZE_TO}) * w + ((g2.oj * w) // {RESIZE_TO}))
+                  * 3 + g3.ch) % n) + 1 AS INT), 1)) AS b
+  FROM dims,
+       generate_series(0, {RESIZE_TO - 1}) g(oi),
+       generate_series(0, {RESIZE_TO - 1}) g2(oj),
+       generate_series(0, 2) g3(ch)
+),
+m AS (SELECT doc_id, AVG(CAST(b AS DOUBLE)) AS mean FROM px GROUP BY doc_id),
+sd AS (
+  SELECT p.doc_id, sqrt(AVG((p.b - m.mean) * (p.b - m.mean))) AS sdev
+  FROM px p JOIN m ON m.doc_id = p.doc_id GROUP BY p.doc_id
+),
+ed AS (
+  SELECT a.doc_id, AVG(CAST(abs(b2.b - a.b) AS DOUBLE)) AS ee
+  FROM px a JOIN px b2 ON b2.doc_id = a.doc_id AND b2.oi = a.oi
+                      AND b2.ch = a.ch AND b2.oj = a.oj + 1
+  GROUP BY a.doc_id
+)
+SELECT m.doc_id AS media_id, ROUND(m.mean, 6) AS px_mean,
+       ROUND(sd.sdev, 6) AS px_std, ROUND(ed.ee, 6) AS edge_energy
+FROM m JOIN sd ON sd.doc_id = m.doc_id JOIN ed ON ed.doc_id = m.doc_id
+"""
+
+
 def q_corpus_pipeline(sf_dir: str):
     """The flagship corpus pipeline (synthetic deterministic corpus ->
     sha256-validated ingest -> edge extraction -> counts); SQL-mirrored by
@@ -2095,6 +2153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumsum": q_events_cumsum,
         "ngram_jaccard": q_ngram_jaccard,
         "media_features": q_media_features,
+        "image_resize": q_image_resize,
         "audio_frames": q_audio_frames,
         "video_frames": q_video_frames,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2411,6 +2470,7 @@ SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
 FROM r GROUP BY lang
 """,
         "media_features": _SQL_MEDIA_FEATURES,
+        "image_resize": _SQL_IMAGE_RESIZE,
         "audio_frames": _SQL_AUDIO_FRAMES,
         "video_frames": _SQL_VIDEO_FRAMES,
         "lang_id": _lang_id_sql(),

@@ -58,11 +58,21 @@ BENCH_QUERIES = [
     "fingerprints",
     "knn_cosine",
     "knn_ivf",
+    "knn_lsh",
     "embedding_near_dup",
     "lsh_clusters",
     "ngram_jaccard",
     "media_features",
     "audio_frames",
+    "kcore",
+    "term_df",
+    "doc_percentiles",
+    "bm25_search",
+    "tfidf_topterms",
+    "group_sample",
+    "events_cumsum",
+    # common_neighbors is benchmarked at sf0.01 only (BASELINE.md): its
+    # wedge table is O(sum deg^2) and would dominate the sf0.1 suite
 ]
 
 
