@@ -1037,6 +1037,68 @@ def q_pagerank(sf_dir: str):
     return df
 
 
+PPR_SEEDS = (1, 2, 3, 4, 5)  # customer keys, present at every sf
+
+
+def q_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank from a 5-customer seed set over the full
+    derived graph: teleport + dangling mass land on the seeds (the
+    seed-based importance variant of the north-star algorithm)."""
+    from sbustreamspot_core_ray.pipelines.superstep import ShardedGraph, pagerank
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=False
+    )
+    df = pagerank(
+        g,
+        damping=PR_DAMPING,
+        max_iters=PR_ITERS,
+        tol=0.0,
+        teleport_seeds=np.array(PPR_SEEDS, np.int64),
+    ).to_pandas()
+    df["rank"] = round_half_away(df["rank"], 7)
+    return df
+
+
+def _ppr_sql() -> str:
+    """Unrolled PPR oracle: the pagerank chain with the uniform teleport
+    replaced by the seed-set vector (mass 1/|S| on each seed; dangling mass
+    redistributed to the seeds)."""
+    d = PR_DAMPING
+    seeds = ", ".join(str(s) for s in PPR_SEEDS)
+    ns = len(PPR_SEEDS)
+    ctes = [
+        f"e AS MATERIALIZED ({_SQL_EDGES})",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "deg AS MATERIALIZED (SELECT src AS vertex, CAST(count(*) AS DOUBLE) d"
+        " FROM e GROUP BY src)",
+        f"t AS MATERIALIZED (SELECT vertex, CASE WHEN vertex IN ({seeds})"
+        f" THEN 1.0/{ns} ELSE 0.0 END AS tv FROM v)",
+        "r0 AS MATERIALIZED (SELECT vertex, tv AS rank FROM t)",
+    ]
+    for k in range(1, PR_ITERS + 1):
+        p = k - 1
+        ctes.append(
+            f"dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m FROM r{p} r"
+            f" LEFT JOIN deg ON deg.vertex = r.vertex WHERE deg.vertex IS NULL)"
+        )
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS vertex, SUM(r.rank / deg.d) AS contrib"
+            f" FROM e JOIN r{p} r ON r.vertex = e.src"
+            f" JOIN deg ON deg.vertex = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT t.vertex, (1.0 - {d}) * t.tv"
+            f" + {d} * (COALESCE(c.contrib, 0.0)"
+            f" + (SELECT m FROM dang{k}) * t.tv) AS rank"
+            f" FROM t LEFT JOIN c{k} c ON c.vertex = t.vertex)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vertex, ROUND(rank, 7) AS rank FROM r{PR_ITERS}"
+    )
+
+
 def q_connected_components(sf_dir: str):
     from sbustreamspot_core_ray.pipelines.superstep import (
         ShardedGraph,
@@ -2106,6 +2168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_table": q_edge_table,
         "degrees": q_degrees,
         "pagerank": q_pagerank,
+        "personalized_pagerank": q_personalized_pagerank,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "neighborhood_sketch": q_neighborhood_sketch,
@@ -2165,6 +2228,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_table": f"SELECT src, dst FROM ({_SQL_EDGES})",
         "degrees": f"SELECT src, count(*) AS outdeg FROM ({_SQL_EDGES}) GROUP BY src",
         "pagerank": _pagerank_sql(),
+        "personalized_pagerank": _ppr_sql(),
         "connected_components": f"""
 WITH RECURSIVE e0 AS ({_SQL_EDGES_CO}),
 e AS (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0),

@@ -317,6 +317,7 @@ def pagerank(
     ckpt_dir: str | None = None,
     ckpt_every: int = 5,
     combine: str = "direct",
+    teleport_seeds: np.ndarray | None = None,
 ) -> ray.data.Dataset:
     """Synchronous power iteration with dangling-mass redistribution.
 
@@ -324,18 +325,33 @@ def pagerank(
     stops when the L1 delta < tol or at max_iters. Matches the single-node
     oracle to allclose(1e-6) (order-free float sums within f64 tolerance).
 
+    teleport_seeds: PERSONALIZED PageRank — teleport (and dangling) mass
+    lands uniformly on the seed set instead of all vertices; rank0 = the
+    teleport vector. Same scatter/exchange; only the per-vertex base term
+    changes (state/csr.py ppr_init / pagerank_apply_parts).
+
     combine="direct" (default): actor-to-actor object-store exchange of the
     pre-partitioned partials. combine="dataset": the same partial/final
     aggregation as a Ray Data groupby shuffle (for very large P).
     """
     actors = graph.actors
+    if teleport_seeds is not None and ckpt_dir is not None:
+        raise ValueError(
+            "personalized pagerank does not support checkpoint/resume yet: "
+            "the restore path would not rebuild the teleport vector — run "
+            "with ckpt_dir=None (or checkpoint the classic-pagerank column)"
+        )
     start_iter = 0
     if ckpt_dir is not None:
         manifest = graph.restore(ckpt_dir)
         if manifest is not None and manifest["column"] == "rank":
             start_iter = manifest["iteration"] + 1
     if start_iter == 0:
-        ray.get([a.pagerank_init.remote(graph.n_vertices) for a in actors])
+        if teleport_seeds is not None:
+            seeds = np.unique(np.asarray(teleport_seeds, np.int64))
+            ray.get([a.ppr_init.remote(seeds, len(seeds)) for a in actors])
+        else:
+            ray.get([a.pagerank_init.remote(graph.n_vertices) for a in actors])
     else:
         ray.get([a.set_n_total.remote(graph.n_vertices) for a in actors])
 

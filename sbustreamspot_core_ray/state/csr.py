@@ -388,7 +388,25 @@ class CsrShard:
 
     def pagerank_init(self, n_total: int) -> None:
         self.n_total = n_total
+        self.teleport = None  # uniform teleport (clears any prior PPR state)
         self.rank = np.full(len(self.owned), 1.0 / n_total)
+
+    def ppr_init(self, seeds: np.ndarray, n_seeds: int) -> None:
+        """Personalized PageRank init: teleport mass 1/n_seeds on the seed
+        vertices this shard owns; rank0 = teleport (the standard PPR power
+        iteration start). Seeds absent from the graph contribute nothing
+        (their 1/n_seeds share of mass is simply never injected — mirrored
+        by the oracle's CASE over present vertices)."""
+        t = np.zeros(len(self.owned), np.float64)
+        seeds = np.asarray(seeds, np.int64)
+        idx = np.searchsorted(self.owned, seeds)
+        m = idx < len(self.owned)
+        idx, s = idx[m], seeds[m]
+        hit = self.owned[idx] == s
+        t[idx[hit]] = 1.0 / n_seeds
+        self.teleport = t
+        self.rank = t.copy()
+        self.n_total = n_seeds  # unused on the PPR path; set for safety
 
     def set_n_total(self, n_total: int) -> None:
         self.n_total = n_total
@@ -611,7 +629,11 @@ class CsrShard:
     def pagerank_apply_parts(
         self, dangling: float, damping: float, *parts
     ) -> float:
-        base = (1.0 - damping) / self.n_total + damping * dangling / self.n_total
+        t = getattr(self, "teleport", None)
+        if t is None:  # uniform teleport (classic PageRank)
+            base = (1.0 - damping) / self.n_total + damping * dangling / self.n_total
+        else:  # personalized: teleport AND dangling mass land on the seeds
+            base = (1.0 - damping) * t + damping * dangling * t
         live = [p for p in parts if len(p[0])]
         if live:
             # ONE concatenated bincount over owner-local indexes:
@@ -620,7 +642,7 @@ class CsrShard:
             c = np.concatenate([p[1] for p in live])
             new = base + np.bincount(idx, weights=c, minlength=len(self.owned))
         else:
-            new = np.full(len(self.owned), base)
+            new = np.zeros(len(self.owned)) + base
         delta = float(np.abs(new - self.rank).sum())
         self.rank = new
         return delta
@@ -819,8 +841,12 @@ class CsrShard:
     def pagerank_apply(
         self, vertex: np.ndarray, contrib: np.ndarray, dangling: float, damping: float
     ) -> float:
-        base = (1.0 - damping) / self.n_total + damping * dangling / self.n_total
-        new = np.full(len(self.owned), base)
+        t = getattr(self, "teleport", None)
+        if t is None:
+            base = (1.0 - damping) / self.n_total + damping * dangling / self.n_total
+            new = np.full(len(self.owned), base)
+        else:
+            new = (1.0 - damping) * t + damping * dangling * t
         if len(vertex):
             idx = np.searchsorted(self.owned, vertex)
             new[idx] += contrib

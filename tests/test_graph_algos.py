@@ -366,3 +366,23 @@ def test_common_neighbors_both_regimes():
         assert list(out["src"]) == [1], (cap, out)
         assert list(out["dst"]) == [4]
         assert list(out["cn"]) == [2]
+
+
+def test_personalized_pagerank_seed_mass():
+    """PPR on a small graph: total rank mass stays 1 (teleport + dangling
+    both land on seeds), non-seed source-only components get zero, and
+    seeds dominate their own neighborhoods."""
+    from sbustreamspot_core_ray.pipelines.superstep import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10)]
+    g = ShardedGraph.build(edges_ds(edges), num_parts=4, symmetric=False)
+    out = (
+        pagerank(g, max_iters=30, tol=0.0, teleport_seeds=np.array([1]))
+        .to_pandas()
+        .set_index("vertex")["rank"]
+    )
+    assert abs(out.sum() - 1.0) < 1e-9
+    # the 10<->11 component is unreachable from seed 1: zero mass
+    assert out[10] == 0.0 and out[11] == 0.0
+    # seed 1 holds the most mass in its cycle
+    assert out[1] > out[2] > 0 and out[1] > out[3] > 0
