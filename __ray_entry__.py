@@ -1195,6 +1195,75 @@ def q_common_neighbors(sf_dir: str):
     )
 
 
+def q_adamic_adar(sf_dir: str):
+    """Link prediction by the Adamic-Adar index over the full derived
+    graph: top-100 non-adjacent pairs by sum(1/ln(deg(common neighbor))),
+    carried as exact integer billionths (floor(1e9/ln(deg)) per wedge
+    center) so the int64 sums hash-match the SQL oracle bit-for-bit."""
+    from sbustreamspot_core_ray.pipelines.superstep import common_neighbors
+
+    return common_neighbors(
+        _edges_full(sf_dir, dedup=False),
+        top_n=CN_TOP,
+        num_partitions=P,
+        weight="adamic_adar",
+    ).rename_columns({"cn": "aa_e9"})
+
+
+BFS_SEEDS = (1, 2, 3, 4, 5)  # customer keys, present at every sf
+BFS_MAX_HOPS = 8
+
+
+def q_bfs_distance(sf_dir: str):
+    """Multi-source BFS hop distance from the 5-customer seed set over the
+    symmetrized full derived graph (superstep frontier propagation);
+    returns (vertex, dist) for reached vertices within 8 hops."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        bfs_distance,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    return bfs_distance(g, seeds=np.array(BFS_SEEDS, np.int64), max_hops=BFS_MAX_HOPS)
+
+
+def _bfs_sql() -> str:
+    seeds = ", ".join(f"({s})" for s in BFS_SEEDS)
+    return f"""
+WITH RECURSIVE e0 AS ({_SQL_EDGES}),
+e AS (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0),
+walk(vertex, dist) AS (
+  SELECT s, 0 FROM (VALUES {seeds}) t(s) WHERE s IN (SELECT s FROM e)
+  UNION
+  SELECT e.d, walk.dist + 1 FROM walk JOIN e ON e.s = walk.vertex
+  WHERE walk.dist < {BFS_MAX_HOPS}
+)
+SELECT vertex, MIN(dist) AS dist FROM walk GROUP BY vertex"""
+
+
+_SQL_ADAMIC_ADAR = f"""
+WITH e0 AS MATERIALIZED ({_SQL_EDGES}),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+sym AS MATERIALIZED (SELECT a AS s, b AS d FROM canon UNION ALL SELECT b, a FROM canon),
+wt AS MATERIALIZED (
+  SELECT s, CAST(floor(1e9 / ln(count(*))) AS BIGINT) AS w
+  FROM sym GROUP BY s HAVING count(*) >= 2
+),
+w AS (
+  SELECT x.d AS a, y.d AS b, SUM(wt.w) AS aa
+  FROM sym x JOIN sym y ON y.s = x.s AND y.d > x.d JOIN wt ON wt.s = x.s
+  GROUP BY x.d, y.d
+),
+nonadj AS (SELECT w.a, w.b, w.aa FROM w ANTI JOIN canon c ON c.a = w.a AND c.b = w.b)
+SELECT a AS src, b AS dst, aa AS aa_e9 FROM nonadj
+ORDER BY aa DESC, a, b LIMIT {CN_TOP}"""
+
+
 _SQL_COMMON_NEIGHBORS = f"""
 WITH e0 AS MATERIALIZED ({_SQL_EDGES}),
 canon AS MATERIALIZED (
@@ -2169,6 +2238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degrees": q_degrees,
         "pagerank": q_pagerank,
         "personalized_pagerank": q_personalized_pagerank,
+        "bfs_distance": q_bfs_distance,
+        "adamic_adar": q_adamic_adar,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "neighborhood_sketch": q_neighborhood_sketch,
@@ -2229,6 +2300,8 @@ def oracle_sql() -> dict[str, str]:
         "degrees": f"SELECT src, count(*) AS outdeg FROM ({_SQL_EDGES}) GROUP BY src",
         "pagerank": _pagerank_sql(),
         "personalized_pagerank": _ppr_sql(),
+        "bfs_distance": _bfs_sql(),
+        "adamic_adar": _SQL_ADAMIC_ADAR,
         "connected_components": f"""
 WITH RECURSIVE e0 AS ({_SQL_EDGES_CO}),
 e AS (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0),

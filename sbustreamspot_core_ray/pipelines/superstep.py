@@ -31,6 +31,7 @@ wedge hash join, SURVEY.md §7.4) — no mutable state, so no actors.
 from __future__ import annotations
 
 import json
+import math
 import os
 
 import numpy as np
@@ -558,6 +559,33 @@ def kcore(graph: ShardedGraph, k: int, max_iters: int = 1_000_000) -> ray.data.D
     return ray.data.from_arrow_refs([a.kcore_state.remote() for a in actors])
 
 
+def bfs_distance(
+    graph: ShardedGraph, seeds, max_hops: int = 64
+) -> ray.data.Dataset:
+    """Multi-source BFS hop distance on the superstep engine: dist 0 on the
+    seed set, each round the improved frontier pushes dist+1 min-combined to
+    its out-neighbors' owners; stops when the frontier empties or at
+    `max_hops`. Returns (vertex, dist) for REACHED vertices only.
+
+    Works on directed graphs (directed distance) or symmetric builds
+    (undirected distance — the reference's BFS co-bucket walk generalized to
+    hop counts, `main.cpp:672-721`). Unsalted graphs only; a salted build
+    raises with the supported configuration named."""
+    if graph.salted:
+        raise ValueError(
+            "bfs_distance supports unsalted graphs only; build the "
+            "ShardedGraph without salt_threshold"
+        )
+    actors = graph.actors
+    seeds = np.unique(np.asarray(seeds, np.int64))
+    frontier = sum(ray.get([a.bfs_init.remote(seeds) for a in actors]))
+    it = 0
+    while frontier and it < max_hops:
+        frontier = sum(graph._exchange("bfs"))
+        it += 1
+    return ray.data.from_arrow_refs([a.bfs_state.remote() for a in actors])
+
+
 def driver_components(
     src: np.ndarray, dst: np.ndarray, vertices: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -947,9 +975,19 @@ def common_neighbors(
     num_partitions: int = 32,
     max_deg: int | None = None,
     broadcast_edges_max: int = 50_000_000,
+    weight: str = "count",
 ) -> ray.data.Dataset:
     """Link prediction by common-neighbor counts: the top-`top_n`
     NON-adjacent vertex pairs ranked by (count desc, src, dst).
+
+    weight="adamic_adar": each wedge contributes floor(1e9 / ln(deg(center)))
+    instead of 1 — the Adamic-Adar index in exact integer billionths (the
+    float-parity surrogate: math.log and DuckDB ln share libm, and the
+    floor of the identical IEEE quotient is bit-stable, so the summed int64
+    scores hash-match the SQL oracle; per-pair sums stay < 2^53 for
+    common-neighbor counts up to ~6e6, far above any real pair). The center
+    degree is its run length in the symmetric adjacency — exact, because
+    every edge of a center hashes to the center's partition.
 
     Dataflow: canonical undirected distinct edges → symmetric adjacency
     partitioned by hash(center) → per-partition vectorized wedge-pair
@@ -1059,16 +1097,26 @@ def common_neighbors(
         within = np.arange(tot) - np.concatenate([[0], np.cumsum(sizes)])[rep]
         gather = rep + 1 + within
         pair = _pack_pair(d[rep], d[gather])  # sorted runs -> a < b always
+        if weight == "adamic_adar":
+            degs = (run_end - starts[run_id])[rep]  # wedge center's degree
+            uq = np.unique(degs)
+            wt_u = np.array(
+                [math.floor(1e9 / math.log(int(g))) for g in uq], np.int64
+            )
+            vals = wt_u[np.searchsorted(uq, degs)]
+        else:
+            vals = np.ones(len(pair), np.int64)
         if epack_ref is not None:
             es = ray.get(epack_ref)  # zero-copy read of the broadcast array
             if len(es):
                 idx = np.clip(np.searchsorted(es, pair), 0, len(es) - 1)
-                pair = pair[es[idx] != pair]
+                keep = es[idx] != pair
+                pair, vals = pair[keep], vals[keep]
         # no per-partition combiner: duplicate pairs within one center
         # partition are rare (<20% at sf0.01) and the reducers dedup on
         # compaction anyway — the 16-byte/pair extra push volume is cheaper
         # than an O(n log n) struct sort of the whole wedge table per task
-        return pair, np.ones(len(pair), np.int64)
+        return pair, vals
 
     reducers = [_PairReducer.remote() for _ in range(P)]
 

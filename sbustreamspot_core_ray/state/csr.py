@@ -545,6 +545,7 @@ class CsrShard:
         "lp": "lp_scatter_parts",
         "nmh": "nmh_scatter_parts",
         "kcore": "kcore_scatter_parts",
+        "bfs": "bfs_scatter_parts",
     }
     _APPLIES = {
         "pagerank": "pagerank_apply_parts",
@@ -552,6 +553,7 @@ class CsrShard:
         "lp": "lp_apply_parts",
         "nmh": "nmh_apply_parts",
         "kcore": "kcore_apply_parts",
+        "bfs": "bfs_apply_parts",
     }
 
     async def push_parts(self, algo: str, *scatter_args) -> int:
@@ -786,6 +788,81 @@ class CsrShard:
             {
                 "vertex": pa.array(self.owned[m], pa.int64()),
                 "core_deg": pa.array(self.kc_deg[m], pa.int64()),
+            }
+        )
+
+    # ---- multi-source BFS hop distance -----------------------------------
+    #
+    # Frontier-based min-distance propagation: only vertices whose distance
+    # improved last round scatter dist+1 to their out-neighbors (the cc
+    # min-label exchange with an incremented payload). Message volume per
+    # round is bounded by the frontier's out-edges, total O(E * diameter)
+    # worst case but O(E) on expander-like graphs where each vertex settles
+    # once. Unsalted graphs only (mirror chunks would need their own
+    # distance state).
+
+    def bfs_init(self, seeds: np.ndarray) -> int:
+        if getattr(self, "mirrors", None):
+            raise ValueError(
+                "bfs_distance supports unsalted graphs only; build the "
+                "ShardedGraph without salt_threshold"
+            )
+        INF = np.iinfo(np.int64).max
+        self.dist = np.full(len(self.owned), INF, np.int64)
+        self.changed = np.zeros(len(self.owned), bool)
+        seeds = np.asarray(seeds, np.int64)
+        idx = np.searchsorted(self.owned, seeds)
+        m = idx < len(self.owned)
+        idx, s = idx[m], seeds[m]
+        hit = self.owned[idx] == s
+        self.dist[idx[hit]] = 0
+        self.changed[idx[hit]] = True
+        return int(self.changed.sum())
+
+    def bfs_scatter_parts(self):
+        """dist+1 toward the out-neighbors of last round's improved
+        vertices, min-combined per destination."""
+        INF = np.iinfo(np.int64).max
+        active = self.changed[self.src_in_owned]
+        if active.any():
+            d_edge = self._rank_per_edge(self.dist[self.src_in_owned] + 1)
+            act_edge = np.repeat(active, self.outdeg)
+            mins = np.full(len(self.dst_u), INF)
+            np.minimum.at(mins, self.dst_inv[act_edge], d_edge[act_edge])
+        else:
+            mins = None
+        out = []
+        for p in range(self.P):
+            if mins is None:
+                out.append((np.empty(0, np.int32), np.empty(0, np.int64)))
+                continue
+            idx = self.dst_by_part[p]
+            m = mins[idx]
+            live = m != INF
+            out.append((self.dst_route[p][live], m[live]))
+        return tuple(out)
+
+    def bfs_apply_parts(self, *parts) -> int:
+        self.changed = np.zeros(len(self.owned), bool)
+        live = [p for p in parts if len(p[0])]
+        if not live:
+            return 0
+        mins = np.full(len(self.owned), np.iinfo(np.int64).max)
+        for idx, dd in live:
+            np.minimum.at(mins, idx, dd)
+        better = mins < self.dist
+        self.dist[better] = mins[better]
+        self.changed[better] = True
+        return int(better.sum())
+
+    def bfs_state(self) -> pa.Table:
+        """(vertex, dist) for REACHED vertices only (unreached rows would
+        be an INF sentinel that no consumer wants)."""
+        m = self.dist < np.iinfo(np.int64).max
+        return pa.table(
+            {
+                "vertex": pa.array(self.owned[m], pa.int64()),
+                "dist": pa.array(self.dist[m], pa.int64()),
             }
         )
 

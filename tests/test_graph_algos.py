@@ -386,3 +386,54 @@ def test_personalized_pagerank_seed_mass():
     assert out[10] == 0.0 and out[11] == 0.0
     # seed 1 holds the most mass in its cycle
     assert out[1] > out[2] > 0 and out[1] > out[3] > 0
+
+
+def test_bfs_distance_layers():
+    """Multi-source BFS on a path + branch graph: exact hop layers, the
+    unreachable component absent, and the max_hops cap honored."""
+    from sbustreamspot_core_ray.pipelines.superstep import bfs_distance
+
+    # path 1-2-3-4-5 plus branch 3-6; separate component 10-11
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6), (10, 11)]
+    g = ShardedGraph.build(edges_ds(edges), num_parts=4, symmetric=True)
+    out = (
+        bfs_distance(g, seeds=[1], max_hops=8)
+        .to_pandas()
+        .set_index("vertex")["dist"]
+        .to_dict()
+    )
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 3}
+
+    capped = (
+        bfs_distance(g, seeds=[1], max_hops=2)
+        .to_pandas()
+        .set_index("vertex")["dist"]
+        .to_dict()
+    )
+    assert capped == {1: 0, 2: 1, 3: 2}
+
+
+def test_adamic_adar_weights():
+    """AA on a known wedge structure matches the hand-computed integer
+    surrogate floor(1e9/ln(deg(center))) summed per non-adjacent pair."""
+    import math
+
+    from sbustreamspot_core_ray.pipelines.superstep import common_neighbors
+
+    # centers: 3 connects {1,2,4}; 5 connects {1,4}; pair (1,4) gets both
+    edges = [(1, 3), (2, 3), (4, 3), (1, 5), (4, 5)]
+    out = (
+        common_neighbors(
+            edges_ds(edges), top_n=10, num_partitions=4, weight="adamic_adar"
+        )
+        .to_pandas()
+        .set_index(["src", "dst"])["cn"]
+        .to_dict()
+    )
+    w3 = math.floor(1e9 / math.log(3))  # deg(3) = 3
+    w5 = math.floor(1e9 / math.log(2))  # deg(5) = 2
+    assert out[(1, 4)] == w3 + w5
+    assert out[(1, 2)] == w3 and out[(2, 4)] == w3
+    assert out[(3, 5)] == 2 * w5  # wedges through centers 1 and 4 (deg 2)
+    # adjacent pairs excluded
+    assert (1, 3) not in out and (4, 5) not in out
