@@ -1210,6 +1210,64 @@ def q_adamic_adar(sf_dir: str):
     ).rename_columns({"cn": "aa_e9"})
 
 
+HITS_ITERS = 8
+
+
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities over the directed full derived graph
+    (customer->order->part->supplier): 8 L1-normalized power iterations on
+    the superstep engine (forward exchange for auth, reverse-route pull for
+    hub)."""
+    from sbustreamspot_core_ray.pipelines.superstep import ShardedGraph, hits
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=False
+    )
+    df = hits(g, iters=HITS_ITERS).to_pandas()
+    df["auth"] = round_half_away(df["auth"], 7)
+    df["hub"] = round_half_away(df["hub"], 7)
+    return df
+
+
+def _hits_sql(iters: int = HITS_ITERS) -> str:
+    """Unrolled HITS oracle: each iteration's raw sums as LEFT JOINs over
+    the vertex set, each normalized by its scalar L1 sum. MATERIALIZED
+    CTEs (every round references the previous twice — default inlining
+    would explode the plan 2^rounds)."""
+    ctes = [
+        f"e AS MATERIALIZED ({_SQL_EDGES})",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "h0 AS MATERIALIZED (SELECT vertex, 1.0 AS h FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"ar{k} AS MATERIALIZED (SELECT v.vertex, COALESCE(s.x, 0.0) AS a"
+            f" FROM v LEFT JOIN (SELECT e.dst AS vertex, SUM(h.h) AS x FROM e"
+            f" JOIN h{p} h ON h.vertex = e.src GROUP BY e.dst) s"
+            f" ON s.vertex = v.vertex)"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT vertex,"
+            f" a / (SELECT SUM(a) FROM ar{k}) AS a FROM ar{k})"
+        )
+        ctes.append(
+            f"hr{k} AS MATERIALIZED (SELECT v.vertex, COALESCE(s.x, 0.0) AS h"
+            f" FROM v LEFT JOIN (SELECT e.src AS vertex, SUM(a.a) AS x FROM e"
+            f" JOIN a{k} a ON a.vertex = e.dst GROUP BY e.src) s"
+            f" ON s.vertex = v.vertex)"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT vertex,"
+            f" h / (SELECT SUM(h) FROM hr{k}) AS h FROM hr{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.vertex, ROUND(a.a, 7) AS auth, ROUND(h.h, 7) AS hub"
+        f" FROM a{iters} a JOIN h{iters} h ON h.vertex = a.vertex"
+    )
+
+
 BFS_SEEDS = (1, 2, 3, 4, 5)  # customer keys, present at every sf
 BFS_MAX_HOPS = 8
 
@@ -2240,6 +2298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_distance": q_bfs_distance,
         "adamic_adar": q_adamic_adar,
+        "hits": q_hits,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "neighborhood_sketch": q_neighborhood_sketch,
@@ -2302,6 +2361,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _ppr_sql(),
         "bfs_distance": _bfs_sql(),
         "adamic_adar": _SQL_ADAMIC_ADAR,
+        "hits": _hits_sql(),
         "connected_components": f"""
 WITH RECURSIVE e0 AS ({_SQL_EDGES_CO}),
 e AS (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0),

@@ -559,6 +559,33 @@ def kcore(graph: ShardedGraph, k: int, max_iters: int = 1_000_000) -> ray.data.D
     return ray.data.from_arrow_refs([a.kcore_state.remote() for a in actors])
 
 
+def hits(graph: ShardedGraph, iters: int = 8) -> ray.data.Dataset:
+    """Kleinberg's HITS hubs & authorities with per-iteration L1
+    normalization: auth_k = normalize(sum of hub_{k-1} over in-edges),
+    hub_k = normalize(sum of auth_k over out-edges). The auth update is the
+    standard forward exchange; the hub update is a PULL along build-time
+    reverse routes (state/csr.py hits_pull_*). Returns (vertex, auth, hub).
+
+    Directed by design (build with symmetric=False; a symmetric build just
+    makes hub == auth). Unsalted graphs only."""
+    if graph.salted:
+        raise ValueError(
+            "hits supports unsalted graphs only; build the ShardedGraph "
+            "without salt_threshold"
+        )
+    actors = graph.actors
+    ray.get([a.hits_init.remote() for a in actors])
+    ray.get([a.send_pull_routes.remote() for a in actors])
+    for _ in range(iters):
+        s = sum(graph._exchange("hits"))
+        if s > 0.0:
+            ray.get([a.hits_normalize.remote("auth", s) for a in actors])
+        t = sum(graph._exchange("hits_pull"))
+        if t > 0.0:
+            ray.get([a.hits_normalize.remote("hub", t) for a in actors])
+    return ray.data.from_arrow_refs([a.hits_state.remote() for a in actors])
+
+
 def bfs_distance(
     graph: ShardedGraph, seeds, max_hops: int = 64
 ) -> ray.data.Dataset:

@@ -546,6 +546,8 @@ class CsrShard:
         "nmh": "nmh_scatter_parts",
         "kcore": "kcore_scatter_parts",
         "bfs": "bfs_scatter_parts",
+        "hits": "hits_scatter_parts",
+        "hits_pull": "hits_pull_scatter_parts",
     }
     _APPLIES = {
         "pagerank": "pagerank_apply_parts",
@@ -554,6 +556,8 @@ class CsrShard:
         "nmh": "nmh_apply_parts",
         "kcore": "kcore_apply_parts",
         "bfs": "bfs_apply_parts",
+        "hits": "hits_apply_parts",
+        "hits_pull": "hits_pull_apply_parts",
     }
 
     async def push_parts(self, algo: str, *scatter_args) -> int:
@@ -788,6 +792,124 @@ class CsrShard:
             {
                 "vertex": pa.array(self.owned[m], pa.int64()),
                 "core_deg": pa.array(self.kc_deg[m], pa.int64()),
+            }
+        )
+
+    # ---- HITS hubs & authorities -----------------------------------------
+    #
+    # Kleinberg's HITS with per-iteration L1 normalization: the auth update
+    # is the standard forward scatter (hub mass along out-edges, combined
+    # per destination — the pagerank exchange without the degree division);
+    # the hub update needs auth values of each shard's OUT-NEIGHBORS, which
+    # live at their owners, so it runs as a PULL: owners serve their auth
+    # values along pre-registered reverse routes (pull_route[q] is exactly
+    # the idx array shard q already holds as dst_route[p] — one build-time
+    # registration, zero per-iteration searchsorted). Per-iteration volume
+    # is O(distinct (shard, neighbor) pairs) both ways, same as pagerank.
+    # Unsalted graphs only.
+
+    def hits_init(self) -> int:
+        if getattr(self, "mirrors", None):
+            raise ValueError(
+                "hits supports unsalted graphs only; build the ShardedGraph "
+                "without salt_threshold"
+            )
+        self.hub = np.full(len(self.owned), 1.0)
+        self.auth = np.zeros(len(self.owned))
+        return len(self.owned)
+
+    def set_pull_route(self, q: int, idx: np.ndarray) -> None:
+        """Owner-side reverse route: owner-local positions of the vertices
+        shard q scatters to here — served back to q in the pull step."""
+        if not hasattr(self, "pull_route"):
+            self.pull_route = [None] * self.P
+        self.pull_route[q] = np.asarray(idx, np.int32)
+
+    async def send_pull_routes(self) -> int:
+        """Register this shard's dst routes with every owner (the reverse
+        index the HITS pull step serves along). Build-time, once."""
+        sends = []
+        for p, peer in enumerate(self.peers):
+            if p == self.part:
+                self.set_pull_route(self.part, self.dst_route[p])
+            else:
+                sends.append(
+                    peer.set_pull_route.remote(self.part, self.dst_route[p])
+                )
+        if sends:
+            await asyncio.gather(*sends)
+        return self.part
+
+    def hits_scatter_parts(self):
+        """Per-destination partial sums of the current hub values along
+        out-edges (pagerank scatter without the degree division)."""
+        h_edge = self._rank_per_edge(self.hub[self.src_in_owned])
+        sums = np.bincount(
+            self.dst_inv, weights=h_edge, minlength=len(self.dst_u)
+        )
+        out = []
+        for p in range(self.P):
+            idx = self.dst_by_part[p]
+            s = sums[idx]
+            live = s != 0.0
+            out.append((self.dst_route[p][live], s[live]))
+        return tuple(out)
+
+    def hits_apply_parts(self, *parts) -> float:
+        """auth_raw = summed incoming hub mass; returns the local L1 sum
+        (the driver reduces the P scalars into the normalization divisor)."""
+        live = [p for p in parts if len(p[0])]
+        if live:
+            idx = np.concatenate([p[0] for p in live])
+            c = np.concatenate([p[1] for p in live])
+            self.auth = np.bincount(idx, weights=c, minlength=len(self.owned))
+        else:
+            self.auth = np.zeros(len(self.owned))
+        return float(self.auth.sum())
+
+    def hits_pull_scatter_parts(self):
+        """Serve this owner's auth values along the registered reverse
+        routes; the payload carries the sender part so receivers can align
+        slices to their dst_by_part order."""
+        out = []
+        for q in range(self.P):
+            idx = self.pull_route[q]
+            vals = (
+                self.auth[idx]
+                if idx is not None and len(idx)
+                else np.empty(0, np.float64)
+            )
+            out.append((self.part, vals))
+        return tuple(out)
+
+    def hits_pull_apply_parts(self, *parts) -> float:
+        """Assemble the out-neighbors' auth values, then hub_raw per owned
+        src = segmented sum over the CSR runs; returns the local L1 sum."""
+        authv = np.zeros(len(self.dst_u))
+        for sender, vals in parts:
+            if len(vals):
+                authv[self.dst_by_part[sender]] = vals
+        hub = np.zeros(len(self.owned))
+        if len(self.dsts) and len(self.srcs):
+            per_edge = authv[self.dst_inv]
+            hub[self.src_in_owned] = np.add.reduceat(
+                per_edge, self.indptr[:-1]
+            )
+        self.hub = hub
+        return float(hub.sum())
+
+    def hits_normalize(self, col: str, total: float) -> None:
+        if col == "auth":
+            self.auth = self.auth / total
+        else:
+            self.hub = self.hub / total
+
+    def hits_state(self) -> pa.Table:
+        return pa.table(
+            {
+                "vertex": pa.array(self.owned, pa.int64()),
+                "auth": pa.array(self.auth, pa.float64()),
+                "hub": pa.array(self.hub, pa.float64()),
             }
         )
 

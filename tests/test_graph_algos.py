@@ -437,3 +437,36 @@ def test_adamic_adar_weights():
     assert out[(3, 5)] == 2 * w5  # wedges through centers 1 and 4 (deg 2)
     # adjacent pairs excluded
     assert (1, 3) not in out and (4, 5) not in out
+
+
+def test_hits_vs_numpy_oracle():
+    """HITS on a random directed graph matches a dense numpy power
+    iteration (same L1 normalization) to 1e-12 — exercises both the
+    forward exchange and the reverse-route pull."""
+    from sbustreamspot_core_ray.pipelines.superstep import hits
+
+    rng = np.random.default_rng(23)
+    n, m = 120, 700
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    edges = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    g = ShardedGraph.build(
+        edges_ds([tuple(r) for r in edges]), num_parts=4, symmetric=False
+    )
+    out = hits(g, iters=6).to_pandas().set_index("vertex").sort_index()
+
+    verts = np.unique(edges)
+    vi = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((len(verts), len(verts)))
+    for s, d in edges:
+        A[vi[s], vi[d]] = 1.0
+    h = np.ones(len(verts))
+    for _ in range(6):
+        a = A.T @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    assert np.allclose(out["auth"].to_numpy(), a[np.searchsorted(verts, out.index)], atol=1e-12)
+    assert np.allclose(out["hub"].to_numpy(), h[np.searchsorted(verts, out.index)], atol=1e-12)
+    assert abs(out["auth"].sum() - 1.0) < 1e-9 and abs(out["hub"].sum() - 1.0) < 1e-9
