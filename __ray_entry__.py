@@ -1902,6 +1902,38 @@ def q_embedding_near_dup(sf_dir: str):
     return out
 
 
+def q_embedding_dedup(sf_dir: str):
+    """Semantic dedup cluster assignment: near-dup pairs (integer-quantized
+    hyperplane buckets + exact-parity cosines) → connected components →
+    (vec_id, dup_group = min vec_id of the cluster; singletons = self)."""
+    from sbustreamspot_core_ray.stages.ann import QUANT_SCALE, embedding_dedup
+
+    return embedding_dedup(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        threshold=NEARDUP_THRESH,
+        n_planes=NEARDUP_PLANES,
+        quantize_scale=QUANT_SCALE,
+    )
+
+
+def _embedding_dedup_sql() -> str:
+    """Near-dup pair SQL + recursive min-label components + COALESCE to
+    self for singleton vectors."""
+    return f"""
+WITH RECURSIVE prs AS MATERIALIZED ({_embedding_near_dup_sql()}),
+e AS (SELECT src AS s, dst AS d FROM prs UNION SELECT dst, src FROM prs),
+reach(vx, lbl) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM e) t(s)
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN e ON e.s = r.vx
+),
+comp AS (SELECT vx, MIN(lbl) AS c FROM reach GROUP BY vx)
+SELECT v.vec_id, COALESCE(comp.c, v.vec_id) AS dup_group
+FROM embeddings v LEFT JOIN comp ON comp.vx = v.vec_id"""
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Exact n-gram Jaccard scores for LSH candidate pairs (SQL-mirrored;
     the seeded minhash permutations are embedded as SQL constants)."""
@@ -2338,6 +2370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_dedup": q_embedding_dedup,
         "term_df": q_term_df,
         "doc_percentiles": q_doc_percentiles,
         "bm25_search": q_bm25_search,
@@ -2634,6 +2667,7 @@ FROM s3 ORDER BY doc_id
         "knn_ivf": _knn_ivf_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),
+        "embedding_dedup": _embedding_dedup_sql(),
         "bm25_search": _bm25_sql(),
         "tfidf_topterms": _SQL_TFIDF_TOPTERMS,
         "group_sample": _SQL_GROUP_SAMPLE,

@@ -71,8 +71,12 @@ BENCH_QUERIES = [
     "tfidf_topterms",
     "group_sample",
     "events_cumsum",
-    # common_neighbors is benchmarked at sf0.01 only (BASELINE.md): its
-    # wedge table is O(sum deg^2) and would dominate the sf0.1 suite
+    "personalized_pagerank",
+    "bfs_distance",
+    "hits",
+    # common_neighbors / adamic_adar are benchmarked at sf0.01 only
+    # (BASELINE.md): their wedge table is O(sum deg^2) and would dominate
+    # the sf0.1 suite
 ]
 
 

@@ -539,3 +539,60 @@ def embedding_near_dup(
         )
 
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+def embedding_dedup(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 23,
+    dtype=np.float32,
+    quantize_scale=None,
+    num_parts: int = 8,
+    small_threshold: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Semantic dedup: hyperplane-bucketed cosine near-dup pairs →
+    connected components → (vec_id, dup_group) where dup_group is the min
+    vec_id of the near-dup cluster (singletons map to themselves — keeping
+    `vec_id == dup_group` rows IS the dedup).
+
+    Same two CC regimes as minhash_lsh_dedup (dedup.py): pair tables and
+    id counts <= small_threshold take the vectorized driver-side
+    components fast path; larger graphs run on the superstep engine with
+    per-vector self-loops so isolated vectors survive as singletons."""
+    pairs = (
+        embedding_near_dup(
+            embeddings,
+            threshold=threshold,
+            n_planes=n_planes,
+            seed=seed,
+            dtype=dtype,
+            quantize_scale=quantize_scale,
+        )
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+    ids = embeddings.select_columns(["vec_id"]).materialize()
+    if pairs.count() <= small_threshold and ids.count() <= small_threshold:
+        from ..pipelines.superstep import driver_components
+
+        pt = pairs.to_pandas()
+        vs, comp = driver_components(
+            pt["src"].to_numpy(),
+            pt["dst"].to_numpy(),
+            ids.to_pandas()["vec_id"].to_numpy(np.int64),
+        )
+        return ray.data.from_arrow(
+            pa.table({"vec_id": pa.array(vs), "dup_group": pa.array(comp)})
+        )
+    from ..pipelines.superstep import ShardedGraph, connected_components
+
+    loops = ids.map_batches(
+        lambda t: pa.table({"src": t["vec_id"], "dst": t["vec_id"]}),
+        batch_format="pyarrow",
+    )
+    g = ShardedGraph.build(
+        pairs.union(loops), num_parts=num_parts, symmetric=True
+    )
+    return connected_components(g).rename_columns(
+        {"vertex": "vec_id", "component": "dup_group"}
+    )

@@ -131,3 +131,38 @@ def test_knn_lsh_self_hit_and_probe_subset():
         assert abs(top.iloc[0]["cosine"] - 1.0) < 1e-12
         probes = {int(bucket[q])} | {int(bucket[q] ^ (1 << i)) for i in range(n_planes)}
         assert all(int(bucket[v]) in probes for v in rows["vec_id"])
+
+
+def test_embedding_dedup_clusters_and_singletons():
+    """Transitive near-dup chain a~b, b~c collapses to one dup_group (min
+    id); unrelated vectors stay singletons mapping to themselves."""
+    from sbustreamspot_core_ray.stages.ann import embedding_dedup
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    d = 16
+    base = rng.normal(size=d)
+    tiny = rng.normal(size=d) * 1e-4
+    vecs = np.stack(
+        [
+            base,               # 0 ~ 1 ~ 2 form a chain of near-dups
+            base + tiny,
+            base + 2 * tiny,
+            rng.normal(size=d),  # 3, 4: singletons
+            rng.normal(size=d),
+        ]
+    ).astype(np.float64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(5, dtype=np.int64) + 100),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = (
+        embedding_dedup(ds, threshold=0.9999, n_planes=1, dtype=np.float64)
+        .to_pandas()
+        .set_index("vec_id")["dup_group"]
+        .to_dict()
+    )
+    assert out == {100: 100, 101: 100, 102: 100, 103: 103, 104: 104}
