@@ -1615,6 +1615,42 @@ def q_sessionize(sf_dir: str):
     return sessionize(ev, num_parts=8, value_scale=100).to_pandas()
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel(sf_dir: str):
+    """Ordered-funnel analysis (view -> click -> purchase): greedy
+    earliest-completion per user, all-integer outputs (microsecond
+    timestamps), one user-key shuffle + vectorized K-step minimum scans."""
+    from sbustreamspot_core_ray.stages.events import funnel
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+    return funnel(ev, steps=FUNNEL_STEPS, num_parts=8)
+
+
+def _funnel_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    """The greedy MIN/>= chain in plain SQL: s_k = per-user MIN(ts of step
+    k at-or-after s_{k-1})."""
+    s1, s2, s3 = steps
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT user_id, MIN(us) AS u1 FROM e WHERE event_type = '{s1}'
+       GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.us) AS u2 FROM e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = '{s2}' AND e.us >= s1.u1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.us) AS u3 FROM e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = '{s3}' AND e.us >= s2.u2 GROUP BY e.user_id)
+SELECT s1.user_id,
+       CASE WHEN s3.u3 IS NOT NULL THEN 3
+            WHEN s2.u2 IS NOT NULL THEN 2 ELSE 1 END AS max_step,
+       s1.u1 AS first_us,
+       COALESCE(s3.u3, s2.u2, s1.u1) AS last_us
+FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s2.user_id"""
+
+
 def q_asof_attribution(sf_dir: str):
     """As-of join (attribution): each purchase matched to the user's latest
     prior click; SQL-mirrored with an explicit rank-1 window (deterministic
@@ -2350,6 +2386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_revenue": q_q1_revenue,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
+        "funnel": q_funnel,
         "asof_attribution": q_asof_attribution,
         "interval_join": q_interval_join,
         "events_hopping": q_events_hopping,
@@ -2480,6 +2517,7 @@ SELECT user_id, session_id, count(*) AS n_events,
          AS sum_value
 FROM t GROUP BY user_id, session_id
 """,
+        "funnel": _funnel_sql(),
         "interval_join": """
 WITH l AS (
   SELECT event_id, user_id, epoch_us(ts) AS us

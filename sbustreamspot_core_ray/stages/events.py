@@ -474,3 +474,85 @@ def interval_join(
         .groupby("__p")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def funnel(
+    events: ray.data.Dataset,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Ordered-funnel analysis: for each user, greedy earliest-completion
+    matching of the step sequence — t_1 = MIN(ts of step 1), t_k = MIN(ts
+    of step k with ts >= t_{k-1}). Returns (user_id, max_step, first_us,
+    last_us) for every user who reached step 1; max_step is the deepest
+    step reached, last_us its timestamp. All-integer outputs (exact SQL
+    parity: the same chain of MIN/>= in plain SQL).
+
+    Shape: rows are filtered to the step event types at the tag stage, ONE
+    shuffle on hash(user) % num_parts, then a vectorized kernel — a
+    constant K-step loop of per-user minimum.at scans, no per-user Python.
+    The greedy chain is the streaming-window generalization of the
+    reference's ordered edge consumption (main.cpp:393-398 processes the
+    stream strictly in seq order)."""
+    import pyarrow.compute as pc
+
+    step_arr = pa.array(list(steps), pa.string())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=step_arr)
+        t = t.filter(keep)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sidx = pc.index_in(t["event_type"], value_set=step_arr)
+        return pa.table(
+            {
+                "user_id": u,
+                "us": pc.cast(t["ts"], pa.int64()),
+                "step": pc.cast(sidx, pa.int64()),
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    K = len(steps)
+    INF = np.iinfo(np.int64).max
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        us = t["us"].to_numpy()
+        st = t["step"].to_numpy()
+        z = np.empty(0, np.int64)
+        if len(u) == 0:
+            return pa.table(
+                {"user_id": z, "max_step": z, "first_us": z, "last_us": z}
+            )
+        uq, inv = np.unique(u, return_inverse=True)
+        prev = np.full(len(uq), np.iinfo(np.int64).min)
+        max_step = np.zeros(len(uq), np.int64)
+        first = np.zeros(len(uq), np.int64)
+        last = np.zeros(len(uq), np.int64)
+        for k in range(K):
+            cand = np.full(len(uq), INF)
+            m = (st == k) & (us >= prev[inv])
+            np.minimum.at(cand, inv[m], us[m])
+            hit = (cand < INF) & (max_step == k)
+            if k == 0:
+                first[hit] = cand[hit]
+            max_step[hit] = k + 1
+            last[hit] = cand[hit]
+            # users who stalled at step k can never match later steps
+            prev = np.where(hit, cand, INF)
+        reached = max_step >= 1
+        return pa.table(
+            {
+                "user_id": uq[reached],
+                "max_step": max_step[reached],
+                "first_us": first[reached],
+                "last_us": last[reached],
+            }
+        )
+
+    return (
+        events.select_columns(["ts", "user_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -240,3 +240,40 @@ def test_running_totals_prefix_semantics():
     )
     # ts tie between events 2 and 3 breaks by event_id
     assert np.allclose(out["running"].to_numpy(), [1.25, 3.75, 4.0, 10.0])
+
+
+def test_funnel_greedy_order_semantics():
+    """Funnel matching is strictly ordered and greedy: a click BEFORE the
+    first view doesn't count; a user stalling at a step never reaches
+    later steps; equal timestamps (>=) do match."""
+    from sbustreamspot_core_ray.stages.events import funnel
+
+    rows = [
+        # user 1 completes: view@10, click@20, purchase@30
+        (10 * US, 1, "view"), (20 * US, 1, "click"), (30 * US, 1, "purchase"),
+        # user 2: click BEFORE view -> stalls at step 1 (view@50)
+        (40 * US, 2, "click"), (50 * US, 2, "view"), (45 * US, 2, "purchase"),
+        # user 3: view+click same timestamp (>= matches), no purchase -> 2
+        (70 * US, 3, "view"), (70 * US, 3, "click"),
+        # user 4: no view at all -> absent from output
+        (80 * US, 4, "purchase"),
+    ]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = (
+        funnel(ev, steps=("view", "click", "purchase"), num_parts=4)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[1, "max_step"] == 3 and out.loc[1, "last_us"] == 30 * US
+    assert out.loc[2, "max_step"] == 1 and out.loc[2, "first_us"] == 50 * US
+    assert out.loc[3, "max_step"] == 2 and out.loc[3, "last_us"] == 70 * US
