@@ -1268,6 +1268,31 @@ def _hits_sql(iters: int = HITS_ITERS) -> str:
     )
 
 
+def q_neighbor_features(sf_dir: str):
+    """Graph feature engineering: per-vertex (sum, max) of all neighbors'
+    degrees over the symmetrized full derived graph — ONE superstep
+    exchange, exact int64 aggregation."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        neighbor_degree_agg,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    return neighbor_degree_agg(g)
+
+
+_SQL_NEIGHBOR_FEATURES = f"""
+WITH e0 AS MATERIALIZED ({_SQL_EDGES}),
+sym AS MATERIALIZED (SELECT src AS s, dst AS d FROM e0
+                     UNION ALL SELECT dst, src FROM e0),
+deg AS MATERIALIZED (SELECT s, count(*) AS dg FROM sym GROUP BY s)
+SELECT sym.s AS vertex, CAST(SUM(nd.dg) AS BIGINT) AS nbr_deg_sum,
+       MAX(nd.dg) AS nbr_deg_max
+FROM sym JOIN deg nd ON nd.s = sym.d GROUP BY sym.s"""
+
+
 BFS_SEEDS = (1, 2, 3, 4, 5)  # customer keys, present at every sf
 BFS_MAX_HOPS = 8
 
@@ -2367,6 +2392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_distance": q_bfs_distance,
         "adamic_adar": q_adamic_adar,
         "hits": q_hits,
+        "neighbor_features": q_neighbor_features,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "neighborhood_sketch": q_neighborhood_sketch,
@@ -2432,6 +2458,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distance": _bfs_sql(),
         "adamic_adar": _SQL_ADAMIC_ADAR,
         "hits": _hits_sql(),
+        "neighbor_features": _SQL_NEIGHBOR_FEATURES,
         "connected_components": f"""
 WITH RECURSIVE e0 AS ({_SQL_EDGES_CO}),
 e AS (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0),

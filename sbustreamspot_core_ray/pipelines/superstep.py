@@ -586,6 +586,23 @@ def hits(graph: ShardedGraph, iters: int = 8) -> ray.data.Dataset:
     return ray.data.from_arrow_refs([a.hits_state.remote() for a in actors])
 
 
+def neighbor_degree_agg(graph: ShardedGraph) -> ray.data.Dataset:
+    """Graph feature engineering in ONE superstep: every vertex aggregates
+    (sum, max) of its in-neighbors' out-degrees — on a symmetric build,
+    of all neighbors' full degrees. Exact int64 end-to-end; returns
+    (vertex, nbr_deg_sum, nbr_deg_max) for vertices with >= 1 in-neighbor.
+    Unsalted graphs only."""
+    if graph.salted:
+        raise ValueError(
+            "neighbor_degree_agg supports unsalted graphs only; build the "
+            "ShardedGraph without salt_threshold"
+        )
+    actors = graph.actors
+    ray.get([a.nagg_init.remote() for a in actors])
+    graph._exchange("nagg")
+    return ray.data.from_arrow_refs([a.nagg_state.remote() for a in actors])
+
+
 def bfs_distance(
     graph: ShardedGraph, seeds, max_hops: int = 64
 ) -> ray.data.Dataset:

@@ -548,6 +548,7 @@ class CsrShard:
         "bfs": "bfs_scatter_parts",
         "hits": "hits_scatter_parts",
         "hits_pull": "hits_pull_scatter_parts",
+        "nagg": "nagg_scatter_parts",
     }
     _APPLIES = {
         "pagerank": "pagerank_apply_parts",
@@ -558,6 +559,7 @@ class CsrShard:
         "bfs": "bfs_apply_parts",
         "hits": "hits_apply_parts",
         "hits_pull": "hits_pull_apply_parts",
+        "nagg": "nagg_apply_parts",
     }
 
     async def push_parts(self, algo: str, *scatter_args) -> int:
@@ -792,6 +794,64 @@ class CsrShard:
             {
                 "vertex": pa.array(self.owned[m], pa.int64()),
                 "core_deg": pa.array(self.kc_deg[m], pa.int64()),
+            }
+        )
+
+    # ---- neighbor-feature aggregation -------------------------------------
+    #
+    # One-superstep gather-scatter feature engineering: each vertex
+    # aggregates (sum, max) of its in-neighbors' integer attribute — with a
+    # symmetric build, of ALL neighbors. The attribute here is the vertex
+    # out-degree (== full degree on symmetric builds). Exact int64
+    # arithmetic end-to-end. Unsalted graphs only.
+
+    def nagg_init(self) -> int:
+        if getattr(self, "mirrors", None):
+            raise ValueError(
+                "neighbor_degree_agg supports unsalted graphs only; build "
+                "the ShardedGraph without salt_threshold"
+            )
+        deg = np.zeros(len(self.owned), np.int64)
+        deg[self.src_in_owned] = self.outdeg
+        self.nagg_attr = deg
+        return len(self.owned)
+
+    def nagg_scatter_parts(self):
+        """(sum, max) of source attributes combined per destination — the
+        combiner halves of both aggregates ride one message."""
+        a_edge = self._rank_per_edge(self.nagg_attr[self.src_in_owned])
+        sums = np.zeros(len(self.dst_u), np.int64)
+        np.add.at(sums, self.dst_inv, a_edge)
+        maxs = np.full(len(self.dst_u), np.iinfo(np.int64).min)
+        np.maximum.at(maxs, self.dst_inv, a_edge)
+        out = []
+        for p in range(self.P):
+            idx = self.dst_by_part[p]
+            live = maxs[idx] > np.iinfo(np.int64).min
+            out.append(
+                (self.dst_route[p][live], sums[idx][live], maxs[idx][live])
+            )
+        return tuple(out)
+
+    def nagg_apply_parts(self, *parts) -> int:
+        self.nagg_sum = np.zeros(len(self.owned), np.int64)
+        self.nagg_max = np.full(len(self.owned), np.iinfo(np.int64).min)
+        for p in parts:
+            if len(p[0]):
+                idx, s, m = p
+                np.add.at(self.nagg_sum, idx, s)
+                np.maximum.at(self.nagg_max, idx, m)
+        return int((self.nagg_max > np.iinfo(np.int64).min).sum())
+
+    def nagg_state(self) -> pa.Table:
+        """(vertex, nbr_deg_sum, nbr_deg_max) for vertices with >= 1
+        in-neighbor (mirrors the SQL GROUP BY's row set)."""
+        m = self.nagg_max > np.iinfo(np.int64).min
+        return pa.table(
+            {
+                "vertex": pa.array(self.owned[m], pa.int64()),
+                "nbr_deg_sum": pa.array(self.nagg_sum[m], pa.int64()),
+                "nbr_deg_max": pa.array(self.nagg_max[m], pa.int64()),
             }
         )
 

@@ -470,3 +470,22 @@ def test_hits_vs_numpy_oracle():
     assert np.allclose(out["auth"].to_numpy(), a[np.searchsorted(verts, out.index)], atol=1e-12)
     assert np.allclose(out["hub"].to_numpy(), h[np.searchsorted(verts, out.index)], atol=1e-12)
     assert abs(out["auth"].sum() - 1.0) < 1e-9 and abs(out["hub"].sum() - 1.0) < 1e-9
+
+
+def test_neighbor_degree_agg_exact():
+    """One-superstep (sum, max) neighbor-degree aggregation on a small
+    symmetric graph matches hand computation; degree = full degree."""
+    from sbustreamspot_core_ray.pipelines.superstep import neighbor_degree_agg
+
+    # star 1-{2,3,4} plus edge 2-3: deg(1)=3, deg(2)=2, deg(3)=2, deg(4)=1
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3)]
+    g = ShardedGraph.build(edges_ds(edges), num_parts=4, symmetric=True)
+    out = neighbor_degree_agg(g).to_pandas().set_index("vertex")
+    want = {
+        1: (2 + 2 + 1, 2),  # neighbors 2,3,4
+        2: (3 + 2, 3),      # neighbors 1,3
+        3: (3 + 2, 3),      # neighbors 1,2
+        4: (3, 3),          # neighbor 1
+    }
+    for v, (s, m) in want.items():
+        assert out.loc[v, "nbr_deg_sum"] == s and out.loc[v, "nbr_deg_max"] == m
