@@ -1037,6 +1037,70 @@ def q_pagerank(sf_dir: str):
     return df
 
 
+_SQL_EDGES_RAW = """
+  SELECT o_custkey AS src, 10000000 + o_orderkey AS dst FROM orders
+  UNION ALL
+  SELECT 10000000 + l_orderkey, 20000000 + l_partkey FROM lineitem
+  UNION ALL
+  SELECT 20000000 + l_partkey, 30000000 + l_suppkey FROM lineitem
+"""
+
+
+def q_weighted_pagerank(sf_dir: str):
+    """Weighted PageRank: edge weight = the (src, dst) pair's multiplicity
+    in the RAW (un-deduped) derived edge stream — e.g. an order->part edge
+    weighs one per lineitem carrying that part. The scatter ships
+    rank*w/W instead of rank/outdeg; the weight never crosses the wire
+    (multiplicity is counted inside each shard's finalize)."""
+    from sbustreamspot_core_ray.pipelines.superstep import ShardedGraph, pagerank
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=False,
+        weighted=True,
+    )
+    df = pagerank(g, damping=PR_DAMPING, max_iters=PR_ITERS, tol=0.0).to_pandas()
+    df["rank"] = round_half_away(df["rank"], 7)
+    return df
+
+
+def _weighted_pagerank_sql() -> str:
+    """The pagerank chain over multiplicity weights: contribution
+    rank * w / W (left-associated IEEE, mirrored by the engine's
+    (rank*w)/W per-edge expression)."""
+    d = PR_DAMPING
+    ctes = [
+        "we AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w"
+        f" FROM ({_SQL_EDGES_RAW}) GROUP BY src, dst)",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM we UNION SELECT dst FROM we)",
+        "n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) nv FROM v)",
+        "wout AS MATERIALIZED (SELECT src AS vertex, SUM(w) AS tw"
+        " FROM we GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT vertex, 1.0/(SELECT nv FROM n) AS rank FROM v)",
+    ]
+    for k in range(1, PR_ITERS + 1):
+        p = k - 1
+        ctes.append(
+            f"dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m FROM r{p} r"
+            f" LEFT JOIN wout ON wout.vertex = r.vertex WHERE wout.vertex IS NULL)"
+        )
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT we.dst AS vertex,"
+            f" SUM(r.rank * we.w / wout.tw) AS contrib"
+            f" FROM we JOIN r{p} r ON r.vertex = we.src"
+            f" JOIN wout ON wout.vertex = we.src GROUP BY we.dst)"
+        )
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT v.vertex, (1.0 - {d})/(SELECT nv FROM n)"
+            f" + {d} * (COALESCE(c.contrib, 0.0)"
+            f" + (SELECT m FROM dang{k})/(SELECT nv FROM n)) AS rank"
+            f" FROM v LEFT JOIN c{k} c ON c.vertex = v.vertex)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vertex, ROUND(rank, 7) AS rank FROM r{PR_ITERS}"
+    )
+
+
 PPR_SEEDS = (1, 2, 3, 4, 5)  # customer keys, present at every sf
 
 
@@ -2388,6 +2452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_table": q_edge_table,
         "degrees": q_degrees,
         "pagerank": q_pagerank,
+        "weighted_pagerank": q_weighted_pagerank,
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_distance": q_bfs_distance,
         "adamic_adar": q_adamic_adar,
@@ -2454,6 +2519,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_table": f"SELECT src, dst FROM ({_SQL_EDGES})",
         "degrees": f"SELECT src, count(*) AS outdeg FROM ({_SQL_EDGES}) GROUP BY src",
         "pagerank": _pagerank_sql(),
+        "weighted_pagerank": _weighted_pagerank_sql(),
         "personalized_pagerank": _ppr_sql(),
         "bfs_distance": _bfs_sql(),
         "adamic_adar": _SQL_ADAMIC_ADAR,

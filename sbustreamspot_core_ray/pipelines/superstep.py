@@ -61,6 +61,7 @@ class ShardedGraph:
         self.P = num_parts
         self.symmetric = symmetric
         self.salted = False
+        self.weighted = False
         self.actors = [CsrShard.remote(p, num_parts) for p in range(num_parts)]
         # fire-and-forget: per-caller actor mailboxes are FIFO, so set_peers
         # is processed before any later call; blocking here would serialize
@@ -76,8 +77,15 @@ class ShardedGraph:
         num_parts: int = 32,
         symmetric: bool = False,
         salt_threshold: int | None = None,
+        weighted: bool = False,
     ) -> "ShardedGraph":
         """Stream the (src, dst) dataset into shards — no global shuffle.
+
+        weighted=True: keep each (src, dst) pair's MULTIPLICITY in the raw
+        stream as an integer edge weight (e.g. one row per lineitem →
+        weight = lineitem count); pagerank then scatters rank*w/W instead
+        of rank/outdeg. Incompatible with salt_threshold (mirror chunks
+        carry no weights).
 
         Each read/extract task routes its batch rows directly to the owning
         shard actors (edge → part(src), reverse edge → part(dst) when
@@ -91,7 +99,12 @@ class ShardedGraph:
         for PageRank, CC and LP; the combiner independently bounds
         hot-DESTINATION fan-in at P rows.
         """
+        if weighted and salt_threshold is not None:
+            raise ValueError(
+                "weighted builds do not support salting; drop salt_threshold"
+            )
         g = cls(num_parts, symmetric)
+        g.weighted = weighted
         actors = g.actors
         P = num_parts
 
@@ -167,7 +180,7 @@ class ShardedGraph:
                     f"({ge},{gv}) expected ({expected_e},{expected_v})"
                 )
             _time.sleep(0.005)
-        infos = ray.get([a.finalize.remote() for a in actors])
+        infos = ray.get([a.finalize.remote(weighted) for a in actors])
         g.n_vertices = sum(i["owned"] for i in infos)
         g.n_edges = sum(i["edges"] for i in infos)
 

@@ -101,18 +101,38 @@ class CsrShard:
         fire-and-forget pushes are awaited without a per-batch barrier."""
         return self._edges_in, self._vtx_in
 
-    def finalize(self) -> dict:
+    def finalize(self, weighted: bool = False) -> dict:
         """Dedup + sort into CSR. Idempotent: retried pushes collapse in
-        the unique() (the duplicate-on-task-retry guard)."""
+        the unique() (the duplicate-on-task-retry guard).
+
+        weighted: keep the MULTIPLICITY of each (src, dst) pair as an
+        integer edge weight (raw un-deduped streams encode weights as
+        repetition — e.g. one edge per lineitem row). CAVEAT: unlike the
+        unweighted path, multiplicity counting is NOT idempotent under a
+        route-task retry that re-delivers already-pushed batches; a
+        weighted build that sees a route-task failure must be restarted
+        from scratch (cheap: the build is one streaming pass). The >=
+        counter barrier makes over-delivery detectable (received > routed
+        totals would flag it) but the engine currently treats a clean
+        barrier as exactly-once."""
+        self.wts = None
+        self.w_out = None
         if self._src_chunks:
             src = np.concatenate(self._src_chunks)
             dst = np.concatenate(self._dst_chunks)
             pairs = np.stack([src, dst], axis=1)
-            pairs = np.unique(pairs, axis=0)  # sorts by (src, dst) + dedups
+            if weighted:
+                pairs, wts = np.unique(pairs, axis=0, return_counts=True)
+                # float64 is exact for multiplicity counts (< 2^53)
+                self.wts = wts.astype(np.float64)
+            else:
+                pairs = np.unique(pairs, axis=0)  # sorts by (src,dst) + dedups
             src, dst = pairs[:, 0], pairs[:, 1]
         else:
             src = np.empty(0, np.int64)
             dst = np.empty(0, np.int64)
+            if weighted:
+                self.wts = np.empty(0, np.float64)
         self._src_chunks = self._dst_chunks = None  # type: ignore
         self.srcs, counts = np.unique(src, return_counts=True)
         self.outdeg = counts.astype(np.int64)
@@ -136,6 +156,11 @@ class CsrShard:
         # then need no per-iteration searchsorted on the apply side
         self.dst_route: list[np.ndarray | None] = [None] * self.P
         self.has_out = np.isin(self.owned, self.srcs, assume_unique=True)
+        if self.wts is not None and len(self.srcs):
+            # per unique src: total outgoing weight (exact integer sums)
+            self.w_out = np.add.reduceat(self.wts, self.indptr[:-1])
+        elif self.wts is not None:
+            self.w_out = np.empty(0, np.float64)
         return {"part": self.part, "edges": len(dst), "owned": len(self.owned)}
 
     # ---- high-degree salting (vertex-cut mirrors) -----------------------
@@ -418,8 +443,15 @@ class CsrShard:
         the partial/combiner half of the per-vertex aggregation.
         """
         src_rank = self.rank[self.src_in_owned]
-        per_edge = self._rank_per_edge(src_rank / self.outdeg)
-        sums = np.bincount(self.dst_inv, weights=per_edge, minlength=len(self.dst_u))
+        if self.wts is not None:
+            per_edge = (
+                self._rank_per_edge(src_rank) * self.wts
+            ) / self._rank_per_edge(self.w_out)
+        else:
+            per_edge = self._rank_per_edge(src_rank / self.outdeg)
+        sums = np.bincount(
+            self.dst_inv, weights=per_edge, minlength=len(self.dst_u)
+        ).astype(np.float64, copy=False)
         dpart, vertex, contrib = self.dst_part, self.dst_u, sums * damping
         msums = self._mirror_partials()
         if msums is not None:
@@ -618,8 +650,19 @@ class CsrShard:
         searchsorted on the apply side). Mirror chunks of salted hot
         sources contribute through their own precomputed routes."""
         src_rank = self.rank[self.src_in_owned]
-        per_edge = self._rank_per_edge(src_rank / self.outdeg)
-        sums = np.bincount(self.dst_inv, weights=per_edge, minlength=len(self.dst_u))
+        if self.wts is not None:
+            # weighted: (rank * w) / W per edge — the exact association the
+            # SQL mirror uses (r.rank * we.w / wout.W, left-assoc IEEE)
+            per_edge = (
+                self._rank_per_edge(src_rank) * self.wts
+            ) / self._rank_per_edge(self.w_out)
+        else:
+            per_edge = self._rank_per_edge(src_rank / self.outdeg)
+        # np.bincount returns int64 (not float64) when the input is EMPTY,
+        # even with float weights — normalize the dtype for empty shards
+        sums = np.bincount(
+            self.dst_inv, weights=per_edge, minlength=len(self.dst_u)
+        ).astype(np.float64, copy=False)
         sums *= damping
         msums = self._mirror_partials()
         out = []
@@ -906,7 +949,7 @@ class CsrShard:
         h_edge = self._rank_per_edge(self.hub[self.src_in_owned])
         sums = np.bincount(
             self.dst_inv, weights=h_edge, minlength=len(self.dst_u)
-        )
+        ).astype(np.float64, copy=False)
         out = []
         for p in range(self.P):
             idx = self.dst_by_part[p]

@@ -489,3 +489,40 @@ def test_neighbor_degree_agg_exact():
     }
     for v, (s, m) in want.items():
         assert out.loc[v, "nbr_deg_sum"] == s and out.loc[v, "nbr_deg_max"] == m
+
+
+def test_weighted_pagerank_multiplicity():
+    """Weighted build counts duplicate (src,dst) rows as edge weight;
+    pagerank matches a dense numpy weighted power iteration; weighted +
+    salting is rejected."""
+    # 1->2 (w=3), 1->3 (w=1), 2->3 (w=2), 3->1 (w=1)
+    raw = [(1, 2)] * 3 + [(1, 3)] + [(2, 3)] * 2 + [(3, 1)]
+    g = ShardedGraph.build(edges_ds(raw), num_parts=4, symmetric=False, weighted=True)
+    got = (
+        pagerank(g, damping=0.85, max_iters=30, tol=0.0)
+        .to_pandas()
+        .set_index("vertex")["rank"]
+        .sort_index()
+    )
+
+    verts = [1, 2, 3]
+    W = {(1, 2): 3.0, (1, 3): 1.0, (2, 3): 2.0, (3, 1): 1.0}
+    import collections
+    wout = collections.Counter()
+    for (s, _), w in W.items():
+        wout[s] += w
+    r = {v: 1 / 3 for v in verts}
+    for _ in range(30):
+        contrib = {v: 0.0 for v in verts}
+        for (s, d), w in W.items():
+            contrib[d] += r[s] * w / wout[s]
+        dang = sum(r[v] for v in verts if wout[v] == 0)
+        r = {v: 0.15 / 3 + 0.85 * (contrib[v] + dang / 3) for v in verts}
+    for v in verts:
+        assert got[v] == pytest.approx(r[v], abs=1e-9)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+    with pytest.raises(ValueError, match="salting"):
+        ShardedGraph.build(
+            edges_ds(raw), num_parts=4, weighted=True, salt_threshold=1
+        )
