@@ -20,6 +20,7 @@ from collections.abc import Callable
 from typing import Any
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1788,6 +1789,131 @@ def q_top_users(sf_dir: str):
     return top_k_by_sum(ev, k=20, value_scale=100)
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov bigram counts of consecutive event types per user (the LEAD
+    window pattern): one hash(user) shuffle, vectorized shifted-compare
+    kernel, per-partition partial counts folded by a tiny final groupby."""
+    from sbustreamspot_core_ray.stages.events import transition_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    return transition_counts(ev, num_parts=P)
+
+
+def q_top_orders_per_customer(sf_dir: str):
+    """Top-3 orders per customer by (o_totalprice DESC, o_orderkey) — the
+    ROW_NUMBER()-per-group pattern: one hash(custkey) shuffle + a
+    per-partition lexsort/run-rank scan. Values are passthrough parquet
+    doubles, so the comparison-only kernel is bit-exact by construction."""
+    from sbustreamspot_core_ray.stages.relational import top_n_per_group
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    return top_n_per_group(
+        orders, "o_custkey", "o_totalprice", "o_orderkey", n=3, num_parts=P
+    )
+
+
+def q_customers_no_urgent(sf_dir: str):
+    """Relational NOT EXISTS: customers with no 1-URGENT order. The
+    priority predicate is pushed into the parquet read (row-group
+    pruning); the build side is the distinct matching custkey set; the
+    probe is a streaming hash left-outer join + null filter."""
+    from sbustreamspot_core_ray.stages.relational import anti_join_keys
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    ).rename_columns({"c_custkey": "custkey"})
+    ords = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+        )
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_custkey"])
+        .rename_columns({"o_custkey": "custkey"})
+    )
+    out = anti_join_keys(cust, ords, "custkey", num_partitions=P)
+    return out.rename_columns({"custkey": "c_custkey"}).select_columns(
+        ["c_custkey", "c_name", "c_acctbal"]
+    )
+
+
+def _nation_region_dim(sf_dir: str) -> pa.Table:
+    """25-row nationkey -> (n_name, r_name) dim, read driver-side (fixed
+    size regardless of sf) and broadcast via ray.put inside the stage."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    return nat.join(reg, keys="n_regionkey", right_keys="r_regionkey").select(
+        ["n_nationkey", "n_name", "r_name"]
+    )
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Star-schema rollup: lineitem revenue (exact 1e-4 integer units,
+    combiner-shrunk per supplier before the shuffle) x supplier dim x
+    broadcast 25-row nation/region lookup."""
+    from sbustreamspot_core_ray.stages.relational import revenue_by_nation
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    out = revenue_by_nation(li, supp, _nation_region_dim(sf_dir), num_partitions=P)
+    df = out.to_pandas()
+    df["revenue"] = round_half_away(df["units"].astype(np.float64) / 10000.0, 2)
+    return df[["r_name", "n_name", "revenue"]]
+
+
+def q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP analog with explicit 'ALL' placeholder labels:
+    nation level, region level, grand total — all re-aggregated from the
+    25-row per-nation integer-unit result (the distributed work happens
+    once; the rollup re-aggregation is on a fixed-size table)."""
+    from sbustreamspot_core_ray.stages.relational import revenue_by_nation
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    base = revenue_by_nation(
+        li, supp, _nation_region_dim(sf_dir), num_partitions=P
+    ).to_pandas()  # <= 25 rows by construction
+    lv0 = base.assign(lvl=0)
+    lv1 = (
+        base.groupby("r_name", as_index=False)["units"].sum().assign(n_name="ALL", lvl=1)
+    )
+    lv2 = pd.DataFrame(
+        {"r_name": ["ALL"], "n_name": ["ALL"], "units": [base["units"].sum()], "lvl": [2]}
+    )
+    df = pd.concat([lv0, lv1, lv2], ignore_index=True)
+    df["revenue"] = round_half_away(df["units"].astype(np.float64) / 10000.0, 2)
+    return df[["lvl", "r_name", "n_name", "revenue"]]
+
+
+def q_clustering_coefficient(sf_dir: str):
+    """Per-vertex local clustering coefficient on the undirected co-occurrence
+    graph: 2*tri/(deg*(deg-1)) for deg >= 2, one IEEE division mirrored by
+    the SQL oracle."""
+    from sbustreamspot_core_ray.pipelines.superstep import clustering_coefficient
+
+    df = clustering_coefficient(_edges_triangle(sf_dir), num_partitions=P).to_pandas()
+    df["cc"] = round_half_away(df["cc"], 6)
+    return df
+
+
 def q_doc_quality(sf_dir: str):
     from sbustreamspot_core_ray.stages.text import quality
 
@@ -2482,6 +2608,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "events_hopping": q_events_hopping,
         "top_users": q_top_users,
+        "event_transitions": q_event_transitions,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "customers_no_urgent": q_customers_no_urgent,
+        "revenue_by_nation": q_revenue_by_nation,
+        "revenue_rollup": q_revenue_rollup,
+        "clustering_coefficient": q_clustering_coefficient,
         "doc_quality": q_doc_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -2666,6 +2798,90 @@ SELECT user_id,
          AS total
 FROM events GROUP BY user_id
 ORDER BY total DESC, user_id ASC LIMIT 20
+""",
+        "event_transitions": """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+""",
+        "top_orders_per_customer": """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+       ) AS BIGINT) AS rn
+FROM orders
+QUALIFY rn <= 3
+""",
+        "customers_no_urgent": """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+""",
+        "revenue_by_nation": """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+             AS BIGINT)) AS u
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT r_name, n_name,
+       ROUND(CAST(SUM(u) AS DOUBLE) / 10000.0, 2) AS revenue
+FROM rev
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name, n_name
+""",
+        "revenue_rollup": """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+             AS BIGINT)) AS u
+  FROM lineitem GROUP BY l_suppkey
+),
+nr AS (
+  SELECT r_name, n_name, SUM(u) AS u
+  FROM rev
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT CAST(0 AS BIGINT) AS lvl, r_name, n_name,
+       ROUND(CAST(u AS DOUBLE) / 10000.0, 2) AS revenue FROM nr
+UNION ALL
+SELECT CAST(1 AS BIGINT), r_name, 'ALL',
+       ROUND(CAST(SUM(u) AS DOUBLE) / 10000.0, 2) FROM nr GROUP BY r_name
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'ALL', 'ALL',
+       ROUND(CAST(SUM(u) AS DOUBLE) / 10000.0, 2) FROM nr
+""",
+        "clustering_coefficient": f"""
+WITH de AS ({_SQL_EDGES_TRI}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM de WHERE src <> dst),
+deg AS (SELECT vertex, count(*) AS deg FROM (
+          SELECT a AS vertex FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY vertex),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+tpv AS (SELECT vertex, count(*) AS triangles FROM (
+          SELECT x AS vertex FROM tri UNION ALL
+          SELECT y FROM tri UNION ALL
+          SELECT z FROM tri
+        ) GROUP BY vertex)
+SELECT d.vertex, d.deg, COALESCE(t.triangles, 0) AS triangles,
+       ROUND(2.0e0 * COALESCE(t.triangles, 0) / (d.deg * (d.deg - 1.0e0)), 6)
+         AS cc
+FROM deg d LEFT JOIN tpv t ON t.vertex = d.vertex
+WHERE d.deg >= 2
 """,
         "doc_quality": r"""
 SELECT doc_id,

@@ -1404,3 +1404,56 @@ def triangle_count(
         .count()
         .rename_columns({"count()": "triangles"})
     )
+
+
+def clustering_coefficient(
+    edges: ray.data.Dataset, num_partitions: int = 32
+) -> ray.data.Dataset:
+    """Per-vertex local clustering coefficient over the undirected simple
+    graph: cc = 2*triangles / (deg*(deg-1)) for vertices with deg >= 2.
+
+    Reuses the triangle pipeline for per-vertex counts and the
+    combiner+one-shuffle degree aggregate; the two (small, per-vertex)
+    results meet in a hash left-outer join — vertices in no triangle get
+    0. The division is ONE IEEE expression (2.0*tri)/(deg*(deg-1.0)),
+    mirrored verbatim by the SQL oracle for bit-exact rounding."""
+    import pyarrow.compute as pc
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["src"], pa.int64())
+        d = pc.cast(t["dst"], pa.int64())
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table(
+            {"a": pc.min_element_wise(s, d), "b": pc.max_element_wise(s, d)}
+        )
+
+    edges = edges.materialize()  # consumed by both the degree + tri branches
+    und = distinct(
+        edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"]
+    )
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()])
+        return pa.table({"vertex": v})
+
+    deg = int_degrees(
+        und.map_batches(both_ends, batch_format="pyarrow"), num_partitions
+    )
+    tri = triangle_count(edges, num_partitions, per_vertex=True)
+    joined = deg.join(
+        tri, join_type="left_outer", num_partitions=num_partitions, on=("vertex",)
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = np.nan_to_num(
+            t["triangles"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        keep = d >= 2
+        d, tr = d[keep], tr[keep]
+        v = t["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        cc = (2.0 * tr) / (d * (d - 1.0))
+        return pa.table({"vertex": v, "deg": d, "triangles": tr, "cc": cc})
+
+    return joined.map_batches(fin, batch_format="pyarrow")

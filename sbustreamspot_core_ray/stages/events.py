@@ -556,3 +556,70 @@ def funnel(
         .groupby("__p")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def transition_counts(
+    events: ray.data.Dataset,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Markov transition counts: for each user's event stream in
+    (ts, event_id) order, count consecutive (event_type -> next event_type)
+    bigrams, aggregated globally. The window-function LEAD() pattern.
+
+    ONE shuffle on hash(user) % P; the per-partition kernel factorizes the
+    type strings once (np.unique codes), finds within-user adjacent pairs
+    with a shifted compare, and emits per-partition PARTIAL counts — the
+    final groupby moves at most |types|^2 rows per partition."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        e = t["event_id"].to_numpy()
+        us = t["us"].to_numpy()
+        types, codes = np.unique(
+            np.asarray(t["event_type"].to_numpy(zero_copy_only=False), dtype=object),
+            return_inverse=True,
+        )
+        if len(u) == 0:
+            return pa.table(
+                {"from_type": pa.array([], pa.string()),
+                 "to_type": pa.array([], pa.string()),
+                 "n": np.empty(0, np.int64)}
+            )
+        order = np.lexsort((e, us, u))
+        u, codes = u[order], codes[order]
+        same_user = u[1:] == u[:-1]
+        frm, to = codes[:-1][same_user], codes[1:][same_user]
+        k = len(types)
+        pair = frm * k + to
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "from_type": pa.array(types[uniq // k], pa.string()),
+                "to_type": pa.array(types[uniq % k], pa.string()),
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    return (
+        events.select_columns(["event_id", "ts", "user_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+    )

@@ -1,0 +1,188 @@
+"""Relational surface operators: per-group top-N, anti-join, and the
+broadcast star-schema rollup.
+
+The reference has no relational layer (SURVEY §2.7) — these fill the gap
+idiomatically: every op is one cheap-key shuffle (or none) + a vectorized
+per-partition kernel, the shapes that survive 100 TB. Money columns are
+summed as exact integer 1e-4 units (the q1_revenue technique) so results
+are bit-identical to a SQL mirror regardless of block/partition order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.hashing import part_of
+
+
+def top_n_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    n: int,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Top-n rows per group by (order_col DESC, tie_col ASC) — the
+    window-function ROW_NUMBER() <= n pattern. ONE shuffle on
+    hash(group) % P, then a per-partition lexsort + run-rank scan (no
+    per-group Python). Output: group, tie, order value, rn (1-based).
+
+    Scale: output is bounded at n rows per group; the kernel is O(rows
+    log rows) per partition and holds only its partition in memory."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                group_col: g,
+                tie_col: pc.cast(t[tie_col], pa.int64()),
+                order_col: t[order_col],
+                "__p": pa.array(part_of(g, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy()
+        tie = t[tie_col].to_numpy()
+        val = t[order_col].to_numpy(zero_copy_only=False)
+        # lexsort: group asc, value desc, tie asc
+        order = np.lexsort((tie, -val, g))
+        g, tie, val = g[order], tie[order], val[order]
+        starts = np.concatenate([[True], g[1:] != g[:-1]]) if len(g) else np.empty(0, bool)
+        run_id = np.cumsum(starts) - 1
+        pos = np.arange(len(g), dtype=np.int64)
+        first_pos = pos[starts][run_id] if len(g) else pos
+        rn = pos - first_pos + 1
+        keep = rn <= n
+        return pa.table(
+            {
+                group_col: g[keep],
+                tie_col: tie[keep],
+                order_col: val[keep],
+                "rn": rn[keep],
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, tie_col, order_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def anti_join_keys(
+    left: ray.data.Dataset,
+    right_keys: ray.data.Dataset,
+    key_col: str,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Rows of `left` whose key matches NO row of `right_keys` — relational
+    NOT EXISTS. Build side is the DISTINCT key set (bounded by key
+    cardinality, not right-side row count); probe is a hash left-outer
+    join + null filter, all streaming."""
+    import pyarrow.compute as pc
+
+    distinct = (
+        right_keys.select_columns([key_col])
+        .groupby(key_col)
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    key_col: t[key_col],
+                    "__hit": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    probed = left.join(
+        distinct,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(key_col,),
+    )
+
+    def miss(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["__hit"])).drop_columns(["__hit"])
+
+    return probed.map_batches(miss, batch_format="pyarrow")
+
+
+def revenue_by_nation(
+    lineitem: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation_region: "pa.Table",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Star-schema revenue rollup: lineitem revenue (exact 1e-4 integer
+    units) pre-aggregated per supplier BEFORE any shuffle, joined to the
+    supplier dim on the supplier key, then mapped through a broadcast
+    25-row nationkey -> (n_name, r_name) lookup (ray.put once, read in
+    every task — never a shuffle join on a fixed-size dim).
+
+    Returns (r_name, n_name, units: int64) — callers divide/round.
+
+    Scale shape: the combiner shrinks lineitem to <= |suppliers| rows per
+    block; the only shuffles are the supplier-key aggregate/join; the
+    nation/region dims never move."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-batch combine: one row per distinct supplier in the batch
+        uk, inv = np.unique(sk, return_inverse=True)
+        sums = np.bincount(inv, weights=units, minlength=len(uk)).astype(np.int64)
+        return pa.table({"s_suppkey": uk, "units": sums})
+
+    per_supp = (
+        lineitem.select_columns(["l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .sum("units")
+        .rename_columns({"sum(units)": "units"})
+    )
+    joined = per_supp.join(
+        supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("s_suppkey",),
+    )
+
+    lut = nation_region.combine_chunks().sort_by("n_nationkey")
+    lookup_ref = ray.put(lut)
+
+    def attach(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dim = ray.get(lookup_ref)
+        keys = dim["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, nk)  # vectorized dim lookup, no row loop
+        return pa.table(
+            {
+                "r_name": pc.take(dim["r_name"], pa.array(idx)),
+                "n_name": pc.take(dim["n_name"], pa.array(idx)),
+                "units": t["units"],
+            }
+        )
+
+    return (
+        joined.map_batches(attach, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .sum("units")
+        .rename_columns({"sum(units)": "units"})
+    )

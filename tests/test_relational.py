@@ -1,0 +1,138 @@
+"""Relational surface ops: top-N per group, anti-join, star revenue,
+transition bigrams, clustering coefficient — hand-checked fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from sbustreamspot_core_ray.stages.relational import (
+    anti_join_keys,
+    revenue_by_nation,
+    top_n_per_group,
+)
+
+
+def test_top_n_per_group():
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "id": pa.array([10, 11, 12, 13, 20, 21], pa.int64()),
+            # group 1: values 5, 9, 9, 1 -> top3 = id 11 (9), 12 (9, tie by id), 10 (5)
+            "v": pa.array([5.0, 9.0, 9.0, 1.0, 3.0, 7.0], pa.float64()),
+        }
+    )
+    out = (
+        top_n_per_group(ray.data.from_arrow(t), "g", "v", "id", n=3, num_parts=2)
+        .to_pandas()
+        .sort_values(["g", "rn"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["g"], out["id"], out["rn"]))
+    assert got == [(1, 11, 1), (1, 12, 2), (1, 10, 3), (2, 21, 1), (2, 20, 2)]
+
+
+def test_anti_join_keys():
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4], pa.int64()),
+                "name": pa.array(["a", "b", "c", "d"]),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 2, 4], pa.int64())})
+    )
+    out = anti_join_keys(left, right, "k", num_partitions=2).to_pandas()
+    assert sorted(out["k"]) == [1, 3]
+    assert sorted(out["name"]) == ["a", "c"]
+
+
+def test_revenue_by_nation_exact_units():
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_suppkey": pa.array([1, 1, 2], pa.int64()),
+                "l_extendedprice": pa.array([100.0, 50.0, 10.0], pa.float64()),
+                "l_discount": pa.array([0.1, 0.0, 0.5], pa.float64()),
+            }
+        )
+    )
+    supp = ray.data.from_arrow(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                "s_nationkey": pa.array([0, 1], pa.int32()),
+            }
+        )
+    )
+    dim = pa.table(
+        {
+            "n_nationkey": pa.array([0, 1], pa.int32()),
+            "n_name": pa.array(["FRANCE", "GERMANY"]),
+            "r_name": pa.array(["EUROPE", "EUROPE"]),
+        }
+    )
+    out = revenue_by_nation(li, supp, dim, num_partitions=2).to_pandas()
+    got = {
+        (r, n): u for r, n, u in zip(out["r_name"], out["n_name"], out["units"])
+    }
+    # supplier 1: 100*0.9 + 50*1.0 = 140.0 -> 1_400_000 units; supplier 2: 5.0
+    assert got == {("EUROPE", "FRANCE"): 1_400_000, ("EUROPE", "GERMANY"): 50_000}
+
+
+def test_transition_counts():
+    from sbustreamspot_core_ray.stages.events import transition_counts
+
+    US = 1_000_000
+    rows = [  # user 1: a->b->a ; user 2: b->b
+        (0, 0 * US, 1, "a"),
+        (1, 1 * US, 1, "b"),
+        (2, 2 * US, 1, "a"),
+        (3, 0 * US, 2, "b"),
+        (4, 5 * US, 2, "b"),
+    ]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+            }
+        )
+    )
+    out = transition_counts(ev, num_parts=2).to_pandas()
+    got = {(f, t): n for f, t, n in zip(out["from_type"], out["to_type"], out["n"])}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_clustering_coefficient():
+    from sbustreamspot_core_ray.pipelines.superstep import clustering_coefficient
+
+    # K4 minus edge (3,4): triangles (1,2,3) and (1,2,4).
+    # deg: 1->3, 2->3, 3->2, 4->2; tri: 1->2, 2->2, 3->1, 4->1
+    # cc: 1,2 -> 2*2/(3*2)=0.666..; 3,4 -> 2*1/(2*1)=1.0
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "dst": pa.array([2, 3, 4, 3, 4], pa.int64()),
+            }
+        )
+    )
+    out = (
+        clustering_coefficient(edges, num_partitions=2)
+        .to_pandas()
+        .set_index("vertex")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3, 4]
+    assert list(out["deg"]) == [3, 3, 2, 2]
+    assert list(out["triangles"]) == [2, 2, 1, 1]
+    assert out.loc[1, "cc"] == pytest.approx(2 / 3)
+    assert out.loc[3, "cc"] == 1.0
