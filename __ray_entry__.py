@@ -1377,6 +1377,41 @@ def q_bfs_distance(sf_dir: str):
     return bfs_distance(g, seeds=np.array(BFS_SEEDS, np.int64), max_hops=BFS_MAX_HOPS)
 
 
+SSSP_CAP = 60  # recursion guard; must exceed the max finite distance
+
+
+def q_sssp_distance(sf_dir: str):
+    """Multi-source shortest path over integer multiplicity weights on the
+    symmetrized derived graph (weighted build; Bellman-Ford frontier
+    relaxation to the true fixpoint — all-integer, exact)."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        sssp_distance,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True,
+        weighted=True,
+    )
+    return sssp_distance(g, seeds=np.array(BFS_SEEDS, np.int64))
+
+
+def _sssp_sql() -> str:
+    seeds = ", ".join(f"({s})" for s in BFS_SEEDS)
+    return f"""
+WITH RECURSIVE raw AS ({_SQL_EDGES_RAW}),
+we AS (SELECT src, dst, count(*) AS w FROM raw GROUP BY src, dst),
+e AS (SELECT src AS s, dst AS d, w FROM we UNION ALL SELECT dst, src, w FROM we),
+walk(vertex, dist) AS (
+  SELECT s, CAST(0 AS BIGINT) FROM (VALUES {seeds}) t(s)
+  WHERE s IN (SELECT s FROM e)
+  UNION
+  SELECT e.d, walk.dist + e.w FROM walk JOIN e ON e.s = walk.vertex
+  WHERE walk.dist < {SSSP_CAP}
+)
+SELECT vertex, MIN(dist) AS dist FROM walk GROUP BY vertex"""
+
+
 def _bfs_sql() -> str:
     seeds = ", ".join(f"({s})" for s in BFS_SEEDS)
     return f"""
@@ -2581,6 +2616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_pagerank": q_weighted_pagerank,
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_distance": q_bfs_distance,
+        "sssp_distance": q_sssp_distance,
         "adamic_adar": q_adamic_adar,
         "hits": q_hits,
         "neighbor_features": q_neighbor_features,
@@ -2654,6 +2690,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_pagerank": _weighted_pagerank_sql(),
         "personalized_pagerank": _ppr_sql(),
         "bfs_distance": _bfs_sql(),
+        "sssp_distance": _sssp_sql(),
         "adamic_adar": _SQL_ADAMIC_ADAR,
         "hits": _hits_sql(),
         "neighbor_features": _SQL_NEIGHBOR_FEATURES,

@@ -643,6 +643,31 @@ def bfs_distance(
     return ray.data.from_arrow_refs([a.bfs_state.remote() for a in actors])
 
 
+def sssp_distance(
+    graph: ShardedGraph, seeds, max_rounds: int = 64
+) -> ray.data.Dataset:
+    """Multi-source single-source-shortest-path over INTEGER edge weights
+    (the pair's multiplicity in a weighted build): Bellman-Ford-style
+    frontier relaxation on the superstep engine — each round, vertices
+    improved last round push dist + w(u,v), min-combined at the owner.
+    Terminates at the true fixpoint (empty frontier): with positive
+    integer weights every relaxation round strictly increases the
+    improved distance, so rounds <= max finite distance. Returns
+    (vertex, dist) for reached vertices; exact (all-integer mins).
+
+    Requires ShardedGraph.build(weighted=True) (and therefore unsalted)."""
+    if not graph.weighted:
+        raise ValueError("sssp_distance needs ShardedGraph.build(weighted=True)")
+    actors = graph.actors
+    seeds = np.unique(np.asarray(seeds, np.int64))
+    frontier = sum(ray.get([a.bfs_init.remote(seeds, True) for a in actors]))
+    it = 0
+    while frontier and it < max_rounds:
+        frontier = sum(graph._exchange("bfs"))
+        it += 1
+    return ray.data.from_arrow_refs([a.bfs_state.remote() for a in actors])
+
+
 def driver_components(
     src: np.ndarray, dst: np.ndarray, vertices: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

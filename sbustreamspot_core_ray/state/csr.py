@@ -1026,12 +1026,24 @@ class CsrShard:
     # once. Unsalted graphs only (mirror chunks would need their own
     # distance state).
 
-    def bfs_init(self, seeds: np.ndarray) -> int:
+    def bfs_init(self, seeds: np.ndarray, weighted: bool = False) -> int:
+        """weighted=True turns the hop relaxation into integer-weight SSSP
+        (Bellman-Ford style): the scatter ships dist + w(u,v) instead of
+        dist + 1. Requires a weighted build (finalize(weighted=True))."""
         if getattr(self, "mirrors", None):
             raise ValueError(
                 "bfs_distance supports unsalted graphs only; build the "
                 "ShardedGraph without salt_threshold"
             )
+        if weighted:
+            if self.wts is None:
+                raise ValueError(
+                    "weighted SSSP needs ShardedGraph.build(weighted=True)"
+                )
+            # multiplicity counts are exact integers; min-combine in int64
+            self._bfs_step = self.wts.astype(np.int64)
+        else:
+            self._bfs_step = None
         INF = np.iinfo(np.int64).max
         self.dist = np.full(len(self.owned), INF, np.int64)
         self.changed = np.zeros(len(self.owned), bool)
@@ -1050,7 +1062,11 @@ class CsrShard:
         INF = np.iinfo(np.int64).max
         active = self.changed[self.src_in_owned]
         if active.any():
-            d_edge = self._rank_per_edge(self.dist[self.src_in_owned] + 1)
+            # INF + step wraps for inactive sources; act_edge masks them out
+            d_edge = self._rank_per_edge(self.dist[self.src_in_owned])
+            d_edge = d_edge + (
+                self._bfs_step if self._bfs_step is not None else 1
+            )
             act_edge = np.repeat(active, self.outdeg)
             mins = np.full(len(self.dst_u), INF)
             np.minimum.at(mins, self.dst_inv[act_edge], d_edge[act_edge])

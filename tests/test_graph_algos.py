@@ -526,3 +526,26 @@ def test_weighted_pagerank_multiplicity():
         ShardedGraph.build(
             edges_ds(raw), num_parts=4, weighted=True, salt_threshold=1
         )
+
+
+def test_sssp_weighted_multiplicity():
+    """Integer-weight SSSP on a weighted symmetric build matches hand
+    Dijkstra; unweighted builds are rejected."""
+    from sbustreamspot_core_ray.pipelines.superstep import sssp_distance
+
+    # undirected weights: (1,2)=1, (2,3)=1, (1,3)=5, (3,4)=2
+    raw = [(1, 2)] + [(2, 3)] + [(1, 3)] * 5 + [(3, 4)] * 2
+    g = ShardedGraph.build(
+        edges_ds(raw), num_parts=4, symmetric=True, weighted=True
+    )
+    out = (
+        sssp_distance(g, seeds=np.array([1], np.int64))
+        .to_pandas()
+        .set_index("vertex")["dist"]
+        .to_dict()
+    )
+    assert out == {1: 0, 2: 1, 3: 2, 4: 4}
+
+    g2 = ShardedGraph.build(edges_ds(raw), num_parts=4, symmetric=True)
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        sssp_distance(g2, seeds=np.array([1], np.int64))
