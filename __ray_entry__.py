@@ -1949,6 +1949,21 @@ def q_clustering_coefficient(sf_dir: str):
     return df
 
 
+UNIGRAM_V = 20  # top-V vocabulary cut; sf0.01 vocab is 31 terms, so OOV fires
+
+
+def q_doc_logprob(sf_dir: str):
+    """Unigram LM corpus-quality score in integer nanonats: exact term
+    counts -> one IEEE divide + math.log per vocab term (libm-parity with
+    DuckDB ln) -> per-token int64 quantization -> order-independent sums."""
+    from sbustreamspot_core_ray.stages.text import unigram_logprob
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return unigram_logprob(docs, top_v=UNIGRAM_V)
+
+
 def q_doc_quality(sf_dir: str):
     from sbustreamspot_core_ray.stages.text import quality
 
@@ -2650,6 +2665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "revenue_rollup": q_revenue_rollup,
         "clustering_coefficient": q_clustering_coefficient,
+        "doc_logprob": q_doc_logprob,
         "doc_quality": q_doc_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -2919,6 +2935,25 @@ SELECT d.vertex, d.deg, COALESCE(t.triangles, 0) AS triangles,
          AS cc
 FROM deg d LEFT JOIN tpv t ON t.vertex = d.vertex
 WHERE d.deg >= 2
+""",
+        "doc_logprob": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+tk AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+cnt AS (SELECT t, count(*) AS c FROM tk GROUP BY t),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS C FROM cnt),
+topv AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT {UNIGRAM_V}),
+q AS (SELECT t, CAST(floor(ln(CAST(c AS DOUBLE) / (SELECT C FROM tot)) * 1e9
+                     + 0.5) AS BIGINT) AS qln FROM topv),
+oov AS (SELECT CAST(floor(ln(1.0e0 / (SELECT C FROM tot)) * 1e9 + 0.5)
+                AS BIGINT) AS qln),
+s AS (SELECT tk.doc_id, COALESCE(q.qln, (SELECT qln FROM oov)) AS qln
+      FROM tk LEFT JOIN q ON q.t = tk.t),
+agg AS (SELECT doc_id, count(*) AS n, SUM(qln) AS lp FROM s GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(agg.n, 0) AS n_tokens,
+       COALESCE(agg.lp, 0) AS logprob_e9
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """,
         "doc_quality": r"""
 SELECT doc_id,

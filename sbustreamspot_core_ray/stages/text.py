@@ -440,3 +440,96 @@ def lang_token_percentiles(
         return pd.DataFrame(out)
 
     return hist.groupby("lang").map_groups(pick, batch_format="pandas")
+
+
+class _TermCountPartial:
+    """Per-batch combiner for RAW term counts (not doc frequency): explode
+    lower/single-space tokens and emit (term, partial count) — at most the
+    batch's distinct-term cardinality crosses the one global shuffle."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        counts = ex.groupby(ex.to_numpy(), sort=False).size()
+        return pd.DataFrame(
+            {
+                "term": counts.index.to_numpy(dtype=object),
+                "c_partial": counts.to_numpy(np.int64),
+            }
+        )
+
+
+def unigram_logprob(
+    docs: ray.data.Dataset, top_v: int = 5000
+) -> ray.data.Dataset:
+    """Per-document unigram language-model score (corpus-quality signal):
+    logprob_e9 = Σ_tokens floor(ln(p_t) * 1e9 + 0.5) as int64 nanonats,
+    p_t = c_t / C for the top-`top_v` vocabulary (c = corpus term count,
+    C = total token count) and 1/C for out-of-vocabulary tokens.
+
+    Float-parity posture: c and C are exact integers, c/C is one correctly
+    rounded IEEE divide, ln is math.log (bit-identical to DuckDB's ln —
+    same libm; np.log's SIMD path is deliberately avoided), and the
+    per-token quantization makes the per-doc sum an order-independent
+    int64 — the whole output is integer-exact vs the SQL mirror.
+
+    Scale shape: pass 1 is the term-count combiner + one vocabulary-keyed
+    groupby; the top-V cut is a sort+limit over the vocabulary-sized
+    aggregate; only the V-row (term, qln) table is broadcast (ray.put
+    once); pass 2 is a stateless vectorized lookup (searchsorted over the
+    sorted broadcast vocab) — no shuffle touches the corpus rows."""
+    import math
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs.map_batches(
+            partial(call_singleton, _TermCountPartial), batch_format="pandas"
+        )
+        .groupby("term")
+        .aggregate(Sum("c_partial", alias_name="c"))
+        .materialize()  # consumed twice: total + top-V cut
+    )
+    total = counts.aggregate(Sum("c", alias_name="C"))["C"]
+    top = (
+        counts.sort(["c", "term"], descending=[True, False])
+        .limit(top_v)
+        .to_pandas()
+    )
+    order = np.argsort(top["term"].to_numpy(dtype=object), kind="stable")
+    terms_sorted = top["term"].to_numpy(dtype=object)[order]
+    c_sorted = top["c"].to_numpy(np.int64)[order]
+    C = float(total)
+    qln = np.array(
+        [math.floor(math.log(c / C) * 1e9 + 0.5) for c in c_sorted.tolist()],
+        np.int64,
+    )
+    qln_oov = math.floor(math.log(1.0 / C) * 1e9 + 0.5)
+    vocab_ref = _ray.put((terms_sorted, qln))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        terms, q = _ray.get(vocab_ref)
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        tok = ex.to_numpy(dtype=object)
+        if len(terms):
+            idx = np.minimum(np.searchsorted(terms, tok), len(terms) - 1)
+            hit = terms[idx] == tok
+            per_tok = np.where(hit, q[idx], qln_oov)
+        else:
+            per_tok = np.full(len(tok), qln_oov, np.int64)
+        s = pd.Series(per_tok, index=ex.index)
+        sums = s.groupby(level=0).sum().reindex(df.index, fill_value=0)
+        ntok = s.groupby(level=0).size().reindex(df.index, fill_value=0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tokens": ntok.to_numpy(np.int64),
+                "logprob_e9": sums.to_numpy(np.int64),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")

@@ -360,3 +360,35 @@ def test_group_sample_exact_n_and_deterministic():
     assert set(map(tuple, out2[["doc_id", "lang"]].to_numpy())) == set(
         map(tuple, out[["doc_id", "lang"]].to_numpy())
     )
+
+
+def test_unigram_logprob_exact():
+    """Hand-checked nanonat sums: vocab cut, OOV floor, empty doc."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from sbustreamspot_core_ray.stages.text import unigram_logprob
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                # counts: a=3, b=2, c=1 -> C=6; top_v=2 keeps a,b; c is OOV
+                "text": pa.array(["a a b", "a b c", ""]),
+            }
+        )
+    )
+    out = (
+        unigram_logprob(docs, top_v=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    qa = math.floor(math.log(3 / 6.0) * 1e9 + 0.5)
+    qb = math.floor(math.log(2 / 6.0) * 1e9 + 0.5)
+    qoov = math.floor(math.log(1.0 / 6.0) * 1e9 + 0.5)
+    assert out.loc[1, "n_tokens"] == 3 and out.loc[1, "logprob_e9"] == 2 * qa + qb
+    assert out.loc[2, "logprob_e9"] == qa + qb + qoov
+    assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "logprob_e9"] == 0
