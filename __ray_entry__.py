@@ -1949,6 +1949,22 @@ def q_clustering_coefficient(sf_dir: str):
     return df
 
 
+THROTTLE_GAP_US = 600_000_000  # 10 min
+
+
+def q_throttle_events(sf_dir: str):
+    """Temporal dedup (gap throttle): keep events >10min after the previous
+    event of the same (user, event_type) — the LAG window pattern, one
+    hash(user) shuffle + vectorized shifted-gap scan."""
+    from sbustreamspot_core_ray.stages.events import throttle_events
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return throttle_events(ev, min_gap_us=THROTTLE_GAP_US, num_parts=P)
+
+
 UNIGRAM_V = 20  # top-V vocabulary cut; sf0.01 vocab is 31 terms, so OOV fires
 
 
@@ -2665,6 +2681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "revenue_rollup": q_revenue_rollup,
         "clustering_coefficient": q_clustering_coefficient,
+        "throttle_events": q_throttle_events,
         "doc_logprob": q_doc_logprob,
         "doc_quality": q_doc_quality,
         "token_counts": q_token_counts,
@@ -2935,6 +2952,17 @@ SELECT d.vertex, d.deg, COALESCE(t.triangles, 0) AS triangles,
          AS cc
 FROM deg d LEFT JOIN tpv t ON t.vertex = d.vertex
 WHERE d.deg >= 2
+""",
+        "throttle_events": f"""
+WITH s AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS prev_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts_us FROM s
+WHERE prev_us IS NULL OR ts_us - prev_us > {THROTTLE_GAP_US}
 """,
         "doc_logprob": f"""
 WITH toks AS (

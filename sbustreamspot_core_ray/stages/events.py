@@ -623,3 +623,67 @@ def transition_counts(
         .sum("n")
         .rename_columns({"sum(n)": "n"})
     )
+
+
+def throttle_events(
+    events: ray.data.Dataset,
+    min_gap_us: int,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Gap-based throttle (temporal dedup): keep an event iff it is the
+    first of its (user, event_type) key or arrives more than `min_gap_us`
+    after the key's IMMEDIATELY PRECEDING event (LAG semantics, mirrored
+    by the SQL window oracle — not the sequential kept-chain debounce).
+
+    ONE shuffle on hash(user) % P; per-partition lexsort + vectorized
+    shifted-gap scan. Returns (event_id, user_id, event_type, ts_us)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        e = t["event_id"].to_numpy()
+        us = t["us"].to_numpy()
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), object)
+        types, codes = (
+            np.unique(et, return_inverse=True)
+            if len(et)
+            else (np.empty(0, object), np.empty(0, np.int64))
+        )
+        order = np.lexsort((e, us, codes, u))
+        u, e, us, codes = u[order], e[order], us[order], codes[order]
+        if len(u):
+            new_key = np.concatenate(
+                [[True], (u[1:] != u[:-1]) | (codes[1:] != codes[:-1])]
+            )
+            gap_ok = np.concatenate([[True], (us[1:] - us[:-1]) > min_gap_us])
+            keep = new_key | gap_ok
+        else:
+            keep = np.empty(0, bool)
+        return pa.table(
+            {
+                "event_id": e[keep],
+                "user_id": u[keep],
+                "event_type": pa.array(types[codes[keep]], pa.string()),
+                "ts_us": us[keep],
+            }
+        )
+
+    return (
+        events.select_columns(["event_id", "ts", "user_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -277,3 +277,28 @@ def test_funnel_greedy_order_semantics():
     assert out.loc[1, "max_step"] == 3 and out.loc[1, "last_us"] == 30 * US
     assert out.loc[2, "max_step"] == 1 and out.loc[2, "first_us"] == 50 * US
     assert out.loc[3, "max_step"] == 2 and out.loc[3, "last_us"] == 70 * US
+
+
+def test_throttle_events_gap():
+    from sbustreamspot_core_ray.stages.events import throttle_events
+
+    # user 1 type a at 0s, 5s, 20s with 10s gap -> keep 0s (first), drop 5s
+    # (gap 5), keep 20s (gap 15); user 1 type b at 6s -> kept (own key)
+    rows = [
+        (0, 0 * US, 1, "a"),
+        (1, 5 * US, 1, "a"),
+        (2, 20 * US, 1, "a"),
+        (3, 6 * US, 1, "b"),
+    ]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+            }
+        )
+    )
+    out = throttle_events(ev, min_gap_us=10 * US, num_parts=2).to_pandas()
+    assert sorted(out["event_id"]) == [0, 2, 3]
