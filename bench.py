@@ -74,6 +74,14 @@ BENCH_QUERIES = [
     "personalized_pagerank",
     "bfs_distance",
     "hits",
+    "weighted_pagerank",
+    "sssp_distance",
+    "clustering_coefficient",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "event_transitions",
+    "throttle_events",
+    "doc_logprob",
     # common_neighbors / adamic_adar are benchmarked at sf0.01 only
     # (BASELINE.md): their wedge table is O(sum deg^2) and would dominate
     # the sf0.1 suite
