@@ -1949,6 +1949,18 @@ def q_clustering_coefficient(sf_dir: str):
     return df
 
 
+def q_value_percentiles(sf_dir: str):
+    """Exact per-event-type value percentiles from an integer-cents
+    histogram (combiner + one groupby; rank = ceil(q*n) in float64 on both
+    sides)."""
+    from sbustreamspot_core_ray.stages.events import grouped_value_percentiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return grouped_value_percentiles(ev)
+
+
 THROTTLE_GAP_US = 600_000_000  # 10 min
 
 
@@ -2681,6 +2693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "revenue_rollup": q_revenue_rollup,
         "clustering_coefficient": q_clustering_coefficient,
+        "value_percentiles": q_value_percentiles,
         "throttle_events": q_throttle_events,
         "doc_logprob": q_doc_logprob,
         "doc_quality": q_doc_quality,
@@ -2952,6 +2965,27 @@ SELECT d.vertex, d.deg, COALESCE(t.triangles, 0) AS triangles,
          AS cc
 FROM deg d LEFT JOIN tpv t ON t.vertex = d.vertex
 WHERE d.deg >= 2
+""",
+        "value_percentiles": """
+WITH u AS (
+  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+h AS (SELECT event_type, cents, count(*) AS c FROM u GROUP BY 1, 2),
+r AS (
+  SELECT event_type, cents,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+  CAST(MIN(CASE WHEN cum >= ceil(0.5e0 * n) THEN cents END) AS DOUBLE)
+    / 100.0 AS p50,
+  CAST(MIN(CASE WHEN cum >= ceil(0.9e0 * n) THEN cents END) AS DOUBLE)
+    / 100.0 AS p90,
+  CAST(MIN(CASE WHEN cum >= ceil(0.99e0 * n) THEN cents END) AS DOUBLE)
+    / 100.0 AS p99
+FROM r GROUP BY event_type
 """,
         "throttle_events": f"""
 WITH s AS (

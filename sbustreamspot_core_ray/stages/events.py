@@ -687,3 +687,62 @@ def throttle_events(
         .groupby("__p")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def grouped_value_percentiles(
+    events: ray.data.Dataset,
+    quantiles: dict[str, float] | None = None,
+    value_scale: int = 100,
+) -> ray.data.Dataset:
+    """Exact per-event-type value percentiles: quantize values to integer
+    cents (floor(v*scale + 0.5)), build a (type, cents) histogram with a
+    per-batch combiner + ONE groupby, then pick the 1-based rank
+    ``ceil(q * n)`` element from each type's cumulative counts — never a
+    global sort of the events. ``ceil(q * n)`` is evaluated in float64 on
+    both sides (SQL literal ``0.5e0``), and the output divide back to
+    currency is one IEEE op — bit-exact vs the SQL window mirror."""
+    from ray.data.aggregate import Sum
+
+    qs = quantiles or {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    scale = float(value_scale)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), object)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(val * scale + 0.5).astype(np.int64)
+        types, codes = np.unique(et, return_inverse=True)
+        key = np.stack([codes.astype(np.int64), cents], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(types[uniq[:, 0]], pa.string()),
+                "cents": uniq[:, 1],
+                "cnt": cnt.astype(np.int64),
+            }
+        )
+
+    hist = (
+        events.select_columns(["event_type", "value"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def pick(g) -> "pa.Table":
+        g = g.sort_values("cents")
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        vals = g["cents"].to_numpy(np.int64)
+        n = int(cum[-1])
+        out = {
+            "event_type": [g["event_type"].iloc[0]],
+            "n_events": np.array([n], np.int64),
+        }
+        for name, q in qs.items():
+            rank = np.ceil(q * n)  # float64, mirrors SQL ceil(qe0 * n)
+            v = vals[np.searchsorted(cum, rank)]
+            out[name] = np.array([v / scale], np.float64)
+        import pandas as _pd
+
+        return _pd.DataFrame(out)
+
+    return hist.groupby("event_type").map_groups(pick, batch_format="pandas")

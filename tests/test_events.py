@@ -302,3 +302,27 @@ def test_throttle_events_gap():
     )
     out = throttle_events(ev, min_gap_us=10 * US, num_parts=2).to_pandas()
     assert sorted(out["event_id"]) == [0, 2, 3]
+
+
+def test_grouped_value_percentiles_exact():
+    from sbustreamspot_core_ray.stages.events import grouped_value_percentiles
+
+    # type a: cents 100..1000 (10 values); p50 -> rank 5 -> 5.00,
+    # p90 -> rank 9 -> 9.00, p99 -> rank 10 -> 10.00
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["a"] * 10 + ["b"]),
+                "value": pa.array([float(i) for i in range(1, 11)] + [2.5]),
+            }
+        )
+    )
+    out = (
+        grouped_value_percentiles(ev)
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert out.loc["a", "n_events"] == 10
+    assert (out.loc["a", ["p50", "p90", "p99"]] == [5.0, 9.0, 10.0]).all()
+    assert out.loc["b", "p50"] == 2.5
