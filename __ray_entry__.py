@@ -1949,6 +1949,29 @@ def q_clustering_coefficient(sf_dir: str):
     return df
 
 
+def q_daily_users(sf_dir: str):
+    """COUNT(DISTINCT user) per day — batch-deduped pairs cross one
+    composite-key shuffle, then a tiny window-keyed fold."""
+    from sbustreamspot_core_ray.stages.events import distinct_users_per_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    return distinct_users_per_window(ev)
+
+
+def q_weekly_retention(sf_dir: str):
+    """Cohort retention per week (active users also active next week):
+    one hash(user) shuffle, adjacent-window shifted compare, integer
+    partials; rate is one IEEE divide of exact counts."""
+    from sbustreamspot_core_ray.stages.events import weekly_retention
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    return weekly_retention(ev, num_parts=P)
+
+
 def q_value_percentiles(sf_dir: str):
     """Exact per-event-type value percentiles from an integer-cents
     histogram (combiner + one groupby; rank = ceil(q*n) in float64 on both
@@ -2693,6 +2716,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "revenue_rollup": q_revenue_rollup,
         "clustering_coefficient": q_clustering_coefficient,
+        "daily_users": q_daily_users,
+        "weekly_retention": q_weekly_retention,
         "value_percentiles": q_value_percentiles,
         "throttle_events": q_throttle_events,
         "doc_logprob": q_doc_logprob,
@@ -2965,6 +2990,29 @@ SELECT d.vertex, d.deg, COALESCE(t.triangles, 0) AS triangles,
          AS cc
 FROM deg d LEFT JOIN tpv t ON t.vertex = d.vertex
 WHERE d.deg >= 2
+""",
+        "daily_users": """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS "window", user_id FROM events
+)
+SELECT "window", count(DISTINCT user_id) AS users FROM d GROUP BY "window"
+""",
+        "weekly_retention": """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS "window"
+  FROM events
+),
+nxt AS (
+  SELECT user_id, "window",
+         LEAD("window") OVER (PARTITION BY user_id ORDER BY "window") AS nw
+  FROM uw
+)
+SELECT "window", count(*) AS active,
+  CAST(COALESCE(SUM(CASE WHEN nw = "window" + 1 THEN 1 END), 0) AS BIGINT)
+    AS retained,
+  CAST(COALESCE(SUM(CASE WHEN nw = "window" + 1 THEN 1 END), 0) AS DOUBLE)
+    / count(*) AS rate
+FROM nxt GROUP BY "window"
 """,
         "value_percentiles": """
 WITH u AS (

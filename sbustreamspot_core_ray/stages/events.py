@@ -746,3 +746,111 @@ def grouped_value_percentiles(
         return _pd.DataFrame(out)
 
     return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
+def distinct_users_per_window(
+    events: ray.data.Dataset,
+    window_us: int = 86_400_000_000,
+) -> ray.data.Dataset:
+    """COUNT(DISTINCT user) per tumbling window (daily active users): a
+    per-batch (window, user) dedup combiner, ONE composite-key groupby to
+    finish the global dedup, then a window-keyed partial-count fold —
+    the scale-correct count-distinct shape (the exploded pairs cross the
+    shuffle once, already batch-deduped)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = us // window_us
+        pairs = np.unique(np.stack([w, u], axis=1), axis=0)
+        return pa.table({"window": pairs[:, 0], "user_id": pairs[:, 1]})
+
+    def fold(t: pa.Table) -> pa.Table:
+        w = t["window"].to_numpy()
+        wu, cnt = np.unique(w, return_counts=True)
+        return pa.table({"window": wu, "n_partial": cnt.astype(np.int64)})
+
+    return (
+        events.select_columns(["ts", "user_id"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby(["window", "user_id"])
+        .count()
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby("window")
+        .sum("n_partial")
+        .rename_columns({"sum(n_partial)": "users"})
+    )
+
+
+def weekly_retention(
+    events: ray.data.Dataset,
+    window_us: int = 604_800_000_000,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Cohort retention: per window w, how many active users are also
+    active in w+1. ONE shuffle on hash(user) % P (each user's window set
+    lives wholly in one partition); the kernel dedups (user, window),
+    marks adjacent-window presence with a shifted compare, and emits
+    per-window PARTIALS folded by a tiny final groupby. rate is one IEEE
+    divide of exact integer counts, mirrored by the SQL LEAD oracle."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "window": us // window_us,
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        w = t["window"].to_numpy()
+        uw = np.unique(np.stack([u, w], axis=1), axis=0)
+        if not len(uw):
+            z = np.empty(0, np.int64)
+            return pa.table({"window": z, "active": z, "retained": z})
+        uu, ww = uw[:, 0], uw[:, 1]
+        same_user = np.concatenate([uu[1:] == uu[:-1], [False]])
+        next_adjacent = np.concatenate([ww[1:] == ww[:-1] + 1, [False]])
+        retained = same_user & next_adjacent
+        wu, inv = np.unique(ww, return_inverse=True)
+        active = np.bincount(inv, minlength=len(wu)).astype(np.int64)
+        ret = np.bincount(inv, weights=retained, minlength=len(wu)).astype(
+            np.int64
+        )
+        return pa.table({"window": wu, "active": active, "retained": ret})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        events.select_columns(["ts", "user_id"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("window")
+        .aggregate(
+            Sum("active", alias_name="active"),
+            Sum("retained", alias_name="retained"),
+        )
+    )
+
+    def rate(t: pa.Table) -> pa.Table:
+        a = t["active"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["retained"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "window": t["window"],
+                "active": a,
+                "retained": r,
+                "rate": r.astype(np.float64) / a,  # one divide of exact ints
+            }
+        )
+
+    return agg.map_batches(rate, batch_format="pyarrow")

@@ -326,3 +326,43 @@ def test_grouped_value_percentiles_exact():
     assert out.loc["a", "n_events"] == 10
     assert (out.loc["a", ["p50", "p90", "p99"]] == [5.0, 9.0, 10.0]).all()
     assert out.loc["b", "p50"] == 2.5
+
+
+def test_distinct_users_per_window():
+    from sbustreamspot_core_ray.stages.events import distinct_users_per_window
+
+    DAY = 86_400_000_000
+    rows = [(0, 1), (10, 1), (20, 2), (DAY + 5, 1), (DAY + 6, 1)]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+    )
+    out = distinct_users_per_window(ev).to_pandas().set_index("window")
+    assert out.loc[0, "users"] == 2 and out.loc[1, "users"] == 1
+
+
+def test_weekly_retention():
+    from sbustreamspot_core_ray.stages.events import weekly_retention
+
+    WEEK = 604_800_000_000
+    # user 1 active weeks 0,1,3 -> retained at week 0 only
+    # user 2 active weeks 0,2 -> never retained
+    rows = [(1, 0), (1, WEEK), (1, 3 * WEEK), (2, 0), (2, 2 * WEEK), (2, 1)]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            }
+        )
+    )
+    out = weekly_retention(ev, num_parts=2).to_pandas().set_index("window")
+    assert out.loc[0, "active"] == 2 and out.loc[0, "retained"] == 1
+    assert out.loc[0, "rate"] == 0.5
+    assert out.loc[1, "active"] == 1 and out.loc[1, "retained"] == 0
+    assert out.loc[2, "active"] == 1 and out.loc[2, "retained"] == 0
+    assert out.loc[3, "active"] == 1 and out.loc[3, "retained"] == 0
