@@ -888,7 +888,10 @@ def _close_wedges_task(u, v, es_packed, lo: int, hi: int, per_vertex: bool):
 
 
 def _triangles_broadcast(
-    raw: ray.data.Dataset, num_tasks: int, per_vertex: bool
+    raw: ray.data.Dataset,
+    num_tasks: int,
+    per_vertex: bool,
+    with_degrees: bool = False,
 ) -> ray.data.Dataset:
     """Broadcast-closure regime (|E| bounded): takes the CANONICALIZED but
     not-yet-deduped (a, b) table — dedup happens here as one np.unique over
@@ -974,6 +977,21 @@ def _triangles_broadcast(
             counts += np.bincount(tu, minlength=nv)
             counts += np.bincount(tv, minlength=nv)
             counts += np.bincount(tw, minlength=nv)
+    if with_degrees:
+        # every graph vertex, with its undirected simple degree — the deg
+        # array already exists from the orientation step (free here; a
+        # separate degree branch would repeat the whole canon+dedup)
+        nz = np.flatnonzero(deg)
+        vout = nz if vs_sorted is None else vs_sorted[nz]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vertex": pa.array(vout, pa.int64()),
+                    "triangles": counts[nz],
+                    "deg": deg[nz].astype(np.int64),
+                }
+            )
+        )
     nz = np.flatnonzero(counts)
     vout = nz if vs_sorted is None else vs_sorted[nz]
     return ray.data.from_arrow(
@@ -1251,6 +1269,7 @@ def triangle_count(
     num_partitions: int = 32,
     per_vertex: bool = False,
     broadcast_edges_max: int = 50_000_000,
+    with_degrees: bool = False,
 ) -> ray.data.Dataset:
     """Exact triangle counting via degree-ordered orientation.
 
@@ -1304,7 +1323,7 @@ def triangle_count(
     except (ValueError, OSError, AttributeError):  # non-Linux fallback
         pass
     if n_edges <= broadcast_edges_max:
-        return _triangles_broadcast(raw, num_partitions, per_vertex)
+        return _triangles_broadcast(raw, num_partitions, per_vertex, with_degrees)
     und = distinct(raw, ["a", "b"]).materialize()
 
     def both_ends(t: pa.Table) -> pa.Table:
@@ -1423,12 +1442,33 @@ def triangle_count(
         )
         return pa.table({"vertex": v})
 
-    return (
+    tri = (
         closed.map_batches(explode, batch_format="pyarrow")
         .groupby("vertex")
         .count()
         .rename_columns({"count()": "triangles"})
     )
+    if not with_degrees:
+        return tri
+    # deg (all graph vertices) is already materialized above — join the
+    # triangle counts back instead of re-deriving degrees from scratch
+    joined = deg.join(
+        tri, join_type="left_outer", num_partitions=P, on=("vertex",)
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        tr = np.nan_to_num(
+            t["triangles"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "vertex": t["vertex"],
+                "triangles": tr,
+                "deg": pc.cast(t["deg"], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
 
 
 def clustering_coefficient(
@@ -1437,48 +1477,23 @@ def clustering_coefficient(
     """Per-vertex local clustering coefficient over the undirected simple
     graph: cc = 2*triangles / (deg*(deg-1)) for vertices with deg >= 2.
 
-    Reuses the triangle pipeline for per-vertex counts and the
-    combiner+one-shuffle degree aggregate; the two (small, per-vertex)
-    results meet in a hash left-outer join — vertices in no triangle get
-    0. The division is ONE IEEE expression (2.0*tri)/(deg*(deg-1.0)),
-    mirrored verbatim by the SQL oracle for bit-exact rounding."""
-    import pyarrow.compute as pc
+    Rides the triangle pipeline's with_degrees output (the orientation
+    step computes undirected degrees anyway — no second canon/dedup pass
+    over the edges). The division is ONE IEEE expression
+    (2.0*tri)/(deg*(deg-1.0)), mirrored verbatim by the SQL oracle for
+    bit-exact rounding."""
 
-    def canon(t: pa.Table) -> pa.Table:
-        s = pc.cast(t["src"], pa.int64())
-        d = pc.cast(t["dst"], pa.int64())
-        keep = pc.not_equal(s, d)
-        s, d = s.filter(keep), d.filter(keep)
-        return pa.table(
-            {"a": pc.min_element_wise(s, d), "b": pc.max_element_wise(s, d)}
-        )
-
-    edges = edges.materialize()  # consumed by both the degree + tri branches
-    und = distinct(
-        edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"]
-    )
-
-    def both_ends(t: pa.Table) -> pa.Table:
-        v = pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()])
-        return pa.table({"vertex": v})
-
-    deg = int_degrees(
-        und.map_batches(both_ends, batch_format="pyarrow"), num_partitions
-    )
-    tri = triangle_count(edges, num_partitions, per_vertex=True)
-    joined = deg.join(
-        tri, join_type="left_outer", num_partitions=num_partitions, on=("vertex",)
+    tri = triangle_count(
+        edges, num_partitions, per_vertex=True, with_degrees=True
     )
 
     def fin(t: pa.Table) -> pa.Table:
         d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tr = np.nan_to_num(
-            t["triangles"].to_numpy(zero_copy_only=False).astype(np.float64)
-        ).astype(np.int64)
+        tr = t["triangles"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = d >= 2
         d, tr = d[keep], tr[keep]
         v = t["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
         cc = (2.0 * tr) / (d * (d - 1.0))
         return pa.table({"vertex": v, "deg": d, "triangles": tr, "cc": cc})
 
-    return joined.map_batches(fin, batch_format="pyarrow")
+    return tri.map_batches(fin, batch_format="pyarrow")

@@ -136,3 +136,31 @@ def test_clustering_coefficient():
     assert list(out["triangles"]) == [2, 2, 1, 1]
     assert out.loc[1, "cc"] == pytest.approx(2 / 3)
     assert out.loc[3, "cc"] == 1.0
+
+
+def test_clustering_coefficient_bigpath_parity():
+    """Force the co-partitioned (non-broadcast) triangle regime and check
+    with_degrees output matches the broadcast regime."""
+    from sbustreamspot_core_ray.pipelines.superstep import triangle_count
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 1, 1, 2, 2, 5], pa.int64()),
+                "dst": pa.array([2, 3, 4, 3, 4, 6], pa.int64()),
+            }
+        )
+    )
+    small = (
+        triangle_count(edges, 2, per_vertex=True, with_degrees=True,
+                       broadcast_edges_max=0)
+        .to_pandas().sort_values("vertex").reset_index(drop=True)
+    )
+    fast = (
+        triangle_count(edges, 2, per_vertex=True, with_degrees=True)
+        .to_pandas().sort_values("vertex").reset_index(drop=True)
+    )
+    assert small.equals(fast)
+    assert list(small["vertex"]) == [1, 2, 3, 4, 5, 6]
+    assert list(small["deg"]) == [3, 3, 2, 2, 1, 1]
+    assert list(small["triangles"]) == [2, 2, 1, 1, 0, 0]
