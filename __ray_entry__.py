@@ -2304,6 +2304,22 @@ def q_ngram_jaccard(sf_dir: str):
     return out
 
 
+def q_image_phash(sf_dir: str):
+    """Perceptual blockhash image dedup over the derived media table:
+    64-block mean-threshold bits packed into int64 (integer-only — the
+    block-vs-global mean test is cross-multiplied), dup_group = min
+    media_id per hash. Bit-exact SQL mirror via byte-level substring."""
+    from sbustreamspot_core_ray.stages.multimodal import (
+        image_blockhash,
+        media_from_documents,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return image_blockhash(media_from_documents(docs), num_partitions=P)
+
+
 def q_media_features(sf_dir: str):
     """Rows-only: binary media columns -> actor-pool fake-decode ->
     per-image pixel features (multimodal plumbing; codec stubbed)."""
@@ -2745,6 +2761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_sample": q_group_sample,
         "events_cumsum": q_events_cumsum,
         "ngram_jaccard": q_ngram_jaccard,
+        "image_phash": q_image_phash,
         "media_features": q_media_features,
         "image_resize": q_image_resize,
         "audio_frames": q_audio_frames,
@@ -3228,6 +3245,40 @@ SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
   CAST(max(CASE WHEN rn = CAST(ceil(0.99e0 * n) AS BIGINT) THEN ws_tokens END)
        AS BIGINT) AS p99
 FROM r GROUP BY lang
+""",
+        "image_phash": """
+WITH RECURSIVE pw(i, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT i + 1, p * 2 FROM pw WHERE i < 63
+),
+img AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0),
+b AS (
+  SELECT media_id, g.j // 64 AS blk,
+         ascii(substring(text, CAST((g.j % length(text)) + 1 AS INT), 1))
+           AS byte
+  FROM img, generate_series(0, 4095) g(j)
+  WHERE length(text) > 0
+),
+bs AS (SELECT media_id, blk, SUM(byte) AS s FROM b GROUP BY 1, 2),
+tot AS (SELECT media_id, SUM(s) AS t FROM bs GROUP BY 1),
+h AS (
+  SELECT bs.media_id,
+         SUM(CASE WHEN bs.s * 64 > tot.t THEN pw.p ELSE CAST(0 AS HUGEINT)
+             END) AS hraw
+  FROM bs JOIN tot USING (media_id) JOIN pw ON pw.i = bs.blk
+  GROUP BY bs.media_id
+),
+ph AS (
+  SELECT img.media_id,
+         COALESCE(CAST(CASE
+           WHEN h.hraw >= CAST(9223372036854775808 AS HUGEINT)
+           THEN h.hraw - CAST(18446744073709551616 AS HUGEINT)
+           ELSE h.hraw END AS BIGINT), 0) AS phash
+  FROM img LEFT JOIN h USING (media_id)
+)
+SELECT media_id, phash, MIN(media_id) OVER (PARTITION BY phash) AS dup_group
+FROM ph
 """,
         "media_features": _SQL_MEDIA_FEATURES,
         "image_resize": _SQL_IMAGE_RESIZE,

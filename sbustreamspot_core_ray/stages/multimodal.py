@@ -258,3 +258,53 @@ def video_frame_sample(media: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.
         batch_size=64,
         concurrency=concurrency,
     )
+
+
+PHASH_FIELD = 4096  # bytes of the tiled fake image hashed (64 blocks x 64)
+PHASH_BLOCKS = 64
+
+
+def image_blockhash(media: ray.data.Dataset, num_partitions: int = 8) -> ray.data.Dataset:
+    """Perceptual blockhash image dedup: tile the (fake-)decoded image's
+    first PHASH_FIELD bytes into PHASH_BLOCKS blocks, set bit i when
+    block i's byte sum * PHASH_BLOCKS exceeds the field total (block mean
+    > global mean, integer cross-multiplied — no division, no float), and
+    pack the 64 bits into an int64. dup_group = min media_id sharing the
+    hash (exact-match perceptual dedup; a banded hamming>0 variant would
+    reuse stages/dedup.py's simhash banding unchanged).
+
+    Whole-batch vectorized after the per-row byte-buffer view (inherent to
+    binary payload columns); one tiny hash-keyed groupby + join."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        kinds = t["kind"].to_numpy(zero_copy_only=False)
+        keep = kinds == "image"
+        ids = t["media_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        payloads = [
+            p for p, k in zip(t["payload"].to_pylist(), keep.tolist()) if k
+        ]
+        n = len(ids)
+        M = np.zeros((n, PHASH_FIELD), np.uint8)
+        for i, p in enumerate(payloads):
+            buf = np.frombuffer(p, np.uint8)
+            if len(buf):
+                M[i] = np.resize(buf, PHASH_FIELD)  # cyclic tile = fake decode
+        width = PHASH_FIELD // PHASH_BLOCKS
+        bs = M.reshape(n, PHASH_BLOCKS, width).sum(axis=2, dtype=np.int64)
+        tot = bs.sum(axis=1)
+        bits = (bs * PHASH_BLOCKS) > tot[:, None]
+        weights = np.uint64(1) << np.arange(PHASH_BLOCKS, dtype=np.uint64)
+        phash = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        return pa.table(
+            {"media_id": ids, "phash": phash.view(np.int64)}
+        )
+
+    hashed = media.select_columns(["media_id", "kind", "payload"]).map_batches(
+        kernel, batch_format="pyarrow", batch_size=256
+    ).materialize()  # consumed by both the group side and the probe side
+    groups = hashed.groupby("phash").min("media_id").rename_columns(
+        {"min(media_id)": "dup_group"}
+    )
+    return hashed.join(
+        groups, join_type="inner", num_partitions=num_partitions, on=("phash",)
+    ).select_columns(["media_id", "phash", "dup_group"])

@@ -89,3 +89,54 @@ def test_video_frame_sample_fanout():
     for r in rows:
         assert r["frame_no"] % 4 == 0
         assert len(r["frame_payload"]) > 0
+
+
+def test_image_blockhash_dup_groups():
+    """Identical payloads share phash and dup_group; non-image rows are
+    excluded; bits follow the integer cross-multiplied mean test."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from sbustreamspot_core_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        image_blockhash,
+    )
+
+    def row(mid, kind, payload):
+        return {
+            "media_id": mid, "kind": kind, "payload": payload,
+            "width": 1, "height": 1, "channels": 3,
+            "sample_rate": 16000, "n_samples": len(payload),
+            "n_frames": 1, "sha256": "x",
+        }
+
+    rows = [
+        row(0, "image", b"hello world"),
+        row(3, "image", b"hello world"),   # duplicate of 0
+        row(6, "image", b"different bytes"),
+        row(1, "audio", b"hello world"),   # excluded
+    ]
+    t = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+    out = (
+        image_blockhash(ray.data.from_arrow(t), num_partitions=2)
+        .to_pandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 3, 6]
+    assert out.loc[0, "phash"] == out.loc[3, "phash"]
+    assert out.loc[0, "dup_group"] == 0 and out.loc[3, "dup_group"] == 0
+    assert out.loc[6, "dup_group"] == 6
+
+    # hand-check one hash: payload tiled to 4096 bytes, 64 blocks of 64
+    buf = np.resize(np.frombuffer(b"hello world", np.uint8), 4096)
+    bs = buf.reshape(64, 64).sum(axis=1, dtype=np.int64)
+    bits = (bs * 64) > bs.sum()
+    want = int(
+        (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            dtype=np.uint64
+        ).astype(np.uint64).view(np.int64)
+    )
+    assert out.loc[0, "phash"] == want
