@@ -1377,6 +1377,14 @@ def q_bfs_distance(sf_dir: str):
     return bfs_distance(g, seeds=np.array(BFS_SEEDS, np.int64), max_hops=BFS_MAX_HOPS)
 
 
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the undirected derived graph — exact
+    integer moments, one float division chain mirrored by the SQL."""
+    from sbustreamspot_core_ray.pipelines.superstep import degree_assortativity
+
+    return degree_assortativity(_edges_full(sf_dir), num_partitions=P)
+
+
 SSSP_CAP = 60  # recursion guard; must exceed the max finite distance
 
 
@@ -2699,6 +2707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_distance": q_bfs_distance,
         "sssp_distance": q_sssp_distance,
+        "assortativity": q_assortativity,
         "adamic_adar": q_adamic_adar,
         "hits": q_hits,
         "neighbor_features": q_neighbor_features,
@@ -2779,6 +2788,26 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _ppr_sql(),
         "bfs_distance": _bfs_sql(),
         "sssp_distance": _sssp_sql(),
+        "assortativity": f"""
+WITH de AS ({_SQL_EDGES}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM de WHERE src <> dst),
+deg AS (SELECT vertex, count(*) AS deg FROM (
+          SELECT a AS vertex FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY vertex),
+ed AS (SELECT da.deg AS x, db.deg AS y
+       FROM und JOIN deg da ON da.vertex = und.a
+       JOIN deg db ON db.vertex = und.b),
+s AS (SELECT count(*) AS e,
+             SUM(CAST(x AS HUGEINT) + y) AS sx,
+             SUM(2 * CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x + CAST(y AS HUGEINT) * y) AS sxx
+      FROM ed)
+SELECT e AS edges,
+       ROUND(CAST(2 * e * sxy - sx * sx AS DOUBLE)
+             / CAST(2 * e * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+FROM s
+""",
         "adamic_adar": _SQL_ADAMIC_ADAR,
         "hits": _hits_sql(),
         "neighbor_features": _SQL_NEIGHBOR_FEATURES,

@@ -1497,3 +1497,90 @@ def clustering_coefficient(
         return pa.table({"vertex": v, "deg": d, "triangles": tr, "cc": cc})
 
     return tri.map_batches(fin, batch_format="pyarrow")
+
+
+def degree_assortativity(
+    edges: ray.data.Dataset, num_partitions: int = 32
+) -> ray.data.Dataset:
+    """Degree assortativity of the undirected simple graph: the Pearson
+    correlation of endpoint degrees over the symmetric edge list
+    (each undirected edge counted in both orientations, M = 2E):
+
+        r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2)
+
+    with Sx = sum(dx+dy), Sxy = sum(2*dx*dy), Sxx = sum(dx^2+dy^2) — all
+    EXACT integer partials combined driver-side in Python bigints, then
+    one float(num)/float(den) (each operand rounded to double first, the
+    identical semantics of SQL CAST(HUGEINT AS DOUBLE) division).
+
+    Shape: canon + distinct + the combiner degree aggregate, two
+    co-partitioned searchsorted joins to attach endpoint degrees, then a
+    one-row-per-batch integer partial fold — nothing scales with V or E
+    past the joins."""
+    import pyarrow.compute as pc
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["src"], pa.int64())
+        d = pc.cast(t["dst"], pa.int64())
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table(
+            {"a": pc.min_element_wise(s, d), "b": pc.max_element_wise(s, d)}
+        )
+
+    P = num_partitions
+    und = distinct(
+        edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"]
+    ).materialize()
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()])
+        return pa.table({"vertex": v})
+
+    deg = int_degrees(
+        und.map_batches(both_ends, batch_format="pyarrow"), P
+    ).materialize()
+    wd = _attach_value(und, deg, "a", ["b"], "deg", "deg_a", P)
+    wd = _attach_value(
+        wd.rename_columns({"a": "oa", "b": "a"}),
+        deg,
+        "a",
+        ["oa", "deg_a"],
+        "deg",
+        "deg_b",
+        P,
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = t["deg_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["deg_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "e": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int((x + y).sum())], pa.int64()),
+                "sxy": pa.array([int(2 * (x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x + y * y).sum())], pa.int64()),
+            }
+        )
+
+    rows = wd.map_batches(partials, batch_format="pyarrow").take_all()
+    e = sum(r["e"] for r in rows)
+    sx = sum(int(r["sx"]) for r in rows)
+    sxy = sum(int(r["sxy"]) for r in rows)
+    sxx = sum(int(r["sxx"]) for r in rows)
+    m = 2 * e
+    num = m * sxy - sx * sx  # exact Python bigints
+    den = m * sxx - sx * sx
+    r = float(num) / float(den) if den else 0.0
+    from ..functions.rounding import round_half_away
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "edges": pa.array([e], pa.int64()),
+                "assortativity": pa.array(
+                    [float(round_half_away(np.array([r]), 6)[0])], pa.float64()
+                ),
+            }
+        )
+    )

@@ -549,3 +549,14 @@ def test_sssp_weighted_multiplicity():
     g2 = ShardedGraph.build(edges_ds(raw), num_parts=4, symmetric=True)
     with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
         sssp_distance(g2, seeds=np.array([1], np.int64))
+
+
+def test_degree_assortativity_star():
+    """A star K1,3 is perfectly disassortative: r = -1."""
+    from sbustreamspot_core_ray.pipelines.superstep import degree_assortativity
+
+    out = degree_assortativity(
+        edges_ds([(1, 2), (1, 3), (1, 4)]), num_partitions=2
+    ).to_pandas()
+    assert out.loc[0, "edges"] == 3
+    assert out.loc[0, "assortativity"] == -1.0
