@@ -1957,6 +1957,18 @@ def q_clustering_coefficient(sf_dir: str):
     return df
 
 
+def q_value_outliers(sf_dir: str):
+    """Per-type z-score outlier flags: exact integer moments, a broadcast
+    per-type (mean, stddev) dict, and an identical IEEE flag/z chain on
+    both sides (sqrt is correctly rounded — no libm variance)."""
+    from sbustreamspot_core_ray.stages.events import value_outliers
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return value_outliers(ev)
+
+
 def q_daily_users(sf_dir: str):
     """COUNT(DISTINCT user) per day — batch-deduped pairs cross one
     composite-key shuffle, then a tiny window-keyed fold."""
@@ -2741,6 +2753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "revenue_rollup": q_revenue_rollup,
         "clustering_coefficient": q_clustering_coefficient,
+        "value_outliers": q_value_outliers,
         "daily_users": q_daily_users,
         "weekly_retention": q_weekly_retention,
         "value_percentiles": q_value_percentiles,
@@ -3036,6 +3049,30 @@ SELECT d.vertex, d.deg, COALESCE(t.triangles, 0) AS triangles,
          AS cc
 FROM deg d LEFT JOIN tpv t ON t.vertex = d.vertex
 WHERE d.deg >= 2
+""",
+        "value_outliers": """
+WITH u AS (
+  SELECT event_id, event_type, value,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+st AS (
+  SELECT event_type, count(*) AS n,
+         SUM(CAST(c AS HUGEINT)) AS s,
+         SUM(CAST(c AS HUGEINT) * c) AS ss
+  FROM u GROUP BY event_type
+),
+p AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         sqrt(CAST(ss * n - s * s AS DOUBLE)
+              / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)) AS sd
+  FROM st
+)
+SELECT u.event_id, u.event_type, u.value,
+       ROUND((CAST(u.c AS DOUBLE) - p.m) / p.sd, 6) AS z
+FROM u JOIN p USING (event_type)
+WHERE abs(CAST(u.c AS DOUBLE) - p.m) > 3.0e0 * p.sd
 """,
         "daily_users": """
 WITH d AS (

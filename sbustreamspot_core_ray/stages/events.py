@@ -854,3 +854,90 @@ def weekly_retention(
         )
 
     return agg.map_batches(rate, batch_format="pyarrow")
+
+
+def value_outliers(
+    events: ray.data.Dataset,
+    z_thresh: float = 3.0,
+    value_scale: int = 100,
+) -> ray.data.Dataset:
+    """Per-event-type z-score outliers: flag events whose quantized value
+    is more than z_thresh population stddevs from the type mean.
+
+    Float-parity posture: n, S = Σcents, SS = Σcents² are exact integer
+    partials (one combiner map + a tiny type-keyed groupby); the driver
+    computes m = float(S)/float(n) and
+    sd = sqrt(float(SS*n - S*S) / float(n*n)) — each operand rounded to
+    double exactly like SQL CAST(HUGEINT AS DOUBLE), and sqrt is
+    correctly rounded per IEEE (unlike ln, no libm variance) — then the
+    flag compare and the z expression are identical chains on both sides.
+    The per-type stats dict is tiny and broadcast into the second pass."""
+    import math
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    scale = float(value_scale)
+
+    def pre(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), object)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        c = np.floor(val * scale + 0.5).astype(np.int64)
+        types, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv, minlength=len(types)).astype(np.int64)
+        # int64 scatter-adds (np.add.at), NOT float bincount weights —
+        # per-batch Σc² can pass 2^53 and must stay exact
+        s = np.zeros(len(types), np.int64)
+        np.add.at(s, inv, c)
+        ss = np.zeros(len(types), np.int64)
+        np.add.at(ss, inv, c * c)
+        return pa.table(
+            {"event_type": pa.array(types, pa.string()), "n": n, "s": s, "ss": ss}
+        )
+
+    stats = (
+        events.select_columns(["event_type", "value"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+        .to_pandas()
+    )
+    params = {}
+    for _, row in stats.iterrows():
+        n, s, ss = int(row["n"]), int(row["s"]), int(row["ss"])
+        m = float(s) / float(n)
+        sd = math.sqrt(float(ss * n - s * s) / float(n * n))
+        params[str(row["event_type"])] = (m, sd)
+    params_ref = _ray.put(params)
+
+    def flag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        p = _ray.get(params_ref)
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), object)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        c = np.floor(val * scale + 0.5).astype(np.int64)
+        types, inv = np.unique(et, return_inverse=True)
+        ms = np.array([p[x][0] for x in types.tolist()])[inv]
+        sds = np.array([p[x][1] for x in types.tolist()])[inv]
+        dev = c.astype(np.float64) - ms
+        keep = np.abs(dev) > z_thresh * sds
+        from ..functions.rounding import round_half_away
+
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64())
+                .to_numpy(zero_copy_only=False)[keep],
+                "event_type": pa.array(et[keep], pa.string()),
+                "value": val[keep],
+                "z": round_half_away(dev[keep] / sds[keep], 6),
+            }
+        )
+
+    return events.select_columns(["event_id", "event_type", "value"]).map_batches(
+        flag, batch_format="pyarrow"
+    )

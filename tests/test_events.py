@@ -366,3 +366,29 @@ def test_weekly_retention():
     assert out.loc[1, "active"] == 1 and out.loc[1, "retained"] == 0
     assert out.loc[2, "active"] == 1 and out.loc[2, "retained"] == 0
     assert out.loc[3, "active"] == 1 and out.loc[3, "retained"] == 0
+
+
+def test_value_outliers_zscore():
+    from sbustreamspot_core_ray.stages.events import value_outliers
+
+    # type a: nineteen 10.00s and one 100.00 -> the 100 is >3 sd out
+    vals = [10.0] * 19 + [100.0]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(list(range(20)), pa.int64()),
+                "event_type": pa.array(["a"] * 20),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+    )
+    out = value_outliers(ev).to_pandas()
+    assert list(out["event_id"]) == [19]
+    import math
+
+    c = [1000] * 19 + [10000]
+    n, s = 20, sum(c)
+    ss = sum(x * x for x in c)
+    m = float(s) / float(n)
+    sd = math.sqrt(float(ss * n - s * s) / float(n * n))
+    assert out.loc[0, "z"] == round((10000 - m) / sd, 6)
