@@ -1957,6 +1957,18 @@ def q_clustering_coefficient(sf_dir: str):
     return df
 
 
+def q_hourly_filled(sf_dir: str):
+    """Time-series resample: per-type hourly counts on a DENSE calendar
+    (gaps emit 0) — sparse combiner counts + a per-type vectorized
+    arange/searchsorted fill."""
+    from sbustreamspot_core_ray.stages.events import counts_per_window_filled
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return counts_per_window_filled(ev)
+
+
 def q_value_outliers(sf_dir: str):
     """Per-type z-score outlier flags: exact integer moments, a broadcast
     per-type (mean, stddev) dict, and an identical IEEE flag/z chain on
@@ -2753,6 +2765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "revenue_rollup": q_revenue_rollup,
         "clustering_coefficient": q_clustering_coefficient,
+        "hourly_filled": q_hourly_filled,
         "value_outliers": q_value_outliers,
         "daily_users": q_daily_users,
         "weekly_retention": q_weekly_retention,
@@ -3049,6 +3062,23 @@ SELECT d.vertex, d.deg, COALESCE(t.triangles, 0) AS triangles,
          AS cc
 FROM deg d LEFT JOIN tpv t ON t.vertex = d.vertex
 WHERE d.deg >= 2
+""",
+        "hourly_filled": """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS win, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT event_type, MIN(win) AS h0, MAX(win) AS h1 FROM c GROUP BY 1),
+cal AS (SELECT event_type, unnest(generate_series(h0, h1)) AS win FROM b),
+filled AS (
+  SELECT cal.event_type, cal.win, COALESCE(c.n, 0) AS n
+  FROM cal LEFT JOIN c ON c.event_type = cal.event_type AND c.win = cal.win
+)
+SELECT event_type, win, n,
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY win
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_ma7
+FROM filled
 """,
         "value_outliers": """
 WITH u AS (

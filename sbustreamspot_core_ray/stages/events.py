@@ -941,3 +941,72 @@ def value_outliers(
     return events.select_columns(["event_id", "event_type", "value"]).map_batches(
         flag, batch_format="pyarrow"
     )
+
+
+def counts_per_window_filled(
+    events: ray.data.Dataset,
+    window_us: int = 3_600_000_000,
+) -> ray.data.Dataset:
+    """Per-type event counts on a DENSE window calendar (time-series
+    resample with gap filling): one combiner + (type, window) groupby for
+    the sparse counts, then a per-type vectorized fill (arange over the
+    type's [min, max] window range, searchsorted to place the sparse
+    rows). Missing windows emit 0 — downstream time-series ops (moving
+    averages, anomaly windows) need the dense grid. Also emits n_ma7, the
+    trailing 7-window count sum (integer cumsum difference — the ROWS 6
+    PRECEDING window aggregate, exact).
+
+    The dense output is bounded by types x window span, independent of
+    event volume."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), object)
+        w = us // window_us
+        types, inv = np.unique(et, return_inverse=True)
+        key = np.stack([inv.astype(np.int64), w], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(types[uniq[:, 0]], pa.string()),
+                "win": uniq[:, 1],
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    sparse = (
+        events.select_columns(["ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby(["event_type", "win"])
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+    )
+
+    def fill(g) -> "pa.Table":
+        g = g.sort_values("win")
+        w = g["win"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        grid = np.arange(w[0], w[-1] + 1, dtype=np.int64)
+        dense = np.zeros(len(grid), np.int64)
+        dense[np.searchsorted(grid, w)] = n
+        cum = np.cumsum(dense)
+        ma7 = cum - np.concatenate(
+            [
+                np.zeros(min(7, len(cum)), np.int64),
+                cum[:-7] if len(cum) > 7 else np.empty(0, np.int64),
+            ]
+        )
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {
+                "event_type": np.full(len(grid), g["event_type"].iloc[0], object),
+                "win": grid,
+                "n": dense,
+                "n_ma7": ma7.astype(np.int64),
+            }
+        )
+
+    return sparse.groupby("event_type").map_groups(fill, batch_format="pandas")

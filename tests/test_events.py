@@ -392,3 +392,32 @@ def test_value_outliers_zscore():
     m = float(s) / float(n)
     sd = math.sqrt(float(ss * n - s * s) / float(n * n))
     assert out.loc[0, "z"] == round((10000 - m) / sd, 6)
+
+
+def test_counts_per_window_filled():
+    from sbustreamspot_core_ray.stages.events import counts_per_window_filled
+
+    HOUR = 3_600_000_000
+    # type a: events in hours 0 (x2) and 3 (x1) -> dense grid 0..3 with
+    # zeros at 1, 2; ma7 = trailing 7-window sums
+    rows = [(0, "a"), (1, "a"), (3 * HOUR, "a"), (3 * HOUR + 5, "b")]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[1] for r in rows]),
+            }
+        )
+    )
+    out = (
+        counts_per_window_filled(ev)
+        .to_pandas()
+        .sort_values(["event_type", "win"])
+        .reset_index(drop=True)
+    )
+    a = out[out["event_type"] == "a"]
+    assert list(a["win"]) == [0, 1, 2, 3]
+    assert list(a["n"]) == [2, 0, 0, 1]
+    assert list(a["n_ma7"]) == [2, 2, 2, 3]
+    b = out[out["event_type"] == "b"]
+    assert list(b["n"]) == [1] and list(b["n_ma7"]) == [1]
