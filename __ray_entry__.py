@@ -2047,6 +2047,20 @@ def q_doc_logprob(sf_dir: str):
     return unigram_logprob(docs, top_v=UNIGRAM_V)
 
 
+CHUNK_TOKENS = 32
+
+
+def q_chunk_documents(sf_dir: str):
+    """Context-window preparation: non-overlapping 32-token chunks per
+    document (stateless map, no shuffle)."""
+    from sbustreamspot_core_ray.stages.text import chunk_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(docs, chunk_tokens=CHUNK_TOKENS)
+
+
 def q_doc_quality(sf_dir: str):
     from sbustreamspot_core_ray.stages.text import quality
 
@@ -2772,6 +2786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles": q_value_percentiles,
         "throttle_events": q_throttle_events,
         "doc_logprob": q_doc_logprob,
+        "chunk_documents": q_chunk_documents,
         "doc_quality": q_doc_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -3177,6 +3192,28 @@ agg AS (SELECT doc_id, count(*) AS n, SUM(qln) AS lp FROM s GROUP BY doc_id)
 SELECT d.doc_id, COALESCE(agg.n, 0) AS n_tokens,
        COALESCE(agg.lp, 0) AS logprob_e9
 FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
+        "chunk_documents": f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+c AS (
+  SELECT doc_id, toks, nt,
+         unnest(generate_series(
+           0, CAST(ceil(CAST(nt AS DOUBLE) / {CHUNK_TOKENS}) AS BIGINT) - 1
+         )) AS ck
+  FROM n WHERE nt > 0
+)
+SELECT doc_id, ck AS chunk_id,
+       CAST(LEAST(ck * {CHUNK_TOKENS} + {CHUNK_TOKENS}, nt)
+            - ck * {CHUNK_TOKENS} AS BIGINT) AS n_tokens,
+       array_to_string(
+         toks[CAST(ck * {CHUNK_TOKENS} + 1 AS BIGINT)
+              : CAST(LEAST(ck * {CHUNK_TOKENS} + {CHUNK_TOKENS}, nt) AS BIGINT)],
+         ' ') AS chunk_text
+FROM c
 """,
         "doc_quality": r"""
 SELECT doc_id,

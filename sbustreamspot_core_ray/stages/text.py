@@ -533,3 +533,57 @@ def unigram_logprob(
         )
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def chunk_documents(
+    docs: ray.data.Dataset, chunk_tokens: int = 32
+) -> ray.data.Dataset:
+    """Context-window preparation: split each document into consecutive
+    `chunk_tokens`-token chunks (non-overlapping; the training-data
+    "pack/window" step). Stateless map — no shuffle at any scale; output
+    rows are (doc_id, chunk_id, n_tokens, chunk_text).
+
+    Tokenization is the house single-space split (empties dropped),
+    mirrored by the SQL list_filter(string_split(...)) oracle with
+    1-based inclusive list slicing. The explode/regroup is vectorized;
+    only the final per-chunk ' '.join is a Python call (amortized 1/32 of
+    token rows, same posture as the decode loops)."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        if not len(ex):
+            return pd.DataFrame(
+                {
+                    "doc_id": np.empty(0, np.int64),
+                    "chunk_id": np.empty(0, np.int64),
+                    "n_tokens": np.empty(0, np.int64),
+                    "chunk_text": np.empty(0, object),
+                }
+            )
+        pos = ex.groupby(level=0).cumcount().to_numpy(np.int64)
+        g = pd.DataFrame(
+            {
+                "d": ex.index.to_numpy(),
+                "ck": pos // chunk_tokens,
+                "tok": ex.to_numpy(dtype=object),
+            }
+        )
+        gb = g.groupby(["d", "ck"], sort=True)
+        joined = gb["tok"].agg(" ".join)
+        counts = gb.size()
+        d_idx = joined.index.get_level_values(0).to_numpy()
+        doc_ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids[df.index.get_indexer(d_idx)],
+                "chunk_id": joined.index.get_level_values(1).to_numpy(np.int64),
+                "n_tokens": counts.to_numpy(np.int64),
+                "chunk_text": joined.to_numpy(dtype=object),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        kernel, batch_format="pandas"
+    )

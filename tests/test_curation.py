@@ -392,3 +392,34 @@ def test_unigram_logprob_exact():
     assert out.loc[1, "n_tokens"] == 3 and out.loc[1, "logprob_e9"] == 2 * qa + qb
     assert out.loc[2, "logprob_e9"] == qa + qb + qoov
     assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "logprob_e9"] == 0
+
+
+def test_chunk_documents():
+    import pyarrow as pa
+
+    import ray.data
+
+    from sbustreamspot_core_ray.stages.text import chunk_documents
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                # doc 1: 5 tokens (double space collapses), chunk size 2
+                "text": pa.array(["a b  c d e", "x", ""]),
+            }
+        )
+    )
+    out = (
+        chunk_documents(docs, chunk_tokens=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["doc_id"], out["chunk_id"], out["n_tokens"], out["chunk_text"]))
+    assert got == [
+        (1, 0, 2, "a b"),
+        (1, 1, 2, "c d"),
+        (1, 2, 1, "e"),
+        (2, 0, 1, "x"),
+    ]
