@@ -1488,6 +1488,17 @@ def q_triangles_per_vertex(sf_dir: str):
     )
 
 
+def q_edge_support(sf_dir: str):
+    """Per-edge triangle support (the k-truss metric) on the co-occurrence
+    graph — rides the oriented-wedge triangle pipeline with per_edge
+    output."""
+    from sbustreamspot_core_ray.pipelines.superstep import triangle_count
+
+    return triangle_count(
+        _edges_triangle(sf_dir), num_partitions=4 * P, per_edge=True
+    )
+
+
 def q_lsh_isolated(sf_dir: str):
     """C2 anti-join (SQL-mirrored): typed-graph sketches split into an index
     (gid < 40) and queries (gid >= 40); a query gid is isolated iff none of
@@ -2754,6 +2765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighborhood_sketch": q_neighborhood_sketch,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "edge_support": q_edge_support,
         "kcore": q_kcore,
         "common_neighbors": q_common_neighbors,
         "lsh_isolated": q_lsh_isolated,
@@ -2884,6 +2896,19 @@ SELECT vertex, count(*) AS triangles FROM (
   SELECT y FROM tri UNION ALL
   SELECT z FROM tri
 ) GROUP BY vertex
+""",
+        "edge_support": f"""
+WITH de AS ({_SQL_EDGES_TRI}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM de WHERE src <> dst),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT a, b, count(*) AS support FROM (
+  SELECT x AS a, y AS b FROM tri UNION ALL
+  SELECT x, z FROM tri UNION ALL
+  SELECT y, z FROM tri
+) GROUP BY a, b
 """,
         "shingles": f"""
 WITH e AS (

@@ -892,6 +892,7 @@ def _triangles_broadcast(
     num_tasks: int,
     per_vertex: bool,
     with_degrees: bool = False,
+    per_edge: bool = False,
 ) -> ray.data.Dataset:
     """Broadcast-closure regime (|E| bounded): takes the CANONICALIZED but
     not-yet-deduped (a, b) table — dedup happens here as one np.unique over
@@ -958,18 +959,44 @@ def _triangles_broadcast(
     u_ref = ray.put(u)
     v_ref = ray.put(v)
     es_ref = ray.put(es_packed)
+    want_tuples = per_vertex or per_edge
     results = ray.get(
         [
             _close_wedges_task.remote(
-                u_ref, v_ref, es_ref, int(bounds[i]), int(bounds[i + 1]), per_vertex
+                u_ref, v_ref, es_ref, int(bounds[i]), int(bounds[i + 1]),
+                want_tuples,
             )
             for i in range(len(bounds) - 1)
         ]
     )
-    if not per_vertex:
+    if not want_tuples:
         nt = sum(r[0] for r in results)
         return ray.data.from_arrow(
             pa.table({"triangles": pa.array([nt], pa.int64())})
+        )
+    if per_edge:
+        packs = []
+        for _, tu, tv, tw in results:
+            if tu is None:
+                continue
+            for x, y in ((tu, tv), (tu, tw), (tv, tw)):
+                lo = np.minimum(x, y).astype(np.uint64)
+                hi = np.maximum(x, y).astype(np.uint64)
+                packs.append((lo << np.uint64(32)) | hi)
+        if packs:
+            uq, cnt = np.unique(np.concatenate(packs), return_counts=True)
+        else:
+            uq = np.empty(0, np.uint64)
+            cnt = np.empty(0, np.int64)
+        ea = (uq >> np.uint64(32)).astype(np.int64)
+        eb = (uq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        if vs_sorted is not None:
+            ea, eb = vs_sorted[ea], vs_sorted[eb]
+        return ray.data.from_arrow(
+            pa.table(
+                {"a": pa.array(ea, pa.int64()), "b": pa.array(eb, pa.int64()),
+                 "support": pa.array(cnt.astype(np.int64))}
+            )
         )
     counts = np.zeros(nv, np.int64)
     for _, tu, tv, tw in results:
@@ -1270,8 +1297,13 @@ def triangle_count(
     per_vertex: bool = False,
     broadcast_edges_max: int = 50_000_000,
     with_degrees: bool = False,
+    per_edge: bool = False,
 ) -> ray.data.Dataset:
     """Exact triangle counting via degree-ordered orientation.
+
+    per_edge=True returns (a, b, support) — each undirected edge's
+    triangle count (the k-truss support metric) — instead of the scalar
+    or per-vertex counts.
 
     1. canonicalize to undirected distinct edges (a<b), drop self-loops;
     2. degree table (combiner + one cheap-key shuffle);
@@ -1323,7 +1355,9 @@ def triangle_count(
     except (ValueError, OSError, AttributeError):  # non-Linux fallback
         pass
     if n_edges <= broadcast_edges_max:
-        return _triangles_broadcast(raw, num_partitions, per_vertex, with_degrees)
+        return _triangles_broadcast(
+            raw, num_partitions, per_vertex, with_degrees, per_edge
+        )
     und = distinct(raw, ["a", "b"]).materialize()
 
     def both_ends(t: pa.Table) -> pa.Table:
@@ -1427,6 +1461,25 @@ def triangle_count(
         )
 
     closed = probes.groupby("kp").map_groups(match, batch_format="pyarrow")
+
+    if per_edge:
+
+        def edge_pairs(t: pa.Table) -> pa.Table:
+            tu = t["tu"].to_numpy(zero_copy_only=False)
+            tv = t["tv"].to_numpy(zero_copy_only=False)
+            tw = t["tw"].to_numpy(zero_copy_only=False)
+            xs = np.concatenate([tu, tu, tv])
+            ys = np.concatenate([tv, tw, tw])
+            return pa.table(
+                {"a": np.minimum(xs, ys), "b": np.maximum(xs, ys)}
+            )
+
+        return (
+            closed.map_batches(edge_pairs, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .count()
+            .rename_columns({"count()": "support"})
+        )
 
     if not per_vertex:
         n = closed.count()

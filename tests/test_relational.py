@@ -164,3 +164,24 @@ def test_clustering_coefficient_bigpath_parity():
     assert list(small["vertex"]) == [1, 2, 3, 4, 5, 6]
     assert list(small["deg"]) == [3, 3, 2, 2, 1, 1]
     assert list(small["triangles"]) == [2, 2, 1, 1, 0, 0]
+
+
+def test_edge_support_both_regimes():
+    """Per-edge triangle support matches between broadcast and
+    co-partitioned regimes on K4 minus an edge."""
+    from sbustreamspot_core_ray.pipelines.superstep import triangle_count
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "dst": pa.array([2, 3, 4, 3, 4], pa.int64()),
+            }
+        )
+    )
+    # triangles (1,2,3), (1,2,4): edge (1,2) support 2, others 1
+    want = {(1, 2): 2, (1, 3): 1, (1, 4): 1, (2, 3): 1, (2, 4): 1}
+    for kwargs in ({}, {"broadcast_edges_max": 0}):
+        out = triangle_count(edges, 2, per_edge=True, **kwargs).to_pandas()
+        got = {(a, b): s for a, b, s in zip(out["a"], out["b"], out["support"])}
+        assert got == want, kwargs
