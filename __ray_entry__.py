@@ -1499,6 +1499,48 @@ def q_edge_support(sf_dir: str):
     )
 
 
+KTRUSS_K = 4
+KTRUSS_SQL_ROUNDS = 20  # measured 15 peel rounds at sf0.01; extra are no-ops
+
+
+def q_ktruss(sf_dir: str):
+    """k-truss subgraph (k=4): iterative support peeling to the fixpoint
+    on the co-occurrence graph (15 rounds at sf0.01, 66 surviving
+    edges)."""
+    from sbustreamspot_core_ray.pipelines.superstep import ktruss
+
+    return ktruss(_edges_triangle(sf_dir), k=KTRUSS_K, num_partitions=4 * P)
+
+
+def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_SQL_ROUNDS) -> str:
+    """Unrolled peeling oracle (the kcore pattern): each round recomputes
+    triangle support over the previous survivors and keeps support >=
+    k-2. MATERIALIZED throughout — each round references the previous CTE
+    three times, so default inlining would explode the plan 3^rounds."""
+    ctes = [
+        f"de AS MATERIALIZED ({_SQL_EDGES_TRI})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM de WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"t{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z"
+            f" FROM e{p} e1 JOIN e{p} e2 ON e1.b = e2.a"
+            f" JOIN e{p} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT a, b, count(*) AS sup FROM ("
+            f"SELECT x AS a, y AS b FROM t{r} UNION ALL"
+            f" SELECT x, z FROM t{r} UNION ALL SELECT y, z FROM t{r}"
+            f") GROUP BY a, b HAVING count(*) >= {k - 2})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a, b, sup AS support FROM e{rounds}"
+    )
+
+
 def q_lsh_isolated(sf_dir: str):
     """C2 anti-join (SQL-mirrored): typed-graph sketches split into an index
     (gid < 40) and queries (gid >= 40); a query gid is isolated iff none of
@@ -2766,6 +2808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "edge_support": q_edge_support,
+        "ktruss": q_ktruss,
         "kcore": q_kcore,
         "common_neighbors": q_common_neighbors,
         "lsh_isolated": q_lsh_isolated,
@@ -2910,6 +2953,7 @@ SELECT a, b, count(*) AS support FROM (
   SELECT y, z FROM tri
 ) GROUP BY a, b
 """,
+        "ktruss": _ktruss_sql(),
         "shingles": f"""
 WITH e AS (
   SELECT DISTINCT o_custkey AS src, 10000000 + o_orderkey AS dst,

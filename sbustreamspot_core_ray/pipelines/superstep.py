@@ -904,8 +904,12 @@ def _triangles_broadcast(
     zero-copy. NO shuffle at any step. (The co-partitioned Dataset path in
     triangle_count handles graphs whose edge list cannot be broadcast.)"""
     df = raw.to_pandas()
-    a = df["a"].to_numpy()
-    b = df["b"].to_numpy()
+    if "a" not in df.columns:  # fully-empty dataset loses its schema
+        a = np.empty(0, np.int64)
+        b = np.empty(0, np.int64)
+    else:
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
     del df
     # Every step below is SINGLE-THREADED driver numpy — the phase the
     # hypervisor's CPU steal amplifies 3-6x on this box (parallel task
@@ -1637,3 +1641,35 @@ def degree_assortativity(
             }
         )
     )
+
+
+def ktruss(
+    edges: ray.data.Dataset,
+    k: int = 5,
+    num_partitions: int = 32,
+    max_rounds: int = 32,
+) -> ray.data.Dataset:
+    """k-truss subgraph: iteratively drop edges whose triangle support is
+    below k-2 until a fixpoint (edges in no triangle drop immediately —
+    per_edge output only lists supported edges). Each round is one full
+    oriented-wedge support pass over the SURVIVING edges; with positive
+    peeling every round strictly shrinks the edge set, so rounds <=
+    initial support radius (measured single digits on the co-occurrence
+    graphs). Returns (a, b, support) of the converged subgraph, support
+    as recomputed on the final edge set.
+
+    The SQL mirror unrolls the same peeling a fixed number of rounds past
+    convergence (extra rounds are no-ops) — the kcore oracle pattern."""
+    cur = edges
+    prev_n = -1
+    for _ in range(max_rounds):
+        sup = triangle_count(cur, num_partitions, per_edge=True).materialize()
+        keep = sup.filter(expr=f"support >= {k - 2}").materialize()
+        n = keep.count()
+        if n == prev_n or n == 0:  # fixpoint (empty is trivially converged)
+            return keep
+        prev_n = n
+        cur = keep.rename_columns({"a": "src", "b": "dst"}).drop_columns(
+            ["support"]
+        )
+    return keep

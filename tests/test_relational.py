@@ -185,3 +185,32 @@ def test_edge_support_both_regimes():
         out = triangle_count(edges, 2, per_edge=True, **kwargs).to_pandas()
         got = {(a, b): s for a, b, s in zip(out["a"], out["b"], out["support"])}
         assert got == want, kwargs
+
+
+def test_ktruss_k4():
+    from sbustreamspot_core_ray.pipelines.superstep import ktruss
+
+    # full K4: every edge sits in 2 triangles -> the whole graph is a
+    # 4-truss (support >= 2)
+    k4 = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                "dst": pa.array([2, 3, 4, 3, 4, 4], pa.int64()),
+            }
+        )
+    )
+    out = ktruss(k4, k=4, num_partitions=2).to_pandas()
+    assert len(out) == 6 and (out["support"] == 2).all()
+
+    # K4 minus an edge: peeling empties the graph at k=4
+    k4m = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "dst": pa.array([2, 3, 4, 3, 4], pa.int64()),
+            }
+        )
+    )
+    out2 = ktruss(k4m, k=4, num_partitions=2).to_pandas()
+    assert len(out2) == 0
