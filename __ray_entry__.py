@@ -2010,6 +2010,26 @@ def q_clustering_coefficient(sf_dir: str):
     return df
 
 
+LATE_US = 300_000_000  # 5 min allowed lateness
+LATE_BUCKET_US = 600_000_000  # deterministic arrival-scramble bucket (10 min)
+
+
+def q_late_events(sf_dir: str):
+    """Watermark / late-data flags: events >5min behind the per-user
+    running-max event time in (deterministically simulated) arrival
+    order — the table's event_id is globally time-sorted, so arrival is
+    scrambled within 10-min buckets identically on both sides."""
+    from sbustreamspot_core_ray.stages.events import late_events
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return late_events(
+        ev, allowed_lateness_us=LATE_US, arrival_bucket_us=LATE_BUCKET_US,
+        num_parts=P,
+    )
+
+
 def q_hourly_filled(sf_dir: str):
     """Time-series resample: per-type hourly counts on a DENSE calendar
     (gaps emit 0) — sparse combiner counts + a per-type vectorized
@@ -2834,6 +2854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "revenue_rollup": q_revenue_rollup,
         "clustering_coefficient": q_clustering_coefficient,
+        "late_events": q_late_events,
         "hourly_filled": q_hourly_filled,
         "value_outliers": q_value_outliers,
         "daily_users": q_daily_users,
@@ -3146,6 +3167,22 @@ SELECT d.vertex, d.deg, COALESCE(t.triangles, 0) AS triangles,
          AS cc
 FROM deg d LEFT JOIN tpv t ON t.vertex = d.vertex
 WHERE d.deg >= 2
+""",
+        "late_events": f"""
+WITH s AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         MAX(epoch_us(ts)) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(ts) // {LATE_BUCKET_US},
+                    (event_id * 2654435761) % 2147483648,
+                    event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS watermark_us
+  FROM events
+)
+SELECT event_id, user_id, ts_us, watermark_us,
+       watermark_us - ts_us AS lateness_us
+FROM s WHERE watermark_us - ts_us > {LATE_US}
 """,
         "hourly_filled": """
 WITH c AS (

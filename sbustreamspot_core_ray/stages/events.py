@@ -1010,3 +1010,81 @@ def counts_per_window_filled(
         )
 
     return sparse.groupby("event_type").map_groups(fill, batch_format="pandas")
+
+
+_ARRIVAL_MIX = 2654435761  # Knuth multiplicative constant
+_ARRIVAL_MOD = 2147483648  # 2^31
+
+
+def late_events(
+    events: ray.data.Dataset,
+    allowed_lateness_us: int = 300_000_000,
+    arrival_bucket_us: int = 600_000_000,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Watermark / late-data detection: an event is LATE when its event
+    time falls more than `allowed_lateness_us` behind the per-user
+    watermark — the running max event time in ARRIVAL order. The events
+    table carries no arrival column (event_id is globally time-ordered,
+    so real disorder is zero); arrival is SIMULATED deterministically by
+    scrambling events within `arrival_bucket_us` buckets: arrival order =
+    (bucket, event_id * Knuth mod 2^31, event_id), the same expression
+    the SQL oracle sorts its watermark window by. Max possible lateness
+    is bounded by the bucket width.
+
+    ONE shuffle on hash(user) % P; the kernel is a per-partition lexsort
+    + pandas' C segmented cumulative max + integer compare. Returns
+    flagged rows (event_id, user_id, ts_us, watermark_us, lateness_us)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        e = t["event_id"].to_numpy()
+        us = t["us"].to_numpy()
+        bucket = us // arrival_bucket_us
+        mix = (e * _ARRIVAL_MIX) % _ARRIVAL_MOD
+        order = np.lexsort((e, mix, bucket, u))
+        u, e, us = u[order], e[order], us[order]
+        n = len(u)
+        if n == 0:
+            z = np.empty(0, np.int64)
+            return pa.table(
+                {"event_id": z, "user_id": z, "ts_us": z,
+                 "watermark_us": z, "lateness_us": z}
+            )
+        # segmented cumulative max (per-user watermark): pandas' grouped
+        # cummax is a single C pass over the already-sorted rows
+        import pandas as _pd
+
+        cm = (
+            _pd.Series(us).groupby(u, sort=False).cummax().to_numpy(np.int64)
+        )
+        late = (cm - us) > allowed_lateness_us
+        return pa.table(
+            {
+                "event_id": e[late],
+                "user_id": u[late],
+                "ts_us": us[late],
+                "watermark_us": cm[late],
+                "lateness_us": (cm - us)[late],
+            }
+        )
+
+    return (
+        events.select_columns(["event_id", "ts", "user_id"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

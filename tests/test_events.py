@@ -421,3 +421,33 @@ def test_counts_per_window_filled():
     assert list(a["n_ma7"]) == [2, 2, 2, 3]
     b = out[out["event_type"] == "b"]
     assert list(b["n"]) == [1] and list(b["n_ma7"]) == [1]
+
+
+def test_late_events_watermark():
+    from sbustreamspot_core_ray.stages.events import late_events
+
+    # bucket = 100s; within one bucket arrival is scrambled by
+    # (event_id * 2654435761) % 2^31. Use explicit ids whose mixed order
+    # inverts the time order so a late row exists.
+    mix = lambda e: (e * 2654435761) % 2147483648
+    # choose two ids where the LATER ts arrives FIRST in mixed order
+    a, b = 1, 2
+    if mix(a) > mix(b):
+        a, b = b, a
+    # event a (arrives first) at t=90s, event b (arrives second) at t=10s
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([a, b], pa.int64()),
+                "ts": pa.array([90 * US, 10 * US], pa.timestamp("us")),
+                "user_id": pa.array([7, 7], pa.int64()),
+            }
+        )
+    )
+    out = late_events(
+        ev, allowed_lateness_us=50 * US, arrival_bucket_us=100 * US,
+        num_parts=2,
+    ).to_pandas()
+    assert list(out["event_id"]) == [b]
+    assert out.loc[0, "watermark_us"] == 90 * US
+    assert out.loc[0, "lateness_us"] == 80 * US
