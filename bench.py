@@ -82,6 +82,17 @@ BENCH_QUERIES = [
     "event_transitions",
     "throttle_events",
     "doc_logprob",
+    "value_percentiles",
+    "daily_users",
+    "weekly_retention",
+    "late_events",
+    "value_outliers",
+    "hourly_filled",
+    "image_phash",
+    "chunk_documents",
+    "edge_support",
+    # ktruss / assortativity are benchmarked at sf0.01 only: 15 peel
+    # rounds / two V-scale joins dominate the suite at sf0.1
     # common_neighbors / adamic_adar are benchmarked at sf0.01 only
     # (BASELINE.md): their wedge table is O(sum deg^2) and would dominate
     # the sf0.1 suite
