@@ -1377,6 +1377,52 @@ def q_bfs_distance(sf_dir: str):
     return bfs_distance(g, seeds=np.array(BFS_SEEDS, np.int64), max_hops=BFS_MAX_HOPS)
 
 
+WALK_SEEDS = tuple(range(1, 51))  # customer keys, present at every sf
+WALK_LEN = 4
+
+
+def q_random_walks(sf_dir: str):
+    """DeepWalk-style corpus generation: deterministic seeded-hash walks
+    over the symmetrized derived graph, adjacency resident in the CSR
+    shard pool (one routed exchange per step)."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        random_walks,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    return random_walks(
+        g, seeds=np.array(WALK_SEEDS, np.int64), length=WALK_LEN
+    )
+
+
+def _random_walks_sql() -> str:
+    seeds = ", ".join(f"({s})" for s in WALK_SEEDS)
+    ctes = [
+        f"de AS MATERIALIZED ({_SQL_EDGES})",
+        "sym AS MATERIALIZED (SELECT src AS s, dst AS d FROM de"
+        " UNION SELECT dst, src FROM de)",
+        "adj AS MATERIALIZED (SELECT s, d,"
+        " CAST(row_number() OVER (PARTITION BY s ORDER BY d) - 1 AS BIGINT) AS rn,"
+        " CAST(count(*) OVER (PARTITION BY s) AS BIGINT) AS deg FROM sym)",
+        f"w0 AS (SELECT s AS walk_id, s AS v FROM (VALUES {seeds}) t(s)"
+        " WHERE s IN (SELECT s FROM adj))",
+    ]
+    for k in range(1, WALK_LEN + 1):
+        ctes.append(
+            f"w{k} AS (SELECT w.walk_id, adj.d AS v FROM w{k - 1} w"
+            f" JOIN adj ON adj.s = w.v"
+            f" AND adj.rn = (w.walk_id * 2654435761 + {k} * 40503) % adj.deg)"
+        )
+    selects = [
+        f"SELECT walk_id, CAST({k} AS BIGINT) AS step, v AS vertex FROM w{k}"
+        for k in range(0, WALK_LEN + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_assortativity(sf_dir: str):
     """Degree assortativity of the undirected derived graph — exact
     integer moments, one float division chain mirrored by the SQL."""
@@ -2819,6 +2865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_distance": q_bfs_distance,
         "sssp_distance": q_sssp_distance,
         "assortativity": q_assortativity,
+        "random_walks": q_random_walks,
         "adamic_adar": q_adamic_adar,
         "hits": q_hits,
         "neighbor_features": q_neighbor_features,
@@ -2905,6 +2952,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _ppr_sql(),
         "bfs_distance": _bfs_sql(),
         "sssp_distance": _sssp_sql(),
+        "random_walks": _random_walks_sql(),
         "assortativity": f"""
 WITH de AS ({_SQL_EDGES}),
 und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

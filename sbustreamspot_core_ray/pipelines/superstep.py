@@ -1673,3 +1673,62 @@ def ktruss(
             ["support"]
         )
     return keep
+
+
+def random_walks(
+    graph: ShardedGraph, seeds, length: int = 4
+) -> ray.data.Dataset:
+    """Deterministic random-walk corpus generation (the DeepWalk /
+    node2vec sampling step): from each seed vertex, walk `length` steps;
+    at step k the walk at vertex v moves to v's
+    ((walk_id*C1 + k*C2) mod deg)-th neighbor in sorted-dst order — a
+    seeded hash pick, bit-reproducible and SQL-mirrorable via
+    row_number() OVER (PARTITION BY src ORDER BY dst).
+
+    The adjacency stays sharded in the CsrShard pool; each step routes
+    the walk frontier to the owning shards (driver holds only the
+    seed-scale walk table — for vertex-scale walk fleets the same
+    walk_next kernel would run as an actor-resident exchange like BFS).
+    Returns (walk_id, step, vertex) with step 0 = the seed itself; walks
+    from seeds absent from the graph emit nothing."""
+    if graph.salted:
+        raise ValueError("random_walks supports unsalted graphs only")
+    actors = graph.actors
+    P = graph.P
+    seeds = np.unique(np.asarray(seeds, np.int64))
+    cur_ids, cur_vs = seeds, seeds.copy()
+    out_ids: list[np.ndarray] = []
+    out_steps: list[np.ndarray] = []
+    out_vs: list[np.ndarray] = []
+    for step in range(1, length + 1):
+        parts = part_of(cur_vs, P)
+        refs = []
+        for p in range(P):
+            m = parts == p
+            if m.any():
+                refs.append(actors[p].walk_next.remote(cur_ids[m], cur_vs[m], step))
+        results = ray.get(refs)
+        ids = np.concatenate([r[0] for r in results]) if results else np.empty(0, np.int64)
+        vs = np.concatenate([r[1] for r in results]) if results else np.empty(0, np.int64)
+        if step == 1:
+            # a seed is "in the graph" iff it has adjacency — exactly the
+            # ids that survived the first hop (symmetric builds give every
+            # present vertex deg >= 1); emit their step-0 rows
+            out_ids.append(ids)
+            out_steps.append(np.zeros(len(ids), np.int64))
+            out_vs.append(ids)
+        out_ids.append(ids)
+        out_steps.append(np.full(len(ids), step, np.int64))
+        out_vs.append(vs)
+        cur_ids, cur_vs = ids, vs
+        if not len(cur_ids):
+            break
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "walk_id": pa.array(np.concatenate(out_ids) if out_ids else np.empty(0, np.int64)),
+                "step": pa.array(np.concatenate(out_steps) if out_steps else np.empty(0, np.int64)),
+                "vertex": pa.array(np.concatenate(out_vs) if out_vs else np.empty(0, np.int64)),
+            }
+        )
+    )

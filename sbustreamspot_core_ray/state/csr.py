@@ -1107,6 +1107,30 @@ class CsrShard:
             }
         )
 
+    # ---- deterministic random walks ----------------------------------
+
+    _WALK_C1 = 2654435761  # Knuth multiplicative constant
+    _WALK_C2 = 40503
+
+    def walk_next(self, walk_ids: np.ndarray, vs: np.ndarray, step: int):
+        """One walk step for walks currently AT vertices this shard owns:
+        next vertex = the ((walk_id*C1 + step*C2) mod deg)-th neighbor in
+        sorted-dst order (the CSR adjacency is (src, dst)-sorted, so the
+        pick mirrors a SQL row_number() OVER (ORDER BY dst) selection).
+        Returns (walk_ids, next_vertex) for walks whose vertex exists and
+        has out-edges; the rest terminate silently."""
+        walk_ids = np.asarray(walk_ids, np.int64)
+        vs = np.asarray(vs, np.int64)
+        if not len(self.srcs) or not len(vs):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        i = np.clip(np.searchsorted(self.srcs, vs), 0, len(self.srcs) - 1)
+        live = self.srcs[i] == vs
+        walk_ids, i = walk_ids[live], i[live]
+        start = self.indptr[i]
+        deg = self.outdeg[i]
+        r = (walk_ids * self._WALK_C1 + step * self._WALK_C2) % deg
+        return walk_ids, self.dsts[start + r]
+
     def lp_scatter_parts(self):
         lbl_edge = self._rank_per_edge(self.label[self.src_in_owned])
         pairs = np.stack([self.dst_inv, lbl_edge], axis=1)

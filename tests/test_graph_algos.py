@@ -560,3 +560,35 @@ def test_degree_assortativity_star():
     ).to_pandas()
     assert out.loc[0, "edges"] == 3
     assert out.loc[0, "assortativity"] == -1.0
+
+
+def test_random_walks_deterministic():
+    """Walks follow the seeded-hash neighbor pick over sorted adjacency;
+    absent seeds emit nothing; two runs are identical."""
+    from sbustreamspot_core_ray.pipelines.superstep import random_walks
+
+    # path graph 1-2-3 plus 2-4 (symmetric)
+    edges = [(1, 2), (2, 3), (2, 4)]
+    g = ShardedGraph.build(edges_ds(edges), num_parts=4, symmetric=True)
+    seeds = np.array([1, 99], np.int64)  # 99 absent
+    out = (
+        random_walks(g, seeds=seeds, length=3)
+        .to_pandas()
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+    assert set(out["walk_id"]) == {1}
+    assert list(out["step"]) == [0, 1, 2, 3]
+    # replay the pick rule by hand
+    adj = {1: [2], 2: [3, 4, 1], 3: [2], 4: [2]}
+    for k, v in adj.items():
+        v.sort()
+    v, walk = 1, [1]
+    for step in (1, 2, 3):
+        nbrs = adj[v]
+        v = nbrs[(1 * 2654435761 + step * 40503) % len(nbrs)]
+        walk.append(v)
+    assert list(out["vertex"]) == walk
+
+    out2 = random_walks(g, seeds=seeds, length=3).to_pandas()
+    assert sorted(out2["vertex"]) == sorted(out["vertex"])
