@@ -2088,6 +2088,28 @@ def q_hourly_filled(sf_dir: str):
     return counts_per_window_filled(ev)
 
 
+def q_embedding_centroids(sf_dir: str):
+    """Mean-pooled class prototypes per label: integer-quantized exact
+    sums, one (label, dim) groupby, fixed mean chain."""
+    from sbustreamspot_core_ray.stages.ann import embedding_centroids
+
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return embedding_centroids(embs)
+
+
+def q_props_stats(sf_dir: str):
+    """Semi-structured extraction: integer field k regex-extracted from
+    the JSON props column, folded per event_type (all-integer stats)."""
+    from sbustreamspot_core_ray.stages.events import props_field_stats
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return props_field_stats(ev, key="k")
+
+
 def q_value_outliers(sf_dir: str):
     """Per-type z-score outlier flags: exact integer moments, a broadcast
     per-type (mean, stddev) dict, and an identical IEEE flag/z chain on
@@ -2903,6 +2925,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficient": q_clustering_coefficient,
         "late_events": q_late_events,
         "hourly_filled": q_hourly_filled,
+        "embedding_centroids": q_embedding_centroids,
+        "props_stats": q_props_stats,
         "value_outliers": q_value_outliers,
         "daily_users": q_daily_users,
         "weekly_retention": q_weekly_retention,
@@ -3248,6 +3272,29 @@ SELECT event_type, win, n,
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
             AS BIGINT) AS n_ma7
 FROM filled
+""",
+        "embedding_centroids": """
+WITH q AS (
+  SELECT label, g.i AS dim,
+         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 65536.0 + 0.5)
+              AS BIGINT) AS u
+  FROM embeddings, generate_series(1, 64) g(i)
+),
+s AS (SELECT label, dim, SUM(u) AS s, count(*) AS n FROM q GROUP BY 1, 2)
+SELECT CAST(label AS BIGINT) AS label, dim,
+       ROUND(CAST(s AS DOUBLE) / n / 65536.0, 6) AS centroid
+FROM s
+""",
+        "props_stats": """
+WITH x AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS v
+  FROM events
+  WHERE regexp_extract(props, '"k":\\s*(-?\\d+)', 1) <> ''
+)
+SELECT event_type, count(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v,
+       MIN(v) AS min_v, MAX(v) AS max_v
+FROM x GROUP BY event_type
 """,
         "value_outliers": """
 WITH u AS (

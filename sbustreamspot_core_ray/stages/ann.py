@@ -596,3 +596,56 @@ def embedding_dedup(
     return connected_components(g).rename_columns(
         {"vertex": "vec_id", "component": "dup_group"}
     )
+
+
+def embedding_centroids(
+    embs: ray.data.Dataset, group_col: str = "label", dim: int = 64
+) -> ray.data.Dataset:
+    """Mean-pooled centroid per group (semantic-cluster prototypes /
+    class prototypes for embedding-space curation): embeddings are
+    integer-quantized (floor(x*2^16+0.5), exact int64 sums in any order),
+    combined per batch, folded by ONE (group, dim)-keyed groupby, and the
+    mean is the fixed chain (float(sum)/n)/65536.0 rounded at output —
+    bit-identical to the SQL mirror. Long-form output (group, dim,
+    centroid): |groups| x dim rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = quantize(_mat(t["embedding"], np.float64)).astype(np.int64)
+        gu, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros((len(gu), M.shape[1]), np.int64)
+        np.add.at(sums, inv, M)
+        cnt = np.bincount(inv, minlength=len(gu)).astype(np.int64)
+        k = M.shape[1]
+        return pa.table(
+            {
+                "grp": np.repeat(gu, k),
+                "dim": np.tile(np.arange(1, k + 1, dtype=np.int64), len(gu)),
+                "s": sums.ravel(),
+                "n": np.repeat(cnt, k),
+            }
+        )
+
+    agg = (
+        embs.select_columns([group_col, "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["grp", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = (s.astype(np.float64) / n) / QUANT_SCALE
+        return pa.table(
+            {
+                "label": t["grp"],
+                "dim": t["dim"],
+                "centroid": round_half_away(c, 6),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")

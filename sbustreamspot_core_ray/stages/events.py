@@ -1088,3 +1088,40 @@ def late_events(
         .groupby("__p")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def props_field_stats(
+    events: ray.data.Dataset, key: str = "k"
+) -> ray.data.Dataset:
+    """Semi-structured extraction + aggregate: pull integer field `key`
+    out of the JSON `props` string column with one vectorized regex
+    (identical RE semantics to the SQL regexp_extract mirror), then fold
+    per event_type: n, sum, min, max — all integers. Rows without the
+    field drop on both sides."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    pat = r'"' + key + r'":\s*(-?\d+)'
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["props"].fillna("").str.extract(pat, expand=False)
+        m = v.notna()
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"][m].to_numpy(dtype=object),
+                "v": v[m].astype(np.int64).to_numpy(),
+            }
+        )
+
+    return (
+        events.select_columns(["event_type", "props"])
+        .map_batches(extract, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("v", alias_name="sum_v"),
+            Min("v", alias_name="min_v"),
+            Max("v", alias_name="max_v"),
+        )
+    )

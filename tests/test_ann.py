@@ -166,3 +166,34 @@ def test_embedding_dedup_clusters_and_singletons():
         .to_dict()
     )
     assert out == {100: 100, 101: 100, 102: 100, 103: 103, 104: 104}
+
+
+def test_embedding_centroids_exact():
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from sbustreamspot_core_ray.stages.ann import embedding_centroids
+
+    embs = ray.data.from_arrow(
+        pa.table(
+            {
+                "label": pa.array([0, 0, 1], pa.int32()),
+                "embedding": pa.array(
+                    [[0.5, 1.0], [1.5, 2.0], [3.0, -1.0]],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    out = (
+        embedding_centroids(embs, dim=2)
+        .to_pandas()
+        .set_index(["label", "dim"])
+        .sort_index()
+    )
+    assert out.loc[(0, 1), "centroid"] == 1.0   # mean(0.5, 1.5)
+    assert out.loc[(0, 2), "centroid"] == 1.5   # mean(1.0, 2.0)
+    assert out.loc[(1, 1), "centroid"] == 3.0
+    assert out.loc[(1, 2), "centroid"] == -1.0

@@ -451,3 +451,22 @@ def test_late_events_watermark():
     assert list(out["event_id"]) == [b]
     assert out.loc[0, "watermark_us"] == 90 * US
     assert out.loc[0, "lateness_us"] == 80 * US
+
+
+def test_props_field_stats():
+    from sbustreamspot_core_ray.stages.events import props_field_stats
+
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["a", "a", "b", "b"]),
+                "props": pa.array(
+                    ['{"k": 3}', '{"k": -2}', '{"x": 1}', '{"k": 10}']
+                ),
+            }
+        )
+    )
+    out = props_field_stats(ev).to_pandas().set_index("event_type")
+    assert out.loc["a", "n"] == 2 and out.loc["a", "sum_v"] == 1
+    assert out.loc["a", "min_v"] == -2 and out.loc["a", "max_v"] == 3
+    assert out.loc["b", "n"] == 1 and out.loc["b", "sum_v"] == 10
