@@ -1423,6 +1423,37 @@ def _random_walks_sql() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+SKIPGRAM_WINDOW = 2
+
+
+def q_walk_skipgrams(sf_dir: str):
+    """Skip-gram (center, context) pair counts over the deterministic
+    walks — the word2vec/DeepWalk corpus-prep step."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        random_walks,
+        walk_skipgrams,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    walks = random_walks(g, seeds=np.array(WALK_SEEDS, np.int64), length=WALK_LEN)
+    return walk_skipgrams(walks, window=SKIPGRAM_WINDOW, num_parts=P)
+
+
+def _walk_skipgrams_sql() -> str:
+    return f"""
+WITH walks AS MATERIALIZED (
+{_random_walks_sql()}
+)
+SELECT a.vertex AS center, b.vertex AS context, count(*) AS n
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND abs(a.step - b.step) <= {SKIPGRAM_WINDOW}
+GROUP BY 1, 2"""
+
+
 def q_assortativity(sf_dir: str):
     """Degree assortativity of the undirected derived graph — exact
     integer moments, one float division chain mirrored by the SQL."""
@@ -2888,6 +2919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_distance": q_sssp_distance,
         "assortativity": q_assortativity,
         "random_walks": q_random_walks,
+        "walk_skipgrams": q_walk_skipgrams,
         "adamic_adar": q_adamic_adar,
         "hits": q_hits,
         "neighbor_features": q_neighbor_features,
@@ -2977,6 +3009,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distance": _bfs_sql(),
         "sssp_distance": _sssp_sql(),
         "random_walks": _random_walks_sql(),
+        "walk_skipgrams": _walk_skipgrams_sql(),
         "assortativity": f"""
 WITH de AS ({_SQL_EDGES}),
 und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

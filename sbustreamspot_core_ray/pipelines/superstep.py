@@ -1732,3 +1732,69 @@ def random_walks(
             }
         )
     )
+
+
+def walk_skipgrams(
+    walks: ray.data.Dataset, window: int = 2, num_parts: int = 32
+) -> ray.data.Dataset:
+    """Skip-gram (center, context) pair counts over walk sequences — the
+    corpus-preparation step a word2vec/DeepWalk trainer consumes. ONE
+    shuffle on hash(walk_id) % P (each walk's steps co-locate), then a
+    vectorized shifted-compare kernel emits per-partition PARTIAL counts
+    for every offset 1..window in both directions; a tiny final groupby
+    folds them."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = t["walk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "walk_id": w,
+                "step": pc.cast(t["step"], pa.int64()),
+                "vertex": pc.cast(t["vertex"], pa.int64()),
+                "__p": pa.array(part_of(w, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        w = t["walk_id"].to_numpy()
+        s = t["step"].to_numpy()
+        v = t["vertex"].to_numpy()
+        order = np.lexsort((s, w))
+        w, s, v = w[order], s[order], v[order]
+        centers, contexts = [], []
+        for d in range(1, window + 1):
+            same = (w[d:] == w[:-d]) & (s[d:] == s[:-d] + d)
+            a, b = v[:-d][same], v[d:][same]
+            centers.append(a)  # forward context
+            contexts.append(b)
+            centers.append(b)  # backward context
+            contexts.append(a)
+        if centers:
+            c = np.concatenate(centers)
+            x = np.concatenate(contexts)
+        else:
+            c = x = np.empty(0, np.int64)
+        key = np.stack([c, x], axis=1)
+        uq, cnt = (
+            np.unique(key, axis=0, return_counts=True)
+            if len(key)
+            else (np.empty((0, 2), np.int64), np.empty(0, np.int64))
+        )
+        return pa.table(
+            {
+                "center": uq[:, 0],
+                "context": uq[:, 1],
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    return (
+        walks.map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby(["center", "context"])
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+    )

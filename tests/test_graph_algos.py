@@ -592,3 +592,31 @@ def test_random_walks_deterministic():
 
     out2 = random_walks(g, seeds=seeds, length=3).to_pandas()
     assert sorted(out2["vertex"]) == sorted(out["vertex"])
+
+
+def test_walk_skipgrams_window():
+    """Hand-checked pair counts for one walk [10, 20, 30, 40], window 2."""
+    import pyarrow as pa
+
+    from sbustreamspot_core_ray.pipelines.superstep import walk_skipgrams
+
+    walks = ray.data.from_arrow(
+        pa.table(
+            {
+                "walk_id": pa.array([7, 7, 7, 7], pa.int64()),
+                "step": pa.array([0, 1, 2, 3], pa.int64()),
+                "vertex": pa.array([10, 20, 30, 40], pa.int64()),
+            }
+        )
+    )
+    out = walk_skipgrams(walks, window=2, num_parts=2).to_pandas()
+    got = {(c, x): n for c, x, n in zip(out["center"], out["context"], out["n"])}
+    want_pairs = set()
+    seq = [10, 20, 30, 40]
+    for i in range(4):
+        for j in range(4):
+            if i != j and abs(i - j) <= 2:
+                want_pairs.add((seq[i], seq[j]))
+    assert set(got) == want_pairs
+    assert all(n == 1 for n in got.values())
+    assert sum(got.values()) == 10  # 3 adjacent pairs *2 + 2 dist-2 pairs *2
