@@ -91,6 +91,10 @@ BENCH_QUERIES = [
     "image_phash",
     "chunk_documents",
     "edge_support",
+    "random_walks",
+    "walk_skipgrams",
+    "embedding_centroids",
+    "props_stats",
     # ktruss / assortativity are benchmarked at sf0.01 only: 15 peel
     # rounds / two V-scale joins dominate the suite at sf0.1
     # common_neighbors / adamic_adar are benchmarked at sf0.01 only
