@@ -2082,7 +2082,9 @@ def q_clustering_coefficient(sf_dir: str):
     the SQL oracle."""
     from sbustreamspot_core_ray.pipelines.superstep import clustering_coefficient
 
-    df = clustering_coefficient(_edges_triangle(sf_dir), num_partitions=P).to_pandas()
+    df = clustering_coefficient(
+        _edges_triangle(sf_dir), num_partitions=4 * P
+    ).to_pandas()
     df["cc"] = round_half_away(df["cc"], 6)
     return df
 
