@@ -1102,6 +1102,103 @@ def _weighted_pagerank_sql() -> str:
     )
 
 
+PR_WARM_ITERS1 = 5
+PR_WARM_ITERS2 = 5
+
+
+def q_pagerank_incremental(sf_dir: str):
+    """Incremental / warm-start PageRank: phase 1 converges on the
+    customer->order subgraph; phase 2 adds the lineitem-derived edges and
+    resumes from the prior ranks (new vertices start at 1/N2, no
+    renormalization — the documented warm-start semantics the SQL mirror
+    unrolls in two chained phases). Exercises W4's incremental-state
+    surface on the north-star algorithm."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        pagerank,
+        warm_start_ranks,
+    )
+
+    g1 = ShardedGraph.build(_edges_custorder(sf_dir), num_parts=P)
+    r1 = pagerank(g1, damping=PR_DAMPING, max_iters=PR_WARM_ITERS1, tol=0.0)
+    g2 = ShardedGraph.build(_edges_full(sf_dir), num_parts=P)
+    warm_start_ranks(g2, r1, default=1.0 / float(g2.n_vertices))
+    df = pagerank(
+        g2, damping=PR_DAMPING, max_iters=PR_WARM_ITERS2, tol=0.0,
+        skip_init=True,
+    ).to_pandas()
+    df["rank"] = round_half_away(df["rank"], 7)
+    return df
+
+
+def _pagerank_incremental_sql() -> str:
+    """Two chained unrolled power iterations: phase 1 on the
+    customer->order subgraph, phase 2 on the full graph warm-started via
+    COALESCE(prior, 1/N2)."""
+    d = PR_DAMPING
+    ctes = [
+        "e1 AS MATERIALIZED (SELECT o_custkey AS src,"
+        " 10000000 + o_orderkey AS dst FROM orders)",
+        "v1 AS MATERIALIZED (SELECT src AS vertex FROM e1 UNION SELECT dst FROM e1)",
+        "n1 AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) nv FROM v1)",
+        "deg1 AS MATERIALIZED (SELECT src AS vertex, CAST(count(*) AS DOUBLE) d"
+        " FROM e1 GROUP BY src)",
+        "a0 AS MATERIALIZED (SELECT vertex, 1.0/(SELECT nv FROM n1) AS rank FROM v1)",
+    ]
+    for k in range(1, PR_WARM_ITERS1 + 1):
+        p = k - 1
+        ctes.append(
+            f"adang{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m"
+            f" FROM a{p} r LEFT JOIN deg1 ON deg1.vertex = r.vertex"
+            f" WHERE deg1.vertex IS NULL)"
+        )
+        ctes.append(
+            f"ac{k} AS MATERIALIZED (SELECT e1.dst AS vertex,"
+            f" SUM(r.rank / deg1.d) AS contrib FROM e1"
+            f" JOIN a{p} r ON r.vertex = e1.src"
+            f" JOIN deg1 ON deg1.vertex = e1.src GROUP BY e1.dst)"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT v1.vertex, (1.0 - {d})/(SELECT nv FROM n1)"
+            f" + {d} * (COALESCE(c.contrib, 0.0)"
+            f" + (SELECT m FROM adang{k})/(SELECT nv FROM n1)) AS rank"
+            f" FROM v1 LEFT JOIN ac{k} c ON c.vertex = v1.vertex)"
+        )
+    ctes += [
+        f"e2 AS MATERIALIZED ({_SQL_EDGES})",
+        "v2 AS MATERIALIZED (SELECT src AS vertex FROM e2 UNION SELECT dst FROM e2)",
+        "n2 AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) nv FROM v2)",
+        "deg2 AS MATERIALIZED (SELECT src AS vertex, CAST(count(*) AS DOUBLE) d"
+        " FROM e2 GROUP BY src)",
+        f"b0 AS MATERIALIZED (SELECT v2.vertex,"
+        f" COALESCE(p1.rank, 1.0/(SELECT nv FROM n2)) AS rank"
+        f" FROM v2 LEFT JOIN a{PR_WARM_ITERS1} p1 ON p1.vertex = v2.vertex)",
+    ]
+    for k in range(1, PR_WARM_ITERS2 + 1):
+        p = k - 1
+        ctes.append(
+            f"bdang{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m"
+            f" FROM b{p} r LEFT JOIN deg2 ON deg2.vertex = r.vertex"
+            f" WHERE deg2.vertex IS NULL)"
+        )
+        ctes.append(
+            f"bc{k} AS MATERIALIZED (SELECT e2.dst AS vertex,"
+            f" SUM(r.rank / deg2.d) AS contrib FROM e2"
+            f" JOIN b{p} r ON r.vertex = e2.src"
+            f" JOIN deg2 ON deg2.vertex = e2.src GROUP BY e2.dst)"
+        )
+        ctes.append(
+            f"b{k} AS MATERIALIZED (SELECT v2.vertex, (1.0 - {d})/(SELECT nv FROM n2)"
+            f" + {d} * (COALESCE(c.contrib, 0.0)"
+            f" + (SELECT m FROM bdang{k})/(SELECT nv FROM n2)) AS rank"
+            f" FROM v2 LEFT JOIN bc{k} c ON c.vertex = v2.vertex)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vertex, ROUND(rank, 7) AS rank FROM b{PR_WARM_ITERS2}"
+    )
+
+
 PPR_SEEDS = (1, 2, 3, 4, 5)  # customer keys, present at every sf
 
 
@@ -2916,6 +3013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degrees": q_degrees,
         "pagerank": q_pagerank,
         "weighted_pagerank": q_weighted_pagerank,
+        "pagerank_incremental": q_pagerank_incremental,
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_distance": q_bfs_distance,
         "sssp_distance": q_sssp_distance,
@@ -3007,6 +3105,7 @@ def oracle_sql() -> dict[str, str]:
         "degrees": f"SELECT src, count(*) AS outdeg FROM ({_SQL_EDGES}) GROUP BY src",
         "pagerank": _pagerank_sql(),
         "weighted_pagerank": _weighted_pagerank_sql(),
+        "pagerank_incremental": _pagerank_incremental_sql(),
         "personalized_pagerank": _ppr_sql(),
         "bfs_distance": _bfs_sql(),
         "sssp_distance": _sssp_sql(),

@@ -332,6 +332,7 @@ def pagerank(
     ckpt_every: int = 5,
     combine: str = "direct",
     teleport_seeds: np.ndarray | None = None,
+    skip_init: bool = False,
 ) -> ray.data.Dataset:
     """Synchronous power iteration with dangling-mass redistribution.
 
@@ -360,7 +361,11 @@ def pagerank(
         manifest = graph.restore(ckpt_dir)
         if manifest is not None and manifest["column"] == "rank":
             start_iter = manifest["iteration"] + 1
-    if start_iter == 0:
+    if skip_init:
+        # warm start: ranks were pre-seeded (warm_start_ranks); only the
+        # per-vertex base term needs the vertex count
+        ray.get([a.set_n_total.remote(graph.n_vertices) for a in actors])
+    elif start_iter == 0:
         if teleport_seeds is not None:
             seeds = np.unique(np.asarray(teleport_seeds, np.int64))
             ray.get([a.ppr_init.remote(seeds, len(seeds)) for a in actors])
@@ -1798,3 +1803,34 @@ def walk_skipgrams(
         .sum("n")
         .rename_columns({"sum(n)": "n"})
     )
+
+
+def warm_start_ranks(
+    graph: ShardedGraph, prior: ray.data.Dataset, default: float
+) -> int:
+    """Seed a graph's rank state for warm-start (incremental) PageRank:
+    every owned vertex starts at `default` (new vertices keep it), then
+    the prior (vertex, rank) table is routed to the owning shards in a
+    streaming map_batches pass (no driver materialization of the prior).
+    Returns the number of overlaid vertices. Follow with
+    ``pagerank(graph, ..., skip_init=True)``."""
+    actors = graph.actors
+    P = graph.P
+    ray.get([a.warm_init_rank.remote(default) for a in actors])
+
+    def route(t: pa.Table) -> pa.Table:
+        v = t["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.float64)
+        parts = part_of(v, P)
+        refs = []
+        for p in range(P):
+            m = parts == p
+            if m.any():
+                refs.append(actors[p].warm_overlay_rank.remote(v[m], r[m]))
+        hit = sum(ray.get(refs)) if refs else 0
+        return pa.table({"hit": pa.array([hit], pa.int64())})
+
+    rows = prior.select_columns(["vertex", "rank"]).map_batches(
+        route, batch_format="pyarrow"
+    ).take_all()
+    return int(sum(r["hit"] for r in rows))

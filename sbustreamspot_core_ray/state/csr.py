@@ -1107,6 +1107,25 @@ class CsrShard:
             }
         )
 
+    # ---- warm-start (incremental) PageRank ---------------------------
+
+    def warm_init_rank(self, default: float) -> None:
+        """Initialize every owned vertex's rank to `default` — the base
+        for a warm-start overlay (new vertices keep the default)."""
+        self.rank = np.full(len(self.owned), default, np.float64)
+
+    def warm_overlay_rank(self, vertex: np.ndarray, values: np.ndarray) -> int:
+        """Overlay prior ranks onto owned vertices (ignores rows this
+        shard does not own — the router sends exact slices anyway)."""
+        vertex = np.asarray(vertex, np.int64)
+        values = np.asarray(values, np.float64)
+        if not len(self.owned) or not len(vertex):
+            return 0
+        idx = np.clip(np.searchsorted(self.owned, vertex), 0, len(self.owned) - 1)
+        m = self.owned[idx] == vertex
+        self.rank[idx[m]] = values[m]
+        return int(m.sum())
+
     # ---- deterministic random walks ----------------------------------
 
     _WALK_C1 = 2654435761  # Knuth multiplicative constant

@@ -620,3 +620,42 @@ def test_walk_skipgrams_window():
     assert set(got) == want_pairs
     assert all(n == 1 for n in got.values())
     assert sum(got.values()) == 10  # 3 adjacent pairs *2 + 2 dist-2 pairs *2
+
+
+def test_pagerank_warm_start_overlay():
+    """warm_start_ranks seeds prior ranks + default for new vertices, and
+    skip_init pagerank continues from them; identical to a dense numpy
+    two-phase iteration."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        pagerank,
+        warm_start_ranks,
+    )
+
+    # phase 1: 1->2, 2->1 (2-cycle); phase 2 adds 2->3
+    g1 = ShardedGraph.build(edges_ds([(1, 2), (2, 1)]), num_parts=2)
+    r1 = pagerank(g1, damping=0.85, max_iters=3, tol=0.0)
+    g2 = ShardedGraph.build(edges_ds([(1, 2), (2, 1), (2, 3)]), num_parts=2)
+    overlaid = warm_start_ranks(g2, r1, default=1.0 / 3.0)
+    assert overlaid == 2
+    got = (
+        pagerank(g2, damping=0.85, max_iters=2, tol=0.0, skip_init=True)
+        .to_pandas()
+        .set_index("vertex")["rank"]
+        .to_dict()
+    )
+
+    # dense replay
+    r = {1: 0.5, 2: 0.5}
+    for _ in range(3):  # phase 1 on the 2-cycle
+        r = {1: 0.15 / 2 + 0.85 * r[2], 2: 0.15 / 2 + 0.85 * r[1]}
+    rr = {1: r[1], 2: r[2], 3: 1.0 / 3.0}
+    adj = {1: [2], 2: [1, 3]}
+    for _ in range(2):  # phase 2 warm
+        contrib = {1: 0.0, 2: 0.0, 3: 0.0}
+        for s, outs in adj.items():
+            for t in outs:
+                contrib[t] += rr[s] / len(outs)
+        dang = rr[3]  # vertex 3 dangles
+        rr = {v: 0.15 / 3 + 0.85 * (contrib[v] + dang / 3) for v in (1, 2, 3)}
+    for v in (1, 2, 3):
+        assert got[v] == pytest.approx(rr[v], abs=1e-12)
