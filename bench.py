@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "bfs_distance",
     "hits",
     "weighted_pagerank",
+    "pagerank_incremental",
     "sssp_distance",
     "clustering_coefficient",
     "revenue_by_nation",
