@@ -1430,6 +1430,54 @@ def _hits_sql(iters: int = HITS_ITERS) -> str:
     )
 
 
+KATZ_ALPHA = 0.05
+KATZ_BETA = 1.0
+KATZ_ITERS = 8
+
+
+def q_katz(sf_dir: str):
+    """Katz centrality over the directed full derived graph: 8 fixed
+    attenuated-walk iterations (x = beta + alpha * A^T x) on the superstep
+    engine — same exchange shape as PageRank, no degree division."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        katz_centrality,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=False
+    )
+    df = katz_centrality(
+        g, alpha=KATZ_ALPHA, beta=KATZ_BETA, iters=KATZ_ITERS
+    ).to_pandas()
+    df["katz"] = round_half_away(df["katz"], 7)
+    return df
+
+
+def _katz_sql(iters: int = KATZ_ITERS) -> str:
+    """Unrolled Katz oracle: each round a LEFT JOIN of the in-edge sums
+    over the vertex set (beta + alpha * sum of the previous round's scores
+    over in-neighbors)."""
+    ctes = [
+        f"e AS MATERIALIZED ({_SQL_EDGES})",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        f"x0 AS MATERIALIZED (SELECT vertex, {KATZ_BETA} AS x FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"x{k} AS MATERIALIZED (SELECT v.vertex,"
+            f" {KATZ_BETA} + {KATZ_ALPHA} * COALESCE(s.c, 0.0) AS x"
+            f" FROM v LEFT JOIN (SELECT e.dst AS vertex, SUM(x.x) AS c FROM e"
+            f" JOIN x{p} x ON x.vertex = e.src GROUP BY e.dst) s"
+            f" ON s.vertex = v.vertex)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vertex, ROUND(x, 7) AS katz FROM x{iters}"
+    )
+
+
 def q_neighbor_features(sf_dir: str):
     """Graph feature engineering: per-vertex (sum, max) of all neighbors'
     degrees over the symmetrized full derived graph — ONE superstep
@@ -3022,6 +3070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walk_skipgrams": q_walk_skipgrams,
         "adamic_adar": q_adamic_adar,
         "hits": q_hits,
+        "katz": q_katz,
         "neighbor_features": q_neighbor_features,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
@@ -3133,6 +3182,7 @@ FROM s
 """,
         "adamic_adar": _SQL_ADAMIC_ADAR,
         "hits": _hits_sql(),
+        "katz": _katz_sql(),
         "neighbor_features": _SQL_NEIGHBOR_FEATURES,
         "connected_components": f"""
 WITH RECURSIVE e0 AS ({_SQL_EDGES_CO}),

@@ -604,6 +604,30 @@ def hits(graph: ShardedGraph, iters: int = 8) -> ray.data.Dataset:
     return ray.data.from_arrow_refs([a.hits_state.remote() for a in actors])
 
 
+def katz_centrality(
+    graph: ShardedGraph, alpha: float = 0.05, beta: float = 1.0, iters: int = 8
+) -> ray.data.Dataset:
+    """Katz centrality by fixed-iteration attenuated-walk propagation:
+    x_{k+1}(v) = beta + alpha * sum_{u->v} x_k(u), x_0 = beta. Counts walks
+    of every length into v, damped alpha^len — the classic centrality the
+    north-star family (PageRank/HITS) generalizes. Fixed `iters` keeps the
+    result deterministic and SQL-mirrorable (the oracle unrolls the same
+    chain); pick alpha < 1/lambda_max for a convergent truncation.
+
+    Same scatter volume as a PageRank superstep (one f64 per distinct
+    (shard, dst)); reuses the rank state column. Unsalted graphs only."""
+    if graph.salted:
+        raise ValueError(
+            "katz_centrality supports unsalted graphs only; build the "
+            "ShardedGraph without salt_threshold"
+        )
+    actors = graph.actors
+    ray.get([a.katz_init.remote(beta) for a in actors])
+    for _ in range(iters):
+        graph._exchange("katz", scatter_args=(alpha,), apply_args=(beta,))
+    return graph.state_dataset("rank").rename_columns({"rank": "katz"})
+
+
 def neighbor_degree_agg(graph: ShardedGraph) -> ray.data.Dataset:
     """Graph feature engineering in ONE superstep: every vertex aggregates
     (sum, max) of its in-neighbors' out-degrees — on a symmetric build,

@@ -572,6 +572,7 @@ class CsrShard:
         self.peers = peers
 
     _SCATTERS = {
+        "katz": "katz_scatter_parts",
         "pagerank": "pagerank_scatter_parts",
         "cc": "cc_scatter_parts",
         "lp": "lp_scatter_parts",
@@ -583,6 +584,7 @@ class CsrShard:
         "nagg": "nagg_scatter_parts",
     }
     _APPLIES = {
+        "katz": "katz_apply_parts",
         "pagerank": "pagerank_apply_parts",
         "cc": "cc_apply_parts",
         "lp": "lp_apply_parts",
@@ -694,6 +696,41 @@ class CsrShard:
             new = base + np.bincount(idx, weights=c, minlength=len(self.owned))
         else:
             new = np.zeros(len(self.owned)) + base
+        delta = float(np.abs(new - self.rank).sum())
+        self.rank = new
+        return delta
+
+    # ---- Katz centrality --------------------------------------------------
+    #
+    # x_{k+1}(v) = beta + alpha * sum_{u->v} x_k(u): the attenuation-walk
+    # centrality (beta per vertex, alpha per hop). Same routes and state
+    # array as PageRank (self.rank) but no degree division and no dangling
+    # redistribution — each in-edge carries the source's full score.
+
+    def katz_init(self, beta: float) -> None:
+        self.teleport = None
+        self.rank = np.full(len(self.owned), float(beta))
+
+    def katz_scatter_parts(self, alpha: float):
+        src_rank = self.rank[self.src_in_owned]
+        per_edge = self._rank_per_edge(src_rank)
+        sums = np.bincount(
+            self.dst_inv, weights=per_edge, minlength=len(self.dst_u)
+        ).astype(np.float64, copy=False)
+        sums *= alpha
+        return tuple(
+            (self.dst_route[p], sums[idx])
+            for p, idx in enumerate(self.dst_by_part)
+        )
+
+    def katz_apply_parts(self, beta: float, *parts) -> float:
+        live = [p for p in parts if len(p[0])]
+        if live:
+            idx = np.concatenate([p[0] for p in live])
+            c = np.concatenate([p[1] for p in live])
+            new = beta + np.bincount(idx, weights=c, minlength=len(self.owned))
+        else:
+            new = np.full(len(self.owned), float(beta))
         delta = float(np.abs(new - self.rank).sum())
         self.rank = new
         return delta

@@ -659,3 +659,33 @@ def test_pagerank_warm_start_overlay():
         rr = {v: 0.15 / 3 + 0.85 * (contrib[v] + dang / 3) for v in (1, 2, 3)}
     for v in (1, 2, 3):
         assert got[v] == pytest.approx(rr[v], abs=1e-12)
+
+
+def test_katz_vs_numpy_oracle():
+    """Katz centrality on a random directed graph matches a dense numpy
+    replay of x_{k+1} = beta + alpha * A^T x_k to 1e-12."""
+    from sbustreamspot_core_ray.pipelines.superstep import katz_centrality
+
+    rng = np.random.default_rng(29)
+    n, m = 120, 700
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    edges = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    g = ShardedGraph.build(
+        edges_ds([tuple(r) for r in edges]), num_parts=4, symmetric=False
+    )
+    out = katz_centrality(g, alpha=0.05, beta=1.0, iters=6).to_pandas()
+    out = out.set_index("vertex").sort_index()
+
+    verts = np.unique(edges)
+    vi = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((len(verts), len(verts)))
+    for s, d in edges:
+        A[vi[s], vi[d]] = 1.0
+    x = np.ones(len(verts))
+    for _ in range(6):
+        x = 1.0 + 0.05 * (A.T @ x)
+    assert np.allclose(
+        out["katz"].to_numpy(), x[np.searchsorted(verts, out.index)], atol=1e-12
+    )
