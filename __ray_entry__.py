@@ -1522,6 +1522,45 @@ def q_bfs_distance(sf_dir: str):
     return bfs_distance(g, seeds=np.array(BFS_SEEDS, np.int64), max_hops=BFS_MAX_HOPS)
 
 
+FAR_SEEDS = BFS_SEEDS
+FAR_MAX_HOPS = 8
+
+
+def q_closeness_sample(sf_dir: str):
+    """Sampled closeness (farness) centrality: one BFS per seed customer
+    over the symmetrized derived graph, (reach_cnt, dist_sum) accumulated
+    inside the CSR shards — the pivot-sampling closeness approximation,
+    exact int64."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        sampled_farness,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    return sampled_farness(
+        g, seeds=np.array(FAR_SEEDS, np.int64), max_hops=FAR_MAX_HOPS
+    )
+
+
+def _closeness_sample_sql() -> str:
+    seeds = ", ".join(f"({s})" for s in FAR_SEEDS)
+    return f"""
+WITH RECURSIVE e0 AS ({_SQL_EDGES}),
+e AS (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0),
+walk(seed, vertex, dist) AS (
+  SELECT s, s, 0 FROM (VALUES {seeds}) t(s) WHERE s IN (SELECT s FROM e)
+  UNION
+  SELECT walk.seed, e.d, walk.dist + 1 FROM walk JOIN e ON e.s = walk.vertex
+  WHERE walk.dist < {FAR_MAX_HOPS}
+),
+md AS (SELECT seed, vertex, MIN(dist) AS dist FROM walk GROUP BY seed, vertex)
+SELECT vertex, CAST(count(*) AS BIGINT) AS reach_cnt,
+       CAST(SUM(dist) AS BIGINT) AS dist_sum
+FROM md GROUP BY vertex"""
+
+
 WALK_SEEDS = tuple(range(1, 51))  # customer keys, present at every sf
 WALK_LEN = 4
 
@@ -3064,6 +3103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_incremental": q_pagerank_incremental,
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_distance": q_bfs_distance,
+        "closeness_sample": q_closeness_sample,
         "sssp_distance": q_sssp_distance,
         "assortativity": q_assortativity,
         "random_walks": q_random_walks,
@@ -3157,6 +3197,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_incremental": _pagerank_incremental_sql(),
         "personalized_pagerank": _ppr_sql(),
         "bfs_distance": _bfs_sql(),
+        "closeness_sample": _closeness_sample_sql(),
         "sssp_distance": _sssp_sql(),
         "random_walks": _random_walks_sql(),
         "walk_skipgrams": _walk_skipgrams_sql(),

@@ -672,6 +672,35 @@ def bfs_distance(
     return ray.data.from_arrow_refs([a.bfs_state.remote() for a in actors])
 
 
+def sampled_farness(
+    graph: ShardedGraph, seeds, max_hops: int = 64
+) -> ray.data.Dataset:
+    """Sampled closeness/farness centrality: one BFS per sample seed, with
+    per-vertex (reach_cnt, dist_sum) accumulated INSIDE the shards between
+    runs — the standard pivot-sampling approximation of closeness at scales
+    where all-sources BFS is impossible (only the final per-vertex table
+    leaves the actors; nothing per-seed crosses the driver). Exact int64
+    throughout; closeness estimate = reach_cnt / dist_sum downstream.
+
+    Unsalted graphs only (the BFS kernel's constraint)."""
+    if graph.salted:
+        raise ValueError(
+            "sampled_farness supports unsalted graphs only; build the "
+            "ShardedGraph without salt_threshold"
+        )
+    actors = graph.actors
+    ray.get([a.farness_init.remote() for a in actors])
+    for s in np.unique(np.asarray(seeds, np.int64)):
+        one = np.array([s], np.int64)
+        frontier = sum(ray.get([a.bfs_init.remote(one) for a in actors]))
+        it = 0
+        while frontier and it < max_hops:
+            frontier = sum(graph._exchange("bfs"))
+            it += 1
+        ray.get([a.farness_fold.remote() for a in actors])
+    return ray.data.from_arrow_refs([a.farness_state.remote() for a in actors])
+
+
 def sssp_distance(
     graph: ShardedGraph, seeds, max_rounds: int = 64
 ) -> ray.data.Dataset:

@@ -1144,6 +1144,30 @@ class CsrShard:
             }
         )
 
+    # ---- sampled farness (closeness from a seed sample) ---------------
+
+    def farness_init(self) -> None:
+        self.far_cnt = np.zeros(len(self.owned), np.int64)
+        self.far_sum = np.zeros(len(self.owned), np.int64)
+
+    def farness_fold(self) -> int:
+        """Fold the current BFS dist state into the farness accumulators
+        (reached vertices only) — called once per sample seed's BFS."""
+        m = self.dist < np.iinfo(np.int64).max
+        self.far_cnt[m] += 1
+        self.far_sum[m] += self.dist[m]
+        return int(m.sum())
+
+    def farness_state(self) -> pa.Table:
+        m = self.far_cnt > 0
+        return pa.table(
+            {
+                "vertex": pa.array(self.owned[m], pa.int64()),
+                "reach_cnt": pa.array(self.far_cnt[m], pa.int64()),
+                "dist_sum": pa.array(self.far_sum[m], pa.int64()),
+            }
+        )
+
     # ---- warm-start (incremental) PageRank ---------------------------
 
     def warm_init_rank(self, default: float) -> None:

@@ -689,3 +689,48 @@ def test_katz_vs_numpy_oracle():
     assert np.allclose(
         out["katz"].to_numpy(), x[np.searchsorted(verts, out.index)], atol=1e-12
     )
+
+
+def test_sampled_farness_vs_python_bfs():
+    """Per-vertex (reach_cnt, dist_sum) over 3 sample seeds matches a
+    plain Python BFS replay on an undirected random graph."""
+    from collections import deque
+
+    from sbustreamspot_core_ray.pipelines.superstep import sampled_farness
+
+    rng = np.random.default_rng(31)
+    n, m = 100, 260
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    edges = [tuple(r) for r in np.stack([src[keep], dst[keep]], axis=1)]
+    g = ShardedGraph.build(edges_ds(edges), num_parts=4, symmetric=True)
+    seeds = [3, 17, 42]
+    out = (
+        sampled_farness(g, seeds=np.array(seeds, np.int64), max_hops=64)
+        .to_pandas()
+        .set_index("vertex")
+        .sort_index()
+    )
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    cnt, tot = {}, {}
+    for seed in seeds:
+        dist = {seed: 0}
+        q = deque([seed])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, dd in dist.items():
+            cnt[v] = cnt.get(v, 0) + 1
+            tot[v] = tot.get(v, 0) + dd
+    assert set(out.index) == set(cnt)
+    for v in cnt:
+        assert out.loc[v, "reach_cnt"] == cnt[v]
+        assert out.loc[v, "dist_sum"] == tot[v]
