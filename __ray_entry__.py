@@ -1372,6 +1372,42 @@ def q_adamic_adar(sf_dir: str):
     ).rename_columns({"cn": "aa_e9"})
 
 
+def q_jaccard_links(sf_dir: str):
+    """Link prediction by the Jaccard coefficient over the full derived
+    graph: top-100 non-adjacent pairs by cn/(deg(a)+deg(b)-cn), carried as
+    exact integer billionths (truncating integer division on both sides);
+    degrees broadcast once to the pair reducers."""
+    from sbustreamspot_core_ray.pipelines.superstep import common_neighbors
+
+    return common_neighbors(
+        _edges_full(sf_dir, dedup=False),
+        top_n=CN_TOP,
+        num_partitions=P,
+        score="jaccard",
+    )
+
+
+_SQL_JACCARD_LINKS = f"""
+WITH e0 AS MATERIALIZED ({{edges}}),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+sym AS MATERIALIZED (SELECT a AS s, b AS d FROM canon UNION ALL SELECT b, a FROM canon),
+deg AS MATERIALIZED (SELECT s AS vertex, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY s),
+w AS (
+  SELECT x.d AS a, y.d AS b, CAST(count(*) AS BIGINT) AS cn
+  FROM sym x JOIN sym y ON y.s = x.s AND y.d > x.d
+  GROUP BY x.d, y.d
+),
+nonadj AS (SELECT w.a, w.b, w.cn FROM w ANTI JOIN canon c ON c.a = w.a AND c.b = w.b)
+SELECT n.a AS src, n.b AS dst,
+       (1000000000 * n.cn) // (da.dg + db.dg - n.cn) AS jac_e9, n.cn AS cn
+FROM nonadj n
+JOIN deg da ON da.vertex = n.a JOIN deg db ON db.vertex = n.b
+ORDER BY jac_e9 DESC, src, dst LIMIT {{top}}"""
+
+
 HITS_ITERS = 8
 
 
@@ -3109,6 +3145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": q_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "adamic_adar": q_adamic_adar,
+        "jaccard_links": q_jaccard_links,
         "hits": q_hits,
         "katz": q_katz,
         "neighbor_features": q_neighbor_features,
@@ -3222,6 +3259,7 @@ SELECT e AS edges,
 FROM s
 """,
         "adamic_adar": _SQL_ADAMIC_ADAR,
+        "jaccard_links": _SQL_JACCARD_LINKS.format(edges=_SQL_EDGES, top=CN_TOP),
         "hits": _hits_sql(),
         "katz": _katz_sql(),
         "neighbor_features": _SQL_NEIGHBOR_FEATURES,

@@ -1144,6 +1144,37 @@ class _PairReducer:
             }
         )
 
+    def topk_jaccard(self, top_n: int, deg) -> pa.Table:
+        """Top-n pairs by the Jaccard coefficient cn / (deg(a)+deg(b)-cn),
+        carried as exact integer billionths ((1e9*cn) // den — the same
+        truncating integer division DuckDB's // performs, so the scores
+        hash-match the SQL oracle). deg = broadcast (sorted verts, degs)."""
+        verts, degs = deg
+        self._compact()
+        e = np.empty(0, np.int64)
+        if not self.chunks:
+            return pa.table({"src": e, "dst": e, "jac_e9": e, "cn": e})
+        pair, cn = self.chunks[0]
+        keep = cn > 0
+        pair, cn = pair[keep], cn[keep]
+        if not len(pair):
+            return pa.table({"src": e, "dst": e, "jac_e9": e, "cn": e})
+        a = pair >> np.int64(32)
+        b = pair & np.int64(0xFFFFFFFF)
+        da = degs[np.searchsorted(verts, a)]
+        db = degs[np.searchsorted(verts, b)]
+        den = da + db - cn
+        jac = (np.int64(1_000_000_000) * cn) // den
+        top = np.lexsort((pair, -jac))[:top_n]
+        return pa.table(
+            {
+                "src": pa.array(a[top], pa.int64()),
+                "dst": pa.array(b[top], pa.int64()),
+                "jac_e9": pa.array(jac[top], pa.int64()),
+                "cn": pa.array(cn[top], pa.int64()),
+            }
+        )
+
 
 def _pack_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(a, b) with a < b < 2^31 packed into one int64 (a << 32 | b) — a
@@ -1165,6 +1196,7 @@ def common_neighbors(
     max_deg: int | None = None,
     broadcast_edges_max: int = 50_000_000,
     weight: str = "count",
+    score: str = "cn",
 ) -> ray.data.Dataset:
     """Link prediction by common-neighbor counts: the top-`top_n`
     NON-adjacent vertex pairs ranked by (count desc, src, dst).
@@ -1201,7 +1233,15 @@ def common_neighbors(
     max_deg: optional hub cap — vertices with degree above it are SKIPPED
     as wedge centers and the dropped-center count is logged (recall loss is
     never silent); at web scale a single hub would otherwise fan out
-    O(deg^2) pairs. Default None = exact."""
+    O(deg^2) pairs. Default None = exact.
+
+    score="jaccard": rank by the Jaccard coefficient cn/(deg(a)+deg(b)-cn)
+    instead of the raw count, as exact integer billionths (truncating
+    integer division on both sides). The per-vertex degree table is
+    computed distributed (int_degrees) then `ray.put` ONCE as a sorted
+    lookup the reducers binary-search at cut time — a |V|-sized broadcast,
+    the documented small-side assumption (at |V| beyond node RAM, ship
+    degrees to the reducers by hash(vertex) instead)."""
     import logging
 
     import pyarrow.compute as pc
@@ -1221,6 +1261,29 @@ def common_neighbors(
     und = distinct(
         edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"]
     ).materialize()
+
+    deg_ref = None
+    if score == "jaccard":
+
+        def both_ends(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "vertex": pa.concat_arrays(
+                        [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                    )
+                }
+            )
+
+        ddf = int_degrees(
+            und.map_batches(both_ends, batch_format="pyarrow"), num_parts=P
+        ).to_pandas()
+        dorder = np.argsort(ddf["vertex"].to_numpy())
+        deg_ref = ray.put(
+            (
+                ddf["vertex"].to_numpy(np.int64)[dorder],
+                ddf["deg"].to_numpy(np.int64)[dorder],
+            )
+        )
 
     n_edges = und.count()
     try:
@@ -1345,6 +1408,13 @@ def common_neighbors(
             ).take_all()
         )
 
+    if score == "jaccard":
+        ranked = ray.data.from_arrow_refs(
+            [r.topk_jaccard.remote(top_n, deg_ref) for r in reducers]
+        )
+        return ranked.sort(
+            ["jac_e9", "src", "dst"], descending=[True, False, False]
+        ).limit(top_n)
     ranked = ray.data.from_arrow_refs(
         [r.topk.remote(top_n) for r in reducers]
     )

@@ -734,3 +734,52 @@ def test_sampled_farness_vs_python_bfs():
     for v in cnt:
         assert out.loc[v, "reach_cnt"] == cnt[v]
         assert out.loc[v, "dist_sum"] == tot[v]
+
+
+def test_jaccard_links_vs_bruteforce():
+    """score="jaccard" ranks non-adjacent pairs by exact integer-billionth
+    Jaccard; matches a brute-force set computation."""
+    from itertools import combinations
+
+    from sbustreamspot_core_ray.pipelines.superstep import common_neighbors
+
+    rng = np.random.default_rng(37)
+    n, m = 60, 160
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    edges = [tuple(r) for r in np.stack([src[keep], dst[keep]], axis=1)]
+    got = (
+        common_neighbors(edges_ds(edges), top_n=25, num_partitions=4, score="jaccard")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+
+    adj = {}
+    eset = set()
+    for s, d in edges:
+        a, b = (s, d) if s < d else (d, s)
+        if a == b:
+            continue
+        eset.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = []
+    for a, b in combinations(sorted(adj), 2):
+        if (a, b) in eset:
+            continue
+        cn = len(adj[a] & adj[b])
+        if cn == 0:
+            continue
+        den = len(adj[a]) + len(adj[b]) - cn
+        rows.append((1_000_000_000 * cn // den, a, b, cn))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    want = rows[:25]
+    assert len(got) == len(want)
+    for i, (jac, a, b, cn) in enumerate(want):
+        assert (
+            got.loc[i, "src"],
+            got.loc[i, "dst"],
+            got.loc[i, "jac_e9"],
+            got.loc[i, "cn"],
+        ) == (a, b, jac, cn)
