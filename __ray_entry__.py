@@ -1558,6 +1558,58 @@ def q_bfs_distance(sf_dir: str):
     return bfs_distance(g, seeds=np.array(BFS_SEEDS, np.int64), max_hops=BFS_MAX_HOPS)
 
 
+MIS_SQL_ROUNDS = 6  # >= the rounds the derived 4-layer graph needs (3)
+
+
+def q_mis(sf_dir: str):
+    """Deterministic maximal independent set (lexicographically-first MIS)
+    over the symmetrized derived graph: greedy-by-id Luby rounds on the
+    superstep engine; returns (vertex, round joined)."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        maximal_independent_set,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    return maximal_independent_set(g)
+
+
+def _mis_sql(rounds: int = MIS_SQL_ROUNDS) -> str:
+    """Unrolled greedy-by-id MIS rounds: join when no smaller undecided
+    neighbor exists, exclude the new members' neighbors. Unrolls more
+    rounds than the derived graph's fixpoint needs (extra rounds produce
+    empty join sets)."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({_SQL_EDGES})",
+        "sym AS MATERIALIZED (SELECT src AS s, dst AS d FROM e0 WHERE src <> dst"
+        " UNION SELECT dst, src FROM e0 WHERE src <> dst)",
+        "u0 AS MATERIALIZED (SELECT DISTINCT s AS vertex FROM sym)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"j{k} AS MATERIALIZED (SELECT u.vertex FROM u{p} u"
+            f" WHERE NOT EXISTS (SELECT 1 FROM sym e"
+            f" JOIN u{p} w ON w.vertex = e.s"
+            f" WHERE e.d = u.vertex AND e.s < u.vertex))"
+        )
+        ctes.append(
+            f"x{k} AS MATERIALIZED (SELECT DISTINCT e.d AS vertex"
+            f" FROM sym e JOIN j{k} j ON j.vertex = e.s)"
+        )
+        ctes.append(
+            f"u{k} AS MATERIALIZED (SELECT vertex FROM u{p}"
+            f" EXCEPT SELECT vertex FROM j{k}"
+            f" EXCEPT SELECT vertex FROM x{k})"
+        )
+    members = " UNION ALL ".join(
+        f"SELECT vertex, {k} AS round FROM j{k}" for k in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({members})"
+
+
 FAR_SEEDS = BFS_SEEDS
 FAR_MAX_HOPS = 8
 
@@ -3140,6 +3192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_distance": q_bfs_distance,
         "closeness_sample": q_closeness_sample,
+        "mis": q_mis,
         "sssp_distance": q_sssp_distance,
         "assortativity": q_assortativity,
         "random_walks": q_random_walks,
@@ -3235,6 +3288,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _ppr_sql(),
         "bfs_distance": _bfs_sql(),
         "closeness_sample": _closeness_sample_sql(),
+        "mis": _mis_sql(),
         "sssp_distance": _sssp_sql(),
         "random_walks": _random_walks_sql(),
         "walk_skipgrams": _walk_skipgrams_sql(),

@@ -672,6 +672,39 @@ def bfs_distance(
     return ray.data.from_arrow_refs([a.bfs_state.remote() for a in actors])
 
 
+def maximal_independent_set(
+    graph: ShardedGraph, max_rounds: int = 10_000
+) -> ray.data.Dataset:
+    """Deterministic maximal independent set (the lexicographically-first
+    MIS — identical to sequential greedy by ascending vertex id) via
+    Luby-style parallel rounds with priority = id: each round, every
+    undecided vertex with no smaller-id undecided neighbor joins, then its
+    neighbors are excluded. Two superstep exchanges per round; the
+    undecided set shrinks every round (the round's global-min undecided
+    vertex always joins), so termination is guaranteed. Returns
+    (vertex, round) for the members. Symmetric unsalted graphs only."""
+    if graph.salted:
+        raise ValueError(
+            "maximal_independent_set supports unsalted graphs only; build "
+            "the ShardedGraph without salt_threshold"
+        )
+    if not graph.symmetric:
+        raise ValueError(
+            "maximal_independent_set needs a symmetric graph "
+            "(symmetric=True build)"
+        )
+    actors = graph.actors
+    ray.get([a.mis_init.remote() for a in actors])
+    rnd = 1
+    while rnd <= max_rounds:
+        joined = sum(graph._exchange("mis_min", apply_args=(rnd,)))
+        if joined == 0:
+            break
+        graph._exchange("mis_excl")
+        rnd += 1
+    return ray.data.from_arrow_refs([a.mis_state_table.remote() for a in actors])
+
+
 def sampled_farness(
     graph: ShardedGraph, seeds, max_hops: int = 64
 ) -> ray.data.Dataset:

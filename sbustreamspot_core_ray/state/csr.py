@@ -573,6 +573,8 @@ class CsrShard:
 
     _SCATTERS = {
         "katz": "katz_scatter_parts",
+        "mis_min": "mis_min_scatter_parts",
+        "mis_excl": "mis_excl_scatter_parts",
         "pagerank": "pagerank_scatter_parts",
         "cc": "cc_scatter_parts",
         "lp": "lp_scatter_parts",
@@ -585,6 +587,8 @@ class CsrShard:
     }
     _APPLIES = {
         "katz": "katz_apply_parts",
+        "mis_min": "mis_min_apply_parts",
+        "mis_excl": "mis_excl_apply_parts",
         "pagerank": "pagerank_apply_parts",
         "cc": "cc_apply_parts",
         "lp": "lp_apply_parts",
@@ -1141,6 +1145,79 @@ class CsrShard:
             {
                 "vertex": pa.array(self.owned[m], pa.int64()),
                 "dist": pa.array(self.dist[m], pa.int64()),
+            }
+        )
+
+    # ---- maximal independent set (greedy-by-id, parallel rounds) -------
+    #
+    # Luby-style rounds with the DETERMINISTIC priority = vertex id: an
+    # undecided vertex joins when no smaller-id undecided neighbor exists,
+    # then its neighbors are excluded. Computes the lexicographically-first
+    # MIS (identical to the sequential greedy by ascending id), two
+    # exchanges per round, frontier shrinks geometrically.
+
+    def mis_init(self) -> int:
+        self.mis_state = np.zeros(len(self.owned), np.int8)  # 0 = undecided
+        self.mis_round = np.zeros(len(self.owned), np.int64)
+        self.mis_joined = np.zeros(len(self.owned), bool)
+        return len(self.owned)
+
+    def mis_min_scatter_parts(self):
+        """Min undecided-neighbor id toward each destination."""
+        INF = np.iinfo(np.int64).max
+        und = self.mis_state[self.src_in_owned] == 0
+        mins = np.full(len(self.dst_u), INF)
+        if und.any():
+            ids = self._rank_per_edge(self.owned[self.src_in_owned])
+            act = np.repeat(und, self.outdeg)
+            np.minimum.at(mins, self.dst_inv[act], ids[act])
+        out = []
+        for p in range(self.P):
+            idx = self.dst_by_part[p]
+            m = mins[idx]
+            live = m != INF
+            out.append((self.dst_route[p][live], m[live]))
+        return tuple(out)
+
+    def mis_min_apply_parts(self, rnd: int, *parts) -> int:
+        INF = np.iinfo(np.int64).max
+        mins = np.full(len(self.owned), INF)
+        for idx, mm in parts:
+            if len(idx):
+                np.minimum.at(mins, idx, mm)
+        join = (self.mis_state == 0) & (self.owned < mins)
+        self.mis_joined = join
+        self.mis_state[join] = 1
+        self.mis_round[join] = rnd
+        return int(join.sum())
+
+    def mis_excl_scatter_parts(self):
+        """One exclusion flag per destination adjacent to a new member."""
+        flags = np.zeros(len(self.dst_u), bool)
+        j = self.mis_joined[self.src_in_owned]
+        if j.any():
+            act = np.repeat(j, self.outdeg)
+            flags[self.dst_inv[act]] = True
+        return tuple(
+            (self.dst_route[p][flags[self.dst_by_part[p]]],)
+            for p in range(self.P)
+        )
+
+    def mis_excl_apply_parts(self, *parts) -> int:
+        excl = np.zeros(len(self.owned), bool)
+        for (idx,) in parts:
+            if len(idx):
+                excl[idx] = True
+        newly = excl & (self.mis_state == 0)
+        self.mis_state[newly] = 2
+        return int(newly.sum())
+
+    def mis_state_table(self) -> pa.Table:
+        m = self.mis_state == 1
+        return pa.table(
+            {
+                "vertex": pa.array(self.owned[m], pa.int64()),
+                "round": pa.array(self.mis_round[m], pa.int64()),
             }
         )
 

@@ -783,3 +783,34 @@ def test_jaccard_links_vs_bruteforce():
             got.loc[i, "jac_e9"],
             got.loc[i, "cn"],
         ) == (a, b, jac, cn)
+
+
+def test_mis_matches_sequential_greedy():
+    """The parallel greedy-by-id MIS equals the sequential greedy by
+    ascending id (lexicographically-first MIS), and is independent+maximal."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        maximal_independent_set,
+    )
+
+    rng = np.random.default_rng(41)
+    n, m = 120, 400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    edges = [tuple(r) for r in np.stack([src[keep], dst[keep]], axis=1)]
+    g = ShardedGraph.build(edges_ds(edges), num_parts=4, symmetric=True)
+    got = set(maximal_independent_set(g).to_pandas()["vertex"])
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    mis = set()
+    for v in sorted(adj):
+        if not (adj[v] & mis):
+            mis.add(v)
+    assert got == mis
+    for v in got:  # independence
+        assert not (adj[v] & got - {v})
+    for v in set(adj) - got:  # maximality
+        assert adj[v] & got
