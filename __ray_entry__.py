@@ -2438,6 +2438,93 @@ def q_daily_users(sf_dir: str):
     return distinct_users_per_window(ev)
 
 
+def q_modal_event_type(sf_dir: str):
+    """Grouped MODE: each user's most frequent event type (ties -> the
+    lexicographically smallest type); one hash(user) shuffle, vectorized
+    run-length counting per partition."""
+    from sbustreamspot_core_ray.stages.events import modal_event_type
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return modal_event_type(ev, num_parts=P)
+
+
+_SQL_MODAL_EVENT_TYPE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type, n FROM r WHERE rn = 1"""
+
+
+def q_degree_histogram(sf_dir: str):
+    """Degree distribution of the undirected derived graph: (degree,
+    vertex count) — the scale-free shape check. Distinct canonical edges ->
+    distributed degree counting -> per-batch partial histograms; only the
+    tiny histograms reach the driver."""
+    import pyarrow.compute as pc
+
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        distinct,
+        int_degrees,
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["src"], pa.int64())
+        d = pc.cast(t["dst"], pa.int64())
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table(
+            {"a": pc.min_element_wise(s, d), "b": pc.max_element_wise(s, d)}
+        )
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vertex": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                )
+            }
+        )
+
+    def local_hist(t: pa.Table) -> pa.Table:
+        du, cnt = np.unique(t["deg"].to_numpy(), return_counts=True)
+        return pa.table({"deg": du, "n_vertices": cnt.astype(np.int64)})
+
+    und = distinct(
+        _edges_full(sf_dir, dedup=False).map_batches(
+            canon, batch_format="pyarrow"
+        ),
+        ["a", "b"],
+    )
+    partials = int_degrees(
+        und.map_batches(both_ends, batch_format="pyarrow"), num_parts=P
+    ).map_batches(local_hist, batch_format="pyarrow")
+    # final fold: the partial histograms are O(distinct degrees) rows
+    df = partials.to_pandas()
+    out = df.groupby("deg", as_index=False)["n_vertices"].sum()
+    return out.sort_values("deg").reset_index(drop=True)
+
+
+_SQL_DEGREE_HISTOGRAM = f"""
+WITH e0 AS MATERIALIZED ({_SQL_EDGES}),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+sym AS (SELECT a AS s FROM canon UNION ALL SELECT b FROM canon),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY s)
+SELECT dg AS deg, CAST(count(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY dg"""
+
+
 def q_weekly_retention(sf_dir: str):
     """Cohort retention per week (active users also active next week):
     one hash(user) shuffle, adjacent-window shifted compare, integer
@@ -3240,6 +3327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": q_props_stats,
         "value_outliers": q_value_outliers,
         "daily_users": q_daily_users,
+        "modal_event_type": q_modal_event_type,
+        "degree_histogram": q_degree_histogram,
         "weekly_retention": q_weekly_retention,
         "value_percentiles": q_value_percentiles,
         "throttle_events": q_throttle_events,
@@ -3643,6 +3732,8 @@ WITH d AS (
 )
 SELECT "window", count(DISTINCT user_id) AS users FROM d GROUP BY "window"
 """,
+        "modal_event_type": _SQL_MODAL_EVENT_TYPE,
+        "degree_histogram": _SQL_DEGREE_HISTOGRAM,
         "weekly_retention": """
 WITH uw AS (
   SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS "window"

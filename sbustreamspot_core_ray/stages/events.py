@@ -625,6 +625,71 @@ def transition_counts(
     )
 
 
+def modal_event_type(
+    events: ray.data.Dataset,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Per-user modal event type (most frequent; ties broken by the
+    lexicographically smallest type) — the grouped-MODE aggregate.
+
+    ONE shuffle on hash(user) % P; the per-partition kernel factorizes the
+    type strings once, counts (user, type) pairs by run-length over a
+    lexsort, and picks each user's (count desc, type asc) winner — no
+    per-user Python."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "event_type": t["event_type"],
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "user_id": np.empty(0, np.int64),
+                    "event_type": pa.array([], pa.string()),
+                    "n": np.empty(0, np.int64),
+                }
+            )
+        types, codes = np.unique(
+            np.asarray(
+                t["event_type"].to_numpy(zero_copy_only=False), dtype=object
+            ),
+            return_inverse=True,
+        )
+        order = np.lexsort((codes, u))
+        u, codes = u[order], codes[order]
+        new = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (codes[1:] != codes[:-1])]
+        )
+        starts = np.flatnonzero(new)
+        uu, cc = u[starts], codes[starts]
+        cnt = np.diff(np.concatenate([starts, [len(u)]]))
+        pick = np.lexsort((cc, -cnt, uu))
+        first = np.concatenate([[True], uu[pick][1:] != uu[pick][:-1]])
+        win = pick[first]
+        return pa.table(
+            {
+                "user_id": uu[win],
+                "event_type": pa.array(list(types[cc[win]]), pa.string()),
+                "n": cnt[win].astype(np.int64),
+            }
+        )
+
+    return (
+        events.select_columns(["user_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 def throttle_events(
     events: ray.data.Dataset,
     min_gap_us: int,

@@ -470,3 +470,30 @@ def test_props_field_stats():
     assert out.loc["a", "n"] == 2 and out.loc["a", "sum_v"] == 1
     assert out.loc["a", "min_v"] == -2 and out.loc["a", "max_v"] == 3
     assert out.loc["b", "n"] == 1 and out.loc["b", "sum_v"] == 10
+
+
+def test_modal_event_type_tiebreak():
+    """Modal type per user; equal counts resolve to the lexicographically
+    smallest type."""
+    import pyarrow as pa
+    import ray.data
+
+    from sbustreamspot_core_ray.stages.events import modal_event_type
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(
+                ["b", "a", "b", "z", "a", "q"], pa.string()
+            ),
+        }
+    )
+    out = (
+        modal_event_type(ray.data.from_arrow(t), num_parts=4)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert out.loc[1, "event_type"] == "b" and out.loc[1, "n"] == 2
+    assert out.loc[2, "event_type"] == "a" and out.loc[2, "n"] == 1  # tie -> min
+    assert out.loc[3, "event_type"] == "q"
