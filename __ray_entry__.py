@@ -2702,6 +2702,45 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(corpus, bench)
 
 
+ED_BAND = 24
+ED_MAXCHARS = 256
+ED_MAXDIST = 8
+
+
+def q_edit_distance_dedup(sf_dir: str):
+    """Edit-distance near-dup pairs: prefix banding (first 24 chars) ->
+    per-band candidate pairs -> early-abandoning Levenshtein verify over
+    the first 256 chars, keep dist <= 8. Exact int64 distances (the same
+    unit-cost metric as DuckDB's levenshtein())."""
+    from sbustreamspot_core_ray.stages.dedup import edit_distance_near_dup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return edit_distance_near_dup(
+        docs,
+        band_chars=ED_BAND,
+        max_chars=ED_MAXCHARS,
+        max_dist=ED_MAXDIST,
+        num_parts=P,
+    )
+
+
+_SQL_EDIT_DISTANCE_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {ED_MAXCHARS}) AS pre,
+         substr(text, 1, {ED_BAND}) AS band
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.pre, b.pre) AS ed
+  FROM d a JOIN d b ON b.band = a.band AND b.doc_id > a.doc_id
+)
+SELECT doc_a, doc_b, CAST(ed AS BIGINT) AS edit_dist
+FROM p WHERE ed <= {ED_MAXDIST}"""
+
+
 def q_exact_dedup(sf_dir: str):
     from sbustreamspot_core_ray.stages.dedup import exact_dedup
 
@@ -3343,6 +3382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
         "exact_dedup": q_exact_dedup,
+        "edit_distance_dedup": q_edit_distance_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -4049,6 +4089,7 @@ FROM documents d LEFT JOIN (
   FROM b JOIN pw ON pw.i = b.n - b.pos GROUP BY doc_id
 ) r ON r.doc_id = d.doc_id
 """,
+        "edit_distance_dedup": _SQL_EDIT_DISTANCE_DEDUP,
         "exact_dedup": """
 SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

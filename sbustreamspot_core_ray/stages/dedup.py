@@ -647,3 +647,116 @@ def simhash_dedup(docs: ray.data.Dataset, num_parts: int = 32) -> ray.data.Datas
         .groupby("__p")
         .map_groups(group, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup (prefix banding + Levenshtein verify)
+# ---------------------------------------------------------------------------
+
+
+def _levenshtein(a: np.ndarray, b: np.ndarray, max_dist: int) -> int:
+    """Unit-cost edit distance between two codepoint arrays (vectorized
+    two-row DP; the sequential insert dependency is resolved with the
+    prefix-min-of-(m[k]-k) identity). Early-abandons past max_dist."""
+    if len(a) < len(b):
+        a, b = b, a
+    if len(b) == 0:
+        return len(a)
+    prev = np.arange(len(b) + 1, dtype=np.int64)
+    steps = np.arange(len(b) + 1, dtype=np.int64)
+    for i in range(1, len(a) + 1):
+        m = np.minimum(prev[1:] + 1, prev[:-1] + (b != a[i - 1]))
+        d = np.minimum.accumulate(np.concatenate(([i], m)) - steps)
+        prev = d + steps
+        if prev.min() > max_dist:
+            return max_dist + 1
+    return int(prev[-1])
+
+
+def _codepoints(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), np.uint32)
+
+
+def edit_distance_near_dup(
+    docs: ray.data.Dataset,
+    band_chars: int = 24,
+    max_chars: int = 256,
+    max_dist: int = 8,
+    num_parts: int = 32,
+    bucket_cap: int = 64,
+) -> ray.data.Dataset:
+    """Near-dup pairs by Levenshtein distance <= max_dist over the first
+    `max_chars` characters, candidates banded by the first `band_chars`
+    characters (documents edited past their prefix need a second banding
+    pass — same recall tradeoff the simhash band path documents).
+
+    ONE shuffle on hash(prefix band) % P; the per-partition kernel
+    lexsorts by band, enumerates within-band pairs (triangular, capped at
+    `bucket_cap` docs per band with the overflow LOGGED — recall loss is
+    never silent), and verifies each candidate with an early-abandoning
+    vectorized DP. Returns (doc_a, doc_b, edit_dist) exact int64."""
+    import logging
+
+    from ..functions.hashing import part_of, stable_id64
+
+    def tag(t: pa.Table) -> pa.Table:
+        txt = pd.Series(t["text"].to_pandas(), copy=False).fillna("")
+        band = txt.str.slice(0, band_chars)
+        pre = txt.str.slice(0, max_chars)
+        bh = stable_id64(band.to_numpy(dtype=object)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "band": pa.array(bh, pa.int64()),
+                "pre": pa.array(pre, pa.string()),
+                "__p": pa.array(part_of(bh, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        band = t["band"].to_numpy()
+        pre = np.asarray(t["pre"].to_numpy(zero_copy_only=False), dtype=object)
+        order = np.lexsort((ids, band))
+        ids, band, pre = ids[order], band[order], pre[order]
+        new = np.concatenate([[True], band[1:] != band[:-1]])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        out_a, out_b, out_d = [], [], []
+        dropped = 0
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            if n > bucket_cap:
+                dropped += 1
+                n = bucket_cap
+            cps = [_codepoints(pre[s + i]) for i in range(n)]
+            for i in range(n):
+                for j in range(i + 1, n):
+                    d = _levenshtein(cps[i], cps[j], max_dist)
+                    if d <= max_dist:
+                        out_a.append(ids[s + i])
+                        out_b.append(ids[s + j])
+                        out_d.append(d)
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "edit_distance_near_dup: truncated %d bands at cap %d",
+                dropped, bucket_cap,
+            )
+        return pa.table(
+            {
+                "doc_a": pa.array(np.asarray(out_a, np.int64)),
+                "doc_b": pa.array(np.asarray(out_b, np.int64)),
+                "edit_dist": pa.array(np.asarray(out_d, np.int64)),
+            }
+        )
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -163,3 +163,66 @@ def test_simhash_near_dup_banded():
     assert (0, 1) in got and got[(0, 1)] <= 10  # small edit
     assert (1, 3) in got and got[(1, 3)] == got[(0, 1)]
     assert (0, 2) not in got and (1, 2) not in got and (2, 3) not in got
+
+
+def test_levenshtein_kernel_matches_reference():
+    """The vectorized two-row DP equals a classic O(nm) reference on random
+    strings, including the early-abandon sentinel."""
+    import random
+
+    from sbustreamspot_core_ray.stages.dedup import _codepoints, _levenshtein
+
+    def ref(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(43)
+    for _ in range(60):
+        a = "".join(rng.choice("abcde") for _ in range(rng.randrange(0, 14)))
+        b = "".join(rng.choice("abcde") for _ in range(rng.randrange(0, 14)))
+        want = ref(a, b)
+        got = _levenshtein(_codepoints(a), _codepoints(b), 100)
+        assert got == want, (a, b, got, want)
+        capped = _levenshtein(_codepoints(a), _codepoints(b), 2)
+        # contract: exact when within the cap, anything > cap otherwise
+        assert capped == want if want <= 2 else capped > 2
+
+
+def test_edit_distance_near_dup_pairs():
+    """Banded near-dup finds the planted pair and skips the distant one."""
+    import pyarrow as pa
+    import ray.data
+
+    from sbustreamspot_core_ray.stages.dedup import edit_distance_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    base,
+                    base[:-6] + "qx",        # small edit, same prefix band
+                    "completely different text that shares nothing at all",
+                    base[:10] + "Z" * 200,   # same band, way past max_dist
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        edit_distance_near_dup(
+            ray.data.from_arrow(docs), band_chars=10, max_chars=256,
+            max_dist=8, num_parts=4,
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out[["doc_a", "doc_b"]].to_numpy())) == [(1, 2)]
+    assert out.loc[0, "edit_dist"] > 0
