@@ -2464,6 +2464,56 @@ r AS (
 SELECT user_id, event_type, n FROM r WHERE rn = 1"""
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_pivot(sf_dir: str):
+    """Wide-format pivot: per-user count columns for the fixed event-type
+    domain plus a total — additive partial pivots, one hash(user) fold."""
+    from sbustreamspot_core_ray.stages.events import pivot_type_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot_type_counts(ev, types=EVENT_TYPES, num_parts=P)
+
+
+_SQL_EVENT_TYPE_PIVOT = (
+    "SELECT user_id,\n"
+    + ",\n".join(
+        f"  CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+        f" AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    + ",\n  CAST(count(*) AS BIGINT) AS n_total\nFROM events GROUP BY user_id"
+)
+
+
+def q_interarrival_stats(sf_dir: str):
+    """Per-user inter-arrival gap stats (count/sum/min/max, integer
+    microseconds) over the (ts, event_id) ordering; single-event users
+    omitted."""
+    from sbustreamspot_core_ray.stages.events import interarrival_stats
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return interarrival_stats(ev, num_parts=P)
+
+
+_SQL_INTERARRIVAL_STATS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS gap_sum_us,
+       MIN(gap) AS gap_min_us, MAX(gap) AS gap_max_us
+FROM g WHERE gap IS NOT NULL GROUP BY user_id"""
+
+
 def q_degree_histogram(sf_dir: str):
     """Degree distribution of the undirected derived graph: (degree,
     vertex count) — the scale-free shape check. Distinct canonical edges ->
@@ -3367,6 +3417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": q_value_outliers,
         "daily_users": q_daily_users,
         "modal_event_type": q_modal_event_type,
+        "event_type_pivot": q_event_type_pivot,
+        "interarrival_stats": q_interarrival_stats,
         "degree_histogram": q_degree_histogram,
         "weekly_retention": q_weekly_retention,
         "value_percentiles": q_value_percentiles,
@@ -3773,6 +3825,8 @@ WITH d AS (
 SELECT "window", count(DISTINCT user_id) AS users FROM d GROUP BY "window"
 """,
         "modal_event_type": _SQL_MODAL_EVENT_TYPE,
+        "event_type_pivot": _SQL_EVENT_TYPE_PIVOT,
+        "interarrival_stats": _SQL_INTERARRIVAL_STATS,
         "degree_histogram": _SQL_DEGREE_HISTOGRAM,
         "weekly_retention": """
 WITH uw AS (

@@ -690,6 +690,134 @@ def modal_event_type(
     )
 
 
+def pivot_type_counts(
+    events: ray.data.Dataset,
+    types: tuple[str, ...],
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Wide-format pivot: one row per user, one count column per event
+    type (`n_<type>`) plus n_total. `types` is the FIXED column domain
+    (schema can't depend on data); unknown types raise loudly.
+
+    Counts are additive, so each batch emits a PARTIAL pivot and one
+    hash(user) shuffle folds partials — rows crossing the wire are
+    per-(batch, user), not per-event."""
+    tlist = list(types)
+    tindex = {t: i for i, t in enumerate(tlist)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = np.asarray(
+            t["event_type"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        codes = np.empty(len(ty), np.int64)
+        for i, s in enumerate(ty):
+            try:
+                codes[i] = tindex[s]
+            except KeyError:
+                raise ValueError(
+                    f"pivot_type_counts: unknown event_type {s!r}; extend "
+                    f"the declared domain {tlist}"
+                ) from None
+        uu, inv = np.unique(u, return_inverse=True)
+        k = len(tlist)
+        mat = np.zeros((len(uu), k), np.int64)
+        np.add.at(mat, (inv, codes), 1)
+        cols = {"user_id": uu}
+        for j, name in enumerate(tlist):
+            cols[f"n_{name}"] = mat[:, j]
+        cols["__p"] = pa.array(part_of(uu, num_parts), pa.int32())
+        return pa.table(cols)
+
+    def merge(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        uu, inv = np.unique(u, return_inverse=True)
+        cols = {"user_id": uu}
+        total = np.zeros(len(uu), np.int64)
+        for name in tlist:
+            c = np.bincount(
+                inv, weights=t[f"n_{name}"].to_numpy(), minlength=len(uu)
+            ).astype(np.int64)
+            cols[f"n_{name}"] = c
+            total += c
+        cols["n_total"] = total
+        return pa.table(cols)
+
+    return (
+        events.select_columns(["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def interarrival_stats(
+    events: ray.data.Dataset,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Per-user inter-arrival gap statistics in exact integer microseconds:
+    (n_gaps, gap_sum_us, gap_min_us, gap_max_us) over the (ts, event_id)
+    ordering; users with a single event have no gaps and are omitted.
+
+    ONE shuffle on hash(user) % P, then a vectorized diff + run-boundary
+    reduce per partition."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        e = t["event_id"].to_numpy()
+        us = t["us"].to_numpy()
+        empty = pa.table(
+            {
+                "user_id": np.empty(0, np.int64),
+                "n_gaps": np.empty(0, np.int64),
+                "gap_sum_us": np.empty(0, np.int64),
+                "gap_min_us": np.empty(0, np.int64),
+                "gap_max_us": np.empty(0, np.int64),
+            }
+        )
+        if len(u) == 0:
+            return empty
+        order = np.lexsort((e, us, u))
+        u, us = u[order], us[order]
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        gaps = (us[1:] - us[:-1])[same]
+        gu = u[1:][same]
+        new = np.concatenate([[True], gu[1:] != gu[:-1]])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(gu)]])
+        return pa.table(
+            {
+                "user_id": gu[starts],
+                "n_gaps": (ends - starts).astype(np.int64),
+                "gap_sum_us": np.add.reduceat(gaps, starts),
+                "gap_min_us": np.minimum.reduceat(gaps, starts),
+                "gap_max_us": np.maximum.reduceat(gaps, starts),
+            }
+        )
+
+    return (
+        events.select_columns(["event_id", "ts", "user_id"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 def throttle_events(
     events: ray.data.Dataset,
     min_gap_us: int,

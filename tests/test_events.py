@@ -497,3 +497,60 @@ def test_modal_event_type_tiebreak():
     assert out.loc[1, "event_type"] == "b" and out.loc[1, "n"] == 2
     assert out.loc[2, "event_type"] == "a" and out.loc[2, "n"] == 1  # tie -> min
     assert out.loc[3, "event_type"] == "q"
+
+
+def test_pivot_type_counts_and_unknown_type():
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from sbustreamspot_core_ray.stages.events import pivot_type_counts
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 2, 2], pa.int64()),
+            "event_type": pa.array(["a", "b", "a", "a", "b"], pa.string()),
+        }
+    )
+    out = (
+        pivot_type_counts(ray.data.from_arrow(t), types=("a", "b"), num_parts=2)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert out.loc[1].tolist() == [1, 1, 2]
+    assert out.loc[2].tolist() == [2, 1, 3]
+
+    bad = pa.table(
+        {
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["zzz"], pa.string()),
+        }
+    )
+    with pytest.raises(Exception, match="unknown event_type"):
+        pivot_type_counts(
+            ray.data.from_arrow(bad), types=("a", "b"), num_parts=2
+        ).to_pandas()
+
+
+def test_interarrival_stats_gaps():
+    import pyarrow as pa
+    import ray.data
+
+    from sbustreamspot_core_ray.stages.events import interarrival_stats
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array([100, 250, 600, 10, 999], pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7, 8, 9], pa.int64()),
+        }
+    )
+    out = (
+        interarrival_stats(ray.data.from_arrow(t), num_parts=2)
+        .to_pandas()
+        .set_index("user_id")
+    )
+    # user 7: gaps 150, 350; users 8 and 9 have one event each -> omitted
+    assert list(out.index) == [7]
+    assert out.loc[7].tolist() == [2, 500, 150, 350]
