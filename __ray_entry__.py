@@ -2630,6 +2630,19 @@ def q_doc_logprob(sf_dir: str):
     return unigram_logprob(docs, top_v=UNIGRAM_V)
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Bigram LM corpus-quality score in integer nanonats: corpus bigram
+    counts via one (a, b) groupby, conditional probability c(a,b)/c_left(a)
+    as ONE IEEE divide + math.log (libm-parity with DuckDB ln), per-bigram
+    int64 quantization -> order-independent sums."""
+    from sbustreamspot_core_ray.stages.text import bigram_logprob
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bigram_logprob(docs)
+
+
 CHUNK_TOKENS = 32
 
 
@@ -3424,6 +3437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles": q_value_percentiles,
         "throttle_events": q_throttle_events,
         "doc_logprob": q_doc_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "chunk_documents": q_chunk_documents,
         "doc_quality": q_doc_quality,
         "token_counts": q_token_counts,
@@ -3893,6 +3907,44 @@ s AS (SELECT tk.doc_id, COALESCE(q.qln, (SELECT qln FROM oov)) AS qln
       FROM tk LEFT JOIN q ON q.t = tk.t),
 agg AS (SELECT doc_id, count(*) AS n, SUM(qln) AS lp FROM s GROUP BY doc_id)
 SELECT d.doc_id, COALESCE(agg.n, 0) AS n_tokens,
+       COALESCE(agg.lp, 0) AS logprob_e9
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
+        "bigram_logprob": """
+WITH base AS (
+  SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS arr
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+  FROM base
+),
+tk AS (
+  SELECT doc_id, t,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM w WHERE t <> ''
+),
+bg AS (
+  SELECT a.doc_id, a.t AS wa, b.t AS wb
+  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+),
+cnt AS (SELECT wa, wb, count(*) AS c FROM bg GROUP BY wa, wb),
+lt AS (SELECT wa, CAST(SUM(c) AS BIGINT) AS ca FROM cnt GROUP BY wa),
+q AS (
+  SELECT cnt.wa, cnt.wb,
+         CAST(floor(ln(CAST(cnt.c AS DOUBLE) / CAST(lt.ca AS DOUBLE)) * 1e9
+                    + 0.5) AS BIGINT) AS qln
+  FROM cnt JOIN lt USING (wa)
+),
+s AS (
+  SELECT bg.doc_id, q.qln
+  FROM bg JOIN q ON q.wa = bg.wa AND q.wb = bg.wb
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, CAST(SUM(qln) AS BIGINT) AS lp
+  FROM s GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_bigrams,
        COALESCE(agg.lp, 0) AS logprob_e9
 FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """,

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "throttle_events",
     "doc_logprob",
+    "bigram_logprob",
     "value_percentiles",
     "daily_users",
     "weekly_retention",

@@ -535,6 +535,108 @@ def unigram_logprob(
     return docs.map_batches(score, batch_format="pandas")
 
 
+def _bigram_pairs(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_index, left, right) adjacent-token pairs per document (empty
+    tokens dropped BEFORE pairing — the SQL mirror filters then pairs)."""
+    toks = df["text"].fillna("").str.lower().str.split(" ")
+    ex = toks.explode()
+    ex = ex[ex.notna() & (ex != "")]
+    idx = ex.index.to_numpy()
+    vals = ex.to_numpy(dtype=object)
+    if len(vals) < 2:
+        e = np.empty(0, dtype=object)
+        return np.empty(0, np.int64), e, e
+    same = idx[1:] == idx[:-1]
+    return idx[1:][same], vals[:-1][same], vals[1:][same]
+
+
+def bigram_logprob(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document bigram language-model score in integer nanonats:
+    logprob_e9 = Σ_bigrams floor(ln(c(a,b)/c_left(a)) * 1e9 + 0.5), where
+    c(a,b) is the corpus bigram count and c_left(a) = Σ_b c(a,b). Every
+    document bigram is in-vocabulary by construction (the table is the
+    corpus's own counts), so no OOV branch exists; documents with < 2
+    tokens score (0, 0).
+
+    Same float-parity recipe as unigram_logprob (exact integer counts, one
+    IEEE divide, math.log == DuckDB ln, per-bigram int64 quantization →
+    order-independent sums). Scale shape: pass 1 is a batch-local pair
+    combiner + ONE (a, b)-keyed groupby over the bigram vocabulary (corpus
+    rows never shuffle); the scored lookup table is `ray.put` once. At a
+    vocabulary too big to broadcast, apply unigram_logprob's top-V cut
+    (score tail bigrams with a floor probability) — documented tradeoff."""
+    import math
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, a, b = _bigram_pairs(df)
+        if not len(a):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object),
+                 "b": pd.Series([], dtype=object),
+                 "c_partial": pd.Series([], dtype=np.int64)}
+            )
+        g = (
+            pd.DataFrame({"a": a, "b": b})
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .reset_index(name="c_partial")
+        )
+        return g
+
+    counts = (
+        docs.map_batches(pair_partial, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Sum("c_partial", alias_name="c"))
+        .to_pandas()
+    )
+    if len(counts):
+        left = counts.groupby("a")["c"].transform("sum").to_numpy(np.int64)
+        cab = counts["c"].to_numpy(np.int64)
+        qln = np.array(
+            [
+                math.floor(math.log(float(x) / float(y)) * 1e9 + 0.5)
+                for x, y in zip(cab.tolist(), left.tolist())
+            ],
+            np.int64,
+        )
+        key = (counts["a"] + "\x1f" + counts["b"]).to_numpy(dtype=object)
+        order = np.argsort(key, kind="stable")
+        vocab_ref = _ray.put((key[order], qln[order]))
+    else:
+        vocab_ref = _ray.put((np.empty(0, object), np.empty(0, np.int64)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        keys, q = _ray.get(vocab_ref)
+        di, a, b = _bigram_pairs(df)
+        out_n = np.zeros(len(df), np.int64)
+        out_lp = np.zeros(len(df), np.int64)
+        if len(a):
+            k = (pd.Series(a) + "\x1f" + pd.Series(b)).to_numpy(dtype=object)
+            idx = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
+            assert (keys[idx] == k).all(), "bigram missing from corpus table"
+            per = q[idx]
+            s = pd.Series(per, index=di)
+            sums = s.groupby(level=0).sum()
+            ns = s.groupby(level=0).size()
+            pos = {ix: i for i, ix in enumerate(df.index)}
+            for ix, v in sums.items():
+                out_lp[pos[ix]] = v
+            for ix, v in ns.items():
+                out_n[pos[ix]] = v
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_bigrams": out_n,
+                "logprob_e9": out_lp,
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def chunk_documents(
     docs: ray.data.Dataset, chunk_tokens: int = 32
 ) -> ray.data.Dataset:

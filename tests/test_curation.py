@@ -394,6 +394,38 @@ def test_unigram_logprob_exact():
     assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "logprob_e9"] == 0
 
 
+def test_bigram_logprob_exact():
+    """Hand-checked conditional nanonat sums; <2-token docs score (0, 0);
+    empty tokens from double spaces are dropped BEFORE pairing."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from sbustreamspot_core_ray.stages.text import bigram_logprob
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                # corpus bigrams: doc1 "a  b a" -> (a,b),(b,a) [double space
+                # dropped]; doc2 "a b b" -> (a,b),(b,b); doc3 one token;
+                # doc4 empty. counts: (a,b)=2, (b,a)=1, (b,b)=1;
+                # left: a=2, b=2.
+                "text": pa.array(["a  b a", "a b b", "x", ""]),
+            }
+        )
+    )
+    out = bigram_logprob(docs).to_pandas().set_index("doc_id").sort_index()
+    qab = math.floor(math.log(2 / 2.0) * 1e9 + 0.5)
+    qba = math.floor(math.log(1 / 2.0) * 1e9 + 0.5)
+    qbb = math.floor(math.log(1 / 2.0) * 1e9 + 0.5)
+    assert out.loc[1, "n_bigrams"] == 2 and out.loc[1, "logprob_e9"] == qab + qba
+    assert out.loc[2, "n_bigrams"] == 2 and out.loc[2, "logprob_e9"] == qab + qbb
+    assert out.loc[3, "n_bigrams"] == 0 and out.loc[3, "logprob_e9"] == 0
+    assert out.loc[4, "n_bigrams"] == 0 and out.loc[4, "logprob_e9"] == 0
+
+
 def test_chunk_documents():
     import pyarrow as pa
 
