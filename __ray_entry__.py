@@ -1649,6 +1649,43 @@ SELECT vertex, CAST(count(*) AS BIGINT) AS reach_cnt,
 FROM md GROUP BY vertex"""
 
 
+def q_harmonic_sample(sf_dir: str):
+    """Sampled harmonic centrality: the farness BFS engine with an extra
+    integer accumulator — each reached vertex adds floor(1e9/d + 0.5)
+    nano-units per seed, so the sums are exact and order-independent."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        sampled_farness,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    return sampled_farness(
+        g, seeds=np.array(FAR_SEEDS, np.int64), max_hops=FAR_MAX_HOPS,
+        harmonic=True,
+    ).select_columns(["vertex", "reach_cnt", "harmonic_e9"])
+
+
+def _harmonic_sample_sql() -> str:
+    seeds = ", ".join(f"({s})" for s in FAR_SEEDS)
+    return f"""
+WITH RECURSIVE e0 AS ({_SQL_EDGES}),
+e AS (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0),
+walk(seed, vertex, dist) AS (
+  SELECT s, s, 0 FROM (VALUES {seeds}) t(s) WHERE s IN (SELECT s FROM e)
+  UNION
+  SELECT walk.seed, e.d, walk.dist + 1 FROM walk JOIN e ON e.s = walk.vertex
+  WHERE walk.dist < {FAR_MAX_HOPS}
+),
+md AS (SELECT seed, vertex, MIN(dist) AS dist FROM walk GROUP BY seed, vertex)
+SELECT vertex, CAST(count(*) AS BIGINT) AS reach_cnt,
+       CAST(SUM(CASE WHEN dist > 0
+                THEN CAST(floor(1e9 / dist + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS harmonic_e9
+FROM md GROUP BY vertex"""
+
+
 WALK_SEEDS = tuple(range(1, 51))  # customer keys, present at every sf
 WALK_LEN = 4
 
@@ -1732,6 +1769,34 @@ def q_assortativity(sf_dir: str):
     from sbustreamspot_core_ray.pipelines.superstep import degree_assortativity
 
     return degree_assortativity(_edges_full(sf_dir), num_partitions=P)
+
+
+RECIP_MOD = 997  # vertex-id fold for the directed interaction graph
+
+
+def _edges_directed(sf_dir: str) -> ray.data.Dataset:
+    """Directed interaction graph with genuine reverse pairs and self
+    loops: (l_partkey % m, l_suppkey % m) folds both key spaces onto one
+    id range so (a,b) and (b,a) both occur — the shape reciprocity needs."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": p % RECIP_MOD, "dst": s % RECIP_MOD})
+
+    return li.map_batches(mk, batch_format="pyarrow")
+
+
+def q_graph_summary(sf_dir: str):
+    """One-row directed-graph summary (raw/distinct/self-loop/reciprocal
+    edge counts + reciprocity): one unordered-key shuffle, per-partition
+    integer partials, driver folds P rows."""
+    from sbustreamspot_core_ray.pipelines.superstep import reciprocity_summary
+
+    return reciprocity_summary(_edges_directed(sf_dir), num_partitions=P)
 
 
 SSSP_CAP = 60  # recursion guard; must exceed the max finite distance
@@ -2319,6 +2384,36 @@ def q_revenue_by_nation(sf_dir: str):
     return df[["r_name", "n_name", "revenue"]]
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF_US = 883_612_800_000_000  # 1998-01-01 (mid-range of o_orderdate)
+Q3_TOPN = 10
+
+
+def q_q3_shipping(sf_dir: str):
+    """TPC-H-Q3-shaped shipping priority: segment semi-join x date-split
+    lineitem/orders join, exact integer revenue units, per-block partial
+    top-10 + driver fold on a bounded table."""
+    from sbustreamspot_core_ray.stages.relational import shipping_priority
+
+    return shipping_priority(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ),
+        segment=Q3_SEGMENT,
+        cutoff_us=Q3_CUTOFF_US,
+        num_partitions=P,
+        topn=Q3_TOPN,
+    )
+
+
 def q_revenue_rollup(sf_dir: str):
     """GROUP BY ROLLUP analog with explicit 'ALL' placeholder labels:
     nation level, region level, grand total — all re-aggregated from the
@@ -2404,6 +2499,18 @@ def q_embedding_centroids(sf_dir: str):
     return embedding_centroids(embs)
 
 
+def q_embedding_quantize(sf_dir: str):
+    """Per-vector symmetric int8 quantization: stateless vectorized map,
+    fixed IEEE chain (x/maxabs)*127+0.5 -> floor, CSV-canonical output
+    mirrored by the SQL list_transform oracle."""
+    from sbustreamspot_core_ray.stages.ann import embedding_int8_quantize
+
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_int8_quantize(embs)
+
+
 def q_props_stats(sf_dir: str):
     """Semi-structured extraction: integer field k regex-extracted from
     the JSON props column, folded per event_type (all-integer stats)."""
@@ -2436,6 +2543,21 @@ def q_daily_users(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
     )
     return distinct_users_per_window(ev)
+
+
+WAU_DAYS = 7
+
+
+def q_wau_rolling(sf_dir: str):
+    """Rolling 7-day COUNT(DISTINCT user) per day: one hash(user)
+    shuffle, bounded 7x fan-out on the DEDUPED (user, day) pairs, integer
+    partials folded by a tiny day-keyed groupby."""
+    from sbustreamspot_core_ray.stages.events import rolling_distinct_users
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    return rolling_distinct_users(ev, window_days=WAU_DAYS, num_parts=P)
 
 
 def q_modal_event_type(sf_dir: str):
@@ -2655,6 +2777,18 @@ def q_chunk_documents(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return chunk_documents(docs, chunk_tokens=CHUNK_TOKENS)
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Sub-document exact dedup: sha256 per 32-token chunk, one
+    digest-key shuffle, first-wins owner on the composite
+    (doc_id, chunk_id) key."""
+    from sbustreamspot_core_ray.stages.dedup import chunk_exact_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_exact_dedup(docs, chunk_tokens=CHUNK_TOKENS)
 
 
 def q_doc_quality(sf_dir: str):
@@ -3381,9 +3515,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_distance": q_bfs_distance,
         "closeness_sample": q_closeness_sample,
+        "harmonic_sample": q_harmonic_sample,
         "mis": q_mis,
         "sssp_distance": q_sssp_distance,
         "assortativity": q_assortativity,
+        "graph_summary": q_graph_summary,
         "random_walks": q_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "adamic_adar": q_adamic_adar,
@@ -3422,13 +3558,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": q_customers_no_urgent,
         "revenue_by_nation": q_revenue_by_nation,
         "revenue_rollup": q_revenue_rollup,
+        "q3_shipping": q_q3_shipping,
         "clustering_coefficient": q_clustering_coefficient,
         "late_events": q_late_events,
         "hourly_filled": q_hourly_filled,
         "embedding_centroids": q_embedding_centroids,
+        "embedding_quantize": q_embedding_quantize,
         "props_stats": q_props_stats,
         "value_outliers": q_value_outliers,
         "daily_users": q_daily_users,
+        "wau_rolling": q_wau_rolling,
         "modal_event_type": q_modal_event_type,
         "event_type_pivot": q_event_type_pivot,
         "interarrival_stats": q_interarrival_stats,
@@ -3439,6 +3578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_logprob": q_doc_logprob,
         "bigram_logprob": q_bigram_logprob,
         "chunk_documents": q_chunk_documents,
+        "chunk_dedup": q_chunk_dedup,
         "doc_quality": q_doc_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -3483,10 +3623,33 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _ppr_sql(),
         "bfs_distance": _bfs_sql(),
         "closeness_sample": _closeness_sample_sql(),
+        "harmonic_sample": _harmonic_sample_sql(),
         "mis": _mis_sql(),
         "sssp_distance": _sssp_sql(),
         "random_walks": _random_walks_sql(),
         "walk_skipgrams": _walk_skipgrams_sql(),
+        "graph_summary": f"""
+WITH e AS (
+  SELECT l_partkey % {RECIP_MOD} AS src, l_suppkey % {RECIP_MOD} AS dst
+  FROM lineitem
+),
+d AS (SELECT DISTINCT src, dst FROM e),
+st AS (
+  SELECT
+    (SELECT count(*) FROM e) AS n_raw,
+    (SELECT count(*) FROM d) AS n_distinct,
+    (SELECT count(*) FROM d WHERE src = dst) AS n_self_loops,
+    (SELECT count(*) FROM d a JOIN d b ON b.src = a.dst AND b.dst = a.src
+      WHERE a.src <> a.dst) AS n_reciprocal
+)
+SELECT CAST(n_raw AS BIGINT) AS n_raw,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(n_self_loops AS BIGINT) AS n_self_loops,
+       CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+       ROUND(CAST(n_reciprocal AS DOUBLE)
+             / (n_distinct - n_self_loops), 6) AS reciprocity
+FROM st
+""",
         "assortativity": f"""
 WITH de AS ({_SQL_EDGES}),
 und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -3692,6 +3855,26 @@ WHERE NOT EXISTS (
   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
 )
 """,
+        "q3_shipping": f"""
+WITH r AS (
+  SELECT l_orderkey,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+             AS BIGINT)) AS u
+  FROM lineitem WHERE epoch_us(l_shipdate) > {Q3_CUTOFF_US}
+  GROUP BY l_orderkey
+)
+SELECT o.o_orderkey AS orderkey,
+       ROUND(CAST(r.u AS DOUBLE) / 10000.0, 2) AS revenue,
+       epoch_us(o.o_orderdate) AS orderdate_us,
+       o.o_orderpriority AS priority
+FROM r
+JOIN orders o ON o.o_orderkey = r.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE epoch_us(o.o_orderdate) < {Q3_CUTOFF_US}
+  AND c.c_mktsegment = '{Q3_SEGMENT}'
+ORDER BY r.u DESC, orderdate_us, orderkey
+LIMIT {Q3_TOPN}
+""",
         "revenue_by_nation": """
 WITH rev AS (
   SELECT l_suppkey,
@@ -3785,6 +3968,28 @@ SELECT event_type, win, n,
             AS BIGINT) AS n_ma7
 FROM filled
 """,
+        "embedding_quantize": """
+WITH s AS (
+  SELECT vec_id,
+         len(embedding) AS n_dims,
+         list_max(list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))) AS m
+  FROM embeddings
+),
+q AS (
+  SELECT s.vec_id, s.n_dims, s.m,
+         CASE WHEN s.m = 0
+              THEN list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e.embedding,
+                x -> CAST(floor((CAST(x AS DOUBLE) / s.m) * 127.0 + 0.5)
+                          AS BIGINT))
+         END AS ql
+  FROM s JOIN embeddings e ON e.vec_id = s.vec_id
+)
+SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims, m AS scale,
+       CAST(list_sum(list_transform(ql, x -> abs(x))) AS BIGINT) AS l1_q,
+       array_to_string(ql, ',') AS q_csv
+FROM q
+""",
         "embedding_centroids": """
 WITH q AS (
   SELECT label, g.i AS dim,
@@ -3831,6 +4036,18 @@ SELECT u.event_id, u.event_type, u.value,
        ROUND((CAST(u.c AS DOUBLE) - p.m) / p.sd, 6) AS z
 FROM u JOIN p USING (event_type)
 WHERE abs(CAST(u.c AS DOUBLE) - p.m) > 3.0e0 * p.sd
+""",
+        "wau_rolling": f"""
+WITH p AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events
+),
+t AS (
+  SELECT DISTINCT d + k AS day
+  FROM p, unnest(generate_series(0, {WAU_DAYS - 1})) AS g(k)
+)
+SELECT t.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+FROM t JOIN p ON p.d BETWEEN t.day - {WAU_DAYS - 1} AND t.day
+GROUP BY t.day
 """,
         "daily_users": """
 WITH d AS (
@@ -3947,6 +4164,36 @@ agg AS (
 SELECT d.doc_id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_bigrams,
        COALESCE(agg.lp, 0) AS logprob_e9
 FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
+        "chunk_dedup": f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+c AS (
+  SELECT doc_id, toks, nt,
+         unnest(generate_series(
+           0, CAST(ceil(CAST(nt AS DOUBLE) / {CHUNK_TOKENS}) AS BIGINT) - 1
+         )) AS ck
+  FROM n WHERE nt > 0
+),
+ch AS (
+  SELECT doc_id, ck AS chunk_id,
+         array_to_string(
+           toks[CAST(ck * {CHUNK_TOKENS} + 1 AS BIGINT)
+                : CAST(LEAST(ck * {CHUNK_TOKENS} + {CHUNK_TOKENS}, nt) AS BIGINT)],
+           ' ') AS chunk_text
+  FROM c
+),
+h AS (
+  SELECT sha256(chunk_text) AS sha, doc_id * 1000000 + chunk_id AS fk
+  FROM ch
+)
+SELECT sha, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(MIN(fk) // 1000000 AS BIGINT) AS doc_id,
+       CAST(MIN(fk) % 1000000 AS BIGINT) AS chunk_id
+FROM h GROUP BY sha
 """,
         "chunk_documents": f"""
 WITH t AS (

@@ -84,6 +84,12 @@ BENCH_QUERIES = [
     "throttle_events",
     "doc_logprob",
     "bigram_logprob",
+    "graph_summary",
+    "q3_shipping",
+    "chunk_dedup",
+    "wau_rolling",
+    "embedding_quantize",
+    "harmonic_sample",
     "value_percentiles",
     "daily_users",
     "weekly_retention",

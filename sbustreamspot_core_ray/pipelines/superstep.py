@@ -706,7 +706,7 @@ def maximal_independent_set(
 
 
 def sampled_farness(
-    graph: ShardedGraph, seeds, max_hops: int = 64
+    graph: ShardedGraph, seeds, max_hops: int = 64, harmonic: bool = False
 ) -> ray.data.Dataset:
     """Sampled closeness/farness centrality: one BFS per sample seed, with
     per-vertex (reach_cnt, dist_sum) accumulated INSIDE the shards between
@@ -731,7 +731,9 @@ def sampled_farness(
             frontier = sum(graph._exchange("bfs"))
             it += 1
         ray.get([a.farness_fold.remote() for a in actors])
-    return ray.data.from_arrow_refs([a.farness_state.remote() for a in actors])
+    return ray.data.from_arrow_refs(
+        [a.farness_state.remote(harmonic) for a in actors]
+    )
 
 
 def sssp_distance(
@@ -1798,6 +1800,89 @@ def degree_assortativity(
                 "edges": pa.array([e], pa.int64()),
                 "assortativity": pa.array(
                     [float(round_half_away(np.array([r]), 6)[0])], pa.float64()
+                ),
+            }
+        )
+    )
+
+
+def reciprocity_summary(
+    edges: ray.data.Dataset, num_partitions: int = 32
+) -> ray.data.Dataset:
+    """One-row DIRECTED-graph summary: raw edge count, distinct ordered
+    edges, self-loops, reciprocated edges (distinct ordered non-loop pairs
+    whose reverse edge also exists), and reciprocity = n_reciprocal /
+    (n_distinct - n_self_loops), one IEEE divide rounded to 6.
+
+    Scale shape: ONE shuffle — every ordered pair is routed by the hash of
+    its UNORDERED key, so (a,b) and (b,a) land in the same partition and
+    each partition's dedup / reverse-membership scan is globally correct
+    in isolation. Per-partition kernel is a dense local re-index +
+    np.unique + searchsorted (no Python row loop); each partition emits a
+    ONE-ROW integer partial and the driver folds num_partitions rows."""
+
+    def route(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        with np.errstate(over="ignore"):
+            key = lo * np.int64(1_000_003) + hi  # wraparound mix is fine
+        return pa.table(
+            {
+                "src": s,
+                "dst": d,
+                "__p": pa.array(part_of(key, num_partitions), pa.int32()),
+            }
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        n_raw = len(s)
+        u = np.unique(np.concatenate([s, d]))
+        si = np.searchsorted(u, s).astype(np.int64)
+        di = np.searchsorted(u, d).astype(np.int64)
+        L = np.int64(len(u))
+        enc = np.unique(si * L + di)  # distinct ordered pairs, sorted
+        es, ed = enc // L, enc % L
+        loops = es == ed
+        renc = ed[~loops] * L + es[~loops]
+        pos = np.searchsorted(enc, renc)
+        pos = np.minimum(pos, len(enc) - 1) if len(enc) else pos
+        n_recip = int((enc[pos] == renc).sum()) if len(enc) else 0
+        return pa.table(
+            {
+                "n_raw": pa.array([n_raw], pa.int64()),
+                "n_distinct": pa.array([len(enc)], pa.int64()),
+                "n_loops": pa.array([int(loops.sum())], pa.int64()),
+                "n_recip": pa.array([n_recip], pa.int64()),
+            }
+        )
+
+    rows = (
+        edges.map_batches(route, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+        .take_all()
+    )
+    n_raw = sum(int(r["n_raw"]) for r in rows)
+    n_dis = sum(int(r["n_distinct"]) for r in rows)
+    n_loop = sum(int(r["n_loops"]) for r in rows)
+    n_rec = sum(int(r["n_recip"]) for r in rows)
+    den = n_dis - n_loop
+    rec = float(n_rec) / float(den) if den else 0.0
+    from ..functions.rounding import round_half_away
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_raw": pa.array([n_raw], pa.int64()),
+                "n_distinct": pa.array([n_dis], pa.int64()),
+                "n_self_loops": pa.array([n_loop], pa.int64()),
+                "n_reciprocal": pa.array([n_rec], pa.int64()),
+                "reciprocity": pa.array(
+                    [float(round_half_away(np.array([rec]), 6)[0])], pa.float64()
                 ),
             }
         )

@@ -649,3 +649,39 @@ def embedding_centroids(
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def embedding_int8_quantize(embs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-vector symmetric int8 quantization (the storage/serving
+    compression step): q_i = floor(x_i / maxabs * 127 + 0.5) with the
+    per-vector scale maxabs = max|x_i|; all-zero vectors quantize to
+    zeros with scale 0. Stateless map — no shuffle at any scale; the
+    matrix kernel is one numpy pass per batch.
+
+    Parity: float32 -> float64 casts are exact, maxabs is a max over
+    exact values, and the quantizer is the fixed IEEE chain
+    (x / m) * 127.0 + 0.5 -> floor, mirrored verbatim by the SQL
+    list_transform oracle. Output rows carry the quantized vector as a
+    canonical CSV string (bit-exact to SQL array_to_string) plus integer
+    checksums, so the driver hash covers every component."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        M = _mat(t["embedding"], np.float32).astype(np.float64)
+        m = np.abs(M).max(axis=1)
+        safe = np.where(m > 0.0, m, 1.0)
+        Q = np.floor((M / safe[:, None]) * 127.0 + 0.5).astype(np.int64)
+        Q[m == 0.0] = 0
+        csv = pd.DataFrame(Q).astype(str).agg(",".join, axis=1).to_numpy(object)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "n_dims": np.full(len(m), M.shape[1], np.int64),
+                "scale": pa.array(m, pa.float64()),
+                "l1_q": np.abs(Q).sum(axis=1),
+                "q_csv": pa.array(csv, pa.string()),
+            }
+        )
+
+    return embs.select_columns(["vec_id", "embedding"]).map_batches(
+        kernel, batch_format="pyarrow"
+    )

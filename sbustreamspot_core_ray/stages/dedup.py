@@ -37,6 +37,62 @@ from ..functions.proccache import call_singleton, cached_get
 # ---------------------------------------------------------------------------
 
 
+def chunk_exact_dedup(
+    docs: ray.data.Dataset, chunk_tokens: int = 32, num_parts: int = 32
+) -> ray.data.Dataset:
+    """Sub-document (paragraph-level) exact dedup: sha256 over each
+    fixed-size token chunk, one row per DISTINCT chunk with its copy count
+    and first owner (min (doc_id, chunk_id) — the exact_dedup first-wins
+    rule one level below the document).
+
+    Scale shape: identical to exact_dedup — the chunker is a stateless
+    map, then ONE digest-derived cheap-key shuffle and a vectorized
+    per-partition groupby fold. The owner tie-break rides a composite
+    int key doc_id*1e6+chunk_id (chunk_id < 1e6 asserted: a document
+    with >= 32M tokens should be split upstream)."""
+    from .text import chunk_documents
+
+    chunks = chunk_documents(docs, chunk_tokens=chunk_tokens)
+
+    def hash_part(df: pd.DataFrame) -> pd.DataFrame:
+        digests = [
+            hashlib.sha256(t.encode("utf-8")).digest() for t in df["chunk_text"]
+        ]
+        cid = df["chunk_id"].to_numpy(np.int64)
+        assert (cid < 1_000_000).all(), "chunk_id exceeds composite-key bound"
+        return pd.DataFrame(
+            {
+                "sha": [d.hex() for d in digests],
+                "first_key": df["doc_id"].to_numpy(np.int64) * 1_000_000 + cid,
+                "__p": np.array(
+                    [int.from_bytes(d[:8], "little") % num_parts for d in digests],
+                    np.int32,
+                ),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("sha", sort=True)
+            .agg(n_copies=("first_key", "size"), first_key=("first_key", "min"))
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "sha": g["sha"],
+                "n_copies": g["n_copies"].astype(np.int64),
+                "doc_id": (g["first_key"] // 1_000_000).astype(np.int64),
+                "chunk_id": (g["first_key"] % 1_000_000).astype(np.int64),
+            }
+        )
+
+    return (
+        chunks.map_batches(hash_part, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 class _ContentHash:
     def __init__(self, num_parts: int = 32):
         self.num_parts = num_parts

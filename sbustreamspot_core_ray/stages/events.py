@@ -977,6 +977,61 @@ def distinct_users_per_window(
     )
 
 
+def rolling_distinct_users(
+    events: ray.data.Dataset,
+    window_days: int = 7,
+    day_us: int = 86_400_000_000,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Rolling COUNT(DISTINCT user) — WAU(t) = distinct users active on
+    any day in [t - window + 1, t], reported for every day t covered by
+    at least one active window (the rolling-DAU→WAU engagement metric).
+
+    Scale shape: ONE shuffle on hash(user) % P puts each user's whole day
+    set in one partition; the kernel dedups (user, day), fans each pair
+    out to its `window_days` target days (a bounded 7x on the DEDUPED
+    pairs, not the raw events), dedups (user, target) locally — globally
+    correct because users never straddle partitions — and emits per-day
+    integer partials folded by a tiny final groupby."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "day": us // day_us,
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        d = t["day"].to_numpy()
+        uw = np.unique(np.stack([u, d], axis=1), axis=0)
+        if not len(uw):
+            z = np.empty(0, np.int64)
+            return pa.table({"day": z, "n_partial": z})
+        off = np.arange(window_days, dtype=np.int64)
+        tgt = (uw[:, 1][:, None] + off[None, :]).ravel()
+        usr = np.repeat(uw[:, 0], window_days)
+        ut = np.unique(np.stack([usr, tgt], axis=1), axis=0)
+        days, cnt = np.unique(ut[:, 1], return_counts=True)
+        return pa.table({"day": days, "n_partial": cnt.astype(np.int64)})
+
+    return (
+        events.select_columns(["ts", "user_id"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("day")
+        .sum("n_partial")
+        .rename_columns({"sum(n_partial)": "wau"})
+    )
+
+
 def weekly_retention(
     events: ray.data.Dataset,
     window_us: int = 604_800_000_000,

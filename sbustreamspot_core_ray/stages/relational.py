@@ -117,6 +117,193 @@ def anti_join_keys(
     return probed.map_batches(miss, batch_format="pyarrow")
 
 
+def shipping_priority(
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    segment: str,
+    cutoff_us: int,
+    num_partitions: int = 16,
+    topn: int = 10,
+) -> "pa.Table":
+    """TPC-H-Q3-shaped shipping-priority report: revenue (exact 1e-4
+    integer units) of lineitems shipped AFTER the cutoff, restricted to
+    orders placed BEFORE the cutoff by customers of one market segment;
+    the top-n orders by revenue.
+
+    Scale shape: lineitem is combiner-shrunk to <= one row per orderkey
+    per block BEFORE its shuffle; both joins are the house union-with-
+    marker co-partition pattern (ONE cheap-key shuffle each — custkey,
+    then orderkey — with a vectorized searchsorted kernel; Dataset.join
+    is avoided because chained hash-join operators choke on the
+    schema-less empty partitions tiny inputs produce). The top-n is a
+    per-partition partial cut (<= n rows leave each kernel) followed by a
+    driver fold over n*partitions rows. Integer revenue units make every
+    comparison and the (units DESC, orderdate ASC, orderkey ASC)
+    tie-break exact — orderkey is unique, so the order is total."""
+    import pyarrow.compute as pc
+
+    def ord_pre(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"], pa.int64())
+        f = t.filter(pc.less(od, pa.scalar(cutoff_us, pa.int64())))
+        key = f["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": key,
+                "o_orderkey": pc.cast(f["o_orderkey"], pa.int64()),
+                "orderdate_us": pc.cast(f["o_orderdate"], pa.int64()),
+                "priority": pc.cast(f["o_orderpriority"], pa.string()),
+                "is_build": pa.array(np.zeros(len(key), bool)),
+                "__p": pa.array(part_of(key, num_partitions), pa.int32()),
+            }
+        )
+
+    def cust_pre(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["c_mktsegment"], pa.scalar(segment)))
+        key = f["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(key)
+        return pa.table(
+            {
+                "key": key,
+                "o_orderkey": pa.array(np.zeros(n, np.int64)),
+                "orderdate_us": pa.array(np.zeros(n, np.int64)),
+                "priority": pa.array([""] * n, pa.string()),
+                "is_build": pa.array(np.ones(n, bool)),
+                "__p": pa.array(part_of(key, num_partitions), pa.int32()),
+            }
+        )
+
+    def semi_kernel(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        ck = np.unique(key[build])
+        sel = np.flatnonzero(~build)
+        k = key[sel]
+        if len(ck) and len(k):
+            idx = np.minimum(np.searchsorted(ck, k), len(ck) - 1)
+            sel = sel[ck[idx] == k]
+        else:
+            sel = sel[:0]
+        pos = pa.array(sel)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].take(pos),
+                "orderdate_us": t["orderdate_us"].take(pos),
+                "priority": t["priority"].take(pos),
+            }
+        )
+
+    semi = (
+        orders.map_batches(ord_pre, batch_format="pyarrow")
+        .union(customer.map_batches(cust_pre, batch_format="pyarrow"))
+        .groupby("__p")
+        .map_groups(semi_kernel, batch_format="pyarrow")
+    )
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ship > cutoff_us
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)[keep]
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        uk, inv = np.unique(ok, return_inverse=True)
+        sums = np.bincount(inv, weights=units, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": uk,
+                "units": sums,
+                "orderdate_us": np.zeros(len(uk), np.int64),
+                "priority": pa.array([""] * len(uk), pa.string()),
+                "is_build": pa.array(np.ones(len(uk), bool)),
+                "__p": pa.array(part_of(uk, num_partitions), pa.int32()),
+            }
+        )
+
+    def semi_tag(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": ok,
+                "units": np.zeros(len(ok), np.int64),
+                "orderdate_us": t["orderdate_us"],
+                "priority": t["priority"],
+                "is_build": pa.array(np.zeros(len(ok), bool)),
+                "__p": pa.array(part_of(ok, num_partitions), pa.int32()),
+            }
+        )
+
+    def join_cut(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy()
+        units = t["units"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "o_orderkey": np.empty(0, np.int64),
+                "units": np.empty(0, np.int64),
+                "orderdate_us": np.empty(0, np.int64),
+                "priority": pa.array([], pa.string()),
+            }
+        )
+        # revenue partials can split one orderkey across input blocks;
+        # they all land here, so the local fold is globally exact
+        rk = ok[build]
+        if not len(rk):
+            return empty
+        uk, inv = np.unique(rk, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, units[build])
+        sel = np.flatnonzero(~build)
+        k = ok[sel]
+        if not len(k):
+            return empty
+        idx = np.minimum(np.searchsorted(uk, k), len(uk) - 1)
+        hit = uk[idx] == k
+        sel, idx = sel[hit], idx[hit]
+        u = sums[idx]
+        od = t["orderdate_us"].to_numpy(zero_copy_only=False)[sel]
+        cut = np.lexsort((ok[sel], od, -u))[:topn]
+        pos = pa.array(sel[cut])
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[sel][cut], pa.int64()),
+                "units": pa.array(u[cut], pa.int64()),
+                "orderdate_us": pa.array(od[cut], pa.int64()),
+                "priority": t["priority"].take(pos),
+            }
+        )
+
+    parts = (
+        lineitem.select_columns(
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        )
+        .map_batches(li_pre, batch_format="pyarrow")
+        .union(semi.map_batches(semi_tag, batch_format="pyarrow"))
+        .groupby("__p")
+        .map_groups(join_cut, batch_format="pyarrow")
+        .take_all()
+    )
+    ok = np.array([r["o_orderkey"] for r in parts], np.int64)
+    u = np.array([r["units"] for r in parts], np.int64)
+    od = np.array([r["orderdate_us"] for r in parts], np.int64)
+    pr = np.array([r["priority"] for r in parts], object)
+    order = np.lexsort((ok, od, -u))[:topn] if len(ok) else np.empty(0, np.int64)
+    from ..functions.rounding import round_half_away
+
+    return pa.table(
+        {
+            "orderkey": pa.array(ok[order], pa.int64()),
+            "revenue": pa.array(
+                round_half_away(u[order].astype(np.float64) / 10000.0, 2),
+                pa.float64(),
+            ),
+            "orderdate_us": pa.array(od[order], pa.int64()),
+            "priority": pa.array(pr[order].tolist(), pa.string()),
+        }
+    )
+
+
 def revenue_by_nation(
     lineitem: ray.data.Dataset,
     supplier: ray.data.Dataset,

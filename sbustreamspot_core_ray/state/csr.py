@@ -1226,24 +1226,33 @@ class CsrShard:
     def farness_init(self) -> None:
         self.far_cnt = np.zeros(len(self.owned), np.int64)
         self.far_sum = np.zeros(len(self.owned), np.int64)
+        self.far_harm = np.zeros(len(self.owned), np.int64)
 
     def farness_fold(self) -> int:
         """Fold the current BFS dist state into the farness accumulators
-        (reached vertices only) — called once per sample seed's BFS."""
+        (reached vertices only) — called once per sample seed's BFS. The
+        harmonic accumulator adds floor(1e9/d + 0.5) integer nano-units
+        per positive distance (the seed's own d=0 contributes nothing),
+        so sums stay exact and order-independent."""
         m = self.dist < np.iinfo(np.int64).max
         self.far_cnt[m] += 1
         self.far_sum[m] += self.dist[m]
+        pos = m & (self.dist > 0)
+        self.far_harm[pos] += np.floor(
+            1e9 / self.dist[pos].astype(np.float64) + 0.5
+        ).astype(np.int64)
         return int(m.sum())
 
-    def farness_state(self) -> pa.Table:
+    def farness_state(self, harmonic: bool = False) -> pa.Table:
         m = self.far_cnt > 0
-        return pa.table(
-            {
-                "vertex": pa.array(self.owned[m], pa.int64()),
-                "reach_cnt": pa.array(self.far_cnt[m], pa.int64()),
-                "dist_sum": pa.array(self.far_sum[m], pa.int64()),
-            }
-        )
+        cols = {
+            "vertex": pa.array(self.owned[m], pa.int64()),
+            "reach_cnt": pa.array(self.far_cnt[m], pa.int64()),
+            "dist_sum": pa.array(self.far_sum[m], pa.int64()),
+        }
+        if harmonic:
+            cols["harmonic_e9"] = pa.array(self.far_harm[m], pa.int64())
+        return pa.table(cols)
 
     # ---- warm-start (incremental) PageRank ---------------------------
 

@@ -1,0 +1,184 @@
+"""Round-3 additions: reciprocity summary, rolling distinct users,
+chunk-level exact dedup, int8 embedding quantization, shipping priority,
+harmonic farness — hand-checked fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+US = 1_000_000
+DAY_US = 86_400_000_000
+
+
+def test_reciprocity_summary():
+    from sbustreamspot_core_ray.pipelines.superstep import reciprocity_summary
+
+    # raw: (1,2)x2, (2,1), (3,3), (1,3) -> distinct 4; loops 1 [(3,3)];
+    # reciprocal ordered non-loop pairs with reverse present: (1,2),(2,1)
+    src = [1, 1, 2, 3, 1]
+    dst = [2, 2, 1, 3, 3]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+    )
+    out = reciprocity_summary(edges, num_partitions=3).to_pandas().iloc[0]
+    assert out["n_raw"] == 5
+    assert out["n_distinct"] == 4
+    assert out["n_self_loops"] == 1
+    assert out["n_reciprocal"] == 2
+    assert out["reciprocity"] == round(2 / 3.0, 6)
+
+
+def test_rolling_distinct_users():
+    from sbustreamspot_core_ray.stages.events import rolling_distinct_users
+
+    # user 1 active day 0; user 2 active days 0 and 9 (twice on day 9)
+    rows = [(0, 1), (0, 2), (9, 2), (9, 2)]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([d * DAY_US + 5 * US for d, _ in rows],
+                               pa.timestamp("us")),
+                "user_id": pa.array([u for _, u in rows], pa.int64()),
+            }
+        )
+    )
+    out = (
+        rolling_distinct_users(ev, window_days=7, num_parts=2)
+        .to_pandas()
+        .set_index("day")["wau"]
+        .sort_index()
+    )
+    # days 0-6 covered by day-0 activity (2 users); days 9-15 by user 2
+    assert out.loc[0] == 2 and out.loc[6] == 2
+    assert 7 not in out.index and 8 not in out.index
+    assert out.loc[9] == 1 and out.loc[15] == 1
+    assert len(out) == 14
+
+
+def test_chunk_exact_dedup():
+    from sbustreamspot_core_ray.stages.dedup import chunk_exact_dedup
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                # chunk size 2: doc1 -> ["a b", "c"], doc2 -> ["a b"],
+                # doc3 -> ["c"]  (so "a b" x2 first-owner doc1/chunk0,
+                # "c" x2 first-owner doc1/chunk1)
+                "text": pa.array(["a b c", "a b", "c"]),
+            }
+        )
+    )
+    out = (
+        chunk_exact_dedup(docs, chunk_tokens=2, num_parts=2)
+        .to_pandas()
+        .sort_values("sha")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    by_owner = out.set_index(["doc_id", "chunk_id"])["n_copies"]
+    assert by_owner.loc[(1, 0)] == 2  # "a b"
+    assert by_owner.loc[(1, 1)] == 2  # "c"
+
+
+def test_embedding_int8_quantize():
+    from sbustreamspot_core_ray.stages.ann import embedding_int8_quantize
+
+    embs = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, -2.0, 0.5], [0.0, 0.0, 0.0]],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    out = embedding_int8_quantize(embs).to_pandas().set_index("vec_id")
+    # maxabs=2: q = floor([63.5+0.5, -127+0.5, 31.75+0.5]) = [64, -127, 32]
+    assert out.loc[1, "q_csv"] == "64,-127,32"
+    assert out.loc[1, "scale"] == 2.0
+    assert out.loc[1, "l1_q"] == 64 + 127 + 32
+    assert out.loc[2, "q_csv"] == "0,0,0"
+    assert out.loc[2, "scale"] == 0.0 and out.loc[2, "l1_q"] == 0
+
+
+def test_shipping_priority():
+    from sbustreamspot_core_ray.stages.relational import shipping_priority
+
+    cutoff = 100 * US
+    orders = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([10, 11, 10], pa.int64()),
+                "o_orderdate": pa.array(
+                    [50 * US, 50 * US, 200 * US], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "3-LOW"]),
+            }
+        )
+    )
+    customer = ray.data.from_arrow(
+        pa.table(
+            {
+                "c_custkey": pa.array([10, 11], pa.int64()),
+                "c_mktsegment": pa.array(["BUILDING", "MACHINERY"]),
+            }
+        )
+    )
+    # order 1: two lineitems after cutoff (10*0.9 + 20*1.0 = 29.0), one
+    # before cutoff (ignored); order 2 (wrong segment), order 3 (late
+    # orderdate) must not appear.
+    lineitem = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 1, 2, 3], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 20.0, 99.0, 5.0, 5.0]),
+                "l_discount": pa.array([0.1, 0.0, 0.0, 0.0, 0.0]),
+                "l_shipdate": pa.array(
+                    [150 * US, 160 * US, 50 * US, 150 * US, 150 * US],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+    out = shipping_priority(
+        orders, customer, lineitem, "BUILDING", cutoff,
+        num_partitions=2, topn=10,
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "orderkey"] == 1
+    assert out.loc[0, "revenue"] == 29.0
+    assert out.loc[0, "priority"] == "1-URGENT"
+
+
+def test_farness_harmonic_accumulator():
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        sampled_farness,
+    )
+
+    # path graph 1-2-3 (symmetric): from seed 1, d(2)=1 d(3)=2
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array([1, 2], pa.int64()),
+             "dst": pa.array([2, 3], pa.int64())}
+        )
+    )
+    g = ShardedGraph.build(edges, num_parts=2, symmetric=True)
+    out = (
+        sampled_farness(g, seeds=np.array([1], np.int64), harmonic=True)
+        .to_pandas()
+        .set_index("vertex")
+    )
+    assert out.loc[1, "harmonic_e9"] == 0
+    assert out.loc[2, "harmonic_e9"] == 1_000_000_000
+    assert out.loc[3, "harmonic_e9"] == 500_000_000
+    assert out.loc[3, "dist_sum"] == 2
