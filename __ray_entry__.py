@@ -1686,6 +1686,38 @@ SELECT vertex, CAST(count(*) AS BIGINT) AS reach_cnt,
 FROM md GROUP BY vertex"""
 
 
+def q_hop_histogram(sf_dir: str):
+    """Per-seed BFS hop profile (seed, dist, n_vertices): one BFS per
+    sample seed; each shard returns only a bounded per-hop histogram."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        bfs_hop_histogram,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    return bfs_hop_histogram(
+        g, seeds=np.array(FAR_SEEDS, np.int64), max_hops=FAR_MAX_HOPS
+    )
+
+
+def _hop_histogram_sql() -> str:
+    seeds = ", ".join(f"({s})" for s in FAR_SEEDS)
+    return f"""
+WITH RECURSIVE e0 AS ({_SQL_EDGES}),
+e AS (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0),
+walk(seed, vertex, dist) AS (
+  SELECT s, s, 0 FROM (VALUES {seeds}) t(s) WHERE s IN (SELECT s FROM e)
+  UNION
+  SELECT walk.seed, e.d, walk.dist + 1 FROM walk JOIN e ON e.s = walk.vertex
+  WHERE walk.dist < {FAR_MAX_HOPS}
+),
+md AS (SELECT seed, vertex, MIN(dist) AS dist FROM walk GROUP BY seed, vertex)
+SELECT seed, dist, CAST(count(*) AS BIGINT) AS n_vertices
+FROM md GROUP BY seed, dist"""
+
+
 WALK_SEEDS = tuple(range(1, 51))  # customer keys, present at every sf
 WALK_LEN = 4
 
@@ -2545,6 +2577,72 @@ def q_daily_users(sf_dir: str):
     return distinct_users_per_window(ev)
 
 
+def q_hll_users(sf_dir: str):
+    """Approximate distinct users per event type (deterministic
+    HyperLogLog, 64 registers) with the exact count as witness; the
+    register fold is integer-exact, the estimate a single IEEE divide."""
+    from sbustreamspot_core_ray.stages.events import hll_users
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_users(ev, num_parts=P)
+
+
+def _hll_users_sql() -> str:
+    from sbustreamspot_core_ray.stages.events import HLL_MIX, HLL_W_BITS
+
+    two_w = 1 << HLL_W_BITS
+    return f"""
+WITH p AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         CAST((CAST(user_id AS HUGEINT) * {HLL_MIX})
+              % 18446744073709551616 AS HUGEINT) AS h
+  FROM p
+),
+r AS (
+  SELECT event_type,
+         CAST(h // {two_w} AS BIGINT) AS bucket,
+         CAST(h % {two_w} AS BIGINT) AS w
+  FROM h
+),
+rk AS (
+  SELECT event_type, bucket,
+         CASE WHEN w = 0 THEN {HLL_W_BITS + 1}
+              ELSE {HLL_W_BITS + 1} - length(bin(w)) END AS rnk
+  FROM r
+),
+reg AS (
+  SELECT event_type, bucket, MAX(rnk) AS mj
+  FROM rk GROUP BY event_type, bucket
+),
+types AS (SELECT DISTINCT event_type FROM p),
+allb AS (
+  SELECT t.event_type, g.b
+  FROM types t, unnest(generate_series(0, 63)) AS g(b)
+),
+filled AS (
+  SELECT a.event_type, COALESCE(reg.mj, 0) AS mj
+  FROM allb a
+  LEFT JOIN reg ON reg.event_type = a.event_type AND reg.bucket = a.b
+),
+s AS (
+  SELECT event_type,
+         SUM(CAST(1 AS HUGEINT) << ({HLL_W_BITS + 1} - mj)) AS sreg
+  FROM filled GROUP BY event_type
+),
+cnt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_users
+  FROM p GROUP BY event_type
+)
+SELECT cnt.event_type, cnt.exact_users,
+       ROUND(0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * {float(2 * two_w)!r}
+             / CAST(s.sreg AS DOUBLE), 4) AS hll_estimate
+FROM cnt JOIN s ON s.event_type = cnt.event_type
+"""
+
+
 WAU_DAYS = 7
 
 
@@ -2834,6 +2932,30 @@ def q_fingerprints(sf_dir: str):
 # driver config for the stratified-sample query: downsample the dominant
 # language to rebalance the mix; rates in basis points of SAMPLE_BUCKETS
 STRATA_RATES_BP = {"en": 2000, "de": 8000, "fr": 8000, "es": 8000}
+
+
+def q_source_stats(sf_dir: str):
+    """Per-source corpus composition (doc count, distinct langs, char
+    totals + mean): combiner-shrunk (source, lang) groupby, bounded fold."""
+    from sbustreamspot_core_ray.stages.curation import source_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "lang", "n_chars"],
+    )
+    return source_stats(docs)
+
+
+def q_sampling_weights(sf_dir: str):
+    """Temperature (alpha=0.5) data-mixing weights per language:
+    sqrt(n)/sqrt(max n) — sqrt is correctly rounded, so the chain is
+    bit-exact without integer tricks."""
+    from sbustreamspot_core_ray.stages.curation import sampling_weights
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang"]
+    )
+    return sampling_weights(docs)
 
 
 def q_repetition_signals(sf_dir: str):
@@ -3515,6 +3637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_distance": q_bfs_distance,
         "closeness_sample": q_closeness_sample,
+        "hop_histogram": q_hop_histogram,
         "harmonic_sample": q_harmonic_sample,
         "mis": q_mis,
         "sssp_distance": q_sssp_distance,
@@ -3567,6 +3690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": q_props_stats,
         "value_outliers": q_value_outliers,
         "daily_users": q_daily_users,
+        "hll_users": q_hll_users,
         "wau_rolling": q_wau_rolling,
         "modal_event_type": q_modal_event_type,
         "event_type_pivot": q_event_type_pivot,
@@ -3584,6 +3708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "repetition_signals": q_repetition_signals,
+        "source_stats": q_source_stats,
+        "sampling_weights": q_sampling_weights,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
@@ -3623,6 +3749,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _ppr_sql(),
         "bfs_distance": _bfs_sql(),
         "closeness_sample": _closeness_sample_sql(),
+        "hop_histogram": _hop_histogram_sql(),
         "harmonic_sample": _harmonic_sample_sql(),
         "mis": _mis_sql(),
         "sssp_distance": _sssp_sql(),
@@ -4037,6 +4164,7 @@ SELECT u.event_id, u.event_type, u.value,
 FROM u JOIN p USING (event_type)
 WHERE abs(CAST(u.c AS DOUBLE) - p.m) > 3.0e0 * p.sd
 """,
+        "hll_users": _hll_users_sql(),
         "wau_rolling": f"""
 WITH p AS (
   SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events
@@ -4239,6 +4367,22 @@ SELECT doc_id,
   END AS ws_tokens,
   len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS re_tokens
 FROM documents
+""",
+        "source_stats": """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / count(*), 2) AS mean_chars
+FROM documents GROUP BY source
+""",
+        "sampling_weights": """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+m AS (SELECT MAX(n) AS mx FROM c)
+SELECT lang, n AS n_docs,
+       ROUND(sqrt(CAST(n AS DOUBLE)) / sqrt(CAST((SELECT mx FROM m) AS DOUBLE)),
+             6) AS weight
+FROM c
 """,
         "repetition_signals": r"""
 WITH base AS (

@@ -90,6 +90,10 @@ BENCH_QUERIES = [
     "wau_rolling",
     "embedding_quantize",
     "harmonic_sample",
+    "hop_histogram",
+    "hll_users",
+    "source_stats",
+    "sampling_weights",
     "value_percentiles",
     "daily_users",
     "weekly_retention",

@@ -736,6 +736,49 @@ def sampled_farness(
     )
 
 
+def bfs_hop_histogram(
+    graph: ShardedGraph, seeds, max_hops: int = 64
+) -> ray.data.Dataset:
+    """Per-seed BFS hop profile: (seed, dist, n_vertices) — how many
+    vertices sit at each hop distance from each sample seed (the
+    neighborhood-growth / effective-diameter evidence that ANF-style
+    sketches approximate).
+
+    One BFS per seed on the superstep engine; after each BFS every shard
+    returns only its bounded (max_hops+1)-long local histogram, summed on
+    the driver — O(seeds * hops) driver state, never a per-vertex table.
+
+    Unsalted graphs only (the BFS kernel's constraint)."""
+    if graph.salted:
+        raise ValueError(
+            "bfs_hop_histogram supports unsalted graphs only; build the "
+            "ShardedGraph without salt_threshold"
+        )
+    actors = graph.actors
+    out_seed, out_dist, out_n = [], [], []
+    for s in np.unique(np.asarray(seeds, np.int64)):
+        one = np.array([s], np.int64)
+        frontier = sum(ray.get([a.bfs_init.remote(one) for a in actors]))
+        it = 0
+        while frontier and it < max_hops:
+            frontier = sum(graph._exchange("bfs"))
+            it += 1
+        hist = np.sum(ray.get([a.bfs_hist.remote(max_hops) for a in actors]), axis=0)
+        nz = np.flatnonzero(hist)
+        out_seed.append(np.full(len(nz), s, np.int64))
+        out_dist.append(nz.astype(np.int64))
+        out_n.append(hist[nz].astype(np.int64))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "seed": np.concatenate(out_seed) if out_seed else np.empty(0, np.int64),
+                "dist": np.concatenate(out_dist) if out_dist else np.empty(0, np.int64),
+                "n_vertices": np.concatenate(out_n) if out_n else np.empty(0, np.int64),
+            }
+        )
+    )
+
+
 def sssp_distance(
     graph: ShardedGraph, seeds, max_rounds: int = 64
 ) -> ray.data.Dataset:

@@ -337,3 +337,94 @@ def decontaminate(
         batch_format="pandas",
         batch_size=2048,
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus composition: per-source stats + temperature sampling weights
+
+
+def source_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-source corpus composition: document count, distinct languages,
+    total and mean characters — the first report any data-mixing decision
+    reads. ONE combiner-shrunk (source, lang) groupby (per-batch partial
+    sums shrink each block to <= |sources|*|langs| rows); the final
+    per-source fold runs on that fixed-cardinality table. The mean is one
+    IEEE divide of exact integer sums (SQL-mirrorable)."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["source", "lang"], sort=False)
+            .agg(n=("doc_id", "size"), chars=("n_chars", "sum"))
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["chars"] = g["chars"].astype(np.int64)
+        return g
+
+    agg = (
+        docs.select_columns(["doc_id", "source", "lang", "n_chars"])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"), Sum("chars", alias_name="chars"))
+        .to_pandas()  # <= |sources| * |langs| rows by construction
+    )
+    g = (
+        agg.groupby("source", sort=True)
+        .agg(
+            n_docs=("n", "sum"),
+            n_langs=("lang", "nunique"),
+            total_chars=("chars", "sum"),
+        )
+        .reset_index()
+    )
+    nd = g["n_docs"].to_numpy(np.int64)
+    tc = g["total_chars"].to_numpy(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_langs": pa.array(g["n_langs"].to_numpy(np.int64), pa.int64()),
+                "total_chars": pa.array(tc, pa.int64()),
+                "mean_chars": pa.array(
+                    round_half_away(tc.astype(np.float64) / nd, 2), pa.float64()
+                ),
+            }
+        )
+    )
+
+
+def sampling_weights(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Temperature-based (alpha = 0.5) data-mixing weights per language:
+    weight = sqrt(n_lang) / sqrt(max_n) — the square-root rebalancing rule
+    (multilingual-corpus temperature sampling), normalized by the LARGEST
+    group so the parity chain is sqrt (correctly rounded per IEEE-754)
+    plus ONE divide — never a float sum across groups. Combiner counts,
+    one tiny lang groupby, driver fold on |langs| rows."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = (
+        docs.select_columns(["lang"])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("lang")
+    )
+    n = agg["n"].to_numpy(np.int64)
+    w = np.sqrt(n.astype(np.float64)) / np.sqrt(float(n.max())) if len(n) else n
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(agg["lang"], pa.string()),
+                "n_docs": pa.array(n, pa.int64()),
+                "weight": pa.array(round_half_away(w, 6), pa.float64()),
+            }
+        )
+    )

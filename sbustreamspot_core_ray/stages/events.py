@@ -1373,3 +1373,107 @@ def props_field_stats(
             Max("v", alias_name="max_v"),
         )
     )
+
+
+# ---- HyperLogLog distinct-user sketch (deterministic, SQL-mirrored) ------
+
+HLL_MIX = 11400714819323198485  # Fibonacci/Knuth 64-bit multiplier (mod 2^64)
+HLL_B = 6  # 2^6 = 64 registers
+HLL_W_BITS = 64 - HLL_B  # 58 value bits below the bucket
+# raw-HLL bias constant and the fixed numerator alpha * m^2 * 2^59: the
+# integer register sum S folds 2^(W_BITS + 1 - M_j) terms (M_j can reach
+# W_BITS + 1 when the value bits are all zero, so the scale must be
+# 2^(W_BITS+1) to stay integral); identical literal chain in SQL
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 64.0)
+HLL_NUM = HLL_ALPHA * 64.0 * 64.0 * float(1 << (HLL_W_BITS + 1))
+
+
+def _bitlen_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (propagate-then-popcount
+    SWAR) — float log2 would mis-round at mantissa boundaries."""
+    w = w.astype(np.uint64, copy=True)
+    for s in (1, 2, 4, 8, 16, 32):
+        w |= w >> np.uint64(s)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        w = w - ((w >> np.uint64(1)) & m1)
+        w = (w & m2) + ((w >> np.uint64(2)) & m2)
+        w = (w + (w >> np.uint64(4))) & m4
+        return ((w * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+            np.int64
+        )
+
+
+def hll_users(events: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT user) per event type via a deterministic
+    HyperLogLog (Flajolet et al.): hash = user * Fibonacci-mix mod 2^64,
+    top 6 bits pick one of 64 registers, register value = leading-zero
+    rank of the low 58 bits. Returns (event_type, exact_users,
+    hll_estimate) — the exact count rides along as the accuracy witness.
+
+    Parity: everything up to the register table is integer-exact; the
+    register fold S = sum(2^(59 - M_j)) is an exact Python-int / SQL
+    HUGEINT sum (never a float sum — 64 powers of two spanning 2^0..2^58
+    do NOT sum exactly in float64), and the estimate is the single IEEE
+    divide NUM / float(S), raw HLL without small/large-range corrections
+    (documented; the oracle applies the identical formula).
+
+    Scale shape: one (type, user) distinct shuffle (batch-deduped pairs,
+    the daily_users combiner), one tiny (type, bucket) max-aggregate; the
+    driver folds |types| * 64 rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Sum
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_type", "user_id"]].drop_duplicates()
+
+    def registers(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = u * np.uint64(HLL_MIX)
+        bucket = (h >> np.uint64(HLL_W_BITS)).astype(np.int64)
+        w = h & np.uint64((1 << HLL_W_BITS) - 1)
+        rnk = np.where(w == 0, HLL_W_BITS + 1, HLL_W_BITS + 1 - _bitlen_u64(w))
+        g = (
+            pd.DataFrame(
+                {"event_type": df["event_type"], "bucket": bucket, "rnk": rnk}
+            )
+            .groupby(["event_type", "bucket"], sort=False)
+            .agg(rnk=("rnk", "max"), n_pairs=("rnk", "size"))
+            .reset_index()
+        )
+        g["n_pairs"] = g["n_pairs"].astype(np.int64)
+        return g
+
+    reg = (
+        events.select_columns(["event_type", "user_id"])
+        .map_batches(pairs, batch_format="pandas")
+        .groupby(["event_type", "user_id"])
+        .count()
+        .map_batches(registers, batch_format="pandas")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Max("rnk", alias_name="rnk"), Sum("n_pairs", alias_name="n"))
+        .to_pandas()
+    )
+    from ..functions.rounding import round_half_away
+
+    out_t, out_exact, out_est = [], [], []
+    for et, g in reg.groupby("event_type", sort=True):
+        regs = np.zeros(64, np.int64)
+        regs[g["bucket"].to_numpy(np.int64)] = g["rnk"].to_numpy(np.int64)
+        s = sum(1 << (HLL_W_BITS + 1 - int(m)) for m in regs)  # exact int
+        out_t.append(et)
+        out_exact.append(int(g["n"].sum()))
+        out_est.append(float(round_half_away(np.array([HLL_NUM / float(s)]), 4)[0]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "exact_users": pa.array(out_exact, pa.int64()),
+                "hll_estimate": pa.array(out_est, pa.float64()),
+            }
+        )
+    )

@@ -1148,6 +1148,15 @@ class CsrShard:
             }
         )
 
+    def bfs_hist(self, max_hops: int) -> np.ndarray:
+        """Shard-local histogram of the current BFS distances (reached
+        vertices only) — a bounded (max_hops+1)-long vector, so a per-seed
+        hop profile costs O(hops) driver traffic per shard, never a
+        per-vertex table."""
+        m = self.dist < np.iinfo(np.int64).max
+        d = np.minimum(self.dist[m], max_hops)
+        return np.bincount(d, minlength=max_hops + 1)
+
     # ---- maximal independent set (greedy-by-id, parallel rounds) -------
     #
     # Luby-style rounds with the DETERMINISTIC priority = vertex id: an

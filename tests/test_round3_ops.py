@@ -182,3 +182,94 @@ def test_farness_harmonic_accumulator():
     assert out.loc[2, "harmonic_e9"] == 1_000_000_000
     assert out.loc[3, "harmonic_e9"] == 500_000_000
     assert out.loc[3, "dist_sum"] == 2
+
+
+def test_bfs_hop_histogram():
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        bfs_hop_histogram,
+    )
+
+    # path 1-2-3-4 plus isolated seed id 9 (absent -> no rows)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array([1, 2, 3], pa.int64()),
+             "dst": pa.array([2, 3, 4], pa.int64())}
+        )
+    )
+    g = ShardedGraph.build(edges, num_parts=2, symmetric=True)
+    out = (
+        bfs_hop_histogram(g, seeds=np.array([1, 9], np.int64), max_hops=8)
+        .to_pandas()
+        .set_index(["seed", "dist"])["n_vertices"]
+    )
+    assert out.loc[(1, 0)] == 1 and out.loc[(1, 3)] == 1
+    assert len(out) == 4  # dists 0..3 for seed 1, nothing for seed 9
+
+
+def test_hll_users_exact_and_estimate():
+    from sbustreamspot_core_ray.stages.events import (
+        HLL_MIX,
+        HLL_NUM,
+        HLL_W_BITS,
+        hll_users,
+    )
+
+    users = list(range(1, 201))
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x"] * 200 + ["y"] * 50),
+                "user_id": pa.array(users + users[:50], pa.int64()),
+            }
+        )
+    )
+    out = hll_users(ev, num_parts=2).to_pandas().set_index("event_type")
+    assert out.loc["x", "exact_users"] == 200
+    assert out.loc["y", "exact_users"] == 50
+    # independent scalar-python HLL for type y
+    regs = [0] * 64
+    for u in users[:50]:
+        h = (u * HLL_MIX) % (1 << 64)
+        b = h >> HLL_W_BITS
+        w = h % (1 << HLL_W_BITS)
+        rnk = HLL_W_BITS + 1 if w == 0 else HLL_W_BITS + 1 - w.bit_length()
+        regs[b] = max(regs[b], rnk)
+    s = sum(1 << (HLL_W_BITS + 1 - m) for m in regs)
+    import numpy as _np
+
+    from sbustreamspot_core_ray.functions.rounding import round_half_away
+
+    want = float(round_half_away(_np.array([HLL_NUM / float(s)]), 4)[0])
+    assert out.loc["y", "hll_estimate"] == want
+    # the estimate should be in the right ballpark (64 registers ~ 13% rse)
+    assert 25 < out.loc["y", "hll_estimate"] < 100
+
+
+def test_source_stats_and_sampling_weights():
+    from sbustreamspot_core_ray.stages.curation import (
+        sampling_weights,
+        source_stats,
+    )
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "source": pa.array(["a", "a", "b", "a"]),
+                "lang": pa.array(["en", "de", "en", "en"]),
+                "n_chars": pa.array([10, 20, 30, 40], pa.int64()),
+            }
+        )
+    )
+    st = source_stats(docs).to_pandas().set_index("source")
+    assert st.loc["a", "n_docs"] == 3 and st.loc["a", "n_langs"] == 2
+    assert st.loc["a", "total_chars"] == 70
+    assert st.loc["a", "mean_chars"] == round(70 / 3.0, 2)
+    assert st.loc["b", "n_docs"] == 1 and st.loc["b", "mean_chars"] == 30.0
+
+    import math
+
+    w = sampling_weights(docs).to_pandas().set_index("lang")
+    assert w.loc["en", "weight"] == 1.0
+    assert w.loc["de", "weight"] == round(math.sqrt(1.0) / math.sqrt(3.0), 6)
