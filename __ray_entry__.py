@@ -2889,6 +2889,36 @@ def q_chunk_dedup(sf_dir: str):
     return chunk_exact_dedup(docs, chunk_tokens=CHUNK_TOKENS)
 
 
+BPE_TOP = 20
+
+
+def q_bpe_pairs(sf_dir: str):
+    """Tokenizer induction (first BPE merge): top-20 adjacent character
+    pairs within whitespace tokens, corpus-wide exact counts."""
+    from sbustreamspot_core_ray.stages.text import bpe_pair_counts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bpe_pair_counts(docs, top_k=BPE_TOP)
+
+
+PACK_TOKENS = 128
+
+
+def q_pack_sequences(sf_dir: str):
+    """Training-sequence packing plan (docs concatenated in doc_id order,
+    split into fixed 128-token sequences; rows = (seq, doc) pieces):
+    distributed integer prefix sum over doc_id buckets, one bucket-key
+    shuffle."""
+    from sbustreamspot_core_ray.stages.text import pack_sequences
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pack_sequences(docs, seq_tokens=PACK_TOKENS, num_parts=P)
+
+
 def q_doc_quality(sf_dir: str):
     from sbustreamspot_core_ray.stages.text import quality
 
@@ -3703,6 +3733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": q_bigram_logprob,
         "chunk_documents": q_chunk_documents,
         "chunk_dedup": q_chunk_dedup,
+        "pack_sequences": q_pack_sequences,
+        "bpe_pairs": q_bpe_pairs,
         "doc_quality": q_doc_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -4322,6 +4354,53 @@ SELECT sha, CAST(count(*) AS BIGINT) AS n_copies,
        CAST(MIN(fk) // 1000000 AS BIGINT) AS doc_id,
        CAST(MIN(fk) % 1000000 AS BIGINT) AS chunk_id
 FROM h GROUP BY sha
+""",
+        "bpe_pairs": f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(COALESCE(text, ''), ' '),
+                x -> x <> '')) AS tok
+  FROM documents
+),
+pos AS (
+  SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i
+  FROM toks WHERE length(tok) >= 2
+),
+pairs AS (
+  SELECT unicode(substr(tok, i, 1)) AS a,
+         unicode(substr(tok, i + 1, 1)) AS b,
+         substr(tok, i, 2) AS pair
+  FROM pos
+)
+SELECT pair, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair, a, b
+ORDER BY cnt DESC, a, b LIMIT {BPE_TOP}
+""",
+        "pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> ''))
+           AS nt
+  FROM documents
+),
+o AS (
+  SELECT doc_id, nt,
+         COALESCE(SUM(nt) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM t
+),
+p AS (
+  SELECT doc_id, nt, CAST(s AS BIGINT) AS s,
+         CAST(s // {PACK_TOKENS} AS BIGINT) AS f,
+         CAST((s + nt - 1) // {PACK_TOKENS} AS BIGINT) AS l
+  FROM o WHERE nt > 0
+),
+x AS (SELECT doc_id, s, nt, unnest(generate_series(f, l)) AS k FROM p)
+SELECT CAST(k AS BIGINT) AS seq_id, doc_id,
+       CAST(GREATEST(k * {PACK_TOKENS}, s) - s AS BIGINT) AS doc_tok_start,
+       CAST(LEAST((k + 1) * {PACK_TOKENS}, s + nt)
+            - GREATEST(k * {PACK_TOKENS}, s) AS BIGINT) AS n_toks
+FROM x
 """,
         "chunk_documents": f"""
 WITH t AS (

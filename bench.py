@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "hll_users",
     "source_stats",
     "sampling_weights",
+    "pack_sequences",
+    "bpe_pairs",
     "value_percentiles",
     "daily_users",
     "weekly_retention",

@@ -689,3 +689,181 @@ def chunk_documents(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         kernel, batch_format="pandas"
     )
+
+
+def pack_sequences(
+    docs: ray.data.Dataset,
+    seq_tokens: int = 128,
+    bucket_docs: int = 4096,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Training-sequence packing plan: concatenate every document's tokens
+    in doc_id order and split the global token stream into fixed
+    `seq_tokens`-token sequences; emit one row per (sequence, document)
+    piece: (seq_id, doc_id, doc_tok_start, n_toks). Documents cross
+    sequence boundaries (the standard pre-training pack — no padding
+    waste), unlike :func:`chunk_documents` which restarts per document.
+
+    Scale shape: a distributed prefix sum. Pass 1 computes per-doc token
+    counts (vectorized explode/reindex) and folds them into contiguous
+    doc_id buckets (`bucket_docs` docs per bucket) — the driver holds ONE
+    row per bucket (corpus_docs / bucket_docs, millions at 100 TB, never
+    per-doc state), prefix-sums the bucket bases exactly in int64, and
+    broadcasts them via ray.put. Pass 2 is ONE hash(bucket) shuffle; the
+    kernel handles its complete buckets vectorized (segmented cumsum +
+    arange fan-out, no per-doc Python). The small counts table is
+    materialized once so the two consumers don't recompute tokenization.
+
+    All arithmetic is integer, so the SQL mirror (window SUM + unnested
+    generate_series) is bit-exact by construction."""
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ")
+        ex = toks.explode()
+        nonempty = ex[ex.notna() & (ex != "")]
+        nt = (
+            nonempty.groupby(level=0)
+            .size()
+            .reindex(df.index, fill_value=0)
+            .to_numpy(np.int64)
+        )
+        d = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": d, "nt": nt, "bucket": d // bucket_docs})
+
+    cnt = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(counts, batch_format="pandas")
+        .materialize()  # doc_id/nt/bucket only — far smaller than the corpus
+    )
+
+    totals = (
+        cnt.groupby("bucket").sum("nt").to_pandas()
+    )  # one row per bucket by construction
+    totals = totals.sort_values("bucket").reset_index(drop=True)
+    buckets = totals["bucket"].to_numpy(np.int64)
+    tt = totals["sum(nt)"].to_numpy(np.int64)
+    bases = np.concatenate([[0], np.cumsum(tt)[:-1]]).astype(np.int64)
+    base_ref = ray.put((buckets, bases))
+
+    from ..functions.hashing import part_of
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__p"] = part_of(df["bucket"].to_numpy(np.int64), num_parts)
+        return df
+
+    L = seq_tokens
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "seq_id": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "doc_tok_start": pd.Series([], dtype=np.int64),
+                "n_toks": pd.Series([], dtype=np.int64),
+            }
+        )
+        if not len(df):
+            return empty
+        bkeys, bbases = ray.get(base_ref)
+        b = df["bucket"].to_numpy(np.int64)
+        d = df["doc_id"].to_numpy(np.int64)
+        nt = df["nt"].to_numpy(np.int64)
+        order = np.lexsort((d, b))
+        b, d, nt = b[order], d[order], nt[order]
+        # segmented exclusive cumsum within each (complete) bucket
+        cum = np.concatenate([[0], np.cumsum(nt)[:-1]])
+        new_b = np.concatenate([[True], b[1:] != b[:-1]])
+        seg_start = cum[np.flatnonzero(new_b)][np.cumsum(new_b) - 1]
+        base = bbases[np.searchsorted(bkeys, b)]
+        s = base + (cum - seg_start)
+        keep = nt > 0
+        s, d, nt = s[keep], d[keep], nt[keep]
+        if not len(d):
+            return empty
+        first = s // L
+        last = (s + nt - 1) // L
+        n_pieces = (last - first + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(d)), n_pieces)
+        # per-piece k = first[doc] + (position within the doc's fan-out)
+        pos = np.arange(len(rep), dtype=np.int64)
+        piece0 = np.concatenate([[0], np.cumsum(n_pieces)[:-1]])
+        k = first[rep] + (pos - piece0[rep])
+        lo = np.maximum(k * L, s[rep])
+        hi = np.minimum((k + 1) * L, (s + nt)[rep])
+        return pd.DataFrame(
+            {
+                "seq_id": k,
+                "doc_id": d[rep],
+                "doc_tok_start": lo - s[rep],
+                "n_toks": hi - lo,
+            }
+        )
+
+    return (
+        cnt.map_batches(tag, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def bpe_pair_counts(docs: ray.data.Dataset, top_k: int = 20) -> ray.data.Dataset:
+    """Tokenizer-induction statistics (the first BPE merge step): corpus
+    counts of ADJACENT CHARACTER PAIRS within whitespace tokens; returns
+    the top_k pairs by (count DESC, codepoint ASC, codepoint ASC) as
+    (pair, a, b, cnt) — a/b are the integer code points, the exact
+    SQL-mirrorable tie-break.
+
+    Vectorized end to end: each batch is joined into one NUL-separated
+    blob, decoded to a code-point array via the fixed-width utf-32
+    buffer (no per-char Python), pair keys packed as a*2^21+b (code
+    points < 2^21), counted with np.unique. ONE pair-key combiner shuffle
+    folds exact int64 partials; the top-k cut runs on the bounded
+    |observed-pairs| table."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        blob = "\x00".join(df["text"].fillna(""))
+        cp = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        if len(cp) < 2:
+            return pd.DataFrame(
+                {"key": pd.Series([], dtype=np.int64),
+                 "cnt": pd.Series([], dtype=np.int64)}
+            )
+        a, b = cp[:-1], cp[1:]
+        # pairs live INSIDE tokens: neither side may be the doc separator
+        # (NUL) or the tokenizer's split char (space)
+        ok = (a != 0) & (b != 0) & (a != 32) & (b != 32)
+        key = a[ok] * np.int64(1 << 21) + b[ok]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({"key": uk, "cnt": cnt.astype(np.int64)})
+
+    agg = (
+        docs.select_columns(["text"])
+        .map_batches(partials, batch_format="pandas")
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded by the observed-pair vocabulary
+    )
+    k = agg["key"].to_numpy(np.int64)
+    c = agg["cnt"].to_numpy(np.int64)
+    a, b = k >> 21, k & ((1 << 21) - 1)
+    order = np.lexsort((b, a, -c))[:top_k]
+    a, b, c = a[order], b[order], c[order]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "pair": pa.array(
+                    [chr(x) + chr(y) for x, y in zip(a.tolist(), b.tolist())],
+                    pa.string(),
+                ),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "cnt": pa.array(c, pa.int64()),
+            }
+        )
+    )

@@ -273,3 +273,52 @@ def test_source_stats_and_sampling_weights():
     w = sampling_weights(docs).to_pandas().set_index("lang")
     assert w.loc["en", "weight"] == 1.0
     assert w.loc["de", "weight"] == round(math.sqrt(1.0) / math.sqrt(3.0), 6)
+
+
+def test_pack_sequences():
+    from sbustreamspot_core_ray.stages.text import pack_sequences
+
+    # doc 1: 3 toks (offsets 0-2), doc 2: 0 toks, doc 3: 4 toks (3-6),
+    # doc 5: 2 toks (7-8); L=4 -> seq0 = d1[0:3]+d3[0:1], seq1 = d3[1:4]+
+    # d5[0:1], seq2 = d5[1:2]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 5], pa.int64()),
+                "text": pa.array(["a b c", "", "d e f g", "h i"]),
+            }
+        )
+    )
+    out = (
+        pack_sequences(docs, seq_tokens=4, bucket_docs=2, num_parts=2)
+        .to_pandas()
+        .sort_values(["seq_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    want = [
+        (0, 1, 0, 3),
+        (0, 3, 0, 1),
+        (1, 3, 1, 3),
+        (1, 5, 0, 1),
+        (2, 5, 1, 1),
+    ]
+    assert [tuple(r) for r in out.to_numpy()] == want
+
+
+def test_bpe_pair_counts():
+    from sbustreamspot_core_ray.stages.text import bpe_pair_counts
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                # pairs: doc1 "abab cd" -> ab, ba, ab, cd; doc2 "ab" -> ab
+                "text": pa.array(["abab cd", "ab"]),
+            }
+        )
+    )
+    out = bpe_pair_counts(docs, top_k=3).to_pandas()
+    assert out.loc[0, "pair"] == "ab" and out.loc[0, "cnt"] == 3
+    # ties (ba=1, cd=1) break by code point: "ba" < "cd"
+    assert out.loc[1, "pair"] == "ba" and out.loc[2, "pair"] == "cd"
+    assert out.loc[1, "a"] == ord("b") and out.loc[1, "b"] == ord("a")
