@@ -1420,17 +1420,22 @@ def hll_users(events: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset
     divide NUM / float(S), raw HLL without small/large-range corrections
     (documented; the oracle applies the identical formula).
 
-    Scale shape: one (type, user) distinct shuffle (batch-deduped pairs,
-    the daily_users combiner), one tiny (type, bucket) max-aggregate; the
-    driver folds |types| * 64 rows."""
+    Scale shape: ONE cheap int-key shuffle on hash(user) % P (each user's
+    rows land in one partition, so the per-partition (type, user) dedup is
+    globally exact — no string-composite groupby); the kernel emits
+    (type, bucket, max rank, pair count) partials, folded by one tiny
+    (type, bucket) aggregate; the driver folds |types| * 64 rows."""
     import pandas as pd
 
     from ray.data.aggregate import Max, Sum
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["event_type", "user_id"]].drop_duplicates()
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[["event_type", "user_id"]].drop_duplicates()
+        g = g.assign(__p=part_of(g["user_id"].to_numpy(np.int64), num_parts))
+        return g
 
     def registers(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["event_type", "user_id"])
         u = df["user_id"].to_numpy(np.int64).astype(np.uint64)
         with np.errstate(over="ignore"):
             h = u * np.uint64(HLL_MIX)
@@ -1450,10 +1455,9 @@ def hll_users(events: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset
 
     reg = (
         events.select_columns(["event_type", "user_id"])
-        .map_batches(pairs, batch_format="pandas")
-        .groupby(["event_type", "user_id"])
-        .count()
-        .map_batches(registers, batch_format="pandas")
+        .map_batches(tag, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(registers, batch_format="pandas")
         .groupby(["event_type", "bucket"])
         .aggregate(Max("rnk", alias_name="rnk"), Sum("n_pairs", alias_name="n"))
         .to_pandas()
