@@ -2643,6 +2643,52 @@ FROM cnt JOIN s ON s.event_type = cnt.event_type
 """
 
 
+CMS_TOPK = 20
+
+
+def q_cms_top_users(sf_dir: str):
+    """Count-Min-sketch heavy hitters: exact top-20 users with the exact
+    and the (always >=) CMS-estimated counts side by side; the counter
+    matrix is a fixed 4x512 integer fold."""
+    from sbustreamspot_core_ray.stages.events import cms_top_users
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    return cms_top_users(ev, top_k=CMS_TOPK, num_parts=P)
+
+
+def _cms_top_users_sql() -> str:
+    from sbustreamspot_core_ray.stages.events import CMS_ROWS, CMS_W_BITS
+
+    consts = ", ".join(f"({i}, {c})" for i, c in enumerate(CMS_ROWS))
+    div = 1 << (64 - CMS_W_BITS)
+    return f"""
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+),
+top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT {CMS_TOPK}),
+r(i, m) AS (VALUES {consts}),
+h AS (
+  SELECT r.i AS i,
+         CAST(((CAST(c.user_id AS HUGEINT) * r.m) % 18446744073709551616)
+              // {div} AS BIGINT) AS col,
+         CAST(SUM(c.n) AS BIGINT) AS cnt
+  FROM c CROSS JOIN r GROUP BY 1, 2
+),
+e AS (
+  SELECT t.user_id, t.n, MIN(h.cnt) AS est
+  FROM top t
+  CROSS JOIN r
+  JOIN h ON h.i = r.i
+        AND h.col = CAST(((CAST(t.user_id AS HUGEINT) * r.m)
+              % 18446744073709551616) // {div} AS BIGINT)
+  GROUP BY t.user_id, t.n
+)
+SELECT user_id, n AS exact_n, CAST(est AS BIGINT) AS cms_n FROM e
+"""
+
+
 WAU_DAYS = 7
 
 
@@ -3721,6 +3767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": q_value_outliers,
         "daily_users": q_daily_users,
         "hll_users": q_hll_users,
+        "cms_top_users": q_cms_top_users,
         "wau_rolling": q_wau_rolling,
         "modal_event_type": q_modal_event_type,
         "event_type_pivot": q_event_type_pivot,
@@ -4197,6 +4244,7 @@ FROM u JOIN p USING (event_type)
 WHERE abs(CAST(u.c AS DOUBLE) - p.m) > 3.0e0 * p.sd
 """,
         "hll_users": _hll_users_sql(),
+        "cms_top_users": _cms_top_users_sql(),
         "wau_rolling": f"""
 WITH p AS (
   SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "harmonic_sample",
     "hop_histogram",
     "hll_users",
+    "cms_top_users",
     "source_stats",
     "sampling_weights",
     "pack_sequences",

@@ -1481,3 +1481,115 @@ def hll_users(events: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset
             }
         )
     )
+
+
+# ---- Count-Min sketch heavy hitters (deterministic, SQL-mirrored) --------
+
+CMS_ROWS = (  # four odd 64-bit multipliers (Fibonacci + splitmix-style)
+    11400714819323198485,
+    13787848793156543929,
+    10723151780598845931,
+    15839092249703872147,
+)
+CMS_W_BITS = 9  # 512 counters per row
+
+
+def cms_top_users(
+    events: ray.data.Dataset, top_k: int = 20, num_parts: int = 32
+) -> ray.data.Dataset:
+    """Heavy hitters via a Count-Min sketch (Cormode–Muthukrishnan): a
+    4 x 512 integer counter matrix over multiplicative hashes of user_id;
+    each user's CMS estimate is the MIN of its four counters (always >=
+    the true count). Reports the exact top_k users (count DESC, user ASC)
+    with exact and estimated counts side by side — the accuracy witness,
+    like :func:`hll_users`.
+
+    Everything is integer, so the SQL mirror is exact by construction.
+    Scale shape: batch combiners emit long-form partials (counter cells
+    with non-negative keys, per-user exact counts with negative keys);
+    ONE cheap int-key shuffle on hash(key) % P completes both folds in a
+    vectorized kernel, which emits its partition's counter cells (the
+    matrix is FIXED SIZE, 4x512) plus only its TOP-K exact rows — the
+    driver merges <= 2048 + P*k rows, never the per-user table."""
+    import pandas as pd
+
+    shift = np.uint64(64 - CMS_W_BITS)
+
+    def cols_for(u: np.ndarray) -> np.ndarray:
+        """(len(u), 4) counter columns per user: the top CMS_W_BITS bits
+        of the mod-2^64 multiplicative hash, one column per row constant."""
+        out = np.empty((len(u), len(CMS_ROWS)), np.int64)
+        uu = u.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            for i, c in enumerate(CMS_ROWS):
+                out[:, i] = ((uu * np.uint64(c)) >> shift).astype(np.int64)
+        return out
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        uu, cnt = np.unique(u, return_counts=True)
+        cols = cols_for(uu)
+        d = len(CMS_ROWS)
+        rows = np.repeat(np.arange(d, dtype=np.int64)[None, :], len(uu), 0)
+        key = rows.ravel() * (1 << CMS_W_BITS) + cols.ravel()
+        cw = np.repeat(cnt.astype(np.int64), d)
+        ku, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(ku), np.int64)
+        np.add.at(sums, inv, cw)
+        out = pd.DataFrame({"key": ku, "cnt": sums})
+        # exact-count partials ride along with a disjoint (negative) key
+        # space, so one shuffle folds counters AND exact counts
+        out2 = pd.DataFrame(
+            {"key": -uu - 1, "cnt": cnt.astype(np.int64)}
+        )
+        out = pd.concat([out, out2], ignore_index=True)
+        out["__p"] = part_of(out["key"].to_numpy(np.int64), num_parts)
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["key"].to_numpy(np.int64)
+        c = df["cnt"].to_numpy(np.int64)
+        ku, inv = np.unique(k, return_inverse=True)
+        sums = np.zeros(len(ku), np.int64)
+        np.add.at(sums, inv, c)
+        keep_cells = ku >= 0
+        # per-partition exact top-k cut: final winners are complete here
+        # (keys are user-partitioned), so the global cut only needs P*k
+        # candidate rows
+        uk, uc = ku[~keep_cells], sums[~keep_cells]
+        cut = np.lexsort((-uk, uc))[::-1][:top_k]  # cnt desc, user asc
+        return pd.DataFrame(
+            {
+                "key": np.concatenate([ku[keep_cells], uk[cut]]),
+                "cnt": np.concatenate([sums[keep_cells], uc[cut]]),
+            }
+        )
+
+    agg = (
+        events.select_columns(["user_id"])
+        .map_batches(partials, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # <= 2048 counter cells + num_parts * top_k rows
+    )
+    k = agg["key"].to_numpy(np.int64)
+    c = agg["cnt"].to_numpy(np.int64)
+    is_cnt = k >= 0
+    counters = np.zeros(len(CMS_ROWS) << CMS_W_BITS, np.int64)
+    counters[k[is_cnt]] = c[is_cnt]
+    users = -k[~is_cnt] - 1
+    exact = c[~is_cnt]
+    order = np.lexsort((users, -exact))[:top_k]
+    users, exact = users[order], exact[order]
+    cols = cols_for(users)
+    idx = np.arange(len(CMS_ROWS), dtype=np.int64)[None, :] * (1 << CMS_W_BITS) + cols
+    est = counters[idx].min(axis=1)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "exact_n": pa.array(exact, pa.int64()),
+                "cms_n": pa.array(est, pa.int64()),
+            }
+        )
+    )

@@ -322,3 +322,32 @@ def test_bpe_pair_counts():
     # ties (ba=1, cd=1) break by code point: "ba" < "cd"
     assert out.loc[1, "pair"] == "ba" and out.loc[2, "pair"] == "cd"
     assert out.loc[1, "a"] == ord("b") and out.loc[1, "b"] == ord("a")
+
+
+def test_cms_top_users():
+    from sbustreamspot_core_ray.stages.events import (
+        CMS_ROWS,
+        CMS_W_BITS,
+        cms_top_users,
+    )
+
+    # user 7 x5, user 3 x2, user 9 x1
+    ev = ray.data.from_arrow(
+        pa.table({"user_id": pa.array([7] * 5 + [3] * 2 + [9], pa.int64())})
+    )
+    out = cms_top_users(ev, top_k=2, num_parts=2).to_pandas()
+    assert out["user_id"].tolist() == [7, 3]
+    assert out["exact_n"].tolist() == [5, 2]
+    # CMS never underestimates
+    assert (out["cms_n"] >= out["exact_n"]).all()
+    # independent scalar CMS for user 7
+    counters = {}
+    for u, n in [(7, 5), (3, 2), (9, 1)]:
+        for i, c in enumerate(CMS_ROWS):
+            col = ((u * c) % (1 << 64)) >> (64 - CMS_W_BITS)
+            counters[(i, col)] = counters.get((i, col), 0) + n
+    est7 = min(
+        counters[(i, ((7 * c) % (1 << 64)) >> (64 - CMS_W_BITS))]
+        for i, c in enumerate(CMS_ROWS)
+    )
+    assert out.loc[0, "cms_n"] == est7
