@@ -2935,6 +2935,49 @@ def q_chunk_dedup(sf_dir: str):
     return chunk_exact_dedup(docs, chunk_tokens=CHUNK_TOKENS)
 
 
+OOV_V = 20
+
+
+def q_oov_rate(sf_dir: str):
+    """Vocabulary-coverage (OOV) rate per doc vs the corpus top-20 vocab:
+    one vocab groupby, broadcast V-row table, stateless membership pass."""
+    from sbustreamspot_core_ray.stages.text import oov_rate
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return oov_rate(docs, top_v=OOV_V)
+
+
+TRIGRAM_TOP = 20
+
+
+def q_event_trigrams(sf_dir: str):
+    """Top-20 consecutive event-type triples per user ordering (double
+    LEAD window mirror); one user shuffle, |types|^3-bounded partials."""
+    from sbustreamspot_core_ray.stages.events import event_trigrams
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return event_trigrams(ev, top_k=TRIGRAM_TOP, num_parts=P)
+
+
+TOPUSERS_N = 3
+
+
+def q_top_users_per_type(sf_dir: str):
+    """Grouped top-N (ROW_NUMBER <= n): each event type's 3 most active
+    users; one user shuffle, bounded candidate fold."""
+    from sbustreamspot_core_ray.stages.events import top_users_per_type
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return top_users_per_type(ev, n=TOPUSERS_N, num_parts=P)
+
+
 BPE_TOP = 20
 
 
@@ -3768,6 +3811,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_users": q_daily_users,
         "hll_users": q_hll_users,
         "cms_top_users": q_cms_top_users,
+        "event_trigrams": q_event_trigrams,
+        "top_users_per_type": q_top_users_per_type,
         "wau_rolling": q_wau_rolling,
         "modal_event_type": q_modal_event_type,
         "event_type_pivot": q_event_type_pivot,
@@ -3782,6 +3827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": q_chunk_dedup,
         "pack_sequences": q_pack_sequences,
         "bpe_pairs": q_bpe_pairs,
+        "oov_rate": q_oov_rate,
         "doc_quality": q_doc_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -4242,6 +4288,53 @@ SELECT u.event_id, u.event_type, u.value,
        ROUND((CAST(u.c AS DOUBLE) - p.m) / p.sd, 6) AS z
 FROM u JOIN p USING (event_type)
 WHERE abs(CAST(u.c AS DOUBLE) - p.m) > 3.0e0 * p.sd
+""",
+        "oov_rate": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+tk AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+cnt AS (SELECT t, count(*) AS c FROM tk GROUP BY t),
+topv AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT {OOV_V}),
+s AS (
+  SELECT tk.doc_id, CASE WHEN topv.t IS NULL THEN 1 ELSE 0 END AS o
+  FROM tk LEFT JOIN topv ON topv.t = tk.t
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, SUM(o) AS no FROM s GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(agg.no, 0) AS BIGINT) AS n_oov,
+       ROUND(CAST(COALESCE(agg.no, 0) AS DOUBLE)
+             / GREATEST(COALESCE(agg.n, 0), 1), 6) AS oov_rate
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
+        "event_trigrams": f"""
+WITH s AS (
+  SELECT user_id, event_type AS a,
+         LEAD(event_type, 1) OVER w AS b,
+         LEAD(event_type, 2) OVER w AS c
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT a, b, c, CAST(count(*) AS BIGINT) AS cnt
+FROM s WHERE b IS NOT NULL AND c IS NOT NULL
+GROUP BY a, b, c
+ORDER BY cnt DESC, a, b, c LIMIT {TRIGRAM_TOP}
+""",
+        "top_users_per_type": f"""
+WITH c AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, user_id
+),
+r AS (
+  SELECT event_type, user_id, n_events,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY n_events DESC, user_id) AS rn
+  FROM c
+)
+SELECT event_type, user_id, n_events, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {TOPUSERS_N}
 """,
         "hll_users": _hll_users_sql(),
         "cms_top_users": _cms_top_users_sql(),

@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "hop_histogram",
     "hll_users",
     "cms_top_users",
+    "oov_rate",
+    "event_trigrams",
+    "top_users_per_type",
     "source_stats",
     "sampling_weights",
     "pack_sequences",

@@ -1593,3 +1593,165 @@ def cms_top_users(
             }
         )
     )
+
+
+def event_trigrams(
+    events: ray.data.Dataset, top_k: int = 20, num_parts: int = 32
+) -> ray.data.Dataset:
+    """Sequential-pattern mining one step past :func:`transition_counts`:
+    global counts of consecutive event-type TRIPLES per user (ordered by
+    ts, event_id), top_k by (cnt DESC, a, b, c). ONE hash(user) shuffle;
+    the kernel double-shifts the lexsorted arrays — per-partition partial
+    counts are bounded by |types|^3, so the driver fold is tiny."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        e = t["event_id"].to_numpy()
+        us = t["us"].to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "c": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if len(u) < 3:
+            return empty
+        order = np.lexsort((e, us, u))
+        u, et = u[order], et[order]
+        same = (u[2:] == u[:-2]) & (u[1:-1] == u[:-2])
+        if not same.any():
+            return empty
+        g = (
+            pd.DataFrame(
+                {"a": et[:-2][same], "b": et[1:-1][same], "c": et[2:][same]}
+            )
+            .groupby(["a", "b", "c"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "a": pa.array(g["a"], pa.string()),
+                "b": pa.array(g["b"], pa.string()),
+                "c": pa.array(g["c"], pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        events.select_columns(["event_id", "ts", "user_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+        .to_pandas()  # <= num_parts * |types|^3 rows
+    )
+    g = (
+        parts.groupby(["a", "b", "c"], sort=True)["cnt"]
+        .sum()
+        .reset_index()
+    )
+    cnt = g["cnt"].to_numpy(np.int64)
+    order = np.lexsort((np.arange(len(g)), -cnt))[:top_k]  # abc asc via sort=True
+    g = g.iloc[order]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(g["a"], pa.string()),
+                "b": pa.array(g["b"], pa.string()),
+                "c": pa.array(g["c"], pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+    )
+
+
+def top_users_per_type(
+    events: ray.data.Dataset, n: int = 3, num_parts: int = 32
+) -> ray.data.Dataset:
+    """Grouped top-N: each event type's N most active users (count DESC,
+    user ASC), the ROW_NUMBER() <= n window pattern over a two-key count.
+    ONE hash(user) shuffle — each user's rows are complete in its
+    partition, so per-partition (type, user) counts are globally exact and
+    the per-partition top-N per type is a valid candidate cut; the driver
+    folds num_parts * |types| * n candidate rows."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "event_type": t["event_type"],
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "user_id": t["user_id"].to_numpy(),
+            }
+        )
+        g = (
+            df.groupby(["event_type", "user_id"], sort=False)
+            .size()
+            .reset_index(name="n_events")
+        )
+        g = g.sort_values(
+            ["event_type", "n_events", "user_id"],
+            ascending=[True, False, True],
+        )
+        g = g.groupby("event_type", sort=False).head(n)
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "user_id": pa.array(g["user_id"].to_numpy(np.int64), pa.int64()),
+                "n_events": pa.array(
+                    g["n_events"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    cand = (
+        events.select_columns(["user_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+        .to_pandas()  # <= num_parts * |types| * n rows
+    )
+    cand = cand.sort_values(
+        ["event_type", "n_events", "user_id"], ascending=[True, False, True]
+    )
+    out = cand.groupby("event_type", sort=True).head(n).reset_index(drop=True)
+    rn = out.groupby("event_type", sort=False).cumcount() + 1
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "user_id": pa.array(out["user_id"].to_numpy(np.int64), pa.int64()),
+                "n_events": pa.array(
+                    out["n_events"].to_numpy(np.int64), pa.int64()
+                ),
+                "rn": pa.array(rn.to_numpy(np.int64), pa.int64()),
+            }
+        )
+    )

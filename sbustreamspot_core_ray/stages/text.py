@@ -867,3 +867,62 @@ def bpe_pair_counts(docs: ray.data.Dataset, top_k: int = 20) -> ray.data.Dataset
             }
         )
     )
+
+
+def oov_rate(docs: ray.data.Dataset, top_v: int = 20) -> ray.data.Dataset:
+    """Vocabulary-coverage signal (tokenizer-fit check): per document, the
+    count and fraction of tokens OUTSIDE the corpus's top-`top_v`
+    vocabulary (counts DESC, term ASC — the unigram_logprob cut). Returns
+    (doc_id, n_tokens, n_oov, oov_rate) with oov_rate one IEEE divide of
+    exact integers, rounded to 6.
+
+    Scale shape: identical to unigram_logprob — term-count combiner + one
+    vocabulary groupby, the V-row vocab broadcast once, then a stateless
+    vectorized searchsorted membership pass (no corpus shuffle)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs.map_batches(
+            partial(call_singleton, _TermCountPartial), batch_format="pandas"
+        )
+        .groupby("term")
+        .aggregate(Sum("c_partial", alias_name="c"))
+    )
+    top = (
+        counts.sort(["c", "term"], descending=[True, False])
+        .limit(top_v)
+        .to_pandas()
+    )
+    terms_sorted = np.sort(top["term"].to_numpy(dtype=object))
+    vocab_ref = _ray.put(terms_sorted)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        terms = _ray.get(vocab_ref)
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        tok = ex.to_numpy(dtype=object)
+        if len(terms) and len(tok):
+            idx = np.minimum(np.searchsorted(terms, tok), len(terms) - 1)
+            oov = terms[idx] != tok
+        else:
+            oov = np.ones(len(tok), bool)
+        s = pd.Series(oov, index=ex.index)
+        n_tok = s.groupby(level=0).size().reindex(df.index, fill_value=0)
+        n_oov = s.groupby(level=0).sum().reindex(df.index, fill_value=0)
+        nt = n_tok.to_numpy(np.int64)
+        no = n_oov.to_numpy(np.int64)
+        rate = round_half_away(
+            no.astype(np.float64) / np.maximum(nt, 1), 6
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tokens": nt,
+                "n_oov": no,
+                "oov_rate": rate,
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")

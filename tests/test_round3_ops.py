@@ -351,3 +351,55 @@ def test_cms_top_users():
         for i, c in enumerate(CMS_ROWS)
     )
     assert out.loc[0, "cms_n"] == est7
+
+
+def test_oov_rate():
+    from sbustreamspot_core_ray.stages.text import oov_rate
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                # counts: a=3, b=2, c=1 -> top_v=2 keeps {a, b}; c is OOV
+                "text": pa.array(["a a b", "a b c", ""]),
+            }
+        )
+    )
+    out = oov_rate(docs, top_v=2).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "n_oov"] == 0 and out.loc[1, "oov_rate"] == 0.0
+    assert out.loc[2, "n_tokens"] == 3 and out.loc[2, "n_oov"] == 1
+    assert out.loc[2, "oov_rate"] == round(1 / 3.0, 6)
+    assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "oov_rate"] == 0.0
+
+
+def test_event_trigrams_and_top_users():
+    from sbustreamspot_core_ray.stages.events import (
+        event_trigrams,
+        top_users_per_type,
+    )
+
+    # user 1: x y x y  -> triples xyx, yxy; user 2: x y x -> xyx
+    rows = [
+        (1, 0, 1, "x"), (2, 1, 1, "y"), (3, 2, 1, "x"), (4, 3, 1, "y"),
+        (5, 0, 2, "x"), (6, 1, 2, "y"), (7, 2, 2, "x"),
+    ]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * US for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+            }
+        )
+    )
+    tri = event_trigrams(ev, top_k=5, num_parts=2).to_pandas()
+    assert tri.iloc[0][["a", "b", "c"]].tolist() == ["x", "y", "x"]
+    assert tri.iloc[0]["cnt"] == 2
+    assert len(tri) == 2 and tri.iloc[1]["cnt"] == 1
+
+    top = top_users_per_type(ev, n=1, num_parts=2).to_pandas()
+    # x: user1 2x vs user2 2x -> tie, user 1 wins; y: user1 2x
+    byt = top.set_index("event_type")
+    assert byt.loc["x", "user_id"] == 1 and byt.loc["x", "n_events"] == 2
+    assert byt.loc["y", "user_id"] == 1 and byt.loc["y", "rn"] == 1
