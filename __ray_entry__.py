@@ -1822,6 +1822,40 @@ def _edges_directed(sf_dir: str) -> ray.data.Dataset:
     return li.map_batches(mk, batch_format="pyarrow")
 
 
+def q_scc(sf_dir: str):
+    """Directed strongly connected components (forward-backward label
+    refinement on twin shard pools); scc_id = min member id."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(
+        _edges_directed(sf_dir), num_partitions=P
+    )
+
+
+_SQL_SCC = f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_partkey % {{m}} AS s, l_suppkey % {{m}} AS d
+  FROM lineitem
+),
+v AS (SELECT DISTINCT x AS v FROM (SELECT s AS x FROM e UNION SELECT d FROM e)),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d
+),
+mut AS (
+  SELECT a.s AS v, a.d AS u
+  FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s
+),
+mn AS (SELECT v, MIN(u) AS mu FROM mut GROUP BY v)
+SELECT v.v AS vertex,
+       CAST(LEAST(v.v, COALESCE(mn.mu, v.v)) AS BIGINT) AS scc_id
+FROM v LEFT JOIN mn ON mn.v = v.v
+"""
+
+
 def q_graph_summary(sf_dir: str):
     """One-row directed-graph summary (raw/distinct/self-loop/reciprocal
     edge counts + reciprocity): one unordered-key shuffle, per-partition
@@ -3761,6 +3795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis": q_mis,
         "sssp_distance": q_sssp_distance,
         "assortativity": q_assortativity,
+        "scc": q_scc,
         "graph_summary": q_graph_summary,
         "random_walks": q_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
@@ -3880,6 +3915,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_distance": _sssp_sql(),
         "random_walks": _random_walks_sql(),
         "walk_skipgrams": _walk_skipgrams_sql(),
+        "scc": _SQL_SCC.format(m=RECIP_MOD),
         "graph_summary": f"""
 WITH e AS (
   SELECT l_partkey % {RECIP_MOD} AS src, l_suppkey % {RECIP_MOD} AS dst

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "doc_logprob",
     "bigram_logprob",
     "graph_summary",
+    "scc",
     "q3_shipping",
     "chunk_dedup",
     "wau_rolling",

@@ -584,6 +584,7 @@ class CsrShard:
         "hits": "hits_scatter_parts",
         "hits_pull": "hits_pull_scatter_parts",
         "nagg": "nagg_scatter_parts",
+        "scc": "scc_scatter_parts",
     }
     _APPLIES = {
         "katz": "katz_apply_parts",
@@ -598,6 +599,7 @@ class CsrShard:
         "hits": "hits_apply_parts",
         "hits_pull": "hits_pull_apply_parts",
         "nagg": "nagg_apply_parts",
+        "scc": "scc_apply_parts",
     }
 
     async def push_parts(self, algo: str, *scatter_args) -> int:
@@ -1145,6 +1147,113 @@ class CsrShard:
             {
                 "vertex": pa.array(self.owned[m], pa.int64()),
                 "dist": pa.array(self.dist[m], pa.int64()),
+            }
+        )
+
+    # ---- strongly connected components (forward-backward refinement) ---
+    #
+    # Label state: per owned vertex a block id PAIR (scc_bf, scc_bb) and a
+    # phase value scc_val. Each phase is min-label propagation constrained
+    # to stay WITHIN the current block: messages carry the sender's block
+    # pair and the receiver accepts a min only when the pair matches its
+    # own. Two ShardedGraph pools (forward / reversed edges) run the same
+    # kernel; the superstep driver refines blocks to (f, b) fixpoint.
+
+    def scc_init(self) -> None:
+        if getattr(self, "mirrors", None):
+            raise ValueError(
+                "strongly_connected_components supports unsalted graphs "
+                "only; build the ShardedGraph without salt_threshold"
+            )
+        n = len(self.owned)
+        self.scc_bf = np.zeros(n, np.int64)
+        self.scc_bb = np.zeros(n, np.int64)
+        self.scc_val = self.owned.copy()
+        # per-dst_u routing (triple-combined scatters can't reuse the
+        # positional dst_by_part slices): part + owner-local index per dst
+        self._dstu_part = np.empty(len(self.dst_u), np.int32)
+        self._dstu_route = np.empty(len(self.dst_u), np.int32)
+        for p in range(self.P):
+            self._dstu_part[self.dst_by_part[p]] = p
+            self._dstu_route[self.dst_by_part[p]] = self.dst_route[p]
+
+    def scc_phase_init(self) -> int:
+        """Start a propagation phase: every vertex reaches itself."""
+        self.scc_val = self.owned.copy()
+        self.changed = np.ones(len(self.owned), bool)
+        return len(self.owned)
+
+    def scc_scatter_parts(self):
+        empty = (
+            np.empty(0, np.int32),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+        )
+        active = self.changed[self.src_in_owned]
+        if not active.any():
+            return tuple(empty for _ in range(self.P))
+        val_e = self._rank_per_edge(self.scc_val[self.src_in_owned])
+        bf_e = self._rank_per_edge(self.scc_bf[self.src_in_owned])
+        bb_e = self._rank_per_edge(self.scc_bb[self.src_in_owned])
+        act = np.repeat(active, self.outdeg)
+        du, val_e, bf_e, bb_e = (
+            self.dst_inv[act], val_e[act], bf_e[act], bb_e[act],
+        )
+        # min-combine per (dst, block_f, block_b) triple
+        trip = np.stack([du, bf_e, bb_e], axis=1)
+        uniq, inv = np.unique(trip, axis=0, return_inverse=True)
+        mins = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(mins, inv, val_e)
+        tdu = uniq[:, 0]
+        tp = self._dstu_part[tdu]
+        out = []
+        for p in range(self.P):
+            m = tp == p
+            out.append(
+                (
+                    self._dstu_route[tdu[m]],
+                    uniq[:, 1][m],
+                    uniq[:, 2][m],
+                    mins[m],
+                )
+            )
+        return tuple(out)
+
+    def scc_apply_parts(self, *parts) -> int:
+        self.changed = np.zeros(len(self.owned), bool)
+        live = [p for p in parts if len(p[0])]
+        if not live:
+            return 0
+        INF = np.iinfo(np.int64).max
+        cand = np.full(len(self.owned), INF)
+        for idx, bf, bb, val in live:
+            ok = (self.scc_bf[idx] == bf) & (self.scc_bb[idx] == bb)
+            np.minimum.at(cand, idx[ok], val[ok])
+        better = cand < self.scc_val
+        self.scc_val[better] = cand[better]
+        self.changed[better] = True
+        return int(better.sum())
+
+    def scc_vals(self) -> np.ndarray:
+        return self.scc_val
+
+    def scc_owned_ids(self) -> np.ndarray:
+        return self.owned
+
+    def scc_set_blocks(self, bf: np.ndarray, bb: np.ndarray) -> int:
+        ch = (bf != self.scc_bf) | (bb != self.scc_bb)
+        self.scc_bf = np.asarray(bf, np.int64)
+        self.scc_bb = np.asarray(bb, np.int64)
+        return int(ch.sum())
+
+    def scc_state(self) -> pa.Table:
+        if not (self.scc_bf == self.scc_bb).all():
+            raise AssertionError("SCC fixpoint violated: f != b")
+        return pa.table(
+            {
+                "vertex": pa.array(self.owned, pa.int64()),
+                "scc_id": pa.array(self.scc_bf, pa.int64()),
             }
         )
 

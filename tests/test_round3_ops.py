@@ -403,3 +403,28 @@ def test_event_trigrams_and_top_users():
     byt = top.set_index("event_type")
     assert byt.loc["x", "user_id"] == 1 and byt.loc["x", "n_events"] == 2
     assert byt.loc["y", "user_id"] == 1 and byt.loc["y", "rn"] == 1
+
+
+def test_strongly_connected_components():
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        strongly_connected_components,
+    )
+
+    # SCCs: {1,2,3} (3-cycle), {4,5} (2-cycle), {6} (sink)
+    src = [1, 2, 3, 3, 4, 5, 3]
+    dst = [2, 3, 1, 4, 5, 4, 6]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+    )
+    out = (
+        strongly_connected_components(edges, num_partitions=2)
+        .to_pandas()
+        .set_index("vertex")["scc_id"]
+        .sort_index()
+    )
+    assert out.loc[1] == 1 and out.loc[2] == 1 and out.loc[3] == 1
+    assert out.loc[4] == 4 and out.loc[5] == 4
+    assert out.loc[6] == 6
+    assert len(out) == 6
