@@ -108,3 +108,41 @@ def test_sessionize_equals_oracle(rows):
         assert (gn, glo, ghi) == (n, lo, hi)
         row = got[(got.user_id == k[0]) & (got.session_id == k[1])]
         assert np.isclose(row["sum_value"].iloc[0], sv, atol=1e-6)
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_scc_matches_closure_reference(pairs):
+    """SCC refinement == brute-force mutual-reachability closure on random
+    small digraphs (self-loops and duplicates included)."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        strongly_connected_components,
+    )
+
+    src = np.array([p[0] for p in pairs], np.int64)
+    dst = np.array([p[1] for p in pairs], np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    out = (
+        strongly_connected_components(edges, num_partitions=2)
+        .to_pandas()
+        .set_index("vertex")["scc_id"]
+        .to_dict()
+    )
+    # reference: boolean closure (Floyd-Warshall style) over <= 10 ids
+    vs = np.unique(np.concatenate([src, dst]))
+    n = len(vs)
+    idx = {v: i for i, v in enumerate(vs)}
+    R = np.eye(n, dtype=bool)
+    for a, b in zip(src, dst):
+        R[idx[a], idx[b]] = True
+    for k in range(n):
+        R |= R[:, k][:, None] & R[k, :][None, :]
+    mutual = R & R.T
+    want = {int(v): int(vs[np.flatnonzero(mutual[i])[0]]) for v, i in ((v, idx[v]) for v in vs)}
+    assert out == want
