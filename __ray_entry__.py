@@ -1856,6 +1856,52 @@ FROM v LEFT JOIN mn ON mn.v = v.v
 """
 
 
+def q_condensation(sf_dir: str):
+    """SCC condensation-DAG summary (one row): component count/max size,
+    condensation edges, source/sink components — all count aggregates."""
+    from sbustreamspot_core_ray.pipelines.superstep import condensation_summary
+
+    return condensation_summary(_edges_directed(sf_dir), num_partitions=P)
+
+
+_SQL_CONDENSATION = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_partkey % {m} AS s, l_suppkey % {m} AS d
+  FROM lineitem
+),
+v AS (SELECT DISTINCT x AS v FROM (SELECT s AS x FROM e UNION SELECT d FROM e)),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d
+),
+mut AS (
+  SELECT a.s AS v, a.d AS u
+  FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s
+),
+mn AS (SELECT v, MIN(u) AS mu FROM mut GROUP BY v),
+scc AS (
+  SELECT v.v AS vertex, LEAST(v.v, COALESCE(mn.mu, v.v)) AS scc_id
+  FROM v LEFT JOIN mn ON mn.v = v.v
+),
+ce AS (
+  SELECT DISTINCT sa.scc_id AS cs, sb.scc_id AS cd
+  FROM e
+  JOIN scc sa ON sa.vertex = e.s
+  JOIN scc sb ON sb.vertex = e.d
+  WHERE sa.scc_id <> sb.scc_id
+),
+sz AS (SELECT scc_id, count(*) AS n FROM scc GROUP BY scc_id)
+SELECT CAST((SELECT count(*) FROM sz) AS BIGINT) AS n_sccs,
+       CAST((SELECT max(n) FROM sz) AS BIGINT) AS largest_scc,
+       CAST((SELECT count(*) FROM ce) AS BIGINT) AS n_condensation_edges,
+       CAST((SELECT count(*) FROM sz)
+            - (SELECT count(DISTINCT cd) FROM ce) AS BIGINT) AS n_source_sccs,
+       CAST((SELECT count(*) FROM sz)
+            - (SELECT count(DISTINCT cs) FROM ce) AS BIGINT) AS n_sink_sccs
+"""
+
+
 def q_graph_summary(sf_dir: str):
     """One-row directed-graph summary (raw/distinct/self-loop/reciprocal
     edge counts + reciprocity): one unordered-key shuffle, per-partition
@@ -3796,6 +3842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_distance": q_sssp_distance,
         "assortativity": q_assortativity,
         "scc": q_scc,
+        "condensation": q_condensation,
         "graph_summary": q_graph_summary,
         "random_walks": q_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
@@ -3916,6 +3963,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_sql(),
         "walk_skipgrams": _walk_skipgrams_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
+        "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
         "graph_summary": f"""
 WITH e AS (
   SELECT l_partkey % {RECIP_MOD} AS src, l_suppkey % {RECIP_MOD} AS dst

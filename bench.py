@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "bigram_logprob",
     "graph_summary",
     "scc",
+    "condensation",
     "q3_shipping",
     "chunk_dedup",
     "wau_rolling",

@@ -815,6 +815,96 @@ def strongly_connected_components(
     return ray.data.from_arrow_refs([a.scc_state.remote() for a in fwd.actors])
 
 
+def condensation_summary(
+    edges: ray.data.Dataset, num_partitions: int = 32, max_rounds: int = 64
+) -> ray.data.Dataset:
+    """One-row summary of the SCC condensation DAG: component count,
+    largest component size, distinct condensation edges, and source/sink
+    component counts (no incoming / no outgoing condensation edge).
+
+    Scale shape: SCC labels attach to both edge endpoints via the
+    co-partitioned `_attach_value` join (V-scale lookup, never broadcast);
+    condensation edges dedup through the house distinct; every output is
+    a count aggregate (sources = n_sccs - |distinct dst|, sinks =
+    n_sccs - |distinct src|), so only one-row partials reach the driver
+    besides the bounded distinct-count folds."""
+    import pyarrow.compute as pc
+
+    scc = strongly_connected_components(
+        edges, num_partitions=num_partitions, max_rounds=max_rounds
+    ).materialize()  # consumed by two attach passes
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t["src"], pa.int64()),
+                "dst": pc.cast(t["dst"], pa.int64()),
+            }
+        )
+
+    de = distinct(
+        edges.map_batches(cast, batch_format="pyarrow"), ["src", "dst"]
+    )
+    w1 = _attach_value(de, scc, "src", ["dst"], "scc_id", "cs", num_partitions)
+    w2 = _attach_value(
+        w1, scc, "dst", ["cs"], "scc_id", "cd", num_partitions
+    )
+
+    def cedge(t: pa.Table) -> pa.Table:
+        cs = t["cs"].to_numpy()
+        cd = t["cd"].to_numpy()
+        keep = cs != cd
+        return pa.table({"cs": cs[keep], "cd": cd[keep]})
+
+    ce = distinct(
+        w2.map_batches(cedge, batch_format="pyarrow"), ["cs", "cd"]
+    ).materialize()  # consumed by three count folds
+
+    def count_rows(ds: ray.data.Dataset) -> int:
+        return ds.count()
+
+    n_cedges = count_rows(ce)
+    n_src_covered = count_rows(distinct(ce.select_columns(["cs"]), ["cs"]))
+    n_dst_covered = count_rows(distinct(ce.select_columns(["cd"]), ["cd"]))
+
+    sizes = (
+        scc.groupby("scc_id")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "one": pa.array([t.num_rows], pa.int64()),
+                    "mx": pa.array(
+                        [
+                            int(
+                                t["count()"].to_numpy(zero_copy_only=False).max()
+                            )
+                            if t.num_rows
+                            else 0
+                        ],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    n_sccs = sum(int(r["one"]) for r in sizes)
+    largest = max((int(r["mx"]) for r in sizes), default=0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_sccs": pa.array([n_sccs], pa.int64()),
+                "largest_scc": pa.array([largest], pa.int64()),
+                "n_condensation_edges": pa.array([n_cedges], pa.int64()),
+                "n_source_sccs": pa.array([n_sccs - n_dst_covered], pa.int64()),
+                "n_sink_sccs": pa.array([n_sccs - n_src_covered], pa.int64()),
+            }
+        )
+    )
+
+
 def bfs_hop_histogram(
     graph: ShardedGraph, seeds, max_hops: int = 64
 ) -> ray.data.Dataset:

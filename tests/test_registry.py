@@ -22,7 +22,7 @@ def test_registry_conformance():
     m = _load_entry()
     q = m.queries()
     o = m.oracle_sql()
-    assert len(q) >= 114
+    assert len(q) >= 115
     assert set(q) == set(o), (set(q) ^ set(o))
     for name, fn in q.items():
         assert re.fullmatch(r"[a-z0-9_]+", name), name

@@ -428,3 +428,22 @@ def test_strongly_connected_components():
     assert out.loc[4] == 4 and out.loc[5] == 4
     assert out.loc[6] == 6
     assert len(out) == 6
+
+
+def test_condensation_summary():
+    from sbustreamspot_core_ray.pipelines.superstep import condensation_summary
+
+    # SCCs {1,2,3}, {4,5}, {6}; condensation edges: {123}->{45}, {123}->{6}
+    src = [1, 2, 3, 3, 4, 5, 3]
+    dst = [2, 3, 1, 4, 5, 4, 6]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+    )
+    out = condensation_summary(edges, num_partitions=2).to_pandas().iloc[0]
+    assert out["n_sccs"] == 3
+    assert out["largest_scc"] == 3
+    assert out["n_condensation_edges"] == 2
+    assert out["n_source_sccs"] == 1  # {1,2,3}
+    assert out["n_sink_sccs"] == 2  # {4,5} and {6}
