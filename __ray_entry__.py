@@ -953,7 +953,7 @@ def _pagerank_sql() -> str:
     )
 
 
-def _lp_sql() -> str:
+def _lp_ctes() -> list:
     ctes = [
         f"e0 AS ({_SQL_EDGES_CO})",
         "e AS (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0)",
@@ -974,9 +974,45 @@ def _lp_sql() -> str:
             f" FROM v JOIN l{p} r ON r.vertex = v.vertex"
             f" LEFT JOIN m{k} m ON m.vertex = v.vertex)"
         )
+    return ctes
+
+
+def _lp_sql() -> str:
+    return (
+        "WITH " + ",\n".join(_lp_ctes())
+        + f"\nSELECT vertex, label FROM l{LP_ITERS}"
+    )
+
+
+def _modularity_sql() -> str:
+    """Modularity of the LPA labels as the same exact-integer witness the
+    Ray side computes: q_num = sum_c (4*m*m_c - d_c^2) over the distinct
+    undirected self-loop-free edge set; one final division, mirrored."""
+    ctes = _lp_ctes() + [
+        "und AS (SELECT s, d FROM e WHERE s < d)",
+        "mm AS (SELECT COUNT(*) AS m FROM und)",
+        f"lab AS (SELECT vertex, label FROM l{LP_ITERS})",
+        "intra AS (SELECT la.label AS label, COUNT(*) AS m_in"
+        " FROM und JOIN lab la ON la.vertex = und.s"
+        " JOIN lab lb ON lb.vertex = und.d"
+        " WHERE la.label = lb.label GROUP BY la.label)",
+        "deg AS (SELECT s AS vertex, COUNT(*) AS deg FROM e WHERE s <> d"
+        " GROUP BY s)",
+        "dsum AS (SELECT label, SUM(deg) AS d_sum FROM deg"
+        " JOIN lab ON lab.vertex = deg.vertex GROUP BY label)",
+        "terms AS (SELECT ds.label, COALESCE(i.m_in, 0) AS m_in, ds.d_sum"
+        " FROM dsum ds LEFT JOIN intra i ON i.label = ds.label)",
+    ]
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT vertex, label FROM l{LP_ITERS}"
+        + """
+SELECT (SELECT m FROM mm) AS m_edges,
+       COUNT(*) AS n_communities,
+       SUM(4 * (SELECT m FROM mm) * m_in - d_sum * d_sum) AS q_num,
+       ROUND(CAST(SUM(4 * (SELECT m FROM mm) * m_in - d_sum * d_sum) AS DOUBLE)
+             / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 6) AS modularity
+FROM terms
+"""
     )
 
 
@@ -1279,6 +1315,20 @@ def q_label_propagation(sf_dir: str):
 
     g = ShardedGraph.build(_edges_custorder(sf_dir), num_parts=P, symmetric=True)
     return label_propagation(g, iters=LP_ITERS)
+
+
+def q_modularity(sf_dir: str):
+    """Newman modularity of the LPA community assignment as an exact
+    integer witness (q_num) plus the single-division Q — one row."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        label_propagation,
+        modularity_summary,
+    )
+
+    g = ShardedGraph.build(_edges_custorder(sf_dir), num_parts=P, symmetric=True)
+    labels = label_propagation(g, iters=LP_ITERS)
+    return modularity_summary(_edges_custorder(sf_dir), labels, num_partitions=P)
 
 
 def q_neighborhood_sketch(sf_dir: str):
@@ -2524,6 +2574,71 @@ def q_q3_shipping(sf_dir: str):
         num_partitions=P,
         topn=Q3_TOPN,
     )
+
+
+COPURCHASE_TOPN = 100
+COPURCHASE_MIN = 2
+
+
+def q_copurchase_pairs(sf_dir: str):
+    """Market-basket pair mining: top-100 part pairs co-occurring in the
+    most orders, one orderkey shuffle + triangular basket enumeration +
+    combined pair counts."""
+    from sbustreamspot_core_ray.stages.relational import copurchase_pairs
+
+    return copurchase_pairs(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        ),
+        num_partitions=P,
+        min_count=COPURCHASE_MIN,
+        topn=COPURCHASE_TOPN,
+    )
+
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO_US = 820_454_400_000_000  # 1996-01-01
+Q5_DATE_HI_US = 883_612_800_000_000  # 1998-01-01
+
+
+def q_q5_local_supplier(sf_dir: str):
+    """TPC-H-Q5-shaped local-supplier revenue: three-fact join (orders x
+    customer on custkey, lineitem x supplier via broadcast dim, then x
+    dated orders on orderkey) with the supplier-nation == customer-nation
+    predicate, one region, a 2-year order window; exact integer units."""
+    import pyarrow.parquet as pq
+
+    from sbustreamspot_core_ray.stages.relational import local_supplier_revenue
+
+    dim = _nation_region_dim(sf_dir)
+    nat = dim.filter(
+        pa.compute.equal(dim["r_name"], pa.scalar(Q5_REGION))
+    )["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    out = local_supplier_revenue(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        sup,
+        nat,
+        Q5_DATE_LO_US,
+        Q5_DATE_HI_US,
+        num_partitions=P,
+    ).to_pandas()
+    names = dim.to_pandas().set_index("n_nationkey")["n_name"]
+    out["n_name"] = out["n_nationkey"].map(names)
+    out["revenue"] = round_half_away(out["units"].astype(np.float64) / 10000.0, 2)
+    return out[["n_name", "revenue"]]
 
 
 def q_revenue_rollup(sf_dir: str):
@@ -3853,6 +3968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_features": q_neighbor_features,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
+        "modularity": q_modularity,
         "neighborhood_sketch": q_neighborhood_sketch,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
@@ -3883,6 +3999,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "revenue_rollup": q_revenue_rollup,
         "q3_shipping": q_q3_shipping,
+        "q5_local_supplier": q_q5_local_supplier,
+        "copurchase_pairs": q_copurchase_pairs,
         "clustering_coefficient": q_clustering_coefficient,
         "late_events": q_late_events,
         "hourly_filled": q_hourly_filled,
@@ -4023,6 +4141,7 @@ reach(vx, lbl) AS (
 SELECT vx AS vertex, MIN(lbl) AS component FROM reach GROUP BY vx
 """,
         "label_propagation": _lp_sql(),
+        "modularity": _modularity_sql(),
         "neighborhood_sketch": _neighborhood_sketch_sql(),
         "triangle_count": f"""
 WITH de AS ({_SQL_EDGES_TRI}),
@@ -4210,6 +4329,40 @@ WHERE epoch_us(o.o_orderdate) < {Q3_CUTOFF_US}
   AND c.c_mktsegment = '{Q3_SEGMENT}'
 ORDER BY r.u DESC, orderdate_us, orderkey
 LIMIT {Q3_TOPN}
+""",
+        "q5_local_supplier": f"""
+WITH li AS (
+  SELECT l_orderkey, s_nationkey AS nat,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+             AS BIGINT)) AS u
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = '{Q5_REGION}'
+  GROUP BY l_orderkey, s_nationkey
+)
+SELECT n_name,
+       ROUND(CAST(SUM(u) AS DOUBLE) / 10000.0, 2) AS revenue
+FROM li
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey AND c_nationkey = li.nat
+JOIN nation ON n_nationkey = li.nat
+WHERE epoch_us(o_orderdate) >= {Q5_DATE_LO_US}
+  AND epoch_us(o_orderdate) < {Q5_DATE_HI_US}
+GROUP BY n_name
+""",
+        "copurchase_pairs": f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS cnt
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, cnt FROM p WHERE cnt >= {COPURCHASE_MIN}
+ORDER BY cnt DESC, part_a, part_b LIMIT {COPURCHASE_TOPN}
 """,
         "revenue_by_nation": """
 WITH rev AS (

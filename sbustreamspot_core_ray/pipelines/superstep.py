@@ -905,6 +905,121 @@ def condensation_summary(
     )
 
 
+def modularity_summary(
+    edges: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    num_partitions: int = 32,
+) -> "pa.Table":
+    """Newman modularity Q of a community assignment as an exact-integer
+    witness: over the distinct undirected self-loop-free edge set,
+    Q = sum_c [ m_c/m - (d_c/2m)^2 ] = q_num / (4 m^2) with
+    q_num = sum_c (4*m*m_c - d_c^2) — every term integer, so the single
+    final IEEE division is the only float op (mirrored by the SQL oracle).
+    `labels` is any (vertex, label) int64 assignment (here: LPA's output).
+
+    Scale shape: labels attach to both edge endpoints via the
+    co-partitioned `_attach_value` join (V-scale lookup, never broadcast);
+    per-label intra-edge counts and degree sums arrive via ONE label-key
+    groupby over union-tagged partials; only per-label integer rows and a
+    one-row fold reach the driver. One row out:
+    (m_edges, n_communities, q_num, modularity)."""
+    import pyarrow.compute as pc
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc_cast_i64(t["src"])
+        d = pc_cast_i64(t["dst"])
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        keep = lo != hi
+        return pa.table({"src": lo[keep], "dst": hi[keep]})
+
+    und = distinct(
+        edges.map_batches(canon, batch_format="pyarrow"), ["src", "dst"]
+    ).materialize()  # consumed by the count, the degree pass, and the attach
+    m = und.count()
+
+    labels = labels.materialize()  # consumed by three attach passes
+    w1 = _attach_value(und, labels, "src", ["dst"], "label", "ls", num_partitions)
+    w2 = _attach_value(w1, labels, "dst", ["ls"], "label", "ld", num_partitions)
+
+    # per-label intra-community edge partials, tagged for the union-groupby
+    def intra(t: pa.Table) -> pa.Table:
+        ls = t["ls"].to_numpy()
+        ld = t["ld"].to_numpy()
+        lab = ls[ls == ld]
+        lu, cnt = np.unique(lab, return_counts=True)
+        return pa.table(
+            {
+                "label": lu,
+                "m_in": cnt.astype(np.int64),
+                "d_sum": np.zeros(len(lu), np.int64),
+            }
+        )
+
+    # per-label degree-sum partials: degree table -> attach label -> combine
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vertex": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                )
+            }
+        )
+
+    deg = int_degrees(
+        und.map_batches(both_ends, batch_format="pyarrow"), num_partitions
+    )
+    degl = _attach_value(deg, labels, "vertex", ["deg"], "label", "lab", num_partitions)
+
+    def dsum(t: pa.Table) -> pa.Table:
+        lab = t["lab"].to_numpy()
+        d = t["deg"].to_numpy()
+        lu, inv = np.unique(lab, return_inverse=True)
+        s = np.bincount(inv, weights=d, minlength=len(lu)).astype(np.int64)
+        return pa.table(
+            {
+                "label": lu,
+                "m_in": np.zeros(len(lu), np.int64),
+                "d_sum": s,
+            }
+        )
+
+    per_label = (
+        w2.map_batches(intra, batch_format="pyarrow")
+        .union(degl.map_batches(dsum, batch_format="pyarrow"))
+        .groupby("label")
+        .sum(["m_in", "d_sum"])
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        mi = t["sum(m_in)"].to_numpy()
+        ds_ = t["sum(d_sum)"].to_numpy()
+        live = ds_ > 0  # every community with an edge endpoint has degree
+        q = int(np.sum(4 * m * mi[live] - ds_[live] * ds_[live]))
+        return pa.table(
+            {
+                "n_comm": pa.array([int(live.sum())], pa.int64()),
+                "q_num": pa.array([q], pa.int64()),
+            }
+        )
+
+    parts = per_label.map_batches(fold, batch_format="pyarrow").take_all()
+    n_comm = sum(int(r["n_comm"]) for r in parts)
+    q_num = sum(int(r["q_num"]) for r in parts)
+    from ..functions.rounding import round_half_away
+
+    mod = round_half_away(
+        np.array([q_num / (4.0 * float(m) * float(m))]), 6
+    )[0] if m else 0.0
+    return pa.table(
+        {
+            "m_edges": pa.array([m], pa.int64()),
+            "n_communities": pa.array([n_comm], pa.int64()),
+            "q_num": pa.array([q_num], pa.int64()),
+            "modularity": pa.array([mod], pa.float64()),
+        }
+    )
+
+
 def bfs_hop_histogram(
     graph: ShardedGraph, seeds, max_hops: int = 64
 ) -> ray.data.Dataset:

@@ -304,6 +304,294 @@ def shipping_priority(
     )
 
 
+def local_supplier_revenue(
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    supplier_dim: "pa.Table",
+    region_nations: np.ndarray,
+    date_lo_us: int,
+    date_hi_us: int,
+    num_partitions: int = 16,
+) -> "pa.Table":
+    """TPC-H-Q5-shaped local-supplier revenue: lineitem revenue (exact 1e-4
+    integer units) of orders placed in [date_lo, date_hi) where the
+    supplier and the ordering customer share a nation, restricted to one
+    region's nations; grouped per nation.
+
+    Scale shape (the three-fact-join problem): the supplier dim is
+    BROADCAST (suppliers are ~1e4 x SF — the small side by construction;
+    `ray.put` once, searchsorted in every task, never a shuffle). The two
+    big joins are each ONE cheap-key co-partition shuffle with the house
+    union-with-marker pattern: (1) orders x customer on custkey to attach
+    the customer's nation, (2) lineitem partials x the dated orders on
+    orderkey. Lineitem rows are combined to <= one row per (orderkey,
+    supp_nation) per block BEFORE the shuffle, and each join kernel emits
+    only <= 25 per-nation partial sums, so the final groupby moves a few
+    hundred integer rows. Returns (n_nationkey, units) — callers attach
+    names and round.
+
+    The reference has no joins at all (SURVEY §2.7); this is the
+    idiomatic Ray Data shape for its gap."""
+    import pyarrow.compute as pc
+
+    nat_set = np.unique(np.asarray(region_nations, np.int64))
+    sup = supplier_dim.combine_chunks().sort_by("s_suppkey")
+    sup_keys = sup["s_suppkey"].to_numpy().astype(np.int64)
+    sup_nat = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sup_ref = ray.put((sup_keys, sup_nat, nat_set))
+
+    # ---- join 1: dated orders x customer on custkey -> (orderkey, c_nat)
+    def ord_pre(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (od >= date_lo_us) & (od < date_hi_us)
+        key = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table(
+            {
+                "key": key,
+                "payload": ok,
+                "is_build": pa.array(np.zeros(len(key), bool)),
+                "__p": pa.array(part_of(key, num_partitions), pa.int32()),
+            }
+        )
+
+    def cust_pre(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(nk, nat_set)
+        key = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table(
+            {
+                "key": key,
+                "payload": nk[keep],
+                "is_build": pa.array(np.ones(len(key), bool)),
+                "__p": pa.array(part_of(key, num_partitions), pa.int32()),
+            }
+        )
+
+    def cust_join(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        payload = t["payload"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        bk, bn = key[build], payload[build]
+        order = np.argsort(bk, kind="stable")
+        bk, bn = bk[order], bn[order]
+        sel = np.flatnonzero(~build)
+        k = key[sel]
+        if len(bk) and len(k):
+            idx = np.minimum(np.searchsorted(bk, k), len(bk) - 1)
+            hit = bk[idx] == k
+            sel, idx = sel[hit], idx[hit]
+        else:
+            sel, idx = sel[:0], np.empty(0, np.int64)
+        ok = payload[sel]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "c_nat": pa.array(bn[idx] if len(idx) else np.empty(0, np.int64)),
+            }
+        )
+
+    dated = (
+        orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(ord_pre, batch_format="pyarrow")
+        .union(
+            customer.select_columns(["c_custkey", "c_nationkey"]).map_batches(
+                cust_pre, batch_format="pyarrow"
+            )
+        )
+        .groupby("__p")
+        .map_groups(cust_join, batch_format="pyarrow")
+    )
+
+    # ---- join 2: lineitem partials x dated orders on orderkey ----------
+    def li_pre(t: pa.Table) -> pa.Table:
+        ks, kn, ns = ray.get(sup_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(np.searchsorted(ks, sk), len(ks) - 1)
+        snat = kn[idx]
+        keep = (ks[idx] == sk) & np.isin(snat, ns)
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)[keep]
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        # per-batch combine on composite (orderkey, supp_nation): nation
+        # keys are < 32 by TPC-H construction, so the pack is collision-free
+        comp = ok * 32 + snat[keep]
+        uk, inv = np.unique(comp, return_inverse=True)
+        sums = np.bincount(inv, weights=units, minlength=len(uk)).astype(np.int64)
+        okey = uk >> 5
+        return pa.table(
+            {
+                "key": okey,
+                "nat": uk & 31,
+                "units": sums,
+                "is_build": pa.array(np.zeros(len(uk), bool)),
+                "__p": pa.array(part_of(okey, num_partitions), pa.int32()),
+            }
+        )
+
+    def ord_tag(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": ok,
+                "nat": t["c_nat"],
+                "units": np.zeros(len(ok), np.int64),
+                "is_build": pa.array(np.ones(len(ok), bool)),
+                "__p": pa.array(part_of(ok, num_partitions), pa.int32()),
+            }
+        )
+
+    def final_join(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        nat = t["nat"].to_numpy()
+        units = t["units"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        bk, bn = key[build], nat[build]  # orderkey unique in orders
+        order = np.argsort(bk, kind="stable")
+        bk, bn = bk[order], bn[order]
+        sel = np.flatnonzero(~build)
+        k = sel_nat = None
+        k = key[sel]
+        if len(bk) and len(k):
+            idx = np.minimum(np.searchsorted(bk, k), len(bk) - 1)
+            hit = bk[idx] == k
+            sel, idx = sel[hit], idx[hit]
+            # Q5's local-supplier predicate: supplier nation == customer nation
+            local = nat[sel] == bn[idx]
+            sel = sel[local]
+        else:
+            sel = sel[:0]
+        sel_nat = nat[sel]
+        sums = np.bincount(sel_nat, weights=units[sel], minlength=32).astype(np.int64)
+        nz = np.flatnonzero(sums)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(nz, pa.int64()),
+                "units": pa.array(sums[nz], pa.int64()),
+            }
+        )
+
+    return (
+        lineitem.select_columns(
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(li_pre, batch_format="pyarrow")
+        .union(dated.map_batches(ord_tag, batch_format="pyarrow"))
+        .groupby("__p")
+        .map_groups(final_join, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .sum("units")
+        .rename_columns({"sum(units)": "units"})
+    )
+
+
+def copurchase_pairs(
+    lineitem: ray.data.Dataset,
+    num_partitions: int = 16,
+    min_count: int = 2,
+    topn: int = 100,
+    basket_cap: int = 256,
+) -> "pa.Table":
+    """Market-basket pair mining: the top-n pairs of parts that co-occur in
+    the most orders (count >= min_count), ties broken (part_a, part_b) — a
+    frequent-itemset-pairs pass, the relational self-join the reference's
+    LSH co-bucket pairing (cluster.cpp:59-74) approximates for graphs.
+
+    Scale shape: ONE shuffle on hash(orderkey); per partition the basket
+    pairs are enumerated with the closed-form triangular decode (the
+    simhash band kernel's shape, dedup.py), baskets capped at `basket_cap`
+    items with an explicit log line (recall loss never silent), and pair
+    counts are COMBINED per partition before the pair-key groupby, so the
+    wide exchange moves only distinct (pair, partial-count) rows. The
+    top-n is a per-block partial cut + driver fold (blocks of a groupby
+    are key-disjoint, so the fold is exact)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ok": ok,
+                "pk": t["l_partkey"],
+                "__p": pa.array(part_of(ok, num_partitions), pa.int32()),
+            }
+        )
+
+    def basket_pairs(t: pa.Table) -> pa.Table:
+        ok = t["ok"].to_numpy()
+        pk = t["pk"].to_numpy()
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        # distinct (order, part): quantities/lineitems repeat parts
+        keep = np.concatenate([[True], (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])])
+        ok, pk = ok[keep], pk[keep]
+        starts = np.flatnonzero(np.concatenate([[True], ok[1:] != ok[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(ok)]]))
+        over = lens > basket_cap
+        if over.any():
+            print(
+                f"copurchase_pairs: truncating {int(over.sum())} baskets "
+                f"over cap={basket_cap} (explicit recall loss)"
+            )
+            lens = np.minimum(lens, basket_cap)
+        npair = lens * (lens - 1) // 2
+        tot = int(npair.sum())
+        z = np.empty(0, np.int64)
+        if tot == 0:
+            return pa.table({"part_a": z, "part_b": z, "cnt": z})
+        run_id = np.repeat(np.arange(len(lens)), npair)
+        within = np.arange(tot) - np.concatenate([[0], np.cumsum(npair)])[run_id]
+        L = lens[run_id]
+        i = np.floor(
+            ((2 * L - 1) - np.sqrt((2 * L - 1).astype(np.float64) ** 2 - 8 * within))
+            / 2
+        ).astype(np.int64)
+        j = within - (i * (L - 1) - i * (i - 1) // 2) + i + 1
+        base = starts[run_id]
+        a, b = pk[base + i], pk[base + j]  # a < b: parts sorted within order
+        # partition-local combine: one row per distinct pair
+        po = np.lexsort((b, a))
+        a, b = a[po], b[po]
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        idx = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate([idx, [len(a)]]))
+        return pa.table({"part_a": a[idx], "part_b": b[idx], "cnt": cnt})
+
+    counted = (
+        lineitem.select_columns(["l_orderkey", "l_partkey"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(basket_pairs, batch_format="pyarrow")
+        .groupby(["part_a", "part_b"])
+        .sum("cnt")
+        .rename_columns({"sum(cnt)": "cnt"})
+    )
+
+    def partial_cut(t: pa.Table) -> pa.Table:
+        a = t["part_a"].to_numpy()
+        b = t["part_b"].to_numpy()
+        c = t["cnt"].to_numpy()
+        keep = c >= min_count
+        a, b, c = a[keep], b[keep], c[keep]
+        sel = np.lexsort((b, a, -c))[:topn]
+        return pa.table({"part_a": a[sel], "part_b": b[sel], "cnt": c[sel]})
+
+    parts = counted.map_batches(partial_cut, batch_format="pyarrow").take_all()
+    a = np.array([r["part_a"] for r in parts], np.int64)
+    b = np.array([r["part_b"] for r in parts], np.int64)
+    c = np.array([r["cnt"] for r in parts], np.int64)
+    sel = np.lexsort((b, a, -c))[:topn] if len(a) else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "part_a": pa.array(a[sel], pa.int64()),
+            "part_b": pa.array(b[sel], pa.int64()),
+            "cnt": pa.array(c[sel], pa.int64()),
+        }
+    )
+
+
 def revenue_by_nation(
     lineitem: ray.data.Dataset,
     supplier: ray.data.Dataset,
