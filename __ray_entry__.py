@@ -1608,6 +1608,59 @@ def q_bfs_distance(sf_dir: str):
     return bfs_distance(g, seeds=np.array(BFS_SEEDS, np.int64), max_hops=BFS_MAX_HOPS)
 
 
+SIGMA_SEEDS = (1, 2)  # customer keys, present at every sf
+SIGMA_HOPS = 4
+
+
+def q_path_counts(sf_dir: str):
+    """Per-seed shortest-path counts (Brandes' sigma stage): hop distance
+    and exact number of distinct shortest paths from each sample seed over
+    the symmetrized full derived graph."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        shortest_path_counts,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    return shortest_path_counts(
+        g, seeds=np.array(SIGMA_SEEDS, np.int64), max_hops=SIGMA_HOPS
+    )
+
+
+def _sigma_sql() -> str:
+    """Iterated per-hop CTEs (a recursive CTE's UNION dedups rows, which
+    breaks path COUNTING): f_k = frontier at hop k with summed sigma from
+    the hop-(k-1) frontier, excluding already-reached vertices."""
+    seeds = ", ".join(f"({s})" for s in SIGMA_SEEDS)
+    ctes = [
+        f"e0 AS MATERIALIZED ({_SQL_EDGES})",
+        "e AS MATERIALIZED (SELECT src AS s, dst AS d FROM e0"
+        " UNION SELECT dst, src FROM e0)",
+        f"f0 AS (SELECT s AS seed, s AS vertex, CAST(1 AS BIGINT) AS sigma"
+        f" FROM (VALUES {seeds}) t(s) WHERE s IN (SELECT s FROM e))",
+        "r0 AS (SELECT seed, vertex, 0 AS dist, sigma FROM f0)",
+    ]
+    for k in range(1, SIGMA_HOPS + 1):
+        p = k - 1
+        ctes.append(
+            f"f{k} AS MATERIALIZED (SELECT f.seed, e.d AS vertex,"
+            f" CAST(SUM(f.sigma) AS BIGINT) AS sigma"
+            f" FROM f{p} f JOIN e ON e.s = f.vertex"
+            f" LEFT JOIN r{p} r ON r.seed = f.seed AND r.vertex = e.d"
+            f" WHERE r.vertex IS NULL GROUP BY f.seed, e.d)"
+        )
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT * FROM r{p}"
+            f" UNION ALL SELECT seed, vertex, {k} AS dist, sigma FROM f{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT seed, vertex, dist, sigma FROM r{SIGMA_HOPS}"
+    )
+
+
 MIS_SQL_ROUNDS = 6  # >= the rounds the derived 4-layer graph needs (3)
 
 
@@ -3950,6 +4003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_incremental": q_pagerank_incremental,
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_distance": q_bfs_distance,
+        "path_counts": q_path_counts,
         "closeness_sample": q_closeness_sample,
         "hop_histogram": q_hop_histogram,
         "harmonic_sample": q_harmonic_sample,
@@ -4073,6 +4127,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_incremental": _pagerank_incremental_sql(),
         "personalized_pagerank": _ppr_sql(),
         "bfs_distance": _bfs_sql(),
+        "path_counts": _sigma_sql(),
         "closeness_sample": _closeness_sample_sql(),
         "hop_histogram": _hop_histogram_sql(),
         "harmonic_sample": _harmonic_sample_sql(),

@@ -736,6 +736,34 @@ def sampled_farness(
     )
 
 
+def shortest_path_counts(
+    graph: ShardedGraph, seeds, max_hops: int = 32
+) -> ray.data.Dataset:
+    """Per-seed shortest-path counts — the counting (sigma) stage of
+    Brandes' betweenness algorithm: for each sample seed, every reached
+    vertex reports its hop distance and the NUMBER of distinct shortest
+    seed->vertex paths, all exact int64. One BFS per seed on the superstep
+    engine; sigma mass for a level-k vertex arrives entirely in the
+    superstep whose frontier is level k-1, so a one-shot sum is exact.
+    Returns (seed, vertex, dist, sigma). Unsalted graphs only."""
+    if graph.salted:
+        raise ValueError(
+            "shortest_path_counts supports unsalted graphs only; build the "
+            "ShardedGraph without salt_threshold"
+        )
+    actors = graph.actors
+    refs = []
+    for s in np.unique(np.asarray(seeds, np.int64)):
+        one = np.array([s], np.int64)
+        frontier = sum(ray.get([a.sigma_init.remote(one) for a in actors]))
+        rnd = 0
+        while frontier and rnd < max_hops:
+            rnd += 1
+            frontier = sum(graph._exchange("sigma", apply_args=(rnd,)))
+        refs.extend(a.sigma_state.remote(int(s)) for a in actors)
+    return ray.data.from_arrow_refs(refs)
+
+
 def strongly_connected_components(
     edges: ray.data.Dataset, num_partitions: int = 32, max_rounds: int = 64
 ) -> ray.data.Dataset:

@@ -581,6 +581,7 @@ class CsrShard:
         "nmh": "nmh_scatter_parts",
         "kcore": "kcore_scatter_parts",
         "bfs": "bfs_scatter_parts",
+        "sigma": "sigma_scatter_parts",
         "hits": "hits_scatter_parts",
         "hits_pull": "hits_pull_scatter_parts",
         "nagg": "nagg_scatter_parts",
@@ -596,6 +597,7 @@ class CsrShard:
         "nmh": "nmh_apply_parts",
         "kcore": "kcore_apply_parts",
         "bfs": "bfs_apply_parts",
+        "sigma": "sigma_apply_parts",
         "hits": "hits_apply_parts",
         "hits_pull": "hits_pull_apply_parts",
         "nagg": "nagg_apply_parts",
@@ -1147,6 +1149,82 @@ class CsrShard:
             {
                 "vertex": pa.array(self.owned[m], pa.int64()),
                 "dist": pa.array(self.dist[m], pa.int64()),
+            }
+        )
+
+    # ---- shortest-path counts (Brandes sigma, single-seed BFS) ---------
+    #
+    # sigma(v) = number of distinct shortest seed->v paths. In a BFS from
+    # ONE seed every vertex of level k receives ALL its sigma mass in the
+    # superstep whose frontier is level k-1 (each in-neighbor on a
+    # shortest path sits exactly there), so a one-shot sum per newly
+    # reached vertex is exact — the count stage of Brandes' betweenness.
+
+    def sigma_init(self, seeds: np.ndarray) -> int:
+        if getattr(self, "mirrors", None):
+            raise ValueError(
+                "shortest_path_counts supports unsalted graphs only; build "
+                "the ShardedGraph without salt_threshold"
+            )
+        INF = np.iinfo(np.int64).max
+        self.dist = np.full(len(self.owned), INF, np.int64)
+        self.sigma = np.zeros(len(self.owned), np.int64)
+        self.changed = np.zeros(len(self.owned), bool)
+        seeds = np.asarray(seeds, np.int64)
+        idx = np.searchsorted(self.owned, seeds)
+        m = idx < len(self.owned)
+        idx, s = idx[m], seeds[m]
+        hit = self.owned[idx] == s
+        self.dist[idx[hit]] = 0
+        self.sigma[idx[hit]] = 1
+        self.changed[idx[hit]] = True
+        return int(self.changed.sum())
+
+    def sigma_scatter_parts(self):
+        """Frontier vertices push their sigma toward out-neighbors,
+        sum-combined per destination."""
+        active = self.changed[self.src_in_owned]
+        if active.any():
+            s_edge = self._rank_per_edge(self.sigma[self.src_in_owned])
+            act_edge = np.repeat(active, self.outdeg)
+            sums = np.zeros(len(self.dst_u), np.int64)
+            np.add.at(sums, self.dst_inv[act_edge], s_edge[act_edge].astype(np.int64))
+        else:
+            sums = None
+        out = []
+        for p in range(self.P):
+            if sums is None:
+                out.append((np.empty(0, np.int32), np.empty(0, np.int64)))
+                continue
+            idx = self.dst_by_part[p]
+            m = sums[idx]
+            live = m > 0
+            out.append((self.dst_route[p][live], m[live]))
+        return tuple(out)
+
+    def sigma_apply_parts(self, rnd: int, *parts) -> int:
+        self.changed = np.zeros(len(self.owned), bool)
+        live = [p for p in parts if len(p[0])]
+        if not live:
+            return 0
+        sums = np.zeros(len(self.owned), np.int64)
+        for idx, ss in live:
+            np.add.at(sums, idx, ss)
+        newly = (sums > 0) & (self.dist == np.iinfo(np.int64).max)
+        self.dist[newly] = rnd
+        self.sigma[newly] = sums[newly]
+        self.changed = newly
+        return int(newly.sum())
+
+    def sigma_state(self, seed: int) -> pa.Table:
+        m = self.dist < np.iinfo(np.int64).max
+        n = int(m.sum())
+        return pa.table(
+            {
+                "seed": pa.array(np.full(n, seed, np.int64)),
+                "vertex": pa.array(self.owned[m], pa.int64()),
+                "dist": pa.array(self.dist[m], pa.int64()),
+                "sigma": pa.array(self.sigma[m], pa.int64()),
             }
         )
 

@@ -447,3 +447,83 @@ def test_condensation_summary():
     assert out["n_condensation_edges"] == 2
     assert out["n_source_sccs"] == 1  # {1,2,3}
     assert out["n_sink_sccs"] == 2  # {4,5} and {6}
+
+
+def test_shortest_path_counts_vs_bfs_oracle():
+    """Sigma (Brandes path-count stage) parity vs a per-level numpy BFS
+    count on the seeded random graph, symmetrized."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        shortest_path_counts,
+    )
+    from .oracles import random_graph
+
+    edges = random_graph(n=120, m=700, seed=7)
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    g = ShardedGraph.build(ray.data.from_arrow(t), num_parts=4, symmetric=True)
+    out = (
+        shortest_path_counts(g, seeds=[1, 5], max_hops=6)
+        .to_pandas()
+        .set_index(["seed", "vertex"])
+        .sort_index()
+    )
+
+    # oracle: level-synchronous BFS accumulating path counts
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    for seed in (1, 5):
+        dist = {seed: 0}
+        sigma = {seed: 1}
+        frontier = [seed]
+        hop = 0
+        while frontier and hop < 6:
+            hop += 1
+            nxt: dict[int, int] = {}
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        nxt[v] = nxt.get(v, 0) + sigma[u]
+            for v, s_ in nxt.items():
+                dist[v] = hop
+                sigma[v] = s_
+            frontier = list(nxt)
+        got = out.loc[seed]
+        assert len(got) == len(dist)
+        for v, d_ in dist.items():
+            assert got.loc[v, "dist"] == d_
+            assert got.loc[v, "sigma"] == sigma[v]
+
+
+def test_modularity_witness_hand_checked():
+    """Two triangles joined by one bridge edge, labels = the two triangles:
+    m=7, each community m_in=3, d_sum=7 -> q_num = 2*(4*7*3 - 49) = 70,
+    Q = 70/196."""
+    from sbustreamspot_core_ray.pipelines.superstep import modularity_summary
+
+    src = [1, 2, 3, 4, 5, 6, 3]
+    dst = [2, 3, 1, 5, 6, 4, 4]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+    )
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "vertex": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "label": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+            }
+        )
+    )
+    t = modularity_summary(edges, labels, num_partitions=2)
+    assert t["m_edges"][0].as_py() == 7
+    assert t["n_communities"][0].as_py() == 2
+    assert t["q_num"][0].as_py() == 2 * (4 * 7 * 3 - 49)
+    assert abs(t["modularity"][0].as_py() - round(70 / 196, 6)) < 1e-12
