@@ -3363,6 +3363,19 @@ def q_pii_redact(sf_dir: str):
 DECON_BENCH_MOD = 7
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Per-document word-5-gram novelty: fraction of a doc's distinct
+    grams first seen (min doc_id) in that doc; one gram-key shuffle."""
+    from sbustreamspot_core_ray.stages.curation import ngram_novelty
+
+    return ngram_novelty(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        num_parts=P,
+    )
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: word-5-gram overlap of the corpus against
     a broadcast benchmark set (docs with doc_id % 7 == 0). Gram membership
@@ -4090,6 +4103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": q_source_stats,
         "sampling_weights": q_sampling_weights,
         "decontaminate": q_decontaminate,
+        "ngram_novelty": q_ngram_novelty,
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
         "exact_dedup": q_exact_dedup,
@@ -4926,6 +4940,29 @@ FROM documents d
 LEFT JOIN wc USING (doc_id) LEFT JOIN twc USING (doc_id)
 LEFT JOIN bgc USING (doc_id)
 ORDER BY doc_id
+""",
+        "ngram_novelty": r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE trim(text) <> ''
+), g AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+  FROM w, UNNEST(range(1, len(words) - 3)) AS t(i)
+  WHERE len(words) >= 5
+), own AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id
+), nov AS (
+  SELECT first_doc AS doc_id, COUNT(*) AS novel FROM own GROUP BY first_doc
+)
+SELECT d.doc_id,
+  COALESCE(t.n_grams, 0) AS n_grams,
+  COALESCE(v.novel, 0) AS novel_grams,
+  ROUND(COALESCE(CAST(v.novel AS DOUBLE) / t.n_grams, 0.0), 6) AS novelty
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN nov v ON v.doc_id = d.doc_id
 """,
         "decontaminate": r"""
 WITH w AS (

@@ -339,6 +339,95 @@ def decontaminate(
     )
 
 
+def ngram_novelty(
+    docs: ray.data.Dataset,
+    n: int = DECON_N,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Per-document n-gram novelty: the fraction of a document's DISTINCT
+    word n-grams whose global first occurrence (min doc_id) is this
+    document — a repetition/contamination signal for corpus curation
+    (novelty 1.0 = all-new text, ~0 = boilerplate seen earlier).
+
+    Scale shape: one stateless gram-extraction ``map_batches`` (vectorized
+    ``doc_word_ngrams``, per-doc distinct locally — each document lives in
+    one row, so no cross-batch dedup is needed), then ONE shuffle keyed on
+    hash(gram) %% P (int32 key; gram strings ride as payload) into a
+    per-partition factorize + minimum-scatter kernel that emits BOTH
+    per-doc partials (novel counts from gram ownership, gram totals) in a
+    single pass; the partials meet in an int-key doc_id groupby. Returns
+    (doc_id, n_grams, novel_grams, novelty) for every document, one IEEE
+    division per row mirrored by the SQL oracle."""
+
+    from ..functions.hashing import part_of
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("").tolist()
+        grams, counts = doc_word_ngrams(texts, n)
+        ids = np.repeat(df["doc_id"].to_numpy(np.int64), counts)
+        out = pd.DataFrame({"doc_id": ids, "gram": grams})
+        out = out.drop_duplicates()  # distinct per doc (docs are row-local)
+        h = pd.util.hash_array(out["gram"].to_numpy(object)).astype(np.uint64)
+        out["__p"] = part_of(h, num_parts).astype(np.int32)
+        return out
+
+    def own_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        """Per partition (all rows of a gram land here): min doc per gram
+        via factorize + minimum-scatter, then BOTH per-doc partials in one
+        output — novel counts (docs owning a gram's first occurrence) and
+        gram totals."""
+        ids = df["doc_id"].to_numpy(np.int64)
+        codes, _ = pd.factorize(df["gram"].to_numpy(object), sort=False)
+        mins = np.full(codes.max() + 1 if len(codes) else 0, np.iinfo(np.int64).max)
+        np.minimum.at(mins, codes, ids)
+        nu, nc = np.unique(mins, return_counts=True)
+        tu, tc = np.unique(ids, return_counts=True)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([nu, tu]),
+                "n_grams": np.concatenate(
+                    [np.zeros(len(nu), np.int64), tc.astype(np.int64)]
+                ),
+                "novel_grams": np.concatenate(
+                    [nc.astype(np.int64), np.zeros(len(tu), np.int64)]
+                ),
+            }
+        )
+
+    def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        z = np.zeros(len(ids), np.int64)
+        return pd.DataFrame({"doc_id": ids, "n_grams": z, "novel_grams": z})
+
+    combined = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pandas", batch_size=1024)
+        .groupby("__p")
+        .map_groups(own_kernel, batch_format="pandas")
+        .union(docs.select_columns(["doc_id"]).map_batches(
+            zero_rows, batch_format="pandas"
+        ))
+        .groupby("doc_id")
+        .sum(["n_grams", "novel_grams"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t["sum(n_grams)"].to_numpy()
+        nv = t["sum(novel_grams)"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = np.where(ng > 0, nv / np.maximum(ng, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(ng, pa.int64()),
+                "novel_grams": pa.array(nv, pa.int64()),
+                "novelty": pa.array(round_half_away(frac, 6), pa.float64()),
+            }
+        )
+
+    return combined.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # corpus composition: per-source stats + temperature sampling weights
 
