@@ -1967,6 +1967,49 @@ def q_condensation(sf_dir: str):
     return condensation_summary(_edges_directed(sf_dir), num_partitions=P)
 
 
+def q_condensation_depth(sf_dir: str):
+    """Longest-path layering of the SCC condensation DAG: per component
+    the topological wave number (sources = 0); exact integers."""
+    from sbustreamspot_core_ray.pipelines.superstep import condensation_depth
+
+    return condensation_depth(_edges_directed(sf_dir), num_partitions=P)
+
+
+_SQL_CONDENSATION_DEPTH = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_partkey % {m} AS s, l_suppkey % {m} AS d
+  FROM lineitem
+),
+v AS (SELECT DISTINCT x AS v FROM (SELECT s AS x FROM e UNION SELECT d FROM e)),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d
+),
+mut AS (
+  SELECT a.s AS v, a.d AS u
+  FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s
+),
+mn AS (SELECT v, MIN(u) AS mu FROM mut GROUP BY v),
+scc AS (
+  SELECT v.v AS vertex, CAST(LEAST(v.v, COALESCE(mn.mu, v.v)) AS BIGINT) AS scc_id
+  FROM v LEFT JOIN mn ON mn.v = v.v
+),
+ce AS (
+  SELECT DISTINCT a.scc_id AS cs, b.scc_id AS cd
+  FROM e JOIN scc a ON a.vertex = e.s JOIN scc b ON b.vertex = e.d
+  WHERE a.scc_id <> b.scc_id
+),
+comps AS (SELECT DISTINCT scc_id FROM scc),
+walk(c, depth) AS (
+  SELECT scc_id, 0 FROM comps
+  UNION
+  SELECT ce.cd, walk.depth + 1 FROM walk JOIN ce ON ce.cs = walk.c
+)
+SELECT c AS scc_id, CAST(MAX(depth) AS BIGINT) AS depth FROM walk GROUP BY c
+"""
+
+
 _SQL_CONDENSATION = """
 WITH RECURSIVE e AS (
   SELECT DISTINCT l_partkey % {m} AS s, l_suppkey % {m} AS d
@@ -4025,6 +4068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": q_assortativity,
         "scc": q_scc,
         "condensation": q_condensation,
+        "condensation_depth": q_condensation_depth,
         "graph_summary": q_graph_summary,
         "random_walks": q_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
@@ -4151,6 +4195,7 @@ def oracle_sql() -> dict[str, str]:
         "walk_skipgrams": _walk_skipgrams_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
+        "condensation_depth": _SQL_CONDENSATION_DEPTH.format(m=RECIP_MOD),
         "graph_summary": f"""
 WITH e AS (
   SELECT l_partkey % {RECIP_MOD} AS src, l_suppkey % {RECIP_MOD} AS dst

@@ -1048,6 +1048,94 @@ def modularity_summary(
     )
 
 
+def condensation_depth(
+    edges: ray.data.Dataset,
+    num_partitions: int = 32,
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """Topological layering of the SCC condensation DAG: for every
+    component, the length of the LONGEST condensation path into it
+    (sources = 0) — the stage/wave number a scheduler would run it at.
+    Fixpoint of depth(c) = max(depth(c), max over preds p of depth(p)+1),
+    reached in diameter(DAG) rounds; depths only grow, so an unchanged
+    global depth-sum certifies convergence.
+
+    Scale shape: SCC labels attach to both edge endpoints via the
+    co-partitioned `_attach_value` join; per round ONE attach (depth onto
+    condensation-edge sources) + a comp-key groupby max — no broadcast,
+    no driver-side per-component state (the driver holds one scalar
+    depth-sum). Returns (scc_id, depth)."""
+
+    scc = strongly_connected_components(
+        edges, num_partitions=num_partitions
+    ).materialize()
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": pc_cast_i64(t["src"]), "dst": pc_cast_i64(t["dst"])}
+        )
+
+    de = distinct(edges.map_batches(cast, batch_format="pyarrow"), ["src", "dst"])
+    w1 = _attach_value(de, scc, "src", ["dst"], "scc_id", "cs", num_partitions)
+    w2 = _attach_value(w1, scc, "dst", ["cs"], "scc_id", "cd", num_partitions)
+
+    def cedge(t: pa.Table) -> pa.Table:
+        cs = t["cs"].to_numpy()
+        cd = t["cd"].to_numpy()
+        keep = cs != cd
+        return pa.table({"cs": cs[keep], "cd": cd[keep]})
+
+    ce = distinct(
+        w2.map_batches(cedge, batch_format="pyarrow"), ["cs", "cd"]
+    ).materialize()
+
+    def comp_zero(t: pa.Table) -> pa.Table:
+        u = np.unique(t["scc_id"].to_numpy())
+        return pa.table({"comp": u, "depth": np.zeros(len(u), np.int64)})
+
+    depth = distinct(scc.select_columns(["scc_id"]), ["scc_id"]).map_batches(
+        comp_zero, batch_format="pyarrow"
+    ).materialize()
+    total = int(depth.sum("depth") or 0)
+
+    for _ in range(max_rounds):
+        msg = _attach_value(
+            ce, depth, "cs", ["cd"], "depth", "dp", num_partitions,
+            lookup_key="comp",
+        )
+
+        def bump(t: pa.Table) -> pa.Table:
+            cd = t["cd"].to_numpy()
+            dp = t["dp"].to_numpy() + 1
+            u, inv = np.unique(cd, return_inverse=True)
+            mx = np.full(len(u), -1, np.int64)
+            np.maximum.at(mx, inv, dp)
+            return pa.table({"comp": u, "depth": mx})
+
+        depth = (
+            msg.map_batches(bump, batch_format="pyarrow")
+            .union(depth)
+            .groupby("comp")
+            .max("depth")
+            .map_batches(
+                lambda t: pa.table(
+                    {"comp": t["comp"], "depth": t["max(depth)"]}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        new_total = int(depth.sum("depth") or 0)
+        if new_total == total:
+            break
+        total = new_total
+
+    return depth.map_batches(
+        lambda t: pa.table({"scc_id": t["comp"], "depth": t["depth"]}),
+        batch_format="pyarrow",
+    )
+
+
 def bfs_hop_histogram(
     graph: ShardedGraph, seeds, max_hops: int = 64
 ) -> ray.data.Dataset:

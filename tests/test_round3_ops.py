@@ -527,3 +527,23 @@ def test_modularity_witness_hand_checked():
     assert t["n_communities"][0].as_py() == 2
     assert t["q_num"][0].as_py() == 2 * (4 * 7 * 3 - 49)
     assert abs(t["modularity"][0].as_py() - round(70 / 196, 6)) < 1e-12
+
+
+def test_condensation_depth_hand_checked():
+    """SCCs {1,2,3} -> {4,5}, {1,2,3} -> {6}, plus {4,5} -> {7}:
+    depths 0 / 1 / 1 / 2."""
+    from sbustreamspot_core_ray.pipelines.superstep import condensation_depth
+
+    src = [1, 2, 3, 3, 4, 5, 3, 5]
+    dst = [2, 3, 1, 4, 5, 4, 6, 7]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+    )
+    d = (
+        condensation_depth(edges, num_partitions=2)
+        .to_pandas()
+        .set_index("scc_id")["depth"]
+    )
+    assert d.loc[1] == 0 and d.loc[4] == 1 and d.loc[6] == 1 and d.loc[7] == 2
