@@ -1422,6 +1422,21 @@ def q_adamic_adar(sf_dir: str):
     ).rename_columns({"cn": "aa_e9"})
 
 
+def q_resource_allocation(sf_dir: str):
+    """Link prediction by the resource-allocation index: top-100
+    non-adjacent pairs by sum(1/deg(common neighbor)), carried as exact
+    integer billionths via pure integer floor division (1e9 // deg on both
+    sides — no float in the parity chain at all)."""
+    from sbustreamspot_core_ray.pipelines.superstep import common_neighbors
+
+    return common_neighbors(
+        _edges_full(sf_dir, dedup=False),
+        top_n=CN_TOP,
+        num_partitions=P,
+        weight="resource_allocation",
+    ).rename_columns({"cn": "ra_e9"})
+
+
 def q_jaccard_links(sf_dir: str):
     """Link prediction by the Jaccard coefficient over the full derived
     graph: top-100 non-adjacent pairs by cn/(deg(a)+deg(b)-cn), carried as
@@ -2127,6 +2142,27 @@ SELECT a AS src, b AS dst, aa AS aa_e9 FROM nonadj
 ORDER BY aa DESC, a, b LIMIT {CN_TOP}"""
 
 
+_SQL_RESOURCE_ALLOCATION = f"""
+WITH e0 AS MATERIALIZED ({_SQL_EDGES}),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+sym AS MATERIALIZED (SELECT a AS s, b AS d FROM canon UNION ALL SELECT b, a FROM canon),
+wt AS MATERIALIZED (
+  SELECT s, 1000000000 // count(*) AS w
+  FROM sym GROUP BY s HAVING count(*) >= 2
+),
+w AS (
+  SELECT x.d AS a, y.d AS b, SUM(wt.w) AS ra
+  FROM sym x JOIN sym y ON y.s = x.s AND y.d > x.d JOIN wt ON wt.s = x.s
+  GROUP BY x.d, y.d
+),
+nonadj AS (SELECT w.a, w.b, w.ra FROM w ANTI JOIN canon c ON c.a = w.a AND c.b = w.b)
+SELECT a AS src, b AS dst, ra AS ra_e9 FROM nonadj
+ORDER BY ra DESC, a, b LIMIT {CN_TOP}"""
+
+
 _SQL_COMMON_NEIGHBORS = f"""
 WITH e0 AS MATERIALIZED ({_SQL_EDGES}),
 canon AS MATERIALIZED (
@@ -2555,6 +2591,19 @@ def q_top_users(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "value"]
     )
     return top_k_by_sum(ev, k=20, value_scale=100)
+
+
+def q_event_pmi(sf_dir: str):
+    """User-level PMI between event-type pairs in integer nanonats (one
+    IEEE divide + one libm ln, mirrored)."""
+    from sbustreamspot_core_ray.stages.events import event_type_pmi
+
+    return event_type_pmi(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        ),
+        num_parts=P,
+    )
 
 
 def q_event_transitions(sf_dir: str):
@@ -3419,6 +3468,56 @@ def q_ngram_novelty(sf_dir: str):
     )
 
 
+def q_corpus_manifest(sf_dir: str):
+    """End-to-end curation manifest: exact dedup -> integer-exact quality
+    floor -> lang-ID filter -> per-(source, lang) integer rollup."""
+    from sbustreamspot_core_ray.stages.curation import corpus_manifest
+
+    return corpus_manifest(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        ),
+        num_parts=P,
+    )
+
+
+def _corpus_manifest_sql() -> str:
+    from sbustreamspot_core_ray.stages.curation import (
+        MANIFEST_ALPHA_DEN,
+        MANIFEST_ALPHA_NUM,
+        MANIFEST_MIN_TOKENS,
+    )
+
+    return rf"""
+WITH li AS ({_lang_id_sql()}),
+w AS (
+  SELECT doc_id, source, text FROM documents
+  QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+),
+m AS (
+  SELECT w.doc_id, w.source, li.lang_pred,
+    length(w.text) AS chars,
+    length(regexp_replace(w.text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+    CASE WHEN regexp_replace(w.text, '^\s+|\s+$', '', 'g') = '' THEN 0
+         ELSE len(regexp_split_to_array(
+                regexp_replace(w.text, '^\s+|\s+$', '', 'g'), '\s+'))
+    END AS ws_tokens
+  FROM w JOIN li ON li.doc_id = w.doc_id
+),
+f AS (
+  SELECT * FROM m
+  WHERE {MANIFEST_ALPHA_DEN} * alpha_chars >= {MANIFEST_ALPHA_NUM} * chars
+    AND ws_tokens >= {MANIFEST_MIN_TOKENS} AND lang_pred <> 'unk'
+)
+SELECT source, lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS tokens,
+       CAST(SUM(chars) AS BIGINT) AS chars,
+       ROUND(CAST(SUM(alpha_chars) AS DOUBLE) / SUM(chars), 6) AS alpha_frac
+FROM f GROUP BY source, lang_pred
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: word-5-gram overlap of the corpus against
     a broadcast benchmark set (docs with doc_id % 7 == 0). Gram membership
@@ -4073,6 +4172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": q_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "adamic_adar": q_adamic_adar,
+        "resource_allocation": q_resource_allocation,
         "jaccard_links": q_jaccard_links,
         "hits": q_hits,
         "katz": q_katz,
@@ -4105,6 +4205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "top_users": q_top_users,
         "event_transitions": q_event_transitions,
+        "event_pmi": q_event_pmi,
         "top_orders_per_customer": q_top_orders_per_customer,
         "customers_no_urgent": q_customers_no_urgent,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4148,6 +4249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampling_weights": q_sampling_weights,
         "decontaminate": q_decontaminate,
         "ngram_novelty": q_ngram_novelty,
+        "corpus_manifest": q_corpus_manifest,
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
         "exact_dedup": q_exact_dedup,
@@ -4239,6 +4341,7 @@ SELECT e AS edges,
 FROM s
 """,
         "adamic_adar": _SQL_ADAMIC_ADAR,
+        "resource_allocation": _SQL_RESOURCE_ALLOCATION,
         "jaccard_links": _SQL_JACCARD_LINKS.format(edges=_SQL_EDGES, top=CN_TOP),
         "hits": _hits_sql(),
         "katz": _katz_sql(),
@@ -4399,6 +4502,25 @@ SELECT user_id,
          AS total
 FROM events GROUP BY user_id
 ORDER BY total DESC, user_id ASC LIMIT 20
+""",
+        "event_pmi": """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+c AS (SELECT event_type, COUNT(*) AS cu FROM d GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS cab
+  FROM d a JOIN d b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(cab AS BIGINT) AS n_users_both,
+       CAST(floor(1e9 * ln(
+         CAST((SELECT nu FROM n) * cab AS DOUBLE) / (ca.cu * cb.cu)
+       )) AS BIGINT) AS pmi_e9
+FROM p
+JOIN c ca ON ca.event_type = p.ta
+JOIN c cb ON cb.event_type = p.tb
 """,
         "event_transitions": """
 WITH s AS (
@@ -4986,6 +5108,7 @@ LEFT JOIN wc USING (doc_id) LEFT JOIN twc USING (doc_id)
 LEFT JOIN bgc USING (doc_id)
 ORDER BY doc_id
 """,
+        "corpus_manifest": _corpus_manifest_sql(),
         "ngram_novelty": r"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words

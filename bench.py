@@ -115,6 +115,16 @@ BENCH_QUERIES = [
     "walk_skipgrams",
     "embedding_centroids",
     "props_stats",
+    "q5_local_supplier",
+    "copurchase_pairs",
+    "modularity",
+    "path_counts",
+    "condensation_depth",
+    "ngram_novelty",
+    "corpus_manifest",
+    "event_pmi",
+    # resource_allocation rides the common_neighbors wedge machinery:
+    # benchmarked at sf0.01 only, like common_neighbors / adamic_adar
     # ktruss / assortativity are benchmarked at sf0.01 only: 15 peel
     # rounds / two V-scale joins dominate the suite at sf0.1
     # common_neighbors / adamic_adar are benchmarked at sf0.01 only

@@ -1834,6 +1834,12 @@ def common_neighbors(
                 [math.floor(1e9 / math.log(int(g))) for g in uq], np.int64
             )
             vals = wt_u[np.searchsorted(uq, degs)]
+        elif weight == "resource_allocation":
+            # resource-allocation index: wedge contributes 1/deg(center),
+            # as exact integer billionths via pure int floor division
+            # (no float anywhere — both sides use `//`)
+            degs = (run_end - starts[run_id])[rep]
+            vals = np.int64(1_000_000_000) // degs.astype(np.int64)
         else:
             vals = np.ones(len(pair), np.int64)
         if epack_ref is not None:

@@ -428,6 +428,127 @@ def ngram_novelty(
     return combined.map_batches(finish, batch_format="pyarrow")
 
 
+MANIFEST_MIN_TOKENS = 10
+# alpha-ratio floor 0.6 applied as the exact integer predicate
+# 5*alpha_chars >= 3*chars (no float comparison anywhere)
+MANIFEST_ALPHA_NUM, MANIFEST_ALPHA_DEN = 3, 5
+
+
+def corpus_manifest(
+    docs: ray.data.Dataset,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Flagship end-to-end curation composition — the manifest a training
+    run reads: exact-dedup first-wins (sha256, min doc_id), integer-exact
+    quality floor (5*alpha_chars >= 3*chars and >= MANIFEST_MIN_TOKENS
+    whitespace tokens), language-ID filter (marker heuristic, 'unk'
+    dropped), rolled up per (source, predicted lang) with exact integer
+    sums; the per-group alpha fraction is ONE division of two integer
+    sums (never a mean of per-doc floats — order-free, SQL-mirrored).
+
+    Scale shape: one stateless scoring `map_batches` (language markers,
+    char/alpha/token counts, sha256) → ONE digest-derived cheap-key
+    shuffle for the dedup fold (winners keep their metric columns, so no
+    second pass over text) → row-local filters → a fixed-cardinality
+    (source, lang) groupby of integer partials. Returns
+    (source, lang_pred, n_docs, tokens, chars, alpha_frac)."""
+    import hashlib
+    import re as _re
+
+    from .text import _LANG_MARKERS
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        padded = " " + texts.str.lower() + " "
+        scores = {
+            lang: sum(padded.str.count(_re.escape(m)) for m in ms)
+            for lang, ms in _LANG_MARKERS.items()
+        }
+        mat = pd.DataFrame(scores)
+        best = mat.idxmax(axis=1)
+        best[mat.max(axis=1) == 0] = "unk"
+        chars = texts.str.len().to_numpy(np.int64)
+        alpha = texts.str.count("[A-Za-z]").to_numpy(np.int64)
+        toks = (
+            texts.str.strip().str.split().map(len).to_numpy(np.int64)
+        )
+        digests = [hashlib.sha256(t.encode("utf-8")).digest() for t in texts]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "source": df["source"].astype(str),
+                "lang_pred": best.to_numpy(),
+                "chars": chars,
+                "alpha_chars": alpha,
+                "ws_tokens": toks,
+                "sha": [d.hex() for d in digests],
+                "__p": np.array(
+                    [int.from_bytes(d[:8], "little") % num_parts for d in digests],
+                    np.int32,
+                ),
+            }
+        )
+
+    def dedup_filter(df: pd.DataFrame) -> pd.DataFrame:
+        # first-wins per digest: all copies of a text land in this partition
+        w = df.sort_values(["sha", "doc_id"], kind="stable").drop_duplicates(
+            "sha", keep="first"
+        )
+        keep = (
+            (MANIFEST_ALPHA_DEN * w["alpha_chars"] >= MANIFEST_ALPHA_NUM * w["chars"])
+            & (w["ws_tokens"] >= MANIFEST_MIN_TOKENS)
+            & (w["lang_pred"] != "unk")
+        )
+        w = w[keep]
+        g = (
+            w.groupby(["source", "lang_pred"], sort=False)
+            .agg(
+                n_docs=("doc_id", "size"),
+                tokens=("ws_tokens", "sum"),
+                chars=("chars", "sum"),
+                alpha=("alpha_chars", "sum"),
+            )
+            .reset_index()
+        )
+        for c in ("n_docs", "tokens", "chars", "alpha"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.select_columns(["doc_id", "source", "text"])
+        .map_batches(score, batch_format="pandas", batch_size=1024)
+        .groupby("__p")
+        .map_groups(dedup_filter, batch_format="pandas")
+        .groupby(["source", "lang_pred"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("tokens", alias_name="tokens"),
+            Sum("chars", alias_name="chars"),
+            Sum("alpha", alias_name="alpha"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ch = df["chars"].to_numpy(np.int64)
+        al = df["alpha"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "lang_pred": df["lang_pred"],
+                "n_docs": df["n_docs"].to_numpy(np.int64),
+                "tokens": df["tokens"].to_numpy(np.int64),
+                "chars": ch,
+                "alpha_frac": round_half_away(
+                    al.astype(np.float64) / np.maximum(ch, 1), 6
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # corpus composition: per-source stats + temperature sampling weights
 

@@ -1755,3 +1755,121 @@ def top_users_per_type(
             }
         )
     )
+
+
+def event_type_pmi(events: ray.data.Dataset, num_parts: int = 32) -> pa.Table:
+    """Pointwise mutual information between event-type pairs at the USER
+    level: for each unordered type pair (a < b), how many users performed
+    both, and PMI = ln(N * c_ab / (c_a * c_b)) in integer nanonats
+    (floor(1e9 * ln(x)) — one IEEE divide and one libm ln on an
+    identically computed double, the bm25/doc_logprob parity chain).
+    Co-occurrence mining for behavioral features / recommendation priors.
+
+    Scale shape: ONE shuffle on hash(user) %% P; each partition holds all
+    rows of its users, so per-user distinct types, per-type user partials,
+    distinct-user partials, and within-user type-pair counts are all
+    partition-local (types per user bounded by the type vocabulary);
+    only O(|types|^2) integer partial rows reach the driver fold."""
+    import pandas as pd
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "event_type": t["event_type"],
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["user_id", "event_type"]].drop_duplicates()
+        users = d["user_id"].to_numpy(np.int64)
+        codes, types = pd.factorize(d["event_type"].to_numpy(object), sort=True)
+        order = np.lexsort((codes, users))
+        users, codes = users[order], codes[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], users[1:] != users[:-1]])
+        )
+        lens = np.diff(np.concatenate([starts, [len(users)]]))
+        # triangular type pairs per user (types sorted within user run)
+        npair = lens * (lens - 1) // 2
+        tot = int(npair.sum())
+        rows = []
+        if tot:
+            run_id = np.repeat(np.arange(len(lens)), npair)
+            within = np.arange(tot) - np.concatenate([[0], np.cumsum(npair)])[run_id]
+            L = lens[run_id]
+            i = np.floor(
+                ((2 * L - 1)
+                 - np.sqrt((2 * L - 1).astype(np.float64) ** 2 - 8 * within)) / 2
+            ).astype(np.int64)
+            j = within - (i * (L - 1) - i * (i - 1) // 2) + i + 1
+            base = starts[run_id]
+            a, b = codes[base + i], codes[base + j]
+            pk = a * len(types) + b
+            uq, cnt = np.unique(pk, return_counts=True)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "type_a": types[(uq // len(types))],
+                        "type_b": types[(uq % len(types))],
+                        "cnt": cnt.astype(np.int64),
+                        "tag": np.zeros(len(uq), np.int64),
+                    }
+                )
+            )
+        tu, tc = np.unique(codes, return_counts=True)
+        rows.append(
+            pd.DataFrame(
+                {
+                    "type_a": types[tu],
+                    "type_b": [""] * len(tu),
+                    "cnt": tc.astype(np.int64),
+                    "tag": np.ones(len(tu), np.int64),
+                }
+            )
+        )
+        rows.append(
+            pd.DataFrame(
+                {
+                    "type_a": [""],
+                    "type_b": [""],
+                    "cnt": np.array([len(starts)], np.int64),
+                    "tag": np.array([2], np.int64),
+                }
+            )
+        )
+        return pd.concat(rows, ignore_index=True)
+
+    parts = pd.DataFrame(
+        events.select_columns(["user_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kern, batch_format="pandas")
+        .take_all()
+    )
+    n_users = int(parts.loc[parts["tag"] == 2, "cnt"].sum())
+    c = (
+        parts[parts["tag"] == 1]
+        .groupby("type_a")["cnt"].sum()
+    )
+    p = (
+        parts[parts["tag"] == 0]
+        .groupby(["type_a", "type_b"])["cnt"].sum()
+        .reset_index()
+        .sort_values(["type_a", "type_b"])
+    )
+    cab = p["cnt"].to_numpy(np.int64)
+    ca = c.loc[p["type_a"]].to_numpy(np.int64)
+    cb = c.loc[p["type_b"]].to_numpy(np.int64)
+    x = (n_users * cab).astype(np.float64) / (ca * cb).astype(np.float64)
+    pmi = np.floor(1e9 * np.log(x)).astype(np.int64)
+    return pa.table(
+        {
+            "type_a": pa.array(p["type_a"].tolist(), pa.string()),
+            "type_b": pa.array(p["type_b"].tolist(), pa.string()),
+            "n_users_both": pa.array(cab, pa.int64()),
+            "pmi_e9": pa.array(pmi, pa.int64()),
+        }
+    )

@@ -455,3 +455,30 @@ def test_chunk_documents():
         (1, 2, 1, "e"),
         (2, 0, 1, "x"),
     ]
+
+
+def test_corpus_manifest_dedup_filter_rollup():
+    """Three docs: an English pair of exact duplicates (first wins), one
+    too-short doc dropped by the token floor."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from sbustreamspot_core_ray.stages.curation import corpus_manifest
+
+    en = "the cat and the dog of the house is that it in a barn " * 3
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "source": pa.array(["web", "web", "web"], pa.string()),
+                "text": pa.array([en, en, "the and of"], pa.string()),
+            }
+        )
+    )
+    out = corpus_manifest(docs, num_parts=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["source"] == "web" and r["lang_pred"] == "en"
+    assert r["n_docs"] == 1  # dup dropped, short doc dropped
+    assert r["tokens"] == len(en.split())

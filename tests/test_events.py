@@ -554,3 +554,25 @@ def test_interarrival_stats_gaps():
     # user 7: gaps 150, 350; users 8 and 9 have one event each -> omitted
     assert list(out.index) == [7]
     assert out.loc[7].tolist() == [2, 500, 150, 350]
+
+
+def test_event_type_pmi_hand_checked():
+    """Users 1,2 do {x,y}; user 3 does {x}: N=3, c_x=3, c_y=2, c_xy=2,
+    PMI = ln(3*2/(3*2)) = 0."""
+    import numpy as np
+
+    from sbustreamspot_core_ray.stages.events import event_type_pmi
+
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 2, 2, 3, 1], pa.int64()),
+                "event_type": pa.array(["x", "y", "x", "y", "x", "x"], pa.string()),
+            }
+        )
+    )
+    t = event_type_pmi(ev, num_parts=2).to_pandas()
+    assert len(t) == 1
+    assert t.loc[0, "type_a"] == "x" and t.loc[0, "type_b"] == "y"
+    assert t.loc[0, "n_users_both"] == 2
+    assert t.loc[0, "pmi_e9"] == 0

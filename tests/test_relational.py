@@ -214,3 +214,77 @@ def test_ktruss_k4():
     )
     out2 = ktruss(k4m, k=4, num_partitions=2).to_pandas()
     assert len(out2) == 0
+
+
+def test_copurchase_pairs_hand_checked():
+    """Orders: o1 {p1,p2,p3}, o2 {p1,p2}, o3 {p1,p2} (via duplicate
+    lineitems), o4 {p9}: (p1,p2) x3, (p1,p3) x1, (p2,p3) x1."""
+    from sbustreamspot_core_ray.stages.relational import copurchase_pairs
+
+    ok = [1, 1, 1, 2, 2, 3, 3, 3, 4]
+    pk = [1, 2, 3, 1, 2, 1, 2, 2, 9]
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_partkey": pa.array(pk, pa.int64()),
+            }
+        )
+    )
+    t = copurchase_pairs(li, num_partitions=2, min_count=1, topn=10).to_pandas()
+    t = t.set_index(["part_a", "part_b"])["cnt"]
+    assert t.loc[(1, 2)] == 3
+    assert t.loc[(1, 3)] == 1
+    assert t.loc[(2, 3)] == 1
+    assert len(t) == 3
+
+
+def test_local_supplier_revenue_hand_checked():
+    """One qualifying order (customer nation 1 == supplier nation 1,
+    in-window); a second order fails the nation match, a third the date
+    window."""
+    import numpy as np
+
+    from sbustreamspot_core_ray.stages.relational import local_supplier_revenue
+
+    orders = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 20, 30], pa.int64()),
+                "o_custkey": pa.array([1, 2, 1], pa.int64()),
+                "o_orderdate": pa.array([100, 100, 999], pa.timestamp("us")),
+            }
+        )
+    )
+    customer = ray.data.from_arrow(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_nationkey": pa.array([1, 2], pa.int32()),
+            }
+        )
+    )
+    lineitem = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([10, 10, 20, 30], pa.int64()),
+                "l_suppkey": pa.array([7, 7, 7, 7], pa.int64()),
+                "l_extendedprice": pa.array([100.0, 50.0, 10.0, 10.0]),
+                "l_discount": pa.array([0.0, 0.5, 0.0, 0.0]),
+            }
+        )
+    )
+    sup = pa.table(
+        {
+            "s_suppkey": pa.array([7], pa.int64()),
+            "s_nationkey": pa.array([1], pa.int32()),
+        }
+    )
+    out = local_supplier_revenue(
+        orders, customer, lineitem, sup,
+        region_nations=np.array([1, 2], np.int64),
+        date_lo_us=0, date_hi_us=500, num_partitions=2,
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "n_nationkey"] == 1
+    assert out.loc[0, "units"] == 1_250_000  # (100 + 25) * 1e4
