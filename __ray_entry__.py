@@ -1644,7 +1644,7 @@ def q_path_counts(sf_dir: str):
     )
 
 
-def _sigma_sql() -> str:
+def _sigma_ctes() -> list:
     """Iterated per-hop CTEs (a recursive CTE's UNION dedups rows, which
     breaks path COUNTING): f_k = frontier at hop k with summed sigma from
     the hop-(k-1) frontier, excluding already-reached vertices."""
@@ -1670,9 +1670,69 @@ def _sigma_sql() -> str:
             f"r{k} AS MATERIALIZED (SELECT * FROM r{p}"
             f" UNION ALL SELECT seed, vertex, {k} AS dist, sigma FROM f{k})"
         )
+    return ctes
+
+
+def _sigma_sql() -> str:
+    return (
+        "WITH " + ",\n".join(_sigma_ctes())
+        + f"\nSELECT seed, vertex, dist, sigma FROM r{SIGMA_HOPS}"
+    )
+
+
+def q_stress_centrality(sf_dir: str):
+    """Per-seed stress centrality: sigma BFS + integer back-propagation of
+    downstream path counts on the same symmetric shard pool; stress =
+    sigma * paths_from, exact int64."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        stress_centrality,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    return stress_centrality(
+        g, seeds=np.array(SIGMA_SEEDS, np.int64), max_hops=SIGMA_HOPS
+    )
+
+
+def _stress_sql() -> str:
+    """Sigma chain + BFS-DAG edges + downward g accumulation: g(v) =
+    sum over DAG successors (1 + g(w)), levels H-1 .. 0."""
+    H = SIGMA_HOPS
+    ctes = _sigma_ctes()
+    ctes.append(
+        f"de AS MATERIALIZED (SELECT ra.seed, e.s AS v, e.d AS w,"
+        f" ra.dist AS vd"
+        f" FROM e JOIN r{H} ra ON ra.vertex = e.s"
+        f" JOIN r{H} rb ON rb.vertex = e.d AND rb.seed = ra.seed"
+        f" WHERE rb.dist = ra.dist + 1)"
+    )
+    ctes.append(
+        f"g{H} AS (SELECT seed, vertex, CAST(0 AS BIGINT) AS g"
+        f" FROM r{H} WHERE dist = {H})"
+    )
+    for k in range(H - 1, -1, -1):
+        ctes.append(
+            f"g{k} AS MATERIALIZED (SELECT * FROM g{k + 1}"
+            f" UNION ALL"
+            f" SELECT r.seed, r.vertex, COALESCE(s.g, 0) AS g"
+            f" FROM (SELECT seed, vertex FROM r{H} WHERE dist = {k}) r"
+            f" LEFT JOIN (SELECT de.seed, de.v, CAST(SUM(1 + gw.g) AS BIGINT) AS g"
+            f"   FROM de JOIN g{k + 1} gw"
+            f"     ON gw.seed = de.seed AND gw.vertex = de.w"
+            f"   WHERE de.vd = {k} GROUP BY de.seed, de.v) s"
+            f" ON s.seed = r.seed AND s.v = r.vertex)"
+        )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT seed, vertex, dist, sigma FROM r{SIGMA_HOPS}"
+        + f"""
+SELECT r.seed, r.vertex, r.dist, r.sigma,
+       g0.g AS paths_from,
+       r.sigma * g0.g AS stress
+FROM r{H} r JOIN g0 ON g0.seed = r.seed AND g0.vertex = r.vertex
+"""
     )
 
 
@@ -4159,6 +4219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_distance": q_bfs_distance,
         "path_counts": q_path_counts,
+        "stress_centrality": q_stress_centrality,
         "closeness_sample": q_closeness_sample,
         "hop_histogram": q_hop_histogram,
         "harmonic_sample": q_harmonic_sample,
@@ -4288,6 +4349,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _ppr_sql(),
         "bfs_distance": _bfs_sql(),
         "path_counts": _sigma_sql(),
+        "stress_centrality": _stress_sql(),
         "closeness_sample": _closeness_sample_sql(),
         "hop_histogram": _hop_histogram_sql(),
         "harmonic_sample": _harmonic_sample_sql(),

@@ -764,6 +764,50 @@ def shortest_path_counts(
     return ray.data.from_arrow_refs(refs)
 
 
+def stress_centrality(
+    graph: ShardedGraph, seeds, max_hops: int = 32
+) -> ray.data.Dataset:
+    """Per-seed stress centrality (full Brandes shape, exact integers):
+    after the sigma BFS, back-propagate g(v) = sum over BFS-DAG successors
+    of (1 + g(w)) — the number of shortest paths STARTING at v in the
+    (hop-capped) DAG — level by level from the deepest hop down; then
+    stress_s(v) = sigma(v) * g(v) counts the shortest s->t paths passing
+    through v, all int64 (no float dependency ratios — the integer-exact
+    sibling of betweenness dependency accumulation).
+
+    On a SYMMETRIC graph the DAG predecessors of a level-(k+1) vertex are
+    its neighbors at level k, so the reverse rounds reuse the forward
+    routes on the same shard pool — no twin reverse pool. Requires
+    symmetric unsalted builds (directed stress would need the SCC-style
+    reversed pool). Returns (seed, vertex, dist, sigma, paths_from,
+    stress)."""
+    if graph.salted:
+        raise ValueError(
+            "stress_centrality supports unsalted graphs only; build the "
+            "ShardedGraph without salt_threshold"
+        )
+    if not graph.symmetric:
+        raise ValueError(
+            "stress_centrality needs a symmetric graph (symmetric=True "
+            "build); directed stress needs a reversed twin pool"
+        )
+    actors = graph.actors
+    refs = []
+    for s in np.unique(np.asarray(seeds, np.int64)):
+        one = np.array([s], np.int64)
+        frontier = sum(ray.get([a.sigma_init.remote(one) for a in actors]))
+        rnd = 0
+        while frontier and rnd < max_hops:
+            rnd += 1
+            frontier = sum(graph._exchange("sigma", apply_args=(rnd,)))
+        deepest = rnd - 1 if frontier == 0 else rnd
+        ray.get([a.gcount_init.remote() for a in actors])
+        for k in range(deepest - 1, -1, -1):
+            graph._exchange("gcount", scatter_args=(k,), apply_args=(k,))
+        refs.extend(a.gcount_state.remote(int(s)) for a in actors)
+    return ray.data.from_arrow_refs(refs)
+
+
 def strongly_connected_components(
     edges: ray.data.Dataset, num_partitions: int = 32, max_rounds: int = 64
 ) -> ray.data.Dataset:

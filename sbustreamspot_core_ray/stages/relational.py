@@ -504,10 +504,11 @@ def copurchase_pairs(
     pairs are enumerated with the closed-form triangular decode (the
     simhash band kernel's shape, dedup.py), baskets capped at `basket_cap`
     items with an explicit log line (recall loss never silent), and pair
-    counts are COMBINED per partition before the pair-key groupby, so the
-    wide exchange moves only distinct (pair, partial-count) rows. The
-    top-n is a per-block partial cut + driver fold (blocks of a groupby
-    are key-disjoint, so the fold is exact)."""
+    counts are COMBINED per partition before the SECOND shuffle — an
+    int32 hash(pair) key into a fold + partial-top-n kernel (<= topn rows
+    leave each partition; pair partitions are key-disjoint so the driver
+    fold over P*topn rows is exact). Two cheap-key shuffles total, both
+    over combined partials — never a sort-based multi-column groupby."""
 
     def tag(t: pa.Table) -> pa.Table:
         ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -540,7 +541,14 @@ def copurchase_pairs(
         tot = int(npair.sum())
         z = np.empty(0, np.int64)
         if tot == 0:
-            return pa.table({"part_a": z, "part_b": z, "cnt": z})
+            return pa.table(
+                {
+                    "part_a": z,
+                    "part_b": z,
+                    "cnt": z,
+                    "__q": pa.array(np.empty(0, np.int32), pa.int32()),
+                }
+            )
         run_id = np.repeat(np.arange(len(lens)), npair)
         within = np.arange(tot) - np.concatenate([[0], np.cumsum(npair)])[run_id]
         L = lens[run_id]
@@ -557,28 +565,45 @@ def copurchase_pairs(
         first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
         idx = np.flatnonzero(first)
         cnt = np.diff(np.concatenate([idx, [len(a)]]))
-        return pa.table({"part_a": a[idx], "part_b": b[idx], "cnt": cnt})
+        from ..pipelines.superstep import _pair_part
 
-    counted = (
+        return pa.table(
+            {
+                "part_a": a[idx],
+                "part_b": b[idx],
+                "cnt": cnt,
+                "__q": pa.array(
+                    _pair_part(a[idx], b[idx], num_partitions), pa.int32()
+                ),
+            }
+        )
+
+    def pair_fold(t: pa.Table) -> pa.Table:
+        """All partials of a pair land here (hash(pair) partition): fold,
+        filter min_count, partial top-n cut — <= topn rows leave."""
+        a = t["part_a"].to_numpy()
+        b = t["part_b"].to_numpy()
+        c = t["cnt"].to_numpy()
+        po = np.lexsort((b, a))
+        a, b, c = a[po], b[po], c[po]
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        idx = np.flatnonzero(first)
+        sums = np.add.reduceat(c, idx) if len(c) else np.empty(0, np.int64)
+        a, b = a[idx], b[idx]
+        keep = sums >= min_count
+        a, b, sums = a[keep], b[keep], sums[keep]
+        sel = np.lexsort((b, a, -sums))[:topn]
+        return pa.table({"part_a": a[sel], "part_b": b[sel], "cnt": sums[sel]})
+
+    parts = (
         lineitem.select_columns(["l_orderkey", "l_partkey"])
         .map_batches(tag, batch_format="pyarrow")
         .groupby("__p")
         .map_groups(basket_pairs, batch_format="pyarrow")
-        .groupby(["part_a", "part_b"])
-        .sum("cnt")
-        .rename_columns({"sum(cnt)": "cnt"})
+        .groupby("__q")
+        .map_groups(pair_fold, batch_format="pyarrow")
+        .take_all()
     )
-
-    def partial_cut(t: pa.Table) -> pa.Table:
-        a = t["part_a"].to_numpy()
-        b = t["part_b"].to_numpy()
-        c = t["cnt"].to_numpy()
-        keep = c >= min_count
-        a, b, c = a[keep], b[keep], c[keep]
-        sel = np.lexsort((b, a, -c))[:topn]
-        return pa.table({"part_a": a[sel], "part_b": b[sel], "cnt": c[sel]})
-
-    parts = counted.map_batches(partial_cut, batch_format="pyarrow").take_all()
     a = np.array([r["part_a"] for r in parts], np.int64)
     b = np.array([r["part_b"] for r in parts], np.int64)
     c = np.array([r["cnt"] for r in parts], np.int64)

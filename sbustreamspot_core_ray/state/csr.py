@@ -582,6 +582,7 @@ class CsrShard:
         "kcore": "kcore_scatter_parts",
         "bfs": "bfs_scatter_parts",
         "sigma": "sigma_scatter_parts",
+        "gcount": "gcount_scatter_parts",
         "hits": "hits_scatter_parts",
         "hits_pull": "hits_pull_scatter_parts",
         "nagg": "nagg_scatter_parts",
@@ -598,6 +599,7 @@ class CsrShard:
         "kcore": "kcore_apply_parts",
         "bfs": "bfs_apply_parts",
         "sigma": "sigma_apply_parts",
+        "gcount": "gcount_apply_parts",
         "hits": "hits_apply_parts",
         "hits_pull": "hits_pull_apply_parts",
         "nagg": "nagg_apply_parts",
@@ -1225,6 +1227,67 @@ class CsrShard:
                 "vertex": pa.array(self.owned[m], pa.int64()),
                 "dist": pa.array(self.dist[m], pa.int64()),
                 "sigma": pa.array(self.sigma[m], pa.int64()),
+            }
+        )
+
+    # ---- downstream shortest-path counts (Brandes back-propagation) ----
+    #
+    # After a sigma BFS, g(v) = number of shortest paths STARTING at v
+    # within the (truncated) BFS DAG: g(v) = sum over DAG successors w
+    # (dist(w) = dist(v)+1) of (1 + g(w)). Computed level-by-level from
+    # the deepest hop downward; on a SYMMETRIC graph the DAG predecessors
+    # of a level-(k+1) vertex are exactly its neighbors at level k, so the
+    # reverse exchange reuses the same forward routes. stress_s(v) =
+    # sigma(v) * g(v) — the per-seed stress centrality, all exact int64.
+
+    def gcount_init(self) -> int:
+        self.g = np.zeros(len(self.owned), np.int64)
+        return int((self.dist < np.iinfo(np.int64).max).sum())
+
+    def gcount_scatter_parts(self, k: int):
+        """Level-(k+1) vertices push (1 + g) toward all out-neighbors;
+        only level-k receivers accept (the DAG-edge filter)."""
+        active = self.dist[self.src_in_owned] == k + 1
+        if active.any():
+            v_edge = self._rank_per_edge(self.g[self.src_in_owned] + 1)
+            act_edge = np.repeat(active, self.outdeg)
+            sums = np.zeros(len(self.dst_u), np.int64)
+            np.add.at(sums, self.dst_inv[act_edge], v_edge[act_edge].astype(np.int64))
+        else:
+            sums = None
+        out = []
+        for p in range(self.P):
+            if sums is None:
+                out.append((np.empty(0, np.int32), np.empty(0, np.int64)))
+                continue
+            idx = self.dst_by_part[p]
+            m = sums[idx]
+            live = m > 0
+            out.append((self.dst_route[p][live], m[live]))
+        return tuple(out)
+
+    def gcount_apply_parts(self, k: int, *parts) -> int:
+        live = [p for p in parts if len(p[0])]
+        if not live:
+            return 0
+        sums = np.zeros(len(self.owned), np.int64)
+        for idx, ss in live:
+            np.add.at(sums, idx, ss)
+        ok = (self.dist == k) & (sums > 0)
+        self.g[ok] += sums[ok]
+        return int(ok.sum())
+
+    def gcount_state(self, seed: int) -> pa.Table:
+        m = self.dist < np.iinfo(np.int64).max
+        n = int(m.sum())
+        return pa.table(
+            {
+                "seed": pa.array(np.full(n, seed, np.int64)),
+                "vertex": pa.array(self.owned[m], pa.int64()),
+                "dist": pa.array(self.dist[m], pa.int64()),
+                "sigma": pa.array(self.sigma[m], pa.int64()),
+                "paths_from": pa.array(self.g[m], pa.int64()),
+                "stress": pa.array(self.sigma[m] * self.g[m], pa.int64()),
             }
         )
 

@@ -547,3 +547,62 @@ def test_condensation_depth_hand_checked():
         .set_index("scc_id")["depth"]
     )
     assert d.loc[1] == 0 and d.loc[4] == 1 and d.loc[6] == 1 and d.loc[7] == 2
+
+
+def test_stress_centrality_vs_bruteforce():
+    """stress_s(v) = number of shortest s->t paths through v (v interior
+    or endpoint t) within the hop cap — brute-force DAG enumeration on the
+    seeded random graph."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        stress_centrality,
+    )
+    from .oracles import random_graph
+
+    edges = random_graph(n=80, m=400, seed=11)
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    g = ShardedGraph.build(ray.data.from_arrow(t), num_parts=4, symmetric=True)
+    H = 5
+    out = (
+        stress_centrality(g, seeds=[1], max_hops=H)
+        .to_pandas()
+        .set_index("vertex")
+        .sort_index()
+    )
+
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    # BFS with sigma
+    dist = {1: 0}
+    sigma = {1: 1}
+    frontier = [1]
+    hop = 0
+    while frontier and hop < H:
+        hop += 1
+        nxt: dict[int, int] = {}
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt[v] = nxt.get(v, 0) + sigma[u]
+        for v, s_ in nxt.items():
+            dist[v] = hop
+            sigma[v] = s_
+        frontier = list(nxt)
+    # g: downstream DAG path counts, deepest level first
+    gmap = {v: 0 for v in dist}
+    for v in sorted(dist, key=lambda x: -dist[x]):
+        for w in adj.get(v, ()):
+            if w in dist and dist[w] == dist[v] + 1:
+                gmap[v] += 1 + gmap[w]
+    assert len(out) == len(dist)
+    for v in dist:
+        assert out.loc[v, "sigma"] == sigma[v]
+        assert out.loc[v, "paths_from"] == gmap[v]
+        assert out.loc[v, "stress"] == sigma[v] * gmap[v]
