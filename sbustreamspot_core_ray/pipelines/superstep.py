@@ -1055,11 +1055,38 @@ def modularity_summary(
             }
         )
 
+    def tag_label(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy()
+        return pa.table(
+            {
+                "label": lab,
+                "m_in": t["m_in"],
+                "d_sum": t["d_sum"],
+                "__q": pa.array(part_of(lab, num_partitions), pa.int32()),
+            }
+        )
+
+    def fold_label(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy()
+        u, inv = np.unique(lab, return_inverse=True)
+        mi = np.bincount(inv, weights=t["m_in"].to_numpy(), minlength=len(u))
+        ds_ = np.bincount(inv, weights=t["d_sum"].to_numpy(), minlength=len(u))
+        return pa.table(
+            {
+                "label": u,
+                "sum(m_in)": mi.astype(np.int64),
+                "sum(d_sum)": ds_.astype(np.int64),
+            }
+        )
+
+    # hashed-label-key fold (the ngram_novelty/condensation_depth lesson:
+    # Ray Data's sort-aggregate on a raw V-scale key stalls on this shape)
     per_label = (
         w2.map_batches(intra, batch_format="pyarrow")
         .union(degl.map_batches(dsum, batch_format="pyarrow"))
-        .groupby("label")
-        .sum(["m_in", "d_sum"])
+        .map_batches(tag_label, batch_format="pyarrow")
+        .groupby("__q")
+        .map_groups(fold_label, batch_format="pyarrow")
     )
 
     def fold(t: pa.Table) -> pa.Table:
@@ -1154,19 +1181,39 @@ def condensation_depth(
             u, inv = np.unique(cd, return_inverse=True)
             mx = np.full(len(u), -1, np.int64)
             np.maximum.at(mx, inv, dp)
+            return pa.table(
+                {
+                    "comp": u,
+                    "depth": mx,
+                    "__p": pa.array(part_of(u, num_partitions), pa.int32()),
+                }
+            )
+
+        def tag_depth(t: pa.Table) -> pa.Table:
+            c = t["comp"].to_numpy()
+            return pa.table(
+                {
+                    "comp": c,
+                    "depth": t["depth"],
+                    "__p": pa.array(part_of(c, num_partitions), pa.int32()),
+                }
+            )
+
+        def fold_max(t: pa.Table) -> pa.Table:
+            c = t["comp"].to_numpy()
+            d = t["depth"].to_numpy()
+            u, inv = np.unique(c, return_inverse=True)
+            mx = np.full(len(u), -1, np.int64)
+            np.maximum.at(mx, inv, d)
             return pa.table({"comp": u, "depth": mx})
 
+        # hashed-comp-key fold (Ray Data's sort-aggregate on the raw key
+        # stalls ~10x longer on this shape)
         depth = (
             msg.map_batches(bump, batch_format="pyarrow")
-            .union(depth)
-            .groupby("comp")
-            .max("depth")
-            .map_batches(
-                lambda t: pa.table(
-                    {"comp": t["comp"], "depth": t["max(depth)"]}
-                ),
-                batch_format="pyarrow",
-            )
+            .union(depth.map_batches(tag_depth, batch_format="pyarrow"))
+            .groupby("__p")
+            .map_groups(fold_max, batch_format="pyarrow")
             .materialize()
         )
         new_total = int(depth.sum("depth") or 0)
