@@ -4048,6 +4048,28 @@ def q_term_df(sf_dir: str):
     return term_doc_freq(docs, top_n=100)
 
 
+def q_term_tf(sf_dir: str):
+    """Zipf head: top-100 corpus terms by TOTAL occurrence count —
+    same combiner shape as term_df without the per-doc distinct."""
+    from sbustreamspot_core_ray.stages.text import term_total_freq
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return term_total_freq(docs, top_n=100)
+
+
+def q_dup_stats(sf_dir: str):
+    """Histogram of exact-duplicate group sizes: (group_size, n_groups,
+    n_docs) — dedup telemetry from bounded per-partition histograms."""
+    from sbustreamspot_core_ray.stages.dedup import dup_stats
+
+    return dup_stats(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        num_parts=P,
+    )
+
+
 def q_doc_percentiles(sf_dir: str):
     """Exact per-language percentiles (p50/p90/p99) of whitespace token
     counts via histogram pre-aggregation; percentile-q = value at 1-based
@@ -4324,6 +4346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_dedup": q_embedding_dedup,
         "term_df": q_term_df,
+        "term_tf": q_term_tf,
+        "dup_stats": q_dup_stats,
         "doc_percentiles": q_doc_percentiles,
         "bm25_search": q_bm25_search,
         "tfidf_topterms": q_tfidf_topterms,
@@ -5276,6 +5300,22 @@ FROM s3 ORDER BY doc_id
         "tfidf_topterms": _SQL_TFIDF_TOPTERMS,
         "group_sample": _SQL_GROUP_SAMPLE,
         "events_cumsum": _SQL_EVENTS_CUMSUM,
+        "term_tf": """
+WITH t AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+)
+SELECT term, count(*) AS tf FROM t WHERE term <> '' GROUP BY term
+ORDER BY tf DESC, term ASC LIMIT 100
+""",
+        "dup_stats": """
+WITH g AS (
+  SELECT sha256(text) AS h, COUNT(*) AS sz FROM documents GROUP BY h
+)
+SELECT sz AS group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM g GROUP BY sz ORDER BY sz
+""",
         "term_df": """
 WITH t AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents

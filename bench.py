@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "corpus_manifest",
     "event_pmi",
+    "term_tf",
+    "dup_stats",
+    "stress_centrality",
     # resource_allocation rides the common_neighbors wedge machinery:
     # benchmarked at sf0.01 only, like common_neighbors / adamic_adar
     # ktruss / assortativity are benchmarked at sf0.01 only: 15 peel

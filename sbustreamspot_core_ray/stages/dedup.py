@@ -136,6 +136,65 @@ def exact_dedup(
     )
 
 
+def dup_stats(docs: ray.data.Dataset, num_parts: int = 32) -> "pa.Table":
+    """Duplicate-cluster telemetry: histogram of exact-duplicate group
+    sizes — (group_size, n_groups, n_docs) — the dedup report a curation
+    run reads before deciding thresholds (how much of the corpus is
+    boilerplate, how large the worst clone families are).
+
+    Scale shape: per-batch partial counts per digest (combiner), ONE
+    digest-derived cheap-key shuffle, per-partition fold to group sizes,
+    then each partition emits only its bounded size-histogram; driver
+    folds P tiny histograms. Never materializes per-group rows."""
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        # __p rides through the combiner: same hash -> same partition key
+        g = (
+            df.groupby(["content_hash", "__p"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g[["content_hash", "n", "__p"]]
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = (
+            df.groupby("content_hash", sort=False)["n"].sum().to_numpy(np.int64)
+        )
+        u, c = np.unique(sizes, return_counts=True)
+        return pd.DataFrame(
+            {
+                "group_size": u,
+                "n_groups": c.astype(np.int64),
+                "n_docs": (u * c).astype(np.int64),
+            }
+        )
+
+    parts = pd.DataFrame(
+        docs.map_batches(
+            partial(call_singleton, _ContentHash, num_parts),
+            batch_format="pandas",
+        )
+        .select_columns(["content_hash", "__p"])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(hist, batch_format="pandas")
+        .take_all()
+    )
+    g = (
+        parts.groupby("group_size", sort=True)[["n_groups", "n_docs"]]
+        .sum()
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "group_size": pa.array(g["group_size"].to_numpy(np.int64)),
+            "n_groups": pa.array(g["n_groups"].to_numpy(np.int64)),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH near-dup
 # ---------------------------------------------------------------------------

@@ -238,6 +238,41 @@ def term_doc_freq(docs: ray.data.Dataset, top_n: int = 100) -> ray.data.Dataset:
     return agg.sort(["df", "term"], descending=[True, False]).limit(top_n)
 
 
+class _TermTfPartial:
+    """Per-batch TOTAL term-frequency combiner (Zipf head): same
+    tokenization as _TermDocFreqPartial but counting every occurrence."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        counts = ex.groupby(ex.to_numpy(), sort=False).size()
+        return pd.DataFrame(
+            {
+                "term": counts.index.to_numpy(dtype=object),
+                "tf_partial": counts.to_numpy(np.int64),
+            }
+        )
+
+
+def term_total_freq(docs: ray.data.Dataset, top_n: int = 100) -> ray.data.Dataset:
+    """Zipf head of the corpus: top-`top_n` terms by TOTAL occurrence
+    count — the first plot of any corpus-statistics report (and the
+    frequency table BPE/vocab construction starts from). Same combiner
+    shape as term_doc_freq: per-batch value counts shrink each block to
+    its distinct-term cardinality before the one term-key groupby."""
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.map_batches(
+            partial(call_singleton, _TermTfPartial), batch_format="pandas"
+        )
+        .groupby("term")
+        .aggregate(Sum("tf_partial", alias_name="tf"))
+    )
+    return agg.sort(["tf", "term"], descending=[True, False]).limit(top_n)
+
+
 def tfidf_top_terms(
     docs: ray.data.Dataset,
     top_k: int = 3,

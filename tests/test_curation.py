@@ -482,3 +482,19 @@ def test_corpus_manifest_dedup_filter_rollup():
     assert r["source"] == "web" and r["lang_pred"] == "en"
     assert r["n_docs"] == 1  # dup dropped, short doc dropped
     assert r["tokens"] == len(en.split())
+
+
+def test_term_total_freq_zipf_head():
+    import pyarrow as pa
+
+    import ray.data
+
+    from sbustreamspot_core_ray.stages.text import term_total_freq
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {"text": pa.array(["a b a", "a c", "b"], pa.string())}
+        )
+    )
+    t = term_total_freq(docs, top_n=10).to_pandas().set_index("term")["tf"]
+    assert t.loc["a"] == 3 and t.loc["b"] == 2 and t.loc["c"] == 1

@@ -226,3 +226,25 @@ def test_edit_distance_near_dup_pairs():
     )
     assert list(map(tuple, out[["doc_a", "doc_b"]].to_numpy())) == [(1, 2)]
     assert out.loc[0, "edit_dist"] > 0
+
+
+def test_dup_stats_histogram():
+    import pyarrow as pa
+
+    import ray.data
+
+    from sbustreamspot_core_ray.stages.dedup import dup_stats
+
+    texts = ["a", "a", "a", "b", "b", "c"]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(1, 7)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    t = dup_stats(docs, num_parts=2).to_pandas().set_index("group_size")
+    assert t.loc[1, "n_groups"] == 1 and t.loc[1, "n_docs"] == 1
+    assert t.loc[2, "n_groups"] == 1 and t.loc[2, "n_docs"] == 2
+    assert t.loc[3, "n_groups"] == 1 and t.loc[3, "n_docs"] == 3
