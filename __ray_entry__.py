@@ -1788,6 +1788,69 @@ def _mis_sql(rounds: int = MIS_SQL_ROUNDS) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({members})"
 
 
+COLOR_PHASES = 4  # derived graph colors in 2 greedy-MIS phases; 2x margin
+COLOR_SQL_ROUNDS = 6  # MIS fixpoint within a phase is 3 rounds; 2x margin
+
+
+def q_coloring(sf_dir: str):
+    """Distance-1 greedy coloring by iterated MIS phases over the
+    symmetrized derived graph; (vertex, color), colors 1-based."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        greedy_coloring,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    return greedy_coloring(g, max_colors=COLOR_PHASES)
+
+
+def _coloring_sql() -> str:
+    """Unrolled greedy-MIS coloring phases: phase ph's MIS runs
+    COLOR_SQL_ROUNDS unrolled rounds over the vertices still uncolored;
+    extra phases/rounds join empty sets (the fixpoint margin)."""
+    R = COLOR_SQL_ROUNDS
+    ctes = [
+        f"e0 AS MATERIALIZED ({_SQL_EDGES})",
+        "sym AS MATERIALIZED (SELECT src AS s, dst AS d FROM e0 WHERE src <> dst"
+        " UNION SELECT dst, src FROM e0 WHERE src <> dst)",
+        "rem0 AS MATERIALIZED (SELECT DISTINCT s AS vertex FROM sym)",
+    ]
+    for ph in range(1, COLOR_PHASES + 1):
+        ctes.append(f"u{ph}_0 AS (SELECT vertex FROM rem{ph - 1})")
+        for k in range(1, R + 1):
+            p = k - 1
+            ctes.append(
+                f"j{ph}_{k} AS MATERIALIZED (SELECT u.vertex FROM u{ph}_{p} u"
+                f" WHERE NOT EXISTS (SELECT 1 FROM sym e"
+                f" JOIN u{ph}_{p} w ON w.vertex = e.s"
+                f" WHERE e.d = u.vertex AND e.s < u.vertex))"
+            )
+            ctes.append(
+                f"x{ph}_{k} AS MATERIALIZED (SELECT DISTINCT e.d AS vertex"
+                f" FROM sym e JOIN j{ph}_{k} j ON j.vertex = e.s)"
+            )
+            ctes.append(
+                f"u{ph}_{k} AS MATERIALIZED (SELECT vertex FROM u{ph}_{p}"
+                f" EXCEPT SELECT vertex FROM j{ph}_{k}"
+                f" EXCEPT SELECT vertex FROM x{ph}_{k})"
+            )
+        members = " UNION ALL ".join(
+            f"SELECT vertex FROM j{ph}_{k}" for k in range(1, R + 1)
+        )
+        ctes.append(f"m{ph} AS MATERIALIZED (SELECT vertex FROM ({members}))")
+        ctes.append(
+            f"rem{ph} AS MATERIALIZED (SELECT vertex FROM rem{ph - 1}"
+            f" EXCEPT SELECT vertex FROM m{ph})"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT vertex, {ph} AS color FROM m{ph}"
+        for ph in range(1, COLOR_PHASES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({final})"
+
+
 FAR_SEEDS = BFS_SEEDS
 FAR_MAX_HOPS = 8
 
@@ -4246,6 +4309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hop_histogram": q_hop_histogram,
         "harmonic_sample": q_harmonic_sample,
         "mis": q_mis,
+        "coloring": q_coloring,
         "sssp_distance": q_sssp_distance,
         "assortativity": q_assortativity,
         "scc": q_scc,
@@ -4378,6 +4442,7 @@ def oracle_sql() -> dict[str, str]:
         "hop_histogram": _hop_histogram_sql(),
         "harmonic_sample": _harmonic_sample_sql(),
         "mis": _mis_sql(),
+        "coloring": _coloring_sql(),
         "sssp_distance": _sssp_sql(),
         "random_walks": _random_walks_sql(),
         "walk_skipgrams": _walk_skipgrams_sql(),

@@ -705,6 +705,51 @@ def maximal_independent_set(
     return ray.data.from_arrow_refs([a.mis_state_table.remote() for a in actors])
 
 
+def greedy_coloring(
+    graph: ShardedGraph, max_colors: int = 64, max_rounds: int = 10_000
+) -> ray.data.Dataset:
+    """Distance-1 graph coloring by iterated greedy-by-id MIS phases:
+    color k = the lexicographically-first MIS of the subgraph induced on
+    still-uncolored vertices — the distributed conflict-scheduling
+    coloring (vertices of one color can be updated in parallel). Proper
+    by construction: two adjacent vertices can never join the same
+    phase's MIS. Deterministic (id priorities, no randomness). Returns
+    (vertex, color) with colors 1-based; vertices still uncolored after
+    `max_colors` phases are omitted (callers pick max_colors >= the
+    graph's greedy color count — the phase loop stops early when every
+    vertex is colored).
+
+    Reuses the MIS exchange kernels unchanged; per phase the exclusion
+    set returns to the pool and colored vertices park in an inert state.
+    Symmetric unsalted graphs only."""
+    if graph.salted:
+        raise ValueError(
+            "greedy_coloring supports unsalted graphs only; build the "
+            "ShardedGraph without salt_threshold"
+        )
+    if not graph.symmetric:
+        raise ValueError(
+            "greedy_coloring needs a symmetric graph (symmetric=True build)"
+        )
+    actors = graph.actors
+    ray.get([a.color_init.remote() for a in actors])
+    c = 0
+    while c < max_colors:
+        und = sum(ray.get([a.color_phase_init.remote() for a in actors]))
+        if und == 0:
+            break
+        c += 1
+        rnd = 1
+        while rnd <= max_rounds:
+            joined = sum(graph._exchange("mis_min", apply_args=(rnd,)))
+            if joined == 0:
+                break
+            graph._exchange("mis_excl")
+            rnd += 1
+        ray.get([a.color_assign.remote(c) for a in actors])
+    return ray.data.from_arrow_refs([a.color_state.remote() for a in actors])
+
+
 def sampled_farness(
     graph: ShardedGraph, seeds, max_hops: int = 64, harmonic: bool = False
 ) -> ray.data.Dataset:

@@ -1471,6 +1471,39 @@ class CsrShard:
         self.mis_state[newly] = 2
         return int(newly.sum())
 
+    # ---- greedy distance-1 coloring (iterated MIS phases) --------------
+    #
+    # color k = greedy-by-id MIS of the subgraph induced on still-
+    # uncolored vertices (the distributed scheduling-coloring of the
+    # GraphLab/Gonzalez lineage). Colored vertices park in mis_state 3 so
+    # the unchanged MIS kernels ignore them; exclusion (state 2) clears at
+    # each phase boundary, returning those vertices to the pool.
+
+    def color_init(self) -> int:
+        self.color = np.zeros(len(self.owned), np.int64)  # 0 = uncolored
+        return len(self.owned)
+
+    def color_phase_init(self) -> int:
+        und = self.color == 0
+        self.mis_state = np.where(und, 0, 3).astype(np.int8)
+        self.mis_round = np.zeros(len(self.owned), np.int64)
+        self.mis_joined = np.zeros(len(self.owned), bool)
+        return int(und.sum())
+
+    def color_assign(self, c: int) -> int:
+        mem = self.mis_state == 1
+        self.color[mem] = c
+        return int(mem.sum())
+
+    def color_state(self) -> pa.Table:
+        m = self.color > 0
+        return pa.table(
+            {
+                "vertex": pa.array(self.owned[m], pa.int64()),
+                "color": pa.array(self.color[m], pa.int64()),
+            }
+        )
+
     def mis_state_table(self) -> pa.Table:
         m = self.mis_state == 1
         return pa.table(

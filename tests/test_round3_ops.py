@@ -606,3 +606,60 @@ def test_stress_centrality_vs_bruteforce():
         assert out.loc[v, "sigma"] == sigma[v]
         assert out.loc[v, "paths_from"] == gmap[v]
         assert out.loc[v, "stress"] == sigma[v] * gmap[v]
+
+
+def test_greedy_coloring_proper_and_deterministic():
+    """Coloring is proper (no monochromatic edge) and equals the
+    sequential iterated-greedy-MIS result on the seeded random graph."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        greedy_coloring,
+    )
+    from .oracles import random_graph
+
+    edges = random_graph(n=60, m=300, seed=5)
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    g = ShardedGraph.build(ray.data.from_arrow(t), num_parts=4, symmetric=True)
+    out = (
+        greedy_coloring(g, max_colors=64)
+        .to_pandas()
+        .set_index("vertex")["color"]
+    )
+
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    # every vertex colored, no conflicts
+    assert set(out.index) == set(adj)
+    for v, ns in adj.items():
+        for w in ns:
+            assert out.loc[v] != out.loc[w]
+    # sequential oracle: iterated greedy-by-id MIS
+    expect = {}
+    remaining = set(adj)
+    c = 0
+    while remaining:
+        c += 1
+        und = set(remaining)
+        members = set()
+        while und:
+            joins = {v for v in und if all(
+                w not in und or w > v for w in adj[v]
+            )}
+            if not joins:
+                break
+            members |= joins
+            excl = {w for v in joins for w in adj[v] if w in und}
+            und -= joins | excl
+        for v in members:
+            expect[v] = c
+        remaining -= members
+    for v, col in expect.items():
+        assert out.loc[v] == col
