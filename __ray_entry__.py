@@ -1788,6 +1788,49 @@ def _mis_sql(rounds: int = MIS_SQL_ROUNDS) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({members})"
 
 
+DIAM_SEED = 1
+DIAM_HOPS = 16
+
+
+def q_diameter(sf_dir: str):
+    """Double-sweep BFS diameter lower bound over the symmetrized derived
+    graph (one row, exact integers)."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        two_sweep_diameter,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    return two_sweep_diameter(g, seed=DIAM_SEED, max_hops=DIAM_HOPS)
+
+
+_SQL_DIAMETER = f"""
+WITH RECURSIVE e0 AS ({{edges}}),
+e AS (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0),
+w1(vertex, dist) AS (
+  SELECT {DIAM_SEED}, 0
+  UNION
+  SELECT e.d, w1.dist + 1 FROM w1 JOIN e ON e.s = w1.vertex
+  WHERE w1.dist < {DIAM_HOPS}
+),
+d1 AS (SELECT vertex, MIN(dist) AS dist FROM w1 GROUP BY vertex),
+far AS (SELECT vertex, dist FROM d1 ORDER BY dist DESC, vertex LIMIT 1),
+w2(vertex, dist) AS (
+  SELECT vertex, 0 FROM far
+  UNION
+  SELECT e.d, w2.dist + 1 FROM w2 JOIN e ON e.s = w2.vertex
+  WHERE w2.dist < {DIAM_HOPS}
+),
+d2 AS (SELECT vertex, MIN(dist) AS dist FROM w2 GROUP BY vertex)
+SELECT CAST({DIAM_SEED} AS BIGINT) AS seed,
+       CAST((SELECT vertex FROM far) AS BIGINT) AS far_vertex,
+       CAST((SELECT dist FROM far) AS BIGINT) AS ecc1,
+       CAST((SELECT MAX(dist) FROM d2) AS BIGINT) AS diameter_lb
+"""
+
+
 COLOR_PHASES = 4  # derived graph colors in 2 greedy-MIS phases; 2x margin
 COLOR_SQL_ROUNDS = 6  # MIS fixpoint within a phase is 3 rounds; 2x margin
 
@@ -2722,6 +2765,19 @@ def q_event_pmi(sf_dir: str):
     from sbustreamspot_core_ray.stages.events import event_type_pmi
 
     return event_type_pmi(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        ),
+        num_parts=P,
+    )
+
+
+def q_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of event types (order-free integer
+    nanonat decomposition; one ln + one divide mirrored)."""
+    from sbustreamspot_core_ray.stages.events import user_entropy
+
+    return user_entropy(
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
         ),
@@ -4310,6 +4366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_sample": q_harmonic_sample,
         "mis": q_mis,
         "coloring": q_coloring,
+        "diameter": q_diameter,
         "sssp_distance": q_sssp_distance,
         "assortativity": q_assortativity,
         "scc": q_scc,
@@ -4353,6 +4410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": q_top_users,
         "event_transitions": q_event_transitions,
         "event_pmi": q_event_pmi,
+        "user_entropy": q_user_entropy,
         "top_orders_per_customer": q_top_orders_per_customer,
         "customers_no_urgent": q_customers_no_urgent,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4443,6 +4501,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_sample": _harmonic_sample_sql(),
         "mis": _mis_sql(),
         "coloring": _coloring_sql(),
+        "diameter": _SQL_DIAMETER.format(edges=_SQL_EDGES),
         "sssp_distance": _sssp_sql(),
         "random_walks": _random_walks_sql(),
         "walk_skipgrams": _walk_skipgrams_sql(),
@@ -4653,6 +4712,22 @@ SELECT user_id,
          AS total
 FROM events GROUP BY user_id
 ORDER BY total DESC, user_id ASC LIMIT 20
+""",
+        "user_entropy": """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT user_id, SUM(c) AS n, COUNT(*) AS nt,
+         SUM(c * CAST(floor(1e9 * ln(c)) AS BIGINT)) AS s
+  FROM c GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(nt AS BIGINT) AS n_types,
+       ROUND(ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / (1e9 * n), 6)
+         AS entropy
+FROM s
 """,
         "event_pmi": """
 WITH d AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     "term_tf",
     "dup_stats",
     "stress_centrality",
+    "coloring",
+    "diameter",
+    "user_entropy",
     # resource_allocation rides the common_neighbors wedge machinery:
     # benchmarked at sf0.01 only, like common_neighbors / adamic_adar
     # ktruss / assortativity are benchmarked at sf0.01 only: 15 peel

@@ -705,6 +705,48 @@ def maximal_independent_set(
     return ray.data.from_arrow_refs([a.mis_state_table.remote() for a in actors])
 
 
+def two_sweep_diameter(
+    graph: ShardedGraph, seed: int, max_hops: int = 64
+) -> "pa.Table":
+    """Double-sweep diameter lower bound (the standard BFS heuristic):
+    BFS from `seed`, take the farthest vertex (ties -> min id), BFS again
+    from it; the second eccentricity is a certified lower bound on the
+    graph diameter (exact on trees). Two superstep BFS runs; the argmax
+    fold ships one (dist, vertex) pair per shard. Returns one row
+    (seed, far_vertex, ecc1, diameter_lb) — all exact integers.
+    Unsalted graphs only (the BFS kernel's constraint)."""
+    import pyarrow.compute as pc
+
+    def far_of(ds: ray.data.Dataset) -> tuple[int, int]:
+        # per-block partial argmax (dist desc, vertex asc), tiny driver fold
+        def cut(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            d = t["dist"].to_numpy()
+            v = t["vertex"].to_numpy()
+            i = np.lexsort((v, -d))[0]
+            return pa.table(
+                {"vertex": v[i : i + 1], "dist": d[i : i + 1]}
+            )
+
+        rows = ds.map_batches(cut, batch_format="pyarrow").take_all()
+        best = max(rows, key=lambda r: (r["dist"], -r["vertex"]))
+        return int(best["vertex"]), int(best["dist"])
+
+    d1 = bfs_distance(graph, [seed], max_hops=max_hops)
+    far, ecc1 = far_of(d1)
+    d2 = bfs_distance(graph, [far], max_hops=max_hops)
+    _, ecc2 = far_of(d2)
+    return pa.table(
+        {
+            "seed": pa.array([seed], pa.int64()),
+            "far_vertex": pa.array([far], pa.int64()),
+            "ecc1": pa.array([ecc1], pa.int64()),
+            "diameter_lb": pa.array([ecc2], pa.int64()),
+        }
+    )
+
+
 def greedy_coloring(
     graph: ShardedGraph, max_colors: int = 64, max_rounds: int = 10_000
 ) -> ray.data.Dataset:

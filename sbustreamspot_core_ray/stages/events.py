@@ -1873,3 +1873,68 @@ def event_type_pmi(events: ray.data.Dataset, num_parts: int = 32) -> pa.Table:
             "pmi_e9": pa.array(pmi, pa.int64()),
         }
     )
+
+
+def user_entropy(events: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset:
+    """Per-user Shannon entropy of the event-type distribution — a
+    behavioral-diversity feature (bots/scrapers cluster near 0). The
+    order-free decomposition keeps it bit-exact: H = ln(n) - S/(1e9*n)
+    where S = sum over types of c_i * floor(1e9 * ln(c_i)) is an exact
+    int64 sum (each term one libm ln on an integer — the bm25 parity
+    chain), and the final two-double expression is computed identically
+    on both sides. Returns (user_id, n_events, n_types, entropy).
+
+    Scale shape: ONE shuffle on hash(user) %% P; per partition a
+    (user, type) factorized count, a per-unique-count ln lookup (ln is
+    evaluated once per DISTINCT count value, not per row), and the
+    vectorized fold."""
+    import pandas as pd
+
+    from ..functions.rounding import round_half_away
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "event_type": t["event_type"],
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        u = df["user_id"].to_numpy(np.int64)
+        tcodes, _ = pd.factorize(df["event_type"].to_numpy(object), sort=False)
+        comp = u * (tcodes.max() + 1 if len(tcodes) else 1) + tcodes
+        cu, cc = np.unique(comp, return_counts=True)
+        users = cu // (tcodes.max() + 1 if len(tcodes) else 1)
+        # ln evaluated once per distinct count value
+        vals = np.unique(cc)
+        ln_e9 = np.array(
+            [math.floor(1e9 * math.log(int(v))) for v in vals], np.int64
+        )
+        term = cc.astype(np.int64) * ln_e9[np.searchsorted(vals, cc)]
+        uu, inv = np.unique(users, return_inverse=True)
+        n = np.bincount(inv, weights=cc, minlength=len(uu)).astype(np.int64)
+        ntypes = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        s = np.bincount(inv, weights=term, minlength=len(uu)).astype(np.int64)
+        ent = round_half_away(
+            np.log(n.astype(np.float64)) - s.astype(np.float64) / (1e9 * n), 6
+        )
+        return pd.DataFrame(
+            {
+                "user_id": uu,
+                "n_events": n,
+                "n_types": ntypes,
+                "entropy": ent,
+            }
+        )
+
+    return (
+        events.select_columns(["user_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kern, batch_format="pandas")
+    )

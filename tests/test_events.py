@@ -576,3 +576,25 @@ def test_event_type_pmi_hand_checked():
     assert t.loc[0, "type_a"] == "x" and t.loc[0, "type_b"] == "y"
     assert t.loc[0, "n_users_both"] == 2
     assert t.loc[0, "pmi_e9"] == 0
+
+
+def test_user_entropy_hand_checked():
+    import math
+
+    from sbustreamspot_core_ray.stages.events import user_entropy
+
+    # user 1: 2x a, 2x b -> H = ln 2; user 2: 3x a -> H = 0
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 2, 2, 2], pa.int64()),
+                "event_type": pa.array(list("abab") + list("aaa"), pa.string()),
+            }
+        )
+    )
+    t = user_entropy(ev, num_parts=2).to_pandas().set_index("user_id")
+    s = 4 * math.floor(1e9 * math.log(2))  # two types with c=2
+    expect = round(math.log(4) - s / (1e9 * 4), 6)
+    assert abs(t.loc[1, "entropy"] - expect) < 1e-12
+    assert t.loc[1, "n_types"] == 2
+    assert t.loc[2, "entropy"] == 0.0 and t.loc[2, "n_types"] == 1

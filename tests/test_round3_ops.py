@@ -663,3 +663,23 @@ def test_greedy_coloring_proper_and_deterministic():
         remaining -= members
     for v, col in expect.items():
         assert out.loc[v] == col
+
+
+def test_two_sweep_diameter_on_path_graph():
+    """Path 1-2-3-4-5 plus a branch: BFS from 3 finds 1 (dist 2), second
+    sweep from 1 reaches 5 at dist 4 = the true diameter."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        two_sweep_diameter,
+    )
+
+    src = [1, 2, 3, 4]
+    dst = [2, 3, 4, 5]
+    t = pa.table(
+        {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+    )
+    g = ShardedGraph.build(ray.data.from_arrow(t), num_parts=2, symmetric=True)
+    out = two_sweep_diameter(g, seed=3, max_hops=16).to_pandas()
+    assert out.loc[0, "far_vertex"] == 1
+    assert out.loc[0, "ecc1"] == 2
+    assert out.loc[0, "diameter_lb"] == 4
