@@ -3039,6 +3039,16 @@ def q_hourly_filled(sf_dir: str):
     return counts_per_window_filled(ev)
 
 
+def q_embedding_outliers(sf_dir: str):
+    """Top-3 farthest vectors from their label centroid, integer-exact
+    (c^2-scaled squared distance clears the mean's denominator)."""
+    from sbustreamspot_core_ray.stages.ann import embedding_outliers
+
+    return embedding_outliers(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), top_k=3
+    )
+
+
 def q_embedding_centroids(sf_dir: str):
     """Mean-pooled class prototypes per label: integer-quantized exact
     sums, one (label, dim) groupby, fixed mean chain."""
@@ -4422,6 +4432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": q_late_events,
         "hourly_filled": q_hourly_filled,
         "embedding_centroids": q_embedding_centroids,
+        "embedding_outliers": q_embedding_outliers,
         "embedding_quantize": q_embedding_quantize,
         "props_stats": q_props_stats,
         "value_outliers": q_value_outliers,
@@ -4940,6 +4951,23 @@ SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims, m AS scale,
        CAST(list_sum(list_transform(ql, x -> abs(x))) AS BIGINT) AS l1_q,
        array_to_string(ql, ',') AS q_csv
 FROM q
+""",
+        "embedding_outliers": """
+WITH q AS (
+  SELECT vec_id, label, g.i AS dim,
+         CAST(floor(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 65536.0 + 0.5)
+              AS DOUBLE) / 256) AS BIGINT) AS u
+  FROM embeddings, generate_series(1, 64) g(i)
+),
+s AS (SELECT label, dim, SUM(u) AS s, COUNT(*) AS c FROM q GROUP BY 1, 2),
+d AS (
+  SELECT q.vec_id, CAST(q.label AS BIGINT) AS label,
+         CAST(SUM((s.c * q.u - s.s) * (s.c * q.u - s.s)) AS BIGINT) AS d2_num
+  FROM q JOIN s ON s.label = q.label AND s.dim = q.dim
+  GROUP BY 1, 2
+)
+SELECT label, vec_id, d2_num FROM d
+QUALIFY row_number() OVER (PARTITION BY label ORDER BY d2_num DESC, vec_id) <= 3
 """,
         "embedding_centroids": """
 WITH q AS (

@@ -685,3 +685,112 @@ def embedding_int8_quantize(embs: ray.data.Dataset) -> ray.data.Dataset:
     return embs.select_columns(["vec_id", "embedding"]).map_batches(
         kernel, batch_format="pyarrow"
     )
+
+
+OUTLIER_COARSE = 256  # drop 8 quantization bits: c*u fits int64 squared-sum
+
+
+def embedding_outliers(
+    embs: ray.data.Dataset,
+    group_col: str = "label",
+    top_k: int = 3,
+) -> "pa.Table":
+    """Per-label embedding outliers — the top_k vectors FARTHEST from
+    their label centroid (mislabeled-sample / noisy-cluster mining). Kept
+    integer-exact by clearing the denominators: with u = quantized
+    coarse-int embedding, c = label count, s = per-dim label sums,
+    c^2 * ||x - mean||^2 = sum_dim (c*u - s)^2 — pure int64 (the coarse
+    //256 re-quantization bounds the squared sums below 2^63), and
+    ranking within a label shares c, so the d2_num order IS the distance
+    order. Ties break (d2_num desc, vec_id asc).
+
+    Scale shape: pass 1 = combiner label-sums (|labels| x dim partials,
+    take_all on a fixed-cardinality table); pass 2 = stateless map with
+    the broadcast sums, per-batch partial top-k per label; driver folds
+    <= top_k * |labels| * blocks rows."""
+    import ray as _ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = (
+            quantize(_mat(t["embedding"], np.float64)).astype(np.int64)
+            // OUTLIER_COARSE
+        )
+        gu, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros((len(gu), M.shape[1]), np.int64)
+        np.add.at(sums, inv, M)
+        cnt = np.bincount(inv, minlength=len(gu)).astype(np.int64)
+        k = M.shape[1]
+        return pa.table(
+            {
+                "grp": np.repeat(gu, k),
+                "dim": np.tile(np.arange(k, dtype=np.int64), len(gu)),
+                "s": sums.ravel(),
+                "n": np.repeat(cnt, k),
+            }
+        )
+
+    rows = (
+        embs.select_columns([group_col, "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )  # <= |labels| * dim * blocks integer rows — fixed cardinality
+    import pandas as pd
+
+    pr = pd.DataFrame(rows)
+    agg = pr.groupby(["grp", "dim"], sort=True).agg(
+        s=("s", "sum"), n=("n", "sum")
+    ).reset_index()
+    labels = np.unique(agg["grp"].to_numpy(np.int64))
+    dim = int(agg["dim"].max()) + 1
+    S = np.zeros((len(labels), dim), np.int64)
+    C = np.zeros(len(labels), np.int64)
+    li = np.searchsorted(labels, agg["grp"].to_numpy(np.int64))
+    S[li, agg["dim"].to_numpy(np.int64)] = agg["s"].to_numpy(np.int64)
+    C[li] = agg["n"].to_numpy(np.int64)
+    ref = _ray.put((labels, S, C))
+
+    def score(t: pa.Table) -> pa.Table:
+        labels_, S_, C_ = _ray.get(ref)
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = (
+            quantize(_mat(t["embedding"], np.float64)).astype(np.int64)
+            // OUTLIER_COARSE
+        )
+        li_ = np.searchsorted(labels_, g)
+        diff = C_[li_, None] * M - S_[li_]
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        # per-batch partial top-k per label
+        order = np.lexsort((vid, -d2, g))
+        g2, v2, d22 = g[order], vid[order], d2[order]
+        starts = np.concatenate([[True], g2[1:] != g2[:-1]]) if len(g2) else np.empty(0, bool)
+        run = np.cumsum(starts) - 1
+        pos = np.arange(len(g2))
+        first = pos[starts][run] if len(g2) else pos
+        keep = (pos - first) < top_k
+        return pa.table(
+            {
+                "label": g2[keep],
+                "vec_id": v2[keep],
+                "d2_num": d22[keep],
+            }
+        )
+
+    parts = (
+        embs.select_columns(["vec_id", group_col, "embedding"])
+        .map_batches(score, batch_format="pyarrow")
+        .take_all()
+    )
+    df = pd.DataFrame(parts)
+    df = df.sort_values(
+        ["label", "d2_num", "vec_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("label", sort=True).head(top_k)
+    return pa.table(
+        {
+            "label": pa.array(df["label"].to_numpy(np.int64)),
+            "vec_id": pa.array(df["vec_id"].to_numpy(np.int64)),
+            "d2_num": pa.array(df["d2_num"].to_numpy(np.int64)),
+        }
+    )
