@@ -2965,6 +2965,22 @@ def q_q5_local_supplier(sf_dir: str):
     return out[["n_name", "revenue"]]
 
 
+def q_open_orders(sf_dir: str):
+    """Orders open per day (placed, not fully shipped): sweep-line +-1
+    deltas + one prefix sum over a calendar-bounded table."""
+    from sbustreamspot_core_ray.stages.relational import open_orders_daily
+
+    return open_orders_daily(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        ),
+        num_partitions=P,
+    )
+
+
 def q_revenue_rollup(sf_dir: str):
     """GROUP BY ROLLUP analog with explicit 'ALL' placeholder labels:
     nation level, region level, grand total — all re-aggregated from the
@@ -4428,6 +4444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": q_q3_shipping,
         "q5_local_supplier": q_q5_local_supplier,
         "copurchase_pairs": q_copurchase_pairs,
+        "open_orders": q_open_orders,
         "clustering_coefficient": q_clustering_coefficient,
         "late_events": q_late_events,
         "hourly_filled": q_hourly_filled,
@@ -4824,6 +4841,24 @@ JOIN nation ON n_nationkey = li.nat
 WHERE epoch_us(o_orderdate) >= {Q5_DATE_LO_US}
   AND epoch_us(o_orderdate) < {Q5_DATE_HI_US}
 GROUP BY n_name
+""",
+        "open_orders": """
+WITH le AS (
+  SELECT l_orderkey, MAX(epoch_us(l_shipdate) // 86400000000) AS d1
+  FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS d0 FROM orders
+),
+j AS (SELECT o.d0, le.d1 FROM o JOIN le ON le.l_orderkey = o.o_orderkey),
+d AS (
+  SELECT d0 AS day, 1 AS delta FROM j
+  UNION ALL
+  SELECT d1 + 1, -1 FROM j
+),
+g AS (SELECT day, SUM(delta) AS dd FROM d GROUP BY day HAVING SUM(delta) <> 0)
+SELECT day, CAST(SUM(dd) OVER (ORDER BY day) AS BIGINT) AS open_orders
+FROM g ORDER BY day
 """,
         "copurchase_pairs": f"""
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "diameter",
     "user_entropy",
     "embedding_outliers",
+    "open_orders",
     # resource_allocation rides the common_neighbors wedge machinery:
     # benchmarked at sf0.01 only, like common_neighbors / adamic_adar
     # ktruss / assortativity are benchmarked at sf0.01 only: 15 peel

@@ -810,14 +810,15 @@ def sampled_farness(
         )
     actors = graph.actors
     ray.get([a.farness_init.remote() for a in actors])
-    for s in np.unique(np.asarray(seeds, np.int64)):
-        one = np.array([s], np.int64)
-        frontier = sum(ray.get([a.bfs_init.remote(one) for a in actors]))
-        it = 0
-        while frontier and it < max_hops:
-            frontier = sum(graph._exchange("bfs"))
-            it += 1
-        ray.get([a.farness_fold.remote() for a in actors])
+    seeds = np.unique(np.asarray(seeds, np.int64))
+    # batched multi-seed BFS: one exchange round advances every seed's
+    # frontier (same arithmetic as the per-seed loop, S x fewer barriers)
+    frontier = sum(ray.get([a.bfsm_init.remote(seeds) for a in actors]))
+    it = 0
+    while frontier and it < max_hops:
+        frontier = sum(graph._exchange("bfsm"))
+        it += 1
+    ray.get([a.bfsm_fold_farness.remote() for a in actors])
     return ray.data.from_arrow_refs(
         [a.farness_state.remote(harmonic) for a in actors]
     )
@@ -1333,25 +1334,24 @@ def bfs_hop_histogram(
             "ShardedGraph without salt_threshold"
         )
     actors = graph.actors
-    out_seed, out_dist, out_n = [], [], []
-    for s in np.unique(np.asarray(seeds, np.int64)):
-        one = np.array([s], np.int64)
-        frontier = sum(ray.get([a.bfs_init.remote(one) for a in actors]))
-        it = 0
-        while frontier and it < max_hops:
-            frontier = sum(graph._exchange("bfs"))
-            it += 1
-        hist = np.sum(ray.get([a.bfs_hist.remote(max_hops) for a in actors]), axis=0)
-        nz = np.flatnonzero(hist)
-        out_seed.append(np.full(len(nz), s, np.int64))
-        out_dist.append(nz.astype(np.int64))
-        out_n.append(hist[nz].astype(np.int64))
+    seeds = np.unique(np.asarray(seeds, np.int64))
+    # batched multi-seed BFS: one exchange round serves every seed
+    frontier = sum(ray.get([a.bfsm_init.remote(seeds) for a in actors]))
+    it = 0
+    while frontier and it < max_hops:
+        frontier = sum(graph._exchange("bfsm"))
+        it += 1
+    tables = ray.get([a.bfsm_hist.remote(max_hops) for a in actors])
+    merged = pa.concat_tables(tables).to_pandas()
+    g = (
+        merged.groupby(["seed", "dist"], sort=True)["n"].sum().reset_index()
+    )
     return ray.data.from_arrow(
         pa.table(
             {
-                "seed": np.concatenate(out_seed) if out_seed else np.empty(0, np.int64),
-                "dist": np.concatenate(out_dist) if out_dist else np.empty(0, np.int64),
-                "n_vertices": np.concatenate(out_n) if out_n else np.empty(0, np.int64),
+                "seed": pa.array(g["seed"].to_numpy(np.int64)),
+                "dist": pa.array(g["dist"].to_numpy(np.int64)),
+                "n_vertices": pa.array(g["n"].to_numpy(np.int64)),
             }
         )
     )

@@ -617,6 +617,115 @@ def copurchase_pairs(
     )
 
 
+DAY_US = 86_400_000_000
+
+
+def open_orders_daily(
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> "pa.Table":
+    """Sweep-line interval-concurrency count: for every day carrying a
+    change, how many orders are OPEN (placed, not yet fully shipped —
+    open on days [orderdate_day, max_shipdate_day]). The classic
+    interval-stabbing query, computed as +-1 boundary deltas and one
+    prefix sum — never a days x orders join.
+
+    Scale shape: lineitem is combiner-shrunk to <= one (orderkey,
+    max_ship_day) row per block, then ONE orderkey-key co-partition
+    shuffle joins it to the orders side; each partition emits its
+    day-delta partials COMBINED (<= 2 rows per distinct boundary day);
+    the driver prefix-sums a calendar-bounded table (#distinct days,
+    independent of order count). Returns (day, open_orders)."""
+    import pyarrow.compute as pc
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (
+            pc.cast(t["l_shipdate"], pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        uk, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(uk), -1, np.int64)
+        np.maximum.at(mx, inv, d)
+        return pa.table(
+            {
+                "key": uk,
+                "day": mx,
+                "is_build": pa.array(np.ones(len(uk), bool)),
+                "__p": pa.array(part_of(uk, num_partitions), pa.int32()),
+            }
+        )
+
+    def ord_pre(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (
+            pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        return pa.table(
+            {
+                "key": ok,
+                "day": d,
+                "is_build": pa.array(np.zeros(len(ok), bool)),
+                "__p": pa.array(part_of(ok, num_partitions), pa.int32()),
+            }
+        )
+
+    def deltas(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        day = t["day"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        # fold lineitem partials: true per-order max ship day
+        bk, bd = key[build], day[build]
+        uk, inv = np.unique(bk, return_inverse=True)
+        mx = np.full(len(uk), -1, np.int64)
+        np.maximum.at(mx, inv, bd)
+        sel = np.flatnonzero(~build)
+        k, d0 = key[sel], day[sel]
+        if len(uk) and len(k):
+            idx = np.minimum(np.searchsorted(uk, k), len(uk) - 1)
+            hit = uk[idx] == k
+            d0, idx = d0[hit], idx[hit]
+        else:
+            d0, idx = d0[:0], np.empty(0, np.int64)
+        d1 = mx[idx]
+        days = np.concatenate([d0, d1 + 1])
+        dd = np.concatenate(
+            [np.ones(len(d0), np.int64), -np.ones(len(d1), np.int64)]
+        )
+        u, inv2 = np.unique(days, return_inverse=True)
+        s = np.bincount(inv2, weights=dd, minlength=len(u)).astype(np.int64)
+        nz = s != 0
+        return pa.table({"day": u[nz], "delta": s[nz]})
+
+    parts = (
+        lineitem.select_columns(["l_orderkey", "l_shipdate"])
+        .map_batches(li_pre, batch_format="pyarrow")
+        .union(
+            orders.select_columns(["o_orderkey", "o_orderdate"]).map_batches(
+                ord_pre, batch_format="pyarrow"
+            )
+        )
+        .groupby("__p")
+        .map_groups(deltas, batch_format="pyarrow")
+        .take_all()
+    )
+    days = np.array([r["day"] for r in parts], np.int64)
+    dd = np.array([r["delta"] for r in parts], np.int64)
+    u, inv = np.unique(days, return_inverse=True)
+    s = np.bincount(inv, weights=dd, minlength=len(u)).astype(np.int64)
+    keep = s != 0
+    u, s = u[keep], s[keep]
+    running = np.cumsum(s)
+    return pa.table(
+        {
+            "day": pa.array(u, pa.int64()),
+            "open_orders": pa.array(running, pa.int64()),
+        }
+    )
+
+
 def revenue_by_nation(
     lineitem: ray.data.Dataset,
     supplier: ray.data.Dataset,

@@ -583,6 +583,7 @@ class CsrShard:
         "bfs": "bfs_scatter_parts",
         "sigma": "sigma_scatter_parts",
         "gcount": "gcount_scatter_parts",
+        "bfsm": "bfsm_scatter_parts",
         "hits": "hits_scatter_parts",
         "hits_pull": "hits_pull_scatter_parts",
         "nagg": "nagg_scatter_parts",
@@ -600,6 +601,7 @@ class CsrShard:
         "bfs": "bfs_apply_parts",
         "sigma": "sigma_apply_parts",
         "gcount": "gcount_apply_parts",
+        "bfsm": "bfsm_apply_parts",
         "hits": "hits_apply_parts",
         "hits_pull": "hits_pull_apply_parts",
         "nagg": "nagg_apply_parts",
@@ -1227,6 +1229,137 @@ class CsrShard:
                 "vertex": pa.array(self.owned[m], pa.int64()),
                 "dist": pa.array(self.dist[m], pa.int64()),
                 "sigma": pa.array(self.sigma[m], pa.int64()),
+            }
+        )
+
+    # ---- batched multi-seed BFS (one exchange round serves S seeds) ----
+    #
+    # dist state is a (V_owned, S) matrix; messages carry (route_idx,
+    # seed_idx, dist) triples so one superstep advances every seed's
+    # frontier at once — S x fewer exchange barriers than looping seeds
+    # (the fixed per-superstep latency dominates sampled-centrality
+    # queries at sandbox scale; message VOLUME is unchanged).
+
+    def bfsm_init(self, seeds: np.ndarray) -> int:
+        if getattr(self, "mirrors", None):
+            raise ValueError(
+                "multi-seed BFS supports unsalted graphs only; build the "
+                "ShardedGraph without salt_threshold"
+            )
+        seeds = np.asarray(seeds, np.int64)
+        INF = np.iinfo(np.int64).max
+        S = len(seeds)
+        self.mseeds = seeds
+        self.mdist = np.full((len(self.owned), S), INF, np.int64)
+        self.mchanged = np.zeros((len(self.owned), S), bool)
+        idx = np.searchsorted(self.owned, seeds)
+        ok = idx < len(self.owned)
+        j = np.flatnonzero(ok)
+        idx, sv = idx[ok], seeds[ok]
+        hit = self.owned[idx] == sv
+        self.mdist[idx[hit], j[hit]] = 0
+        self.mchanged[idx[hit], j[hit]] = True
+        return int(self.mchanged.sum())
+
+    def bfsm_scatter_parts(self):
+        INF = np.iinfo(np.int64).max
+        S = self.mdist.shape[1]
+        per_part_idx = [[] for _ in range(self.P)]
+        per_part_seed = [[] for _ in range(self.P)]
+        per_part_dd = [[] for _ in range(self.P)]
+        src_rows = self.src_in_owned
+        for j in range(S):
+            active = self.mchanged[src_rows, j]
+            if not active.any():
+                continue
+            d_edge = self._rank_per_edge(self.mdist[src_rows, j]) + 1
+            act_edge = np.repeat(active, self.outdeg)
+            mins = np.full(len(self.dst_u), INF)
+            np.minimum.at(mins, self.dst_inv[act_edge], d_edge[act_edge])
+            for p in range(self.P):
+                idx = self.dst_by_part[p]
+                m = mins[idx]
+                live = m != INF
+                if live.any():
+                    per_part_idx[p].append(self.dst_route[p][live])
+                    per_part_seed[p].append(
+                        np.full(int(live.sum()), j, np.int16)
+                    )
+                    per_part_dd[p].append(m[live])
+        out = []
+        for p in range(self.P):
+            if per_part_idx[p]:
+                out.append(
+                    (
+                        np.concatenate(per_part_idx[p]),
+                        np.concatenate(per_part_seed[p]),
+                        np.concatenate(per_part_dd[p]),
+                    )
+                )
+            else:
+                out.append(
+                    (
+                        np.empty(0, np.int32),
+                        np.empty(0, np.int16),
+                        np.empty(0, np.int64),
+                    )
+                )
+        return tuple(out)
+
+    def bfsm_apply_parts(self, *parts) -> int:
+        S = self.mdist.shape[1]
+        self.mchanged = np.zeros(self.mdist.shape, bool)
+        live = [p for p in parts if len(p[0])]
+        if not live:
+            return 0
+        flat_min = np.full(self.mdist.size, np.iinfo(np.int64).max)
+        for idx, sj, dd in live:
+            flat = idx.astype(np.int64) * S + sj
+            np.minimum.at(flat_min, flat, dd)
+        mins = flat_min.reshape(self.mdist.shape)
+        better = mins < self.mdist
+        self.mdist[better] = mins[better]
+        self.mchanged = better
+        return int(better.sum())
+
+    def bfsm_fold_farness(self) -> int:
+        """Fold every seed column into the farness accumulators at once
+        (identical arithmetic to farness_fold per seed)."""
+        INF = np.iinfo(np.int64).max
+        m = self.mdist < INF
+        self.far_cnt += m.sum(axis=1).astype(np.int64)
+        d = np.where(m, self.mdist, 0)
+        self.far_sum += d.sum(axis=1)
+        pos = m & (self.mdist > 0)
+        h = np.zeros(self.mdist.shape, np.int64)
+        h[pos] = np.floor(
+            1e9 / self.mdist[pos].astype(np.float64) + 0.5
+        ).astype(np.int64)
+        self.far_harm += h.sum(axis=1)
+        return int(m.sum())
+
+    def bfsm_hist(self, max_hops: int) -> pa.Table:
+        """(seed, dist, n) histogram rows across all seed columns."""
+        INF = np.iinfo(np.int64).max
+        seeds_out, dists_out, counts_out = [], [], []
+        for j, s in enumerate(self.mseeds):
+            col = self.mdist[:, j]
+            m = col < INF
+            if not m.any():
+                continue
+            cnt = np.bincount(col[m], minlength=max_hops + 1)
+            nz = np.flatnonzero(cnt)
+            seeds_out.append(np.full(len(nz), s, np.int64))
+            dists_out.append(nz.astype(np.int64))
+            counts_out.append(cnt[nz].astype(np.int64))
+        if not seeds_out:
+            z = np.empty(0, np.int64)
+            return pa.table({"seed": z, "dist": z, "n": z})
+        return pa.table(
+            {
+                "seed": pa.array(np.concatenate(seeds_out)),
+                "dist": pa.array(np.concatenate(dists_out)),
+                "n": pa.array(np.concatenate(counts_out)),
             }
         )
 
