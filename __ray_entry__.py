@@ -2965,6 +2965,49 @@ def q_q5_local_supplier(sf_dir: str):
     return out[["n_name", "revenue"]]
 
 
+FILL_WINDOW_US = 90 * 86_400_000_000  # 90 days
+
+
+def q_fill_rate(sf_dir: str):
+    """Per-priority fraction of orders fully shipped within 90 days of
+    the order date (one orderkey co-partition shuffle, exact counts)."""
+    from sbustreamspot_core_ray.stages.relational import order_fill_rate
+
+    return order_fill_rate(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        ),
+        window_us=FILL_WINDOW_US,
+        num_partitions=P,
+    )
+
+
+def q_supplier_share(sf_dir: str):
+    """Per-nation revenue share of the largest supplier (market
+    concentration; integer units, one division per nation)."""
+    import pyarrow.parquet as pq
+
+    from sbustreamspot_core_ray.stages.relational import supplier_share
+
+    return supplier_share(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        pq.read_table(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ),
+        num_partitions=P,
+    )
+
+
 def q_open_orders(sf_dir: str):
     """Orders open per day (placed, not fully shipped): sweep-line +-1
     deltas + one prefix sum over a calendar-bounded table."""
@@ -3723,6 +3766,37 @@ FROM f GROUP BY source, lang_pred
 """
 
 
+def q_lang_confusion(sf_dir: str):
+    """Language-metadata audit: confusion counts between the stored lang
+    column and the marker-heuristic prediction — the data-quality check
+    run before trusting either label. One fixed-cardinality groupby of
+    combiner partials."""
+    from sbustreamspot_core_ray.stages.text import lang_id
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pred = lang_id(docs)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["lang", "lang_pred"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = (
+        pred.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["lang", "lang_pred"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    return agg
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: word-5-gram overlap of the corpus against
     a broadcast benchmark set (docs with doc_id % 7 == 0). Gram membership
@@ -4445,6 +4519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier": q_q5_local_supplier,
         "copurchase_pairs": q_copurchase_pairs,
         "open_orders": q_open_orders,
+        "fill_rate": q_fill_rate,
+        "supplier_share": q_supplier_share,
         "clustering_coefficient": q_clustering_coefficient,
         "late_events": q_late_events,
         "hourly_filled": q_hourly_filled,
@@ -4482,6 +4558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampling_weights": q_sampling_weights,
         "decontaminate": q_decontaminate,
         "ngram_novelty": q_ngram_novelty,
+        "lang_confusion": q_lang_confusion,
         "corpus_manifest": q_corpus_manifest,
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
@@ -4841,6 +4918,39 @@ JOIN nation ON n_nationkey = li.nat
 WHERE epoch_us(o_orderdate) >= {Q5_DATE_LO_US}
   AND epoch_us(o_orderdate) < {Q5_DATE_HI_US}
 GROUP BY n_name
+""",
+        "fill_rate": f"""
+WITH le AS (
+  SELECT l_orderkey, MAX(epoch_us(l_shipdate)) AS m FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o_orderpriority AS pr,
+         CASE WHEN m - epoch_us(o_orderdate) <= {FILL_WINDOW_US}
+              THEN 1 ELSE 0 END AS ok
+  FROM orders JOIN le ON l_orderkey = o_orderkey
+)
+SELECT pr AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(ok) AS BIGINT) AS n_filled,
+       ROUND(CAST(SUM(ok) AS DOUBLE) / COUNT(*), 6) AS fill_rate
+FROM j GROUP BY pr
+""",
+        "supplier_share": """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+             AS BIGINT)) AS u
+  FROM lineitem GROUP BY l_suppkey
+),
+j AS (
+  SELECT s_nationkey AS nk, u FROM rev JOIN supplier ON s_suppkey = l_suppkey
+),
+a AS (SELECT nk, MAX(u) AS top_u, SUM(u) AS tot FROM j GROUP BY nk)
+SELECT n_name,
+       CAST(top_u AS BIGINT) AS top_units,
+       CAST(tot AS BIGINT) AS total_units,
+       ROUND(CAST(top_u AS DOUBLE) / tot, 6) AS share
+FROM a JOIN nation ON n_nationkey = nk
 """,
         "open_orders": """
 WITH le AS (
@@ -5398,6 +5508,12 @@ LEFT JOIN bgc USING (doc_id)
 ORDER BY doc_id
 """,
         "corpus_manifest": _corpus_manifest_sql(),
+        "lang_confusion": (
+            "WITH li AS (" + _lang_id_sql() + ")\n"
+            "SELECT d.lang, li.lang_pred, CAST(COUNT(*) AS BIGINT) AS n\n"
+            "FROM documents d JOIN li ON li.doc_id = d.doc_id\n"
+            "GROUP BY d.lang, li.lang_pred"
+        ),
         "ngram_novelty": r"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words

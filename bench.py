@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     "user_entropy",
     "embedding_outliers",
     "open_orders",
+    "fill_rate",
+    "supplier_share",
+    "lang_confusion",
     # resource_allocation rides the common_neighbors wedge machinery:
     # benchmarked at sf0.01 only, like common_neighbors / adamic_adar
     # ktruss / assortativity are benchmarked at sf0.01 only: 15 peel

@@ -726,6 +726,168 @@ def open_orders_daily(
     )
 
 
+def order_fill_rate(
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    window_us: int,
+    num_partitions: int = 16,
+) -> "pa.Table":
+    """Per-priority order fill rate: fraction of orders whose LAST
+    lineitem ships within `window_us` of the order date. One orderkey
+    co-partition shuffle (lineitem combiner-shrunk to per-order max ship
+    time per block); each partition emits <= |priorities| integer rows;
+    the single fill-rate division happens once per priority on exact
+    counts. Returns (priority, n_orders, n_filled, fill_rate)."""
+    import pyarrow.compute as pc
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ship)
+        return pa.table(
+            {
+                "key": uk,
+                "t": mx,
+                "priority": pa.array([""] * len(uk), pa.string()),
+                "is_build": pa.array(np.ones(len(uk), bool)),
+                "__p": pa.array(part_of(uk, num_partitions), pa.int32()),
+            }
+        )
+
+    def ord_pre(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = pc.cast(t["o_orderdate"], pa.int64())
+        return pa.table(
+            {
+                "key": ok,
+                "t": od,
+                "priority": pc.cast(t["o_orderpriority"], pa.string()),
+                "is_build": pa.array(np.zeros(len(ok), bool)),
+                "__p": pa.array(part_of(ok, num_partitions), pa.int32()),
+            }
+        )
+
+    def kern(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        tt = t["t"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        bk, bt = key[build], tt[build]
+        uk, inv = np.unique(bk, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, bt)
+        sel = np.flatnonzero(~build)
+        k, od = key[sel], tt[sel]
+        if len(uk) and len(k):
+            idx = np.minimum(np.searchsorted(uk, k), len(uk) - 1)
+            hit = uk[idx] == k
+            sel, od, idx = sel[hit], od[hit], idx[hit]
+        else:
+            sel, od, idx = sel[:0], od[:0], np.empty(0, np.int64)
+        filled = (mx[idx] - od) <= window_us
+        import pandas as pd
+
+        pr = t["priority"].to_pandas().iloc[sel].to_numpy(object)
+        df = pd.DataFrame({"priority": pr, "ok": filled.astype(np.int64)})
+        g = df.groupby("priority", sort=False).agg(
+            n=("ok", "size"), filled=("ok", "sum")
+        ).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["filled"] = g["filled"].astype(np.int64)
+        return pa.table(
+            {
+                "priority": pa.array(g["priority"], pa.string()),
+                "n": pa.array(g["n"].to_numpy()),
+                "filled": pa.array(g["filled"].to_numpy()),
+            }
+        )
+
+    parts = (
+        lineitem.select_columns(["l_orderkey", "l_shipdate"])
+        .map_batches(li_pre, batch_format="pyarrow")
+        .union(
+            orders.select_columns(
+                ["o_orderkey", "o_orderdate", "o_orderpriority"]
+            ).map_batches(ord_pre, batch_format="pyarrow")
+        )
+        .groupby("__p")
+        .map_groups(kern, batch_format="pyarrow")
+        .take_all()
+    )
+    import pandas as pd
+
+    from ..functions.rounding import round_half_away
+
+    df = pd.DataFrame(parts)
+    g = df.groupby("priority", sort=True)[["n", "filled"]].sum().reset_index()
+    n = g["n"].to_numpy(np.int64)
+    f = g["filled"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "priority": pa.array(g["priority"], pa.string()),
+            "n_orders": pa.array(n),
+            "n_filled": pa.array(f),
+            "fill_rate": pa.array(
+                round_half_away(f.astype(np.float64) / n, 6), pa.float64()
+            ),
+        }
+    )
+
+
+def supplier_share(
+    lineitem: ray.data.Dataset,
+    supplier_dim: "pa.Table",
+    nation_dim: "pa.Table",
+    num_partitions: int = 16,
+) -> "pa.Table":
+    """Market-concentration report: per nation, the revenue share of its
+    single largest supplier (exact integer 1e-4 units; one division per
+    nation). Combiner-shrunk per-supplier sums -> one supplier-key
+    groupby -> broadcast dim attach -> 25-row driver fold."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(sk, return_inverse=True)
+        sums = np.bincount(inv, weights=units, minlength=len(uk)).astype(np.int64)
+        return pa.table({"s_suppkey": uk, "units": sums})
+
+    per_supp = (
+        lineitem.select_columns(["l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .sum("units")
+        .take_all()
+    )
+    import pandas as pd
+
+    from ..functions.rounding import round_half_away
+
+    df = pd.DataFrame(per_supp).rename(columns={"sum(units)": "units"})
+    sup = supplier_dim.to_pandas().set_index("s_suppkey")["s_nationkey"]
+    df["nk"] = df["s_suppkey"].map(sup).astype(np.int64)
+    g = df.groupby("nk", sort=True)["units"].agg(["max", "sum"]).reset_index()
+    names = nation_dim.to_pandas().set_index("n_nationkey")["n_name"]
+    top = g["max"].to_numpy(np.int64)
+    tot = g["sum"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "n_name": pa.array(g["nk"].map(names), pa.string()),
+            "top_units": pa.array(top),
+            "total_units": pa.array(tot),
+            "share": pa.array(
+                round_half_away(top.astype(np.float64) / tot, 6), pa.float64()
+            ),
+        }
+    )
+
+
 def revenue_by_nation(
     lineitem: ray.data.Dataset,
     supplier: ray.data.Dataset,
