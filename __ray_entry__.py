@@ -2772,6 +2772,18 @@ def q_event_pmi(sf_dir: str):
     )
 
 
+def q_value_mad(sf_dir: str):
+    """Robust per-type outliers: integer-cents median, MAD, and
+    |v - med| > 3*MAD counts from one histogram."""
+    from sbustreamspot_core_ray.stages.events import grouped_mad
+
+    return grouped_mad(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+    )
+
+
 def q_user_entropy(sf_dir: str):
     """Per-user Shannon entropy of event types (order-free integer
     nanonat decomposition; one ln + one divide mirrored)."""
@@ -4511,6 +4523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "event_pmi": q_event_pmi,
         "user_entropy": q_user_entropy,
+        "value_mad": q_value_mad,
         "top_orders_per_customer": q_top_orders_per_customer,
         "customers_no_urgent": q_customers_no_urgent,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4817,6 +4830,46 @@ SELECT user_id,
          AS total
 FROM events GROUP BY user_id
 ORDER BY total DESC, user_id ASC LIMIT 20
+""",
+        "value_mad": """
+WITH u AS (
+  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+h AS (SELECT event_type, cents, count(*) AS c FROM u GROUP BY 1, 2),
+r AS (
+  SELECT event_type, cents,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+med AS (
+  SELECT event_type,
+         CAST(MIN(CASE WHEN cum >= ceil(0.5e0 * n) THEN cents END) AS BIGINT) AS m,
+         CAST(MAX(n) AS BIGINT) AS n
+  FROM r GROUP BY event_type
+),
+a AS (
+  SELECT h.event_type, abs(h.cents - med.m) AS d, SUM(h.c) AS c
+  FROM h JOIN med ON med.event_type = h.event_type GROUP BY 1, 2
+),
+r2 AS (
+  SELECT event_type, d,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY d) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM a
+),
+mad AS (
+  SELECT event_type,
+         CAST(MIN(CASE WHEN cum >= ceil(0.5e0 * n) THEN d END) AS BIGINT) AS mad
+  FROM r2 GROUP BY event_type
+)
+SELECT med.event_type, med.n AS n_events, med.m AS median_cents,
+       mad.mad AS mad_cents,
+       CAST(COALESCE((SELECT SUM(a2.c) FROM a a2
+                      WHERE a2.event_type = med.event_type
+                        AND a2.d > 3 * mad.mad), 0) AS BIGINT) AS n_outliers
+FROM med JOIN mad ON mad.event_type = med.event_type
 """,
         "user_entropy": """
 WITH c AS (

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "fill_rate",
     "supplier_share",
     "lang_confusion",
+    "value_mad",
     # resource_allocation rides the common_neighbors wedge machinery:
     # benchmarked at sf0.01 only, like common_neighbors / adamic_adar
     # ktruss / assortativity are benchmarked at sf0.01 only: 15 peel

@@ -1938,3 +1938,73 @@ def user_entropy(events: ray.data.Dataset, num_parts: int = 32) -> ray.data.Data
         .groupby("__p")
         .map_groups(kern, batch_format="pandas")
     )
+
+
+def grouped_mad(
+    events: ray.data.Dataset, value_scale: int = 100, k: float = 3.0
+) -> ray.data.Dataset:
+    """Robust per-type outlier statistics: exact integer-cents median,
+    median absolute deviation (MAD), and the count of values beyond
+    k*MAD of the median — the robust sibling of the z-score pass (immune
+    to the outliers it hunts). Both medians come from ONE histogram: the
+    deviation distribution is a re-keying of the value histogram by
+    |cents - median|, so no second pass over events. Lower-median
+    convention: value at 1-based rank ceil(0.5*n) ascending (ceil in
+    float64, the value_percentiles parity chain). Returns (event_type,
+    n_events, median_cents, mad_cents, n_outliers) — all exact int64.
+
+    Scale shape: per-batch (type, cents) combiner, ONE fixed-cardinality
+    groupby, per-type kernels on bounded histograms."""
+    from ray.data.aggregate import Sum
+
+    scale = float(value_scale)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), object)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(val * scale + 0.5).astype(np.int64)
+        types, codes = np.unique(et, return_inverse=True)
+        key = np.stack([codes.astype(np.int64), cents], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(types[uniq[:, 0]], pa.string()),
+                "cents": uniq[:, 1],
+                "cnt": cnt.astype(np.int64),
+            }
+        )
+
+    hist = (
+        events.select_columns(["event_type", "value"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def pick(g) -> "pd.DataFrame":
+        import pandas as _pd
+
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy(np.int64)
+        cnts = g["cnt"].to_numpy(np.int64)
+        cum = cnts.cumsum()
+        n = int(cum[-1])
+        med = int(vals[np.searchsorted(cum, np.ceil(0.5 * n))])
+        d = np.abs(vals - med)
+        order = np.argsort(d, kind="stable")
+        du, inv = np.unique(d[order], return_inverse=True)
+        dc = np.bincount(inv, weights=cnts[order]).astype(np.int64)
+        dcum = dc.cumsum()
+        mad = int(du[np.searchsorted(dcum, np.ceil(0.5 * n))])
+        n_out = int(dc[du > k * mad].sum())
+        return _pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_events": np.array([n], np.int64),
+                "median_cents": np.array([med], np.int64),
+                "mad_cents": np.array([mad], np.int64),
+                "n_outliers": np.array([n_out], np.int64),
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
