@@ -1307,6 +1307,60 @@ def q_connected_components(sf_dir: str):
     return connected_components(g)
 
 
+def q_cc_incremental(sf_dir: str):
+    """Incremental / warm-start connected components: phase 1 converges
+    on the customer->order subgraph, phase 2 adds the lineitem-derived
+    edges and resumes min-label propagation from the prior labels (valid
+    upper bounds — the warm fixpoint equals cold CC on the full graph,
+    which is what the oracle computes). Exercises W4's incremental-state
+    surface on the second north-star algorithm."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        connected_components,
+        warm_start_labels,
+    )
+
+    g1 = ShardedGraph.build(_edges_custorder(sf_dir), num_parts=P, symmetric=True)
+    c1 = connected_components(g1)
+    g2 = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    warm_start_labels(g2, c1)
+    return connected_components(g2, skip_init=True)
+
+
+CC_INC_SQL_ROUNDS = 16  # >= ecc(min id of any component); measured 7 + margin
+
+
+def _cc_full_sql() -> str:
+    """CC over the FULL derived graph by ITERATED min-label rounds (its
+    giant component makes the transitive-closure CTE the custorder oracle
+    uses explode to ~|V|^2 reach rows): label_k(v) = min over self +
+    neighbors of label_{k-1}, unrolled past the min-vertex eccentricity."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({_SQL_EDGES})",
+        "e AS MATERIALIZED (SELECT src AS s, dst AS d FROM e0"
+        " UNION SELECT dst, src FROM e0)",
+        "v AS MATERIALIZED (SELECT DISTINCT s AS vertex FROM e)",
+        "l0 AS (SELECT vertex, vertex AS label FROM v)",
+    ]
+    for k in range(1, CC_INC_SQL_ROUNDS + 1):
+        p = k - 1
+        ctes.append(
+            f"m{k} AS MATERIALIZED (SELECT e.d AS vertex, MIN(l.label) AS ml"
+            f" FROM e JOIN l{p} l ON l.vertex = e.s GROUP BY e.d)"
+        )
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT l.vertex,"
+            f" LEAST(l.label, COALESCE(m.ml, l.label)) AS label"
+            f" FROM l{p} l LEFT JOIN m{k} m ON m.vertex = l.vertex)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vertex, label AS component FROM l{CC_INC_SQL_ROUNDS}"
+    )
+
+
 def q_label_propagation(sf_dir: str):
     from sbustreamspot_core_ray.pipelines.superstep import (
         ShardedGraph,
@@ -4495,6 +4549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_features": q_neighbor_features,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
+        "cc_incremental": q_cc_incremental,
         "modularity": q_modularity,
         "neighborhood_sketch": q_neighborhood_sketch,
         "triangle_count": q_triangle_count,
@@ -4686,6 +4741,7 @@ reach(vx, lbl) AS (
 SELECT vx AS vertex, MIN(lbl) AS component FROM reach GROUP BY vx
 """,
         "label_propagation": _lp_sql(),
+        "cc_incremental": _cc_full_sql(),
         "modularity": _modularity_sql(),
         "neighborhood_sketch": _neighborhood_sketch_sql(),
         "triangle_count": f"""

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "supplier_share",
     "lang_confusion",
     "value_mad",
+    "cc_incremental",
     # resource_allocation rides the common_neighbors wedge machinery:
     # benchmarked at sf0.01 only, like common_neighbors / adamic_adar
     # ktruss / assortativity are benchmarked at sf0.01 only: 15 peel

@@ -432,6 +432,7 @@ def connected_components(
     combine: str = "direct",
     ckpt_dir: str | None = None,
     ckpt_every: int = 10,
+    skip_init: bool = False,
 ) -> ray.data.Dataset:
     """Min-label propagation over the symmetrized graph until no label
     changes. Frontier-based: only vertices whose label changed last round
@@ -449,7 +450,7 @@ def connected_components(
         manifest = graph.restore(ckpt_dir)
         if manifest is not None and manifest["column"] == "label":
             start_iter = manifest["iteration"] + 1
-    if start_iter == 0:
+    if start_iter == 0 and not skip_init:
         ray.get([a.cc_init.remote() for a in actors])
     for it in range(start_iter, max_iters):
         if graph.salted:
@@ -2671,6 +2672,36 @@ def walk_skipgrams(
         .sum("n")
         .rename_columns({"sum(n)": "n"})
     )
+
+
+def warm_start_labels(graph: ShardedGraph, prior: ray.data.Dataset) -> int:
+    """Seed component labels for warm-start (incremental) connected
+    components: cc_init (label = own id) then stream-route the prior
+    (vertex, component) table onto the owning shards. Prior labels are
+    subgraph-component minima — valid upper bounds that min-propagation
+    tightens on the expanded graph, so the warm fixpoint equals the cold
+    one in fewer rounds. Follow with
+    ``connected_components(graph, skip_init=True)``."""
+    actors = graph.actors
+    P = graph.P
+    ray.get([a.cc_init.remote() for a in actors])
+
+    def route(t: pa.Table) -> pa.Table:
+        v = t["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["component"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = part_of(v, P)
+        refs = []
+        for p in range(P):
+            m = parts == p
+            if m.any():
+                refs.append(actors[p].warm_overlay_label.remote(v[m], c[m]))
+        hit = sum(ray.get(refs)) if refs else 0
+        return pa.table({"hit": pa.array([hit], pa.int64())})
+
+    rows = prior.select_columns(["vertex", "component"]).map_batches(
+        route, batch_format="pyarrow"
+    ).take_all()
+    return int(sum(r["hit"] for r in rows))
 
 
 def warm_start_ranks(

@@ -1686,6 +1686,20 @@ class CsrShard:
         for a warm-start overlay (new vertices keep the default)."""
         self.rank = np.full(len(self.owned), default, np.float64)
 
+    def warm_overlay_label(self, vertex: np.ndarray, values: np.ndarray) -> int:
+        """Overlay prior component labels for warm-start (incremental)
+        CC; marks every vertex changed so the next round re-propagates
+        from the overlaid state (idempotent for min-label convergence)."""
+        vertex = np.asarray(vertex, np.int64)
+        values = np.asarray(values, np.int64)
+        if not len(self.owned) or not len(vertex):
+            return 0
+        idx = np.clip(np.searchsorted(self.owned, vertex), 0, len(self.owned) - 1)
+        m = self.owned[idx] == vertex
+        self.label[idx[m]] = values[m]
+        self.changed = np.ones(len(self.owned), bool)
+        return int(m.sum())
+
     def warm_overlay_rank(self, vertex: np.ndarray, values: np.ndarray) -> int:
         """Overlay prior ranks onto owned vertices (ignores rows this
         shard does not own — the router sends exact slices anyway)."""

@@ -814,3 +814,29 @@ def test_mis_matches_sequential_greedy():
         assert not (adj[v] & got - {v})
     for v in set(adj) - got:  # maximality
         assert adj[v] & got
+
+
+def test_warm_start_cc_matches_cold(edges):
+    """Incremental CC: converge on half the edges, warm-start on the full
+    set — fixpoint must equal cold CC on the full graph."""
+    from sbustreamspot_core_ray.pipelines.superstep import warm_start_labels
+
+    half = edges[: len(edges) // 2]
+    g1 = ShardedGraph.build(edges_ds(half), num_parts=P, symmetric=True)
+    c1 = connected_components(g1)
+    g2 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    warm_start_labels(g2, c1)
+    warm = (
+        connected_components(g2, skip_init=True)
+        .to_pandas()
+        .set_index("vertex")["component"]
+        .sort_index()
+    )
+    g3 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    cold = (
+        connected_components(g3)
+        .to_pandas()
+        .set_index("vertex")["component"]
+        .sort_index()
+    )
+    assert (warm == cold).all()
