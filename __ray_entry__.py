@@ -1361,6 +1361,125 @@ def _cc_full_sql() -> str:
     )
 
 
+def q_component_sizes(sf_dir: str):
+    """Connected-component size histogram: (size, n_components,
+    n_vertices) — the structure report read before sampling subgraphs.
+    Per-block partial label counts -> one label fold -> bounded size
+    histogram partials (dup_stats' shape on graph labels)."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        connected_components,
+    )
+
+    g = ShardedGraph.build(_edges_custorder(sf_dir), num_parts=P, symmetric=True)
+    cc = connected_components(g)
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        from sbustreamspot_core_ray.functions.hashing import part_of
+
+        lab = t["component"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(lab, return_counts=True)
+        return pa.table(
+            {
+                "component": u,
+                "n": c.astype(np.int64),
+                "__p": pa.array(part_of(u, P), pa.int32()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        lab = t["component"].to_numpy()
+        n = t["n"].to_numpy()
+        u, inv = np.unique(lab, return_inverse=True)
+        sizes = np.bincount(inv, weights=n, minlength=len(u)).astype(np.int64)
+        su, sc = np.unique(sizes, return_counts=True)
+        return pa.table(
+            {
+                "size": su,
+                "n_components": sc.astype(np.int64),
+                "n_vertices": (su * sc).astype(np.int64),
+            }
+        )
+
+    parts = (
+        cc.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pyarrow")
+        .take_all()
+    )
+    df = pd.DataFrame(parts)
+    g2 = (
+        df.groupby("size", sort=True)[["n_components", "n_vertices"]]
+        .sum()
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "size": pa.array(g2["size"].to_numpy(np.int64)),
+            "n_components": pa.array(g2["n_components"].to_numpy(np.int64)),
+            "n_vertices": pa.array(g2["n_vertices"].to_numpy(np.int64)),
+        }
+    )
+
+
+def q_degree_gini(sf_dir: str):
+    """Degree-inequality summary: exact Gini coefficient of the
+    undirected degree distribution, computed in closed form from the
+    bounded degree histogram (rank-weighted sum per equal-degree block =
+    v*(c*cum - c*(c-1)//2), all integers; one final two-term float
+    expression mirrored by SQL). The skew evidence behind the salting
+    design decision, as one auditable number."""
+    from sbustreamspot_core_ray.pipelines.superstep import distinct, int_degrees
+
+    edges = _edges_full(sf_dir, dedup=False)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.compute.cast(t["src"], pa.int64()),
+                "dst": pa.compute.cast(t["dst"], pa.int64()),
+            }
+        )
+
+    de = distinct(edges.map_batches(cast, batch_format="pyarrow"), ["src", "dst"])
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vertex": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                )
+            }
+        )
+
+    deg = int_degrees(de.map_batches(both, batch_format="pyarrow"), P)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy()
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"v": u, "c": c.astype(np.int64)})
+
+    parts = deg.map_batches(hist_partial, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(parts).groupby("v", sort=True)["c"].sum().reset_index()
+    v = df["v"].to_numpy(np.int64)
+    c = df["c"].to_numpy(np.int64)
+    cum = np.cumsum(c)
+    n = int(c.sum())
+    s1 = int((v * c).sum())
+    s2 = int((v * (c * cum - c * (c - 1) // 2)).sum())
+    gini = round_half_away(
+        np.array([2.0 * s2 / (n * s1) - float(n + 1) / n]), 6
+    )[0]
+    return pa.table(
+        {
+            "n_vertices": pa.array([n], pa.int64()),
+            "sum_deg": pa.array([s1], pa.int64()),
+            "rank_weighted_sum": pa.array([s2], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }
+    )
+
+
 def q_label_propagation(sf_dir: str):
     from sbustreamspot_core_ray.pipelines.superstep import (
         ShardedGraph,
@@ -4550,6 +4669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "cc_incremental": q_cc_incremental,
+        "component_sizes": q_component_sizes,
+        "degree_gini": q_degree_gini,
         "modularity": q_modularity,
         "neighborhood_sketch": q_neighborhood_sketch,
         "triangle_count": q_triangle_count,
@@ -4742,6 +4863,39 @@ SELECT vx AS vertex, MIN(lbl) AS component FROM reach GROUP BY vx
 """,
         "label_propagation": _lp_sql(),
         "cc_incremental": _cc_full_sql(),
+        "degree_gini": f"""
+WITH e0 AS ({_SQL_EDGES}),
+sym AS (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0),
+deg AS (SELECT s, COUNT(*) AS dg FROM sym GROUP BY s),
+h AS (SELECT dg AS v, COUNT(*) AS c FROM deg GROUP BY dg),
+r AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+t AS (
+  SELECT SUM(c) AS n, SUM(v * c) AS s1,
+         SUM(v * (c * cum - (c * (c - 1)) // 2)) AS s2
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_vertices,
+       CAST(s1 AS BIGINT) AS sum_deg,
+       CAST(s2 AS BIGINT) AS rank_weighted_sum,
+       ROUND(2.0 * s2 / (n * s1) - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+FROM t
+""",
+        "component_sizes": f"""
+WITH RECURSIVE e0 AS ({_SQL_EDGES_CO}),
+e AS (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0),
+v AS (SELECT s AS vertex FROM e UNION SELECT d FROM e),
+reach(vx, lbl) AS (
+  SELECT vertex, vertex FROM v
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN e ON e.s = r.vx
+),
+cc AS (SELECT vx AS vertex, MIN(lbl) AS component FROM reach GROUP BY vx),
+cs AS (SELECT component, COUNT(*) AS sz FROM cc GROUP BY component)
+SELECT sz AS size,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(SUM(sz) AS BIGINT) AS n_vertices
+FROM cs GROUP BY sz ORDER BY sz
+""",
         "modularity": _modularity_sql(),
         "neighborhood_sketch": _neighborhood_sketch_sql(),
         "triangle_count": f"""

@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "lang_confusion",
     "value_mad",
     "cc_incremental",
+    "component_sizes",
+    "degree_gini",
     # resource_allocation rides the common_neighbors wedge machinery:
     # benchmarked at sf0.01 only, like common_neighbors / adamic_adar
     # ktruss / assortativity are benchmarked at sf0.01 only: 15 peel
