@@ -3209,6 +3209,79 @@ def q_open_orders(sf_dir: str):
     )
 
 
+Q4_LO_US = 820_454_400_000_000  # 1996-01-01
+Q4_HI_US = 883_612_800_000_000  # 1998-01-01
+Q4_FLAG = "R"
+
+
+def q_q4_priority(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS semi-join: orders placed in a 2-year window
+    with at least one returned ('R') lineitem, counted per priority.
+    Build side combiner-shrunk to distinct orderkeys per block; one
+    orderkey co-partition shuffle; exact integer counts."""
+    from sbustreamspot_core_ray.stages.relational import priority_semi_counts
+
+    return priority_semi_counts(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+        ),
+        date_lo_us=Q4_LO_US,
+        date_hi_us=Q4_HI_US,
+        returnflag=Q4_FLAG,
+        num_partitions=P,
+    )
+
+
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_q12_priority_class(sf_dir: str):
+    """TPC-H-Q12-shaped fact-fact join + conditional aggregation: lineitems
+    shipped in a 2-year window classified by their order's priority
+    (urgent/high vs rest), counted per linestatus. Lineitem side is
+    combiner-shrunk to (orderkey, status, count) partials before the one
+    orderkey shuffle; exact integer counts."""
+    from sbustreamspot_core_ray.stages.relational import priority_class_counts
+
+    return priority_class_counts(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        ),
+        ship_lo_us=Q4_LO_US,
+        ship_hi_us=Q4_HI_US,
+        high_priorities=Q12_HIGH,
+        num_partitions=P,
+    )
+
+
+def q_q14_promo_share(sf_dir: str):
+    """TPC-H-Q14-shaped promo revenue share per calendar month: lineitem
+    x part co-partition join on partkey (lineitem combiner-shrunk to
+    per-(partkey, month) integer unit sums; part side ships one bit per
+    key), share division once per month on exact int64 sums."""
+    from sbustreamspot_core_ray.stages.relational import promo_revenue_share
+
+    return promo_revenue_share(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        ),
+        promo_prefix="PROMO",
+        num_partitions=P,
+    )
+
+
 def q_revenue_rollup(sf_dir: str):
     """GROUP BY ROLLUP analog with explicit 'ALL' placeholder labels:
     nation level, region level, grand total — all re-aggregated from the
@@ -4705,6 +4778,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "revenue_rollup": q_revenue_rollup,
         "q3_shipping": q_q3_shipping,
+        "q4_priority": q_q4_priority,
+        "q12_priority_class": q_q12_priority_class,
+        "q14_promo_share": q_q14_promo_share,
         "q5_local_supplier": q_q5_local_supplier,
         "copurchase_pairs": q_copurchase_pairs,
         "open_orders": q_open_orders,
@@ -5159,6 +5235,46 @@ WHERE epoch_us(o.o_orderdate) < {Q3_CUTOFF_US}
   AND c.c_mktsegment = '{Q3_SEGMENT}'
 ORDER BY r.u DESC, orderdate_us, orderkey
 LIMIT {Q3_TOPN}
+""",
+        "q4_priority": f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE epoch_us(o_orderdate) >= {Q4_LO_US}
+  AND epoch_us(o_orderdate) < {Q4_HI_US}
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = '{Q4_FLAG}')
+GROUP BY o_orderpriority
+""",
+        "q12_priority_class": f"""
+SELECT l_linestatus,
+       COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE epoch_us(l_shipdate) >= {Q4_LO_US}
+  AND epoch_us(l_shipdate) < {Q4_HI_US}
+GROUP BY l_linestatus
+""",
+        "q14_promo_share": """
+WITH li AS (
+  SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+             AS BIGINT) AS u,
+         l_partkey
+  FROM lineitem
+),
+j AS (
+  SELECT ym, u,
+         CASE WHEN p_type LIKE 'PROMO%' THEN u ELSE 0 END AS pu
+  FROM li JOIN part ON p_partkey = l_partkey
+)
+SELECT ym,
+       ROUND(CAST(SUM(pu) AS DOUBLE) / 10000.0, 2) AS promo_revenue,
+       ROUND(CAST(SUM(u) AS DOUBLE) / 10000.0, 2) AS total_revenue,
+       ROUND(100.0 * CAST(SUM(pu) AS DOUBLE) / CAST(SUM(u) AS DOUBLE), 6)
+         AS promo_share
+FROM j GROUP BY ym
 """,
         "q5_local_supplier": f"""
 WITH li AS (

@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "scc",
     "condensation",
     "q3_shipping",
+    "q4_priority",
+    "q12_priority_class",
+    "q14_promo_share",
     "chunk_dedup",
     "wau_rolling",
     "embedding_quantize",

@@ -957,3 +957,390 @@ def revenue_by_nation(
         .sum("units")
         .rename_columns({"sum(units)": "units"})
     )
+
+
+def priority_semi_counts(
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    date_lo_us: int,
+    date_hi_us: int,
+    returnflag: str,
+    num_partitions: int = 16,
+) -> "pa.Table":
+    """TPC-H-Q4-shaped EXISTS semi-join count: orders placed in
+    [date_lo_us, date_hi_us) with AT LEAST ONE lineitem of the given
+    return flag, counted per o_orderpriority.
+
+    Scale shape: the build side is combiner-shrunk to <= one orderkey row
+    per block BEFORE the shuffle (semi-join needs existence only, never
+    the lineitem payload); ONE orderkey co-partition shuffle; each
+    partition emits <= |priorities| integer partial counts, folded
+    driver-side over a priorities x partitions bounded table. Orderkey is
+    the orders PK, so probe hits count each order exactly once."""
+    import pyarrow.compute as pc
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["l_returnflag"], pa.scalar(returnflag)))
+        uk = np.unique(
+            f["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "key": uk,
+                "priority": pa.array([""] * len(uk), pa.string()),
+                "is_build": pa.array(np.ones(len(uk), bool)),
+                "__p": pa.array(part_of(uk, num_partitions), pa.int32()),
+            }
+        )
+
+    def ord_pre(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"], pa.int64())
+        f = t.filter(
+            pc.and_(
+                pc.greater_equal(od, pa.scalar(date_lo_us, pa.int64())),
+                pc.less(od, pa.scalar(date_hi_us, pa.int64())),
+            )
+        )
+        ok = f["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": ok,
+                "priority": pc.cast(f["o_orderpriority"], pa.string()),
+                "is_build": pa.array(np.zeros(len(ok), bool)),
+                "__p": pa.array(part_of(ok, num_partitions), pa.int32()),
+            }
+        )
+
+    def kern(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        key = t["key"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        bk = np.unique(key[build])
+        sel = np.flatnonzero(~build)
+        k = key[sel]
+        if len(bk) and len(k):
+            idx = np.minimum(np.searchsorted(bk, k), len(bk) - 1)
+            sel = sel[bk[idx] == k]
+        else:
+            sel = sel[:0]
+        pr = t["priority"].to_pandas().iloc[sel]
+        agg = pr.value_counts()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(agg.index.to_numpy(object), pa.string()),
+                "order_count": pa.array(agg.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        lineitem.select_columns(["l_orderkey", "l_returnflag"])
+        .map_batches(li_pre, batch_format="pyarrow")
+        .union(
+            orders.select_columns(
+                ["o_orderkey", "o_orderdate", "o_orderpriority"]
+            ).map_batches(ord_pre, batch_format="pyarrow")
+        )
+        .groupby("__p")
+        .map_groups(kern, batch_format="pyarrow")
+        .take_all()
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(parts, columns=["o_orderpriority", "order_count"])
+    out = (
+        df.groupby("o_orderpriority", as_index=False)["order_count"]
+        .sum()
+        .sort_values("o_orderpriority")
+    )
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(
+                out["o_orderpriority"].to_numpy(object), pa.string()
+            ),
+            "order_count": pa.array(out["order_count"].to_numpy(np.int64)),
+        }
+    )
+
+
+def priority_class_counts(
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    ship_lo_us: int,
+    ship_hi_us: int,
+    high_priorities: tuple[str, ...],
+    num_partitions: int = 16,
+) -> "pa.Table":
+    """TPC-H-Q12-shaped fact-fact join + conditional aggregation: lineitems
+    shipped in [ship_lo_us, ship_hi_us), joined to their order's priority,
+    counted per l_linestatus split into high- vs low-priority classes.
+
+    Scale shape: lineitem is combiner-shrunk per block to <= one
+    (orderkey, linestatus, count) row before the ONE orderkey co-partition
+    shuffle (the build side carries counts, not rows); orders is the probe
+    carrying the priority; each partition emits <= |linestatus| partial
+    (high, low) integer rows, folded driver-side."""
+    import pyarrow.compute as pc
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ship = pc.cast(t["l_shipdate"], pa.int64())
+        f = t.filter(
+            pc.and_(
+                pc.greater_equal(ship, pa.scalar(ship_lo_us, pa.int64())),
+                pc.less(ship, pa.scalar(ship_hi_us, pa.int64())),
+            )
+        )
+        ok = f["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        st = f["l_linestatus"].to_pandas().to_numpy(object)
+        df = pd.DataFrame({"key": ok, "status": st})
+        agg = df.groupby(["key", "status"], as_index=False).size()
+        key = agg["key"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "key": key,
+                "status": pa.array(agg["status"].to_numpy(object), pa.string()),
+                "cnt": pa.array(agg["size"].to_numpy(np.int64)),
+                "is_build": pa.array(np.ones(len(key), bool)),
+                "__p": pa.array(part_of(key, num_partitions), pa.int32()),
+            }
+        )
+
+    def ord_pre(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": ok,
+                "status": pc.cast(t["o_orderpriority"], pa.string()),
+                "cnt": pa.array(np.zeros(len(ok), np.int64)),
+                "is_build": pa.array(np.zeros(len(ok), bool)),
+                "__p": pa.array(part_of(ok, num_partitions), pa.int32()),
+            }
+        )
+
+    hi = set(high_priorities)
+
+    def kern(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        key = t["key"].to_numpy()
+        cnt = t["cnt"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        sv = t["status"].to_pandas().to_numpy(object)
+        # probe table: orderkey -> is_high (orders PK: unique within partition)
+        sel_o = np.flatnonzero(~build)
+        pk = key[sel_o]
+        order_sorted = np.argsort(pk, kind="stable")
+        pk = pk[order_sorted]
+        is_high = np.array(
+            [s in hi for s in sv[sel_o][order_sorted]], bool
+        )
+        sel_l = np.flatnonzero(build)
+        lk = key[sel_l]
+        if len(pk) and len(lk):
+            idx = np.minimum(np.searchsorted(pk, lk), len(pk) - 1)
+            hit = pk[idx] == lk
+            sel_l, idx = sel_l[hit], idx[hit]
+        else:
+            sel_l, idx = sel_l[:0], np.empty(0, np.int64)
+        h = is_high[idx]
+        df = pd.DataFrame(
+            {
+                "l_linestatus": sv[sel_l],
+                "high": np.where(h, cnt[sel_l], 0),
+                "low": np.where(h, 0, cnt[sel_l]),
+            }
+        )
+        agg = df.groupby("l_linestatus", as_index=False).sum()
+        return pa.table(
+            {
+                "l_linestatus": pa.array(
+                    agg["l_linestatus"].to_numpy(object), pa.string()
+                ),
+                "high": pa.array(agg["high"].to_numpy(np.int64)),
+                "low": pa.array(agg["low"].to_numpy(np.int64)),
+            }
+        )
+
+    parts = (
+        lineitem.select_columns(["l_orderkey", "l_linestatus", "l_shipdate"])
+        .map_batches(li_pre, batch_format="pyarrow")
+        .union(
+            orders.select_columns(["o_orderkey", "o_orderpriority"]).map_batches(
+                ord_pre, batch_format="pyarrow"
+            )
+        )
+        .groupby("__p")
+        .map_groups(kern, batch_format="pyarrow")
+        .take_all()
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(parts, columns=["l_linestatus", "high", "low"])
+    out = (
+        df.groupby("l_linestatus", as_index=False)[["high", "low"]]
+        .sum()
+        .sort_values("l_linestatus")
+    )
+    return pa.table(
+        {
+            "l_linestatus": pa.array(
+                out["l_linestatus"].to_numpy(object), pa.string()
+            ),
+            "high_line_count": pa.array(out["high"].to_numpy(np.int64)),
+            "low_line_count": pa.array(out["low"].to_numpy(np.int64)),
+        }
+    )
+
+
+def promo_revenue_share(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    promo_prefix: str = "PROMO",
+    num_partitions: int = 16,
+) -> "pa.Table":
+    """TPC-H-Q14-shaped promo revenue share per calendar month: the share
+    of lineitem revenue on parts whose p_type starts with `promo_prefix`.
+
+    Scale shape: lineitem is combiner-shrunk per block to <= one
+    (partkey, month, units) integer row before the ONE partkey
+    co-partition shuffle; the part side ships only (partkey, is_promo)
+    bits; each partition emits <= |months| partial (promo, total) unit
+    sums, folded driver-side over a months x partitions bounded table.
+    The single share division happens once per month on exact int64 unit
+    sums (< 2^53, exact in float64), so the result is bit-identical to
+    the SQL mirror regardless of block order."""
+    import pyarrow.compute as pc
+
+    def part_pre(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        promo = pc.starts_with(t["p_type"], promo_prefix).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "key": pk,
+                "ym": pa.array(promo.astype(np.int64)),
+                "units": pa.array(np.zeros(len(pk), np.int64)),
+                "is_build": pa.array(np.ones(len(pk), bool)),
+                "__p": pa.array(part_of(pk, num_partitions), pa.int32()),
+            }
+        )
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        m = (
+            t["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        if not len(pk):
+            return pa.table(
+                {
+                    "key": np.empty(0, np.int64),
+                    "ym": pa.array(np.empty(0, np.int64)),
+                    "units": pa.array(np.empty(0, np.int64)),
+                    "is_build": pa.array(np.empty(0, bool)),
+                    "__p": pa.array(np.empty(0, np.int32), pa.int32()),
+                }
+            )
+        # block-local composite fold key (partkey, month) — rebased on the
+        # block's month range so it is collision-free for any date span
+        mmin = m.min()
+        span = int(m.max() - mmin) + 1
+        fold_key = pk * span + (m - mmin)
+        uk, inv = np.unique(fold_key, return_inverse=True)
+        su = np.bincount(inv, weights=units, minlength=len(uk)).astype(np.int64)
+        out_pk = uk // span
+        out_m = uk % span + mmin
+        out_ym = (1970 + out_m // 12) * 100 + (out_m % 12 + 1)
+        return pa.table(
+            {
+                "key": out_pk,
+                "ym": pa.array(out_ym),
+                "units": pa.array(su),
+                "is_build": pa.array(np.zeros(len(uk), bool)),
+                "__p": pa.array(part_of(out_pk, num_partitions), pa.int32()),
+            }
+        )
+
+    def kern(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        ym = t["ym"].to_numpy()
+        units = t["units"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        bk = key[build]
+        order_sorted = np.argsort(bk, kind="stable")
+        bk = bk[order_sorted]
+        promo = ym[build][order_sorted] != 0
+        sel = np.flatnonzero(~build)
+        k = key[sel]
+        if len(bk) and len(k):
+            idx = np.minimum(np.searchsorted(bk, k), len(bk) - 1)
+            hit = bk[idx] == k
+            sel, idx = sel[hit], idx[hit]
+        else:
+            sel, idx = sel[:0], np.empty(0, np.int64)
+        u = units[sel]
+        mth = ym[sel]
+        isp = promo[idx]
+        um, inv = np.unique(mth, return_inverse=True)
+        tot = np.bincount(inv, weights=u, minlength=len(um)).astype(np.int64)
+        pro = np.bincount(
+            inv, weights=np.where(isp, u, 0), minlength=len(um)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "ym": pa.array(um),
+                "promo_u": pa.array(pro),
+                "total_u": pa.array(tot),
+            }
+        )
+
+    parts = (
+        lineitem.select_columns(
+            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        )
+        .map_batches(li_pre, batch_format="pyarrow")
+        .union(
+            part.select_columns(["p_partkey", "p_type"]).map_batches(
+                part_pre, batch_format="pyarrow"
+            )
+        )
+        .groupby("__p")
+        .map_groups(kern, batch_format="pyarrow")
+        .take_all()
+    )
+    ym = np.array([r["ym"] for r in parts], np.int64)
+    pu = np.array([r["promo_u"] for r in parts], np.int64)
+    tu = np.array([r["total_u"] for r in parts], np.int64)
+    um, inv = np.unique(ym, return_inverse=True)
+    pro = np.bincount(inv, weights=pu, minlength=len(um)).astype(np.int64)
+    tot = np.bincount(inv, weights=tu, minlength=len(um)).astype(np.int64)
+    keep = tot > 0
+    um, pro, tot = um[keep], pro[keep], tot[keep]
+    from ..functions.rounding import round_half_away
+
+    return pa.table(
+        {
+            "ym": pa.array(um, pa.int64()),
+            "promo_revenue": pa.array(
+                round_half_away(pro.astype(np.float64) / 10000.0, 2), pa.float64()
+            ),
+            "total_revenue": pa.array(
+                round_half_away(tot.astype(np.float64) / 10000.0, 2), pa.float64()
+            ),
+            "promo_share": pa.array(
+                round_half_away(
+                    100.0 * pro.astype(np.float64) / tot.astype(np.float64), 6
+                ),
+                pa.float64(),
+            ),
+        }
+    )

@@ -288,3 +288,120 @@ def test_local_supplier_revenue_hand_checked():
     assert len(out) == 1
     assert out.loc[0, "n_nationkey"] == 1
     assert out.loc[0, "units"] == 1_250_000  # (100 + 25) * 1e4
+
+
+def _ts_us(vals):
+    return pa.array(np.array(vals, "datetime64[us]"))
+
+
+def test_priority_semi_counts():
+    from sbustreamspot_core_ray.stages.relational import priority_semi_counts
+
+    orders = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                # order 4 outside the window
+                "o_orderdate": _ts_us(
+                    ["1996-06-01", "1996-07-01", "1997-01-01", "1999-01-01"]
+                ),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "1-URGENT", "5-LOW", "1-URGENT"]
+                ),
+            }
+        )
+    )
+    lineitem = ray.data.from_arrow(
+        pa.table(
+            {
+                # orders 1 and 3 have an R lineitem; 2 only N; 4 R but out of window
+                "l_orderkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+                "l_returnflag": pa.array(["R", "N", "N", "R", "R"]),
+            }
+        )
+    )
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1998-01-01", "us").astype(np.int64)
+    out = (
+        priority_semi_counts(orders, lineitem, lo, hi, "R", num_partitions=2)
+        .to_pandas()
+        .set_index("o_orderpriority")["order_count"]
+        .to_dict()
+    )
+    assert out == {"1-URGENT": 1, "5-LOW": 1}
+
+
+def test_priority_class_counts():
+    from sbustreamspot_core_ray.stages.relational import priority_class_counts
+
+    orders = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_orderpriority": pa.array(["1-URGENT", "5-LOW", "2-HIGH"]),
+            }
+        )
+    )
+    lineitem = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 3, 3], pa.int64()),
+                "l_linestatus": pa.array(["F", "O", "F", "F", "F"]),
+                # last one shipped outside the window
+                "l_shipdate": _ts_us(
+                    ["1996-02-01", "1996-03-01", "1996-04-01", "1996-05-01", "1999-01-01"]
+                ),
+            }
+        )
+    )
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1998-01-01", "us").astype(np.int64)
+    out = (
+        priority_class_counts(
+            orders, lineitem, lo, hi, ("1-URGENT", "2-HIGH"), num_partitions=2
+        )
+        .to_pandas()
+        .set_index("l_linestatus")
+    )
+    # F: order1 urgent (1 high), order2 low (1 low), order3 high (1 high)
+    assert out.loc["F", "high_line_count"] == 2
+    assert out.loc["F", "low_line_count"] == 1
+    # O: order1 urgent
+    assert out.loc["O", "high_line_count"] == 1
+    assert out.loc["O", "low_line_count"] == 0
+
+
+def test_promo_revenue_share():
+    from sbustreamspot_core_ray.stages.relational import promo_revenue_share
+
+    lineitem = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_partkey": pa.array([10, 11, 10, 12], pa.int64()),
+                "l_extendedprice": pa.array([100.0, 100.0, 50.0, 200.0]),
+                "l_discount": pa.array([0.0, 0.5, 0.0, 0.0]),
+                "l_shipdate": _ts_us(
+                    ["1996-02-10", "1996-02-20", "1996-03-05", "1996-03-06"]
+                ),
+            }
+        )
+    )
+    part = ray.data.from_arrow(
+        pa.table(
+            {
+                "p_partkey": pa.array([10, 11, 12], pa.int64()),
+                "p_type": pa.array(["PROMO BRUSHED", "STANDARD X", "PROMO Y"]),
+            }
+        )
+    )
+    out = (
+        promo_revenue_share(lineitem, part, num_partitions=2)
+        .to_pandas()
+        .set_index("ym")
+    )
+    # 199602: promo 100 (part10), total 100 + 50 (part11 discounted) = 150
+    assert out.loc[199602, "promo_revenue"] == 100.0
+    assert out.loc[199602, "total_revenue"] == 150.0
+    assert abs(out.loc[199602, "promo_share"] - round(100 * 100 / 150, 6)) < 1e-9
+    # 199603: promo 50 (part10) + 200 (part12) = 250, total 250
+    assert out.loc[199603, "promo_share"] == 100.0
