@@ -398,6 +398,33 @@ def _ngram_jaccard_sql() -> str:
     return f"WITH {_ngram_jaccard_core()}\nSELECT src, dst, ROUND(jaccard, 6) AS jaccard FROM jac"
 
 
+def _ngram_containment_sql() -> str:
+    """Asymmetric containment per candidate pair: ninter/|A| and
+    ninter/|B| — same shingle/candidate CTEs as the jaccard oracle, one
+    exact integer division per direction."""
+    return f"""
+WITH {_doc_shingle_ctes()},
+{_minhash_cand_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.src, c.dst, count(*) AS ninter
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.src
+  JOIN dsh b2 ON b2.doc_id = c.dst AND b2.sh = a.sh
+  GROUP BY c.src, c.dst
+)
+SELECT c.src, c.dst,
+       ROUND(CAST(COALESCE(i.ninter, 0) AS DOUBLE) / sa.n, 6)
+         AS containment_src,
+       ROUND(CAST(COALESCE(i.ninter, 0) AS DOUBLE) / sb.n, 6)
+         AS containment_dst
+FROM cand c
+LEFT JOIN inter i ON i.src = c.src AND i.dst = c.dst
+JOIN sizes sa ON sa.doc_id = c.src
+JOIN sizes sb ON sb.doc_id = c.dst
+"""
+
+
 def _minhash_dedup_sql(threshold: float = 0.8) -> str:
     """Full near-dup pipeline in SQL: verified pairs (unrounded jaccard >=
     threshold) -> connected components (recursive CTE) -> min-doc_id group."""
@@ -3687,6 +3714,30 @@ SELECT dg AS deg, CAST(count(*) AS BIGINT) AS n_vertices
 FROM deg GROUP BY dg"""
 
 
+_SQL_RICH_CLUB = f"""
+WITH e0 AS MATERIALIZED ({_SQL_EDGES}),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+sym AS (SELECT a AS s FROM canon UNION ALL SELECT b FROM canon),
+deg AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY s),
+em AS MATERIALIZED (
+  SELECT least(da.dg, db.dg) AS m
+  FROM canon JOIN deg da ON da.s = canon.a JOIN deg db ON db.s = canon.b
+),
+ks AS (SELECT DISTINCT dg AS k FROM deg),
+agg AS (
+  SELECT k,
+         (SELECT count(*) FROM deg WHERE dg > k) AS n_k,
+         (SELECT count(*) FROM em WHERE m > k) AS e_k
+  FROM ks
+)
+SELECT k, CAST(n_k AS BIGINT) AS n_k, CAST(e_k AS BIGINT) AS e_k,
+       ROUND(2.0 * e_k / (n_k * (n_k - 1.0)), 6) AS rich_club
+FROM agg WHERE n_k >= 2"""
+
+
 def q_weekly_retention(sf_dir: str):
     """Cohort retention per week (active users also active next week):
     one hash(user) shuffle, adjacent-window shifted compare, integer
@@ -4300,6 +4351,114 @@ def q_ngram_jaccard(sf_dir: str):
     return out
 
 
+def q_ngram_containment(sf_dir: str):
+    """Asymmetric n-gram containment for LSH candidate pairs: |A∩B|/|A|
+    and |A∩B|/|B| — the near-superset detector Jaccard misses when one
+    document embeds a much larger one (quote/boilerplate inclusion).
+    Same seeded minhash candidate generation as ngram_jaccard; integer
+    intersection counts and one division per direction keep both sides
+    bit-identical."""
+    from sbustreamspot_core_ray.stages.dedup import (
+        candidate_pairs,
+        minhash_band_table,
+        ngram_containment_verify,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cands = candidate_pairs(minhash_band_table(docs))
+    out = ngram_containment_verify(cands, docs, threshold=0.0).to_pandas()
+    out["containment_src"] = round_half_away(out["containment_src"], 6)
+    out["containment_dst"] = round_half_away(out["containment_dst"], 6)
+    return out
+
+
+def q_rich_club(sf_dir: str):
+    """Rich-club coefficient per degree threshold k: among the N_k
+    vertices of degree > k, the fraction of possible edges present,
+    2*E_k / (N_k*(N_k-1)). E_k is a suffix sum of the per-edge
+    min-endpoint-degree histogram and N_k a suffix sum of the degree
+    histogram — two bounded histograms reach the driver, never a k x E
+    sweep."""
+    import pyarrow.compute as pc
+
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        _attach_value,
+        distinct,
+        int_degrees,
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["src"], pa.int64())
+        d = pc.cast(t["dst"], pa.int64())
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table(
+            {"a": pc.min_element_wise(s, d), "b": pc.max_element_wise(s, d)}
+        )
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vertex": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                )
+            }
+        )
+
+    # shared sub-plans consumed twice -> materialize once
+    und = distinct(
+        _edges_full(sf_dir, dedup=False).map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"],
+    ).materialize()
+    deg = int_degrees(
+        und.map_batches(both_ends, batch_format="pyarrow"), num_parts=P
+    ).materialize()
+
+    e1 = _attach_value(und, deg, "a", ["b"], "deg", "da", num_parts=P)
+    e2 = _attach_value(e1, deg, "b", ["a", "da"], "deg", "db", num_parts=P)
+
+    def min_hist(t: pa.Table) -> pa.Table:
+        m = np.minimum(t["da"].to_numpy(), t["db"].to_numpy())
+        u, c = np.unique(m, return_counts=True)
+        return pa.table({"m": u, "cnt": c.astype(np.int64)})
+
+    def deg_hist(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["deg"].to_numpy(), return_counts=True)
+        return pa.table({"deg": u, "cnt": c.astype(np.int64)})
+
+    mh = pd.DataFrame(
+        e2.map_batches(min_hist, batch_format="pyarrow").take_all(),
+        columns=["m", "cnt"],
+    )
+    dh = pd.DataFrame(
+        deg.map_batches(deg_hist, batch_format="pyarrow").take_all(),
+        columns=["deg", "cnt"],
+    )
+    mh = mh.groupby("m", as_index=False)["cnt"].sum().sort_values("m")
+    dh = dh.groupby("deg", as_index=False)["cnt"].sum().sort_values("deg")
+    du = dh["deg"].to_numpy(np.int64)
+    dcnt = dh["cnt"].to_numpy(np.int64)
+    mu = mh["m"].to_numpy(np.int64)
+    mcnt = mh["cnt"].to_numpy(np.int64)
+    total_v = dcnt.sum()
+    total_e = mcnt.sum()
+    # suffix counts: n_k = #vertices deg > k; e_k = #edges min-end-deg > k
+    n_k = total_v - np.cumsum(dcnt)[np.searchsorted(du, du, side="right") - 1]
+    e_k = total_e - np.concatenate([[0], np.cumsum(mcnt)])[
+        np.searchsorted(mu, du, side="right")
+    ]
+    keep = n_k >= 2
+    k, n_k, e_k = du[keep], n_k[keep], e_k[keep]
+    rc = round_half_away(
+        2.0 * e_k.astype(np.float64) / (n_k.astype(np.float64) * (n_k - 1.0)), 6
+    )
+    return pd.DataFrame(
+        {"k": k, "n_k": n_k, "e_k": e_k, "rich_club": rc}
+    )
+
+
 def q_image_phash(sf_dir: str):
     """Perceptual blockhash image dedup over the derived media table:
     64-block mean-threshold bits packed into int64 (integer-only — the
@@ -4804,6 +4963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": q_event_type_pivot,
         "interarrival_stats": q_interarrival_stats,
         "degree_histogram": q_degree_histogram,
+        "rich_club": q_rich_club,
         "weekly_retention": q_weekly_retention,
         "value_percentiles": q_value_percentiles,
         "throttle_events": q_throttle_events,
@@ -4846,6 +5006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_sample": q_group_sample,
         "events_cumsum": q_events_cumsum,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
         "image_phash": q_image_phash,
         "media_features": q_media_features,
         "image_resize": q_image_resize,
@@ -5611,6 +5772,7 @@ SELECT "window", count(DISTINCT user_id) AS users FROM d GROUP BY "window"
         "event_type_pivot": _SQL_EVENT_TYPE_PIVOT,
         "interarrival_stats": _SQL_INTERARRIVAL_STATS,
         "degree_histogram": _SQL_DEGREE_HISTOGRAM,
+        "rich_club": _SQL_RICH_CLUB,
         "weekly_retention": """
 WITH uw AS (
   SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS "window"
@@ -5981,6 +6143,7 @@ FROM s3 ORDER BY doc_id
         "anomaly_scenarios": _anomaly_scenarios_sql(),
         "lsh_clusters": _lsh_clusters_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
+        "ngram_containment": _ngram_containment_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "simhash_dedup": _simhash_dedup_sql(),
         "simhash_near_dup": _simhash_near_dup_sql(),

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "lsh_clusters",
     "ngram_jaccard",
+    "ngram_containment",
     "media_features",
     "audio_frames",
     "kcore",
@@ -91,6 +92,7 @@ BENCH_QUERIES = [
     "q4_priority",
     "q12_priority_class",
     "q14_promo_share",
+    "rich_club",
     "chunk_dedup",
     "wau_rolling",
     "embedding_quantize",

@@ -407,9 +407,13 @@ def ngram_jaccard_verify(
     shingle_k: int = 5,
     num_partitions: int | None = None,
     broadcast_threshold: int = 100_000,
+    kernel=None,
 ) -> ray.data.Dataset:
     """n-gram Jaccard verification of candidate pairs; returns
-    (src, dst, jaccard) with jaccard >= threshold.
+    (src, dst, jaccard) with jaccard >= threshold. `kernel` swaps the
+    per-pair metric (default `_jaccard_kernel`; `_containment_kernel`
+    reuses the identical attach/broadcast plumbing for asymmetric
+    containment).
 
     Regime split on the doc-table size:
     - small side (<= broadcast_threshold docs): the id→text map is
@@ -420,6 +424,8 @@ def ngram_jaccard_verify(
       merge per partition — same pattern as superstep._attach_value), not
       Dataset.join: no aggregator-actor scheduling constraints and robust
       to empty blocks."""
+    if kernel is None:
+        kernel = _jaccard_kernel
     if num_partitions is None:
         num_partitions = 16
     if docs.count() <= broadcast_threshold:
@@ -437,7 +443,7 @@ def ngram_jaccard_verify(
             df = df.copy()
             df["text_src"] = [m.get(int(k)) for k in df["src"]]
             df["text_dst"] = [m.get(int(k)) for k in df["dst"]]
-            return _jaccard_kernel(df, shingle_k, threshold)
+            return kernel(df, shingle_k, threshold)
 
         return pairs.map_batches(
             broadcast_verify,
@@ -454,7 +460,7 @@ def ngram_jaccard_verify(
     )
 
     def verify(df: pd.DataFrame) -> pa.Table:
-        return _jaccard_kernel(df, shingle_k, threshold)
+        return kernel(df, shingle_k, threshold)
 
     return withd.map_batches(verify, batch_format="pandas", batch_size=512)
 
@@ -498,6 +504,66 @@ def _jaccard_kernel(df: pd.DataFrame, shingle_k: int, threshold: float) -> pa.Ta
             "src": df["src"].to_numpy(np.int64)[keep],
             "dst": df["dst"].to_numpy(np.int64)[keep],
             "jaccard": jac[keep],
+        }
+    )
+
+
+def ngram_containment_verify(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    threshold: float,
+    shingle_k: int = 5,
+    num_partitions: int | None = None,
+    broadcast_threshold: int = 100_000,
+) -> ray.data.Dataset:
+    """Asymmetric n-gram containment for candidate pairs: (src, dst,
+    containment_src, containment_dst), kept when either direction reaches
+    `threshold`. Shares `ngram_jaccard_verify`'s broadcast / co-partition
+    attach plumbing; only the per-pair metric kernel differs."""
+    return ngram_jaccard_verify(
+        pairs,
+        docs,
+        threshold,
+        shingle_k=shingle_k,
+        num_partitions=num_partitions,
+        broadcast_threshold=broadcast_threshold,
+        kernel=_containment_kernel,
+    )
+
+
+def _containment_kernel(df: pd.DataFrame, shingle_k: int, threshold: float) -> pa.Table:
+    """Asymmetric shingle-set containment per (text_src, text_dst) row:
+    containment_src = |A∩B| / |A| (how much of src is inside dst) and the
+    dst-direction mirror — the near-SUPERSET detector Jaccard misses when
+    one document embeds another much larger one. Same cached per-pair
+    intersect loop as `_jaccard_kernel` (see its rationale); a pair is
+    kept when EITHER direction reaches the threshold. Integer counts and
+    one division per direction keep the result bit-identical to the SQL
+    mirror."""
+    cache: dict[str, np.ndarray] = {}
+
+    def sh(t: str | None) -> np.ndarray:
+        t = t or ""
+        r = cache.get(t)
+        if r is None:
+            r = _char_shingles(t, shingle_k)
+            cache[t] = r
+        return r
+
+    csrc = np.empty(len(df), np.float64)
+    cdst = np.empty(len(df), np.float64)
+    for i, (a, b) in enumerate(zip(df["text_src"], df["text_dst"])):
+        sa, sb = sh(a), sh(b)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        csrc[i] = (inter / sa.size) if sa.size else 1.0
+        cdst[i] = (inter / sb.size) if sb.size else 1.0
+    keep = np.maximum(csrc, cdst) >= threshold
+    return pa.table(
+        {
+            "src": df["src"].to_numpy(np.int64)[keep],
+            "dst": df["dst"].to_numpy(np.int64)[keep],
+            "containment_src": csrc[keep],
+            "containment_dst": cdst[keep],
         }
     )
 

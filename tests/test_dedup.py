@@ -248,3 +248,29 @@ def test_dup_stats_histogram():
     assert t.loc[1, "n_groups"] == 1 and t.loc[1, "n_docs"] == 1
     assert t.loc[2, "n_groups"] == 1 and t.loc[2, "n_docs"] == 2
     assert t.loc[3, "n_groups"] == 1 and t.loc[3, "n_docs"] == 3
+
+
+def test_containment_kernel():
+    import pandas as pd
+
+    from sbustreamspot_core_ray.stages.dedup import (
+        _char_shingles,
+        _containment_kernel,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog"
+    b = a + " and then some extra tail text beyond"
+    df = pd.DataFrame(
+        {"src": [1], "dst": [2], "text_src": [a], "text_dst": [b]}
+    )
+    out = _containment_kernel(df, shingle_k=5, threshold=0.0).to_pandas()
+    sa = _char_shingles(a, 5)
+    sb = _char_shingles(b, 5)
+    import numpy as np
+
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    assert out.loc[0, "containment_src"] == inter / sa.size
+    assert out.loc[0, "containment_dst"] == inter / sb.size
+    # src is (near-)contained in dst: src-direction containment ~1
+    assert out.loc[0, "containment_src"] > 0.95
+    assert out.loc[0, "containment_dst"] < out.loc[0, "containment_src"]
