@@ -1547,11 +1547,19 @@ def pc_cast_i64(col: "pa.ChunkedArray") -> np.ndarray:
 
 
 @ray.remote
-def _close_wedges_task(u, v, es_packed, lo: int, hi: int, per_vertex: bool):
+def _close_wedges_task(u, v, es_packed, lo: int, hi: int, mode: int):
     """Close all wedges whose first edge lies in [lo, hi) of the oriented,
     (u, rank, v)-sorted edge arrays. Args arrive as zero-copy object-store
     refs; the probe is one SIMD int64 searchsorted against the packed
-    canonical edge array."""
+    canonical edge array.
+
+    mode 0: scalar count only. mode 1 (per-vertex): fold the triangle
+    corners to SPARSE (vertex, count) INSIDE the task — the driver adds
+    #distinct-corner rows per task instead of running three dense
+    bincount(minlength=nv) passes per task serially (at nv ~ 30M ids x 64
+    tasks that serial fold dominated clustering_coefficient 5x over the
+    wedge work itself). mode 2 (per-edge): raw corner tuples, the
+    edge-support path needs the pairs."""
     n = len(u)
     pos = np.arange(lo, hi)
     # run end per edge: next index where u changes, scanning within [lo, n)
@@ -1576,7 +1584,7 @@ def _close_wedges_task(u, v, es_packed, lo: int, hi: int, per_vertex: bool):
     # corpus scale W_t = W/T << 8|E|). Threshold 8x covers the sort
     # constant; both directions are exact (es_packed values are distinct).
     invert = tot > 8 * len(es_packed)
-    if not per_vertex:
+    if mode == 0:
         if invert:
             qs = np.sort(qpack)
             lo_i = np.searchsorted(qs, es_packed, side="left")
@@ -1599,7 +1607,11 @@ def _close_wedges_task(u, v, es_packed, lo: int, hi: int, per_vertex: bool):
         pos = np.searchsorted(es_packed, qpack)
         np.clip(pos, 0, len(es_packed) - 1, out=pos)
         hit = es_packed[pos] == qpack
-    return (int(hit.sum()), u[rep][hit], qa[hit], qb[hit])
+    if mode == 2:
+        return (int(hit.sum()), u[rep][hit], qa[hit], qb[hit])
+    corners = np.concatenate([u[rep][hit], qa[hit], qb[hit]])
+    verts, cnts = np.unique(corners, return_counts=True)
+    return (int(hit.sum()), verts.astype(np.int64), cnts.astype(np.int64), None)
 
 
 def _triangles_broadcast(
@@ -1678,17 +1690,17 @@ def _triangles_broadcast(
     u_ref = ray.put(u)
     v_ref = ray.put(v)
     es_ref = ray.put(es_packed)
-    want_tuples = per_vertex or per_edge
+    mode = 2 if per_edge else (1 if per_vertex else 0)
     results = ray.get(
         [
             _close_wedges_task.remote(
                 u_ref, v_ref, es_ref, int(bounds[i]), int(bounds[i + 1]),
-                want_tuples,
+                mode,
             )
             for i in range(len(bounds) - 1)
         ]
     )
-    if not want_tuples:
+    if mode == 0:
         nt = sum(r[0] for r in results)
         return ray.data.from_arrow(
             pa.table({"triangles": pa.array([nt], pa.int64())})
@@ -1718,11 +1730,10 @@ def _triangles_broadcast(
             )
         )
     counts = np.zeros(nv, np.int64)
-    for _, tu, tv, tw in results:
-        if tu is not None:
-            counts += np.bincount(tu, minlength=nv)
-            counts += np.bincount(tv, minlength=nv)
-            counts += np.bincount(tw, minlength=nv)
+    for _, verts, cnts, _ in results:
+        if verts is not None:
+            # verts are unique within a task -> fancy-index add is exact
+            counts[verts] += cnts
     if with_degrees:
         # every graph vertex, with its undirected simple degree — the deg
         # array already exists from the orientation step (free here; a
