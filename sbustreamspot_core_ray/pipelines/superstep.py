@@ -1028,27 +1028,37 @@ def condensation_summary(
     n_src_covered = count_rows(distinct(ce.select_columns(["cs"]), ["cs"]))
     n_dst_covered = count_rows(distinct(ce.select_columns(["cd"]), ["cd"]))
 
-    sizes = (
-        scc.groupby("scc_id")
-        .count()
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "one": pa.array([t.num_rows], pa.int64()),
-                    "mx": pa.array(
-                        [
-                            int(
-                                t["count()"].to_numpy(zero_copy_only=False).max()
-                            )
-                            if t.num_rows
-                            else 0
-                        ],
-                        pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
+    # component count + max size via the hashed-key fold (a raw-key
+    # groupby(scc_id).count() is a V-scale sort-aggregate — the stall
+    # pattern recorded in BASELINE.md; the fold reduces to one row per
+    # partition)
+    def size_partials(t: pa.Table) -> pa.Table:
+        lbl = t["scc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(lbl, return_counts=True)
+        return pa.table(
+            {
+                "scc_id": u,
+                "n": c.astype(np.int64),
+                "__p": pa.array(part_of(u, num_partitions), pa.int32()),
+            }
         )
+
+    def size_fold(t: pa.Table) -> pa.Table:
+        lbl = t["scc_id"].to_numpy()
+        n = t["n"].to_numpy()
+        u, inv = np.unique(lbl, return_inverse=True)
+        s = np.bincount(inv, weights=n, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array([len(u)], pa.int64()),
+                "mx": pa.array([int(s.max()) if len(s) else 0], pa.int64()),
+            }
+        )
+
+    sizes = (
+        scc.map_batches(size_partials, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(size_fold, batch_format="pyarrow")
         .take_all()
     )
     n_sccs = sum(int(r["one"]) for r in sizes)
@@ -2301,12 +2311,12 @@ def triangle_count(
         )
         return pa.table({"vertex": v})
 
-    tri = (
-        closed.map_batches(explode, batch_format="pyarrow")
-        .groupby("vertex")
-        .count()
-        .rename_columns({"count()": "triangles"})
-    )
+    # count-per-vertex via the combiner+hashed-fold (int_degrees), not a
+    # raw-key V-scale sort-aggregate
+    tri = int_degrees(
+        closed.map_batches(explode, batch_format="pyarrow"),
+        num_parts=num_partitions,
+    ).rename_columns({"deg": "triangles"})
     if not with_degrees:
         return tri
     # deg (all graph vertices) is already materialized above — join the
