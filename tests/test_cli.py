@@ -104,3 +104,44 @@ def test_cli_rejects_empty_dataset():
             par=2,
             dataset="gfc",  # fixture gids are all scenario 0 -> filtered out
         )
+
+
+def test_linkgraph_job_end_to_end(tmp_path):
+    """The ray-job-submit driver: demo corpus -> all four kernels ->
+    resumable partitioned output; a rerun skips every finished partition."""
+    import importlib.util
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "linkgraph_job_under_test", os.path.join(root, "linkgraph_job.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    rc = m.main(
+        [
+            "--demo", corpus, "--demo-files", "400", "--output", out,
+            "--num-parts", "2", "--out-buckets", "2",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    metrics = json.load(open(os.path.join(out, "_METRICS.json")))
+    assert metrics["n_edge_rows"] > 0
+    assert set(metrics["pagerank_partitions"]["written"]) == {"0", "1"}
+    assert os.path.exists(os.path.join(out, "triangles.parquet"))
+    assert os.path.exists(
+        os.path.join(out, "pagerank", "bucket=0", "_SUCCESS")
+    )
+    # rerun: every partition skipped (resume contract)
+    rc = m.main(
+        ["--corpus", corpus, "--output", out, "--algos", "pagerank",
+         "--num-parts", "2", "--out-buckets", "2"]
+    )
+    assert rc == 0
+    metrics2 = json.load(open(os.path.join(out, "_METRICS.json")))
+    assert set(metrics2["pagerank_partitions"]["skipped"]) == {"0", "1"}
