@@ -802,6 +802,38 @@ def _q_cos(a: str, b: str) -> str:
     )
 
 
+def _knn_cosine_sql() -> str:
+    """Exact brute-force top-k oracle (also the ground truth inside
+    _ann_recall_sql)."""
+    return f"""
+WITH qe AS (SELECT vec_id, {_Q_EMB} AS q FROM embeddings),
+q AS (SELECT vec_id AS qid, q AS qq FROM qe WHERE vec_id < {KNN_NQ}),
+sims AS (
+  SELECT q.qid AS query_idx, e.vec_id,
+         {_q_cos('q.qq', 'e.q')} AS raw
+  FROM q, qe e
+)
+SELECT query_idx, vec_id, ROUND(raw, 6) AS cosine FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY raw DESC, vec_id) <= {KNN_K}
+"""
+
+
+def _ann_recall_sql() -> str:
+    """recall@k of each approximate index vs the exact ground truth:
+    integer overlap counts per query, one division by the literal k."""
+    parts = []
+    for method, sql in (("ivf", _knn_ivf_sql()), ("lsh", _knn_lsh_sql())):
+        parts.append(f"""
+SELECT '{method}' AS method, ex.query_idx,
+       CAST(COUNT(iv.vec_id) AS BIGINT) AS n_hits,
+       ROUND(CAST(COUNT(iv.vec_id) AS DOUBLE) / {KNN_K}, 6) AS recall
+FROM ({_knn_cosine_sql()}) ex
+LEFT JOIN ({sql}) iv
+  ON iv.query_idx = ex.query_idx AND iv.vec_id = ex.vec_id
+GROUP BY ex.query_idx""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def _knn_ivf_sql() -> str:
     """IVF in SQL over quantized integers: centroids embedded as quantized
     constants; assignment = argmax exact dot (tie -> lowest c), probes =
@@ -4234,6 +4266,33 @@ def q_knn_cosine(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_ann_recall(sf_dir: str):
+    """recall@k evaluation of BOTH approximate indexes (IVF, sign-LSH)
+    against the exact brute-force ground truth — the quality gate an ANN
+    deployment runs before trusting the scale path. Per (method, query):
+    integer overlap count and recall = n_hits / k (one exact division).
+    Composes the three existing pipelines; the SQL mirror composes their
+    three oracles identically."""
+    ex = q_knn_cosine(sf_dir)[["query_idx", "vec_id"]]
+    frames = []
+    for method, fn in (("ivf", q_knn_ivf), ("lsh", q_knn_lsh)):
+        ap = fn(sf_dir)[["query_idx", "vec_id"]].copy()
+        ap["hit"] = 1
+        m = ex.merge(ap, on=["query_idx", "vec_id"], how="left")
+        g = (
+            m.groupby("query_idx", as_index=False)["hit"]
+            .sum()
+            .rename(columns={"hit": "n_hits"})
+        )
+        g["n_hits"] = g["n_hits"].fillna(0).astype(np.int64)
+        g["method"] = method
+        g["recall"] = round_half_away(
+            g["n_hits"].to_numpy(np.float64) / KNN_K, 6
+        )
+        frames.append(g[["method", "query_idx", "n_hits", "recall"]])
+    return pd.concat(frames, ignore_index=True)
+
+
 IVF_NC = 8
 IVF_NPROBE = 3
 NEARDUP_PLANES = 4
@@ -4416,22 +4475,46 @@ def q_rich_club(sf_dir: str):
         und.map_batches(both_ends, batch_format="pyarrow"), num_parts=P
     ).materialize()
 
-    e1 = _attach_value(und, deg, "a", ["b"], "deg", "da", num_parts=P)
-    e2 = _attach_value(e1, deg, "b", ["a", "da"], "deg", "db", num_parts=P)
+    # two-regime degree lookup (triangle_count's pattern): below the
+    # threshold the V-scale (vertex, deg) table broadcasts once via
+    # ray.put and each edge batch resolves min(deg_a, deg_b) with two
+    # searchsorteds — ZERO extra shuffles; above it, fall back to the two
+    # co-partitioned attach joins (each one E-scale shuffle).
+    RICH_CLUB_BROADCAST_MAX = 20_000_000  # vertices (~320 MB of int64 pairs)
+    if deg.count() <= RICH_CLUB_BROADCAST_MAX:
+        dtab = deg.to_pandas()
+        vs = dtab["vertex"].to_numpy(np.int64)
+        ds_ = dtab["deg"].to_numpy(np.int64)
+        order = np.argsort(vs, kind="stable")
+        deg_ref = ray.put((vs[order], ds_[order]))
 
-    def min_hist(t: pa.Table) -> pa.Table:
-        m = np.minimum(t["da"].to_numpy(), t["db"].to_numpy())
-        u, c = np.unique(m, return_counts=True)
-        return pa.table({"m": u, "cnt": c.astype(np.int64)})
+        def min_hist_b(t: pa.Table) -> pa.Table:
+            verts, degs = ray.get(deg_ref)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            da = degs[np.searchsorted(verts, a)]
+            db = degs[np.searchsorted(verts, b)]
+            m = np.minimum(da, db)
+            u, c = np.unique(m, return_counts=True)
+            return pa.table({"m": u, "cnt": c.astype(np.int64)})
+
+        mh_rows = und.map_batches(min_hist_b, batch_format="pyarrow").take_all()
+    else:
+        e1 = _attach_value(und, deg, "a", ["b"], "deg", "da", num_parts=P)
+        e2 = _attach_value(e1, deg, "b", ["a", "da"], "deg", "db", num_parts=P)
+
+        def min_hist(t: pa.Table) -> pa.Table:
+            m = np.minimum(t["da"].to_numpy(), t["db"].to_numpy())
+            u, c = np.unique(m, return_counts=True)
+            return pa.table({"m": u, "cnt": c.astype(np.int64)})
+
+        mh_rows = e2.map_batches(min_hist, batch_format="pyarrow").take_all()
 
     def deg_hist(t: pa.Table) -> pa.Table:
         u, c = np.unique(t["deg"].to_numpy(), return_counts=True)
         return pa.table({"deg": u, "cnt": c.astype(np.int64)})
 
-    mh = pd.DataFrame(
-        e2.map_batches(min_hist, batch_format="pyarrow").take_all(),
-        columns=["m", "cnt"],
-    )
+    mh = pd.DataFrame(mh_rows, columns=["m", "cnt"])
     dh = pd.DataFrame(
         deg.map_batches(deg_hist, batch_format="pyarrow").take_all(),
         columns=["deg", "cnt"],
@@ -4995,6 +5078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
+        "ann_recall": q_ann_recall,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_dedup": q_embedding_dedup,
         "term_df": q_term_df,
@@ -6155,6 +6239,7 @@ FROM s3 ORDER BY doc_id
         "common_neighbors": _SQL_COMMON_NEIGHBORS,
         "knn_ivf": _knn_ivf_sql(),
         "knn_lsh": _knn_lsh_sql(),
+        "ann_recall": _ann_recall_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),
         "embedding_dedup": _embedding_dedup_sql(),
         "bm25_search": _bm25_sql(),
@@ -6271,15 +6356,5 @@ FROM documents d LEFT JOIN (
 SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """,
-        "knn_cosine": f"""
-WITH qe AS (SELECT vec_id, {_Q_EMB} AS q FROM embeddings),
-q AS (SELECT vec_id AS qid, q AS qq FROM qe WHERE vec_id < {KNN_NQ}),
-sims AS (
-  SELECT q.qid AS query_idx, e.vec_id,
-         {_q_cos('q.qq', 'e.q')} AS raw
-  FROM q, qe e
-)
-SELECT query_idx, vec_id, ROUND(raw, 6) AS cosine FROM sims
-QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY raw DESC, vec_id) <= {KNN_K}
-""",
+        "knn_cosine": _knn_cosine_sql(),
     }

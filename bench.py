@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "knn_cosine",
     "knn_ivf",
     "knn_lsh",
+    "ann_recall",
     "embedding_near_dup",
     "lsh_clusters",
     "ngram_jaccard",
