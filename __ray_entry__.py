@@ -3341,6 +3341,36 @@ def q_q14_promo_share(sf_dir: str):
     )
 
 
+Q19_BRACKETS = [
+    ("Brand#12", 1, 10, 1, 15),
+    ("Brand#13", 1, 20, 10, 25),
+    ("Brand#14", 1, 30, 20, 35),
+]
+
+
+def q_q19_brackets(sf_dir: str):
+    """TPC-H-Q19-shaped disjunctive predicate revenue: OR of
+    (brand, size-range, quantity-range) brackets spanning both join
+    sides. Part side ships a bracket bitmask per key; lineitem is folded
+    to (partkey, quantity, units) integer rows per block; one partkey
+    co-partition shuffle; exact integer units, one division."""
+    from sbustreamspot_core_ray.stages.relational import (
+        disjunctive_bracket_revenue,
+    )
+
+    return disjunctive_bracket_revenue(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+        ),
+        brackets=Q19_BRACKETS,
+        num_partitions=P,
+    )
+
+
 def q_revenue_rollup(sf_dir: str):
     """GROUP BY ROLLUP analog with explicit 'ALL' placeholder labels:
     nation level, region level, grand total — all re-aggregated from the
@@ -5023,6 +5053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_priority": q_q4_priority,
         "q12_priority_class": q_q12_priority_class,
         "q14_promo_share": q_q14_promo_share,
+        "q19_brackets": q_q19_brackets,
         "q5_local_supplier": q_q5_local_supplier,
         "copurchase_pairs": q_copurchase_pairs,
         "open_orders": q_open_orders,
@@ -5490,6 +5521,23 @@ WHERE epoch_us(o_orderdate) >= {Q4_LO_US}
               WHERE l_orderkey = o_orderkey AND l_returnflag = '{Q4_FLAG}')
 GROUP BY o_orderpriority
 """,
+        "q19_brackets": (
+            """
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+             AS BIGINT) AS u
+  FROM lineitem
+)
+SELECT ROUND(CAST(COALESCE(SUM(u), 0) AS DOUBLE) / 10000.0, 2) AS revenue
+FROM li JOIN part ON p_partkey = l_partkey
+WHERE """
+            + " OR ".join(
+                f"(p_brand = '{br}' AND p_size BETWEEN {slo} AND {shi}"
+                f" AND q BETWEEN {qlo} AND {qhi})"
+                for br, slo, shi, qlo, qhi in Q19_BRACKETS
+            )
+        ),
         "q12_priority_class": f"""
 SELECT l_linestatus,
        COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))

@@ -1344,3 +1344,130 @@ def promo_revenue_share(
             ),
         }
     )
+
+
+def disjunctive_bracket_revenue(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    brackets: list[tuple[str, int, int, int, int]],
+    num_partitions: int = 16,
+) -> "pa.Table":
+    """TPC-H-Q19-shaped disjunctive predicate revenue: total revenue of
+    lineitems matching ANY (brand, size range, quantity range) bracket —
+    the compound OR-of-ANDs predicate that spans both join sides.
+
+    Scale shape: the part side ships one BITMASK per partkey (which
+    brackets its brand/size satisfies); lineitem is combiner-shrunk per
+    block to (partkey, quantity, units) integer rows (quantity is integral
+    in this corpus — asserted); after the ONE partkey co-partition shuffle
+    each partition applies the per-bracket quantity windows against the
+    looked-up masks fully vectorized and emits a single unit sum. Driver
+    folds P scalars. Returns one row (revenue,) in exact integer units
+    divided once."""
+    import pyarrow.compute as pc
+
+    def part_pre(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        brand = t["p_brand"].to_pandas().to_numpy(object)
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.zeros(len(pk), np.int64)
+        for i, (br, slo, shi, _qlo, _qhi) in enumerate(brackets):
+            m = (brand == br) & (size >= slo) & (size <= shi)
+            mask |= m.astype(np.int64) << i
+        keep = mask != 0  # parts matching no bracket never contribute
+        return pa.table(
+            {
+                "key": pk[keep],
+                "qty": pa.array(mask[keep]),
+                "units": pa.array(np.zeros(int(keep.sum()), np.int64)),
+                "is_build": pa.array(np.ones(int(keep.sum()), bool)),
+                "__p": pa.array(part_of(pk[keep], num_partitions), pa.int32()),
+            }
+        )
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qf = t["l_quantity"].to_numpy(zero_copy_only=False)
+        q = np.floor(qf + 0.5).astype(np.int64)
+        assert np.all(q == qf), "l_quantity must be integral for the fold key"
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        if not len(pk):
+            return pa.table(
+                {
+                    "key": np.empty(0, np.int64),
+                    "qty": pa.array(np.empty(0, np.int64)),
+                    "units": pa.array(np.empty(0, np.int64)),
+                    "is_build": pa.array(np.empty(0, bool)),
+                    "__p": pa.array(np.empty(0, np.int32), pa.int32()),
+                }
+            )
+        qspan = int(q.max()) + 1
+        fold = pk * qspan + q
+        uk, inv = np.unique(fold, return_inverse=True)
+        su = np.bincount(inv, weights=units, minlength=len(uk)).astype(np.int64)
+        okey = uk // qspan
+        oq = uk % qspan
+        return pa.table(
+            {
+                "key": okey,
+                "qty": pa.array(oq),
+                "units": pa.array(su),
+                "is_build": pa.array(np.zeros(len(uk), bool)),
+                "__p": pa.array(part_of(okey, num_partitions), pa.int32()),
+            }
+        )
+
+    def kern(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        qty = t["qty"].to_numpy()
+        units = t["units"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        bk = key[build]
+        order_sorted = np.argsort(bk, kind="stable")
+        bk = bk[order_sorted]
+        bmask = qty[build][order_sorted]
+        sel = np.flatnonzero(~build)
+        k = key[sel]
+        if len(bk) and len(k):
+            idx = np.minimum(np.searchsorted(bk, k), len(bk) - 1)
+            hit = bk[idx] == k
+            sel, idx = sel[hit], idx[hit]
+        else:
+            sel, idx = sel[:0], np.empty(0, np.int64)
+        m = bmask[idx]
+        q = qty[sel]
+        keep = np.zeros(len(sel), bool)
+        for i, (_br, _slo, _shi, qlo, qhi) in enumerate(brackets):
+            keep |= (((m >> i) & 1) != 0) & (q >= qlo) & (q <= qhi)
+        return pa.table(
+            {"units": pa.array([int(units[sel][keep].sum())], pa.int64())}
+        )
+
+    parts = (
+        lineitem.select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(li_pre, batch_format="pyarrow")
+        .union(
+            part.select_columns(["p_partkey", "p_brand", "p_size"]).map_batches(
+                part_pre, batch_format="pyarrow"
+            )
+        )
+        .groupby("__p")
+        .map_groups(kern, batch_format="pyarrow")
+        .take_all()
+    )
+    total = int(sum(r["units"] for r in parts))
+    from ..functions.rounding import round_half_away
+
+    return pa.table(
+        {
+            "revenue": pa.array(
+                [float(round_half_away(np.float64(total) / 10000.0, 2))],
+                pa.float64(),
+            )
+        }
+    )
