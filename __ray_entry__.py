@@ -3341,6 +3341,116 @@ def q_q14_promo_share(sf_dir: str):
     )
 
 
+HH_TOPK = 5
+HH_MIN_WINDOWS = 3
+
+
+def q_persistent_hitters(sf_dir: str):
+    """Persistent heavy hitters: users ranked in the hourly top-K by event
+    count for at least M distinct hours — the cross-window frequent-item
+    miner (a CMS/top-k stream sketch's exact offline counterpart). Counts
+    fold per (hour, user) with block-local combiners and ONE hashed-pair
+    shuffle; the per-hour top-K cut reuses top_n_per_group (bounded K rows
+    per hour leave the kernel); the window-persistence fold runs on that
+    bounded table driver-side. All integers."""
+    import pyarrow.compute as pc
+
+    from sbustreamspot_core_ray.functions.hashing import part_of
+    from sbustreamspot_core_ray.stages.relational import top_n_per_group
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        user = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hh, hinv = np.unique(hour, return_inverse=True)
+        uu, uinv = np.unique(user, return_inverse=True)
+        key = hinv.astype(np.int64) * len(uu) + uinv
+        uk, kinv = np.unique(key, return_inverse=True)
+        n = np.bincount(kinv, minlength=len(uk)).astype(np.int64)
+        oh = hh[uk // len(uu)]
+        ou = uu[uk % len(uu)]
+        # collisions in the shuffle key only co-locate extra rows; the
+        # in-partition fold re-groups on the true (hour, user) pair
+        return pa.table(
+            {
+                "hour": oh,
+                "user_id": ou,
+                "cnt": n,
+                "__p": pa.array(part_of(oh * 1_000_003 + ou, P), pa.int32()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["hour", "user_id"], as_index=False)["cnt"].sum()
+        return g[["hour", "user_id", "cnt"]]
+
+    counts = (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+    )
+    ranked = top_n_per_group(
+        counts, "hour", "cnt", "user_id", n=HH_TOPK, num_parts=P
+    ).to_pandas()  # <= K rows per hour by construction
+    g = (
+        ranked.groupby("user_id", as_index=False)
+        .size()
+        .rename(columns={"size": "n_windows"})
+    )
+    g = g[g["n_windows"] >= HH_MIN_WINDOWS].reset_index(drop=True)
+    g["n_windows"] = g["n_windows"].astype(np.int64)
+    return g[["user_id", "n_windows"]]
+
+
+Q8_REGION = "ASIA"
+Q8_NATIONKEY = 12
+Q8_TYPE_PREFIX = "STANDARD"
+
+
+def q_q8_market_share(sf_dir: str):
+    """TPC-H-Q8-shaped national market share per order-year: four
+    sequential co-partition joins (partkey type semi, suppkey nation
+    attach, orderkey year/custkey attach, custkey region semi), each
+    combiner-folded before the next shuffle; exact integer units; the
+    25-row region dim resolves driver-side."""
+    from sbustreamspot_core_ray.stages.relational import market_share
+
+    dim = _nation_region_dim(sf_dir)
+    region_keys = (
+        dim.filter(pa.compute.equal(dim["r_name"], Q8_REGION))["n_nationkey"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    return market_share(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_partkey", "l_orderkey", "l_suppkey",
+                "l_extendedprice", "l_discount",
+            ],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        type_prefix=Q8_TYPE_PREFIX,
+        target_nationkey=Q8_NATIONKEY,
+        region_nationkeys=region_keys,
+        num_partitions=P,
+    )
+
+
 Q19_BRACKETS = [
     ("Brand#12", 1, 10, 1, 15),
     ("Brand#13", 1, 20, 10, 25),
@@ -5054,6 +5164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_class": q_q12_priority_class,
         "q14_promo_share": q_q14_promo_share,
         "q19_brackets": q_q19_brackets,
+        "q8_market_share": q_q8_market_share,
+        "persistent_hitters": q_persistent_hitters,
         "q5_local_supplier": q_q5_local_supplier,
         "copurchase_pairs": q_copurchase_pairs,
         "open_orders": q_open_orders,
@@ -5538,6 +5650,48 @@ WHERE """
                 for br, slo, shi, qlo, qhi in Q19_BRACKETS
             )
         ),
+        "persistent_hitters": f"""
+WITH c AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour, user_id,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT hour, user_id,
+         ROW_NUMBER() OVER (PARTITION BY hour ORDER BY cnt DESC, user_id)
+           AS rn
+  FROM c
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM r WHERE rn <= {HH_TOPK}
+GROUP BY user_id HAVING COUNT(*) >= {HH_MIN_WINDOWS}
+""",
+        "q8_market_share": f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+             AS BIGINT) AS u
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type LIKE '{Q8_TYPE_PREFIX}%'
+),
+j AS (
+  SELECT year(o_orderdate) AS o_year, u,
+         CASE WHEN s_nationkey = {Q8_NATIONKEY} THEN u ELSE 0 END AS tu
+  FROM li
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = '{Q8_REGION}'
+)
+SELECT o_year,
+       ROUND(CAST(SUM(tu) AS DOUBLE) / 10000.0, 2) AS nation_revenue,
+       ROUND(CAST(SUM(u) AS DOUBLE) / 10000.0, 2) AS total_revenue,
+       ROUND(100.0 * CAST(SUM(tu) AS DOUBLE) / CAST(SUM(u) AS DOUBLE), 6)
+         AS mkt_share
+FROM j GROUP BY o_year
+""",
         "q12_priority_class": f"""
 SELECT l_linestatus,
        COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))

@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "q4_priority",
     "q12_priority_class",
     "q14_promo_share",
+    "q19_brackets",
+    "q8_market_share",
+    "persistent_hitters",
     "rich_club",
     "chunk_dedup",
     "wau_rolling",

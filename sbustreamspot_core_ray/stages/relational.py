@@ -1471,3 +1471,247 @@ def disjunctive_bracket_revenue(
             )
         }
     )
+
+
+def market_share(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    type_prefix: str,
+    target_nationkey: int,
+    region_nationkeys: "np.ndarray",
+    num_partitions: int = 16,
+) -> "pa.Table":
+    """TPC-H-Q8-shaped national market share: per order-year, the share of
+    revenue (parts of one type, sold to customers of one region) supplied
+    by one target nation — the four-join chain
+    lineitem x part x supplier x orders x customer.
+
+    Scale shape: four sequential union-with-marker co-partition stages,
+    each ONE cheap-key shuffle (partkey, suppkey, orderkey, custkey) with
+    a vectorized searchsorted kernel, and each stage combiner-folds its
+    output before the next shuffle (per (orderkey, suppkey), per orderkey,
+    per (custkey, year), per year) so volume shrinks monotonically along
+    the chain. All revenue is exact 1e-4 integer units; the single share
+    division per year happens driver-side over the bounded years table."""
+    import pyarrow.compute as pc
+
+    region_set = np.sort(np.asarray(region_nationkeys, np.int64))
+
+    def _empty():
+        return pa.table(
+            {
+                "key": np.empty(0, np.int64),
+                "v1": pa.array(np.empty(0, np.int64)),
+                "v2": pa.array(np.empty(0, np.int64)),
+                "v3": pa.array(np.empty(0, np.int64)),
+                "is_build": pa.array(np.empty(0, bool)),
+                "__p": pa.array(np.empty(0, np.int32), pa.int32()),
+            }
+        )
+
+    def _tbl(key, v1, v2, v3, build):
+        return pa.table(
+            {
+                "key": key,
+                "v1": pa.array(v1),
+                "v2": pa.array(v2),
+                "v3": pa.array(v3),
+                "is_build": pa.array(
+                    np.full(len(key), build, bool)
+                ),
+                "__p": pa.array(part_of(key, num_partitions), pa.int32()),
+            }
+        )
+
+    def _probe(t: pa.Table):
+        """Split a merged partition into sorted build keys + probe rows."""
+        key = t["key"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        bsel = np.flatnonzero(build)
+        order_sorted = bsel[np.argsort(key[bsel], kind="stable")]
+        bk = key[order_sorted]
+        sel = np.flatnonzero(~build)
+        k = key[sel]
+        if len(bk) and len(k):
+            idx = np.minimum(np.searchsorted(bk, k), len(bk) - 1)
+            hit = bk[idx] == k
+            sel, idx = sel[hit], idx[hit]
+        else:
+            sel, idx = sel[:0], np.empty(0, np.int64)
+        return t, sel, order_sorted[idx]
+
+    # --- stage A: partkey semi (type prefix) ----------------------------
+    def part_pre(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.starts_with(t["p_type"], type_prefix))
+        pk = f["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(pk), np.int64)
+        return _tbl(pk, z, z, z, True)
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(pk):
+            return _empty()
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        return _tbl(pk, ok, sk, units, False)
+
+    def kern_a(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t, sel, _ = _probe(t)
+        df = pd.DataFrame(
+            {
+                "key": t["v2"].to_numpy()[sel],  # suppkey becomes the key
+                "v1": t["v1"].to_numpy()[sel],   # orderkey rides along
+                "v3": t["v3"].to_numpy()[sel],   # units
+            }
+        )
+        g = df.groupby(["key", "v1"], as_index=False)["v3"].sum()
+        key = g["key"].to_numpy(np.int64)
+        z = np.zeros(len(key), np.int64)
+        return _tbl(key, g["v1"].to_numpy(np.int64), z, g["v3"].to_numpy(np.int64), False)
+
+    a_out = (
+        lineitem.select_columns(
+            ["l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(li_pre, batch_format="pyarrow")
+        .union(
+            part.select_columns(["p_partkey", "p_type"]).map_batches(
+                part_pre, batch_format="pyarrow"
+            )
+        )
+        .groupby("__p")
+        .map_groups(kern_a, batch_format="pyarrow")
+    )
+
+    # --- stage B: suppkey join -> target flag ---------------------------
+    def supp_pre(t: pa.Table) -> pa.Table:
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nat = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(sk), np.int64)
+        return _tbl(sk, nat, z, z, True)
+
+    def kern_b(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t, sel, bidx = _probe(t)
+        nat = t["v1"].to_numpy()[bidx]
+        ok = t["v1"].to_numpy()[sel]
+        units = t["v3"].to_numpy()[sel]
+        tun = np.where(nat == target_nationkey, units, 0)
+        df = pd.DataFrame({"key": ok, "u": units, "tu": tun})
+        g = df.groupby("key", as_index=False)[["u", "tu"]].sum()
+        key = g["key"].to_numpy(np.int64)
+        return _tbl(
+            key, g["u"].to_numpy(np.int64), g["tu"].to_numpy(np.int64),
+            np.zeros(len(key), np.int64), False,
+        )
+
+    b_out = (
+        a_out.union(
+            supplier.select_columns(["s_suppkey", "s_nationkey"]).map_batches(
+                supp_pre, batch_format="pyarrow"
+            )
+        )
+        .groupby("__p")
+        .map_groups(kern_b, batch_format="pyarrow")
+    )
+
+    # --- stage C: orderkey join -> (custkey, year) ----------------------
+    def ord_pre(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        yr = 1970 + t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[Y]"
+        ).astype(np.int64)
+        return _tbl(ok, ck, yr, np.zeros(len(ok), np.int64), True)
+
+    def kern_c(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t, sel, bidx = _probe(t)
+        ck = t["v1"].to_numpy()[bidx]
+        yr = t["v2"].to_numpy()[bidx]
+        u = t["v1"].to_numpy()[sel]
+        tu = t["v2"].to_numpy()[sel]
+        df = pd.DataFrame({"key": ck, "yr": yr, "u": u, "tu": tu})
+        g = df.groupby(["key", "yr"], as_index=False)[["u", "tu"]].sum()
+        key = g["key"].to_numpy(np.int64)
+        return _tbl(
+            key, g["yr"].to_numpy(np.int64), g["u"].to_numpy(np.int64),
+            g["tu"].to_numpy(np.int64), False,
+        )
+
+    c_out = (
+        b_out.union(
+            orders.select_columns(
+                ["o_orderkey", "o_custkey", "o_orderdate"]
+            ).map_batches(ord_pre, batch_format="pyarrow")
+        )
+        .groupby("__p")
+        .map_groups(kern_c, batch_format="pyarrow")
+    )
+
+    # --- stage D: custkey region semi -> per-year partials --------------
+    def cust_pre(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(nk, region_set)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        z = np.zeros(len(ck), np.int64)
+        return _tbl(ck, z, z, z, True)
+
+    def kern_d(t: pa.Table) -> pa.Table:
+        t, sel, _ = _probe(t)
+        yr = t["v1"].to_numpy()[sel]
+        u = t["v2"].to_numpy()[sel]
+        tu = t["v3"].to_numpy()[sel]
+        yu, inv = np.unique(yr, return_inverse=True)
+        su = np.bincount(inv, weights=u, minlength=len(yu)).astype(np.int64)
+        st = np.bincount(inv, weights=tu, minlength=len(yu)).astype(np.int64)
+        return pa.table({"yr": yu, "u": su, "tu": st})
+
+    parts = (
+        c_out.union(
+            customer.select_columns(["c_custkey", "c_nationkey"]).map_batches(
+                cust_pre, batch_format="pyarrow"
+            )
+        )
+        .groupby("__p")
+        .map_groups(kern_d, batch_format="pyarrow")
+        .take_all()
+    )
+    yr = np.array([r["yr"] for r in parts], np.int64)
+    u = np.array([r["u"] for r in parts], np.int64)
+    tu = np.array([r["tu"] for r in parts], np.int64)
+    yu, inv = np.unique(yr, return_inverse=True)
+    su = np.bincount(inv, weights=u, minlength=len(yu)).astype(np.int64)
+    st = np.bincount(inv, weights=tu, minlength=len(yu)).astype(np.int64)
+    keep = su > 0
+    yu, su, st = yu[keep], su[keep], st[keep]
+    from ..functions.rounding import round_half_away
+
+    return pa.table(
+        {
+            "o_year": pa.array(yu, pa.int64()),
+            "nation_revenue": pa.array(
+                round_half_away(st.astype(np.float64) / 10000.0, 2), pa.float64()
+            ),
+            "total_revenue": pa.array(
+                round_half_away(su.astype(np.float64) / 10000.0, 2), pa.float64()
+            ),
+            "mkt_share": pa.array(
+                round_half_away(
+                    100.0 * st.astype(np.float64) / su.astype(np.float64), 6
+                ),
+                pa.float64(),
+            ),
+        }
+    )
