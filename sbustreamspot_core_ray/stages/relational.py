@@ -1578,19 +1578,68 @@ def market_share(
         z = np.zeros(len(key), np.int64)
         return _tbl(key, g["v1"].to_numpy(np.int64), z, g["v3"].to_numpy(np.int64), False)
 
-    a_out = (
-        lineitem.select_columns(
-            ["l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
-        )
-        .map_batches(li_pre, batch_format="pyarrow")
-        .union(
-            part.select_columns(["p_partkey", "p_type"]).map_batches(
-                part_pre, batch_format="pyarrow"
-            )
-        )
-        .groupby("__p")
-        .map_groups(kern_a, batch_format="pyarrow")
+    # Broadcast regime for the two dimension sides (rich_club's pattern):
+    # part and supplier are dims an order of magnitude below the fact
+    # table; below the threshold their key arrays broadcast once via
+    # ray.put and stages A/B become map-side (NO shuffle of raw lineitem
+    # rows). Above it, the union-marker co-partition path below runs.
+    MS_BROADCAST_MAX = 20_000_000
+
+    li_proj = lineitem.select_columns(
+        ["l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     )
+    part_small = part.count() <= MS_BROADCAST_MAX
+    supp_small = supplier.count() <= MS_BROADCAST_MAX
+
+    if part_small:
+        pk_rows = (
+            part.select_columns(["p_partkey", "p_type"])
+            .map_batches(part_pre, batch_format="pyarrow")
+            .select_columns(["key"])
+            .take_all()
+        )
+        pkeys_ref = ray.put(
+            np.sort(np.array([r["key"] for r in pk_rows], np.int64))
+        )
+
+        def a_map(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            raw = li_pre(t)
+            pkeys = ray.get(pkeys_ref)
+            k = raw["key"].to_numpy()
+            if len(pkeys) and len(k):
+                idx = np.minimum(np.searchsorted(pkeys, k), len(pkeys) - 1)
+                keep = pkeys[idx] == k
+            else:
+                keep = np.zeros(len(k), bool)
+            df = pd.DataFrame(
+                {
+                    "key": raw["v2"].to_numpy()[keep],  # suppkey
+                    "v1": raw["v1"].to_numpy()[keep],   # orderkey
+                    "v3": raw["v3"].to_numpy()[keep],   # units
+                }
+            )
+            g = df.groupby(["key", "v1"], as_index=False)["v3"].sum()
+            key = g["key"].to_numpy(np.int64)
+            z = np.zeros(len(key), np.int64)
+            return _tbl(
+                key, g["v1"].to_numpy(np.int64), z, g["v3"].to_numpy(np.int64),
+                False,
+            )
+
+        a_out = li_proj.map_batches(a_map, batch_format="pyarrow")
+    else:
+        a_out = (
+            li_proj.map_batches(li_pre, batch_format="pyarrow")
+            .union(
+                part.select_columns(["p_partkey", "p_type"]).map_batches(
+                    part_pre, batch_format="pyarrow"
+                )
+            )
+            .groupby("__p")
+            .map_groups(kern_a, batch_format="pyarrow")
+        )
 
     # --- stage B: suppkey join -> target flag ---------------------------
     def supp_pre(t: pa.Table) -> pa.Table:
@@ -1615,15 +1664,52 @@ def market_share(
             np.zeros(len(key), np.int64), False,
         )
 
-    b_out = (
-        a_out.union(
-            supplier.select_columns(["s_suppkey", "s_nationkey"]).map_batches(
-                supp_pre, batch_format="pyarrow"
-            )
+    if supp_small:
+        sp_rows = (
+            supplier.select_columns(["s_suppkey", "s_nationkey"])
+            .map_batches(supp_pre, batch_format="pyarrow")
+            .select_columns(["key", "v1"])
+            .take_all()
         )
-        .groupby("__p")
-        .map_groups(kern_b, batch_format="pyarrow")
-    )
+        sk_arr = np.array([r["key"] for r in sp_rows], np.int64)
+        nat_arr = np.array([r["v1"] for r in sp_rows], np.int64)
+        order_s = np.argsort(sk_arr, kind="stable")
+        supp_ref = ray.put((sk_arr[order_s], nat_arr[order_s]))
+
+        def b_map(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            sk, nat_s = ray.get(supp_ref)
+            k = t["key"].to_numpy()
+            if len(sk) and len(k):
+                idx = np.minimum(np.searchsorted(sk, k), len(sk) - 1)
+                keep = sk[idx] == k
+            else:
+                idx = np.zeros(len(k), np.int64)
+                keep = np.zeros(len(k), bool)
+            nat = nat_s[idx[keep]] if keep.any() else np.empty(0, np.int64)
+            ok = t["v1"].to_numpy()[keep]
+            units = t["v3"].to_numpy()[keep]
+            tun = np.where(nat == target_nationkey, units, 0)
+            df = pd.DataFrame({"key": ok, "u": units, "tu": tun})
+            g = df.groupby("key", as_index=False)[["u", "tu"]].sum()
+            key = g["key"].to_numpy(np.int64)
+            return _tbl(
+                key, g["u"].to_numpy(np.int64), g["tu"].to_numpy(np.int64),
+                np.zeros(len(key), np.int64), False,
+            )
+
+        b_out = a_out.map_batches(b_map, batch_format="pyarrow")
+    else:
+        b_out = (
+            a_out.union(
+                supplier.select_columns(["s_suppkey", "s_nationkey"]).map_batches(
+                    supp_pre, batch_format="pyarrow"
+                )
+            )
+            .groupby("__p")
+            .map_groups(kern_b, batch_format="pyarrow")
+        )
 
     # --- stage C: orderkey join -> (custkey, year) ----------------------
     def ord_pre(t: pa.Table) -> pa.Table:
