@@ -1483,6 +1483,7 @@ def market_share(
     target_nationkey: int,
     region_nationkeys: "np.ndarray",
     num_partitions: int = 16,
+    broadcast_max: int = 20_000_000,
 ) -> "pa.Table":
     """TPC-H-Q8-shaped national market share: per order-year, the share of
     revenue (parts of one type, sold to customers of one region) supplied
@@ -1583,7 +1584,7 @@ def market_share(
     # table; below the threshold their key arrays broadcast once via
     # ray.put and stages A/B become map-side (NO shuffle of raw lineitem
     # rows). Above it, the union-marker co-partition path below runs.
-    MS_BROADCAST_MAX = 20_000_000
+    MS_BROADCAST_MAX = broadcast_max
 
     li_proj = lineitem.select_columns(
         ["l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]

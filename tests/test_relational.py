@@ -405,3 +405,77 @@ def test_promo_revenue_share():
     assert abs(out.loc[199602, "promo_share"] - round(100 * 100 / 150, 6)) < 1e-9
     # 199603: promo 50 (part10) + 200 (part12) = 250, total 250
     assert out.loc[199603, "promo_share"] == 100.0
+
+
+def test_market_share_both_regimes_agree():
+    from sbustreamspot_core_ray.stages.relational import market_share
+
+    lineitem = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 2, 3], pa.int64()),
+                "l_orderkey": pa.array([10, 11, 10, 12], pa.int64()),
+                "l_suppkey": pa.array([100, 101, 100, 101], pa.int64()),
+                "l_extendedprice": pa.array([100.0, 200.0, 50.0, 80.0]),
+                "l_discount": pa.array([0.0, 0.0, 0.0, 0.5]),
+            }
+        )
+    )
+    part = ray.data.from_arrow(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3], pa.int64()),
+                # part 3 is the wrong type -> order 12 drops out
+                "p_type": pa.array(["STANDARD A", "STANDARD B", "ECONOMY C"]),
+            }
+        )
+    )
+    supplier = ray.data.from_arrow(
+        pa.table(
+            {
+                "s_suppkey": pa.array([100, 101], pa.int64()),
+                "s_nationkey": pa.array([7, 8], pa.int32()),
+            }
+        )
+    )
+    orders = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                "o_custkey": pa.array([1000, 1001, 1000], pa.int64()),
+                "o_orderdate": _ts_us(["1996-03-01", "1997-03-01", "1996-05-01"]),
+            }
+        )
+    )
+    customer = ray.data.from_arrow(
+        pa.table(
+            {
+                "c_custkey": pa.array([1000, 1001], pa.int64()),
+                # 1001 outside the region -> order 11 drops out
+                "c_nationkey": pa.array([7, 3], pa.int32()),
+            }
+        )
+    )
+    kwargs = dict(
+        type_prefix="STANDARD",
+        target_nationkey=7,
+        region_nationkeys=np.array([7, 12], np.int64),
+        num_partitions=2,
+    )
+    bcast = market_share(
+        lineitem, part, supplier, orders, customer, **kwargs
+    ).to_pandas()
+    shuf = market_share(
+        lineitem, part, supplier, orders, customer, broadcast_max=0, **kwargs
+    ).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        bcast.sort_values("o_year").reset_index(drop=True),
+        shuf.sort_values("o_year").reset_index(drop=True),
+    )
+    # 1996: order 10 only (100 + 50 revenue, all from nation 7)
+    r = bcast.set_index("o_year")
+    assert r.loc[1996, "total_revenue"] == 150.0
+    assert r.loc[1996, "mkt_share"] == 100.0
+    assert 1997 not in r.index  # order 11's customer is outside the region
