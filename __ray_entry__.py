@@ -3451,6 +3451,110 @@ def q_q8_market_share(sf_dir: str):
     )
 
 
+Q16_EXCLUDE_PREFIX = "PROMO"
+
+
+def q_q16_supplier_counts(sf_dir: str):
+    """TPC-H-Q16-shaped exact COUNT(DISTINCT) aggregate: distinct
+    suppliers per (brand, size) over parts NOT of an excluded type.
+    Distinct (partkey, suppkey) pairs fold through one hashed-pair
+    shuffle; the part dim broadcasts (documented dim-regime bound — the
+    co-partition attach pattern of market_share applies above it); the
+    (brand, size, suppkey) triples then dedup through a second hashed
+    shuffle so per-partition partial counts sum to the exact global
+    distinct count."""
+    import pyarrow.compute as pc
+
+    from sbustreamspot_core_ray.functions.hashing import part_of
+
+    import pyarrow.parquet as pq
+
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size", "p_type"],
+    ).to_pandas()
+    pt = pt[~pt["p_type"].str.startswith(Q16_EXCLUDE_PREFIX)]
+    brands, bidx = np.unique(pt["p_brand"].to_numpy(object), return_inverse=True)
+    pk = pt["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(pk, kind="stable")
+    dim_ref = ray.put(
+        (
+            pk[order],
+            bidx.astype(np.int64)[order],
+            pt["p_size"].to_numpy(np.int64)[order],
+        )
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = lp * 1_000_000_007 + ls  # composite; collisions impossible (sk < 1e9)
+        u = np.unique(c)
+        opk = u // 1_000_000_007
+        osk = u % 1_000_000_007
+        return pa.table(
+            {
+                "pk": opk,
+                "sk": osk,
+                "__p": pa.array(part_of(u, P), pa.int32()),
+            }
+        )
+
+    def triple_partials(t: pa.Table) -> pa.Table:
+        pkv, bv, sv = ray.get(dim_ref)
+        k = t["pk"].to_numpy()
+        sk = t["sk"].to_numpy()
+        # dedup (pk, sk) within the partition, then attach (brand, size)
+        c = k * 1_000_000_007 + sk
+        u = np.unique(c)
+        k = u // 1_000_000_007
+        sk = u % 1_000_000_007
+        if len(pkv) and len(k):
+            idx = np.minimum(np.searchsorted(pkv, k), len(pkv) - 1)
+            hit = pkv[idx] == k
+        else:
+            idx = np.zeros(len(k), np.int64)
+            hit = np.zeros(len(k), bool)
+        b = bv[idx[hit]] if hit.any() else np.empty(0, np.int64)
+        sz = sv[idx[hit]] if hit.any() else np.empty(0, np.int64)
+        sk = sk[hit]
+        # triple key: (brand, size, suppkey) — route all copies together
+        tk = (b * 100 + sz) * 1_000_000_007 + sk
+        return pa.table(
+            {"tk": tk, "__p": pa.array(part_of(tk, P), pa.int32())}
+        )
+
+    def count_fold(t: pa.Table) -> pa.Table:
+        u = np.unique(t["tk"].to_numpy())
+        g = u // 1_000_000_007
+        gu, cnt = np.unique(g, return_counts=True)
+        return pa.table(
+            {"g": gu, "supplier_cnt": cnt.astype(np.int64)}
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    parts = (
+        ev.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(triple_partials, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(count_fold, batch_format="pyarrow")
+        .take_all()
+    )
+    df = pd.DataFrame(parts, columns=["g", "supplier_cnt"])
+    g = df.groupby("g", as_index=False)["supplier_cnt"].sum()
+    gv = g["g"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "p_brand": brands[gv // 100],
+            "p_size": (gv % 100).astype(np.int64),
+            "supplier_cnt": g["supplier_cnt"].to_numpy(np.int64),
+        }
+    )
+
+
 Q19_BRACKETS = [
     ("Brand#12", 1, 10, 1, 15),
     ("Brand#13", 1, 20, 10, 25),
@@ -5165,6 +5269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_share": q_q14_promo_share,
         "q19_brackets": q_q19_brackets,
         "q8_market_share": q_q8_market_share,
+        "q16_supplier_counts": q_q16_supplier_counts,
         "persistent_hitters": q_persistent_hitters,
         "q5_local_supplier": q_q5_local_supplier,
         "copurchase_pairs": q_copurchase_pairs,
@@ -5691,6 +5796,17 @@ SELECT o_year,
        ROUND(100.0 * CAST(SUM(tu) AS DOUBLE) / CAST(SUM(u) AS DOUBLE), 6)
          AS mkt_share
 FROM j GROUP BY o_year
+""",
+        "q16_supplier_counts": f"""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+j AS (
+  SELECT p_brand, p_size, l_suppkey
+  FROM ps JOIN part ON p_partkey = l_partkey
+  WHERE p_type NOT LIKE '{Q16_EXCLUDE_PREFIX}%'
+)
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM j GROUP BY p_brand, p_size
 """,
         "q12_priority_class": f"""
 SELECT l_linestatus,

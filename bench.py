@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "q14_promo_share",
     "q19_brackets",
     "q8_market_share",
+    "q16_supplier_counts",
     "persistent_hitters",
     "rich_club",
     "chunk_dedup",
