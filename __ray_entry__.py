@@ -3451,6 +3451,93 @@ def q_q8_market_share(sf_dir: str):
     )
 
 
+Q22_RECENT_US = 915_148_800_000_000  # 1999-01-01
+
+
+def q_q22_idle_balances(sf_dir: str):
+    """TPC-H-Q22-shaped 'global-customer-relationship' query: customers
+    with above-average positive balance and NO RECENT orders (none since
+    the cutoff), counted per nation. The scalar-subquery average comparison is denominator-cleared
+    (cents * N > total_cents — exact integer cross-multiply, no float
+    average); the no-orders predicate is the house anti-join; per-nation
+    partials are bounded (<= 25 rows per batch)."""
+    import pyarrow.compute as pc
+
+    from sbustreamspot_core_ray.stages.relational import anti_join_keys
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def bal_partials(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        pos = cents > 0
+        return pa.table(
+            {
+                "n": pa.array([int(pos.sum())], pa.int64()),
+                "s": pa.array([int(cents[pos].sum())], pa.int64()),
+            }
+        )
+
+    stats = cust.map_batches(bal_partials, batch_format="pyarrow").take_all()
+    n_pos = sum(int(r["n"]) for r in stats)
+    s_pos = sum(int(r["s"]) for r in stats)
+
+    def above_avg(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        keep = (cents > 0) & (cents * n_pos > s_pos)
+        return pa.table(
+            {
+                "custkey": pc.cast(t["c_custkey"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "c_nationkey": pa.array(
+                    t["c_nationkey"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[keep]
+                ),
+                "cents": pa.array(cents[keep]),
+            }
+        )
+
+    candidates = cust.map_batches(above_avg, batch_format="pyarrow")
+    def recent_keys(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"], pa.int64())
+        f = t.filter(pc.greater_equal(od, pa.scalar(Q22_RECENT_US, pa.int64())))
+        return pa.table({"custkey": pc.cast(f["o_custkey"], pa.int64())})
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(recent_keys, batch_format="pyarrow")
+    idle = anti_join_keys(candidates, ords, "custkey", num_partitions=P)
+
+    def nation_partials(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy()
+        cents = t["cents"].to_numpy()
+        u, inv = np.unique(nk, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        s = np.bincount(inv, weights=cents, minlength=len(u)).astype(np.int64)
+        return pa.table({"c_nationkey": u, "n_cust": n, "cents": s})
+
+    parts = idle.map_batches(nation_partials, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(parts, columns=["c_nationkey", "n_cust", "cents"])
+    g = df.groupby("c_nationkey", as_index=False)[["n_cust", "cents"]].sum()
+    return pd.DataFrame(
+        {
+            "c_nationkey": g["c_nationkey"].to_numpy(np.int64),
+            "n_cust": g["n_cust"].to_numpy(np.int64),
+            "total_acctbal": round_half_away(
+                g["cents"].to_numpy(np.float64) / 100.0, 2
+            ),
+        }
+    )
+
+
 Q16_EXCLUDE_PREFIX = "PROMO"
 
 
@@ -5270,6 +5357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_brackets": q_q19_brackets,
         "q8_market_share": q_q8_market_share,
         "q16_supplier_counts": q_q16_supplier_counts,
+        "q22_idle_balances": q_q22_idle_balances,
         "persistent_hitters": q_persistent_hitters,
         "q5_local_supplier": q_q5_local_supplier,
         "copurchase_pairs": q_copurchase_pairs,
@@ -5807,6 +5895,24 @@ j AS (
 SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
 FROM j GROUP BY p_brand, p_size
+""",
+        "q22_idle_balances": """
+WITH pos AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM customer WHERE floor(c_acctbal * 100.0 + 0.5) > 0
+),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(cents) AS s FROM pos),
+sel AS (
+  SELECT p.c_nationkey, p.cents FROM pos p, stats
+  WHERE p.cents * stats.n > stats.s
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+                    AND epoch_us(o.o_orderdate) >= 915148800000000)
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS total_acctbal
+FROM sel GROUP BY c_nationkey
 """,
         "q12_priority_class": f"""
 SELECT l_linestatus,

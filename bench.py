@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "q19_brackets",
     "q8_market_share",
     "q16_supplier_counts",
+    "q22_idle_balances",
     "persistent_hitters",
     "rich_club",
     "chunk_dedup",
