@@ -3538,6 +3538,134 @@ def q_q22_idle_balances(sf_dir: str):
     )
 
 
+def q_q13_order_counts(sf_dir: str):
+    """TPC-H-Q13-shaped customer-order-count distribution INCLUDING the
+    zero class: per order count c, how many customers placed exactly c
+    orders. Per-custkey counts fold through one hashed shuffle into
+    bounded per-partition histograms; the zero class is total customers
+    minus ordering customers (two scalar aggregates) — the left-join-with-
+    zeros shape without materializing the join."""
+    import pyarrow.compute as pc
+
+    from sbustreamspot_core_ray.functions.hashing import part_of
+
+    ords = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "ck": u,
+                "n": c.astype(np.int64),
+                "__p": pa.array(part_of(u, P), pa.int32()),
+            }
+        )
+
+    def hist(t: pa.Table) -> pa.Table:
+        ck = t["ck"].to_numpy()
+        n = t["n"].to_numpy()
+        u, inv = np.unique(ck, return_inverse=True)
+        s = np.bincount(inv, weights=n, minlength=len(u)).astype(np.int64)
+        cu, cc = np.unique(s, return_counts=True)
+        return pa.table(
+            {"c_count": cu, "custdist": cc.astype(np.int64)}
+        )
+
+    parts = (
+        ords.map_batches(partials, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(hist, batch_format="pyarrow")
+        .take_all()
+    )
+    df = pd.DataFrame(parts, columns=["c_count", "custdist"])
+    g = df.groupby("c_count", as_index=False)["custdist"].sum()
+    # zero class: every ordering customer appears in exactly one c_count
+    # bucket, so total customers minus the histogram mass is the zeros
+    ordering = int(g["custdist"].sum())
+    total_cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    zero = total_cust - ordering
+    out = pd.concat(
+        [
+            pd.DataFrame({"c_count": [0], "custdist": [zero]}),
+            g[["c_count", "custdist"]],
+        ],
+        ignore_index=True,
+    )
+    out = out[out["custdist"] > 0].reset_index(drop=True)
+    out["c_count"] = out["c_count"].astype(np.int64)
+    out["custdist"] = out["custdist"].astype(np.int64)
+    return out
+
+
+def q_q17_small_orders(sf_dir: str):
+    """TPC-H-Q17-shaped small-quantity revenue: revenue of lineitems whose
+    quantity is below 20% of their part's average quantity. The per-part
+    scalar subquery is denominator-cleared: qty < 0.2 * (sum/n) becomes
+    5*qty*n < sum in exact int64 (quantities are integral) — no float
+    average on either side. One hashed partkey shuffle carries block-level
+    (partkey, qty, units, count) partials; each partition emits one
+    integer (revenue, count) pair."""
+    import pyarrow.compute as pc
+
+    from sbustreamspot_core_ray.functions.hashing import part_of
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qf = t["l_quantity"].to_numpy(zero_copy_only=False)
+        q = np.floor(qf + 0.5).astype(np.int64)
+        assert np.all(q == qf), "l_quantity must be integral"
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pk,
+                "q": pa.array(q),
+                "units": pa.array(units),
+                "__p": pa.array(part_of(pk, P), pa.int32()),
+            }
+        )
+
+    def kern(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy()
+        q = t["q"].to_numpy()
+        units = t["units"].to_numpy()
+        u, inv = np.unique(pk, return_inverse=True)
+        sq = np.bincount(inv, weights=q, minlength=len(u)).astype(np.int64)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        keep = 5 * q * n[inv] < sq[inv]
+        return pa.table(
+            {
+                "units": pa.array([int(units[keep].sum())], pa.int64()),
+                "n_rows": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        li.map_batches(pre, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kern, batch_format="pyarrow")
+        .take_all()
+    )
+    total = int(sum(r["units"] for r in parts))
+    nrows = int(sum(r["n_rows"] for r in parts))
+    return pd.DataFrame(
+        {
+            "small_revenue": [round_half_away(np.float64(total) / 10000.0, 2)],
+            "n_lineitems": np.array([nrows], np.int64),
+        }
+    )
+
+
 Q16_EXCLUDE_PREFIX = "PROMO"
 
 
@@ -5358,6 +5486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": q_q8_market_share,
         "q16_supplier_counts": q_q16_supplier_counts,
         "q22_idle_balances": q_q22_idle_balances,
+        "q13_order_counts": q_q13_order_counts,
+        "q17_small_orders": q_q17_small_orders,
         "persistent_hitters": q_persistent_hitters,
         "q5_local_supplier": q_q5_local_supplier,
         "copurchase_pairs": q_copurchase_pairs,
@@ -5913,6 +6043,33 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
        CAST(COUNT(*) AS BIGINT) AS n_cust,
        ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS total_acctbal
 FROM sel GROUP BY c_nationkey
+""",
+        "q13_order_counts": """
+WITH oc AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM oc GROUP BY c_count
+""",
+        "q17_small_orders": """
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+             AS BIGINT) AS u
+  FROM lineitem
+),
+st AS (
+  SELECT l_partkey, SUM(q) AS sq, CAST(COUNT(*) AS BIGINT) AS n
+  FROM li GROUP BY l_partkey
+)
+SELECT ROUND(CAST(COALESCE(SUM(u), 0) AS DOUBLE) / 10000.0, 2)
+         AS small_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM li JOIN st USING (l_partkey)
+WHERE 5 * q * n < sq
 """,
         "q12_priority_class": f"""
 SELECT l_linestatus,

@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "q8_market_share",
     "q16_supplier_counts",
     "q22_idle_balances",
+    "q13_order_counts",
+    "q17_small_orders",
     "persistent_hitters",
     "rich_club",
     "chunk_dedup",
