@@ -3703,7 +3703,13 @@ def q_q16_supplier_counts(sf_dir: str):
     def pair_partials(t: pa.Table) -> pa.Table:
         lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = lp * 1_000_000_007 + ls  # composite; collisions impossible (sk < 1e9)
+        # composite pair key: requires sk < 1e9 and pk < ~9.2e9 (int64);
+        # both hold for TPC-H-shaped keys at any sf — fail loudly otherwise
+        if len(ls):
+            assert ls.max() < 1_000_000_007 and lp.max() < 9_200_000_000, (
+                "q16 composite key bounds exceeded; widen to a 2-col unique"
+            )
+        c = lp * 1_000_000_007 + ls
         u = np.unique(c)
         opk = u // 1_000_000_007
         osk = u % 1_000_000_007
