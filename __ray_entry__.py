@@ -3776,6 +3776,480 @@ def q_q16_supplier_counts(sf_dir: str):
     )
 
 
+Q7_NAT_A = 12
+Q7_NAT_B = 7
+Q7_LO_US = 820_454_400_000_000  # 1996-01-01
+Q7_HI_US = 883_612_800_000_000  # 1998-01-01
+
+
+def q_q7_nation_volume(sf_dir: str):
+    """TPC-H-Q7-shaped cross-nation shipping volume: revenue between a
+    supplier nation and a customer nation (both directions) per ship
+    year. Supplier nation attaches via a broadcast dim (suppliers are the
+    small dim); the customer nation needs TWO chained co-partition joins
+    (orderkey then custkey), each side combiner-folded before its
+    shuffle; exact integer units throughout; the final group is <= 4
+    rows (2 directions x 2 years)."""
+    from sbustreamspot_core_ray.functions.hashing import part_of
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    order = np.argsort(sk, kind="stable")
+    supp_ref = ray.put(
+        (sk[order], supp["s_nationkey"].to_numpy(np.int64)[order])
+    )
+    nats = (Q7_NAT_A, Q7_NAT_B)
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"], pa.int64())
+        f = t.filter(
+            pc.and_(
+                pc.greater_equal(ship, pa.scalar(Q7_LO_US, pa.int64())),
+                pc.less(ship, pa.scalar(Q7_HI_US, pa.int64())),
+            )
+        )
+        skv, snv = ray.get(supp_ref)
+        ls = f["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(skv) and len(ls):
+            idx = np.minimum(np.searchsorted(skv, ls), len(skv) - 1)
+            snat = np.where(skv[idx] == ls, snv[idx], -1)
+        else:
+            snat = np.full(len(ls), -1, np.int64)
+        keep = (snat == nats[0]) | (snat == nats[1])
+        f = f.filter(pa.array(keep))
+        snat = snat[keep]
+        ok = f["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        yr = pc.year(f["l_shipdate"]).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        # fold per (orderkey, year, snat) before the shuffle: code packs
+        # (year, which-nation) into 2 bits
+        code = (yr - 1996) * 2 + (snat == nats[1]).astype(np.int64)
+        key = ok * 4 + code
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=units, minlength=len(u)).astype(np.int64)
+        ok_u = u // 4
+        return pa.table(
+            {
+                "key": ok_u,
+                "code": pa.array(u % 4),
+                "units": pa.array(s),
+                "is_build": pa.array(np.ones(len(u), bool)),
+                "__p": pa.array(part_of(ok_u, P), pa.int32()),
+            }
+        )
+
+    def ord_pre(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": ok,
+                "code": pa.array(ck),  # probe rows carry the custkey here
+                "units": pa.array(np.zeros(len(ok), np.int64)),
+                "is_build": pa.array(np.zeros(len(ok), bool)),
+                "__p": pa.array(part_of(ok, P), pa.int32()),
+            }
+        )
+
+    def kern1(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        code = t["code"].to_numpy()
+        units = t["units"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        sel_o = np.flatnonzero(~build)
+        pk = key[sel_o]
+        osort = np.argsort(pk, kind="stable")
+        pk = pk[osort]
+        pck = code[sel_o][osort]
+        sel_l = np.flatnonzero(build)
+        lk = key[sel_l]
+        if len(pk) and len(lk):
+            idx = np.minimum(np.searchsorted(pk, lk), len(pk) - 1)
+            hit = pk[idx] == lk
+            sel_l, idx = sel_l[hit], idx[hit]
+        else:
+            sel_l, idx = sel_l[:0], np.empty(0, np.int64)
+        ck = pck[idx]
+        # fold per (custkey, code) before the second shuffle
+        k2 = ck * 4 + code[sel_l]
+        u, inv = np.unique(k2, return_inverse=True)
+        s = np.bincount(
+            inv, weights=units[sel_l], minlength=len(u)
+        ).astype(np.int64)
+        ck_u = u // 4
+        return pa.table(
+            {
+                "key": ck_u,
+                "code": pa.array(u % 4),
+                "units": pa.array(s),
+                "is_build": pa.array(np.ones(len(u), bool)),
+                "__p": pa.array(part_of(ck_u, P), pa.int32()),
+            }
+        )
+
+    def cust_pre(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (cn == nats[0]) | (cn == nats[1])
+        ck, cn = ck[keep], cn[keep]
+        return pa.table(
+            {
+                "key": ck,
+                "code": pa.array(cn),
+                "units": pa.array(np.zeros(len(ck), np.int64)),
+                "is_build": pa.array(np.zeros(len(ck), bool)),
+                "__p": pa.array(part_of(ck, P), pa.int32()),
+            }
+        )
+
+    def kern2(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        code = t["code"].to_numpy()
+        units = t["units"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        sel_c = np.flatnonzero(~build)
+        pk = key[sel_c]
+        osort = np.argsort(pk, kind="stable")
+        pk = pk[osort]
+        cnat = code[sel_c][osort]
+        sel_l = np.flatnonzero(build)
+        lk = key[sel_l]
+        if len(pk) and len(lk):
+            idx = np.minimum(np.searchsorted(pk, lk), len(pk) - 1)
+            hit = pk[idx] == lk
+            sel_l, idx = sel_l[hit], idx[hit]
+        else:
+            sel_l, idx = sel_l[:0], np.empty(0, np.int64)
+        cn = cnat[idx]
+        cd = code[sel_l]
+        snat = np.where(cd % 2 == 1, nats[1], nats[0])
+        yr = 1996 + cd // 2
+        keep = snat != cn
+        # <= 4 distinct (snat, cnat, year) rows per partition
+        k3 = (snat[keep] * 100 + cn[keep]) * 10 + (yr[keep] - 1996)
+        u, inv = np.unique(k3, return_inverse=True)
+        s = np.bincount(
+            inv, weights=units[sel_l][keep], minlength=len(u)
+        ).astype(np.int64)
+        return pa.table({"k3": u, "units": pa.array(s)})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    parts = (
+        li.map_batches(li_pre, batch_format="pyarrow")
+        .union(orders.map_batches(ord_pre, batch_format="pyarrow"))
+        .groupby("__p")
+        .map_groups(kern1, batch_format="pyarrow")
+        .union(cust.map_batches(cust_pre, batch_format="pyarrow"))
+        .groupby("__p")
+        .map_groups(kern2, batch_format="pyarrow")
+        .take_all()
+    )
+    df = pd.DataFrame(parts, columns=["k3", "units"])
+    g = df.groupby("k3", as_index=False)["units"].sum()
+    k3 = g["k3"].to_numpy(np.int64)
+    dim = _nation_region_dim(sf_dir)
+    nk = dim["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = dim["n_name"].to_pandas().to_numpy(object)
+    name_of = dict(zip(nk.tolist(), nn.tolist()))
+    out = pd.DataFrame(
+        {
+            "supp_nation": [name_of[int(v)] for v in k3 // 1000],
+            "cust_nation": [name_of[int(v)] for v in (k3 // 10) % 100],
+            "l_year": (1996 + k3 % 10).astype(np.int64),
+            "revenue": round_half_away(
+                g["units"].to_numpy(np.float64) / 10000.0, 2
+            ),
+        }
+    )
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "l_year"]
+    ).reset_index(drop=True)
+
+
+Q10_LO_US = 820_454_400_000_000  # 1996-01-01
+Q10_HI_US = 828_316_800_000_000  # 1996-04-01
+Q10_TOPK = 20
+
+
+def q_q10_returns(sf_dir: str):
+    """TPC-H-Q10-shaped returned-item reporting: top customers by revenue
+    of RETURNED lineitems on orders placed in one quarter. One orderkey
+    co-partition join (lineitem folded to per-order integer units first),
+    one custkey hashed fold, per-partition exact totals cut to a local
+    top-k so the driver merges <= k*P rows; the <= k winners' names
+    attach via a key-filtered dim read (row-group pruned). The cut key is
+    (integer units desc, custkey asc) on BOTH sides — no float ties."""
+    import pyarrow.parquet as pq
+
+    from sbustreamspot_core_ray.functions.hashing import part_of
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        ok = f["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        u, inv = np.unique(ok, return_inverse=True)
+        s = np.bincount(inv, weights=units, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {
+                "key": u,
+                "units": pa.array(s),
+                "is_build": pa.array(np.ones(len(u), bool)),
+                "__p": pa.array(part_of(u, P), pa.int32()),
+            }
+        )
+
+    def ord_pre(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"], pa.int64())
+        f = t.filter(
+            pc.and_(
+                pc.greater_equal(od, pa.scalar(Q10_LO_US, pa.int64())),
+                pc.less(od, pa.scalar(Q10_HI_US, pa.int64())),
+            )
+        )
+        ok = f["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = f["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": ok,
+                "units": pa.array(ck),  # probe rows carry custkey here
+                "is_build": pa.array(np.zeros(len(ok), bool)),
+                "__p": pa.array(part_of(ok, P), pa.int32()),
+            }
+        )
+
+    def kern1(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        units = t["units"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        sel_o = np.flatnonzero(~build)
+        pk = key[sel_o]
+        osort = np.argsort(pk, kind="stable")
+        pk = pk[osort]
+        pck = units[sel_o][osort]
+        sel_l = np.flatnonzero(build)
+        lk = key[sel_l]
+        if len(pk) and len(lk):
+            idx = np.minimum(np.searchsorted(pk, lk), len(pk) - 1)
+            hit = pk[idx] == lk
+            sel_l, idx = sel_l[hit], idx[hit]
+        else:
+            sel_l, idx = sel_l[:0], np.empty(0, np.int64)
+        ck = pck[idx]
+        u, inv = np.unique(ck, return_inverse=True)
+        s = np.bincount(
+            inv, weights=units[sel_l], minlength=len(u)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "ck": u,
+                "units": pa.array(s),
+                "__p": pa.array(part_of(u, P), pa.int32()),
+            }
+        )
+
+    def kern2(t: pa.Table) -> pa.Table:
+        ck = t["ck"].to_numpy()
+        units = t["units"].to_numpy()
+        u, inv = np.unique(ck, return_inverse=True)
+        s = np.bincount(inv, weights=units, minlength=len(u)).astype(np.int64)
+        # local exact totals -> local top-k by (units desc, custkey asc)
+        ordr = np.lexsort((u, -s))[:Q10_TOPK]
+        return pa.table({"ck": u[ordr], "units": pa.array(s[ordr])})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    parts = (
+        li.map_batches(li_pre, batch_format="pyarrow")
+        .union(orders.map_batches(ord_pre, batch_format="pyarrow"))
+        .groupby("__p")
+        .map_groups(kern1, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kern2, batch_format="pyarrow")
+        .take_all()
+    )
+    df = pd.DataFrame(parts, columns=["ck", "units"])
+    ordr = np.lexsort((df["ck"].to_numpy(), -df["units"].to_numpy()))
+    df = df.iloc[ordr[:Q10_TOPK]].reset_index(drop=True)
+    keys = df["ck"].to_numpy(np.int64)
+    cdim = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in", keys.tolist())],
+    ).to_pandas()
+    cdim = cdim.set_index("c_custkey").loc[keys]
+    dim = _nation_region_dim(sf_dir)
+    nk = dim["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = dim["n_name"].to_pandas().to_numpy(object)
+    name_of = dict(zip(nk.tolist(), nn.tolist()))
+    return pd.DataFrame(
+        {
+            "c_custkey": keys,
+            "c_name": cdim["c_name"].to_numpy(object),
+            "revenue": round_half_away(
+                df["units"].to_numpy(np.float64) / 10000.0, 2
+            ),
+            "c_acctbal": cdim["c_acctbal"].to_numpy(np.float64),
+            "n_name": [
+                name_of[int(v)] for v in cdim["c_nationkey"].to_numpy()
+            ],
+        }
+    )
+
+
+Q18_MIN_QTY = 250
+Q18_TOPK = 100
+
+
+def q_q18_large_orders(sf_dir: str):
+    """TPC-H-Q18-shaped large-volume-customer query: orders whose total
+    quantity exceeds a threshold (HAVING SUM over the fact), with order
+    attributes attached. Per-block integer qty partials fold through one
+    orderkey co-partition shuffle where the exact per-order total is cut
+    against the threshold AND to a local top-k, so the driver merges
+    <= k*P rows. Dates ship as epoch-us BIGINT on both sides."""
+    from sbustreamspot_core_ray.functions.hashing import part_of
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qf = t["l_quantity"].to_numpy(zero_copy_only=False)
+        q = np.floor(qf + 0.5).astype(np.int64)
+        assert np.all(q == qf), "l_quantity must be integral"
+        u, inv = np.unique(ok, return_inverse=True)
+        s = np.bincount(inv, weights=q, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {
+                "key": u,
+                "a": pa.array(s),
+                "b": pa.array(np.zeros(len(u), np.int64)),
+                "c": pa.array(np.zeros(len(u), np.int64)),
+                "is_build": pa.array(np.ones(len(u), bool)),
+                "__p": pa.array(part_of(u, P), pa.int32()),
+            }
+        )
+
+    def ord_pre(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        tp = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "key": ok,
+                "a": pa.array(ck),
+                "b": pa.array(od),
+                "c": pa.array(tp),
+                "is_build": pa.array(np.zeros(len(ok), bool)),
+                "__p": pa.array(part_of(ok, P), pa.int32()),
+            }
+        )
+
+    def kern(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        ccol = t["c"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        sel_l = np.flatnonzero(build)
+        lk = key[sel_l]
+        u, inv = np.unique(lk, return_inverse=True)
+        qty = np.bincount(
+            inv, weights=a[sel_l], minlength=len(u)
+        ).astype(np.int64)
+        keep = qty > Q18_MIN_QTY
+        u, qty = u[keep], qty[keep]
+        sel_o = np.flatnonzero(~build)
+        pk = key[sel_o]
+        osort = np.argsort(pk, kind="stable")
+        pk = pk[osort]
+        so = sel_o[osort]
+        if len(pk) and len(u):
+            idx = np.minimum(np.searchsorted(pk, u), len(pk) - 1)
+            hit = pk[idx] == u
+            u, qty, idx = u[hit], qty[hit], idx[hit]
+        else:
+            u, qty, idx = u[:0], qty[:0], np.empty(0, np.int64)
+        src = so[idx]
+        cut = np.lexsort((u, -qty))[:Q18_TOPK]
+        return pa.table(
+            {
+                "o_orderkey": u[cut],
+                "total_qty": pa.array(qty[cut]),
+                "c_custkey": pa.array(a[src][cut]),
+                "o_orderdate_us": pa.array(b[src][cut]),
+                "tp_cents": pa.array(ccol[src][cut]),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    parts = (
+        li.map_batches(li_pre, batch_format="pyarrow")
+        .union(orders.map_batches(ord_pre, batch_format="pyarrow"))
+        .groupby("__p")
+        .map_groups(kern, batch_format="pyarrow")
+        .take_all()
+    )
+    df = pd.DataFrame(
+        parts,
+        columns=[
+            "o_orderkey", "total_qty", "c_custkey", "o_orderdate_us",
+            "tp_cents",
+        ],
+    )
+    ordr = np.lexsort(
+        (df["o_orderkey"].to_numpy(), -df["total_qty"].to_numpy())
+    )[:Q18_TOPK]
+    df = df.iloc[ordr].reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "c_custkey": df["c_custkey"].to_numpy(np.int64),
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_orderdate_us": df["o_orderdate_us"].to_numpy(np.int64),
+            "o_totalprice": round_half_away(
+                df["tp_cents"].to_numpy(np.float64) / 100.0, 2
+            ),
+            "total_qty": df["total_qty"].to_numpy(np.int64),
+        }
+    )
+
+
 Q19_BRACKETS = [
     ("Brand#12", 1, 10, 1, 15),
     ("Brand#13", 1, 20, 10, 25),
@@ -5491,6 +5965,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_brackets": q_q19_brackets,
         "q8_market_share": q_q8_market_share,
         "q16_supplier_counts": q_q16_supplier_counts,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q10_returns": q_q10_returns,
+        "q18_large_orders": q_q18_large_orders,
         "q22_idle_balances": q_q22_idle_balances,
         "q13_order_counts": q_q13_order_counts,
         "q17_small_orders": q_q17_small_orders,
@@ -6059,6 +6536,66 @@ WITH oc AS (
 SELECT CAST(c_count AS BIGINT) AS c_count,
        CAST(COUNT(*) AS BIGINT) AS custdist
 FROM oc GROUP BY c_count
+""",
+        "q7_nation_volume": f"""
+WITH li AS (
+  SELECT l_orderkey, s_nationkey AS snat, year(l_shipdate) AS l_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+             AS BIGINT) AS u
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  WHERE epoch_us(l_shipdate) >= {Q7_LO_US}
+    AND epoch_us(l_shipdate) < {Q7_HI_US}
+    AND s_nationkey IN ({Q7_NAT_A}, {Q7_NAT_B})
+),
+j AS (
+  SELECT snat, c_nationkey AS cnat, l_year, u
+  FROM li
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  WHERE c_nationkey IN ({Q7_NAT_A}, {Q7_NAT_B}) AND c_nationkey <> snat
+)
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(l_year AS BIGINT) AS l_year,
+       ROUND(CAST(SUM(u) AS DOUBLE) / 10000.0, 2) AS revenue
+FROM j
+JOIN nation ns ON ns.n_nationkey = snat
+JOIN nation nc ON nc.n_nationkey = cnat
+GROUP BY 1, 2, 3
+""",
+        "q10_returns": f"""
+WITH r AS (
+  SELECT o_custkey,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+             AS BIGINT)) AS units
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_returnflag = 'R'
+    AND epoch_us(o_orderdate) >= {Q10_LO_US}
+    AND epoch_us(o_orderdate) < {Q10_HI_US}
+  GROUP BY o_custkey
+  ORDER BY units DESC, o_custkey
+  LIMIT {Q10_TOPK}
+)
+SELECT c_custkey, c_name,
+       ROUND(CAST(units AS DOUBLE) / 10000.0, 2) AS revenue,
+       c_acctbal, n_name
+FROM r
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+""",
+        "q18_large_orders": f"""
+WITH q AS (
+  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > {Q18_MIN_QTY}
+)
+SELECT o_custkey AS c_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       ROUND(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+             AS DOUBLE) / 100.0, 2) AS o_totalprice,
+       total_qty
+FROM q JOIN orders ON o_orderkey = l_orderkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT {Q18_TOPK}
 """,
         "q17_small_orders": """
 WITH li AS (
