@@ -4250,6 +4250,327 @@ def q_q18_large_orders(sf_dir: str):
     )
 
 
+def q_q9_profit(sf_dir: str):
+    """TPC-H-Q9-shaped product-profit query reshaped to this schema
+    (there is no partsupp/supplycost table): profit per supplier nation
+    per order year, where cost is quantity x the part's retail price.
+    Part retail units and the supplier nation attach via broadcast dims
+    (the documented dim-regime bound — the Q8 co-partition attach chain
+    applies above it); the per-(order, nation) integer profit partials
+    take ONE orderkey co-partition join to pick up the order year; the
+    final group is <= 25 nations x years rows."""
+    from sbustreamspot_core_ray.functions.hashing import part_of
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    so = np.argsort(sk, kind="stable")
+    part_df = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"]
+    )
+    pk = part_df["p_partkey"].to_numpy(np.int64)
+    po = np.argsort(pk, kind="stable")
+    retail_units = np.floor(
+        part_df["p_retailprice"].to_numpy(np.float64) * 10000.0 + 0.5
+    ).astype(np.int64)
+    dims_ref = ray.put(
+        (
+            sk[so],
+            supp["s_nationkey"].to_numpy(np.int64)[so],
+            pk[po],
+            retail_units[po],
+        )
+    )
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        skv, snv, pkv, ruv = ray.get(dims_ref)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qf = t["l_quantity"].to_numpy(zero_copy_only=False)
+        q = np.floor(qf + 0.5).astype(np.int64)
+        idx = np.minimum(np.searchsorted(skv, ls), len(skv) - 1)
+        snat = np.where(skv[idx] == ls, snv[idx], -1)
+        jdx = np.minimum(np.searchsorted(pkv, lp), len(pkv) - 1)
+        ru = np.where(pkv[jdx] == lp, ruv[jdx], 0)
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        profit = units - q * ru
+        keep = snat >= 0
+        key = ok[keep] * 32 + snat[keep]  # nationkey < 25 < 32
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(
+            inv, weights=profit[keep], minlength=len(u)
+        ).astype(np.int64)
+        ok_u = u // 32
+        return pa.table(
+            {
+                "key": ok_u,
+                "code": pa.array(u % 32),
+                "units": pa.array(s),
+                "is_build": pa.array(np.ones(len(u), bool)),
+                "__p": pa.array(part_of(ok_u, P), pa.int32()),
+            }
+        )
+
+    def ord_pre(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        yr = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "key": ok,
+                "code": pa.array(yr),
+                "units": pa.array(np.zeros(len(ok), np.int64)),
+                "is_build": pa.array(np.zeros(len(ok), bool)),
+                "__p": pa.array(part_of(ok, P), pa.int32()),
+            }
+        )
+
+    def kern(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        code = t["code"].to_numpy()
+        units = t["units"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        sel_o = np.flatnonzero(~build)
+        okp = key[sel_o]
+        osort = np.argsort(okp, kind="stable")
+        okp = okp[osort]
+        oyr = code[sel_o][osort]
+        sel_l = np.flatnonzero(build)
+        lk = key[sel_l]
+        if len(okp) and len(lk):
+            idx = np.minimum(np.searchsorted(okp, lk), len(okp) - 1)
+            hit = okp[idx] == lk
+            sel_l, idx = sel_l[hit], idx[hit]
+        else:
+            sel_l, idx = sel_l[:0], np.empty(0, np.int64)
+        yr = oyr[idx]
+        k2 = code[sel_l] * 10000 + yr
+        u, inv = np.unique(k2, return_inverse=True)
+        s = np.bincount(
+            inv, weights=units[sel_l], minlength=len(u)
+        ).astype(np.int64)
+        return pa.table({"k2": u, "units": pa.array(s)})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_partkey", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    parts = (
+        li.map_batches(li_pre, batch_format="pyarrow")
+        .union(orders.map_batches(ord_pre, batch_format="pyarrow"))
+        .groupby("__p")
+        .map_groups(kern, batch_format="pyarrow")
+        .take_all()
+    )
+    df = pd.DataFrame(parts, columns=["k2", "units"])
+    g = df.groupby("k2", as_index=False)["units"].sum()
+    k2 = g["k2"].to_numpy(np.int64)
+    dim = _nation_region_dim(sf_dir)
+    nk = dim["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = dim["n_name"].to_pandas().to_numpy(object)
+    name_of = dict(zip(nk.tolist(), nn.tolist()))
+    return pd.DataFrame(
+        {
+            "n_name": [name_of[int(v)] for v in k2 // 10000],
+            "o_year": (k2 % 10000).astype(np.int64),
+            "profit": round_half_away(
+                g["units"].to_numpy(np.float64) / 10000.0, 2
+            ),
+        }
+    )
+
+
+Q15_LO_US = 820_454_400_000_000  # 1996-01-01
+Q15_HI_US = 828_316_800_000_000  # 1996-04-01
+
+
+def q_q15_top_supplier(sf_dir: str):
+    """TPC-H-Q15-shaped top supplier: the supplier(s) whose revenue over
+    one ship quarter equals the global maximum (the scalar-max-subquery
+    shape, ties included). Per-block integer partials fold through one
+    suppkey hashed shuffle; each partition emits only its local-max rows
+    (a global winner's exact total IS its partition's local max), so the
+    driver compares O(P) candidates. Winner names attach via a
+    key-filtered dim read."""
+    import pyarrow.parquet as pq
+
+    from sbustreamspot_core_ray.functions.hashing import part_of
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"], pa.int64())
+        f = t.filter(
+            pc.and_(
+                pc.greater_equal(ship, pa.scalar(Q15_LO_US, pa.int64())),
+                pc.less(ship, pa.scalar(Q15_HI_US, pa.int64())),
+            )
+        )
+        skv = f["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        u, inv = np.unique(skv, return_inverse=True)
+        s = np.bincount(inv, weights=units, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {
+                "sk": u,
+                "units": pa.array(s),
+                "__p": pa.array(part_of(u, P), pa.int32()),
+            }
+        )
+
+    def kern(t: pa.Table) -> pa.Table:
+        skv = t["sk"].to_numpy()
+        units = t["units"].to_numpy()
+        u, inv = np.unique(skv, return_inverse=True)
+        s = np.bincount(inv, weights=units, minlength=len(u)).astype(np.int64)
+        m = s.max() if len(s) else 0
+        at = s == m
+        return pa.table({"sk": u[at], "units": pa.array(s[at])})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    parts = (
+        li.map_batches(li_pre, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kern, batch_format="pyarrow")
+        .take_all()
+    )
+    df = pd.DataFrame(parts, columns=["sk", "units"])
+    m = int(df["units"].max())
+    win = df[df["units"] == m].sort_values("sk")
+    keys = win["sk"].to_numpy(np.int64)
+    sdim = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", keys.tolist())],
+    ).to_pandas().set_index("s_suppkey").loc[keys]
+    return pd.DataFrame(
+        {
+            "s_suppkey": keys,
+            "s_name": sdim["s_name"].to_numpy(object),
+            "total_revenue": round_half_away(
+                win["units"].to_numpy(np.float64) / 10000.0, 2
+            ),
+        }
+    )
+
+
+Q11_NATIONKEY = 3
+Q11_FRAC_DEN = 1000  # keep parts whose value > total_value / 1000
+
+
+def q_q11_important_parts(sf_dir: str):
+    """TPC-H-Q11-shaped important-part identification reshaped to this
+    schema (no partsupp): per-part revenue from ONE nation's suppliers,
+    keeping parts whose value exceeds a fixed fraction of the nation
+    total (the HAVING-vs-scalar-subquery shape). The supplier-nation
+    filter is a broadcast dim; per-part integer units fold through one
+    hashed shuffle into an exact dim-sized table, which is materialized
+    ONCE (bounded by |part|) and re-consumed for the global total and
+    the integer cross-multiplied cut — no float division on either
+    side."""
+    from sbustreamspot_core_ray.functions.hashing import part_of
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    keep_sk = np.sort(
+        supp.loc[supp["s_nationkey"] == Q11_NATIONKEY, "s_suppkey"]
+        .to_numpy(np.int64)
+    )
+    sk_ref = ray.put(keep_sk)
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        skv = ray.get(sk_ref)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(skv):
+            idx = np.minimum(np.searchsorted(skv, ls), len(skv) - 1)
+            keep = skv[idx] == ls
+        else:
+            keep = np.zeros(len(ls), bool)
+        f = t.filter(pa.array(keep))
+        lp = f["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        u, inv = np.unique(lp, return_inverse=True)
+        s = np.bincount(inv, weights=units, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {
+                "pk": u,
+                "units": pa.array(s),
+                "__p": pa.array(part_of(u, P), pa.int32()),
+            }
+        )
+
+    def kern(t: pa.Table) -> pa.Table:
+        pkv = t["pk"].to_numpy()
+        units = t["units"].to_numpy()
+        u, inv = np.unique(pkv, return_inverse=True)
+        s = np.bincount(inv, weights=units, minlength=len(u)).astype(np.int64)
+        return pa.table({"pk": u, "units": pa.array(s)})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"],
+    )
+    per_part = (
+        li.map_batches(li_pre, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kern, batch_format="pyarrow")
+        .materialize()  # dim-sized: <= |part| exact rows
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"s": pa.array([int(t["units"].to_numpy().sum())], pa.int64())}
+        )
+
+    total = sum(
+        int(r["s"])
+        for r in per_part.map_batches(totals, batch_format="pyarrow").take_all()
+    )
+
+    def cut(t: pa.Table) -> pa.Table:
+        units = t["units"].to_numpy()
+        keep = units * Q11_FRAC_DEN > total
+        return pa.table(
+            {
+                "p_partkey": t["pk"].to_numpy()[keep],
+                "units": pa.array(units[keep]),
+            }
+        )
+
+    rows = per_part.map_batches(cut, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(rows, columns=["p_partkey", "units"])
+    ordr = np.lexsort((df["p_partkey"].to_numpy(), -df["units"].to_numpy()))
+    df = df.iloc[ordr].reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "p_partkey": df["p_partkey"].to_numpy(np.int64),
+            "value": round_half_away(
+                df["units"].to_numpy(np.float64) / 10000.0, 2
+            ),
+        }
+    )
+
+
 Q19_BRACKETS = [
     ("Brand#12", 1, 10, 1, 15),
     ("Brand#13", 1, 20, 10, 25),
@@ -5968,6 +6289,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_volume": q_q7_nation_volume,
         "q10_returns": q_q10_returns,
         "q18_large_orders": q_q18_large_orders,
+        "q9_profit": q_q9_profit,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q11_important_parts": q_q11_important_parts,
         "q22_idle_balances": q_q22_idle_balances,
         "q13_order_counts": q_q13_order_counts,
         "q17_small_orders": q_q17_small_orders,
@@ -6596,6 +6920,53 @@ SELECT o_custkey AS c_custkey, o_orderkey,
 FROM q JOIN orders ON o_orderkey = l_orderkey
 ORDER BY total_qty DESC, o_orderkey
 LIMIT {Q18_TOPK}
+""",
+        "q9_profit": """
+WITH li AS (
+  SELECT l_orderkey, s_nationkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+             AS BIGINT)
+         - CAST(l_quantity AS BIGINT)
+           * CAST(floor(p_retailprice * 10000.0 + 0.5) AS BIGINT) AS pu
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN part ON p_partkey = l_partkey
+)
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM(pu) AS DOUBLE) / 10000.0, 2) AS profit
+FROM li
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY 1, 2
+""",
+        "q15_top_supplier": f"""
+WITH r AS (
+  SELECT l_suppkey,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+             AS BIGINT)) AS units
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) >= {Q15_LO_US}
+    AND epoch_us(l_shipdate) < {Q15_HI_US}
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       ROUND(CAST(units AS DOUBLE) / 10000.0, 2) AS total_revenue
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE units = (SELECT MAX(units) FROM r)
+""",
+        "q11_important_parts": f"""
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+             AS BIGINT)) AS units
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  WHERE s_nationkey = {Q11_NATIONKEY}
+  GROUP BY l_partkey
+)
+SELECT p_partkey,
+       ROUND(CAST(units AS DOUBLE) / 10000.0, 2) AS value
+FROM v
+WHERE units * {Q11_FRAC_DEN} > (SELECT SUM(units) FROM v)
 """,
         "q17_small_orders": """
 WITH li AS (
