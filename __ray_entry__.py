@@ -4571,6 +4571,419 @@ def q_q11_important_parts(sf_dir: str):
     )
 
 
+Q2_SIZE_LO, Q2_SIZE_HI = 10, 15
+Q2_TYPE_PREFIX = "SMALL"
+Q2_REGIONKEY = 2
+Q2_TOPK = 100
+_PAIR_MOD = 1_000_000_007
+
+
+def q_q2_min_cost_supplier(sf_dir: str):
+    """TPC-H-Q2-shaped minimum-cost-supplier query reshaped to this
+    schema (no partsupp): for parts in a size band with a type prefix,
+    among suppliers of one region, the (part, supplier) pairs achieving
+    that part's minimum observed sale price (the correlated-MIN-subquery
+    shape, ties included). Part and region-supplier dims broadcast;
+    per-(part, supplier) integer MIN partials fold through one hashed
+    partkey shuffle where the per-part min and its achieving pairs
+    resolve exactly; winner attributes attach via key-filtered dim
+    reads. The sort key uses acctbal CENTS so the cut is integer-exact
+    on both sides."""
+    import pyarrow.parquet as pq
+
+    from sbustreamspot_core_ray.functions.hashing import part_of
+
+    pt = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_type"]
+    )
+    keep_p = (
+        (pt["p_size"] >= Q2_SIZE_LO)
+        & (pt["p_size"] <= Q2_SIZE_HI)
+        & pt["p_type"].str.startswith(Q2_TYPE_PREFIX)
+    )
+    pk_set = np.sort(pt.loc[keep_p, "p_partkey"].to_numpy(np.int64))
+    ndim = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    nat_keys = np.sort(
+        ndim.loc[ndim["n_regionkey"] == Q2_REGIONKEY, "n_nationkey"]
+        .to_numpy(np.int64)
+    )
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    keep_s = np.isin(supp["s_nationkey"].to_numpy(np.int64), nat_keys)
+    sk_set = np.sort(supp.loc[keep_s, "s_suppkey"].to_numpy(np.int64))
+    dims_ref = ray.put((pk_set, sk_set))
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        pkv, skv = ray.get(dims_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(len(lp), bool)
+        if len(pkv) and len(skv) and len(lp):
+            i = np.minimum(np.searchsorted(pkv, lp), len(pkv) - 1)
+            j = np.minimum(np.searchsorted(skv, ls), len(skv) - 1)
+            keep = (pkv[i] == lp) & (skv[j] == ls)
+        f = t.filter(pa.array(keep))
+        lp, ls = lp[keep], ls[keep]
+        units = np.floor(
+            f["l_extendedprice"].to_numpy(zero_copy_only=False) * 10000.0
+            + 0.5
+        ).astype(np.int64)
+        if len(ls):
+            assert ls.max() < _PAIR_MOD and lp.max() < 9_200_000_000, (
+                "q2 composite key bounds exceeded; widen to a 2-col fold"
+            )
+        ckey = lp * _PAIR_MOD + ls
+        # per-block MIN partial per (part, supplier)
+        order = np.argsort(ckey, kind="stable")
+        ckey_s = ckey[order]
+        u, start = np.unique(ckey_s, return_index=True)
+        mins = np.minimum.reduceat(units[order], start) if len(u) else units[:0]
+        opk = u // _PAIR_MOD
+        return pa.table(
+            {
+                "pk": opk,
+                "sk": pa.array(u % _PAIR_MOD),
+                "cu": pa.array(mins),
+                "__p": pa.array(part_of(opk, P), pa.int32()),
+            }
+        )
+
+    def kern(t: pa.Table) -> pa.Table:
+        pkv = t["pk"].to_numpy()
+        skv = t["sk"].to_numpy()
+        cu = t["cu"].to_numpy()
+        ckey = pkv * _PAIR_MOD + skv
+        order = np.argsort(ckey, kind="stable")
+        ckey_s = ckey[order]
+        u, start = np.unique(ckey_s, return_index=True)
+        pair_min = np.minimum.reduceat(cu[order], start)
+        ppk = u // _PAIR_MOD
+        # per-part min across the pair mins (the partition owns the part)
+        pu, pstart = np.unique(ppk, return_index=True)
+        part_min = np.minimum.reduceat(pair_min, pstart)
+        at = pair_min == np.repeat(
+            part_min, np.diff(np.append(pstart, len(ppk)))
+        )
+        return pa.table(
+            {
+                "pk": ppk[at],
+                "sk": pa.array(u[at] % _PAIR_MOD),
+                "cu": pa.array(pair_min[at]),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    rows = (
+        li.map_batches(li_pre, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kern, batch_format="pyarrow")
+        .take_all()
+    )
+    df = pd.DataFrame(rows, columns=["pk", "sk", "cu"])
+    skeys = np.unique(df["sk"].to_numpy(np.int64))
+    sdim = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+        filters=[("s_suppkey", "in", skeys.tolist())],
+    ).to_pandas().set_index("s_suppkey")
+    srows = sdim.loc[df["sk"].to_numpy(np.int64)]
+    bal_cents = np.floor(
+        srows["s_acctbal"].to_numpy(np.float64) * 100.0 + 0.5
+    ).astype(np.int64)
+    dim = _nation_region_dim(sf_dir)
+    nk = dim["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = dim["n_name"].to_pandas().to_numpy(object)
+    name_of = dict(zip(nk.tolist(), nn.tolist()))
+    out = pd.DataFrame(
+        {
+            "s_acctbal": round_half_away(
+                bal_cents.astype(np.float64) / 100.0, 2
+            ),
+            "s_name": srows["s_name"].to_numpy(object),
+            "n_name": [
+                name_of[int(v)] for v in srows["s_nationkey"].to_numpy()
+            ],
+            "p_partkey": df["pk"].to_numpy(np.int64),
+            "s_suppkey": df["sk"].to_numpy(np.int64),
+            "min_cost": round_half_away(
+                df["cu"].to_numpy(np.float64) / 10000.0, 2
+            ),
+        }
+    )
+    ordr = np.lexsort(
+        (
+            out["s_suppkey"].to_numpy(),
+            out["p_partkey"].to_numpy(),
+            -bal_cents,
+        )
+    )[:Q2_TOPK]
+    return out.iloc[ordr].reset_index(drop=True)
+
+
+Q20_NAME_PREFIX = "red "
+Q20_YEAR = 1997
+Q20_NATIONKEY = 3
+Q20_SHARE_DEN = 4  # qualify when share > 1/4 of the part's shipped qty
+
+
+def q_q20_excess_suppliers(sf_dir: str):
+    """TPC-H-Q20-shaped excess-share semi-join reshaped to this schema
+    (no partsupp/availqty): suppliers of one nation that shipped MORE
+    THAN a fixed share of some name-prefixed part's total quantity in
+    one year (the EXISTS-with-correlated-threshold shape). The prefix
+    part set broadcasts; per-(part, supplier) integer qty partials fold
+    through one hashed partkey shuffle where the per-part total and the
+    integer cross-multiplied share cut resolve exactly; the surviving
+    supplier set is distinct-folded and nation-filtered driver-side
+    (bounded by the supplier dim)."""
+    import pyarrow.parquet as pq
+
+    from sbustreamspot_core_ray.functions.hashing import part_of
+
+    pt = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    pk_set = np.sort(
+        pt.loc[
+            pt["p_name"].str.startswith(Q20_NAME_PREFIX), "p_partkey"
+        ].to_numpy(np.int64)
+    )
+    pk_ref = ray.put(pk_set)
+    yr_lo = pd.Timestamp(f"{Q20_YEAR}-01-01").value // 1000
+    yr_hi = pd.Timestamp(f"{Q20_YEAR + 1}-01-01").value // 1000
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"], pa.int64())
+        f = t.filter(
+            pc.and_(
+                pc.greater_equal(ship, pa.scalar(yr_lo, pa.int64())),
+                pc.less(ship, pa.scalar(yr_hi, pa.int64())),
+            )
+        )
+        pkv = ray.get(pk_ref)
+        lp = f["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(pkv) and len(lp):
+            i = np.minimum(np.searchsorted(pkv, lp), len(pkv) - 1)
+            keep = pkv[i] == lp
+        else:
+            keep = np.zeros(len(lp), bool)
+        f = f.filter(pa.array(keep))
+        lp = lp[keep]
+        ls = f["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qf = f["l_quantity"].to_numpy(zero_copy_only=False)
+        q = np.floor(qf + 0.5).astype(np.int64)
+        if len(ls):
+            assert ls.max() < _PAIR_MOD and lp.max() < 9_200_000_000, (
+                "q20 composite key bounds exceeded; widen to a 2-col fold"
+            )
+        ckey = lp * _PAIR_MOD + ls
+        u, inv = np.unique(ckey, return_inverse=True)
+        s = np.bincount(inv, weights=q, minlength=len(u)).astype(np.int64)
+        opk = u // _PAIR_MOD
+        return pa.table(
+            {
+                "pk": opk,
+                "sk": pa.array(u % _PAIR_MOD),
+                "q": pa.array(s),
+                "__p": pa.array(part_of(opk, P), pa.int32()),
+            }
+        )
+
+    def kern(t: pa.Table) -> pa.Table:
+        pkv = t["pk"].to_numpy()
+        skv = t["sk"].to_numpy()
+        qv = t["q"].to_numpy()
+        ckey = pkv * _PAIR_MOD + skv
+        u, inv = np.unique(ckey, return_inverse=True)
+        qs = np.bincount(inv, weights=qv, minlength=len(u)).astype(np.int64)
+        ppk = u // _PAIR_MOD
+        pu, pinv = np.unique(ppk, return_inverse=True)
+        qt = np.bincount(pinv, weights=qs, minlength=len(pu)).astype(np.int64)
+        keep = Q20_SHARE_DEN * qs > qt[pinv]
+        return pa.table({"sk": np.unique(u[keep] % _PAIR_MOD)})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+    rows = (
+        li.map_batches(li_pre, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kern, batch_format="pyarrow")
+        .take_all()
+    )
+    sks = np.unique(np.array([int(r["sk"]) for r in rows], np.int64))
+    if len(sks):
+        sdim = pq.read_table(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_name", "s_nationkey"],
+            filters=[("s_suppkey", "in", sks.tolist())],
+        ).to_pandas().set_index("s_suppkey").loc[sks]
+        hit = sdim["s_nationkey"].to_numpy() == Q20_NATIONKEY
+        sks = sks[hit]
+        names = sdim["s_name"].to_numpy(object)[hit]
+    else:
+        names = np.empty(0, object)
+    return pd.DataFrame({"s_suppkey": sks, "s_name": names})
+
+
+Q21_LATE_US = 7_776_000_000_000  # 90 days
+Q21_TOPK = 100
+
+
+def q_q21_waiting_suppliers(sf_dir: str):
+    """TPC-H-Q21-shaped suppliers-who-kept-orders-waiting reshaped to
+    this schema (no commit/receipt dates): for finished ('F') orders
+    with MORE THAN ONE supplier, count per supplier the orders where it
+    was the ONLY late shipper (latest item > 90 days after the order
+    date) — the EXISTS / NOT-EXISTS pair over order groups. Lineitem
+    folds to per-(order, supplier) MAX-shipdate partials before the ONE
+    orderkey co-partition shuffle; the whole order group resolves inside
+    its partition; per-supplier counts fold through a second small
+    hashed shuffle."""
+    import pyarrow.parquet as pq
+
+    from sbustreamspot_core_ray.functions.hashing import part_of
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(sk):
+            assert sk.max() < _PAIR_MOD and ok.max() < 9_200_000_000, (
+                "q21 composite key bounds exceeded; widen to a 2-col fold"
+            )
+        ckey = ok * _PAIR_MOD + sk
+        order = np.argsort(ckey, kind="stable")
+        ckey_s = ckey[order]
+        u, start = np.unique(ckey_s, return_index=True)
+        ms = np.maximum.reduceat(ship[order], start) if len(u) else ship[:0]
+        ook = u // _PAIR_MOD
+        return pa.table(
+            {
+                "key": ook,
+                "sk": pa.array(u % _PAIR_MOD),
+                "ms": pa.array(ms),
+                "is_build": pa.array(np.ones(len(u), bool)),
+                "__p": pa.array(part_of(ook, P), pa.int32()),
+            }
+        )
+
+    def ord_pre(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
+        ok = f["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = pc.cast(f["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "key": ok,
+                "sk": pa.array(np.zeros(len(ok), np.int64)),
+                "ms": pa.array(od),
+                "is_build": pa.array(np.zeros(len(ok), bool)),
+                "__p": pa.array(part_of(ok, P), pa.int32()),
+            }
+        )
+
+    def kern(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        sk = t["sk"].to_numpy()
+        ms = t["ms"].to_numpy()
+        build = t["is_build"].to_numpy(zero_copy_only=False)
+        sel_o = np.flatnonzero(~build)
+        okp = key[sel_o]
+        osort = np.argsort(okp, kind="stable")
+        okp = okp[osort]
+        od = ms[sel_o][osort]
+        sel_l = np.flatnonzero(build)
+        # exact per-(order, supplier) max across block partials
+        ckey = key[sel_l] * _PAIR_MOD + sk[sel_l]
+        order = np.argsort(ckey, kind="stable")
+        ckey_s = ckey[order]
+        u, start = np.unique(ckey_s, return_index=True)
+        pm = (
+            np.maximum.reduceat(ms[sel_l][order], start)
+            if len(u)
+            else np.empty(0, np.int64)
+        )
+        ook = u // _PAIR_MOD
+        osk = u % _PAIR_MOD
+        # keep only 'F' orders (present on the probe side)
+        if len(okp) and len(ook):
+            idx = np.minimum(np.searchsorted(okp, ook), len(okp) - 1)
+            hit = okp[idx] == ook
+        else:
+            idx = np.zeros(len(ook), np.int64)
+            hit = np.zeros(len(ook), bool)
+        ook, osk, pm, idx = ook[hit], osk[hit], pm[hit], idx[hit]
+        late = pm > od[idx] + Q21_LATE_US
+        # per-order supplier and late counts (u sorted => ook sorted)
+        ou, ostart = np.unique(ook, return_index=True)
+        counts = np.diff(np.append(ostart, len(ook)))
+        nlate = np.add.reduceat(late.astype(np.int64), ostart) if len(ou) else late[:0]
+        ns_r = np.repeat(counts, counts)
+        nl_r = np.repeat(nlate, counts)
+        win = late & (ns_r > 1) & (nl_r == 1)
+        wu, wc = np.unique(osk[win], return_counts=True)
+        return pa.table(
+            {
+                "sk": wu,
+                "numwait": pa.array(wc.astype(np.int64)),
+                "__p": pa.array(part_of(wu, P), pa.int32()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        skv = t["sk"].to_numpy()
+        nw = t["numwait"].to_numpy()
+        u, inv = np.unique(skv, return_inverse=True)
+        s = np.bincount(inv, weights=nw, minlength=len(u)).astype(np.int64)
+        cut = np.lexsort((u, -s))[:Q21_TOPK]
+        return pa.table({"sk": u[cut], "numwait": pa.array(s[cut])})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
+    )
+    rows = (
+        li.map_batches(li_pre, batch_format="pyarrow")
+        .union(orders.map_batches(ord_pre, batch_format="pyarrow"))
+        .groupby("__p")
+        .map_groups(kern, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pyarrow")
+        .take_all()
+    )
+    df = pd.DataFrame(rows, columns=["sk", "numwait"])
+    ordr = np.lexsort((df["sk"].to_numpy(), -df["numwait"].to_numpy()))[
+        :Q21_TOPK
+    ]
+    df = df.iloc[ordr].reset_index(drop=True)
+    keys = df["sk"].to_numpy(np.int64)
+    sdim = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", keys.tolist())],
+    ).to_pandas().set_index("s_suppkey").loc[keys]
+    return pd.DataFrame(
+        {
+            "s_suppkey": keys,
+            "s_name": sdim["s_name"].to_numpy(object),
+            "numwait": df["numwait"].to_numpy(np.int64),
+        }
+    )
+
+
 Q19_BRACKETS = [
     ("Brand#12", 1, 10, 1, 15),
     ("Brand#13", 1, 20, 10, 25),
@@ -6292,6 +6705,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_profit": q_q9_profit,
         "q15_top_supplier": q_q15_top_supplier,
         "q11_important_parts": q_q11_important_parts,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q20_excess_suppliers": q_q20_excess_suppliers,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
         "q22_idle_balances": q_q22_idle_balances,
         "q13_order_counts": q_q13_order_counts,
         "q17_small_orders": q_q17_small_orders,
@@ -6967,6 +7383,75 @@ SELECT p_partkey,
        ROUND(CAST(units AS DOUBLE) / 10000.0, 2) AS value
 FROM v
 WHERE units * {Q11_FRAC_DEN} > (SELECT SUM(units) FROM v)
+""",
+        "q2_min_cost_supplier": f"""
+WITH cand AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         MIN(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS cu
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE p_size BETWEEN {Q2_SIZE_LO} AND {Q2_SIZE_HI}
+    AND p_type LIKE '{Q2_TYPE_PREFIX}%'
+    AND n_regionkey = {Q2_REGIONKEY}
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT pk, sk, cu FROM cand c
+  WHERE cu = (SELECT MIN(cu) FROM cand x WHERE x.pk = c.pk)
+)
+SELECT ROUND(CAST(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS DOUBLE)
+             / 100.0, 2) AS s_acctbal,
+       s_name, n_name, pk AS p_partkey, sk AS s_suppkey,
+       ROUND(CAST(cu AS DOUBLE) / 10000.0, 2) AS min_cost
+FROM win
+JOIN supplier ON s_suppkey = sk
+JOIN nation ON n_nationkey = s_nationkey
+ORDER BY CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) DESC, pk, sk
+LIMIT {Q2_TOPK}
+""",
+        "q20_excess_suppliers": f"""
+WITH q AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         SUM(CAST(l_quantity AS BIGINT)) AS qs
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+    AND year(l_shipdate) = {Q20_YEAR}
+  GROUP BY 1, 2
+),
+tot AS (SELECT pk, SUM(qs) AS qt FROM q GROUP BY pk)
+SELECT DISTINCT s_suppkey, s_name
+FROM q
+JOIN tot USING (pk)
+JOIN supplier ON s_suppkey = sk
+WHERE {Q20_SHARE_DEN} * qs > qt AND s_nationkey = {Q20_NATIONKEY}
+""",
+        "q21_waiting_suppliers": f"""
+WITH ls AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+         MAX(epoch_us(l_shipdate)) AS ms
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT ok, sk,
+         CASE WHEN ms > epoch_us(o_orderdate) + {Q21_LATE_US}
+              THEN 1 ELSE 0 END AS late
+  FROM ls JOIN orders ON o_orderkey = ok
+),
+agg AS (SELECT ok, COUNT(*) AS ns, SUM(late) AS nl FROM j GROUP BY ok),
+w AS (
+  SELECT sk, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM j JOIN agg USING (ok)
+  WHERE late = 1 AND ns > 1 AND nl = 1
+  GROUP BY sk
+)
+SELECT sk AS s_suppkey, s_name, numwait
+FROM w JOIN supplier ON s_suppkey = sk
+ORDER BY numwait DESC, sk
+LIMIT {Q21_TOPK}
 """,
         "q17_small_orders": """
 WITH li AS (
