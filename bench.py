@@ -99,6 +99,15 @@ BENCH_QUERIES = [
     "q22_idle_balances",
     "q13_order_counts",
     "q17_small_orders",
+    "q7_nation_volume",
+    "q10_returns",
+    "q18_large_orders",
+    "q9_profit",
+    "q15_top_supplier",
+    "q11_important_parts",
+    "q2_min_cost_supplier",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
     "persistent_hitters",
     "rich_club",
     "chunk_dedup",
