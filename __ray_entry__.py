@@ -4990,6 +4990,38 @@ Q19_BRACKETS = [
     ("Brand#14", 1, 30, 20, 35),
 ]
 
+Q6_LO_US = 820_454_400_000_000  # 1996-01-01
+Q6_HI_US = 852_076_800_000_000  # 1997-01-01
+Q6_DISC_LO = 0.045  # discount bracket 0.05 +/- 0.01, float-safe bounds
+Q6_DISC_HI = 0.065
+Q6_QTY_LT = 24.0
+
+
+def q_q6_forecast(sf_dir: str):
+    """TPC-H-Q6-shaped forecast revenue change: SUM(extendedprice *
+    discount) over a one-year shipdate window, a discount bracket, and a
+    quantity cap. The only shuffle-free TPC-H shape: one column-pruned
+    scan, one int64 partial per block, one driver-side fold (cf.
+    `main.cpp` has no relational layer at all — SURVEY §2.7)."""
+    from sbustreamspot_core_ray.stages.relational import forecast_revenue
+
+    return forecast_revenue(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_shipdate",
+                "l_quantity",
+                "l_discount",
+                "l_extendedprice",
+            ],
+        ),
+        date_lo_us=Q6_LO_US,
+        date_hi_us=Q6_HI_US,
+        disc_lo=Q6_DISC_LO,
+        disc_hi=Q6_DISC_HI,
+        qty_lt=Q6_QTY_LT,
+    )
+
 
 def q_q19_brackets(sf_dir: str):
     """TPC-H-Q19-shaped disjunctive predicate revenue: OR of
@@ -6697,6 +6729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_class": q_q12_priority_class,
         "q14_promo_share": q_q14_promo_share,
         "q19_brackets": q_q19_brackets,
+        "q6_forecast": q_q6_forecast,
         "q8_market_share": q_q8_market_share,
         "q16_supplier_counts": q_q16_supplier_counts,
         "q7_nation_volume": q_q7_nation_volume,
@@ -7196,6 +7229,17 @@ WHERE """
                 for br, slo, shi, qlo, qhi in Q19_BRACKETS
             )
         ),
+        "q6_forecast": f"""
+SELECT ROUND(CAST(COALESCE(SUM(
+         CAST(floor(l_extendedprice * l_discount * 10000.0 + 0.5) AS BIGINT)
+       ), 0) AS DOUBLE) / 10000.0, 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= make_timestamp({Q6_LO_US})
+  AND l_shipdate < make_timestamp({Q6_HI_US})
+  AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY_LT}
+""",
         "persistent_hitters": f"""
 WITH c AS (
   SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour, user_id,

@@ -1802,3 +1802,69 @@ def market_share(
             ),
         }
     )
+
+
+def forecast_revenue(
+    lineitem: ray.data.Dataset,
+    date_lo_us: int,
+    date_hi_us: int,
+    disc_lo: float,
+    disc_hi: float,
+    qty_lt: float,
+) -> "pa.Table":
+    """TPC-H-Q6-shaped forecast-revenue-change: total discount revenue
+    (SUM(extendedprice * discount)) over lineitems in a one-year shipdate
+    window, a discount bracket, and a quantity cap.
+
+    Scale shape: NO shuffle at all — each block folds to a single
+    (units, n_items) int64 partial inside map_batches; the driver sums a
+    #blocks-row table. Per-row units are floor(price*disc*1e4 + 0.5)
+    computed in float64 with the identical expression the SQL mirror
+    uses, so the int64 sum (< 2^53) is bit-identical regardless of block
+    order. The one division + round happens once on the driver."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        ship = (
+            t["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        m = (
+            (ship >= date_lo_us)
+            & (ship < date_hi_us)
+            & (disc >= disc_lo)
+            & (disc <= disc_hi)
+            & (qty < qty_lt)
+        )
+        units = np.floor(price[m] * disc[m] * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array([int(units.sum())], pa.int64()),
+                "n": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        lineitem.select_columns(
+            ["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"]
+        )
+        .map_batches(pre, batch_format="pyarrow")
+        .take_all()
+    )
+    total = sum(r["u"] for r in parts)
+    n = sum(r["n"] for r in parts)
+    from ..functions.rounding import round_half_away
+
+    return pa.table(
+        {
+            "revenue": pa.array(
+                [float(round_half_away(np.float64(total) / 10000.0, 2))],
+                pa.float64(),
+            ),
+            "n_items": pa.array([n], pa.int64()),
+        }
+    )

@@ -181,3 +181,59 @@ def test_q2_min_cost_ties_and_region_filter(tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want, check_dtype=False
     )
+
+
+def test_q6_forecast_predicate_boundaries(tmp_path):
+    """Every Q6 predicate edge: shipdate [lo, hi) half-open bounds,
+    discount bracket inclusive at both float-safe ends, quantity strict
+    cut — checked by hand and against the SQL oracle on the same file."""
+    import __ray_entry__ as E
+
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    rows = [
+        # (ship, qty, disc, price, keep?)
+        (pd.Timestamp("1996-01-01"), 1.0, 0.05, 1000.0, True),   # lo edge in
+        (pd.Timestamp("1996-12-31"), 1.0, 0.06, 2000.0, True),   # hi-1 in
+        (pd.Timestamp("1997-01-01"), 1.0, 0.05, 1000.0, False),  # hi edge out
+        (pd.Timestamp("1995-12-31"), 1.0, 0.05, 1000.0, False),  # below lo
+        (pd.Timestamp("1996-06-01"), 23.0, 0.05, 400.0, True),   # qty 23 in
+        (pd.Timestamp("1996-06-01"), 24.0, 0.05, 400.0, False),  # qty 24 out
+        (pd.Timestamp("1996-06-01"), 1.0, 0.04, 9999.0, False),  # disc low out
+        (pd.Timestamp("1996-06-01"), 1.0, 0.07, 9999.0, False),  # disc high out
+    ]
+    n = len(rows)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+                "l_partkey": pa.array([1] * n, pa.int64()),
+                "l_suppkey": pa.array([1] * n, pa.int64()),
+                "l_linenumber": pa.array([1] * n, pa.int32()),
+                "l_quantity": pa.array([r[1] for r in rows], pa.float64()),
+                "l_extendedprice": pa.array(
+                    [r[3] for r in rows], pa.float64()
+                ),
+                "l_discount": pa.array([r[2] for r in rows], pa.float64()),
+                "l_tax": pa.array([0.0] * n, pa.float64()),
+                "l_returnflag": pa.array(["N"] * n),
+                "l_linestatus": pa.array(["O"] * n),
+                "l_shipdate": pa.array(
+                    [r[0] for r in rows], pa.timestamp("us")
+                ),
+            }
+        ),
+        f"{sf}/lineitem.parquet",
+    )
+    got = E.queries()["q6_forecast"](sf).to_pandas()
+    # 1000*0.05 + 2000*0.06 + 400*0.05 = 50 + 120 + 20 = 190.0 over 3 rows
+    assert got["revenue"].tolist() == [190.0]
+    assert got["n_items"].tolist() == [3]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+    )
+    want = con.sql(E.oracle_sql()["q6_forecast"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
