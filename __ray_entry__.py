@@ -1855,6 +1855,90 @@ def q_bfs_distance(sf_dir: str):
     return bfs_distance(g, seeds=np.array(BFS_SEEDS, np.int64), max_hops=BFS_MAX_HOPS)
 
 
+BIPARTITE_CO_SEEDS = (1, 2, 3)  # customer keys, present at every sf
+BIPARTITE_TRI_SEEDS = (30_000_001, 30_000_002, 30_000_003)  # suppliers
+
+
+def q_bipartite(sf_dir: str):
+    """Per-seed 2-colorability / odd-cycle certificate within BFS_MAX_HOPS
+    of each sample seed: one batched multi-seed BFS per graph, packed
+    parity bitmasks, two co-partition joins onto the canonical edge list.
+    Run on TWO derived graphs so both branches are exercised: the
+    customer-order graph (bipartite by construction) and the
+    order-part-supplier co-occurrence graph (odd cycles via its
+    triangles)."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        bipartite_check,
+    )
+
+    out = []
+    for tag, edges_fn, seeds in (
+        (0, _edges_custorder, BIPARTITE_CO_SEEDS),
+        (1, _edges_triangle, BIPARTITE_TRI_SEEDS),
+    ):
+        g = ShardedGraph.build(edges_fn(sf_dir), num_parts=P, symmetric=True)
+        t = bipartite_check(
+            g,
+            edges_fn(sf_dir),
+            seeds=np.array(seeds, np.int64),
+            max_hops=BFS_MAX_HOPS,
+            num_partitions=P,
+        )
+        out.append(
+            t.add_column(0, "graph", pa.array([tag] * t.num_rows, pa.int64()))
+        )
+    return pa.concat_tables(out)
+
+
+def _bipartite_block(edges_sql: str, seeds: tuple, tag: int) -> str:
+    vals = ", ".join(f"({s})" for s in seeds)
+    return f"""
+SELECT * FROM (
+WITH RECURSIVE e0 AS ({edges_sql}),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+e AS (SELECT a AS s, b AS d FROM canon UNION ALL SELECT b, a FROM canon),
+walk(seed, vertex, dist) AS (
+  SELECT s, s, 0 FROM (VALUES {vals}) t(s) WHERE s IN (SELECT s FROM e)
+  UNION
+  SELECT walk.seed, e.d, walk.dist + 1 FROM walk JOIN e ON e.s = walk.vertex
+  WHERE walk.dist < {BFS_MAX_HOPS}
+),
+md AS MATERIALIZED (
+  SELECT seed, vertex, MIN(dist) AS dist FROM walk GROUP BY seed, vertex
+),
+conf AS (
+  SELECT x.seed, COUNT(*) AS n_edges_both,
+         COUNT(*) FILTER (WHERE (x.dist % 2) = (y.dist % 2)) AS odd_edges
+  FROM canon c
+  JOIN md x ON x.vertex = c.a
+  JOIN md y ON y.vertex = c.b AND y.seed = x.seed
+  GROUP BY x.seed
+),
+rch AS (SELECT seed, COUNT(*) AS n_reached FROM md GROUP BY seed)
+SELECT {tag} AS graph, t.s AS seed,
+       COALESCE(r.n_reached, 0) AS n_reached,
+       COALESCE(c.n_edges_both, 0) AS n_edges_both,
+       COALESCE(c.odd_edges, 0) AS odd_edges,
+       COALESCE(c.odd_edges, 0) = 0 AS is_bipartite
+FROM (VALUES {vals}) t(s)
+LEFT JOIN rch r ON r.seed = t.s
+LEFT JOIN conf c ON c.seed = t.s
+) blk{tag}"""
+
+
+def _bipartite_sql() -> str:
+    return (
+        _bipartite_block(_SQL_EDGES_CO, BIPARTITE_CO_SEEDS, 0)
+        + "\nUNION ALL\n"
+        + _bipartite_block(_SQL_EDGES_TRI, BIPARTITE_TRI_SEEDS, 1)
+        + "\nORDER BY graph, seed"
+    )
+
+
 SIGMA_SEEDS = (1, 2)  # customer keys, present at every sf
 SIGMA_HOPS = 4
 
@@ -6664,6 +6748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_incremental": q_pagerank_incremental,
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_distance": q_bfs_distance,
+        "bipartite": q_bipartite,
         "path_counts": q_path_counts,
         "stress_centrality": q_stress_centrality,
         "closeness_sample": q_closeness_sample,
@@ -6831,6 +6916,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_incremental": _pagerank_incremental_sql(),
         "personalized_pagerank": _ppr_sql(),
         "bfs_distance": _bfs_sql(),
+        "bipartite": _bipartite_sql(),
         "path_counts": _sigma_sql(),
         "stress_centrality": _stress_sql(),
         "closeness_sample": _closeness_sample_sql(),

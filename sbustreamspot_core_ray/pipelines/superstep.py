@@ -1368,6 +1368,117 @@ def bfs_hop_histogram(
     )
 
 
+def bipartite_check(
+    graph: ShardedGraph,
+    edges: ray.data.Dataset,
+    seeds,
+    max_hops: int = 64,
+    num_partitions: int = 32,
+) -> "pa.Table":
+    """Per-seed 2-colorability (odd-cycle) check of the explored subgraph:
+    BFS parity from each sample seed; an edge whose endpoints sit at
+    equal-parity hop distance certifies an odd cycle through the seed's
+    component, so the reached subgraph is bipartite iff no such edge
+    exists (exact within `max_hops`; the cap is part of the semantics and
+    mirrored by the oracle).
+
+    Scale shape: ONE batched multi-seed BFS (one exchange stream serves
+    every seed), then each shard emits one (vertex, packed reached|parity
+    int64 bitmask) row — V rows total, not V*S — joined onto the
+    canonical undirected edge list by two co-partitioned searchsorted
+    attaches; conflicts fold to S-long int64 partials per block. Returns
+    (seed, n_reached, n_edges_both, odd_edges, is_bipartite); all exact
+    integers. Unsalted symmetric graphs only (the BFS kernel's
+    constraint)."""
+    import pyarrow.compute as pc
+
+    if graph.salted:
+        raise ValueError(
+            "bipartite_check supports unsalted graphs only; build the "
+            "ShardedGraph without salt_threshold"
+        )
+    seeds = np.unique(np.asarray(seeds, np.int64))
+    S = len(seeds)
+    if S > 31:
+        raise ValueError("bipartite_check packs masks into 31 bits: S <= 31")
+    actors = graph.actors
+    frontier = sum(ray.get([a.bfsm_init.remote(seeds) for a in actors]))
+    it = 0
+    while frontier and it < max_hops:
+        frontier = sum(graph._exchange("bfsm"))
+        it += 1
+    # n_reached per seed from the bounded per-shard histograms
+    hists = pa.concat_tables(
+        ray.get([a.bfsm_hist.remote(max_hops) for a in actors])
+    ).to_pandas()
+    reach = hists.groupby("seed")["n"].sum()
+    masks = ray.data.from_arrow_refs(
+        [a.bfsm_parity_masks.remote() for a in actors]
+    ).materialize()
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["src"], pa.int64())
+        d = pc.cast(t["dst"], pa.int64())
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table(
+            {"a": pc.min_element_wise(s, d), "b": pc.max_element_wise(s, d)}
+        )
+
+    und = distinct(
+        edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"]
+    )
+    wa = _attach_value(und, masks, "a", ["b"], "masks", "m_a", num_partitions)
+    wb = _attach_value(
+        wa.rename_columns({"a": "oa", "b": "a"}),
+        masks,
+        "a",
+        ["oa", "m_a"],
+        "masks",
+        "m_b",
+        num_partitions,
+    )
+
+    LOW = np.int64((1 << 31) - 1)
+
+    def fold(t: pa.Table) -> pa.Table:
+        ma = t["m_a"].to_numpy(zero_copy_only=False)
+        mb = t["m_b"].to_numpy(zero_copy_only=False)
+        both = (ma & LOW) & (mb & LOW)
+        same = ~((ma >> np.int64(31)) ^ (mb >> np.int64(31)))
+        nb = np.empty(S, np.int64)
+        nc = np.empty(S, np.int64)
+        for j in range(S):
+            bj = (both >> np.int64(j)) & 1
+            nb[j] = int(bj.sum())
+            nc[j] = int((bj & (same >> np.int64(j))).sum())
+        return pa.table(
+            {
+                "j": pa.array(np.arange(S, dtype=np.int64)),
+                "nb": pa.array(nb),
+                "nc": pa.array(nc),
+            }
+        )
+
+    parts = wb.map_batches(fold, batch_format="pyarrow").take_all()
+    nb = np.zeros(S, np.int64)
+    nc = np.zeros(S, np.int64)
+    for r in parts:
+        nb[r["j"]] += r["nb"]
+        nc[r["j"]] += r["nc"]
+    return pa.table(
+        {
+            "seed": pa.array(seeds, pa.int64()),
+            "n_reached": pa.array(
+                [int(reach.get(s, 0)) for s in seeds], pa.int64()
+            ),
+            "n_edges_both": pa.array(nb, pa.int64()),
+            "odd_edges": pa.array(nc, pa.int64()),
+            "is_bipartite": pa.array(nc == 0, pa.bool_()),
+        }
+    )
+
+
 def sssp_distance(
     graph: ShardedGraph, seeds, max_rounds: int = 64
 ) -> ray.data.Dataset:
@@ -1539,8 +1650,11 @@ def _attach_value(
             pos = np.clip(np.searchsorted(rk_keys, lk_keys), 0, len(rk_keys) - 1)
             hit = rk_keys[pos] == lk_keys
         else:
+            # no lookup rows in this partition: inner join drops every row;
+            # a dummy val keeps vals[pos] in bounds while hit=False filters
             pos = np.zeros(len(lk_keys), np.int64)
             hit = np.zeros(len(lk_keys), bool)
+            vals = np.zeros(1, np.int64)
         cols = {key_col: pa.array(lk_keys[hit], pa.int64())}
         for i, c in enumerate(carry_cols):
             cols[c] = pa.array(

@@ -1363,6 +1363,29 @@ class CsrShard:
             }
         )
 
+    def bfsm_parity_masks(self) -> pa.Table:
+        """(vertex, masks) for owned vertices reached by >= 1 seed: bit j
+        of the low 31 bits = reached by seed j, bit (31+j) = dist_j is
+        odd. One int64 per vertex regardless of seed count (S <= 31), so
+        the bipartite conflict join ships V-scale rows once, not V*S."""
+        INF = np.iinfo(np.int64).max
+        fin = self.mdist < INF
+        any_r = fin.any(axis=1)
+        if not any_r.any():
+            z = np.empty(0, np.int64)
+            return pa.table({"vertex": z, "masks": z})
+        S = self.mdist.shape[1]
+        bits = (np.int64(1) << np.arange(S, dtype=np.int64))[None, :]
+        rm = np.where(fin[any_r], bits, 0).sum(axis=1)
+        odd = fin[any_r] & ((self.mdist[any_r] & 1) == 1)
+        pm = np.where(odd, bits, 0).sum(axis=1)
+        return pa.table(
+            {
+                "vertex": pa.array(self.owned[any_r], pa.int64()),
+                "masks": pa.array(rm | (pm << np.int64(31)), pa.int64()),
+            }
+        )
+
     # ---- downstream shortest-path counts (Brandes back-propagation) ----
     #
     # After a sigma BFS, g(v) = number of shortest paths STARTING at v

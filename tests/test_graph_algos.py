@@ -840,3 +840,47 @@ def test_warm_start_cc_matches_cold(edges):
         .sort_index()
     )
     assert (warm == cold).all()
+
+
+def test_bipartite_check_path_vs_triangle():
+    """Hand-checked: component {0-1-2-3} is an even path (bipartite);
+    component {10,11,12} is a triangle (odd cycle) with a pendant 13.
+    Seeds 0 and 10; seed 99 is absent from the graph (all-zero row)."""
+    from sbustreamspot_core_ray.pipelines.superstep import bipartite_check
+
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (12, 13)]
+    ds = edges_ds(edges)
+    g = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    t = bipartite_check(
+        g, ds, seeds=np.array([0, 10, 99], np.int64), max_hops=8,
+        num_partitions=P,
+    ).to_pandas().set_index("seed")
+    assert t.loc[0, "n_reached"] == 4
+    assert t.loc[0, "n_edges_both"] == 3
+    assert t.loc[0, "odd_edges"] == 0
+    assert bool(t.loc[0, "is_bipartite"])
+    assert t.loc[10, "n_reached"] == 4
+    assert t.loc[10, "n_edges_both"] == 4
+    # triangle 10-11-12 from seed 10: dists 0,1,1 -> edge (11,12) is the
+    # sole equal-parity edge
+    assert t.loc[10, "odd_edges"] == 1
+    assert not bool(t.loc[10, "is_bipartite"])
+    assert t.loc[99, "n_reached"] == 0
+    assert t.loc[99, "n_edges_both"] == 0
+    assert bool(t.loc[99, "is_bipartite"])
+
+
+def test_bipartite_check_hop_cap_hides_far_conflict():
+    """The cap is part of the semantics: a triangle 3 hops away is not
+    reached at max_hops=2, so the explored subgraph reads bipartite."""
+    from sbustreamspot_core_ray.pipelines.superstep import bipartite_check
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 3)]
+    ds = edges_ds(edges)
+    g = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    t = bipartite_check(
+        g, ds, seeds=np.array([0], np.int64), max_hops=2, num_partitions=P
+    ).to_pandas()
+    assert t["n_reached"].tolist() == [3]  # 0,1,2
+    assert t["odd_edges"].tolist() == [0]
+    assert t["is_bipartite"].tolist() == [True]
