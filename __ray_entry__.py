@@ -1891,6 +1891,61 @@ def q_bipartite(sf_dir: str):
     return pa.concat_tables(out)
 
 
+MATCH_ROUNDS = 16  # mutual-min handshake cap; fixpoint at 10 (sf0.01) / 13 (sf0.1)
+
+
+def q_matching(sf_dir: str):
+    """Deterministic maximal matching (mutual-min handshake rounds) over
+    the symmetrized derived graph: one row per matched pair
+    (vertex < partner, round). The round cap is part of the semantics and
+    mirrored by the unrolled SQL oracle; the fixpoint lands well inside it
+    at every test scale."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        maximal_matching,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    return maximal_matching(g, max_rounds=MATCH_ROUNDS)
+
+
+def _matching_sql() -> str:
+    """Unrolled mutual-min handshake rounds: free_k shrinks by the round's
+    mutual pairs; rounds past the fixpoint join empty sets."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({_SQL_EDGES})",
+        "sym AS MATERIALIZED (SELECT src AS s, dst AS d FROM e0 WHERE src <> dst"
+        " UNION SELECT dst, src FROM e0 WHERE src <> dst)",
+        "free0 AS MATERIALIZED (SELECT DISTINCT s AS vertex FROM sym)",
+    ]
+    for k in range(1, MATCH_ROUNDS + 1):
+        p = k - 1
+        ctes.append(
+            f"mm{k} AS MATERIALIZED (SELECT e.d AS v, MIN(e.s) AS m"
+            f" FROM sym e"
+            f" JOIN free{p} fs ON fs.vertex = e.s"
+            f" JOIN free{p} fd ON fd.vertex = e.d"
+            f" GROUP BY e.d)"
+        )
+        ctes.append(
+            f"match{k} AS MATERIALIZED (SELECT a.v AS a, a.m AS b"
+            f" FROM mm{k} a JOIN mm{k} b ON b.v = a.m"
+            f" WHERE b.m = a.v AND a.v < a.m)"
+        )
+        ctes.append(
+            f"free{k} AS MATERIALIZED (SELECT vertex FROM free{p}"
+            f" EXCEPT SELECT a FROM match{k}"
+            f" EXCEPT SELECT b FROM match{k})"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT a AS vertex, b AS partner, {k} AS round FROM match{k}"
+        for k in range(1, MATCH_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({final})"
+
+
 def _bipartite_block(edges_sql: str, seeds: tuple, tag: int) -> str:
     vals = ", ".join(f"({s})" for s in seeds)
     return f"""
@@ -6749,6 +6804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_distance": q_bfs_distance,
         "bipartite": q_bipartite,
+        "matching": q_matching,
         "path_counts": q_path_counts,
         "stress_centrality": q_stress_centrality,
         "closeness_sample": q_closeness_sample,
@@ -6917,6 +6973,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _ppr_sql(),
         "bfs_distance": _bfs_sql(),
         "bipartite": _bipartite_sql(),
+        "matching": _matching_sql(),
         "path_counts": _sigma_sql(),
         "stress_centrality": _stress_sql(),
         "closeness_sample": _closeness_sample_sql(),

@@ -706,6 +706,47 @@ def maximal_independent_set(
     return ray.data.from_arrow_refs([a.mis_state_table.remote() for a in actors])
 
 
+def maximal_matching(
+    graph: ShardedGraph, max_rounds: int = 10_000
+) -> ray.data.Dataset:
+    """Deterministic maximal matching via mutual-min handshake rounds:
+    every free vertex points at its minimum-id free neighbor; mutually
+    pointing pairs marry and leave the pool. The globally minimal free
+    vertex with a free neighbor is always mutually pointed at, so each
+    round matches >= 1 pair and the fixpoint is a maximal matching.
+
+    Two exchanges per round (pointer min, then min-src + its pointer so
+    both endpoints decide the mutuality test locally and symmetrically);
+    message volume per round is one (id, ptr) pair per destination owner,
+    never a per-edge pointer table. `max_rounds` caps the rounds and is
+    part of the semantics when hit (mirrors the unrolled SQL oracle).
+    Returns one row per matched pair (vertex < partner, round).
+    Symmetric unsalted graphs only."""
+    if graph.salted:
+        raise ValueError(
+            "maximal_matching supports unsalted graphs only; build the "
+            "ShardedGraph without salt_threshold"
+        )
+    if not graph.symmetric:
+        raise ValueError(
+            "maximal_matching needs a symmetric graph (symmetric=True build)"
+        )
+    actors = graph.actors
+    ray.get([a.match_init.remote() for a in actors])
+    rnd = 1
+    while rnd <= max_rounds:
+        pointing = sum(graph._exchange("match_min"))
+        if pointing == 0:
+            break
+        matched = sum(graph._exchange("match_mut", apply_args=(rnd,)))
+        if matched == 0:
+            break
+        rnd += 1
+    return ray.data.from_arrow_refs(
+        [a.match_state_table.remote() for a in actors]
+    )
+
+
 def two_sweep_diameter(
     graph: ShardedGraph, seed: int, max_hops: int = 64
 ) -> "pa.Table":

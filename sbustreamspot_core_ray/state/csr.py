@@ -588,6 +588,8 @@ class CsrShard:
         "hits_pull": "hits_pull_scatter_parts",
         "nagg": "nagg_scatter_parts",
         "scc": "scc_scatter_parts",
+        "match_min": "match_min_scatter_parts",
+        "match_mut": "match_mut_scatter_parts",
     }
     _APPLIES = {
         "katz": "katz_apply_parts",
@@ -606,6 +608,8 @@ class CsrShard:
         "hits_pull": "hits_pull_apply_parts",
         "nagg": "nagg_apply_parts",
         "scc": "scc_apply_parts",
+        "match_min": "match_min_apply_parts",
+        "match_mut": "match_mut_apply_parts",
     }
 
     async def push_parts(self, algo: str, *scatter_args) -> int:
@@ -1626,6 +1630,105 @@ class CsrShard:
         newly = excl & (self.mis_state == 0)
         self.mis_state[newly] = 2
         return int(newly.sum())
+
+    # ---- maximal matching (deterministic mutual-min handshake rounds) --
+    #
+    # Each round every FREE vertex points at its minimum-id free neighbor;
+    # an edge is matched iff the pointers are mutual. Whenever any free
+    # vertex still has a free neighbor, the globally minimal such vertex
+    # is always mutually pointed at, so every round matches >= 1 pair and
+    # the fixpoint is a MAXIMAL matching. Two exchanges per round: the
+    # pointer min, then (min src, that src's pointer) so each vertex sees
+    # m(m(v)) without shipping per-edge pointer tables.
+
+    def match_init(self) -> int:
+        INF = np.iinfo(np.int64).max
+        self.mt_free = np.ones(len(self.owned), bool)
+        self.mt_partner = np.full(len(self.owned), -1, np.int64)
+        self.mt_round = np.zeros(len(self.owned), np.int64)
+        self.mt_ptr = np.full(len(self.owned), INF, np.int64)
+        return len(self.owned)
+
+    def match_min_scatter_parts(self):
+        """Min free-src id toward each destination (pointer candidates)."""
+        INF = np.iinfo(np.int64).max
+        fr = self.mt_free[self.src_in_owned]
+        mins = np.full(len(self.dst_u), INF)
+        if fr.any():
+            ids = self._rank_per_edge(self.owned[self.src_in_owned])
+            act = np.repeat(fr, self.outdeg)
+            np.minimum.at(mins, self.dst_inv[act], ids[act])
+        out = []
+        for p in range(self.P):
+            idx = self.dst_by_part[p]
+            m = mins[idx]
+            live = m != INF
+            out.append((self.dst_route[p][live], m[live]))
+        return tuple(out)
+
+    def match_min_apply_parts(self, *parts) -> int:
+        INF = np.iinfo(np.int64).max
+        mins = np.full(len(self.owned), INF)
+        for idx, mm in parts:
+            if len(idx):
+                np.minimum.at(mins, idx, mm)
+        mins[~self.mt_free] = INF
+        self.mt_ptr = mins
+        return int((mins != INF).sum())
+
+    def match_mut_scatter_parts(self):
+        """Per destination: the min free src id AND that src's pointer
+        (src ids are unique per destination after CSR dedup, so the
+        argmin's pointer is fetched by one equality mask)."""
+        INF = np.iinfo(np.int64).max
+        src_ptr = self.mt_ptr[self.src_in_owned]
+        fr = self.mt_free[self.src_in_owned] & (src_ptr != INF)
+        mins = np.full(len(self.dst_u), INF)
+        ptrs = np.full(len(self.dst_u), INF)
+        if fr.any():
+            ids = self._rank_per_edge(self.owned[self.src_in_owned])
+            pts = self._rank_per_edge(src_ptr)
+            act = np.repeat(fr, self.outdeg)
+            ids_f, pts_f, dinv_f = ids[act], pts[act], self.dst_inv[act]
+            np.minimum.at(mins, dinv_f, ids_f)
+            eq = ids_f == mins[dinv_f]
+            ptrs[dinv_f[eq]] = pts_f[eq]
+        out = []
+        for p in range(self.P):
+            idx = self.dst_by_part[p]
+            m = mins[idx]
+            live = m != INF
+            out.append(
+                (self.dst_route[p][live], m[live], ptrs[idx][live])
+            )
+        return tuple(out)
+
+    def match_mut_apply_parts(self, rnd: int, *parts) -> int:
+        INF = np.iinfo(np.int64).max
+        mins = np.full(len(self.owned), INF)
+        ptrs = np.full(len(self.owned), INF)
+        for idx, mm, pp in parts:
+            if len(idx):
+                upd = mm < mins[idx]
+                mins[idx[upd]] = mm[upd]
+                ptrs[idx[upd]] = pp[upd]
+        matched = self.mt_free & (mins != INF) & (ptrs == self.owned)
+        self.mt_partner[matched] = mins[matched]
+        self.mt_round[matched] = rnd
+        self.mt_free[matched] = False
+        return int(matched.sum())
+
+    def match_state_table(self) -> pa.Table:
+        """(vertex, partner, round), one row per matched PAIR — emitted
+        from the lower endpoint only."""
+        m = (self.mt_partner >= 0) & (self.owned < self.mt_partner)
+        return pa.table(
+            {
+                "vertex": pa.array(self.owned[m], pa.int64()),
+                "partner": pa.array(self.mt_partner[m], pa.int64()),
+                "round": pa.array(self.mt_round[m], pa.int64()),
+            }
+        )
 
     # ---- greedy distance-1 coloring (iterated MIS phases) --------------
     #

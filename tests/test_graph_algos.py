@@ -884,3 +884,38 @@ def test_bipartite_check_hop_cap_hides_far_conflict():
     assert t["n_reached"].tolist() == [3]  # 0,1,2
     assert t["odd_edges"].tolist() == [0]
     assert t["is_bipartite"].tolist() == [True]
+
+
+def test_maximal_matching_path_chain_rounds():
+    """Path 1-2-3-4-5: mutual-min matches (1,2) in round 1 — pointers
+    3->2, 4->3, 5->4 all chase taken/unrequited partners — then (3,4) in
+    round 2; 5 stays single. Matches the sequential handshake by hand."""
+    from sbustreamspot_core_ray.pipelines.superstep import maximal_matching
+
+    g = ShardedGraph.build(
+        edges_ds([(1, 2), (2, 3), (3, 4), (4, 5)]), num_parts=P,
+        symmetric=True,
+    )
+    df = maximal_matching(g).to_pandas().sort_values("vertex")
+    assert list(zip(df["vertex"], df["partner"], df["round"])) == [
+        (1, 2, 1),
+        (3, 4, 2),
+    ]
+
+
+def test_maximal_matching_is_maximal_and_valid():
+    """On a random graph: no vertex in two pairs, every pair is an edge,
+    and no remaining edge has both endpoints free (maximality)."""
+    from sbustreamspot_core_ray.pipelines.superstep import maximal_matching
+    from .oracles import random_graph
+
+    edges = random_graph(n=120, m=600, seed=7)
+    g = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    df = maximal_matching(g).to_pandas()
+    matched = set(df["vertex"]) | set(df["partner"])
+    assert len(matched) == 2 * len(df)  # disjoint pairs
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    for a, b in zip(df["vertex"], df["partner"]):
+        assert (a, b) in und
+    for a, b in und:
+        assert a in matched or b in matched  # maximal
