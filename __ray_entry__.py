@@ -5781,6 +5781,23 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(docs, seq_tokens=PACK_TOKENS, num_parts=P)
 
 
+BUDGET_TOKENS = 6000  # ~40% of the sf0.01 pool; non-trivial cut at every sf
+
+
+def q_budget_fill(sf_dir: str):
+    """Token-budget corpus selection: admit docs in (stopword-density
+    quality key desc, doc_id) priority order until the cumulative
+    whitespace-token count would exceed the budget — a distributed
+    integer prefix sum in priority order (pack_sequences' machinery
+    re-keyed to (quality, id-range) buckets)."""
+    from sbustreamspot_core_ray.stages.curation import budget_fill
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return budget_fill(docs, budget_tokens=BUDGET_TOKENS, num_parts=P)
+
+
 def q_doc_quality(sf_dir: str):
     from sbustreamspot_core_ray.stages.text import quality
 
@@ -6918,6 +6935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "chunk_dedup": q_chunk_dedup,
         "pack_sequences": q_pack_sequences,
+        "budget_fill": q_budget_fill,
         "bpe_pairs": q_bpe_pairs,
         "oov_rate": q_oov_rate,
         "doc_quality": q_doc_quality,
@@ -8228,6 +8246,31 @@ SELECT doc_id, ck AS chunk_id,
               : CAST(LEAST(ck * {CHUNK_TOKENS} + {CHUNK_TOKENS}, nt) AS BIGINT)],
          ' ') AS chunk_text
 FROM c
+""",
+        "budget_fill": rf"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+         ELSE len(regexp_split_to_array(
+                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+    END AS n_tok,
+    len(regexp_extract_all(lower(text),
+        '\b(?:the|and|of|to|is|a|in|that|it)\b')) AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_tok,
+         (n_stop * 1000000) // greatest(n_tok, 1) AS qk
+  FROM t
+),
+c AS (
+  SELECT doc_id, qk, n_tok,
+         SUM(n_tok) OVER (ORDER BY qk DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q
+)
+SELECT doc_id, qk AS quality_key, n_tok AS n_tokens, cum AS cum_tokens
+FROM c WHERE cum <= {BUDGET_TOKENS}
 """,
         "doc_quality": r"""
 SELECT doc_id,

@@ -652,3 +652,123 @@ def sampling_weights(docs: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
     )
+
+
+def budget_fill(
+    docs: ray.data.Dataset,
+    budget_tokens: int,
+    sub_docs: int = 100_000,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Token-budget corpus selection: admit documents in priority order —
+    integer stopword-density key desc (qk = n_stop * 1e6 // n_tok, the
+    fluency heuristic), doc_id asc — until the cumulative whitespace-token
+    count would exceed `budget_tokens`. The standard curation step for
+    assembling a fixed-size training mix from a larger pool.
+
+    Scale shape: a distributed prefix sum in PRIORITY order (the
+    pack_sequences machinery re-keyed). Pass 1 folds per-block (qk,
+    doc_id // sub_docs) token totals; the driver holds one row per
+    (qk, sub) bucket — bounded by distinct-qk x id-range, never per-doc —
+    prefix-sums the bucket bases exactly in int64 along the priority
+    order, and broadcasts them. Pass 2 is ONE hash(bucket) shuffle; each
+    complete bucket resolves its own docs by a local doc_id-sorted cumsum
+    against the exact base. Sub-bucketing by id range bounds the hottest
+    bucket at `sub_docs` docs even when one qk value dominates the pool.
+    All arithmetic is integer, so the SQL window-SUM mirror is bit-exact."""
+    from ..functions.hashing import part_of
+
+    stop_re = r"\b(?:" + "|".join(
+        ("the", "and", "of", "to", "is", "a", "in", "that", "it")
+    ) + r")\b"
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        nt = text.str.split().str.len().fillna(0).astype(np.int64)
+        ns = text.str.lower().str.count(stop_re).astype(np.int64)
+        qk = (ns * 1_000_000) // np.maximum(nt, 1)
+        d = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"doc_id": d, "n_tok": nt, "qk": qk, "sub": d // sub_docs}
+        )
+
+    scored = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(score, batch_format="pandas")
+        .materialize()  # doc_id/n_tok/qk only — far smaller than the corpus
+    )
+    totals = (
+        scored.groupby(["qk", "sub"]).sum("n_tok").to_pandas()
+    )  # one row per (qk, sub) bucket by construction
+    # priority order: qk desc, sub asc (sub ranges are doc_id-ordered)
+    totals = totals.sort_values(
+        ["qk", "sub"], ascending=[False, True]
+    ).reset_index(drop=True)
+    tt = totals["sum(n_tok)"].to_numpy(np.int64)
+    bases = np.concatenate([[0], np.cumsum(tt)[:-1]]).astype(np.int64)
+    keys = (
+        totals["qk"].to_numpy(np.int64),
+        totals["sub"].to_numpy(np.int64),
+        bases,
+    )
+    base_ref = ray.put(keys)
+    B = int(budget_tokens)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__p"] = part_of(
+            df["qk"].to_numpy(np.int64) * 1_000_003 + df["sub"].to_numpy(np.int64),
+            num_parts,
+        )
+        return df
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "quality_key": pd.Series([], dtype=np.int64),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "cum_tokens": pd.Series([], dtype=np.int64),
+            }
+        )
+        if not len(df):
+            return empty
+        bqk, bsub, bbases = ray.get(base_ref)
+        qk = df["qk"].to_numpy(np.int64)
+        sub = df["sub"].to_numpy(np.int64)
+        d = df["doc_id"].to_numpy(np.int64)
+        nt = df["n_tok"].to_numpy(np.int64)
+        # bucket-major (qk desc, sub asc), doc_id asc within bucket
+        order = np.lexsort((d, sub, -qk))
+        qk, sub, d, nt = qk[order], sub[order], d[order], nt[order]
+        cum = np.cumsum(nt)
+        new_b = np.concatenate(
+            [[True], (qk[1:] != qk[:-1]) | (sub[1:] != sub[:-1])]
+        )
+        excl = cum - nt
+        seg_start = excl[np.flatnonzero(new_b)][np.cumsum(new_b) - 1]
+        # exact global base per bucket: lookup by (-qk, sub) sorted key
+        lk = np.lexsort((bsub, -bqk))
+        sk_q, sk_s, sk_b = -bqk[lk], bsub[lk], bbases[lk]
+        # composite searchsorted via packed key (qk < 2^21, sub < 2^41)
+        pack = lambda q, s: q * (int(sk_s.max()) + 1) + s  # noqa: E731
+        pos = np.searchsorted(pack(sk_q, sk_s), pack(-qk, sub))
+        base = sk_b[pos]
+        end = base + (cum - seg_start)
+        keep = end <= B
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_id": d[keep],
+                "quality_key": qk[keep],
+                "n_tokens": nt[keep],
+                "cum_tokens": end[keep],
+            }
+        )
+
+    return (
+        scored.map_batches(tag, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pandas")
+    )

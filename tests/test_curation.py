@@ -498,3 +498,36 @@ def test_term_total_freq_zipf_head():
     )
     t = term_total_freq(docs, top_n=10).to_pandas().set_index("term")["tf"]
     assert t.loc["a"] == 3 and t.loc["b"] == 2 and t.loc["c"] == 1
+
+
+def test_budget_fill_priority_and_boundary():
+    """Hand-checked priority order and the exact budget boundary: the doc
+    that lands cum == budget is kept; the NEXT doc in priority order is
+    dropped and — prefix semantics — so is everything after it, even docs
+    that would individually fit. sub_docs=2 forces multi-bucket bases."""
+    from sbustreamspot_core_ray.stages.curation import budget_fill
+
+    rows = [
+        # (doc_id, text): qk = stop_tokens*1e6 // n_tok
+        (0, "the and of"),          # nt=3 ns=3 qk=1000000
+        (1, "the cat sat on mat"),  # nt=5 ns=1 qk=200000
+        (2, "x y z w"),             # nt=4 ns=0 qk=0
+        (3, "the the"),             # nt=2 ns=2 qk=1000000
+        (4, "q r"),                 # nt=2 ns=0 qk=0
+    ]
+    ds = _docs_ds(rows)
+    # priority: qk desc, doc_id asc -> 0 (3), 3 (2), 1 (5), 2 (4), 4 (2)
+    # cum:                             3      5      10     14     16
+    got = (
+        budget_fill(ds, budget_tokens=10, sub_docs=2, num_parts=4)
+        .to_pandas()
+        .sort_values("cum_tokens")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 3, 1]
+    assert got["cum_tokens"].tolist() == [3, 5, 10]
+    assert got["quality_key"].tolist() == [1000000, 1000000, 200000]
+    # budget 13: doc 2 (cum 14) is over; doc 4 would fit alone (cum 16 via
+    # prefix => dropped too) — prefix semantics, not knapsack
+    got13 = budget_fill(ds, budget_tokens=13, sub_docs=2, num_parts=4).to_pandas()
+    assert sorted(got13["doc_id"].tolist()) == [0, 1, 3]
