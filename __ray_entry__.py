@@ -5280,6 +5280,18 @@ def q_embedding_centroids(sf_dir: str):
     return embedding_centroids(embs)
 
 
+def q_label_margin(sf_dir: str):
+    """Per-label cluster-quality audit: points strictly nearest their own
+    label's floor-centroid (ties -> lowest label id); all-integer
+    distances on shifted quantized coordinates."""
+    from sbustreamspot_core_ray.stages.ann import label_margin
+
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return label_margin(embs)
+
+
 def q_embedding_quantize(sf_dir: str):
     """Per-vector symmetric int8 quantization: stateless vectorized map,
     fixed IEEE chain (x/maxabs)*127+0.5 -> floor, CSV-canonical output
@@ -6912,6 +6924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": q_late_events,
         "hourly_filled": q_hourly_filled,
         "embedding_centroids": q_embedding_centroids,
+        "label_margin": q_label_margin,
         "embedding_outliers": q_embedding_outliers,
         "embedding_quantize": q_embedding_quantize,
         "props_stats": q_props_stats,
@@ -7934,6 +7947,33 @@ s AS (SELECT label, dim, SUM(u) AS s, count(*) AS n FROM q GROUP BY 1, 2)
 SELECT CAST(label AS BIGINT) AS label, dim,
        ROUND(CAST(s AS DOUBLE) / n / 65536.0, 6) AS centroid
 FROM s
+""",
+        "label_margin": """
+WITH q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, g.i AS dim,
+         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 65536.0 + 0.5)
+              AS BIGINT) + 1048576 AS v
+  FROM embeddings, generate_series(1, 64) g(i)
+),
+c AS (
+  SELECT label, dim, SUM(v) // COUNT(*) AS cv FROM q GROUP BY label, dim
+),
+d AS (
+  SELECT q.vec_id, q.label AS own, c.label AS cand,
+         SUM((q.v - c.cv) * (q.v - c.cv)) AS d2
+  FROM q JOIN c ON c.dim = q.dim
+  GROUP BY q.vec_id, q.label, c.label
+),
+best AS (
+  SELECT vec_id, own, cand,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+  FROM d
+)
+SELECT own AS label, COUNT(*) AS n_points,
+       COUNT(*) FILTER (WHERE cand = own) AS n_correct,
+       ROUND(CAST(COUNT(*) FILTER (WHERE cand = own) AS DOUBLE)
+             / COUNT(*), 6) AS correct_share
+FROM best WHERE rn = 1 GROUP BY own
 """,
         "props_stats": """
 WITH x AS (

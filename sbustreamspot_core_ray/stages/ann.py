@@ -794,3 +794,102 @@ def embedding_outliers(
             "d2_num": pa.array(df["d2_num"].to_numpy(np.int64)),
         }
     )
+
+
+MARGIN_SHIFT = 1 << 20  # lifts quantized coords non-negative (|x| << 16)
+
+
+def label_margin(embs: ray.data.Dataset, dim: int = 64) -> "pa.Table":
+    """Cluster-quality audit per label: how many points sit strictly
+    nearest to their OWN label's floor-centroid (ties broken toward the
+    lowest label id) — the all-integer analog of a silhouette check for
+    embedding-space curation.
+
+    Exactness: coordinates are quantized floor(x*2^16 + 0.5) and SHIFTED
+    by 2^20 so every value, sum and centroid is non-negative — integer
+    floor division then agrees between numpy (floors) and SQL (truncates),
+    and squared distances are shift-invariant. Two passes: a (label, dim)
+    partial-sum fold builds the L x dim centroid table (tiny, broadcast
+    via ray.put), then one stateless map_batches computes the B x L
+    integer distance matrix per block (int64 matmul) and folds per-label
+    (n, correct) partials; the driver sums a #blocks x L table. The one
+    share division is the identical ROUND(c/n, 6) on both sides."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = quantize(_mat(t["embedding"], np.float64)).astype(np.int64)
+        M += MARGIN_SHIFT
+        gu, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros((len(gu), M.shape[1]), np.int64)
+        np.add.at(sums, inv, M)
+        cnt = np.bincount(inv, minlength=len(gu)).astype(np.int64)
+        k = M.shape[1]
+        return pa.table(
+            {
+                "grp": np.repeat(gu, k),
+                "dim": np.tile(np.arange(k, dtype=np.int64), len(gu)),
+                "s": sums.ravel(),
+                "n": np.repeat(cnt, k),
+            }
+        )
+
+    agg = (
+        embs.select_columns(["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["grp", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    labels = np.sort(agg["grp"].unique().astype(np.int64))
+    L = len(labels)
+    C = np.zeros((L, dim), np.int64)
+    li = {int(l): i for i, l in enumerate(labels)}
+    gi = agg["grp"].to_numpy(np.int64)
+    di = agg["dim"].to_numpy(np.int64)
+    sv = agg["s"].to_numpy(np.int64)
+    nv = agg["n"].to_numpy(np.int64)
+    rows = np.array([li[int(x)] for x in gi], np.int64)
+    C[rows, di] = sv // nv  # all non-negative: floor == truncate
+    c_ref = ray.put((labels, C, (C * C).sum(axis=1)))
+
+    def margins(t: pa.Table) -> pa.Table:
+        lab, Cm, c2 = ray.get(c_ref)
+        g = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = quantize(_mat(t["embedding"], np.float64)).astype(np.int64)
+        Q += MARGIN_SHIFT
+        # integer distance matrix: ||q||^2 - 2 q.C^T + ||C||^2 (exact)
+        D = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ Cm.T) + c2[None, :]
+        best = lab[np.argmin(D, axis=1)]  # first min = lowest label id
+        gu, inv = np.unique(g, return_inverse=True)
+        n = np.bincount(inv, minlength=len(gu)).astype(np.int64)
+        ok = np.bincount(
+            inv, weights=(best == g), minlength=len(gu)
+        ).astype(np.int64)
+        return pa.table(
+            {"label": pa.array(gu), "n": pa.array(n), "ok": pa.array(ok)}
+        )
+
+    parts = (
+        embs.select_columns(["label", "embedding"])
+        .map_batches(margins, batch_format="pyarrow")
+        .take_all()
+    )
+    n = np.zeros(L, np.int64)
+    ok = np.zeros(L, np.int64)
+    for r in parts:
+        i = li[int(r["label"])]
+        n[i] += r["n"]
+        ok[i] += r["ok"]
+    from ..functions.rounding import round_half_away
+
+    return pa.table(
+        {
+            "label": pa.array(labels, pa.int64()),
+            "n_points": pa.array(n, pa.int64()),
+            "n_correct": pa.array(ok, pa.int64()),
+            "correct_share": pa.array(
+                round_half_away(ok.astype(np.float64) / n, 6), pa.float64()
+            ),
+        }
+    )

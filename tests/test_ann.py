@@ -197,3 +197,48 @@ def test_embedding_centroids_exact():
     assert out.loc[(0, 2), "centroid"] == 1.5   # mean(1.0, 2.0)
     assert out.loc[(1, 1), "centroid"] == 3.0
     assert out.loc[(1, 2), "centroid"] == -1.0
+
+
+def test_label_margin_hand_case():
+    """Two tight clusters + one point parked at the other cluster's
+    centroid: that point counts against its own label's share. Floor
+    centroids and the lowest-label tie-break are exercised by label 1's
+    (0,0) interloper sitting EXACTLY on label 0's centroid."""
+    import pyarrow as pa
+
+    import ray.data
+    from sbustreamspot_core_ray.stages.ann import label_margin
+
+    dim = 64
+
+    def vec(a, b):
+        v = [0.0] * dim
+        v[0], v[1] = a, b
+        return v
+
+    rows = [
+        (0, 0, vec(0.0, 0.0)),
+        (1, 0, vec(0.0, 0.0)),
+        (2, 1, vec(0.5, 0.5)),
+        (3, 1, vec(0.5, 0.5)),
+        (4, 1, vec(0.0, 0.0)),  # label-1 point on label-0's centroid
+    ]
+    embs = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "label": pa.array([r[1] for r in rows], pa.int32()),
+                "embedding": pa.array(
+                    [r[2] for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    out = label_margin(embs).to_pandas().set_index("label")
+    assert out.loc[0, "n_points"] == 2
+    assert out.loc[0, "n_correct"] == 2
+    assert out.loc[1, "n_points"] == 3
+    # label 1's centroid = floor(mean of (.5,.5)x2 and (0,0)) -> (1/3, 1/3);
+    # the interloper at (0,0) is nearer label 0's (0,0) centroid
+    assert out.loc[1, "n_correct"] == 2
+    assert out.loc[1, "correct_share"] == 0.666667
