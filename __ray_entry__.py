@@ -5650,6 +5650,21 @@ def q_value_percentiles(sf_dir: str):
     return grouped_value_percentiles(ev)
 
 
+BOTTOMK_K = 32
+
+
+def q_bottomk_median(sf_dir: str):
+    """Bottom-k hash-sample quantile sketch per event type with the exact
+    median as a same-query witness: per-block bottom-k combiner (bounded
+    state), one tiny event_type groupby, histogram-exact witness."""
+    from sbustreamspot_core_ray.stages.events import bottomk_median_sketch
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id", "value"]
+    )
+    return bottomk_median_sketch(ev, k=BOTTOMK_K)
+
+
 THROTTLE_GAP_US = 600_000_000  # 10 min
 
 
@@ -6942,6 +6957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": q_rich_club,
         "weekly_retention": q_weekly_retention,
         "value_percentiles": q_value_percentiles,
+        "bottomk_median": q_bottomk_median,
         "throttle_events": q_throttle_events,
         "doc_logprob": q_doc_logprob,
         "bigram_logprob": q_bigram_logprob,
@@ -8098,6 +8114,44 @@ SELECT "window", count(*) AS active,
   CAST(COALESCE(SUM(CASE WHEN nw = "window" + 1 THEN 1 END), 0) AS DOUBLE)
     / count(*) AS rate
 FROM nxt GROUP BY "window"
+""",
+        "bottomk_median": f"""
+WITH h AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST((((CAST(event_id AS HUGEINT) * 11400714819323198485)
+                 % 18446744073709551616) // 4294967296) AS BIGINT) AS hh
+  FROM events
+),
+samp AS (
+  SELECT event_type, cents FROM (
+    SELECT event_type, cents,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY hh, event_id) AS rn
+    FROM h) s WHERE rn <= {BOTTOMK_K}
+),
+spick AS (
+  SELECT event_type, k_used, cents AS est_cents FROM (
+    SELECT event_type, cents,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS r,
+           COUNT(*) OVER (PARTITION BY event_type) AS k_used
+    FROM samp) s
+  WHERE r = CAST(ceil(0.5e0 * k_used) AS BIGINT)
+),
+epick AS (
+  SELECT event_type, n_events, cents AS exact_cents FROM (
+    SELECT event_type, cents,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS r,
+           COUNT(*) OVER (PARTITION BY event_type) AS n_events
+    FROM h) s
+  WHERE r = CAST(ceil(0.5e0 * n_events) AS BIGINT)
+)
+SELECT e.event_type, e.n_events, s.k_used,
+       CAST(s.est_cents AS DOUBLE) / 100.0 AS est_median,
+       CAST(e.exact_cents AS DOUBLE) / 100.0 AS exact_median,
+       abs(s.est_cents - e.exact_cents) AS err_cents
+FROM epick e JOIN spick s ON s.event_type = e.event_type
+ORDER BY e.event_type
 """,
         "value_percentiles": """
 WITH u AS (

@@ -2008,3 +2008,130 @@ def grouped_mad(
         )
 
     return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
+def bottomk_median_sketch(
+    events: ray.data.Dataset,
+    k: int = 32,
+    value_scale: int = 100,
+) -> "pa.Table":
+    """Bottom-k hash-sample quantile sketch per event type, with the exact
+    median as a same-query witness (the HLL / Count-Min pattern): the
+    sample is the k events with the smallest Fibonacci-mixed hash of
+    event_id — a uniform, deterministic, mergeable sample — and the
+    estimate is the sample's ceil(k/2)-rank value.
+
+    Scale shape: every block folds to <= k rows per event type (a
+    bottom-k combiner — bounded state, mergeable in any order), ONE tiny
+    event_type groupby finishes the fold; the witness reuses the
+    (type, cents) histogram combiner. Ranks are ceil(0.5 * n) in float64
+    and the cents divide is the identical IEEE expression on both sides."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .curation import FIB_MIX
+
+    scale = float(value_scale)
+
+    def bk_partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), object)
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(val * scale + 0.5).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = ((ids.astype(np.uint64) * FIB_MIX) >> np.uint64(32)).astype(
+                np.int64
+            )
+        types, codes = np.unique(et, return_inverse=True)
+        order = np.lexsort((ids, h, codes))
+        codes_s = codes[order]
+        # first-k-per-type cut over the (type, h, id)-sorted rows
+        new_g = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        starts = np.flatnonzero(new_g)
+        pos_in_g = np.arange(len(codes_s)) - starts[np.cumsum(new_g) - 1]
+        keep = order[pos_in_g < k]
+        return pa.table(
+            {
+                "event_type": pa.array(et[keep], pa.string()),
+                "h": pa.array(h[keep]),
+                "event_id": pa.array(ids[keep]),
+                "cents": pa.array(cents[keep]),
+            }
+        )
+
+    def bk_final(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["h", "event_id"]).head(k)
+        cs = np.sort(g["cents"].to_numpy(np.int64))
+        ku = len(cs)
+        rank = np.ceil(0.5 * ku)  # float64, mirrors SQL ceil(0.5e0 * k)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "k_used": np.array([ku], np.int64),
+                "est_cents": np.array([cs[int(rank) - 1]], np.int64),
+            }
+        )
+
+    samp = (
+        events.select_columns(["event_type", "event_id", "value"])
+        .map_batches(bk_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(bk_final, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # exact-median witness from the (type, cents) histogram combiner
+    def hist_partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), object)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(val * scale + 0.5).astype(np.int64)
+        types, codes = np.unique(et, return_inverse=True)
+        key = np.stack([codes.astype(np.int64), cents], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(types[uniq[:, 0]], pa.string()),
+                "cents": uniq[:, 1],
+                "cnt": cnt.astype(np.int64),
+            }
+        )
+
+    def epick(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("cents")
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        vals = g["cents"].to_numpy(np.int64)
+        n = int(cum[-1])
+        rank = np.ceil(0.5 * n)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_events": np.array([n], np.int64),
+                "exact_cents": np.array(
+                    [vals[np.searchsorted(cum, rank)]], np.int64
+                ),
+            }
+        )
+
+    wit = (
+        events.select_columns(["event_type", "value"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("event_type")
+        .map_groups(epick, batch_format="pandas")
+        .to_pandas()
+    )
+    m = samp.merge(wit, on="event_type").sort_values("event_type")
+    est = m["est_cents"].to_numpy(np.int64)
+    exa = m["exact_cents"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "event_type": pa.array(m["event_type"].astype(str)),
+            "n_events": pa.array(m["n_events"].to_numpy(np.int64)),
+            "k_used": pa.array(m["k_used"].to_numpy(np.int64)),
+            "est_median": pa.array(est.astype(np.float64) / scale),
+            "exact_median": pa.array(exa.astype(np.float64) / scale),
+            "err_cents": pa.array(np.abs(est - exa)),
+        }
+    )

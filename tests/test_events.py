@@ -598,3 +598,53 @@ def test_user_entropy_hand_checked():
     assert abs(t.loc[1, "entropy"] - expect) < 1e-12
     assert t.loc[1, "n_types"] == 2
     assert t.loc[2, "entropy"] == 0.0 and t.loc[2, "n_types"] == 1
+
+
+def test_bottomk_median_sketch_hand_case():
+    """k smaller than one group (sampling real) and larger than the other
+    (k_used = n, estimate == exact). The bottom-k membership is fixed by
+    the Fibonacci hash, so the expectation is computed with the same hash
+    here — the assertion pins rank arithmetic, not hash luck."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from sbustreamspot_core_ray.stages.curation import FIB_MIX
+    from sbustreamspot_core_ray.stages.events import bottomk_median_sketch
+
+    ids = np.arange(1, 101, dtype=np.int64)
+    vals = (ids % 10).astype(np.float64)  # cents 0..900
+    rows = {
+        "event_id": np.concatenate([ids, ids + 1000]),
+        "event_type": ["a"] * 100 + ["b"] * 100,
+        "value": np.concatenate([vals, vals]),
+    }
+    ev = ray.data.from_arrow(pa.table(rows))
+    out = bottomk_median_sketch(ev, k=8).to_pandas().set_index("event_type")
+    # expected: bottom-8 by hash within each type, rank ceil(4) of sorted cents
+    df = pd.DataFrame(rows)
+    for t in ["a", "b"]:
+        g = df[df["event_type"] == t]
+        h = (g["event_id"].to_numpy(np.uint64) * FIB_MIX) >> np.uint64(32)
+        take = g.iloc[np.lexsort((g["event_id"], h))[:8]]
+        cs = np.sort(np.floor(take["value"].to_numpy() * 100 + 0.5).astype(int))
+        assert out.loc[t, "est_median"] == cs[3] / 100.0
+        assert out.loc[t, "k_used"] == 8
+        assert out.loc[t, "n_events"] == 100
+        ac = np.sort(np.floor(g["value"].to_numpy() * 100 + 0.5).astype(int))
+        assert out.loc[t, "exact_median"] == ac[49] / 100.0  # ceil(50)-th
+    # tiny group: k_used == n, estimate equals exact
+    ev2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "event_type": pa.array(["z"] * 3),
+                "value": pa.array([1.0, 5.0, 9.0]),
+            }
+        )
+    )
+    o2 = bottomk_median_sketch(ev2, k=8).to_pandas()
+    assert o2["k_used"].tolist() == [3]
+    assert o2["est_median"].tolist() == o2["exact_median"].tolist() == [5.0]
+    assert o2["err_cents"].tolist() == [0]
