@@ -6585,6 +6585,49 @@ def q_corpus_pipeline(sf_dir: str):
     return out.sort_values("e_type").reset_index(drop=True)
 
 
+SHARED_IMPORTS_K = 20
+
+
+def q_shared_imports(sf_dir: str):
+    """Library detection on the corpus import graph: top-k import targets
+    by distinct importing repos (total imports, then target, as
+    tiebreaks). Pair-dedup combiner -> one (target, repo) groupby ->
+    additive per-target fold -> per-block top-k cut."""
+    from sbustreamspot_core_ray.sources.corpus import (
+        generate_corpus,
+        ingest_corpus,
+        shared_import_targets,
+    )
+
+    root = "/tmp/graft_corpus_q"
+    generate_corpus(root, n_files=2000, seed=23)
+    return shared_import_targets(
+        ingest_corpus(root, num_partitions=4), k=SHARED_IMPORTS_K
+    )
+
+
+def _shared_imports_sql() -> str:
+    from sbustreamspot_core_ray.sources.corpus import generate_corpus
+
+    generate_corpus("/tmp/graft_corpus_q", n_files=2000, seed=23)
+    return rf"""
+WITH c AS (
+  SELECT repo, path, content
+  FROM read_parquet('/tmp/graft_corpus_q/corpus/*.parquet')
+),
+imp AS (
+  SELECT repo, repo || '/' || path AS fullpath,
+         unnest(regexp_extract_all(content, '(?m)^import\s+(\S+)$', 1)) AS tgt
+  FROM c
+)
+SELECT tgt AS target, COUNT(DISTINCT repo) AS n_repos,
+       COUNT(*) AS n_imports
+FROM imp WHERE tgt <> fullpath
+GROUP BY tgt
+ORDER BY n_repos DESC, n_imports DESC, tgt
+LIMIT {SHARED_IMPORTS_K}"""
+
+
 KNN_LSH_PLANES = 5
 
 
@@ -7007,6 +7050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frames": q_audio_frames,
         "video_frames": q_video_frames,
         "corpus_pipeline": q_corpus_pipeline,
+        "shared_imports": q_shared_imports,
     }
 
 
@@ -8539,6 +8583,7 @@ FROM s3 ORDER BY doc_id
         "streamspot_snapshots": _streamspot_snapshots_sql(),
         "similarity_report": _similarity_report_sql(),
         "corpus_pipeline": _corpus_pipeline_sql(),
+        "shared_imports": _shared_imports_sql(),
         "kcore": _kcore_sql(),
         "common_neighbors": _SQL_COMMON_NEIGHBORS,
         "knn_ivf": _knn_ivf_sql(),

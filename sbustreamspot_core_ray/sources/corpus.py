@@ -198,3 +198,96 @@ def ingest_corpus(corpus_root: str, num_partitions: int = 32) -> ray.data.Datase
     if bad_total:
         raise ValueError(f"ingest invariant violated: {bad_total} rows failed sha256")
     return read_corpus(corpus_root)
+
+
+def shared_import_targets(
+    corpus: ray.data.Dataset, k: int = 20, num_parts: int = 16
+) -> "pa.Table":
+    """Library detection over the corpus import graph: the k import
+    targets referenced by the most DISTINCT repos (total import statements
+    as the tiebreak) — the reuse signal a curation pipeline uses to
+    separate vendored/library files from first-party code.
+
+    Scale shape: a stateless map_batches extracts (target, repo) import
+    pairs (one vectorized extractall per block, the EdgeExtractor regex)
+    and dedups them per block before ONE
+    (target, repo) groupby completes the distinct count; per-block
+    (target, n_repos, n_imports) partials fold through a second tiny
+    target-keyed groupby; the top-k cut is a per-block partial top-k
+    merged on the driver (k rows per block, never the full target table).
+    Deterministic order: (n_repos desc, n_imports desc, target asc)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .edges import _IMPORT_RE
+
+    def pairs(t: pa.Table) -> pa.Table:
+        repos = pd.Series(t["repo"].to_pylist())
+        full = repos + "/" + pd.Series(t["path"].to_pylist())
+        hits = pd.Series(t["content"].to_pylist()).str.extractall(_IMPORT_RE)
+        row_idx = hits.index.get_level_values(0).to_numpy()
+        tgts = hits[0].to_numpy()
+        keep = tgts != full.to_numpy()[row_idx]  # self-imports dropped
+        df = pd.DataFrame(
+            {"tgt": tgts[keep], "repo": repos.to_numpy()[row_idx[keep]]}
+        )
+        g = df.groupby(["tgt", "repo"], sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                "tgt": pa.array(g["tgt"], pa.string()),
+                "repo": pa.array(g["repo"], pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+            }
+        )
+
+    per_pair = (
+        corpus.select_columns(["repo", "path", "content"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["tgt", "repo"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "tgt": np.asarray(t["tgt"].to_numpy(zero_copy_only=False), object),
+                "cnt": t["cnt"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("tgt", sort=False).agg(
+            pr=("cnt", "size"), pi=("cnt", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "tgt": pa.array(g["tgt"], pa.string()),
+                "pr": pa.array(g["pr"].to_numpy(np.int64)),
+                "pi": pa.array(g["pi"].to_numpy(np.int64)),
+            }
+        )
+
+    totals = (
+        per_pair.map_batches(fold, batch_format="pyarrow")
+        .groupby("tgt")
+        .aggregate(Sum("pr", alias_name="n_repos"), Sum("pi", alias_name="n_imports"))
+    )
+
+    def cut(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n_repos", "n_imports", "tgt"], ascending=[False, False, True]
+        )
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    rows = (
+        totals.map_batches(cut, batch_format="pyarrow").to_pandas()
+        .sort_values(["n_repos", "n_imports", "tgt"], ascending=[False, False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "target": pa.array(rows["tgt"].astype(str)),
+            "n_repos": pa.array(rows["n_repos"].to_numpy(np.int64)),
+            "n_imports": pa.array(rows["n_imports"].to_numpy(np.int64)),
+        }
+    )

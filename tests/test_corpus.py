@@ -75,3 +75,31 @@ def test_ingest_rejects_corruption(tmp_path):
     pq.write_table(tampered, part)
     with pytest.raises(ValueError, match="ingest invariant"):
         ingest_corpus(root, num_partitions=2)
+
+
+def test_shared_import_targets_ranking_and_selfdrop():
+    """lib/a is imported by 2 distinct repos (3 statements), lib/b by 2
+    repos (2 statements) — n_imports breaks the n_repos tie; r1's
+    self-import of its own fullpath is dropped."""
+    import ray.data
+
+    from sbustreamspot_core_ray.sources.corpus import shared_import_targets
+
+    rows = [
+        ("r1", "f1", "import lib/a\nimport lib/a\nimport lib/b\nimport r1/f1"),
+        ("r2", "f2", "import lib/a\nimport lib/b"),
+        ("r3", "f3", "import only/here"),
+    ]
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array([r[0] for r in rows]),
+                "path": pa.array([r[1] for r in rows]),
+                "content": pa.array([r[2] for r in rows]),
+            }
+        )
+    )
+    out = shared_import_targets(corpus, k=3, num_parts=4).to_pandas()
+    assert out["target"].tolist() == ["lib/a", "lib/b", "only/here"]
+    assert out["n_repos"].tolist() == [2, 2, 1]
+    assert out["n_imports"].tolist() == [3, 2, 1]
