@@ -6564,6 +6564,49 @@ FROM m JOIN sd ON sd.doc_id = m.doc_id JOIN ed ON ed.doc_id = m.doc_id
 """
 
 
+def q_scene_cuts(sf_dir: str):
+    """Shot-boundary detection over video payloads: frame-to-frame
+    intensity deltas through the deterministic fake codec, cuts flagged at
+    |delta| >= threshold; SQL-mirrored by per-frame char-code sums over
+    the identical wrapped slices."""
+    from sbustreamspot_core_ray.stages.multimodal import (
+        media_from_documents,
+        scene_cuts,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return scene_cuts(media_from_documents(docs))
+
+
+_SQL_SCENE_CUTS = """
+WITH vid AS (
+  SELECT doc_id, text, length(text) AS n,
+         least(greatest(length(text) // 256, 1), 32) AS nf
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT doc_id, CAST(g.f AS INT) AS frame_no,
+         CAST(list_sum(list_transform(
+             string_split(substr(text || text,
+                                 ((g.f * 256) % greatest(n, 1)) + 1, 256), ''),
+             c -> ascii(c))) AS BIGINT) AS inten
+  FROM vid, generate_series(0, 31) g(f)
+  WHERE g.f < nf AND nf >= 2
+),
+tr AS (
+  SELECT doc_id, frame_no, inten,
+         inten - LAG(inten) OVER (PARTITION BY doc_id ORDER BY frame_no)
+           AS delta
+  FROM fr
+)
+SELECT doc_id AS media_id, frame_no, inten AS intensity, delta,
+       abs(delta) >= 300 AS is_cut
+FROM tr WHERE delta IS NOT NULL
+"""
+
+
 def q_corpus_pipeline(sf_dir: str):
     """The flagship corpus pipeline (synthetic deterministic corpus ->
     sha256-validated ingest -> edge extraction -> counts); SQL-mirrored by
@@ -7049,6 +7092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": q_image_resize,
         "audio_frames": q_audio_frames,
         "video_frames": q_video_frames,
+        "scene_cuts": q_scene_cuts,
         "corpus_pipeline": q_corpus_pipeline,
         "shared_imports": q_shared_imports,
     }
@@ -8677,6 +8721,7 @@ FROM ph
         "image_resize": _SQL_IMAGE_RESIZE,
         "audio_frames": _SQL_AUDIO_FRAMES,
         "video_frames": _SQL_VIDEO_FRAMES,
+        "scene_cuts": _SQL_SCENE_CUTS,
         "lang_id": _lang_id_sql(),
         "fingerprints": """
 WITH RECURSIVE pw(i, p) AS (

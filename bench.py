@@ -160,6 +160,14 @@ BENCH_QUERIES = [
     "cc_incremental",
     "component_sizes",
     "degree_gini",
+    "q6_forecast",
+    "bipartite",
+    "matching",
+    "budget_fill",
+    "label_margin",
+    "bottomk_median",
+    "shared_imports",
+    "scene_cuts",
     # resource_allocation rides the common_neighbors wedge machinery:
     # benchmarked at sf0.01 only, like common_neighbors / adamic_adar
     # ktruss / assortativity are benchmarked at sf0.01 only: 15 peel

@@ -140,3 +140,43 @@ def test_image_blockhash_dup_groups():
         ).astype(np.uint64).view(np.int64)
     )
     assert out.loc[0, "phash"] == want
+
+
+def test_scene_cuts_hand_case():
+    """A video payload built from two 256-byte 'shots' (bytes 'a' then 'z')
+    long enough for 4 frames: the a->z boundary fires exactly one cut of
+    delta 256*(122-97); the z->z transition is flat. Wrapped frame starts
+    are exercised by the second doc whose length is not frame-aligned."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from sbustreamspot_core_ray.stages.multimodal import (
+        media_from_documents,
+        scene_cuts,
+    )
+
+    text0 = "a" * 512 + "z" * 512  # doc_id 2 (kind video): 4 aligned frames
+    text1 = "b" * 700  # doc_id 5: nf=2, frame 1 starts at 256 (no wrap yet)
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([2, 5], pa.int64()),
+                "text": pa.array([text0, text1]),
+            }
+        )
+    )
+    out = (
+        scene_cuts(media_from_documents(docs))
+        .to_pandas()
+        .sort_values(["media_id", "frame_no"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out["media_id"] == 2]
+    assert d0["frame_no"].tolist() == [1, 2, 3]
+    assert d0["delta"].tolist() == [0, 256 * (122 - 97), 0]
+    assert d0["is_cut"].tolist() == [False, True, False]
+    d1 = out[out["media_id"] == 5]
+    assert d1["frame_no"].tolist() == [1]
+    assert d1["delta"].tolist() == [0]  # uniform bytes: flat
+    assert d1["is_cut"].tolist() == [False]
