@@ -3046,6 +3046,39 @@ def q_sessionize(sf_dir: str):
     return sessionize(ev, num_parts=8, value_scale=100).to_pandas()
 
 
+COVERAGE_WINDOW_US = 300_000_000  # 5-minute activity interval per event
+
+
+def q_interval_coverage(sf_dir: str):
+    """Per-user interval-union coverage: total microseconds covered by the
+    union of [ts, ts+5min) activity intervals. Equal-length intervals make
+    the union telescope (sum of gap-clipped diffs + one trailing window),
+    so the kernel is one lexsort + np.diff per hashed-user partition —
+    integer microseconds end-to-end."""
+    from sbustreamspot_core_ray.stages.events import interval_coverage
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    return interval_coverage(
+        ev, window_us=COVERAGE_WINDOW_US, num_parts=8
+    ).to_pandas()
+
+
+_SQL_INTERVAL_COVERAGE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN nxt IS NULL THEN {COVERAGE_WINDOW_US}
+                ELSE LEAST(nxt - us, {COVERAGE_WINDOW_US}) END) AS BIGINT)
+         AS covered_us,
+       COUNT(*) AS n_events
+FROM e GROUP BY user_id"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -5162,6 +5195,35 @@ def q_q6_forecast(sf_dir: str):
     )
 
 
+def q_pareto_skyline(sf_dir: str):
+    """2-D Pareto frontier of parts minimizing (p_retailprice, p_size):
+    rows no other part dominates (<= on both, < somewhere). Tree-reduced:
+    per-block local frontier inside map_batches, then one exact pass over
+    the tiny candidate union — no shuffle, comparisons only (no float
+    arithmetic), bit-identical to the SQL NOT EXISTS mirror. (The
+    reference has no relational layer — SURVEY §2.7.)"""
+    from sbustreamspot_core_ray.stages.relational import pareto_skyline
+
+    return pareto_skyline(
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_retailprice", "p_size"],
+        ),
+        x_col="p_retailprice",
+        y_col="p_size",
+    )
+
+
+_SQL_PARETO_SKYLINE = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)"""
+
+
 def q_q19_brackets(sf_dir: str):
     """TPC-H-Q19-shaped disjunctive predicate revenue: OR of
     (brand, size-range, quantity-range) brackets spanning both join
@@ -6982,6 +7044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_revenue": q_q1_revenue,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
+        "interval_coverage": q_interval_coverage,
         "funnel": q_funnel,
         "asof_attribution": q_asof_attribution,
         "interval_join": q_interval_join,
@@ -7001,6 +7064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_share": q_q14_promo_share,
         "q19_brackets": q_q19_brackets,
         "q6_forecast": q_q6_forecast,
+        "pareto_skyline": q_pareto_skyline,
         "q8_market_share": q_q8_market_share,
         "q16_supplier_counts": q_q16_supplier_counts,
         "q7_nation_volume": q_q7_nation_volume,
@@ -7291,6 +7355,7 @@ SELECT event_type,
          AS sum_value
 FROM events GROUP BY 1, 2
 """,
+        "interval_coverage": _SQL_INTERVAL_COVERAGE,
         "sessionize": """
 WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
 s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
@@ -7518,6 +7583,7 @@ WHERE l_shipdate >= make_timestamp({Q6_LO_US})
   AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
   AND l_quantity < {Q6_QTY_LT}
 """,
+        "pareto_skyline": _SQL_PARETO_SKYLINE,
         "persistent_hitters": f"""
 WITH c AS (
   SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour, user_id,

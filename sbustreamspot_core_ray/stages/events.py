@@ -2135,3 +2135,64 @@ def bottomk_median_sketch(
             "err_cents": pa.array(np.abs(est - exa)),
         }
     )
+
+
+def interval_coverage(
+    events: ray.data.Dataset,
+    window_us: int = 300_000_000,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """(user_id, covered_us, n_events): total length of the union of the
+    per-event activity intervals [ts, ts + window_us) for each user.
+
+    Equal-length intervals sorted by start have monotone ends, so the
+    union telescopes with no sweep state: covered = sum over consecutive
+    events of min(gap, window) plus one trailing window per user. One
+    hashed-user shuffle, one lexsort + np.diff per partition; integer
+    microseconds end-to-end (bit-exact vs the SQL LEAD/LEAST mirror)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "us": pc.cast(t["ts"], pa.int64()),
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        us = t["us"].to_numpy()
+        order = np.lexsort((us, u))
+        u, us = u[order], us[order]
+        n = len(u)
+        if n == 0:
+            z = np.empty(0, np.int64)
+            return pa.table(
+                {"user_id": z, "covered_us": z, "n_events": z}
+            )
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        gap = np.minimum(np.diff(us), window_us)
+        gap[new_user[1:]] = 0  # cross-user diffs contribute nothing
+        # per-user: sum of clipped gaps + one trailing window
+        starts = np.flatnonzero(new_user)
+        cum = np.concatenate([[0], np.cumsum(gap)])
+        per_user = cum[np.concatenate([starts[1:], [n]]) - 1] - cum[starts]
+        counts = np.diff(np.concatenate([starts, [n]]))
+        return pa.table(
+            {
+                "user_id": u[starts],
+                "covered_us": (per_user + window_us).astype(np.int64),
+                "n_events": counts.astype(np.int64),
+            }
+        )
+
+    return (
+        events.select_columns(["ts", "user_id"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -1868,3 +1868,58 @@ def forecast_revenue(
             "n_items": pa.array([n], pa.int64()),
         }
     )
+
+
+def _skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D minimizing Pareto frontier: row i is
+    kept iff no row has (x <= x_i AND y <= y_i) with at least one strict.
+    Duplicated (x, y) points do not dominate each other, so every copy of
+    a frontier point is kept. Fully vectorized: one lexsort, group-head
+    detection on x, a shifted running min of per-group minimal y."""
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+    n = len(xs)
+    keep_sorted = np.zeros(n, dtype=bool)
+    if n:
+        heads = np.empty(n, dtype=bool)
+        heads[0] = True
+        heads[1:] = xs[1:] != xs[:-1]
+        gidx = np.cumsum(heads) - 1  # group id per row (equal-x runs)
+        gmin = ys[heads]  # y sorted within group -> head holds group min
+        prefix = np.minimum.accumulate(gmin)  # min y over groups <= g
+        # min y over STRICTLY smaller x (groups < g); +inf for group 0
+        before = np.empty(len(gmin))
+        before[0] = np.inf
+        before[1:] = prefix[:-1]
+        keep_sorted = (ys == gmin[gidx]) & (ys < before[gidx])
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def pareto_skyline(
+    ds: ray.data.Dataset, x_col: str, y_col: str
+) -> ray.data.Dataset:
+    """2-D skyline (Pareto frontier, minimizing both columns): rows not
+    dominated by any other row (dominate = <= on both, < on at least one).
+
+    Scale shape: skyline is a tree-reducible combiner —
+    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — so each block
+    folds to its local frontier inside map_batches (bounded by the
+    block's distinct x values), and one final pass over the concatenated
+    candidates (tiny: <= global distinct-x frontier points) produces the
+    exact global frontier. No shuffle; comparisons only, no float
+    arithmetic, so values pass through bit-identical to the SQL
+    NOT EXISTS mirror."""
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        m = _skyline_mask(
+            t[x_col].to_numpy(zero_copy_only=False),
+            t[y_col].to_numpy(zero_copy_only=False),
+        )
+        return t.filter(pa.array(m))
+
+    cand = ds.map_batches(local, batch_format="pyarrow")
+    return cand.repartition(1).map_batches(local, batch_format="pyarrow")

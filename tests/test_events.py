@@ -648,3 +648,26 @@ def test_bottomk_median_sketch_hand_case():
     assert o2["k_used"].tolist() == [3]
     assert o2["est_median"].tolist() == o2["exact_median"].tolist() == [5.0]
     assert o2["err_cents"].tolist() == [0]
+
+
+def test_interval_coverage_union_semantics():
+    """Overlap chain + disjoint island: user 1 has events at 0, 30, 200
+    with W=100 -> union [0,130)+[200,300) = 230; user 2 single event ->
+    100; duplicate timestamps add nothing."""
+    from sbustreamspot_core_ray.stages.events import interval_coverage
+
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [0, 30, 200, 500, 500], pa.timestamp("us")
+            ),
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        }
+    )
+    got = (
+        interval_coverage(ray.data.from_arrow(t), window_us=100, num_parts=2)
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    assert list(got["covered_us"]) == [230, 100]
+    assert list(got["n_events"]) == [3, 2]

@@ -479,3 +479,38 @@ def test_market_share_both_regimes_agree():
     assert r.loc[1996, "total_revenue"] == 150.0
     assert r.loc[1996, "mkt_share"] == 100.0
     assert 1997 not in r.index  # order 11's customer is outside the region
+
+
+def test_pareto_skyline_matches_brute_force():
+    """Random 2-D points: distributed two-phase frontier equals the O(n^2)
+    dominance definition; duplicate frontier points are all kept."""
+    from sbustreamspot_core_ray.stages.relational import pareto_skyline
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 20, 300).astype(np.float64)
+    y = rng.integers(0, 20, 300).astype(np.int64)
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(300), pa.int64()),
+            "x": pa.array(x),
+            "y": pa.array(y),
+        }
+    )
+    got = (
+        pareto_skyline(
+            ray.data.from_arrow(t).repartition(7), x_col="x", y_col="y"
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    keep = [
+        i
+        for i in range(300)
+        if not any(
+            (x[j] <= x[i])
+            and (y[j] <= y[i])
+            and (x[j] < x[i] or y[j] < y[i])
+            for j in range(300)
+        )
+    ]
+    assert list(got["id"]) == keep
