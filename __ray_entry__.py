@@ -6803,6 +6803,39 @@ def q_term_df(sf_dir: str):
     return term_doc_freq(docs, top_n=100)
 
 
+VOCAB_BUCKET = 2  # doc_id bucket width (synthetic corpus vocab saturates fast)
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: new-terms-per-doc_id-bucket and the
+    cumulative vocabulary curve. First occurrence = min(doc_id) per term
+    (order-independent combinable), so one vocabulary-sized groupby-min
+    shuffle + a tiny bucket fold replaces any sequential corpus scan."""
+    from sbustreamspot_core_ray.stages.text import vocab_growth
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return vocab_growth(docs, bucket_width=VOCAB_BUCKET)
+
+
+_SQL_VOCAB_GROWTH = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+f AS (
+  SELECT term, min(doc_id) AS first_doc FROM t WHERE term <> '' GROUP BY term
+),
+b AS (
+  SELECT CAST(floor(first_doc / {VOCAB_BUCKET}) AS BIGINT) AS bucket,
+         count(*) AS new_terms
+  FROM f GROUP BY 1
+)
+SELECT bucket, new_terms,
+       CAST(SUM(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+FROM b ORDER BY bucket"""
+
+
 def q_term_tf(sf_dir: str):
     """Zipf head: top-100 corpus terms by TOTAL occurrence count —
     same combiner shape as term_df without the per-doc distinct."""
@@ -7142,6 +7175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_dedup": q_embedding_dedup,
         "term_df": q_term_df,
+        "vocab_growth": q_vocab_growth,
         "term_tf": q_term_tf,
         "dup_stats": q_dup_stats,
         "doc_percentiles": q_doc_percentiles,
@@ -8721,6 +8755,7 @@ SELECT sz AS group_size,
        CAST(SUM(sz) AS BIGINT) AS n_docs
 FROM g GROUP BY sz ORDER BY sz
 """,
+        "vocab_growth": _SQL_VOCAB_GROWTH,
         "term_df": """
 WITH t AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents

@@ -961,3 +961,77 @@ def oov_rate(docs: ray.data.Dataset, top_v: int = 20) -> ray.data.Dataset:
         )
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+class _TermFirstDocPartial:
+    """Per-batch combiner for vocabulary growth: per distinct term, the
+    minimum doc_id that contains it within the batch. Shrinks each block
+    to its distinct-term cardinality before the one term-key shuffle."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        ex = toks.explode()
+        doc = df["doc_id"].reindex(ex.index).to_numpy(np.int64)
+        m = ex.notna().to_numpy() & (ex != "").to_numpy()
+        firsts = (
+            pd.DataFrame({"term": ex.to_numpy()[m], "d": doc[m]})
+            .groupby("term", sort=False)["d"]
+            .min()
+        )
+        return pd.DataFrame(
+            {
+                "term": firsts.index.to_numpy(dtype=object),
+                "first_partial": firsts.to_numpy(np.int64),
+            }
+        )
+
+
+def vocab_growth(
+    docs: ray.data.Dataset, bucket_width: int = 1000
+) -> "pa.Table":
+    """Heaps-law vocabulary-growth curve: number of NEVER-SEEN-BEFORE
+    terms introduced per doc_id bucket, plus the running cumulative
+    vocabulary size (the curve whose slope says when a corpus stops
+    yielding new vocabulary — a standard curation diagnostic).
+
+    Scale shape: a term's first occurrence is min(doc_id) — an
+    order-independent, combinable aggregate — so the stream never needs
+    sequential scanning: per-block (term -> min doc) partials, ONE
+    vocabulary-sized groupby-min shuffle, then a bucket-count fold to a
+    #buckets-row table and one tiny driver-side cumulative sum. All
+    integers end-to-end."""
+    from ray.data.aggregate import Min
+
+    firsts = (
+        docs.map_batches(
+            partial(call_singleton, _TermFirstDocPartial),
+            batch_format="pandas",
+        )
+        .groupby("term")
+        .aggregate(Min("first_partial", alias_name="first_doc"))
+    )
+
+    def bucketize(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        fd = t["first_doc"].to_numpy()
+        b = fd // bucket_width
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bucket": ub.astype(np.int64), "c": cnt.astype(np.int64)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    buckets = (
+        firsts.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c", alias_name="new_terms"))
+        .sort("bucket")
+        .to_pandas()
+    )
+    import pyarrow as pa
+
+    buckets["cum_vocab"] = buckets["new_terms"].cumsum().astype(np.int64)
+    buckets["new_terms"] = buckets["new_terms"].astype(np.int64)
+    return pa.Table.from_pandas(buckets, preserve_index=False)

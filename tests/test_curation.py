@@ -531,3 +531,23 @@ def test_budget_fill_priority_and_boundary():
     # prefix => dropped too) — prefix semantics, not knapsack
     got13 = budget_fill(ds, budget_tokens=13, sub_docs=2, num_parts=4).to_pandas()
     assert sorted(got13["doc_id"].tolist()) == [0, 1, 3]
+
+
+def test_vocab_growth_hand_case():
+    """Docs 0-5, bucket width 2: doc0 brings {a,b}, doc1 {c}, doc3 {d},
+    doc5 {e}; repeats never count. Buckets: 0 -> 3 new, 1 -> 1, 2 -> 1;
+    cumulative 3, 4, 5."""
+    from sbustreamspot_core_ray.stages.text import vocab_growth
+
+    rows = [
+        (0, "a b a"),
+        (1, "c a"),
+        (2, "b c"),
+        (3, "d"),
+        (4, "a d"),
+        (5, "e b"),
+    ]
+    got = vocab_growth(_docs_ds(rows), bucket_width=2).to_pandas()
+    assert got["bucket"].tolist() == [0, 1, 2]
+    assert got["new_terms"].tolist() == [3, 1, 1]
+    assert got["cum_vocab"].tolist() == [3, 4, 5]
