@@ -3336,6 +3336,41 @@ def q_copurchase_pairs(sf_dir: str):
     )
 
 
+def q_butterflies(sf_dir: str):
+    """Exact bipartite-motif census of the order–part graph: distinct
+    edges, per-side wedge sums, and butterflies (K_{2,2} — the bipartite
+    triangle analog). Pair enumeration runs on the side with the smaller
+    wedge sum (decided from two cheap degree aggregates) so the hub side
+    never explodes the pair volume; one hash(center) + one hash(pair)
+    shuffle, integer counts end-to-end."""
+    from sbustreamspot_core_ray.stages.relational import butterfly_count
+
+    return butterfly_count(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        ),
+        num_partitions=P,
+    )
+
+
+_SQL_BUTTERFLIES = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+pp AS (
+  SELECT x.p AS a, y.p AS b, count(*) AS c
+  FROM e x JOIN e y ON y.o = x.o AND y.p > x.p GROUP BY 1, 2
+)
+SELECT
+  (SELECT count(*) FROM e) AS n_edges,
+  (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+     FROM (SELECT count(*) AS d FROM e GROUP BY o)) AS wedges_order,
+  (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+     FROM (SELECT count(*) AS d FROM e GROUP BY p)) AS wedges_part,
+  (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) FROM pp)
+    AS butterflies"""
+
+
 Q5_REGION = "ASIA"
 Q5_DATE_LO_US = 820_454_400_000_000  # 1996-01-01
 Q5_DATE_HI_US = 883_612_800_000_000  # 1998-01-01
@@ -7115,6 +7150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "persistent_hitters": q_persistent_hitters,
         "q5_local_supplier": q_q5_local_supplier,
         "copurchase_pairs": q_copurchase_pairs,
+        "butterflies": q_butterflies,
         "open_orders": q_open_orders,
         "fill_rate": q_fill_rate,
         "supplier_share": q_supplier_share,
@@ -7996,6 +8032,7 @@ g AS (SELECT day, SUM(delta) AS dd FROM d GROUP BY day HAVING SUM(delta) <> 0)
 SELECT day, CAST(SUM(dd) OVER (ORDER BY day) AS BIGINT) AS open_orders
 FROM g ORDER BY day
 """,
+        "butterflies": _SQL_BUTTERFLIES,
         "copurchase_pairs": f"""
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 p AS (

@@ -1923,3 +1923,178 @@ def pareto_skyline(
 
     cand = ds.map_batches(local, batch_format="pyarrow")
     return cand.repartition(1).map_batches(local, batch_format="pyarrow")
+
+
+def butterfly_count(
+    lineitem: ray.data.Dataset, num_partitions: int = 16
+) -> "pa.Table":
+    """Exact bipartite-motif census of the order–part graph: distinct
+    edges, wedges centered on each side (sum of C(deg, 2)), and
+    butterflies (complete K_{2,2} subgraphs — 2 orders x 2 parts, the
+    bipartite analog of the triangle and the standard cohesion motif for
+    two-mode networks).
+
+    butterflies = sum over distinct part pairs of C(co-order count, 2);
+    enumerating from the order side or the part side gives the identical
+    total, so the pair enumeration runs on whichever side has the SMALLER
+    wedge sum (decided from the two cheap degree aggregates — the hub
+    side never explodes the pair volume). Scale shape: one hash(center)
+    shuffle for exact per-center pair partials (the copurchase
+    triangular-decode kernel), one hash(pair) shuffle folding partial
+    counts, a per-partition sum of C(c, 2), and a #partitions-row driver
+    fold. All integers end-to-end."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ok": ok,
+                "pk": t["l_partkey"],
+                "__p": pa.array(part_of(ok, num_partitions), pa.int32()),
+            }
+        )
+
+    def dedup_edges(t: pa.Table) -> pa.Table:
+        ok = t["ok"].to_numpy()
+        pk = t["pk"].to_numpy()
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        keep = np.concatenate(
+            [[True], (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        )
+        return pa.table({"ok": ok[keep], "pk": pk[keep]})
+
+    # distinct edges, partitioned by order (exact: orders are disjoint)
+    edges = (
+        lineitem.select_columns(["l_orderkey", "l_partkey"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(dedup_edges, batch_format="pyarrow")
+        .materialize()
+    )
+
+    from ray.data.aggregate import Sum
+
+    def _deg_partial(col):
+        def f(t: pa.Table) -> pa.Table:
+            k, cnt = np.unique(t[col].to_numpy(), return_counts=True)
+            return pa.table({"k": k, "c": cnt.astype(np.int64)})
+
+        return f
+
+    def _wedge_fold(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy()
+        return pa.table(
+            {"w": pa.array([int((d * (d - 1) // 2).sum())], pa.int64())}
+        )
+
+    def _wedge_sum(col: str) -> int:
+        # exact: per-batch key partials -> one keyed sum -> C(d,2) folded
+        # over the aggregated (one row per key) table
+        agg = (
+            edges.map_batches(_deg_partial(col), batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Sum("c", alias_name="d"))
+        )
+        return sum(
+            r["w"]
+            for r in agg.map_batches(
+                _wedge_fold, batch_format="pyarrow"
+            ).take_all()
+        )
+
+    wedges_order = _wedge_sum("ok")
+    wedges_part = _wedge_sum("pk")
+    n_edges = edges.count()
+
+    # enumerate pairs on the cheaper side; relabel so "center" partitions
+    center, leaf = ("ok", "pk") if wedges_order <= wedges_part else ("pk", "ok")
+
+    def retag(t: pa.Table) -> pa.Table:
+        c = t[center].to_numpy()
+        return pa.table(
+            {
+                "c": c,
+                "l": t[leaf],
+                "__p": pa.array(part_of(c, num_partitions), pa.int32()),
+            }
+        )
+
+    def center_pairs(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy()
+        l = t["l"].to_numpy()
+        order = np.lexsort((l, c))
+        c, l = c[order], l[order]
+        starts = np.flatnonzero(np.concatenate([[True], c[1:] != c[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(c)]]))
+        npair = lens * (lens - 1) // 2
+        tot = int(npair.sum())
+        if tot == 0:
+            z = np.empty(0, np.int64)
+            return pa.table(
+                {"a": z, "b": z, "cnt": z,
+                 "__q": pa.array(np.empty(0, np.int32), pa.int32())}
+            )
+        run_id = np.repeat(np.arange(len(lens)), npair)
+        within = np.arange(tot) - np.concatenate([[0], np.cumsum(npair)])[run_id]
+        L = lens[run_id]
+        i = np.floor(
+            ((2 * L - 1)
+             - np.sqrt((2 * L - 1).astype(np.float64) ** 2 - 8 * within))
+            / 2
+        ).astype(np.int64)
+        j = within - (i * (L - 1) - i * (i - 1) // 2) + i + 1
+        base = starts[run_id]
+        a, b = l[base + i], l[base + j]  # a < b: leaves sorted per center
+        po = np.lexsort((b, a))
+        a, b = a[po], b[po]
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        idx = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate([idx, [len(a)]]))
+        from ..pipelines.superstep import _pair_part
+
+        return pa.table(
+            {
+                "a": a[idx],
+                "b": b[idx],
+                "cnt": cnt,
+                "__q": pa.array(
+                    _pair_part(a[idx], b[idx], num_partitions), pa.int32()
+                ),
+            }
+        )
+
+    def fold_butterflies(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        c = t["cnt"].to_numpy()
+        po = np.lexsort((b, a))
+        a, b, c = a[po], b[po], c[po]
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        sums = (
+            np.add.reduceat(c, np.flatnonzero(first))
+            if len(c)
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {"bf": pa.array([int((sums * (sums - 1) // 2).sum())], pa.int64())}
+        )
+
+    parts = (
+        edges.map_batches(retag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(center_pairs, batch_format="pyarrow")
+        .groupby("__q")
+        .map_groups(fold_butterflies, batch_format="pyarrow")
+        .take_all()
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([int(n_edges)], pa.int64()),
+            "wedges_order": pa.array([wedges_order], pa.int64()),
+            "wedges_part": pa.array([wedges_part], pa.int64()),
+            "butterflies": pa.array(
+                [sum(r["bf"] for r in parts)], pa.int64()
+            ),
+        }
+    )

@@ -514,3 +514,43 @@ def test_pareto_skyline_matches_brute_force():
         )
     ]
     assert list(got["id"]) == keep
+
+
+def test_butterfly_count_hand_and_random():
+    """K_{2,2} on orders {1,2} x parts {10,11} = exactly 1 butterfly;
+    then a random bipartite graph vs the O(n^2) pair-count definition
+    (duplicate lineitem rows must not inflate distinct edges)."""
+    from itertools import combinations
+
+    from sbustreamspot_core_ray.stages.relational import butterfly_count
+
+    def make(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                    "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            )
+        )
+
+    k22 = [(1, 10), (1, 11), (2, 10), (2, 11), (1, 10)]  # one duplicate
+    t = butterfly_count(make(k22), num_partitions=3).to_pandas()
+    assert t["n_edges"].tolist() == [4]
+    assert t["butterflies"].tolist() == [1]
+    assert t["wedges_order"].tolist() == [2]
+    assert t["wedges_part"].tolist() == [2]
+
+    rng = np.random.default_rng(11)
+    rows = {(int(o), int(p)) for o, p in
+            zip(rng.integers(0, 40, 600), rng.integers(100, 130, 600))}
+    t = butterfly_count(make(sorted(rows)), num_partitions=5).to_pandas()
+    parts_of = {}
+    for o, p in rows:
+        parts_of.setdefault(o, set()).add(p)
+    bf = 0
+    for o1, o2 in combinations(sorted(parts_of), 2):
+        c = len(parts_of[o1] & parts_of[o2])
+        bf += c * (c - 1) // 2
+    assert t["butterflies"].tolist() == [bf]
+    assert t["n_edges"].tolist() == [len(rows)]
