@@ -3079,6 +3079,42 @@ SELECT user_id,
 FROM e GROUP BY user_id"""
 
 
+DECAY_CAP_DAYS = 40  # ages past this many half-lives contribute 0
+
+
+def q_decayed_counts(sf_dir: str):
+    """Per-user exponentially time-decayed event counter (half-life = 1
+    day, base 2): each event weighs 2^(-age_days), carried as exact
+    integer units 1 << (cap - age) so the int64 sum is order-independent
+    and bit-identical to the SQL bit-shift mirror; one user-key sum, no
+    sort."""
+    from sbustreamspot_core_ray.stages.events import decayed_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    return decayed_counts(
+        ev, half_life_days=1, cap_days=DECAY_CAP_DAYS
+    ).to_pandas()
+
+
+_SQL_DECAYED_COUNTS = f"""
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+h AS (SELECT max(day) AS h FROM d),
+s AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN (h.h - day) <= {DECAY_CAP_DAYS}
+                  THEN (1::BIGINT << CAST({DECAY_CAP_DAYS} - (h.h - day) AS INT))
+                  ELSE 0 END) AS BIGINT) AS decay_units
+  FROM d, h GROUP BY user_id
+)
+SELECT user_id, decay_units,
+       CAST(decay_units AS DOUBLE) / {1 << 40} AS decayed
+FROM s"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -7113,6 +7149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
         "interval_coverage": q_interval_coverage,
+        "decayed_counts": q_decayed_counts,
         "funnel": q_funnel,
         "asof_attribution": q_asof_attribution,
         "interval_join": q_interval_join,
@@ -7426,6 +7463,7 @@ SELECT event_type,
 FROM events GROUP BY 1, 2
 """,
         "interval_coverage": _SQL_INTERVAL_COVERAGE,
+        "decayed_counts": _SQL_DECAYED_COUNTS,
         "sessionize": """
 WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
 s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL

@@ -2196,3 +2196,80 @@ def interval_coverage(
         .groupby("__p")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def decayed_counts(
+    events: ray.data.Dataset,
+    half_life_days: int = 1,
+    cap_days: int = 40,
+) -> ray.data.Dataset:
+    """(user_id, decay_units, decayed): exponentially time-decayed event
+    counter per user — each event contributes 2^(-age/half_life) where
+    age is whole days before the corpus's latest event day, ages past
+    `cap_days` half-lives contribute 0 (their exact weight underflows the
+    fixed-point scale, and the cutoff is part of the semantics).
+
+    The decay base 2 makes every per-event weight an exact integer at
+    scale 2^cap: weight_units = 1 << (cap - age_halflives), so the int64
+    sum is order-independent and bit-identical to the SQL bit-shift
+    mirror; `decayed` = units / 2^cap is one IEEE division. Two passes:
+    a #blocks-row max-day fold, then per-block (user -> units) partials
+    into ONE user-key sum — no sort, no window function."""
+    from ray.data.aggregate import Sum
+
+    day_us = 86_400_000_000
+
+    def day_max(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        return pa.table(
+            {"d": pa.array([int(us.max() // day_us)] if len(us) else [],
+                           pa.int64())}
+        )
+
+    src = events.select_columns(["ts", "user_id"]).materialize()
+    horizon = max(
+        r["d"] for r in src.map_batches(day_max, batch_format="pyarrow").take_all()
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        age = (horizon - us // day_us) // half_life_days
+        m = age <= cap_days
+        w = np.zeros(len(u), np.int64)
+        w[m] = np.int64(1) << (cap_days - age[m]).astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        u, w = u[order], w[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], u[1:] != u[:-1]])
+        )
+        # int64 reduceat (never float-weighted bincount): exact at any
+        # per-user event volume up to int64 range
+        sums = (
+            np.add.reduceat(w, starts) if len(w) else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {"user_id": u[starts], "units": sums.astype(np.int64)}
+        )
+
+    agg = (
+        src.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("units", alias_name="decay_units"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        du = t["decay_units"].to_numpy()
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "decay_units": du,
+                "decayed": du / np.float64(np.int64(1) << cap_days),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

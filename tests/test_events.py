@@ -671,3 +671,27 @@ def test_interval_coverage_union_semantics():
     )
     assert list(got["covered_us"]) == [230, 100]
     assert list(got["n_events"]) == [3, 2]
+
+
+def test_decayed_counts_exact_weights():
+    """Horizon = day of latest event; weights are exact powers of two:
+    user 1 has events at age 0, 1, 1 -> units = 2^5 + 2^4 + 2^4 (cap 5);
+    user 2's single event at age 7 is past the cap -> 0 units."""
+    from sbustreamspot_core_ray.stages.events import decayed_counts
+
+    D = 86_400_000_000
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [7 * D, 6 * D, 6 * D + 5, 0], pa.timestamp("us")
+            ),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        }
+    )
+    got = (
+        decayed_counts(ray.data.from_arrow(t), half_life_days=1, cap_days=5)
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    assert got["decay_units"].tolist() == [32 + 16 + 16, 0]
+    assert got["decayed"].tolist() == [64 / 32, 0.0]
