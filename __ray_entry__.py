@@ -3372,6 +3372,60 @@ def q_copurchase_pairs(sf_dir: str):
     )
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Change-data-capture diff between two deterministic snapshots of
+    orders (A = keys not divisible by 7; B = keys not divisible by 11,
+    with prices of keys divisible by 3 bumped by exactly 1.0 — float-exact
+    at TPC-H magnitudes): emits insert/delete/update rows with old/new
+    prices. One co-partitioning shuffle + a sorted-membership kernel."""
+    from sbustreamspot_core_ray.stages.relational import snapshot_diff
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).materialize()
+
+    def snap_a(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = t["o_orderkey"].to_numpy()
+        return t.filter(pa.array(k % 7 != 0))
+
+    def snap_b(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False).copy()
+        v[k % 3 == 0] += 1.0
+        out = pa.table({"o_orderkey": k, "o_totalprice": v})
+        return out.filter(pa.array(k % 11 != 0))
+
+    return snapshot_diff(
+        orders.map_batches(snap_a, batch_format="pyarrow"),
+        orders.map_batches(snap_b, batch_format="pyarrow"),
+        key_col="o_orderkey",
+        val_col="o_totalprice",
+        num_partitions=P,
+    )
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey % 7 <> 0
+),
+b AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS v
+  FROM orders WHERE o_orderkey % 11 <> 0
+)
+SELECT COALESCE(a.k, b.k) AS o_orderkey,
+       CASE WHEN a.k IS NULL THEN 'insert'
+            WHEN b.k IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       COALESCE(a.v, -1.0) AS old_val,
+       COALESCE(b.v, -1.0) AS new_val
+FROM a FULL OUTER JOIN b ON b.k = a.k
+WHERE a.k IS NULL OR b.k IS NULL OR a.v <> b.v"""
+
+
 def q_butterflies(sf_dir: str):
     """Exact bipartite-motif census of the order–part graph: distinct
     edges, per-side wedge sums, and butterflies (K_{2,2} — the bipartite
@@ -7188,6 +7242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier": q_q5_local_supplier,
         "copurchase_pairs": q_copurchase_pairs,
         "butterflies": q_butterflies,
+        "snapshot_diff": q_snapshot_diff,
         "open_orders": q_open_orders,
         "fill_rate": q_fill_rate,
         "supplier_share": q_supplier_share,
@@ -8071,6 +8126,7 @@ SELECT day, CAST(SUM(dd) OVER (ORDER BY day) AS BIGINT) AS open_orders
 FROM g ORDER BY day
 """,
         "butterflies": _SQL_BUTTERFLIES,
+        "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "copurchase_pairs": f"""
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 p AS (

@@ -2098,3 +2098,90 @@ def butterfly_count(
             ),
         }
     )
+
+
+def snapshot_diff(
+    snap_a: ray.data.Dataset,
+    snap_b: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    num_partitions: int = 16,
+    missing: float = -1.0,
+) -> ray.data.Dataset:
+    """Change-data-capture diff of two keyed snapshots (unique key per
+    snapshot): emits one row per changed key with change_type
+    'insert' (only in B), 'delete' (only in A) or 'update' (value
+    changed), plus old/new values (`missing` sentinel where absent —
+    keeps the schema null-free for bit-exact comparison).
+
+    Scale shape: both snapshots are tagged with the same hash(key)
+    partition and a side bit, ONE co-partitioning shuffle, then a
+    per-partition sorted-array membership kernel (np.searchsorted —
+    no pairwise join): every key meets its counterpart in exactly one
+    partition. Value comparison is exact (no arithmetic here; any
+    snapshot-derivation arithmetic must be float-exact upstream)."""
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "k": k,
+                    "v": t[val_col],
+                    "side": pa.array(np.full(len(k), side, np.int8)),
+                    "__p": pa.array(part_of(k, num_partitions), pa.int32()),
+                }
+            )
+
+        return f
+
+    def kernel(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        v = t["v"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy()
+        am, bm = side == 0, side == 1
+        ka, va = k[am], v[am]
+        kb, vb = k[bm], v[bm]
+        oa, ob = np.argsort(ka), np.argsort(kb)
+        ka, va, kb, vb = ka[oa], va[oa], kb[ob], vb[ob]
+        pos = np.searchsorted(kb, ka)
+        in_b = np.zeros(len(ka), bool)
+        valid = pos < len(kb)
+        in_b[valid] = kb[pos[valid]] == ka[valid]
+        pos2 = np.searchsorted(ka, kb)
+        in_a = np.zeros(len(kb), bool)
+        valid2 = pos2 < len(ka)
+        in_a[valid2] = ka[pos2[valid2]] == kb[valid2]
+        dels = ~in_b
+        ins = ~in_a
+        common = np.flatnonzero(in_b)
+        upd = common[va[common] != vb[pos[common]]]
+        keys = np.concatenate([ka[dels], kb[ins], ka[upd]])
+        ctype = np.concatenate(
+            [
+                np.full(int(dels.sum()), "delete", object),
+                np.full(int(ins.sum()), "insert", object),
+                np.full(len(upd), "update", object),
+            ]
+        )
+        old = np.concatenate(
+            [va[dels], np.full(int(ins.sum()), missing), va[upd]]
+        )
+        new = np.concatenate(
+            [np.full(int(dels.sum()), missing), vb[ins], vb[pos[upd]]]
+        )
+        return pa.table(
+            {
+                key_col: keys.astype(np.int64),
+                "change_type": pa.array(ctype, pa.string()),
+                "old_val": old.astype(np.float64),
+                "new_val": new.astype(np.float64),
+            }
+        )
+
+    return (
+        snap_a.map_batches(tag(0), batch_format="pyarrow")
+        .union(snap_b.map_batches(tag(1), batch_format="pyarrow"))
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -554,3 +554,38 @@ def test_butterfly_count_hand_and_random():
         bf += c * (c - 1) // 2
     assert t["butterflies"].tolist() == [bf]
     assert t["n_edges"].tolist() == [len(rows)]
+
+
+def test_snapshot_diff_hand_case():
+    """A={1:10, 2:20, 3:30}, B={2:20, 3:31, 4:40}: delete 1, update 3,
+    insert 4; unchanged 2 emits nothing; sentinels fill absent sides."""
+    from sbustreamspot_core_ray.stages.relational import snapshot_diff
+
+    def snap(d):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(list(d), pa.int64()),
+                    "v": pa.array([float(x) for x in d.values()]),
+                }
+            )
+        )
+
+    got = (
+        snapshot_diff(
+            snap({1: 10, 2: 20, 3: 30}),
+            snap({2: 20, 3: 31, 4: 40}),
+            key_col="k",
+            val_col="v",
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert list(zip(got["k"], got["change_type"])) == [
+        (1, "delete"),
+        (3, "update"),
+        (4, "insert"),
+    ]
+    assert got["old_val"].tolist() == [10.0, 30.0, -1.0]
+    assert got["new_val"].tolist() == [-1.0, 31.0, 40.0]
