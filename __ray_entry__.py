@@ -1997,6 +1997,167 @@ def _bipartite_sql() -> str:
 SIGMA_SEEDS = (1, 2)  # customer keys, present at every sf
 SIGMA_HOPS = 4
 
+# Boruvka MSF: deterministic integer edge weights w = ((u*K1 + v*K2) mod
+# 2^64) mod MSF_WMOD — numpy uint64 wraparound on the Ray side, HUGEINT
+# recompute in SQL (the sketch-oracle idiom). Ties are broken by the total
+# order (w, u, v), so weights need not be collision-free.
+MSF_K1 = 0x9E3779B97F4A7C15
+MSF_K2 = 0xC2B2AE3D27D4EB4F
+MSF_WMOD = 1_000_003
+MSF_PHASES = 8  # >= ceil(log2(max component size)); components here <= ~60
+_MSF_ORD = 10_000_000
+_MSF_PRT = 100_000_000
+_MSF_PSALT = 1_000_000
+
+
+def _edges_purchase(sf_dir: str) -> "ray.data.Dataset":
+    """The per-customer purchase graph: customer—order, order—salted-part
+    and customer—salted-part edges, where a part vertex is salted by the
+    buying customer (vid = 1e8 + custkey*1e6 + partkey). Salting keeps
+    every component inside one customer (size <= 1 + orders + parts, so
+    Boruvka's phase bound is tiny) while the customer—part edges close a
+    cycle through every (order, part) pair — a genuinely cyclic MSF input.
+    The lineitem -> custkey attachment is the co-partitioned _attach_value
+    hash join (both sides row-scale; no broadcast)."""
+    from sbustreamspot_core_ray.pipelines.superstep import _attach_value
+    from sbustreamspot_core_ray.sources.edges import distinct_int_rows
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def okey(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vertex": pc.cast(t["o_orderkey"], pa.int64()),
+                "cust": pc.cast(t["o_custkey"], pa.int64()),
+            }
+        )
+
+    def lkey(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": pc.cast(t["l_orderkey"], pa.int64()),
+                "pkey": pc.cast(t["l_partkey"], pa.int64()),
+            }
+        )
+
+    joined = _attach_value(
+        li.map_batches(lkey, batch_format="pyarrow"),
+        orders.map_batches(okey, batch_format="pyarrow"),
+        "okey", ["pkey"], "cust", "cust", P,
+    )
+
+    def li_edges(t: pa.Table) -> pa.Table:
+        o = t["okey"].to_numpy(zero_copy_only=False)
+        p = t["pkey"].to_numpy(zero_copy_only=False)
+        c = t["cust"].to_numpy(zero_copy_only=False)
+        assert p.max(initial=0) < _MSF_PSALT
+        pv = _MSF_PRT + c * _MSF_PSALT + p
+        a = np.concatenate([_MSF_ORD + o, c])
+        b = np.concatenate([pv, pv])
+        return pa.table(
+            {"u": np.minimum(a, b), "v": np.maximum(a, b)}
+        )
+
+    def co_edges(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["o_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.add(
+            pc.cast(t["o_orderkey"], pa.int64()), _MSF_ORD
+        ).to_numpy(zero_copy_only=False)
+        return pa.table({"u": np.minimum(a, b), "v": np.maximum(a, b)})
+
+    raw = joined.map_batches(li_edges, batch_format="pyarrow").union(
+        orders.map_batches(co_edges, batch_format="pyarrow")
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            w = (u * np.uint64(MSF_K1) + v * np.uint64(MSF_K2)) % np.uint64(
+                MSF_WMOD
+            )
+        return t.append_column("w", pa.array(w.astype(np.int64)))
+
+    return distinct_int_rows(raw, ["u", "v"], P).map_batches(
+        weigh, batch_format="pyarrow"
+    )
+
+
+def q_msf(sf_dir: str):
+    """Boruvka minimum spanning forest over the salted per-customer
+    purchase graph: one row per MSF edge (u, v, w, phase). Fully
+    distributed Dataset dataflow (label joins + hashed lexmin folds per
+    phase); the (w, u, v) total order makes the forest unique, and the
+    SQL oracle replays the identical phase schedule unrolled."""
+    from sbustreamspot_core_ray.pipelines.superstep import boruvka_msf
+
+    return boruvka_msf(_edges_purchase(sf_dir), num_parts=P,
+                       max_phases=MSF_PHASES)
+
+
+def _msf_phase_sql(k: int) -> str:
+    return f"""
+x{k} AS MATERIALIZED (SELECT e.u, e.v, e.w, lu.c AS cu, lv.c AS cv
+  FROM msf_e e JOIN l{k-1} lu ON lu.vx = e.u JOIN l{k-1} lv ON lv.vx = e.v
+  WHERE lu.c <> lv.c),
+s{k} AS MATERIALIZED (SELECT cu AS c, cv AS oc, w, u, v FROM x{k}
+  UNION ALL SELECT cv, cu, w, u, v FROM x{k}),
+m{k} AS MATERIALIZED (SELECT c, oc, w, u, v FROM s{k}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, u, v) = 1),
+h{k} AS MATERIALIZED (SELECT c AS s, oc AS d FROM m{k} UNION SELECT oc, c FROM m{k}),
+r{k} (vx, lbl) AS (
+  SELECT s, s FROM h{k}
+  UNION
+  SELECT h{k}.d, r{k}.lbl FROM r{k} JOIN h{k} ON h{k}.s = r{k}.vx),
+n{k} AS MATERIALIZED (SELECT vx AS hc, MIN(lbl) AS nc FROM r{k} GROUP BY vx),
+l{k} AS MATERIALIZED (SELECT l{k-1}.vx, COALESCE(n{k}.nc, l{k-1}.c) AS c
+  FROM l{k-1} LEFT JOIN n{k} ON n{k}.hc = l{k-1}.c),
+msf{k} AS (SELECT DISTINCT u, v, w, {k} AS phase FROM m{k})"""
+
+
+def _msf_sql() -> str:
+    """Unrolled Boruvka phases: per phase, cross edges against the current
+    labeling, lexmin (w, u, v) per component, contraction = recursive-CTE
+    connected components over the chosen hook pairs (new label = MIN old
+    component id — exactly the engine's contraction), labels folded with
+    an identity default. Weights recomputed in HUGEINT mod 2^64 mod
+    MSF_WMOD, matching the engine's numpy uint64 wraparound bit-for-bit.
+    Phases past the fixpoint see no cross edges and contribute nothing."""
+    phases = ",".join(_msf_phase_sql(k) for k in range(1, MSF_PHASES + 1))
+    union = " UNION ALL ".join(
+        f"SELECT * FROM msf{k}" for k in range(1, MSF_PHASES + 1)
+    )
+    return f"""
+WITH RECURSIVE
+msf_raw AS MATERIALIZED (
+  SELECT o_custkey AS a, {_MSF_ORD} + o_orderkey AS b FROM orders
+  UNION
+  SELECT DISTINCT {_MSF_ORD} + l_orderkey,
+         {_MSF_PRT} + o_custkey * {_MSF_PSALT} + l_partkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  UNION
+  SELECT DISTINCT o_custkey,
+         {_MSF_PRT} + o_custkey * {_MSF_PSALT} + l_partkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+msf_e AS MATERIALIZED (
+  SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v,
+         CAST(((CAST(LEAST(a, b) AS HUGEINT) * {MSF_K1}
+              + CAST(GREATEST(a, b) AS HUGEINT) * {MSF_K2})
+              % 18446744073709551616) % {MSF_WMOD} AS BIGINT) AS w
+  FROM msf_raw
+),
+msf_v AS (SELECT u AS vx FROM msf_e UNION SELECT v FROM msf_e),
+l0 AS MATERIALIZED (SELECT vx, vx AS c FROM msf_v),
+{phases}
+SELECT * FROM ({union})
+"""
+
 
 def q_path_counts(sf_dir: str):
     """Per-seed shortest-path counts (Brandes' sigma stage): hop distance
@@ -7155,6 +7316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_distance": q_bfs_distance,
         "bipartite": q_bipartite,
         "matching": q_matching,
+        "msf": q_msf,
         "path_counts": q_path_counts,
         "stress_centrality": q_stress_centrality,
         "closeness_sample": q_closeness_sample,
@@ -7335,6 +7497,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distance": _bfs_sql(),
         "bipartite": _bipartite_sql(),
         "matching": _matching_sql(),
+        "msf": _msf_sql(),
         "path_counts": _sigma_sql(),
         "stress_centrality": _stress_sql(),
         "closeness_sample": _closeness_sample_sql(),

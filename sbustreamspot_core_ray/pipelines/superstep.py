@@ -2909,3 +2909,269 @@ def warm_start_ranks(
         route, batch_format="pyarrow"
     ).take_all()
     return int(sum(r["hit"] for r in rows))
+
+
+# ---------------------------------------------------------------------------
+# Boruvka minimum spanning forest (pure Dataset dataflow)
+# ---------------------------------------------------------------------------
+
+
+def _attach_map(
+    keyed: ray.data.Dataset,
+    mapping: ray.data.Dataset,
+    key_col: str,
+    carry_cols: list[str],
+    out_col: str,
+    num_parts: int,
+    map_key: str = "c",
+    map_val: str = "nc",
+) -> ray.data.Dataset:
+    """Total (identity-default) co-partitioned remap: like _attach_value
+    but LEFT-join semantics where a key missing from the mapping maps to
+    itself. Used to fold a partial relabeling (only changed keys present)
+    over a full key column in one shuffle. All columns int64."""
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"__k": pa.array(k)}
+        for i, c in enumerate(carry_cols):
+            cols[f"__c{i}"] = t[c]
+        cols["__val"] = pa.array(np.zeros(t.num_rows, np.int64))
+        cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols["__p"] = pa.array(part_of(k, num_parts), pa.int32())
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        k = t[map_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"__k": pa.array(k)}
+        for i in range(len(carry_cols)):
+            cols[f"__c{i}"] = pa.array(np.zeros(t.num_rows, np.int64))
+        cols["__val"] = t[map_val]
+        cols["__side"] = pa.array(np.ones(t.num_rows, np.int8))
+        cols["__p"] = pa.array(part_of(k, num_parts), pa.int32())
+        return pa.table(cols)
+
+    left = keyed.map_batches(tag_left, batch_format="pyarrow")
+    right = mapping.map_batches(tag_right, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False).astype(bool)
+        lk = t["__k"].to_numpy(zero_copy_only=False)[~side]
+        rk = t["__k"].to_numpy(zero_copy_only=False)[side]
+        vals = pc_cast_i64(t["__val"])[side]
+        order = np.argsort(rk, kind="stable")
+        rk, vals = rk[order], vals[order]
+        if len(rk):
+            pos = np.clip(np.searchsorted(rk, lk), 0, len(rk) - 1)
+            hit = rk[pos] == lk
+            out_val = np.where(hit, vals[pos], lk)
+        else:
+            out_val = lk
+        cols = {key_col: pa.array(lk, pa.int64())}
+        for i, c in enumerate(carry_cols):
+            cols[c] = pa.array(
+                t[f"__c{i}"].to_numpy(zero_copy_only=False)[~side], pa.int64()
+            )
+        cols[out_col] = pa.array(out_val, pa.int64())
+        return pa.table(cols)
+
+    return left.union(right).groupby("__p").map_groups(merge, batch_format="pyarrow")
+
+
+def boruvka_msf(
+    edges: ray.data.Dataset,
+    num_parts: int = 32,
+    max_phases: int = 32,
+    driver_cc_threshold: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Distributed Boruvka minimum spanning forest over canonical int64
+    edges (u < v, deduped, columns u/v/w). Weights need not be distinct:
+    the total order (w, u, v) breaks ties deterministically, which makes
+    the MSF unique and bit-reproducible (classic Boruvka correctness
+    holds under any total edge order).
+
+    Per phase, all Dataset dataflow — edges never materialize on the
+    driver:
+      1. attach both endpoints' component labels (two co-partitioned
+         hash-join shuffles, `_attach_value`), keep cross-component edges;
+      2. per-component lexmin edge by (w, u, v): batch-local lexmin
+         combiner, then ONE shuffle on hash(comp) %% P and a vectorized
+         per-partition lexmin (the hashed-__p fold);
+      3. contraction = connected components over the chosen hook pairs
+         (component -> other endpoint's component). The hook table has at
+         most one row per active component and shrinks geometrically;
+         below `driver_cc_threshold` rows it folds on the driver
+         (`driver_components`, vectorized pointer jumping), above it the
+         pairs build a symmetric ShardedGraph and run the distributed CC
+         superstep — the 10^12-scale path for phase 1, where hook count
+         equals the vertex count;
+      4. labels remap with a total identity-default co-partitioned map
+         (`_attach_map`) — one more shuffle on V rows.
+
+    Component count at least halves per phase inside every final
+    component, so phases <= ceil(log2(max component size)). Labels are
+    materialized per phase (natural checkpoint boundary). Returns one row
+    per MSF edge: (u, v, w, phase). Raises RuntimeError if `max_phases`
+    is reached before the cross-edge set empties.
+
+    Nearest reference analogue: the BFS co-bucket cluster traversal
+    (main.cpp:672-721) generalized; Boruvka/MSF itself is public classic
+    material."""
+    from ..sources.edges import distinct_int_rows
+
+    P = num_parts
+
+    def verts(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vertex": np.unique(np.concatenate([u, v]))})
+
+    labels = distinct_int_rows(
+        edges.map_batches(verts, batch_format="pyarrow"), ["vertex"], P
+    ).map_batches(
+        lambda t: t.append_column("comp", t["vertex"]), batch_format="pyarrow"
+    ).materialize()
+
+    msf_parts: list[ray.data.Dataset] = []
+    for phase in range(1, max_phases + 1):
+        with_cu = _attach_value(
+            edges, labels, "u", ["v", "w"], "comp", "cu", P,
+            lookup_key="vertex",
+        )
+        with_cv = _attach_value(
+            with_cu, labels, "v", ["u", "w", "cu"], "comp", "cv", P,
+            lookup_key="vertex",
+        )
+
+        def prep(t: pa.Table) -> pa.Table:
+            # filter cross edges, emit symmetric (c, oc) rows, batch-local
+            # lexmin per c by (w, u, v) as the pre-shuffle combiner
+            cu = t["cu"].to_numpy(zero_copy_only=False)
+            cv = t["cv"].to_numpy(zero_copy_only=False)
+            keep = cu != cv
+            if not keep.any():
+                return pa.table(
+                    {c: pa.array([], pa.int64())
+                     for c in ("c", "oc", "w", "u", "v")}
+                    | {"__p": pa.array([], pa.int32())}
+                )
+            u = t["u"].to_numpy(zero_copy_only=False)[keep]
+            v = t["v"].to_numpy(zero_copy_only=False)[keep]
+            w = t["w"].to_numpy(zero_copy_only=False)[keep]
+            cu, cv = cu[keep], cv[keep]
+            c = np.concatenate([cu, cv])
+            oc = np.concatenate([cv, cu])
+            sw = np.concatenate([w, w])
+            su = np.concatenate([u, u])
+            sv = np.concatenate([v, v])
+            order = np.lexsort((sv, su, sw, c))
+            c, oc, sw, su, sv = (
+                c[order], oc[order], sw[order], su[order], sv[order]
+            )
+            first = np.ones(len(c), bool)
+            first[1:] = c[1:] != c[:-1]
+            c, oc, sw, su, sv = (
+                c[first], oc[first], sw[first], su[first], sv[first]
+            )
+            return pa.table(
+                {
+                    "c": pa.array(c, pa.int64()),
+                    "oc": pa.array(oc, pa.int64()),
+                    "w": pa.array(sw, pa.int64()),
+                    "u": pa.array(su, pa.int64()),
+                    "v": pa.array(sv, pa.int64()),
+                    "__p": pa.array(part_of(c, P), pa.int32()),
+                }
+            )
+
+        def fold(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.select(["c", "oc", "w", "u", "v"])
+            c = t["c"].to_numpy(zero_copy_only=False)
+            oc = t["oc"].to_numpy(zero_copy_only=False)
+            w = t["w"].to_numpy(zero_copy_only=False)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((v, u, w, c))
+            c, oc, w, u, v = c[order], oc[order], w[order], u[order], v[order]
+            first = np.ones(len(c), bool)
+            first[1:] = c[1:] != c[:-1]
+            return pa.table(
+                {
+                    "c": pa.array(c[first], pa.int64()),
+                    "oc": pa.array(oc[first], pa.int64()),
+                    "w": pa.array(w[first], pa.int64()),
+                    "u": pa.array(u[first], pa.int64()),
+                    "v": pa.array(v[first], pa.int64()),
+                }
+            )
+
+        minrows = (
+            with_cv.map_batches(prep, batch_format="pyarrow")
+            .groupby("__p")
+            .map_groups(fold, batch_format="pyarrow")
+            .materialize()
+        )
+        n_hooks = minrows.count()
+        if n_hooks == 0:
+            break
+
+        msf_parts.append(
+            distinct_int_rows(
+                minrows.select_columns(["u", "v", "w"]), ["u", "v", "w"], P
+            ).map_batches(
+                lambda t, ph=phase: t.append_column(
+                    "phase", pa.array(np.full(t.num_rows, ph, np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+        if n_hooks <= driver_cc_threshold:
+            hooks = minrows.select_columns(["c", "oc"]).to_pandas()
+            vs, lab = driver_components(
+                hooks["c"].to_numpy(), hooks["oc"].to_numpy(),
+                hooks["c"].to_numpy(),
+            )
+            mapping = ray.data.from_arrow(
+                pa.table({"c": pa.array(vs, pa.int64()),
+                          "nc": pa.array(lab, pa.int64())})
+            )
+        else:
+            def sym(t: pa.Table) -> pa.Table:
+                a = t["c"].to_numpy(zero_copy_only=False)
+                b = t["oc"].to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {"src": np.concatenate([a, b]),
+                     "dst": np.concatenate([b, a])}
+                )
+
+            g = ShardedGraph.build(
+                minrows.map_batches(sym, batch_format="pyarrow"),
+                num_parts=P, symmetric=True,
+            )
+            mapping = connected_components(g).map_batches(
+                lambda t: pa.table({"c": t["vertex"], "nc": t["component"]}),
+                batch_format="pyarrow",
+            )
+
+        labels = _attach_map(
+            labels, mapping, "comp", ["vertex"], "nc", P
+        ).map_batches(
+            lambda t: pa.table({"vertex": t["vertex"], "comp": t["nc"]}),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        raise RuntimeError(
+            f"boruvka_msf did not converge within {max_phases} phases"
+        )
+
+    if not msf_parts:
+        return ray.data.from_arrow(
+            pa.table({c: pa.array([], pa.int64())
+                      for c in ("u", "v", "w", "phase")})
+        )
+    out = msf_parts[0]
+    for p in msf_parts[1:]:
+        out = out.union(p)
+    return out

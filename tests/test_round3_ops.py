@@ -683,3 +683,46 @@ def test_two_sweep_diameter_on_path_graph():
     assert out.loc[0, "far_vertex"] == 1
     assert out.loc[0, "ecc1"] == 2
     assert out.loc[0, "diameter_lb"] == 4
+
+
+def test_boruvka_msf_vs_kruskal():
+    """Both contraction paths (driver fold and distributed superstep CC)
+    must equal an independent Kruskal union-find oracle under the same
+    (w, u, v) total order — including deliberate weight ties."""
+    from sbustreamspot_core_ray.pipelines.superstep import boruvka_msf
+
+    rng = np.random.default_rng(7)
+    n_v, n_e = 120, 360
+    a = rng.integers(0, n_v, n_e)
+    b = rng.integers(0, n_v, n_e)
+    keep = a != b
+    lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    u, v = pairs[:, 0].astype(np.int64), pairs[:, 1].astype(np.int64)
+    w = rng.integers(0, 15, len(u)).astype(np.int64)  # many ties
+
+    def kruskal():
+        par = list(range(n_v))
+
+        def find(x):
+            while par[x] != x:
+                par[x] = par[par[x]]
+                x = par[x]
+            return x
+
+        out = []
+        for i in np.lexsort((v, u, w)):
+            ra, rb = find(int(u[i])), find(int(v[i]))
+            if ra != rb:
+                par[ra] = rb
+                out.append((int(u[i]), int(v[i]), int(w[i])))
+        return sorted(out)
+
+    oracle = kruskal()
+    eds = ray.data.from_arrow(pa.table({"u": u, "v": v, "w": w}))
+    for thr in (10**6, 0):  # driver fold, then forced distributed CC
+        res = boruvka_msf(eds, num_parts=3, driver_cc_threshold=thr)
+        got = sorted(
+            (int(r["u"]), int(r["v"]), int(r["w"])) for r in res.take_all()
+        )
+        assert got == oracle
