@@ -2990,136 +2990,129 @@ def boruvka_msf(
     the MSF unique and bit-reproducible (classic Boruvka correctness
     holds under any total edge order).
 
-    Per phase, all Dataset dataflow — edges never materialize on the
-    driver:
-      1. attach both endpoints' component labels (two co-partitioned
-         hash-join shuffles, `_attach_value`), keep cross-component edges;
-      2. per-component lexmin edge by (w, u, v): batch-local lexmin
-         combiner, then ONE shuffle on hash(comp) %% P and a vectorized
-         per-partition lexmin (the hashed-__p fold);
-      3. contraction = connected components over the chosen hook pairs
+    The working set is the live CROSS-component edge table (u, v, w, cu,
+    cv) — intra-component edges never re-activate, so it shrinks
+    geometrically and later phases are nearly free; there is no vertex
+    label table at all (phase 1's labels are the identity, and the MSF
+    output never needs per-vertex components). Per phase, all Dataset
+    dataflow — edges never materialize on the driver:
+      1. per-component lexmin edge by (w, u, v): symmetric emit +
+         batch-local lexmin combiner, then ONE shuffle on hash(comp) %% P
+         and a vectorized per-partition lexmin (the hashed-__p fold);
+      2. contraction = connected components over the chosen hook pairs
          (component -> other endpoint's component). The hook table has at
          most one row per active component and shrinks geometrically;
          below `driver_cc_threshold` rows it folds on the driver
          (`driver_components`, vectorized pointer jumping), above it the
          pairs build a symmetric ShardedGraph and run the distributed CC
          superstep — the 10^12-scale path for phase 1, where hook count
-         equals the vertex count;
-      4. labels remap with a total identity-default co-partitioned map
-         (`_attach_map`) — one more shuffle on V rows.
+         approaches the vertex count;
+      3. relabel the cross set through the contraction map (two
+         identity-default co-partitioned remaps, `_attach_map`) and drop
+         edges whose endpoints merged.
 
     Component count at least halves per phase inside every final
-    component, so phases <= ceil(log2(max component size)). Labels are
-    materialized per phase (natural checkpoint boundary). Returns one row
-    per MSF edge: (u, v, w, phase). Raises RuntimeError if `max_phases`
-    is reached before the cross-edge set empties.
+    component, so phases <= ceil(log2(max component size)). The cross set
+    is materialized per phase (natural checkpoint boundary). Returns one
+    row per MSF edge: (u, v, w, phase) — the same edge may be chosen by
+    both endpoints' components within a phase (never across phases), so
+    one final distinct dedupes exactly. Raises RuntimeError if
+    `max_phases` is reached before the cross-edge set empties.
 
     Nearest reference analogue: the BFS co-bucket cluster traversal
     (main.cpp:672-721) generalized; Boruvka/MSF itself is public classic
     material."""
+    import time as _time
+
     from ..sources.edges import distinct_int_rows
 
     P = num_parts
+    _dbg = bool(os.environ.get("MSF_TIMING"))
 
-    def verts(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"vertex": np.unique(np.concatenate([u, v]))})
+    def seed(t: pa.Table) -> pa.Table:
+        # phase-1 labels are the identity: cu = u, cv = v
+        return pa.table(
+            {"u": t["u"], "v": t["v"], "w": t["w"],
+             "cu": t["u"], "cv": t["v"]}
+        )
 
-    labels = distinct_int_rows(
-        edges.map_batches(verts, batch_format="pyarrow"), ["vertex"], P
-    ).map_batches(
-        lambda t: t.append_column("comp", t["vertex"]), batch_format="pyarrow"
-    ).materialize()
+    cur = edges.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def prep(t: pa.Table) -> pa.Table:
+        # symmetric (c, oc) emit + batch-local lexmin per c by (w, u, v)
+        # as the pre-shuffle combiner
+        if t.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64())
+                 for c in ("c", "oc", "w", "u", "v")}
+                | {"__p": pa.array([], pa.int32())}
+            )
+        cu = t["cu"].to_numpy(zero_copy_only=False)
+        cv = t["cv"].to_numpy(zero_copy_only=False)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        c = np.concatenate([cu, cv])
+        oc = np.concatenate([cv, cu])
+        sw = np.concatenate([w, w])
+        su = np.concatenate([u, u])
+        sv = np.concatenate([v, v])
+        order = np.lexsort((sv, su, sw, c))
+        c, oc, sw, su, sv = c[order], oc[order], sw[order], su[order], sv[order]
+        first = np.ones(len(c), bool)
+        first[1:] = c[1:] != c[:-1]
+        c, oc, sw, su, sv = c[first], oc[first], sw[first], su[first], sv[first]
+        return pa.table(
+            {
+                "c": pa.array(c, pa.int64()),
+                "oc": pa.array(oc, pa.int64()),
+                "w": pa.array(sw, pa.int64()),
+                "u": pa.array(su, pa.int64()),
+                "v": pa.array(sv, pa.int64()),
+                "__p": pa.array(part_of(c, P), pa.int32()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(["c", "oc", "w", "u", "v"])
+        c = t["c"].to_numpy(zero_copy_only=False)
+        oc = t["oc"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u, w, c))
+        c, oc, w, u, v = c[order], oc[order], w[order], u[order], v[order]
+        first = np.ones(len(c), bool)
+        first[1:] = c[1:] != c[:-1]
+        return pa.table(
+            {
+                "c": pa.array(c[first], pa.int64()),
+                "oc": pa.array(oc[first], pa.int64()),
+                "w": pa.array(w[first], pa.int64()),
+                "u": pa.array(u[first], pa.int64()),
+                "v": pa.array(v[first], pa.int64()),
+            }
+        )
 
     msf_parts: list[ray.data.Dataset] = []
     for phase in range(1, max_phases + 1):
-        with_cu = _attach_value(
-            edges, labels, "u", ["v", "w"], "comp", "cu", P,
-            lookup_key="vertex",
-        )
-        with_cv = _attach_value(
-            with_cu, labels, "v", ["u", "w", "cu"], "comp", "cv", P,
-            lookup_key="vertex",
-        )
-
-        def prep(t: pa.Table) -> pa.Table:
-            # filter cross edges, emit symmetric (c, oc) rows, batch-local
-            # lexmin per c by (w, u, v) as the pre-shuffle combiner
-            cu = t["cu"].to_numpy(zero_copy_only=False)
-            cv = t["cv"].to_numpy(zero_copy_only=False)
-            keep = cu != cv
-            if not keep.any():
-                return pa.table(
-                    {c: pa.array([], pa.int64())
-                     for c in ("c", "oc", "w", "u", "v")}
-                    | {"__p": pa.array([], pa.int32())}
-                )
-            u = t["u"].to_numpy(zero_copy_only=False)[keep]
-            v = t["v"].to_numpy(zero_copy_only=False)[keep]
-            w = t["w"].to_numpy(zero_copy_only=False)[keep]
-            cu, cv = cu[keep], cv[keep]
-            c = np.concatenate([cu, cv])
-            oc = np.concatenate([cv, cu])
-            sw = np.concatenate([w, w])
-            su = np.concatenate([u, u])
-            sv = np.concatenate([v, v])
-            order = np.lexsort((sv, su, sw, c))
-            c, oc, sw, su, sv = (
-                c[order], oc[order], sw[order], su[order], sv[order]
-            )
-            first = np.ones(len(c), bool)
-            first[1:] = c[1:] != c[:-1]
-            c, oc, sw, su, sv = (
-                c[first], oc[first], sw[first], su[first], sv[first]
-            )
-            return pa.table(
-                {
-                    "c": pa.array(c, pa.int64()),
-                    "oc": pa.array(oc, pa.int64()),
-                    "w": pa.array(sw, pa.int64()),
-                    "u": pa.array(su, pa.int64()),
-                    "v": pa.array(sv, pa.int64()),
-                    "__p": pa.array(part_of(c, P), pa.int32()),
-                }
-            )
-
-        def fold(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return t.select(["c", "oc", "w", "u", "v"])
-            c = t["c"].to_numpy(zero_copy_only=False)
-            oc = t["oc"].to_numpy(zero_copy_only=False)
-            w = t["w"].to_numpy(zero_copy_only=False)
-            u = t["u"].to_numpy(zero_copy_only=False)
-            v = t["v"].to_numpy(zero_copy_only=False)
-            order = np.lexsort((v, u, w, c))
-            c, oc, w, u, v = c[order], oc[order], w[order], u[order], v[order]
-            first = np.ones(len(c), bool)
-            first[1:] = c[1:] != c[:-1]
-            return pa.table(
-                {
-                    "c": pa.array(c[first], pa.int64()),
-                    "oc": pa.array(oc[first], pa.int64()),
-                    "w": pa.array(w[first], pa.int64()),
-                    "u": pa.array(u[first], pa.int64()),
-                    "v": pa.array(v[first], pa.int64()),
-                }
-            )
-
+        _t0 = _time.time()
         minrows = (
-            with_cv.map_batches(prep, batch_format="pyarrow")
+            cur.map_batches(prep, batch_format="pyarrow")
             .groupby("__p")
             .map_groups(fold, batch_format="pyarrow")
             .materialize()
         )
         n_hooks = minrows.count()
+        if _dbg:
+            print(f"[msf] phase {phase}: fold {_time.time()-_t0:.1f}s "
+                  f"hooks={n_hooks}")
         if n_hooks == 0:
             break
 
         msf_parts.append(
-            distinct_int_rows(
-                minrows.select_columns(["u", "v", "w"]), ["u", "v", "w"], P
-            ).map_batches(
+            minrows.select_columns(["u", "v", "w"]).map_batches(
                 lambda t, ph=phase: t.append_column(
                     "phase", pa.array(np.full(t.num_rows, ph, np.int64))
                 ),
@@ -3136,7 +3129,7 @@ def boruvka_msf(
             mapping = ray.data.from_arrow(
                 pa.table({"c": pa.array(vs, pa.int64()),
                           "nc": pa.array(lab, pa.int64())})
-            )
+            ).materialize()
         else:
             def sym(t: pa.Table) -> pa.Table:
                 a = t["c"].to_numpy(zero_copy_only=False)
@@ -3153,14 +3146,42 @@ def boruvka_msf(
             mapping = connected_components(g).map_batches(
                 lambda t: pa.table({"c": t["vertex"], "nc": t["component"]}),
                 batch_format="pyarrow",
+            ).materialize()
+
+        # relabel the cross set through the contraction map and drop
+        # merged edges; the remap is identity-default so components
+        # untouched this phase flow through
+        re_cu = _attach_map(
+            cur, mapping, "cu", ["u", "v", "w", "cv"], "ncu", P
+        )
+        re_cv = _attach_map(
+            re_cu, mapping, "cv", ["u", "v", "w", "ncu"], "ncv", P
+        )
+
+        def live(t: pa.Table) -> pa.Table:
+            a = t["ncu"].to_numpy(zero_copy_only=False)
+            b = t["ncv"].to_numpy(zero_copy_only=False)
+            keep = a != b
+            return pa.table(
+                {
+                    "u": pa.array(
+                        t["u"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                    ),
+                    "v": pa.array(
+                        t["v"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                    ),
+                    "w": pa.array(
+                        t["w"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                    ),
+                    "cu": pa.array(a[keep], pa.int64()),
+                    "cv": pa.array(b[keep], pa.int64()),
+                }
             )
 
-        labels = _attach_map(
-            labels, mapping, "comp", ["vertex"], "nc", P
-        ).map_batches(
-            lambda t: pa.table({"vertex": t["vertex"], "comp": t["nc"]}),
-            batch_format="pyarrow",
-        ).materialize()
+        cur = re_cv.map_batches(live, batch_format="pyarrow").materialize()
+        if _dbg:
+            print(f"[msf] phase {phase}: total {_time.time()-_t0:.1f}s "
+                  f"live={cur.count()}")
     else:
         raise RuntimeError(
             f"boruvka_msf did not converge within {max_phases} phases"
@@ -3174,4 +3195,4 @@ def boruvka_msf(
     out = msf_parts[0]
     for p in msf_parts[1:]:
         out = out.union(p)
-    return out
+    return distinct_int_rows(out, ["u", "v", "w", "phase"], P)
