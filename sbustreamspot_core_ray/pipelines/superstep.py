@@ -3182,6 +3182,8 @@ def boruvka_msf(
         if _dbg:
             print(f"[msf] phase {phase}: total {_time.time()-_t0:.1f}s "
                   f"live={cur.count()}")
+        if cur.count() == 0:
+            break
     else:
         raise RuntimeError(
             f"boruvka_msf did not converge within {max_phases} phases"
