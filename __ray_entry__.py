@@ -6447,6 +6447,66 @@ def q_exact_dedup(sf_dir: str):
     return exact_dedup(docs).select_columns(["doc_id", "content_hash"])
 
 
+SNM_KEY_CHARS = 24
+SNM_WINDOW = 4
+SNM_THR_NUM, SNM_THR_DEN = 6, 10
+
+
+def q_snm_dedup(sf_dir: str):
+    """Sorted-neighborhood (SNM) near-dup pairs: global sort by the
+    24-char text-prefix blocking key, rank window of 4, exact
+    distinct-token Jaccard verify with the integer cross-multiplied
+    threshold 6/10. Range partitioning via a deterministic hash-gated key
+    sample; halo = the neighbor bucket."""
+    from sbustreamspot_core_ray.stages.dedup import sorted_neighborhood_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return sorted_neighborhood_dedup(
+        docs, key_chars=SNM_KEY_CHARS, window=SNM_WINDOW,
+        thr_num=SNM_THR_NUM, thr_den=SNM_THR_DEN, num_parts=P,
+    )
+
+
+def _snm_sql() -> str:
+    """ROW_NUMBER window over the identical (key, doc_id) order; in-window
+    pairs verified with DISTINCT-token intersection counts — all integer,
+    so the threshold test is bit-exact on both sides."""
+    return f"""
+WITH dd AS MATERIALIZED (
+  SELECT doc_id, substr(text, 1, {SNM_KEY_CHARS}) AS k, text FROM documents),
+r AS MATERIALIZED (
+  SELECT doc_id, k, text, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn
+  FROM dd),
+cand AS MATERIALIZED (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.text AS ta, b.text AS tb
+  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {SNM_WINDOW}),
+ta AS MATERIALIZED (
+  SELECT DISTINCT da, db, s.tok FROM cand,
+  UNNEST(string_split(ta, ' ')) AS s(tok) WHERE s.tok <> ''),
+tb AS MATERIALIZED (
+  SELECT DISTINCT da, db, s.tok FROM cand,
+  UNNEST(string_split(tb, ' ')) AS s(tok) WHERE s.tok <> ''),
+na AS (SELECT da, db, COUNT(*) AS ca FROM ta GROUP BY da, db),
+nb AS (SELECT da, db, COUNT(*) AS cb FROM tb GROUP BY da, db),
+ii AS (SELECT ta.da, ta.db, COUNT(*) AS inter FROM ta JOIN tb
+       ON ta.da = tb.da AND ta.db = tb.db AND ta.tok = tb.tok
+       GROUP BY ta.da, ta.db)
+SELECT doc_a, doc_b, inter, uni FROM (
+  SELECT c.da AS doc_a, c.db AS doc_b,
+         COALESCE(ii.inter, 0) AS inter,
+         COALESCE(na.ca, 0) + COALESCE(nb.cb, 0) - COALESCE(ii.inter, 0)
+           AS uni
+  FROM (SELECT DISTINCT da, db FROM cand) c
+  LEFT JOIN na ON na.da = c.da AND na.db = c.db
+  LEFT JOIN nb ON nb.da = c.da AND nb.db = c.db
+  LEFT JOIN ii ON ii.da = c.da AND ii.db = c.db
+)
+WHERE uni > 0 AND {SNM_THR_DEN} * inter >= {SNM_THR_NUM} * uni
+"""
+
+
 def q_minhash_dedup(sf_dir: str):
     """Minhash-LSH near-dup groups. SQL-mirrored end-to-end: seeded
     permutation constants -> HUGEINT minhash/banding -> star candidate
@@ -7454,6 +7514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
         "exact_dedup": q_exact_dedup,
+        "snm_dedup": q_snm_dedup,
         "edit_distance_dedup": q_edit_distance_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -9141,6 +9202,7 @@ FROM documents d LEFT JOIN (
 ) r ON r.doc_id = d.doc_id
 """,
         "edit_distance_dedup": _SQL_EDIT_DISTANCE_DEDUP,
+        "snm_dedup": _snm_sql(),
         "exact_dedup": """
 SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

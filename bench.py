@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "shared_imports",
     "scene_cuts",
     "msf",
+    "snm_dedup",
     # resource_allocation rides the common_neighbors wedge machinery:
     # benchmarked at sf0.01 only, like common_neighbors / adamic_adar
     # ktruss / assortativity are benchmarked at sf0.01 only: 15 peel

@@ -941,3 +941,195 @@ def edit_distance_near_dup(
         .groupby("__p")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def sorted_neighborhood_dedup(
+    docs: ray.data.Dataset,
+    key_chars: int = 24,
+    window: int = 4,
+    thr_num: int = 6,
+    thr_den: int = 10,
+    num_parts: int = 32,
+    sample_shift: int = 56,
+) -> ray.data.Dataset:
+    """Sorted-neighborhood method (SNM) near-dup detection — the classic
+    entity-resolution alternative to LSH banding: sort every document by a
+    blocking key (here the first `key_chars` characters of the text),
+    slide a `window`-wide rank window over the global order, and verify
+    each in-window pair with exact distinct-token Jaccard. A pair passes
+    iff uni > 0 and thr_den * inter >= thr_num * uni (integer cross-
+    multiplication, no float threshold). Returns one row per passing pair
+    (doc_a, doc_b, inter, uni) with doc_a the earlier document in
+    (key, doc_id) order.
+
+    Scale shape: the global sort is realized as deterministic sampled
+    RANGE partitioning (hash-gated 1/2^(64-sample_shift) key sample folded
+    on the driver into equi-spaced splitters — one tiny take of the sample,
+    never the corpus), then ONE shuffle where each row ships to its own
+    range bucket and to the previous one (the halo). Shipping the whole
+    neighbor bucket instead of its first `window` rows doubles shuffle
+    volume but needs no second pass; output is invariant to the bucket
+    boundaries. Pairs are owned by the bucket of the earlier row. The
+    per-bucket kernel is fully vectorized: one lexsort, arange fan-out for
+    the rank windows, and set intersections for ALL pairs at once via one
+    np.unique run-scan over (pair, token-id, side) triples — no per-pair
+    loop (the round-2 _jaccard_kernel lesson). A bucket whose halo holds
+    fewer than `window` rows while more buckets follow raises (window
+    would span two boundaries) — lower num_parts or raise sample_shift.
+    """
+    from ..functions.hashing import part_of
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_pandas().fillna("")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "k": pa.array(txt.str.slice(0, key_chars), pa.string()),
+                "text": t["text"],
+            }
+        )
+
+    kd = docs.select_columns(["doc_id", "text"]).map_batches(
+        keyed, batch_format="pyarrow"
+    ).materialize()
+
+    def sampled(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            gate = (d.view(np.uint64) * GOLD) >> np.uint64(sample_shift) == 0
+        return pa.table(
+            {"k": pa.compute.take(t["k"], pa.array(np.flatnonzero(gate))),
+             "doc_id": pa.array(d[gate])}
+        )
+
+    samp = kd.map_batches(sampled, batch_format="pyarrow").to_pandas()
+    samp = samp.sort_values(["k", "doc_id"]).reset_index(drop=True)
+    n_buckets = max(1, min(num_parts, len(samp)))
+    if n_buckets > 1:
+        idx = (np.arange(1, n_buckets) * len(samp)) // n_buckets
+        split_k = samp["k"].to_numpy()[idx]
+        split_d = samp["doc_id"].to_numpy(np.int64)[idx]
+    else:
+        split_k = np.array([], dtype=object)
+        split_d = np.array([], dtype=np.int64)
+    splitters = ray.put((split_k, split_d))
+
+    def route(t: pa.Table) -> pa.Table:
+        sk, sd = ray.get(splitters)
+        k = np.asarray(t["k"].to_pandas(), dtype=object)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(sk):
+            # bucket = #splitters strictly before (k, doc_id)
+            lo = np.searchsorted(sk, k, side="left")
+            hi = np.searchsorted(sk, k, side="right")
+            b = lo.astype(np.int64)
+            amb = lo != hi  # key collides with >=1 splitter: break on doc_id
+            if amb.any():
+                for i in np.flatnonzero(amb):
+                    j = lo[i] + np.searchsorted(
+                        sd[lo[i]:hi[i]], d[i], side="right"
+                    )
+                    b[i] = j
+        else:
+            b = np.zeros(len(d), np.int64)
+        own = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "k": t["k"],
+                "text": t["text"],
+                "b": pa.array(b),
+                "__p": pa.array(b.astype(np.int32), pa.int32()),
+            }
+        )
+        halo_mask = b > 0
+        if not halo_mask.any():
+            return own
+        hsel = pa.array(np.flatnonzero(halo_mask))
+        halo = pa.table(
+            {
+                "doc_id": pa.compute.take(t["doc_id"], hsel),
+                "k": pa.compute.take(t["k"], hsel),
+                "text": pa.compute.take(t["text"], hsel),
+                "b": pa.array(b[halo_mask]),
+                "__p": pa.array((b[halo_mask] - 1).astype(np.int32), pa.int32()),
+            }
+        )
+        return pa.concat_tables([own, halo])
+
+    W, TN, TD = window, thr_num, thr_den
+    NB = n_buckets
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {c: pa.array([], pa.int64())
+             for c in ("doc_a", "doc_b", "inter", "uni")}
+        )
+        if t.num_rows == 0:
+            return empty
+        p = int(t["__p"][0].as_py())
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        k = np.asarray(t["k"].to_pandas(), dtype=object)
+        txt = t["text"].to_pandas().fillna("").to_numpy(dtype=object)
+        order = np.lexsort((d, k))
+        d, b, txt = d[order], b[order], txt[order]
+        own = b == p
+        n_halo = int((~own).sum())
+        if p + 1 < NB and n_halo < W and own.any():
+            raise RuntimeError(
+                "sorted_neighborhood_dedup: halo bucket holds fewer rows "
+                f"than window={W}; lower num_parts or raise sample_shift"
+            )
+        n = len(d)
+        i = np.repeat(np.arange(n), W)
+        j = i + np.tile(np.arange(1, W + 1), n)
+        keep = (j < n) & own[i]
+        i, j = i[keep], j[keep]
+        if not len(i):
+            return empty
+        # distinct token ids per doc (factorized), then ONE run-scan over
+        # (pair, token, side) for every pair's intersection size
+        toks = pd.Series(txt).str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        codes, _ = pd.factorize(ex, sort=False)
+        rows = ex.index.to_numpy(np.int64)
+        dt = np.unique(np.stack([rows, codes], axis=1), axis=0)
+        doc_of, tok_of = dt[:, 0], dt[:, 1]
+        counts = np.bincount(doc_of, minlength=n)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        npair = len(i)
+        sizes_a, sizes_b = counts[i], counts[j]
+        rep = np.concatenate([sizes_a, sizes_b])
+        pair_idx = np.concatenate(
+            [np.repeat(np.arange(npair), sizes_a),
+             np.repeat(np.arange(npair), sizes_b)]
+        )
+        pos = np.arange(rep.sum(), dtype=np.int64)
+        seg0 = np.concatenate([[0], np.cumsum(rep)[:-1]])
+        src_doc = np.concatenate([i, j])
+        offs = pos - np.repeat(seg0, rep) + np.repeat(
+            starts[src_doc], rep
+        )
+        toks_flat = tok_of[offs]
+        both = np.stack([pair_idx, toks_flat], axis=1)
+        uq, cnt = np.unique(both, axis=0, return_counts=True)
+        inter = np.bincount(uq[cnt == 2][:, 0], minlength=npair)
+        uni = sizes_a + sizes_b - inter
+        passing = (uni > 0) & (TD * inter >= TN * uni)
+        return pa.table(
+            {
+                "doc_a": pa.array(d[i][passing], pa.int64()),
+                "doc_b": pa.array(d[j][passing], pa.int64()),
+                "inter": pa.array(inter[passing].astype(np.int64)),
+                "uni": pa.array(uni[passing].astype(np.int64)),
+            }
+        )
+
+    return (
+        kd.map_batches(route, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

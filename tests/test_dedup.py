@@ -274,3 +274,30 @@ def test_containment_kernel():
     # src is (near-)contained in dst: src-direction containment ~1
     assert out.loc[0, "containment_src"] > 0.95
     assert out.loc[0, "containment_dst"] < out.loc[0, "containment_src"]
+
+
+def test_sorted_neighborhood_dedup_hand_checked():
+    """4 docs, window 4 covers every pair; verify (doc_a, doc_b, inter,
+    uni) against hand-computed distinct-token Jaccard at threshold 6/10.
+    doc_a is the earlier doc in (key, doc_id) order."""
+    import pyarrow as pa
+    import ray.data
+    from sbustreamspot_core_ray.stages.dedup import sorted_neighborhood_dedup
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["a b c d", "a b c x", "z z z", "a b c d"], pa.string()
+                ),
+            }
+        )
+    )
+    out = sorted_neighborhood_dedup(docs, window=4, num_parts=2)
+    got = sorted(
+        (int(r["doc_a"]), int(r["doc_b"]), int(r["inter"]), int(r["uni"]))
+        for r in out.take_all()
+    )
+    # sort order: 0, 3 ("a b c d", tie on key -> doc_id), 1, 2
+    assert got == [(0, 1, 3, 5), (0, 3, 4, 4), (3, 1, 3, 5)]
