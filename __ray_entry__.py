@@ -6447,6 +6447,77 @@ def q_exact_dedup(sf_dir: str):
     return exact_dedup(docs).select_columns(["doc_id", "content_hash"])
 
 
+BLOOM_M = 4096
+BLOOM_CONSTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0xFF51AFD7ED558CCD)
+
+
+def q_bloom_semi(sf_dir: str):
+    """Bloom-filter semi-join audit: filter built over the distinct
+    custkeys holding an URGENT-priority order (a ~20% subset, so
+    non-members and measurable false positives exist at every sf;
+    per-batch OR bitmaps, driver tree-reduce, broadcast),
+    probed by every customer; exact hash semi-join as witness. One
+    all-integer row (m_bits, k_hashes, n_set_bits, n_probe, n_pass,
+    n_member, n_false_pos)."""
+    from sbustreamspot_core_ray.stages.relational import bloom_semi_join_audit
+
+    import pyarrow.compute as _pc
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            _pc.equal(t["o_orderpriority"], "1-URGENT")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    return bloom_semi_join_audit(
+        orders, cust, "o_custkey", "c_custkey",
+        m_bits=BLOOM_M, hash_consts=BLOOM_CONSTS, num_partitions=P,
+    )
+
+
+def _bloom_sql() -> str:
+    """HUGEINT recompute of the exact same bit positions; a probe key
+    passes iff its DISTINCT positions are all set (COUNT DISTINCT match,
+    robust to within-key position collisions)."""
+    two64 = 1 << 64
+    pos_build = " UNION ".join(
+        f"SELECT DISTINCT CAST(((CAST(o_custkey AS HUGEINT) * {c}) % {two64})"
+        f" % {BLOOM_M} AS BIGINT) AS p FROM orders"
+        f" WHERE o_orderpriority = '1-URGENT'"
+        for c in BLOOM_CONSTS
+    )
+    pos_probe = " UNION ALL ".join(
+        f"SELECT c_custkey AS k, CAST(((CAST(c_custkey AS HUGEINT) * {c})"
+        f" % {two64}) % {BLOOM_M} AS BIGINT) AS p FROM customer"
+        for c in BLOOM_CONSTS
+    )
+    return f"""
+WITH bits AS MATERIALIZED ({pos_build}),
+pp AS MATERIALIZED (SELECT DISTINCT k, p FROM ({pos_probe})),
+hit AS (
+  SELECT pp.k, COUNT(*) AS np,
+         COUNT(CASE WHEN bits.p IS NOT NULL THEN 1 END) AS nh
+  FROM pp LEFT JOIN bits ON bits.p = pp.p
+  GROUP BY pp.k),
+passed AS (SELECT k FROM hit WHERE np = nh),
+member AS (SELECT DISTINCT o_custkey AS k FROM orders
+           JOIN customer ON c_custkey = o_custkey
+           WHERE o_orderpriority = '1-URGENT')
+SELECT {BLOOM_M} AS m_bits, {len(BLOOM_CONSTS)} AS k_hashes,
+  (SELECT COUNT(*) FROM bits) AS n_set_bits,
+  (SELECT COUNT(*) FROM customer) AS n_probe,
+  (SELECT COUNT(*) FROM passed) AS n_pass,
+  (SELECT COUNT(*) FROM member) AS n_member,
+  (SELECT COUNT(*) FROM passed) - (SELECT COUNT(*) FROM member)
+    AS n_false_pos
+"""
+
+
 SNM_KEY_CHARS = 24
 SNM_WINDOW = 4
 SNM_THR_NUM, SNM_THR_DEN = 6, 10
@@ -7515,6 +7586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "exact_dedup": q_exact_dedup,
         "snm_dedup": q_snm_dedup,
+        "bloom_semi": q_bloom_semi,
         "edit_distance_dedup": q_edit_distance_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -9203,6 +9275,7 @@ FROM documents d LEFT JOIN (
 """,
         "edit_distance_dedup": _SQL_EDIT_DISTANCE_DEDUP,
         "snm_dedup": _snm_sql(),
+        "bloom_semi": _bloom_sql(),
         "exact_dedup": """
 SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

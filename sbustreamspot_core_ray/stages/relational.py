@@ -2185,3 +2185,98 @@ def snapshot_diff(
         .groupby("__p")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def bloom_semi_join_audit(
+    build_keys: ray.data.Dataset,
+    probe_keys: ray.data.Dataset,
+    key_col: str,
+    probe_col: str,
+    m_bits: int = 4096,
+    hash_consts: tuple[int, ...] = (
+        0x9E3779B97F4A7C15,
+        0xC2B2AE3D27D4EB4F,
+        0xFF51AFD7ED558CCD,
+    ),
+    num_partitions: int = 16,
+) -> pa.Table:
+    """Bloom-filter semi-join with an exact witness — the classic
+    distributed-join pre-filter, audited: build an m_bits Bloom filter
+    over the DISTINCT build keys (each batch ORs a local bitmap; the
+    per-batch bitmaps tree-reduce on the driver — one fixed m_bits/8-byte
+    row per batch, never a key row), broadcast it, probe every probe-side
+    key vectorized, and compare against the exact hash-partitioned
+    semi-join. Bit positions are ((key * C_i) mod 2^64) mod m_bits per
+    hash constant; a key passes iff every one of its DISTINCT positions
+    is set — all integer, so the SQL mirror recomputes the filter
+    bit-for-bit in HUGEINT. Returns ONE row: (m_bits, k_hashes,
+    n_set_bits, n_probe, n_pass, n_member, n_false_pos); n_false_pos is
+    the Bloom's measured false-positive count (never negative — the
+    filter admits every true member by construction)."""
+    import pyarrow.compute as pc
+
+    CS = tuple(np.uint64(c) for c in hash_consts)
+    M = np.uint64(m_bits)
+    nbytes = m_bits // 8
+
+    def positions(k: np.ndarray) -> list[np.ndarray]:
+        k = k.astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            return [((k * c) % M).astype(np.int64) for c in CS]
+
+    def local_bitmap(t: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, np.uint8)
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        for pos in positions(k):
+            np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = build_keys.select_columns([key_col]).map_batches(
+        local_bitmap, batch_format="pyarrow"
+    ).take_all()
+    bitmap = np.zeros(nbytes, np.uint8)
+    for r in parts:
+        bitmap |= np.frombuffer(r["bm"], np.uint8)
+    n_set_bits = int(np.unpackbits(bitmap).sum())
+    bm_ref = ray.put(bitmap)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bm = ray.get(bm_ref)
+        k = t[probe_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = np.ones(len(k), bool)
+        for pos in positions(k):
+            ok &= ((bm[pos >> 3] >> (pos & 7)) & 1).astype(bool)
+        return pa.table(
+            {
+                "n": pa.array([len(k)], pa.int64()),
+                "n_pass": pa.array([int(ok.sum())], pa.int64()),
+            }
+        )
+
+    probe_ds = probe_keys.select_columns([probe_col]).materialize()
+    tallies = probe_ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    n_probe = int(tallies["n"].sum())
+    n_pass = int(tallies["n_pass"].sum())
+
+    # exact witness: hash semi-join against the distinct build keys
+    kd = probe_ds
+    if probe_col != key_col:
+        kd = kd.map_batches(
+            lambda t: pa.table({key_col: t[probe_col]}),
+            batch_format="pyarrow",
+        )
+    n_member = n_probe - anti_join_keys(
+        kd, build_keys, key_col, num_partitions
+    ).count()
+
+    return pa.table(
+        {
+            "m_bits": pa.array([m_bits], pa.int64()),
+            "k_hashes": pa.array([len(CS)], pa.int64()),
+            "n_set_bits": pa.array([n_set_bits], pa.int64()),
+            "n_probe": pa.array([n_probe], pa.int64()),
+            "n_pass": pa.array([n_pass], pa.int64()),
+            "n_member": pa.array([n_member], pa.int64()),
+            "n_false_pos": pa.array([n_pass - n_member], pa.int64()),
+        }
+    )

@@ -589,3 +589,39 @@ def test_snapshot_diff_hand_case():
     ]
     assert got["old_val"].tolist() == [10.0, 30.0, -1.0]
     assert got["new_val"].tolist() == [-1.0, 31.0, 40.0]
+
+
+def test_bloom_semi_join_audit_hand_checked():
+    """Tiny filter (m=8 bits) forces false positives we can enumerate by
+    recomputing positions directly; the exact witness must never be
+    exceeded by the filter."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from sbustreamspot_core_ray.stages.relational import bloom_semi_join_audit
+
+    build = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    )
+    probe = ray.data.from_arrow(
+        pa.table({"q": pa.array(list(range(1, 21)), pa.int64())})
+    )
+    consts = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F)
+    out = bloom_semi_join_audit(
+        build, probe, "k", "q", m_bits=8, hash_consts=consts,
+        num_partitions=2,
+    ).to_pandas().iloc[0]
+
+    bits = set()
+    def pos(x):
+        return [int((np.uint64(x) * np.uint64(c)) % np.uint64(8))
+                for c in consts]
+    for x in (1, 2, 3):
+        bits.update(pos(x))
+    expect_pass = sum(1 for x in range(1, 21) if set(pos(x)) <= bits)
+    assert out["n_set_bits"] == len(bits)
+    assert out["n_probe"] == 20
+    assert out["n_pass"] == expect_pass
+    assert out["n_member"] == 3
+    assert out["n_false_pos"] == expect_pass - 3
+    assert out["n_pass"] >= out["n_member"]
