@@ -6578,6 +6578,47 @@ WHERE uni > 0 AND {SNM_THR_DEN} * inter >= {SNM_THR_NUM} * uni
 """
 
 
+APJ_NUM, APJ_DEN = 9, 10
+
+
+def q_allpairs_jaccard(sf_dir: str):
+    """Exact-threshold all-pairs Jaccard self-join (AllPairs/PPJoin
+    prefix filtering over df-ordered word tokens): COMPLETE — every pair
+    with token-set Jaccard >= 9/10 is returned, verified in exact
+    integers (src, dst, inter, uni)."""
+    from sbustreamspot_core_ray.stages.dedup import allpairs_jaccard_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+    return allpairs_jaccard_join(
+        docs, thr_num=APJ_NUM, thr_den=APJ_DEN, num_parts=P
+    )
+
+
+def _allpairs_jaccard_sql() -> str:
+    """Brute-force token self-join (the oracle need not be clever) with
+    the identical integer threshold inequality — no float anywhere."""
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+i AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+  FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.src, i.dst, CAST(inter AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+FROM i JOIN sz sa ON sa.doc_id = i.src JOIN sz sb ON sb.doc_id = i.dst
+WHERE {APJ_DEN} * inter >= {APJ_NUM} * (sa.n + sb.n - inter)
+"""
+
+
 def q_minhash_dedup(sf_dir: str):
     """Minhash-LSH near-dup groups. SQL-mirrored end-to-end: seeded
     permutation constants -> HUGEINT minhash/banding -> star candidate
@@ -7587,6 +7628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "snm_dedup": q_snm_dedup,
         "bloom_semi": q_bloom_semi,
+        "allpairs_jaccard": q_allpairs_jaccard,
         "edit_distance_dedup": q_edit_distance_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -9276,6 +9318,7 @@ FROM documents d LEFT JOIN (
         "edit_distance_dedup": _SQL_EDIT_DISTANCE_DEDUP,
         "snm_dedup": _snm_sql(),
         "bloom_semi": _bloom_sql(),
+        "allpairs_jaccard": _allpairs_jaccard_sql(),
         "exact_dedup": """
 SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "scene_cuts",
     "msf",
     "snm_dedup",
+    "bloom_semi",
+    "allpairs_jaccard",
     # resource_allocation rides the common_neighbors wedge machinery:
     # benchmarked at sf0.01 only, like common_neighbors / adamic_adar
     # ktruss / assortativity are benchmarked at sf0.01 only: 15 peel

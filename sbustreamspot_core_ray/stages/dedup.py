@@ -1133,3 +1133,219 @@ def sorted_neighborhood_dedup(
         .groupby("__p")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def allpairs_jaccard_join(
+    docs: ray.data.Dataset,
+    thr_num: int = 9,
+    thr_den: int = 10,
+    num_parts: int = 32,
+    max_vocab: int = 5_000_000,
+    broadcast_threshold: int = 100_000,
+) -> ray.data.Dataset:
+    """Exact-threshold all-pairs Jaccard self-join over word-token sets
+    with document-frequency-ordered prefix filtering — the AllPairs /
+    PPJoin candidate scheme (Bayardo et al., WWW'07): the deterministic,
+    COMPLETE counterpart of the probabilistic minhash / simhash / SNM
+    near-dup paths. Every pair with |x∩y| / |x∪y| >= thr_num/thr_den is
+    returned (none missed: if o(x,y) >= ceil(t*|x|) then the globally
+    rarest common token provably sits inside BOTH df-ordered prefixes of
+    length n - ceil(t*n) + 1), each verified in exact integers.
+
+    Distributed shape, one cheap-key shuffle per hop:
+    1. vocabulary df: per-batch distinct-(doc, term) combiner -> one
+       vocabulary-sized groupby (same shape as text.term_doc_freq); the
+       global (df asc, term asc) rank map is broadcast ONCE via ray.put
+       (vocabularies > max_vocab error toward a term-keyed co-partitioned
+       rank attach instead of a silent driver OOM).
+    2. prefix emission: per doc, tokens sorted by global rank (rarest
+       first); only the first n - ceil(t*n) + 1 leave the batch. Zipf
+       works for us: prefixes are made of RARE tokens, so the token
+       groups stay small exactly where they would otherwise explode.
+    3. candidates: ONE shuffle on hash(rank) % P; per partition a
+       vectorized run-scan enumerates within-token triangular pairs,
+       pre-pruned by the length bound den*min(nx,ny) >= num*max(nx,ny)
+       (J >= t forces o >= t*max and o <= min).
+    4. pair dedup on hash(src,dst) % P (a pair can share several prefix
+       tokens), vectorized drop_duplicates per partition.
+    5. exact verify through ngram_jaccard_verify's broadcast /
+       co-partitioned text-attach plumbing with a word-token integer
+       kernel. Returns (src, dst, inter, uni) all-int64 rows with
+       thr_den*inter >= thr_num*uni — integer-exact, so the SQL oracle
+       (token self-join + the same integer inequality) matches
+       bit-for-bit.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import part_of
+
+    TN, TD = int(thr_num), int(thr_den)
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        pairs = pd.DataFrame(
+            {"d": ex.index.to_numpy(), "term": ex.to_numpy()}
+        ).drop_duplicates()
+        counts = pairs.groupby("term", sort=False).size()
+        return pd.DataFrame(
+            {
+                "term": counts.index.to_numpy(dtype=object),
+                "df_partial": counts.to_numpy(np.int64),
+            }
+        )
+
+    vocab = (
+        docs.map_batches(tok_partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df_partial", alias_name="df"))
+    )
+    vdf = vocab.to_pandas()
+    if len(vdf) > max_vocab:
+        raise ValueError(
+            f"vocabulary {len(vdf)} exceeds max_vocab={max_vocab}; attach "
+            "ranks with a term-keyed co-partitioned join instead of the "
+            "broadcast map"
+        )
+    order = np.lexsort(
+        (vdf["term"].to_numpy(dtype=object), vdf["df"].to_numpy(np.int64))
+    )
+    ranks = np.empty(len(vdf), np.int64)
+    ranks[order] = np.arange(len(vdf), dtype=np.int64)
+    rank_ref = _ray.put(pd.Series(ranks, index=vdf["term"].to_numpy(object)))
+
+    def prefix(df: pd.DataFrame) -> pd.DataFrame:
+        rmap = cached_get(rank_ref)
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        t = pd.DataFrame(
+            {"d": ex.index.to_numpy(), "term": ex.to_numpy()}
+        ).drop_duplicates()
+        if not len(t):
+            return pd.DataFrame(
+                {
+                    "rank": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                    "__p": pd.Series([], dtype=np.int32),
+                }
+            )
+        t["rank"] = t["term"].map(rmap).to_numpy(np.int64)
+        t = t.sort_values(["d", "rank"], kind="stable")
+        n = t.groupby("d", sort=False)["rank"].transform("size").to_numpy(np.int64)
+        pos = t.groupby("d", sort=False).cumcount().to_numpy(np.int64)
+        plen = n - ((TN * n + TD - 1) // TD) + 1
+        keep = pos < plen
+        rk = t["rank"].to_numpy(np.int64)[keep]
+        doc_ids = df["doc_id"].to_numpy(np.int64)[
+            df.index.get_indexer(t["d"].to_numpy()[keep])
+        ]
+        return pd.DataFrame(
+            {
+                "rank": rk,
+                "doc_id": doc_ids,
+                "n": n[keep],
+                "__p": part_of(rk, num_parts).astype(np.int32),
+            }
+        )
+
+    def cand(t: pa.Table) -> pa.Table:
+        rk = t["rank"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        ns = t["n"].to_numpy()
+        o = np.lexsort((ids, rk))
+        rk, ids, ns = rk[o], ids[o], ns[o]
+        new = np.concatenate([[True], rk[1:] != rk[:-1]])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(rk)]])
+        aa, bb, na_, nb_ = [], [], [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2:
+                continue
+            i, j = np.triu_indices(g, k=1)
+            aa.append(ids[s:e][i])
+            bb.append(ids[s:e][j])
+            na_.append(ns[s:e][i])
+            nb_.append(ns[s:e][j])
+        if not aa:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "__p": pa.array([], pa.int32()),
+                }
+            )
+        src = np.concatenate(aa)
+        dst = np.concatenate(bb)
+        na = np.concatenate(na_)
+        nb = np.concatenate(nb_)
+        lo = np.minimum(na, nb)
+        hi = np.maximum(na, nb)
+        keep = TD * lo >= TN * hi
+        src, dst = src[keep], dst[keep]
+        with np.errstate(over="ignore"):
+            pk = src * np.int64(1_000_003) + dst
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "__p": pa.array(part_of(pk, num_parts).astype(np.int32)),
+            }
+        )
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["src", "dst"])[["src", "dst"]]
+
+    pairs = (
+        docs.map_batches(prefix, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(cand, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(uniq, batch_format="pandas")
+    )
+
+    def kernel(df: pd.DataFrame, _k: int, _t: float) -> pa.Table:
+        cache: dict[str, np.ndarray] = {}
+
+        def ts(text: str | None) -> np.ndarray:
+            text = text or ""
+            r = cache.get(text)
+            if r is None:
+                r = np.unique(
+                    np.array(
+                        [w for w in text.lower().split(" ") if w], dtype=object
+                    )
+                )
+                cache[text] = r
+            return r
+
+        n = len(df)
+        inter = np.empty(n, np.int64)
+        uni = np.empty(n, np.int64)
+        for i, (a, b) in enumerate(zip(df["text_src"], df["text_dst"])):
+            sa, sb = ts(a), ts(b)
+            it = np.intersect1d(sa, sb, assume_unique=True).size
+            inter[i] = it
+            uni[i] = sa.size + sb.size - it
+        keep = (uni > 0) & (TD * inter >= TN * uni)
+        return pa.table(
+            {
+                "src": pa.array(df["src"].to_numpy(np.int64)[keep]),
+                "dst": pa.array(df["dst"].to_numpy(np.int64)[keep]),
+                "inter": pa.array(inter[keep]),
+                "uni": pa.array(uni[keep]),
+            }
+        )
+
+    return ngram_jaccard_verify(
+        pairs,
+        docs,
+        threshold=0.0,
+        num_partitions=num_parts,
+        broadcast_threshold=broadcast_threshold,
+        kernel=kernel,
+    )

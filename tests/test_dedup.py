@@ -301,3 +301,49 @@ def test_sorted_neighborhood_dedup_hand_checked():
     )
     # sort order: 0, 3 ("a b c d", tie on key -> doc_id), 1, 2
     assert got == [(0, 1, 3, 5), (0, 3, 4, 4), (3, 1, 3, 5)]
+
+
+def test_allpairs_jaccard_complete_vs_bruteforce():
+    """Prefix filtering must be COMPLETE: a seeded random corpus with a
+    tight shared vocabulary (worst case for prefix pruning) compared
+    pair-for-pair, integer-for-integer against the O(n^2) brute force."""
+    import itertools
+    import random
+
+    from sbustreamspot_core_ray.stages.dedup import allpairs_jaccard_join
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for _ in range(40):
+        k = rng.randint(3, 12)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(k)))
+    texts += ["", "   ", texts[0], texts[1] + " extra"]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    TN, TD = 5, 10
+    got = (
+        allpairs_jaccard_join(docs, thr_num=TN, thr_den=TD, num_parts=4)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+
+    sets = [frozenset(w for w in t.lower().split(" ") if w) for t in texts]
+    want = []
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if uni > 0 and TD * inter >= TN * uni:
+            want.append((a, b, inter, uni))
+    want_df = pd.DataFrame(want, columns=["src", "dst", "inter", "uni"])
+    assert len(got) == len(want_df)
+    assert got[["src", "dst", "inter", "uni"]].to_numpy().tolist() == \
+        want_df.to_numpy().tolist()
+    assert len(want_df) >= 3  # the fixture must actually exercise matches
