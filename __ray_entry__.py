@@ -6578,6 +6578,93 @@ WHERE uni > 0 AND {SNM_THR_DEN} * inter >= {SNM_THR_NUM} * uni
 """
 
 
+TR_SEEDS = tuple(range(1, 11))  # customer keys, present at every sf
+TR_START_DAY = 10227  # 1998-01-01 as epoch days: the clock the seeds start at
+
+
+def q_temporal_reach(sf_dir: str):
+    """Earliest-arrival reachability over the TEMPORAL supply graph
+    (customer -> order at o_orderdate, order -> part and part -> supplier
+    at l_shipdate, all epoch days): a path counts only if every edge
+    departs no earlier than the arrival at its source — the synthetic
+    data ships ~3%% of lineitems BEFORE the order date, so this is
+    provably not a static BFS. Exact integer days throughout."""
+    from sbustreamspot_core_ray.pipelines.superstep import temporal_reachability
+
+    def days(col: pd.Series) -> np.ndarray:
+        return col.to_numpy().astype("datetime64[D]").astype(np.int64)
+
+    def o_edges(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(df["o_custkey"].to_numpy(np.int64)),
+                "dst": pa.array(
+                    10_000_000 + df["o_orderkey"].to_numpy(np.int64)
+                ),
+                "t": pa.array(days(df["o_orderdate"])),
+            }
+        )
+
+    def l_edges(df: pd.DataFrame) -> pa.Table:
+        ok = 10_000_000 + df["l_orderkey"].to_numpy(np.int64)
+        pk = 20_000_000 + df["l_partkey"].to_numpy(np.int64)
+        sk = 30_000_000 + df["l_suppkey"].to_numpy(np.int64)
+        t = days(df["l_shipdate"])
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([ok, pk])),
+                "dst": pa.array(np.concatenate([pk, sk])),
+                "t": pa.array(np.concatenate([t, t])),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    ).map_batches(o_edges, batch_format="pandas")
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(l_edges, batch_format="pandas")
+    return temporal_reachability(
+        orders.union(line).materialize(),
+        seeds=np.array(TR_SEEDS, np.int64),
+        num_partitions=P,
+        start_t=TR_START_DAY,
+    )
+
+
+def _temporal_reach_sql() -> str:
+    """Recursive min-arrival walk: the UNION dedups (vertex, t) states, so
+    the explored set is bounded by the edge count; MIN at the end is the
+    earliest arrival. Seeds admitted iff they occur as a source."""
+    seeds = ", ".join(f"({s})" for s in TR_SEEDS)
+    return f"""
+WITH RECURSIVE te AS MATERIALIZED (
+  SELECT o_custkey AS src, 10000000 + o_orderkey AS dst,
+         CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+              AS BIGINT) AS t
+  FROM orders
+  UNION ALL
+  SELECT 10000000 + l_orderkey, 20000000 + l_partkey,
+         CAST(date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 20000000 + l_partkey, 30000000 + l_suppkey,
+         CAST(date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS BIGINT)
+  FROM lineitem
+),
+walk(vertex, t_at) AS (
+  SELECT s, CAST({TR_START_DAY} AS BIGINT) FROM (VALUES {seeds}) v(s)
+  WHERE s IN (SELECT src FROM te)
+  UNION
+  SELECT te.dst, te.t FROM walk
+  JOIN te ON te.src = walk.vertex AND te.t >= walk.t_at
+)
+SELECT vertex, MIN(t_at) AS t_arr FROM walk GROUP BY vertex
+"""
+
+
 APJ_NUM, APJ_DEN = 9, 10
 
 
@@ -7629,6 +7716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_dedup": q_snm_dedup,
         "bloom_semi": q_bloom_semi,
         "allpairs_jaccard": q_allpairs_jaccard,
+        "temporal_reach": q_temporal_reach,
         "edit_distance_dedup": q_edit_distance_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -9319,6 +9407,7 @@ FROM documents d LEFT JOIN (
         "snm_dedup": _snm_sql(),
         "bloom_semi": _bloom_sql(),
         "allpairs_jaccard": _allpairs_jaccard_sql(),
+        "temporal_reach": _temporal_reach_sql(),
         "exact_dedup": """
 SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

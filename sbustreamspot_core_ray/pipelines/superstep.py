@@ -3198,3 +3198,167 @@ def boruvka_msf(
     for p in msf_parts[1:]:
         out = out.union(p)
     return distinct_int_rows(out, ["u", "v", "w", "phase"], P)
+
+
+def temporal_reachability(
+    edges: ray.data.Dataset,
+    seeds,
+    num_partitions: int = 32,
+    max_rounds: int = 32,
+    start_t: int = 0,
+    broadcast_threshold: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Earliest-arrival reachability over a TEMPORAL edge table
+    (src, dst, t): a path is time-respecting iff each edge departs no
+    earlier than the arrival at its source, and arrival(v) is the minimum
+    over such paths of the last edge's timestamp (Wu et al., "Path
+    problems in temporal graphs", VLDB'14). Static reachability is the
+    special case t = const; with real timestamps a static BFS OVERcounts
+    (it happily walks backward in time), so this is a genuinely different
+    operator from bfs_distance.
+
+    Delta-iterated dataflow — pure Dataset ops, documented shuffles:
+    each round, last round's improved arrivals (the frontier) meet the
+    edge table on src — broadcast (`ray.put` of two sorted arrays +
+    per-batch searchsorted, NO edge shuffle) while the frontier is below
+    `broadcast_threshold` rows, else the co-partitioned `_attach_value`
+    hash join (one shuffle of the edge table; the honest V-scale path) —
+    then edges with t >= arrival(src) emit candidate (dst, t) rows that
+    merge into the arrival table in ONE hashed-vertex shuffle (the min
+    fold and the old/new compare share the same partition key, so they
+    share the shuffle); rows that improved become the next frontier.
+    Arrival times only decrease and every improvement is witnessed by a
+    strictly shorter time-respecting prefix, so the loop reaches the
+    exact fixpoint in at most (longest time-respecting path) rounds;
+    per-round state is materialized (V-scale, never per-path).
+
+    Duplicate (src, dst, t) rows are harmless (min-fold), so the caller
+    need not pre-distinct the edge table. Seeds enter with arrival
+    `start_t` iff they appear as a source in the edge table (mirroring
+    the SQL `WHERE s IN (SELECT src FROM te)` guard). Returns
+    (vertex, t_arr) int64 for every reached vertex."""
+    import pyarrow.compute as pc
+
+    P = num_partitions
+
+    srcs = edges.map_batches(
+        lambda t: pa.table({"vertex": pc.unique(t["src"])}),
+        batch_format="pyarrow",
+    )
+    present = np.unique(
+        np.concatenate(
+            [b["vertex"].to_numpy() for b in srcs.iter_batches(batch_format="pyarrow")]
+            or [np.array([], np.int64)]
+        )
+    )
+    seeds = np.unique(np.asarray(seeds, np.int64))
+    seeds = seeds[np.isin(seeds, present)]
+    arr = ray.data.from_arrow(
+        pa.table(
+            {
+                "vertex": pa.array(seeds, pa.int64()),
+                "t_arr": pa.array(np.full(len(seeds), start_t, np.int64)),
+            }
+        )
+    ).materialize()
+    frontier = arr
+
+    def usable(t: pa.Table) -> pa.Table:
+        # candidate rows ride straight into the merge shuffle, side-tagged
+        tt = t["t"].to_numpy()
+        keep = tt >= t["src_arr"].to_numpy()
+        d = t["dst"].to_numpy()[keep]
+        return pa.table(
+            {
+                "vertex": pa.array(d, pa.int64()),
+                "t_val": pa.array(tt[keep], pa.int64()),
+                "__side": pa.array(np.ones(len(d), np.int8)),
+                "__p": pa.array(part_of(d, P), pa.int32()),
+            }
+        )
+
+    n_frontier = arr.count()
+    for _ in range(max_rounds):
+        if n_frontier <= broadcast_threshold:
+            ft = frontier.to_pandas()
+            fv = ft["vertex"].to_numpy(np.int64)
+            o = np.argsort(fv, kind="stable")
+            f_ref = ray.put((fv[o], ft["t_arr"].to_numpy(np.int64)[o]))
+
+            def bcast_attach(t: pa.Table) -> pa.Table:
+                from ..functions.proccache import cached_get
+
+                fv_s, ftv_s = cached_get(f_ref)
+                s = t["src"].to_numpy()
+                if len(fv_s):
+                    pos = np.clip(np.searchsorted(fv_s, s), 0, len(fv_s) - 1)
+                    hit = fv_s[pos] == s
+                else:
+                    pos = np.zeros(len(s), np.int64)
+                    hit = np.zeros(len(s), bool)
+                    ftv_s = np.zeros(1, np.int64)
+                return pa.table(
+                    {
+                        "dst": t["dst"].filter(pa.array(hit)),
+                        "t": t["t"].filter(pa.array(hit)),
+                        "src_arr": pa.array(ftv_s[pos][hit], pa.int64()),
+                    }
+                )
+
+            att = edges.map_batches(bcast_attach, batch_format="pyarrow")
+        else:
+            att = _attach_value(
+                edges, frontier, "src", ["dst", "t"], "t_arr", "src_arr", P
+            )
+        cand = att.map_batches(usable, batch_format="pyarrow")
+
+        def tag_arr(t: pa.Table) -> pa.Table:
+            v = t["vertex"].to_numpy()
+            return pa.table(
+                {
+                    "vertex": t["vertex"],
+                    "t_val": t["t_arr"],
+                    "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+                    "__p": pa.array(part_of(v, P), pa.int32()),
+                }
+            )
+
+        def merge(t: pa.Table) -> pa.Table:
+            v = t["vertex"].to_numpy()
+            tv = t["t_val"].to_numpy()
+            side = t["__side"].to_numpy(zero_copy_only=False)
+            # min per vertex; improved = min strictly below the old value
+            # (or a vertex with no old value at all)
+            order = np.lexsort((tv, side, v))
+            v, tv, side = v[order], tv[order], side[order]
+            first = np.concatenate([[True], v[1:] != v[:-1]])
+            starts = np.flatnonzero(first)
+            best = np.minimum.reduceat(tv, starts)
+            had_old = side[starts] == 0  # sorted so an old row leads its run
+            old = tv[starts]
+            imp = (~had_old) | (best < old)
+            return pa.table(
+                {
+                    "vertex": pa.array(v[starts], pa.int64()),
+                    "t_arr": pa.array(best, pa.int64()),
+                    "imp": pa.array(imp.astype(np.int8)),
+                }
+            )
+
+        merged = (
+            arr.map_batches(tag_arr, batch_format="pyarrow")
+            .union(cand)
+            .groupby("__p")
+            .map_groups(merge, batch_format="pyarrow")
+        ).materialize()
+        frontier = merged.map_batches(
+            lambda t: t.filter(
+                pc.equal(t["imp"], 1)
+            ).select(["vertex", "t_arr"]),
+            batch_format="pyarrow",
+        ).materialize()
+        arr = merged.select_columns(["vertex", "t_arr"]).materialize()
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+    return arr

@@ -919,3 +919,69 @@ def test_maximal_matching_is_maximal_and_valid():
         assert (a, b) in und
     for a, b in und:
         assert a in matched or b in matched  # maximal
+
+
+def test_temporal_reachability_hand_case():
+    """Time-respecting semantics must differ from static BFS: vertex 3 is
+    statically reachable but its only in-edge departs before any arrival
+    at 2; vertex 30 is reached via the later of two paths' minimum."""
+    from sbustreamspot_core_ray.pipelines.superstep import temporal_reachability
+
+    e = [
+        (1, 2, 5),
+        (2, 3, 3),    # departs at 3 < arrival(2)=5 -> 3 unreachable
+        (2, 4, 7),
+        (1, 5, 2),
+        (5, 30, 4),
+        (2, 30, 9),   # later witness; min stays 4
+        (9, 9, 1),    # disconnected self-loop, not a seed
+    ]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([x[0] for x in e], pa.int64()),
+                "dst": pa.array([x[1] for x in e], pa.int64()),
+                "t": pa.array([x[2] for x in e], pa.int64()),
+            }
+        )
+    )
+    # both frontier-attach regimes must agree: broadcast (default) and
+    # the co-partitioned _attach_value fallback (threshold 0)
+    for bt in (1_000_000, 0):
+        got = (
+            temporal_reachability(
+                edges, seeds=[1, 77], num_partitions=4, start_t=0,
+                broadcast_threshold=bt,
+            )
+            .to_pandas()
+            .sort_values("vertex")
+            .reset_index(drop=True)
+        )
+        # seed 77 is not a source in the edge table -> dropped
+        assert got["vertex"].tolist() == [1, 2, 4, 5, 30]
+        assert got["t_arr"].tolist() == [0, 5, 7, 2, 4]
+
+
+def test_temporal_reachability_multi_round_improvement():
+    """A later round must lower an arrival set in an earlier round: the
+    direct edge to 4 arrives at 9, the two-hop path lowers it to 6."""
+    from sbustreamspot_core_ray.pipelines.superstep import temporal_reachability
+
+    e = [(1, 4, 9), (1, 2, 1), (2, 3, 2), (3, 4, 6)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([x[0] for x in e], pa.int64()),
+                "dst": pa.array([x[1] for x in e], pa.int64()),
+                "t": pa.array([x[2] for x in e], pa.int64()),
+            }
+        )
+    )
+    got = (
+        temporal_reachability(edges, seeds=[1], num_partitions=2, start_t=0)
+        .to_pandas()
+        .sort_values("vertex")
+        .reset_index(drop=True)
+    )
+    assert got["vertex"].tolist() == [1, 2, 3, 4]
+    assert got["t_arr"].tolist() == [0, 1, 2, 6]
