@@ -6578,6 +6578,55 @@ WHERE uni > 0 AND {SNM_THR_DEN} * inter >= {SNM_THR_NUM} * uni
 """
 
 
+NEG_K = 2
+NEG_C = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0xFF51AFD7ED558CCD)
+
+
+def q_link_negatives(sf_dir: str):
+    """Link-prediction training rows: every distinct edge labeled 1 plus
+    k=2 seeded-hash negative candidates per edge drawn from the distinct
+    destination universe, real edges anti-joined away — deterministic
+    uint64 arithmetic end-to-end, HUGEINT-mirrored in SQL."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        link_negative_samples,
+    )
+
+    return link_negative_samples(
+        _edges_full(sf_dir, dedup=True).materialize(),
+        k=NEG_K,
+        num_partitions=P,
+        c1=NEG_C[0],
+        c2=NEG_C[1],
+        c3=NEG_C[2],
+    )
+
+
+def _link_negatives_sql() -> str:
+    two64 = 1 << 64
+    js = ", ".join(f"({j})" for j in range(1, NEG_K + 1))
+    return f"""
+WITH e AS MATERIALIZED ({_SQL_EDGES}),
+d AS MATERIALIZED (SELECT DISTINCT dst FROM e),
+dr AS MATERIALIZED (
+  SELECT dst, row_number() OVER (ORDER BY dst) - 1 AS r FROM d),
+cand AS MATERIALIZED (
+  SELECT e.src,
+         CAST(((CAST(e.src AS HUGEINT) * {NEG_C[0]}
+                + CAST(e.dst AS HUGEINT) * {NEG_C[1]}
+                + CAST(j AS HUGEINT) * {NEG_C[2]}) % {two64})
+              % (SELECT count(*) FROM d) AS BIGINT) AS r
+  FROM e CROSS JOIN (VALUES {js}) t(j)
+),
+neg AS (
+  SELECT c.src, dr.dst FROM cand c JOIN dr ON dr.r = c.r
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.src AND e.dst = dr.dst)
+)
+SELECT src, dst, CAST(1 AS BIGINT) AS label FROM e
+UNION ALL
+SELECT src, dst, CAST(0 AS BIGINT) AS label FROM neg
+"""
+
+
 TR_SEEDS = tuple(range(1, 11))  # customer keys, present at every sf
 TR_START_DAY = 10227  # 1998-01-01 as epoch days: the clock the seeds start at
 
@@ -7717,6 +7766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi": q_bloom_semi,
         "allpairs_jaccard": q_allpairs_jaccard,
         "temporal_reach": q_temporal_reach,
+        "link_negatives": q_link_negatives,
         "edit_distance_dedup": q_edit_distance_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -9408,6 +9458,7 @@ FROM documents d LEFT JOIN (
         "bloom_semi": _bloom_sql(),
         "allpairs_jaccard": _allpairs_jaccard_sql(),
         "temporal_reach": _temporal_reach_sql(),
+        "link_negatives": _link_negatives_sql(),
         "exact_dedup": """
 SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

@@ -172,6 +172,10 @@ BENCH_QUERIES = [
     "snm_dedup",
     "bloom_semi",
     "allpairs_jaccard",
+    "link_negatives",
+    # temporal_reach is benchmarked at sf0.01 only: its wall time is
+    # ~5 delta rounds x fixed wide-op overhead (dataset sizes are tiny),
+    # which measures Ray's per-op floor rather than the kernel
     # resource_allocation rides the common_neighbors wedge machinery:
     # benchmarked at sf0.01 only, like common_neighbors / adamic_adar
     # ktruss / assortativity are benchmarked at sf0.01 only: 15 peel

@@ -3362,3 +3362,145 @@ def temporal_reachability(
         if n_frontier == 0:
             break
     return arr
+
+
+def link_negative_samples(
+    edges: ray.data.Dataset,
+    k: int = 2,
+    num_partitions: int = 32,
+    c1: int = 0x9E3779B97F4A7C15,
+    c2: int = 0xC2B2AE3D27D4EB4F,
+    c3: int = 0xFF51AFD7ED558CCD,
+) -> ray.data.Dataset:
+    """Deterministic negative sampling for link-prediction training data:
+    every DISTINCT edge (src, dst) becomes a label-1 row, and for each
+    edge k seeded-hash candidates (src, w_j) are drawn from the distinct
+    destination universe — w_j = dsts[((src*c1 + dst*c2 + j*c3) mod 2^64)
+    mod |dsts|] — then candidates that are REAL edges are dropped by an
+    exact anti-join, leaving label-0 rows. All-integer uint64-wraparound
+    arithmetic, so a SQL mirror recomputes every candidate in HUGEINT and
+    the output (src, dst, label) matches bit-for-bit. The standard
+    skip-gram/link-prediction noise generator, made reproducible: no RNG
+    state, any shard can regenerate its candidates from (src, dst, j).
+
+    Scale shape: the sorted destination universe is broadcast once via
+    `ray.put` (id list, not per-edge state; a 10^12-edge corpus whose
+    distinct-dst set exceeds worker memory needs a rank-keyed
+    co-partitioned join instead — raise-documented below). Candidate
+    generation is a stateless vectorized map; membership filtering is ONE
+    shuffle of packed (src << 32 | dst) keys with a per-partition
+    searchsorted — no driver-side set. Input edges must be distinct
+    (positives are emitted as-is)."""
+    import pyarrow.compute as pc
+
+    P = num_partitions
+    C1, C2, C3 = np.uint64(c1), np.uint64(c2), np.uint64(c3)
+
+    dst_parts = edges.map_batches(
+        lambda t: pa.table({"dst": pc.unique(t["dst"])}),
+        batch_format="pyarrow",
+    )
+    dsts = np.unique(
+        np.concatenate(
+            [b["dst"].to_numpy() for b in dst_parts.iter_batches(batch_format="pyarrow")]
+            or [np.array([], np.int64)]
+        )
+    )
+    if len(dsts) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if len(dsts) > 50_000_000:
+        raise ValueError(
+            "distinct-dst universe too large to broadcast; attach sampled "
+            "ranks with a rank-keyed co-partitioned join instead"
+        )
+    n_dst = np.uint64(len(dsts))
+    dst_ref = ray.put(dsts)
+
+    def pack(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+        if len(s) and (
+            int(s.max()) >= (1 << 31)
+            or int(d.max()) >= (1 << 31)
+            or int(s.min()) < 0
+            or int(d.min()) < 0
+        ):
+            raise ValueError("vertex ids must fit in 31 bits for key packing")
+        return (s << np.int64(32)) | d
+
+    def gen(t: pa.Table) -> pa.Table:
+        from ..functions.proccache import cached_get
+
+        universe = cached_get(dst_ref)
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        su = s.astype(np.int64).view(np.uint64)
+        du = d.astype(np.int64).view(np.uint64)
+        outs, outd = [], []
+        with np.errstate(over="ignore"):
+            for j in range(1, k + 1):
+                idx = ((su * C1 + du * C2 + np.uint64(j) * C3) % n_dst).astype(
+                    np.int64
+                )
+                outs.append(s)
+                outd.append(universe[idx])
+        cs = np.concatenate(outs) if outs else np.array([], np.int64)
+        cd = np.concatenate(outd) if outd else np.array([], np.int64)
+        key = pack(cs, cd)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "__side": pa.array(np.zeros(len(key), np.int8)),
+                "__p": pa.array(part_of(key, P), pa.int32()),
+            }
+        )
+
+    def tag_real(t: pa.Table) -> pa.Table:
+        key = pack(t["src"].to_numpy(), t["dst"].to_numpy())
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "__side": pa.array(np.ones(len(key), np.int8)),
+                "__p": pa.array(part_of(key, P), pa.int32()),
+            }
+        )
+
+    def keep_nonmembers(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        side = t["__side"].to_numpy(zero_copy_only=False).astype(bool)
+        cand = key[~side]
+        real = np.sort(key[side])
+        if len(real):
+            pos = np.clip(np.searchsorted(real, cand), 0, len(real) - 1)
+            cand = cand[real[pos] != cand]
+        return pa.table(
+            {
+                "src": pa.array(cand >> np.int64(32), pa.int64()),
+                "dst": pa.array(cand & np.int64(0xFFFFFFFF), pa.int64()),
+                "label": pa.array(np.zeros(len(cand), np.int64)),
+            }
+        )
+
+    neg = (
+        edges.map_batches(gen, batch_format="pyarrow")
+        .union(edges.map_batches(tag_real, batch_format="pyarrow"))
+        .groupby("__p")
+        .map_groups(keep_nonmembers, batch_format="pyarrow")
+    )
+    pos = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pc.cast(t["src"], pa.int64()),
+                "dst": pc.cast(t["dst"], pa.int64()),
+                "label": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return pos.union(neg)

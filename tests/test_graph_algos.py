@@ -985,3 +985,46 @@ def test_temporal_reachability_multi_round_improvement():
     )
     assert got["vertex"].tolist() == [1, 2, 3, 4]
     assert got["t_arr"].tolist() == [0, 1, 2, 6]
+
+
+def test_link_negative_samples_vs_python_oracle():
+    """The seeded-hash candidates and anti-join must match a direct
+    python recomputation, and no negative may be a real edge."""
+    from sbustreamspot_core_ray.pipelines.superstep import link_negative_samples
+
+    e = [(1, 100), (1, 101), (2, 100), (3, 102), (7, 103)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([x[0] for x in e], pa.int64()),
+                "dst": pa.array([x[1] for x in e], pa.int64()),
+            }
+        )
+    )
+    K = 3
+    C = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0xFF51AFD7ED558CCD)
+    got = (
+        link_negative_samples(edges, k=K, num_partitions=4,
+                              c1=C[0], c2=C[1], c3=C[2])
+        .to_pandas()
+        .sort_values(["label", "src", "dst"])
+        .reset_index(drop=True)
+    )
+
+    dsts = sorted({d for _, d in e})
+    n = len(dsts)
+    eset = set(e)
+    want_neg = []
+    for s, d in e:
+        for j in range(1, K + 1):
+            idx = ((s * C[0] + d * C[1] + j * C[2]) % (1 << 64)) % n
+            w = dsts[idx]
+            if (s, w) not in eset:
+                want_neg.append((s, w, 0))
+    want = sorted(want_neg) + sorted((s, d, 1) for s, d in e)
+    assert got[["src", "dst", "label"]].to_numpy().tolist() == [
+        list(x) for x in sorted(want, key=lambda r: (r[2], r[0], r[1]))
+    ]
+    negs = got[got["label"] == 0]
+    assert len(negs) > 0
+    assert not any((s, d) in eset for s, d in zip(negs["src"], negs["dst"]))
