@@ -6578,6 +6578,63 @@ WHERE uni > 0 AND {SNM_THR_DEN} * inter >= {SNM_THR_NUM} * uni
 """
 
 
+WL_ROUNDS = 2
+
+
+def q_wl_colors(sf_dir: str):
+    """Weisfeiler-Leman color refinement (2 rounds, directed): per-vertex
+    structural-equivalence colors via a commutative Mersenne-61 multiset
+    hash — the node features 1-WL graph kernels are built from."""
+    from sbustreamspot_core_ray.pipelines.superstep import wl_refinement
+
+    return wl_refinement(
+        _edges_full(sf_dir, dedup=True).materialize(), rounds=WL_ROUNDS
+    )
+
+
+def _wl_sql() -> str:
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        WL_CG,
+        WL_CI,
+        WL_CO,
+        WL_CS,
+    )
+
+    p61 = (1 << 61) - 1
+    w = [
+        f"e AS MATERIALIZED ({_SQL_EDGES})",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e"
+        " UNION SELECT dst FROM e)",
+        "c0 AS (SELECT vertex, CAST(1 AS HUGEINT) AS c FROM v)",
+    ]
+    for r in range(1, WL_ROUNDS + 1):
+        pr = f"c{r-1}"
+        w.append(
+            f"so{r} AS (SELECT e.src AS vertex,"
+            f" SUM((c.c * {WL_CG}) % {p61}) % {p61} AS s"
+            f" FROM e JOIN {pr} c ON c.vertex = e.dst GROUP BY e.src)"
+        )
+        w.append(
+            f"si{r} AS (SELECT e.dst AS vertex,"
+            f" SUM((c.c * {WL_CG}) % {p61}) % {p61} AS s"
+            f" FROM e JOIN {pr} c ON c.vertex = e.src GROUP BY e.dst)"
+        )
+        w.append(
+            f"c{r} AS (SELECT p.vertex,"
+            f" ((p.c * {WL_CS}) % {p61}"
+            f" + (COALESCE(so{r}.s, 0) * {WL_CO}) % {p61}"
+            f" + (COALESCE(si{r}.s, 0) * {WL_CI}) % {p61} + 1) % {p61} AS c"
+            f" FROM {pr} p"
+            f" LEFT JOIN so{r} ON so{r}.vertex = p.vertex"
+            f" LEFT JOIN si{r} ON si{r}.vertex = p.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(w)
+        + f"\nSELECT vertex, CAST(c AS BIGINT) AS wl_color FROM c{WL_ROUNDS}"
+    )
+
+
 NEG_K = 2
 NEG_C = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0xFF51AFD7ED558CCD)
 
@@ -7767,6 +7824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "allpairs_jaccard": q_allpairs_jaccard,
         "temporal_reach": q_temporal_reach,
         "link_negatives": q_link_negatives,
+        "wl_colors": q_wl_colors,
         "edit_distance_dedup": q_edit_distance_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -9459,6 +9517,7 @@ FROM documents d LEFT JOIN (
         "allpairs_jaccard": _allpairs_jaccard_sql(),
         "temporal_reach": _temporal_reach_sql(),
         "link_negatives": _link_negatives_sql(),
+        "wl_colors": _wl_sql(),
         "exact_dedup": """
 SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

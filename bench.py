@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "bloom_semi",
     "allpairs_jaccard",
     "link_negatives",
+    "wl_colors",
     # temporal_reach is benchmarked at sf0.01 only: its wall time is
     # ~5 delta rounds x fixed wide-op overhead (dataset sizes are tiny),
     # which measures Ray's per-op floor rather than the kernel

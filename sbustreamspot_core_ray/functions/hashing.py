@@ -159,3 +159,38 @@ def part_of(vertex: np.ndarray, num_parts: int) -> np.ndarray:
     with np.errstate(over="ignore"):
         mixed = v * np.uint64(0x9E3779B97F4A7C15)
     return ((mixed >> np.uint64(33)) % np.uint64(num_parts)).astype(np.int32)
+
+
+M61 = (1 << 61) - 1  # Mersenne prime 2^61 - 1
+
+
+def mod61(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61 - 1) for uint64 x (any value < 2^64): one fold using
+    2^61 ≡ 1, then a conditional subtract. Vectorized, no Python ints."""
+    p = np.uint64(M61)
+    r = (x >> np.uint64(61)) + (x & p)
+    return np.where(r >= p, r - p, r)
+
+
+def mulmod61(a: np.ndarray, k: int) -> np.ndarray:
+    """(a * k) mod (2^61 - 1) for a uint64 vector a < 2^61 and a scalar
+    constant k < 2^61, via 32-bit split products (every intermediate fits
+    uint64; 2^64 ≡ 8 and x*2^32 mod p needs only shifts because
+    2^61 ≡ 1 mod p). The exact mirror of SQL HUGEINT
+    ``(a * k) %% 2305843009213693951``."""
+    p = np.uint64(M61)
+    a = a.astype(np.uint64, copy=False)
+    kh, kl = np.uint64(k >> 32), np.uint64(k & 0xFFFFFFFF)
+    ah = a >> np.uint64(32)          # < 2^29
+    al = a & np.uint64(0xFFFFFFFF)
+    with np.errstate(over="ignore"):
+        t0 = mod61(al * kl)          # al*kl < 2^64
+        t1 = mod61(ah * kl + al * kh)  # < 2^62
+        # t1 * 2^32 mod p: (t1 >> 29) + ((t1 & (2^29-1)) << 32), < 2^61+2^32
+        t1 = (t1 >> np.uint64(29)) + (
+            (t1 & np.uint64((1 << 29) - 1)) << np.uint64(32)
+        )
+        t1 = np.where(t1 >= p, t1 - p, t1)
+        t2 = mod61((ah * kh) << np.uint64(3))  # ah*kh*2^64 ≡ ah*kh*8, < 2^61
+        r = t0 + t1 + t2                        # < 3·2^61 < 2^63
+    return mod61(r)

@@ -3504,3 +3504,142 @@ def link_negative_samples(
         batch_format="pyarrow",
     )
     return pos.union(neg)
+
+
+WL_CG = 1203980568741239047   # neighbor-contribution multiplier
+WL_CS = 1549187396127840017   # own-color multiplier
+WL_CO = 876049781234569241    # out-neighborhood multiplier
+WL_CI = 2017492831764523901   # in-neighborhood multiplier
+
+
+def wl_refinement(
+    edges: ray.data.Dataset,
+    rounds: int = 2,
+    max_vertices: int = 20_000_000,
+) -> ray.data.Dataset:
+    """Weisfeiler-Leman color refinement over the directed edge table —
+    the classic structural-equivalence features graph-ML kernels start
+    from (1-WL / colour refinement; Shervashidze et al., JMLR'11). Two
+    vertices get equal colors after R rounds iff their depth-R directed
+    neighborhood trees agree, so the color histogram is a graph
+    fingerprint and per-vertex colors are node features.
+
+    The multiset of neighbor colors is hashed COMMUTATIVELY — each round
+    c'(v) = (c(v)*CS + S_out(v)*CO + S_in(v)*CI + 1) mod (2^61-1) with
+    S_out(v) = Σ_{v→u} c(u)*CG and S_in(v) = Σ_{u→v} c(u)*CG, all mod the
+    Mersenne prime — so the combine is order-free (exactly mirrorable in
+    SQL HUGEINT, and partial sums can fold anywhere in the tree). Sum
+    collisions are 2^-61-scale events, the standard trade of hashed WL.
+
+    Scale shape (broadcast regime): the color table rides `ray.put` once
+    per round and every edge batch emits COMBINER rows — per-batch
+    modular sums per (vertex, direction), never per-edge rows — that
+    tree-fold on the driver; one distributed pass per round, ZERO
+    shuffles. The driver fold is V-scale, so corpora beyond
+    `max_vertices` must swap the broadcast for the co-partitioned
+    `_attach_value` pattern (see temporal_reachability) — raised as an
+    explicit error, never a silent OOM. Returns (vertex, wl_color) with
+    wl_color < 2^61 as int64."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import M61, mod61, mulmod61
+
+    vparts = edges.map_batches(
+        lambda t: pa.table(
+            {"v": pc.unique(pa.concat_arrays(
+                [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+            ))}
+        ),
+        batch_format="pyarrow",
+    )
+    verts = np.unique(
+        np.concatenate(
+            [b["v"].to_numpy() for b in vparts.iter_batches(batch_format="pyarrow")]
+            or [np.array([], np.int64)]
+        )
+    )
+    if len(verts) > max_vertices:
+        raise ValueError(
+            "vertex universe exceeds max_vertices; replace the broadcast "
+            "color table with the co-partitioned _attach_value rounds"
+        )
+    v_ref = ray.put(verts)
+    colors = np.ones(len(verts), np.uint64)
+
+    def modsum_runs(vals: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        # exact Σ mod (2^61-1) per run: hi/lo 32-bit split keeps every
+        # partial inside uint64 for runs shorter than 2^31
+        lo = np.add.reduceat(vals & np.uint64(0xFFFFFFFF), starts)
+        hi = np.add.reduceat(vals >> np.uint64(32), starts)
+        hi = mod61(hi)
+        hi = (hi >> np.uint64(29)) + (
+            (hi & np.uint64((1 << 29) - 1)) << np.uint64(32)
+        )
+        return mod61(mod61(lo) + mod61(hi))
+
+    for _ in range(rounds):
+        c_ref = ray.put(colors)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            from ..functions.proccache import cached_get
+
+            vs = cached_get(v_ref)
+            cs = cached_get(c_ref)
+            si = np.searchsorted(vs, t["src"].to_numpy())
+            di = np.searchsorted(vs, t["dst"].to_numpy())
+            g_src = mulmod61(cs[si], WL_CG)
+            g_dst = mulmod61(cs[di], WL_CG)
+            # combiner: (vertex_idx, side) modular sums within the batch
+            idx = np.concatenate([si, di])
+            side = np.concatenate(
+                [np.zeros(len(si), np.int8), np.ones(len(di), np.int8)]
+            )
+            val = np.concatenate([g_dst, g_src])  # out gets c(dst), in c(src)
+            order = np.lexsort((idx, side))
+            idx, side, val = idx[order], side[order], val[order]
+            first = np.concatenate(
+                [[True], (idx[1:] != idx[:-1]) | (side[1:] != side[:-1])]
+            )
+            starts = np.flatnonzero(first)
+            return pa.table(
+                {
+                    "idx": pa.array(idx[starts], pa.int64()),
+                    "side": pa.array(side[starts], pa.int8()),
+                    "val": pa.array(
+                        modsum_runs(val, starts).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        pt = edges.map_batches(contrib, batch_format="pyarrow").to_pandas()
+        s_out = np.zeros(len(verts), np.uint64)
+        s_in = np.zeros(len(verts), np.uint64)
+        if len(pt):
+            idx = pt["idx"].to_numpy(np.int64)
+            side = pt["side"].to_numpy(np.int8)
+            val = pt["val"].to_numpy(np.int64).view(np.uint64)
+            order = np.lexsort((idx, side))
+            idx, side, val = idx[order], side[order], val[order]
+            first = np.concatenate(
+                [[True], (idx[1:] != idx[:-1]) | (side[1:] != side[:-1])]
+            )
+            starts = np.flatnonzero(first)
+            sums = modsum_runs(val, starts)
+            out_mask = side[starts] == 0
+            s_out[idx[starts][out_mask]] = sums[out_mask]
+            s_in[idx[starts][~out_mask]] = sums[~out_mask]
+        colors = mod61(
+            mulmod61(colors, WL_CS)
+            + mulmod61(s_out, WL_CO)
+            + mulmod61(s_in, WL_CI)
+            + np.uint64(1)
+        )
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vertex": pa.array(verts, pa.int64()),
+                "wl_color": pa.array(colors.astype(np.int64), pa.int64()),
+            }
+        )
+    )

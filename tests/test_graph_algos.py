@@ -1028,3 +1028,47 @@ def test_link_negative_samples_vs_python_oracle():
     negs = got[got["label"] == 0]
     assert len(negs) > 0
     assert not any((s, d) in eset for s, d in zip(negs["src"], negs["dst"]))
+
+
+def test_wl_refinement_vs_bigint_oracle():
+    """Colors after 2 rounds must equal a direct Python big-int
+    recomputation, and structurally equivalent vertices (the two leaves
+    of a star) must share a color that the hub does not."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        WL_CG, WL_CI, WL_CO, WL_CS, wl_refinement,
+    )
+
+    P61 = (1 << 61) - 1
+    e = [(1, 2), (1, 3), (4, 5), (5, 6), (6, 4)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([x[0] for x in e], pa.int64()),
+                "dst": pa.array([x[1] for x in e], pa.int64()),
+            }
+        )
+    )
+    got = (
+        wl_refinement(edges, rounds=2)
+        .to_pandas()
+        .set_index("vertex")["wl_color"]
+        .to_dict()
+    )
+
+    verts = sorted({v for x in e for v in x})
+    c = {v: 1 for v in verts}
+    for _ in range(2):
+        so = {v: 0 for v in verts}
+        si = {v: 0 for v in verts}
+        for s, d in e:
+            so[s] = (so[s] + c[d] * WL_CG) % P61
+            si[d] = (si[d] + c[s] * WL_CG) % P61
+        c = {
+            v: (c[v] * WL_CS + so[v] * WL_CO + si[v] * WL_CI + 1) % P61
+            for v in verts
+        }
+    assert got == c
+    # leaves 2 and 3 are structurally identical; hub 1 differs
+    assert got[2] == got[3] != got[1]
+    # the directed 3-cycle vertices are all equivalent
+    assert got[4] == got[5] == got[6]
