@@ -6578,6 +6578,71 @@ WHERE uni > 0 AND {SNM_THR_DEN} * inter >= {SNM_THR_NUM} * uni
 """
 
 
+DSG_NUM, DSG_DEN = 11, 10  # (1+eps) = 11/10
+DSG_SQL_ROUNDS = 4  # unroll depth; the data reaches fixpoint at round 1
+
+
+def q_densest_peel(sf_dir: str):
+    """Densest-subgraph greedy peeling (Bahmani et al. batched 2(1+eps)
+    approximation): per-round (n_vertices, n_edges) audit with the exact
+    integer threshold deg*den*V <= 2*num*E deciding each peel."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        densest_subgraph_peel,
+    )
+
+    return densest_subgraph_peel(
+        _edges_full(sf_dir, dedup=True).materialize(),
+        eps_num=DSG_NUM,
+        eps_den=DSG_DEN,
+    )
+
+
+def _densest_peel_sql() -> str:
+    """Unrolled peel rounds; round k's row is emitted iff its edge set is
+    non-empty AND every earlier round actually peeled something (the Ray
+    loop breaks after appending a fixpoint round)."""
+    w = [f"e0 AS MATERIALIZED ({_SQL_EDGES})"]
+    selects = []
+    for k in range(DSG_SQL_ROUNDS):
+        w.append(
+            f"deg{k} AS MATERIALIZED (SELECT vertex, count(*) AS d FROM ("
+            f"SELECT src AS vertex FROM e{k}"
+            f" UNION ALL SELECT dst FROM e{k}) GROUP BY vertex)"
+        )
+        w.append(
+            f"st{k} AS (SELECT (SELECT count(*) FROM deg{k}) AS v,"
+            f" (SELECT count(*) FROM e{k}) AS e)"
+        )
+        w.append(
+            f"surv{k} AS (SELECT vertex FROM deg{k}, st{k}"
+            f" WHERE d * {DSG_DEN} * v > 2 * {DSG_NUM} * e)"
+        )
+        gates = [f"(SELECT e FROM st{k}) > 0"] + [
+            f"(SELECT count(*) FROM surv{j}) < (SELECT v FROM st{j})"
+            for j in range(k)
+        ]
+        selects.append(
+            f"SELECT {k} AS round, (SELECT v FROM st{k}) AS n_vertices,"
+            f" (SELECT e FROM st{k}) AS n_edges"
+            f" WHERE {' AND '.join(gates)}"
+        )
+        if k + 1 < DSG_SQL_ROUNDS:
+            w.append(
+                f"e{k+1} AS MATERIALIZED (SELECT src, dst FROM e{k}"
+                f" WHERE src IN (SELECT vertex FROM surv{k})"
+                f" AND dst IN (SELECT vertex FROM surv{k}))"
+            )
+    return (
+        "WITH "
+        + ",\n".join(w)
+        + "\nSELECT CAST(round AS BIGINT) AS round,"
+        " CAST(n_vertices AS BIGINT) AS n_vertices,"
+        " CAST(n_edges AS BIGINT) AS n_edges FROM ("
+        + " UNION ALL ".join(selects)
+        + ")"
+    )
+
+
 WL_ROUNDS = 2
 
 
@@ -7825,6 +7890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_reach": q_temporal_reach,
         "link_negatives": q_link_negatives,
         "wl_colors": q_wl_colors,
+        "densest_peel": q_densest_peel,
         "edit_distance_dedup": q_edit_distance_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -9518,6 +9584,7 @@ FROM documents d LEFT JOIN (
         "temporal_reach": _temporal_reach_sql(),
         "link_negatives": _link_negatives_sql(),
         "wl_colors": _wl_sql(),
+        "densest_peel": _densest_peel_sql(),
         "exact_dedup": """
 SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

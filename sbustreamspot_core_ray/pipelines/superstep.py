@@ -3643,3 +3643,92 @@ def wl_refinement(
             }
         )
     )
+
+
+def densest_subgraph_peel(
+    edges: ray.data.Dataset,
+    eps_num: int = 11,
+    eps_den: int = 10,
+    max_rounds: int = 64,
+    max_broadcast_vertices: int = 50_000_000,
+) -> "pa.Table":
+    """Densest-subgraph greedy peeling, the MapReduce batched variant
+    (Bahmani, Kumar & Vassilvitskii, VLDB'12): each round removes EVERY
+    vertex whose degree is at most 2·(eps_num/eps_den)·E/V — checked by
+    the exact integer cross-multiplication deg·eps_den·V <= 2·eps_num·E,
+    no float density anywhere — and the round with the maximum E/V over
+    its survivors 2(1+eps)-approximates the densest subgraph in
+    O(log_{1+eps} V) rounds (vs V sequential rounds for Charikar's
+    one-at-a-time peel). Degrees count both endpoints of the directed
+    edge table (= undirected degree; the layered supply graph has no
+    reciprocal pairs), and a round's vertex set is the set incident to
+    its surviving edges.
+
+    Scale shape (broadcast regime): per round ONE distributed combiner
+    pass emits per-batch (vertex, partial-degree) rows that fold on the
+    driver (V-scale, like the WL color table), and the survivor id array
+    is `ray.put`-broadcast into a vectorized isin filter over the edge
+    blocks — no shuffle at all; beyond `max_broadcast_vertices` swap the
+    driver fold for a hashed groupby + co-partitioned semi-join (explicit
+    error, never a silent OOM). Returns the per-round audit table
+    (round, n_vertices, n_edges) for every non-empty round, round 0 = the
+    input graph."""
+    import pyarrow.compute as pc
+
+    cur = edges
+    rows = []
+    for rnd in range(max_rounds):
+        def deg_combiner(t: pa.Table) -> pa.Table:
+            both = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
+            u, c = np.unique(both, return_counts=True)
+            return pa.table(
+                {
+                    "vertex": pa.array(u, pa.int64()),
+                    "d": pa.array(c.astype(np.int64)),
+                }
+            )
+
+        deg_parts = cur.map_batches(
+            deg_combiner, batch_format="pyarrow"
+        ).to_pandas()
+        if not len(deg_parts):
+            break
+        agg = deg_parts.groupby("vertex", sort=True)["d"].sum()
+        verts = agg.index.to_numpy(np.int64)
+        deg = agg.to_numpy(np.int64)
+        if len(verts) > max_broadcast_vertices:
+            raise ValueError(
+                "vertex universe exceeds max_broadcast_vertices; swap the "
+                "driver degree fold for a hashed groupby + co-partitioned "
+                "semi-join"
+            )
+        n_v = len(verts)
+        n_e = int(deg.sum()) // 2
+        rows.append((rnd, n_v, n_e))
+        keep = deg * eps_den * n_v > 2 * eps_num * n_e
+        if keep.all():
+            break  # fixpoint: nothing peels, later rounds are identical
+        surv = verts[keep]
+        if len(surv) == 0:
+            break
+        s_ref = ray.put(surv)
+
+        def flt(t: pa.Table) -> pa.Table:
+            from ..functions.proccache import cached_get
+
+            sv = cached_get(s_ref)
+            s = t["src"].to_numpy()
+            d = t["dst"].to_numpy()
+            ok = np.isin(s, sv, assume_unique=False) & np.isin(
+                d, sv, assume_unique=False
+            )
+            return t.filter(pa.array(ok))
+
+        cur = cur.map_batches(flt, batch_format="pyarrow").materialize()
+    return pa.table(
+        {
+            "round": pa.array([r[0] for r in rows], pa.int64()),
+            "n_vertices": pa.array([r[1] for r in rows], pa.int64()),
+            "n_edges": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

@@ -1072,3 +1072,42 @@ def test_wl_refinement_vs_bigint_oracle():
     assert got[2] == got[3] != got[1]
     # the directed 3-cycle vertices are all equivalent
     assert got[4] == got[5] == got[6]
+
+
+def test_densest_subgraph_peel_vs_numpy_replica():
+    """K4 plus a pendant chain: round 0 peels the chain, round 1 is the
+    K4 whose uniform degree 3 <= 2*1.1*(6/4) peels everything (loop
+    breaks after recording it). Checked against a generic numpy replica
+    of the identical integer thresholds."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        densest_subgraph_peel,
+    )
+
+    e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([x[0] for x in e], pa.int64()),
+                "dst": pa.array([x[1] for x in e], pa.int64()),
+            }
+        )
+    )
+    got = densest_subgraph_peel(edges, eps_num=11, eps_den=10).to_pandas()
+
+    s = np.array([x[0] for x in e], np.int64)
+    d = np.array([x[1] for x in e], np.int64)
+    want = []
+    rnd = 0
+    while len(s):
+        v, c = np.unique(np.concatenate([s, d]), return_counts=True)
+        nv, ne = len(v), len(s)
+        want.append((rnd, nv, ne))
+        keep = c * 10 * nv > 2 * 11 * ne
+        if keep.all():
+            break
+        sv = v[keep]
+        ok = np.isin(s, sv) & np.isin(d, sv)
+        s, d = s[ok], d[ok]
+        rnd += 1
+    assert got.to_numpy().tolist() == [list(r) for r in want]
+    assert want == [(0, 6, 8), (1, 4, 6)]
