@@ -425,19 +425,28 @@ JOIN sizes sb ON sb.doc_id = c.dst
 """
 
 
-def _minhash_dedup_sql(threshold: float = 0.8) -> str:
-    """Full near-dup pipeline in SQL: verified pairs (unrounded jaccard >=
-    threshold) -> connected components (recursive CTE) -> min-doc_id group."""
-    return f"""
-WITH RECURSIVE {_ngram_jaccard_core()},
+def _minhash_groups_core(threshold: float = 0.8) -> str:
+    """Shared CTE chain: verified pairs (unrounded jaccard >= threshold)
+    -> connected components (recursive CTE) -> mh_groups(doc_id,
+    dup_group = min member id)."""
+    return f"""{_ngram_jaccard_core()},
 ver AS (SELECT src, dst FROM jac WHERE jaccard >= {threshold}),
 sym AS (SELECT src AS s, dst AS d FROM ver UNION SELECT dst, src FROM ver),
 reach(vx, lbl) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.vx
-)
-SELECT vx AS doc_id, MIN(lbl) AS dup_group FROM reach GROUP BY vx"""
+),
+mh_groups AS (
+  SELECT vx AS doc_id, MIN(lbl) AS dup_group FROM reach GROUP BY vx
+)"""
+
+
+def _minhash_dedup_sql(threshold: float = 0.8) -> str:
+    """Full near-dup pipeline in SQL: the shared group core, projected."""
+    return f"""
+WITH RECURSIVE {_minhash_groups_core(threshold)}
+SELECT doc_id, dup_group FROM mh_groups"""
 
 
 def _simhash_ctes() -> str:
@@ -6578,6 +6587,40 @@ WHERE uni > 0 AND {SNM_THR_DEN} * inter >= {SNM_THR_NUM} * uni
 """
 
 
+SPLIT_TRAIN, SPLIT_VAL = 80, 10
+
+
+def q_corpus_split(sf_dir: str):
+    """Leakage-free train/val/test split: near-dup components (the
+    minhash pipeline) assigned WHOLE to one split by a seeded hash of the
+    dup_group — near-duplicates never straddle the split boundary."""
+    from sbustreamspot_core_ray.stages.curation import leakage_free_split
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return leakage_free_split(
+        docs, train_pct=SPLIT_TRAIN, val_pct=SPLIT_VAL, num_parts=4
+    )
+
+
+def _corpus_split_sql() -> str:
+    from sbustreamspot_core_ray.stages.curation import SPLIT_SALT
+
+    two64 = 1 << 64
+    return f"""
+WITH RECURSIVE {_minhash_groups_core(0.8)}
+SELECT doc_id, dup_group,
+  CAST(CASE WHEN b < {SPLIT_TRAIN} THEN 0
+            WHEN b < {SPLIT_TRAIN + SPLIT_VAL} THEN 1
+            ELSE 2 END AS BIGINT) AS split
+FROM (
+  SELECT doc_id, dup_group,
+         ((CAST(dup_group AS HUGEINT) * {SPLIT_SALT}) % {two64}) % 100 AS b
+  FROM mh_groups
+)"""
+
+
 DSG_NUM, DSG_DEN = 11, 10  # (1+eps) = 11/10
 DSG_SQL_ROUNDS = 4  # unroll depth; the data reaches fixpoint at round 1
 
@@ -7891,6 +7934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_negatives": q_link_negatives,
         "wl_colors": q_wl_colors,
         "densest_peel": q_densest_peel,
+        "corpus_split": q_corpus_split,
         "edit_distance_dedup": q_edit_distance_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -9585,6 +9629,7 @@ FROM documents d LEFT JOIN (
         "link_negatives": _link_negatives_sql(),
         "wl_colors": _wl_sql(),
         "densest_peel": _densest_peel_sql(),
+        "corpus_split": _corpus_split_sql(),
         "exact_dedup": """
 SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

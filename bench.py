@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "allpairs_jaccard",
     "link_negatives",
     "wl_colors",
+    "densest_peel",
+    "corpus_split",
     # temporal_reach is benchmarked at sf0.01 only: its wall time is
     # ~5 delta rounds x fixed wide-op overhead (dataset sizes are tiny),
     # which measures Ray's per-op floor rather than the kernel

@@ -772,3 +772,54 @@ def budget_fill(
         .groupby("__p")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+SPLIT_SALT = 0x9E3779B97F4A7C15
+
+
+def leakage_free_split(
+    docs: ray.data.Dataset,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    threshold: float = 0.8,
+    num_parts: int = 8,
+) -> ray.data.Dataset:
+    """Group-aware train/val/test split: documents are first grouped into
+    near-duplicate components (minhash-LSH -> Jaccard verify -> connected
+    components, the minhash_lsh_dedup pipeline), then the WHOLE component
+    is assigned one split by a seeded hash of its dup_group id — so two
+    near-duplicates can never land on opposite sides of the split (the
+    train/test leakage every dedup paper warns about). Deterministic:
+    bucket = ((dup_group * SPLIT_SALT) mod 2^64) mod 100; split 0 (train)
+    below train_pct, 1 (val) below train_pct+val_pct, else 2 (test).
+    Returns (doc_id, dup_group, split) — all int64, exactly mirrorable in
+    HUGEINT SQL.
+
+    Scale: adds ONE stateless vectorized map on top of the dedup
+    pipeline's shapes (banded candidates, one cheap-key shuffle, CC on
+    the superstep engine above the driver fast-path thresholds)."""
+    from .dedup import minhash_lsh_dedup
+
+    groups = minhash_lsh_dedup(
+        docs, threshold=threshold, num_parts=num_parts
+    )
+    C = np.uint64(SPLIT_SALT)
+    t_hi = np.uint64(train_pct)
+    v_hi = np.uint64(train_pct + val_pct)
+
+    def assign(t: pa.Table) -> pa.Table:
+        g = t["dup_group"].to_numpy().astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (g * C) % np.uint64(100)
+        split = np.where(b < t_hi, 0, np.where(b < v_hi, 1, 2)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "dup_group": t["dup_group"],
+                "split": pa.array(split),
+            }
+        )
+
+    return groups.map_batches(assign, batch_format="pyarrow")

@@ -551,3 +551,46 @@ def test_vocab_growth_hand_case():
     assert got["bucket"].tolist() == [0, 1, 2]
     assert got["new_terms"].tolist() == [3, 1, 1]
     assert got["cum_vocab"].tolist() == [3, 4, 5]
+
+
+def test_leakage_free_split_invariants():
+    """Every dup_group must map to exactly one split, near-identical docs
+    must share a group (hence a split), and the bucket arithmetic must
+    match a direct big-int recomputation."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from sbustreamspot_core_ray.stages.curation import (
+        SPLIT_SALT,
+        leakage_free_split,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    texts = []
+    for i in range(24):
+        if i % 3 == 0:
+            texts.append(base + f"tail {i % 2}")   # near-dup pairs
+        else:
+            texts.append(f"unique document number {i} " * 8)
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    got = leakage_free_split(docs, num_parts=4).to_pandas()
+    assert len(got) == len(texts)
+    per_group = got.groupby("dup_group")["split"].nunique()
+    assert (per_group == 1).all()
+    # the near-dup family shares one group, so one split
+    fam = got[got["doc_id"] % 3 == 0]
+    assert fam["dup_group"].nunique() <= 2  # tail 0 vs tail 1 variants
+    assert fam.groupby("dup_group")["split"].nunique().eq(1).all()
+    for g, s in zip(got["dup_group"], got["split"]):
+        b = ((int(g) * SPLIT_SALT) % (1 << 64)) % 100
+        want = 0 if b < 80 else (1 if b < 90 else 2)
+        assert s == want
