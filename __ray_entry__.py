@@ -6587,6 +6587,53 @@ WHERE uni > 0 AND {SNM_THR_DEN} * inter >= {SNM_THR_NUM} * uni
 """
 
 
+PATH_ROLLUP_N = 10
+
+
+def q_path_rollup(sf_dir: str):
+    """Hierarchical directory rollup of the repo corpus: top-10 prefixes
+    per depth by file count (langs-distinct alongside) — the census a
+    trillion-file source-tree crawl starts from."""
+    from sbustreamspot_core_ray.sources.corpus import (
+        generate_corpus,
+        ingest_corpus,
+        path_rollup,
+    )
+
+    root = "/tmp/graft_corpus_q"
+    generate_corpus(root, n_files=2000, seed=23)
+    return path_rollup(
+        ingest_corpus(root, num_partitions=4), top_n=PATH_ROLLUP_N
+    )
+
+
+def _path_rollup_sql() -> str:
+    from sbustreamspot_core_ray.sources.corpus import generate_corpus
+
+    generate_corpus("/tmp/graft_corpus_q", n_files=2000, seed=23)
+    return f"""
+WITH c AS (
+  SELECT string_split(repo || '/' || path, '/') AS parts, lang
+  FROM read_parquet('/tmp/graft_corpus_q/corpus/*.parquet')
+),
+p AS (
+  SELECT g.d AS depth, array_to_string(parts[1:g.d], '/') AS prefix, lang
+  FROM c CROSS JOIN generate_series(1, 16) g(d)
+  WHERE g.d <= len(parts) - 1
+),
+a AS (
+  SELECT depth, prefix, count(*) AS n_files,
+         count(DISTINCT lang) AS n_langs
+  FROM p GROUP BY depth, prefix
+)
+SELECT CAST(depth AS BIGINT) AS depth, prefix,
+       CAST(n_files AS BIGINT) AS n_files,
+       CAST(n_langs AS BIGINT) AS n_langs
+FROM a
+QUALIFY row_number() OVER (PARTITION BY depth ORDER BY n_files DESC, prefix)
+        <= {PATH_ROLLUP_N}"""
+
+
 SPLIT_TRAIN, SPLIT_VAL = 80, 10
 
 
@@ -7935,6 +7982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_colors": q_wl_colors,
         "densest_peel": q_densest_peel,
         "corpus_split": q_corpus_split,
+        "path_rollup": q_path_rollup,
         "edit_distance_dedup": q_edit_distance_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -9630,6 +9678,7 @@ FROM documents d LEFT JOIN (
         "wl_colors": _wl_sql(),
         "densest_peel": _densest_peel_sql(),
         "corpus_split": _corpus_split_sql(),
+        "path_rollup": _path_rollup_sql(),
         "exact_dedup": """
 SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

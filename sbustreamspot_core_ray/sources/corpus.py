@@ -291,3 +291,106 @@ def shared_import_targets(
             "n_imports": pa.array(rows["n_imports"].to_numpy(np.int64)),
         }
     )
+
+
+def path_rollup(
+    corpus: ray.data.Dataset, top_n: int = 10, num_parts: int = 16
+) -> "pa.Table":
+    """Hierarchical path rollup over the repo corpus: every directory
+    prefix of repo-qualified file paths (org/repo/src/mod/file.py ->
+    org, org/repo, org/repo/src, org/repo/src/mod) aggregated to
+    (depth, prefix, n_files, n_langs), cut to the top_n prefixes per
+    depth by (n_files desc, prefix asc) — the directory-size census a
+    trillion-file filesystem crawl starts from.
+
+    Scale shape: a per-batch combiner explodes prefixes and pre-folds to
+    (depth, prefix, lang) partial counts — hierarchy cardinality shrinks
+    geometrically with depth, so combiner output is ~vocabulary-sized —
+    then ONE hash(prefix) shuffle completes n_files (additive) and
+    n_langs (distinct langs co-located per prefix); the per-partition
+    top_n pre-cut bounds what the driver merges at P*top_n rows per
+    depth, never the full prefix table."""
+    import pandas as pd
+
+    from ..functions.hashing import part_of, stable_id64
+
+    def combiner(t: pa.Table) -> pa.Table:
+        full = pd.Series(t["repo"].to_pylist()) + "/" + pd.Series(
+            t["path"].to_pylist()
+        )
+        lang = pd.Series(t["lang"].to_pylist())
+        parts = full.str.split("/")
+        frames = []
+        max_depth = int(parts.str.len().max() or 0)
+        for d in range(1, max_depth):
+            sel = parts.str.len() > d
+            if not sel.any():
+                continue
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "depth": np.int64(d),
+                        "prefix": parts[sel].str[:d].str.join("/"),
+                        "lang": lang[sel],
+                    }
+                )
+            )
+        if not frames:
+            return pa.table(
+                {
+                    "depth": pa.array([], pa.int64()),
+                    "prefix": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "__p": pa.array([], pa.int32()),
+                }
+            )
+        df = pd.concat(frames, ignore_index=True)
+        g = (
+            df.groupby(["depth", "prefix", "lang"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        ph = stable_id64(g["prefix"].to_numpy(object)).astype(np.int64)
+        return pa.table(
+            {
+                "depth": pa.array(g["depth"].to_numpy(np.int64)),
+                "prefix": pa.array(g["prefix"], pa.string()),
+                "lang": pa.array(g["lang"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "__p": pa.array(part_of(ph, num_parts), pa.int32()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        a = (
+            df.groupby(["depth", "prefix"], sort=False)
+            .agg(n_files=("n", "sum"), n_langs=("lang", "nunique"))
+            .reset_index()
+        )
+        # per-partition pre-cut: global top_n per depth survives any cut
+        # that keeps the local top_n of every partition
+        a = a.sort_values(
+            ["depth", "n_files", "prefix"], ascending=[True, False, True]
+        )
+        return a.groupby("depth", sort=False).head(top_n)
+
+    cands = (
+        corpus.select_columns(["repo", "path", "lang"])
+        .map_batches(combiner, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    cands = cands.sort_values(
+        ["depth", "n_files", "prefix"], ascending=[True, False, True]
+    )
+    out = cands.groupby("depth", sort=True).head(top_n).reset_index(drop=True)
+    return pa.table(
+        {
+            "depth": pa.array(out["depth"].to_numpy(np.int64)),
+            "prefix": pa.array(out["prefix"], pa.string()),
+            "n_files": pa.array(out["n_files"].to_numpy(np.int64)),
+            "n_langs": pa.array(out["n_langs"].to_numpy(np.int64)),
+        }
+    )

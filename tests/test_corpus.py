@@ -103,3 +103,43 @@ def test_shared_import_targets_ranking_and_selfdrop():
     assert out["target"].tolist() == ["lib/a", "lib/b", "only/here"]
     assert out["n_repos"].tolist() == [2, 2, 1]
     assert out["n_imports"].tolist() == [3, 2, 1]
+
+
+def test_path_rollup_hand_case():
+    """Prefix explosion, additive counts, distinct langs, and the
+    (n_files desc, prefix asc) per-depth cut, checked by hand."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from sbustreamspot_core_ray.sources.corpus import path_rollup
+
+    rows = [
+        ("o/r1", "src/a/f1.py", "py"),
+        ("o/r1", "src/a/f2.go", "go"),
+        ("o/r1", "src/b/f3.py", "py"),
+        ("o/r2", "src/a/f4.py", "py"),
+    ]
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array([r[0] for r in rows], pa.string()),
+                "path": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+    got = path_rollup(corpus, top_n=2, num_parts=4).to_pandas()
+    by = {
+        (int(r["depth"]), r["prefix"]): (int(r["n_files"]), int(r["n_langs"]))
+        for _, r in got.iterrows()
+    }
+    assert by[(1, "o")] == (4, 2)
+    assert by[(2, "o/r1")] == (3, 2)
+    assert by[(2, "o/r2")] == (1, 1)
+    assert by[(3, "o/r1/src")] == (3, 2)
+    assert by[(4, "o/r1/src/a")] == (2, 2)
+    # depth-4 cut: top-2 of {o/r1/src/a: 2, o/r1/src/b: 1, o/r2/src/a: 1}
+    d4 = got[got["depth"] == 4]["prefix"].tolist()
+    assert d4 == ["o/r1/src/a", "o/r1/src/b"]  # tie broken by prefix asc
