@@ -7853,6 +7853,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_summary": q_graph_summary,
         "random_walks": q_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
+        "neighbor_sample": q_neighbor_sample,
+        "intradoc_dedup": q_intradoc_dedup,
+        "cusum_shift": q_cusum_shift,
+        "f2_moment": q_f2_moment,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
         "jaccard_links": q_jaccard_links,
@@ -7983,6 +7987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "densest_peel": q_densest_peel,
         "corpus_split": q_corpus_split,
         "path_rollup": q_path_rollup,
+        "fork_candidates": q_fork_candidates,
         "edit_distance_dedup": q_edit_distance_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -8038,6 +8043,10 @@ def oracle_sql() -> dict[str, str]:
         "sssp_distance": _sssp_sql(),
         "random_walks": _random_walks_sql(),
         "walk_skipgrams": _walk_skipgrams_sql(),
+        "neighbor_sample": _neighbor_sample_sql(),
+        "intradoc_dedup": _intradoc_dedup_sql(),
+        "cusum_shift": _cusum_shift_sql(),
+        "f2_moment": _f2_moment_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
         "condensation_depth": _SQL_CONDENSATION_DEPTH.format(m=RECIP_MOD),
@@ -9679,9 +9688,196 @@ FROM documents d LEFT JOIN (
         "densest_peel": _densest_peel_sql(),
         "corpus_split": _corpus_split_sql(),
         "path_rollup": _path_rollup_sql(),
+        "fork_candidates": _fork_candidates_sql(),
         "exact_dedup": """
 SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """,
         "knn_cosine": _knn_cosine_sql(),
     }
+
+
+NS_SEEDS = tuple(range(1, 41))  # customer keys, present at every sf
+NS_FANOUTS = (3, 2, 2)
+
+
+def q_neighbor_sample(sf_dir: str):
+    """GraphSAGE mini-batch computation graph: deterministic fixed-fanout
+    neighbor sampling (3, 2, 2) from 40 customer seeds over the derived
+    edge table — the frontier is broadcast per hop, never shuffled."""
+    from sbustreamspot_core_ray.pipelines.superstep import neighbor_sample
+
+    return neighbor_sample(
+        _edges_full(sf_dir),
+        np.array(NS_SEEDS, np.int64),
+        fanouts=NS_FANOUTS,
+        num_parts=P,
+    )
+
+
+def _neighbor_sample_sql() -> str:
+    seeds = ", ".join(f"({s})" for s in NS_SEEDS)
+    ctes = [
+        f"de AS MATERIALIZED ({_SQL_EDGES})",
+        "pri AS MATERIALIZED (SELECT src, dst,"
+        " (src * 2654435761 + dst * 40503) % 2147483647 AS h FROM de)",
+        f"f1 AS (SELECT DISTINCT v FROM (VALUES {seeds}) t(v))",
+        "x1 AS (SELECT v FROM f1)",
+    ]
+    for i, k in enumerate(NS_FANOUTS, start=1):
+        ctes.append(
+            f"h{i} AS (SELECT p.src, p.dst FROM pri p JOIN f{i} f ON p.src = f.v"
+            f" QUALIFY row_number() OVER (PARTITION BY p.src ORDER BY p.h, p.dst)"
+            f" <= {k})"
+        )
+        if i < len(NS_FANOUTS):
+            ctes.append(
+                f"f{i + 1} AS (SELECT DISTINCT dst AS v FROM h{i}"
+                f" WHERE dst NOT IN (SELECT v FROM x{i}))"
+            )
+            ctes.append(
+                f"x{i + 1} AS (SELECT v FROM x{i} UNION SELECT v FROM f{i + 1})"
+            )
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS hop, CAST(src AS BIGINT) AS src,"
+        f" CAST(dst AS BIGINT) AS dst FROM h{i}"
+        for i in range(1, len(NS_FANOUTS) + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+INTRADOC_W = 2
+
+
+def q_intradoc_dedup(sf_dir: str):
+    """Within-document repeated-segment removal (window=2 words): the
+    intra-doc boilerplate cleanup pass before cross-document dedup.
+    No shuffle — one vectorized map_batches pass."""
+    from sbustreamspot_core_ray.stages.curation import intradoc_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return intradoc_dedup(docs, window=INTRADOC_W)
+
+
+def _intradoc_dedup_sql() -> str:
+    W = INTRADOC_W
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id, g.i AS seg_idx,
+         array_to_string(ws[(g.i*{W}+1):((g.i+1)*{W})], ' ') AS seg,
+         least(len(ws) - g.i*{W}, {W}) AS nw
+  FROM w CROSS JOIN generate_series(0, 511) g(i)
+  WHERE g.i * {W} < len(ws)),
+k AS (SELECT *, row_number() OVER (PARTITION BY doc_id, seg ORDER BY seg_idx) = 1
+         AS keep FROM s)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_segs,
+  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_segs,
+  CAST(sum(CASE WHEN keep THEN nw ELSE 0 END) AS BIGINT) AS n_kept_words
+FROM k GROUP BY doc_id"""
+
+
+def q_cusum_shift(sf_dir: str):
+    """Integer-exact CUSUM level-shift detection per event type over
+    zero-filled daily counts — max |deviation from the mean path| and its
+    earliest argmax day."""
+    from sbustreamspot_core_ray.stages.events import cusum_by_type
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    return cusum_by_type(ev, num_parts=P)
+
+
+def _cusum_shift_sql() -> str:
+    return """
+WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+b AS (SELECT event_type, min(day) AS lo, max(day) AS hi, count(*) AS total
+      FROM e GROUP BY 1),
+d AS (SELECT b.event_type, b.lo + g.i AS day, b.total,
+             b.hi - b.lo + 1 AS n_days
+      FROM b CROSS JOIN generate_series(0, 255) g(i) WHERE b.lo + g.i <= b.hi),
+c AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+z AS (SELECT d.event_type, d.day, d.n_days, d.total, COALESCE(c.n, 0) AS n
+      FROM d LEFT JOIN c ON c.event_type = d.event_type AND c.day = d.day),
+s AS (SELECT event_type, day, n_days, total,
+        n_days * sum(n) OVER (PARTITION BY event_type ORDER BY day)
+          - total * row_number() OVER (PARTITION BY event_type ORDER BY day)
+          AS dev
+      FROM z)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(total AS BIGINT) AS total,
+       CAST(abs(dev) AS BIGINT) AS max_dev, CAST(day AS BIGINT) AS shift_day
+FROM s
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY abs(dev) DESC, day)
+        = 1"""
+
+
+def q_f2_moment(sf_dir: str):
+    """AMS tug-of-war F2 sketch over per-user event counts with the exact
+    second moment as witness — 9 integer counters of state, one int-key
+    shuffle."""
+    from sbustreamspot_core_ray.stages.events import f2_moment
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return f2_moment(ev, num_parts=P)
+
+
+def _f2_moment_sql() -> str:
+    from sbustreamspot_core_ray.stages.events import AMS_CONSTS
+
+    vals = ", ".join(f"({r}, {c})" for r, c in enumerate(AMS_CONSTS))
+    mid = len(AMS_CONSTS) // 2 + 1
+    return f"""
+WITH f AS (SELECT user_id AS u, count(*) AS n FROM events GROUP BY 1),
+consts AS (SELECT * FROM (VALUES {vals}) t(r, c)),
+s AS (SELECT r,
+        CASE WHEN (CAST(u AS HUGEINT) * c) % 18446744073709551616
+                  < 9223372036854775808 THEN n ELSE -n END AS sn
+      FROM f CROSS JOIN consts),
+est AS (SELECT r, sum(sn) AS z FROM s GROUP BY r),
+med AS (SELECT z * z AS zz FROM est
+        QUALIFY row_number() OVER (ORDER BY z * z) = {mid})
+SELECT CAST((SELECT sum(n * n) FROM f) AS BIGINT) AS f2_exact,
+       CAST((SELECT zz FROM med) AS BIGINT) AS f2_med_est"""
+
+
+FORK_MIN_SHARED = 2
+
+
+def q_fork_candidates(sf_dir: str):
+    """Fork/vendored-copy candidates: repo pairs sharing >= 2 identical
+    relative paths — path-grouped triangular pair decode, two cheap-key
+    shuffles, no all-pairs repo join."""
+    from sbustreamspot_core_ray.sources.corpus import (
+        fork_candidates,
+        generate_corpus,
+        ingest_corpus,
+    )
+
+    root = "/tmp/graft_corpus_q"
+    generate_corpus(root, n_files=2000, seed=23)
+    return fork_candidates(
+        ingest_corpus(root, num_partitions=4),
+        min_shared=FORK_MIN_SHARED,
+        num_parts=P,
+    )
+
+
+def _fork_candidates_sql() -> str:
+    from sbustreamspot_core_ray.sources.corpus import generate_corpus
+
+    generate_corpus("/tmp/graft_corpus_q", n_files=2000, seed=23)
+    return f"""
+WITH f AS (
+  SELECT DISTINCT repo, path
+  FROM read_parquet('/tmp/graft_corpus_q/corpus/*.parquet')
+)
+SELECT a.repo AS repo_a, b.repo AS repo_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM f a JOIN f b ON a.path = b.path AND a.repo < b.repo
+GROUP BY 1, 2
+HAVING count(*) >= {FORK_MIN_SHARED}"""

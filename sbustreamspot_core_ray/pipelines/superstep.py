@@ -3732,3 +3732,114 @@ def densest_subgraph_peel(
             "n_edges": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def neighbor_sample(
+    edges: ray.data.Dataset,
+    seeds,
+    fanouts: tuple[int, ...] = (3, 2),
+    num_parts: int = 16,
+) -> "pa.Table":
+    """GraphSAGE-style fixed-fanout neighborhood sampling (Hamilton et
+    al., NeurIPS 2017): starting from a seed batch, keep at most
+    fanouts[h] out-neighbors of every frontier vertex at hop h, chosen by
+    the deterministic per-edge priority
+    h = (src*2654435761 + dst*40503) mod (2^31 - 1), ties by dst — the
+    computation-graph extraction step a distributed GNN trainer runs per
+    mini-batch. Returns the sampled subgraph as (hop, src, dst) rows.
+
+    Scale shape: the frontier is mini-batch-sized (<= |seeds| *
+    prod(fanouts) vertices, by construction), so each hop broadcasts it
+    once (`ray.put` of one sorted array, per-batch searchsorted
+    membership) — the edge table is NEVER shuffled on raw vertex keys.
+    Candidates pre-cut to the local top-K per source inside the batch
+    combiner (at most K rows per source per batch survive), then ONE
+    hashed-src shuffle completes the exact global top-K. A vertex is
+    expanded at most once: its sample depends only on (src, dst), never
+    on which seed reached it, so the sampled subgraph is the
+    deduplicated union over seeds and hop h+1's frontier is the sampled
+    dst set minus everything already expanded."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import part_of
+    from ..functions.proccache import cached_get
+
+    def topk_per_src(src, dst, pri, k):
+        order = np.lexsort((dst, pri, src))
+        s, d, h = src[order], dst[order], pri[order]
+        if len(s) == 0:
+            return s, d, h
+        new = np.empty(len(s), bool)
+        new[0] = True
+        np.not_equal(s[1:], s[:-1], out=new[1:])
+        first = np.maximum.accumulate(np.where(new, np.arange(len(s)), 0))
+        rank = np.arange(len(s)) - first
+        keep = rank < k
+        return s[keep], d[keep], h[keep]
+
+    expanded = np.array([], np.int64)
+    frontier = np.unique(np.asarray(seeds, np.int64))
+    out_frames = []
+    for hop, k in enumerate(fanouts, start=1):
+        if len(frontier) == 0:
+            break
+        f_ref = ray.put(frontier)
+
+        def combiner(t: pa.Table, f_ref=f_ref, k=k) -> pa.Table:
+            fv = cached_get(f_ref)
+            src = t["src"].to_numpy().astype(np.int64, copy=False)
+            dst = t["dst"].to_numpy().astype(np.int64, copy=False)
+            idx = np.searchsorted(fv, src)
+            idx_c = np.minimum(idx, len(fv) - 1)
+            keep = (idx < len(fv)) & (fv[idx_c] == src)
+            src, dst = src[keep], dst[keep]
+            pri = (src * 2654435761 + dst * 40503) % 2147483647
+            s, d, h = topk_per_src(src, dst, pri, k)
+            return pa.table(
+                {
+                    "src": pa.array(s, pa.int64()),
+                    "dst": pa.array(d, pa.int64()),
+                    "h": pa.array(h, pa.int64()),
+                    "__p": pa.array(part_of(s, num_parts), pa.int32()),
+                }
+            )
+
+        def fold(df: pd.DataFrame, k=k) -> pd.DataFrame:
+            s, d, h = topk_per_src(
+                df["src"].to_numpy(np.int64),
+                df["dst"].to_numpy(np.int64),
+                df["h"].to_numpy(np.int64),
+                k,
+            )
+            return pd.DataFrame({"src": s, "dst": d})
+
+        hop_df = (
+            edges.map_batches(combiner, batch_format="pyarrow")
+            .groupby("__p")
+            .map_groups(fold, batch_format="pandas")
+            .to_pandas()
+        )
+        hop_df.insert(0, "hop", np.int64(hop))
+        out_frames.append(hop_df)
+        expanded = np.union1d(expanded, frontier)
+        sampled = np.unique(hop_df["dst"].to_numpy(np.int64))
+        frontier = np.setdiff1d(sampled, expanded)
+
+    if not out_frames:
+        out = pd.DataFrame(
+            {
+                "hop": np.array([], np.int64),
+                "src": np.array([], np.int64),
+                "dst": np.array([], np.int64),
+            }
+        )
+    else:
+        out = pd.concat(out_frames, ignore_index=True)
+    return pa.table(
+        {
+            "hop": pa.array(out["hop"].to_numpy(np.int64)),
+            "src": pa.array(out["src"].to_numpy(np.int64)),
+            "dst": pa.array(out["dst"].to_numpy(np.int64)),
+        }
+    )

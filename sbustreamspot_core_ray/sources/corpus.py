@@ -394,3 +394,116 @@ def path_rollup(
             "n_langs": pa.array(out["n_langs"].to_numpy(np.int64)),
         }
     )
+
+
+def fork_candidates(
+    corpus: ray.data.Dataset,
+    min_shared: int = 2,
+    num_parts: int = 16,
+    path_cap: int = 4096,
+) -> "pa.Table":
+    """Fork / vendored-copy candidate mining over a code corpus: pairs of
+    repos that carry >= min_shared files under the IDENTICAL relative
+    path, the first-pass signal a trillion-file corpus uses to collapse
+    forks before content-level dedup. Emits (repo_a, repo_b, n_shared)
+    with repo_a < repo_b lexicographically.
+
+    Scale shape: ONE shuffle on hash(path) co-locates each path's repo
+    list; per partition the co-path pairs come out of the closed-form
+    triangular decode over the sorted (path, repo) runs (the
+    copurchase/simhash-band kernel shape), with paths capped at
+    `path_cap` repos under an explicit log line (a boilerplate path
+    shared by millions of repos must not quadratically explode — recall
+    loss is never silent); partition-local pair counts are pre-combined,
+    then one hashed-pair shuffle completes the exact counts and applies
+    the threshold. No all-pairs join over repos ever materializes."""
+    import pandas as pd
+
+    from ..functions.hashing import part_of, stable_id64
+
+    def tag(t: pa.Table) -> pa.Table:
+        path = np.asarray(t["path"].to_pylist(), dtype=object)
+        repo = np.asarray(t["repo"].to_pylist(), dtype=object)
+        ph = stable_id64(path).astype(np.int64)
+        return pa.table(
+            {
+                "path": pa.array(path, pa.string()),
+                "repo": pa.array(repo, pa.string()),
+                "__p": pa.array(part_of(ph, num_parts), pa.int32()),
+            }
+        )
+
+    def path_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        path = df["path"].to_numpy(str)
+        repo = df["repo"].to_numpy(str)
+        order = np.lexsort((repo, path))
+        path, repo = path[order], repo[order]
+        keep = np.ones(len(path), bool)
+        if len(path) > 1:
+            keep[1:] = (path[1:] != path[:-1]) | (repo[1:] != repo[:-1])
+        path, repo = path[keep], repo[keep]
+        starts = np.flatnonzero(
+            np.concatenate([[True], path[1:] != path[:-1]])
+            if len(path)
+            else np.array([], bool)
+        )
+        lens = np.diff(np.concatenate([starts, [len(path)]]))
+        over = lens > path_cap
+        if over.any():
+            print(
+                f"fork_candidates: truncating {int(over.sum())} paths "
+                f"over cap={path_cap} repos (explicit recall loss)"
+            )
+            lens = np.minimum(lens, path_cap)
+        npair = lens * (lens - 1) // 2
+        tot = int(npair.sum())
+        if tot == 0:
+            return pd.DataFrame(
+                {"repo_a": [], "repo_b": [], "cnt": [], "__q": []}
+            ).astype({"cnt": np.int64, "__q": np.int32})
+        run_id = np.repeat(np.arange(len(lens)), npair)
+        within = np.arange(tot) - np.concatenate([[0], np.cumsum(npair)])[run_id]
+        L = lens[run_id]
+        i = np.floor(
+            ((2 * L - 1) - np.sqrt((2 * L - 1).astype(np.float64) ** 2 - 8 * within))
+            / 2
+        ).astype(np.int64)
+        j = within - (i * (L - 1) - i * (i - 1) // 2) + i + 1
+        base = starts[run_id]
+        a, b = repo[base + i], repo[base + j]  # a < b: repos sorted per path
+        g = (
+            pd.DataFrame({"repo_a": a, "repo_b": b})
+            .groupby(["repo_a", "repo_b"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        qh = stable_id64(
+            (g["repo_a"] + "\x00" + g["repo_b"]).to_numpy(object)
+        ).astype(np.int64)
+        g["__q"] = part_of(qh, num_parts).astype(np.int32)
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["repo_a", "repo_b"], sort=False)["cnt"]
+            .sum()
+            .reset_index(name="n_shared")
+        )
+        return g[g["n_shared"] >= min_shared]
+
+    out = (
+        corpus.select_columns(["repo", "path"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(path_pairs, batch_format="pandas")
+        .groupby("__q")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "repo_a": pa.array(out["repo_a"], pa.string()),
+            "repo_b": pa.array(out["repo_b"], pa.string()),
+            "n_shared": pa.array(out["n_shared"].to_numpy(np.int64)),
+        }
+    )

@@ -823,3 +823,85 @@ def leakage_free_split(
         )
 
     return groups.map_batches(assign, batch_format="pyarrow")
+
+
+def intradoc_dedup(docs: ray.data.Dataset, window: int = 2) -> ray.data.Dataset:
+    """Within-document repeated-segment removal: split each document into
+    consecutive non-overlapping `window`-word segments, keep the first
+    occurrence of every distinct segment text, drop later repeats — the
+    intra-document cleanup pass (repeated paragraphs / boilerplate lines)
+    that runs before any cross-document dedup in an LLM curation
+    pipeline. Emits (doc_id, n_segs, n_dup_segs, n_kept_words).
+
+    Scale shape: embarrassingly parallel — ONE map_batches pass, no
+    shuffle (each document is one row, so every comparison is local to
+    its batch). Segments are compared exactly without re-joining
+    strings: the batch's words are dictionary-encoded once, each segment
+    becomes a padded row of int32 codes, and duplicates fall out of a
+    single lexsort over (doc, codes, seg_idx) with an adjacent-equality
+    scan — no per-document Python loop."""
+    import pyarrow.compute as pc
+
+    W = int(window)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n_docs = len(t)
+        doc_id = t["doc_id"].to_numpy().astype(np.int64, copy=False)
+        if n_docs == 0:
+            empty = np.array([], np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(empty),
+                    "n_segs": pa.array(empty),
+                    "n_dup_segs": pa.array(empty),
+                    "n_kept_words": pa.array(empty),
+                }
+            )
+        words = pc.split_pattern(t["text"], " ")
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        offsets = words.offsets.to_numpy().astype(np.int64, copy=False)
+        offsets = offsets - offsets[0]
+        flat = words.flatten()  # aligned with the rebased offsets (values
+        # of a sliced ListArray would keep child coordinates)
+        codes = pc.dictionary_encode(flat).indices.to_numpy().astype(np.int32)
+        n_words = np.diff(offsets)
+        n_segs = (n_words + W - 1) // W
+        doc_of_word = np.repeat(np.arange(n_docs), n_words)
+        pos = np.arange(len(codes)) - np.repeat(offsets[:-1], n_words)
+        seg_in_doc = pos // W
+        seg_starts = np.concatenate(([0], np.cumsum(n_segs)))
+        total_segs = int(seg_starts[-1])
+        row = seg_starts[doc_of_word] + seg_in_doc
+        mat = np.full((total_segs, W), -1, np.int32)
+        mat[row, pos % W] = codes
+        doc_of_seg = np.repeat(np.arange(n_docs), n_segs)
+        seg_idx = np.arange(total_segs) - seg_starts[doc_of_seg]
+        # group by (doc, code columns); least-significant key = seg_idx so
+        # the earliest occurrence leads its equality run
+        keys = [seg_idx] + [mat[:, c] for c in range(W - 1, -1, -1)] + [doc_of_seg]
+        order = np.lexsort(keys)
+        sd, sm = doc_of_seg[order], mat[order]
+        same = np.zeros(total_segs, bool)
+        if total_segs > 1:
+            same[1:] = (sd[1:] == sd[:-1]) & (sm[1:] == sm[:-1]).all(axis=1)
+        dup = np.zeros(total_segs, bool)
+        dup[order] = same
+        seg_words = np.minimum(W, n_words[doc_of_seg] - seg_idx * W)
+        kept_words = np.bincount(
+            doc_of_seg, weights=np.where(dup, 0, seg_words), minlength=n_docs
+        ).astype(np.int64)
+        n_dup = np.bincount(doc_of_seg, weights=dup, minlength=n_docs).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id),
+                "n_segs": pa.array(n_segs.astype(np.int64)),
+                "n_dup_segs": pa.array(n_dup),
+                "n_kept_words": pa.array(kept_words),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow"
+    )

@@ -2273,3 +2273,160 @@ def decayed_counts(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cusum_by_type(events: ray.data.Dataset, num_parts: int = 8) -> "pa.Table":
+    """Integer-exact CUSUM level-shift detection per event type (Page
+    1954): over the type's own [first, last] active-day span with missing
+    days zero-filled, the deviation path S_k = N * prefix_k - T * (k+1)
+    (counts scaled by N = span days and T = total events, so the mean
+    path is subtracted without fractions); the change-point statistic is
+    max |S_k| and the shift day is its earliest argmax. Emits
+    (event_type, n_days, total, max_dev, shift_day).
+
+    Scale shape: a per-batch combiner pre-folds to (type, day, n)
+    partials — bounded by |types| * span, not row count — then ONE
+    hashed-type shuffle co-locates each type's day histogram; the
+    zero-fill + prefix scan is a numpy pass over a span-length array.
+    Skew note: with few types the shuffle is trivially small; the
+    per-type state is O(span), never O(events)."""
+    import pandas as pd
+
+    from ..functions.hashing import part_of, stable_id64
+
+    def combiner(t: pa.Table) -> pa.Table:
+        day = (
+            t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        g = (
+            pd.DataFrame({"event_type": t["event_type"].to_pylist(), "day": day})
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        th = stable_id64(g["event_type"].to_numpy(object)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "day": pa.array(g["day"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "__p": pa.array(part_of(th, num_parts), pa.int32()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in df.groupby("event_type", sort=False):
+            day = grp["day"].to_numpy(np.int64)
+            n = grp["n"].to_numpy(np.int64)
+            lo, hi = int(day.min()), int(day.max())
+            span = hi - lo + 1
+            counts = np.bincount(day - lo, weights=n, minlength=span).astype(
+                np.int64
+            )
+            total = int(counts.sum())
+            dev = span * np.cumsum(counts) - total * np.arange(1, span + 1)
+            adev = np.abs(dev)
+            at = int(np.argmax(adev))  # argmax returns the FIRST maximum
+            rows.append((et, span, total, int(adev[at]), lo + at))
+        return pd.DataFrame(
+            rows, columns=["event_type", "n_days", "total", "max_dev", "shift_day"]
+        )
+
+    out = (
+        events.select_columns(["event_type", "ts"])
+        .map_batches(combiner, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(
+            lambda df: fold(
+                df.groupby(["event_type", "day"], sort=False)["n"]
+                .sum()
+                .reset_index()
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n_days": pa.array(out["n_days"].to_numpy(np.int64)),
+            "total": pa.array(out["total"].to_numpy(np.int64)),
+            "max_dev": pa.array(out["max_dev"].to_numpy(np.int64)),
+            "shift_day": pa.array(out["shift_day"].to_numpy(np.int64)),
+        }
+    )
+
+
+# AMS sign-hash constants (odd, PCG64 seed 424242) — INPUTS to the sketch,
+# embedded verbatim in the SQL oracle like the other sketch families
+AMS_CONSTS = (
+    8754766711547910655, 1938524422270434261, 5316597535795654845,
+    4437344803314687615, 13135359453188745291, 9853890317057118461,
+    2349288510670763613, 16970271743943454635, 2511279364587061135,
+)
+
+
+def f2_moment(events: ray.data.Dataset, num_parts: int = 32) -> "pa.Table":
+    """Second frequency moment F2 = sum_u f_u^2 of the per-user event
+    counts, with an AMS tug-of-war sketch estimate alongside (Alon,
+    Matias, Szegedy, STOC'96): estimator r is Z_r = sum_u s_r(u) * f_u
+    with the four-wise-ish sign s_r(u) = +1 iff (u * C_r mod 2^64) <
+    2^63; the reported estimate is the exact median of the 9 integer
+    Z_r^2 values. Emits ONE row (f2_exact, f2_med_est) — the exact moment
+    is the accuracy witness, the sketch the scale path (its state is 9
+    counters regardless of user cardinality).
+
+    Scale shape: ONE int-key shuffle on hash(user) % P so each user's
+    partial counts co-locate; every partition emits 9 signed sums + its
+    exact sum of squares (10 integers), and the driver folds P such rows.
+    All arithmetic is uint64-wraparound / int64 on the Ray side and
+    HUGEINT mod 2^64 in SQL — bit-identical by construction."""
+    import pandas as pd
+
+    from ..functions.hashing import part_of
+
+    R = len(AMS_CONSTS)
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        u = t["user_id"].to_numpy().astype(np.int64, copy=False)
+        g = pd.DataFrame({"u": u}).groupby("u", sort=False).size()
+        uu = g.index.to_numpy(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(uu),
+                "n": pa.array(g.to_numpy(np.int64)),
+                "__p": pa.array(part_of(uu, num_parts), pa.int32()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("u", sort=False)["n"].sum()
+        u = g.index.to_numpy(np.int64).astype(np.uint64)
+        f = g.to_numpy(np.int64)
+        out = {"f2": np.int64(np.dot(f, f))}
+        with np.errstate(over="ignore"):
+            for r, c in enumerate(AMS_CONSTS):
+                h = u * np.uint64(c)
+                sign = np.where(h < np.uint64(1 << 63), 1, -1)
+                out[f"z{r}"] = np.int64(np.dot(sign, f))
+        return pd.DataFrame([out])
+
+    parts = (
+        events.select_columns(["user_id"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    f2 = int(parts["f2"].sum())
+    ests = sorted(int(parts[f"z{r}"].sum()) ** 2 for r in range(R))
+    return pa.table(
+        {
+            "f2_exact": pa.array([f2], pa.int64()),
+            "f2_med_est": pa.array([ests[R // 2]], pa.int64()),
+        }
+    )

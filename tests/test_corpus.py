@@ -143,3 +143,37 @@ def test_path_rollup_hand_case():
     # depth-4 cut: top-2 of {o/r1/src/a: 2, o/r1/src/b: 1, o/r2/src/a: 1}
     d4 = got[got["depth"] == 4]["prefix"].tolist()
     assert d4 == ["o/r1/src/a", "o/r1/src/b"]  # tie broken by prefix asc
+
+
+def test_fork_candidates_hand_case():
+    """Per-path repo pairs, lexicographic order, threshold, dedup of
+    duplicate (repo, path) rows."""
+    from sbustreamspot_core_ray.sources.corpus import fork_candidates
+
+    import ray.data
+
+    rows = [
+        ("r2", "a.py"), ("r1", "a.py"), ("r3", "a.py"),
+        ("r1", "b.py"), ("r2", "b.py"),
+        ("r1", "c.py"), ("r3", "c.py"),
+        ("r1", "c.py"),  # duplicate row must not double-count
+        ("r9", "only.py"),
+    ]
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array([r[0] for r in rows], pa.string()),
+                "path": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    got = (
+        fork_candidates(corpus, min_shared=2, num_parts=4)
+        .to_pandas()
+        .sort_values(["repo_a", "repo_b"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got.to_numpy())) == [
+        ("r1", "r2", 2),  # a.py, b.py
+        ("r1", "r3", 2),  # a.py, c.py
+    ]

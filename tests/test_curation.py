@@ -594,3 +594,26 @@ def test_leakage_free_split_invariants():
         b = ((int(g) * SPLIT_SALT) % (1 << 64)) % 100
         want = 0 if b < 80 else (1 if b < 90 else 2)
         assert s == want
+
+
+def test_intradoc_dedup_hand_case():
+    """Segment split, first-occurrence keep, tail-segment word counts."""
+    from sbustreamspot_core_ray.stages.curation import intradoc_dedup
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["a b a b c", "x y x y", "z"], pa.string()),
+            }
+        )
+    )
+    out = (
+        intradoc_dedup(docs, window=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_segs"].tolist() == [3, 2, 1]
+    assert out["n_dup_segs"].tolist() == [1, 1, 0]
+    assert out["n_kept_words"].tolist() == [3, 2, 1]

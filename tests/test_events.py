@@ -695,3 +695,50 @@ def test_decayed_counts_exact_weights():
     )
     assert got["decay_units"].tolist() == [32 + 16 + 16, 0]
     assert got["decayed"].tolist() == [64 / 32, 0.0]
+
+
+def test_cusum_by_type_hand_case():
+    """Zero-filled span, scaled integer deviation path, earliest argmax.
+    type a: days [0,0,0,2] -> counts [3,0,1], T=4, N=3,
+    S = 3*[3,3,4] - 4*[1,2,3] = [5,1,0] -> max_dev 5 at day 0."""
+    from sbustreamspot_core_ray.stages.events import cusum_by_type
+
+    us = 3_600_000_000
+    rows = [("a", 1 * us), ("a", 2 * us), ("a", 3 * us),
+            ("a", 49 * us), ("b", 132 * us)]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array(
+                    np.array([r[1] for r in rows], "datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+    out = cusum_by_type(ev, num_parts=4).to_pandas().sort_values("event_type")
+    a, b = out.iloc[0], out.iloc[1]
+    assert tuple(a[["n_days", "total", "max_dev", "shift_day"]]) == (3, 4, 5, 0)
+    assert tuple(b[["n_days", "total", "max_dev", "shift_day"]]) == (1, 1, 0, 5)
+
+
+def test_f2_moment_exact_and_estimate():
+    """Exact F2 of per-user counts; sketch estimate equals the sorted
+    middle of the 9 signed-sum squares computed independently here."""
+    from sbustreamspot_core_ray.stages.events import AMS_CONSTS, f2_moment
+
+    users = [1, 1, 1, 2, 2, 3, 7]
+    ev = ray.data.from_arrow(
+        pa.table({"user_id": pa.array(users, pa.int64())})
+    )
+    out = f2_moment(ev, num_parts=4).to_pandas().iloc[0]
+    assert out["f2_exact"] == 3 * 3 + 2 * 2 + 1 + 1
+    u = np.array([1, 2, 3, 7], np.uint64)
+    f = np.array([3, 2, 1, 1], np.int64)
+    ests = []
+    with np.errstate(over="ignore"):
+        for c in AMS_CONSTS:
+            sign = np.where(u * np.uint64(c) < np.uint64(1 << 63), 1, -1)
+            ests.append(int(np.dot(sign, f)) ** 2)
+    assert out["f2_med_est"] == sorted(ests)[4]

@@ -726,3 +726,44 @@ def test_boruvka_msf_vs_kruskal():
             (int(r["u"]), int(r["v"]), int(r["w"])) for r in res.take_all()
         )
         assert got == oracle
+
+
+def test_neighbor_sample_vs_bruteforce():
+    """Fixed-fanout sampling matches a brute-force reference applying the
+    identical hash-priority rule, and each vertex expands at most once."""
+    from sbustreamspot_core_ray.pipelines.superstep import neighbor_sample
+
+    src = [1, 1, 1, 2, 2, 10, 10, 11, 12, 20, 30]
+    dst = [10, 11, 12, 10, 20, 30, 31, 30, 40, 50, 60]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+    )
+    fanouts = (2, 1)
+    got = (
+        neighbor_sample(edges, [1, 2], fanouts=fanouts, num_parts=4)
+        .to_pandas()
+        .sort_values(["hop", "src", "dst"])
+        .reset_index(drop=True)
+    )
+
+    adj = {}
+    for s, d in zip(src, dst):
+        h = (s * 2654435761 + d * 40503) % 2147483647
+        adj.setdefault(s, []).append((h, d))
+    expanded, frontier, expect = set(), {1, 2}, []
+    for hop, k in enumerate(fanouts, start=1):
+        nxt = set()
+        for v in sorted(frontier):
+            for h, d in sorted(adj.get(v, []))[:k]:
+                expect.append((hop, v, d))
+                nxt.add(d)
+        expanded |= frontier
+        frontier = nxt - expanded
+    got_rows = list(map(tuple, got[["hop", "src", "dst"]].to_numpy()))
+    assert sorted(got_rows) == sorted(expect)
+    # hop-1 fan-out respected and hop-2 sources never include seeds
+    h1 = got[got["hop"] == 1]
+    assert h1.groupby("src").size().max() <= 2
+    assert not set(got[got["hop"] == 2]["src"]) & {1, 2}
