@@ -3820,6 +3820,8 @@ def neighbor_sample(
             .map_groups(fold, batch_format="pandas")
             .to_pandas()
         )
+        if len(hop_df) == 0:  # no frontier vertex has out-edges: done
+            break
         hop_df.insert(0, "hop", np.int64(hop))
         out_frames.append(hop_df)
         expanded = np.union1d(expanded, frontier)
