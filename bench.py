@@ -186,6 +186,49 @@ BENCH_QUERIES = [
     # common_neighbors / adamic_adar are benchmarked at sf0.01 only
     # (BASELINE.md): their wedge table is O(sum deg^2) and would dominate
     # the sf0.1 suite
+    # sf-scale coverage completion (round 3): every registry query that
+    # runs at sf_dir scale is benched; only fixture-scale StreamSpot
+    # pipelines and tiny validation reports stay out
+    "adamic_adar",
+    "asof_attribution",
+    "assortativity",
+    "butterflies",
+    "closeness_sample",
+    "common_neighbors",
+    "customers_no_urgent",
+    "decayed_counts",
+    "degree_histogram",
+    "degrees",
+    "edit_distance_dedup",
+    "embedding_dedup",
+    "event_type_pivot",
+    "events_hopping",
+    "funnel",
+    "image_resize",
+    "interarrival_stats",
+    "interval_coverage",
+    "jaccard_links",
+    "katz",
+    "ktruss",
+    "mis",
+    "modal_event_type",
+    "neighbor_features",
+    "pareto_skyline",
+    "resource_allocation",
+    "revenue_rollup",
+    "simhash_near_dup",
+    "snapshot_diff",
+    "temporal_reach",
+    "top_users",
+    "triangles_per_vertex",
+    "video_frames",
+    "vocab_growth",
+    "neighbor_sample",
+    "intradoc_dedup",
+    "cusum_shift",
+    "f2_moment",
+    "path_rollup",
+    "fork_candidates",
 ]
 
 
