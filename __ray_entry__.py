@@ -7857,6 +7857,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intradoc_dedup": q_intradoc_dedup,
         "cusum_shift": q_cusum_shift,
         "f2_moment": q_f2_moment,
+        "char_entropy": q_char_entropy,
+        "identifier_tokens": q_identifier_tokens,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
         "jaccard_links": q_jaccard_links,
@@ -8047,6 +8049,8 @@ def oracle_sql() -> dict[str, str]:
         "intradoc_dedup": _intradoc_dedup_sql(),
         "cusum_shift": _cusum_shift_sql(),
         "f2_moment": _f2_moment_sql(),
+        "char_entropy": _char_entropy_sql(),
+        "identifier_tokens": _identifier_tokens_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
         "condensation_depth": _SQL_CONDENSATION_DEPTH.format(m=RECIP_MOD),
@@ -9881,3 +9885,67 @@ SELECT a.repo AS repo_a, b.repo AS repo_b,
 FROM f a JOIN f b ON a.path = b.path AND a.repo < b.repo
 GROUP BY 1, 2
 HAVING count(*) >= {FORK_MIN_SHARED}"""
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-document character-distribution entropy (binary/compressed
+    detector) — zero-shuffle vectorized bincount, bit-exact integer
+    ln decomposition."""
+    from sbustreamspot_core_ray.stages.text import char_entropy
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return char_entropy(docs)
+
+
+def _char_entropy_sql() -> str:
+    return """
+WITH ch AS (
+  SELECT doc_id, substring(text, g.i, 1) AS c
+  FROM documents CROSS JOIN generate_series(1, 1024) g(i)
+  WHERE g.i <= length(text)),
+cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+s AS (SELECT doc_id, sum(n) AS nc, count(*) AS nd,
+        sum(n * CAST(floor(1e9 * ln(CAST(n AS DOUBLE))) AS BIGINT)) AS st
+      FROM cnt GROUP BY 1)
+SELECT doc_id, CAST(nc AS BIGINT) AS n_chars, CAST(nd AS BIGINT) AS n_distinct,
+       ROUND(ln(CAST(nc AS DOUBLE)) - CAST(st AS DOUBLE) / (1e9 * nc), 6)
+         AS entropy
+FROM s"""
+
+
+IDENT_TOP_N = 20
+
+
+def q_identifier_tokens(sf_dir: str):
+    """Top-20 identifier subtokens per language over the code corpus —
+    snake_case split, vocabulary-sized combiner partials, one hashed
+    (lang, token) shuffle."""
+    from sbustreamspot_core_ray.sources.corpus import (
+        generate_corpus,
+        identifier_tokens,
+        ingest_corpus,
+    )
+
+    root = "/tmp/graft_corpus_q"
+    generate_corpus(root, n_files=2000, seed=23)
+    return identifier_tokens(
+        ingest_corpus(root, num_partitions=4), top_n=IDENT_TOP_N, num_parts=P
+    )
+
+
+def _identifier_tokens_sql() -> str:
+    from sbustreamspot_core_ray.sources.corpus import generate_corpus
+
+    generate_corpus("/tmp/graft_corpus_q", n_files=2000, seed=23)
+    return f"""
+WITH ids AS (
+  SELECT lang,
+         unnest(regexp_extract_all(content, '[A-Za-z_][A-Za-z0-9_]*')) AS ident
+  FROM read_parquet('/tmp/graft_corpus_q/corpus/*.parquet')),
+sub AS (SELECT lang, unnest(string_split(ident, '_')) AS tok FROM ids),
+c AS (SELECT lang, tok, count(*) AS n FROM sub WHERE tok <> '' GROUP BY 1, 2)
+SELECT lang, tok, CAST(n AS BIGINT) AS n FROM c
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok)
+        <= {IDENT_TOP_N}"""

@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "f2_moment",
     "path_rollup",
     "fork_candidates",
+    "char_entropy",
+    "identifier_tokens",
 ]
 
 

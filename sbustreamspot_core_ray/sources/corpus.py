@@ -507,3 +507,79 @@ def fork_candidates(
             "n_shared": pa.array(out["n_shared"].to_numpy(np.int64)),
         }
     )
+
+
+_IDENT_RE = None  # compiled once per worker process
+
+
+def identifier_tokens(
+    corpus: ray.data.Dataset, top_n: int = 20, num_parts: int = 16
+) -> "pa.Table":
+    """Identifier-subtoken mining over code content: extract identifiers
+    ([A-Za-z_][A-Za-z0-9_]*), split snake_case on '_', and keep the
+    top_n subtokens per language by (count desc, token asc) — the
+    vocabulary census a code-LM tokenizer audit starts from (camelCase
+    splitting is a no-op on this corpus and is documented out of scope).
+
+    Scale shape: the per-batch combiner extracts + splits + pre-folds to
+    (lang, token, n) partials — output is vocabulary-sized, not
+    content-sized — then ONE hash(lang, token) shuffle completes exact
+    counts with a per-partition top_n-per-lang pre-cut (the global top_n
+    survives any cut keeping every partition's local top_n, the
+    path_rollup argument); the driver merges P * top_n rows per lang."""
+    import re
+
+    import pandas as pd
+
+    from ..functions.hashing import part_of, stable_id64
+
+    def combiner(t: pa.Table) -> pa.Table:
+        global _IDENT_RE
+        if _IDENT_RE is None:
+            _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+        langs, toks = [], []
+        for lang, content in zip(t["lang"].to_pylist(), t["content"].to_pylist()):
+            for ident in _IDENT_RE.findall(content):
+                for piece in ident.split("_"):
+                    if piece:
+                        langs.append(lang)
+                        toks.append(piece)
+        g = (
+            pd.DataFrame({"lang": langs, "tok": toks})
+            .groupby(["lang", "tok"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        kh = stable_id64(
+            (g["lang"] + "\x00" + g["tok"]).to_numpy(object)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "tok": pa.array(g["tok"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "__p": pa.array(part_of(kh, num_parts), pa.int32()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.groupby(["lang", "tok"], sort=False)["n"].sum().reset_index()
+        a = a.sort_values(["lang", "n", "tok"], ascending=[True, False, True])
+        return a.groupby("lang", sort=False).head(top_n)
+
+    cands = (
+        corpus.select_columns(["lang", "content"])
+        .map_batches(combiner, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    cands = cands.sort_values(["lang", "n", "tok"], ascending=[True, False, True])
+    out = cands.groupby("lang", sort=True).head(top_n).reset_index(drop=True)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "tok": pa.array(out["tok"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+        }
+    )

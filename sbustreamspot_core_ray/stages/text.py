@@ -1035,3 +1035,70 @@ def vocab_growth(
     buckets["cum_vocab"] = buckets["new_terms"].cumsum().astype(np.int64)
     buckets["new_terms"] = buckets["new_terms"].astype(np.int64)
     return pa.Table.from_pandas(buckets, preserve_index=False)
+
+
+def char_entropy(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document Shannon entropy of the character distribution — the
+    binary-vs-text / compressed-blob detector a code-corpus ingest runs
+    before any text stage (natural text sits near 4.2 bits, random or
+    compressed bytes near 8). Emits (doc_id, n_chars, n_distinct,
+    entropy) with entropy in nats.
+
+    Bit-exact decomposition (the user_entropy / bm25 parity chain):
+    H = ln(n) - S / (1e9 * n) where S = sum_c count_c *
+    floor(1e9 * ln(count_c)) is an exact int64 sum; ln is evaluated once
+    per DISTINCT count value. Zero shuffles — each document is one row,
+    every distribution is batch-local; the batch's texts are joined into
+    ONE byte buffer and counted via a single bincount over
+    doc_index * 256 + byte, no per-document Python loop."""
+    import math
+
+    import pyarrow as pa
+
+    def kernel(t: "pa.Table") -> "pa.Table":
+        doc_id = t["doc_id"].to_numpy().astype(np.int64, copy=False)
+        texts = t["text"].to_pylist()
+        n_docs = len(texts)
+        if n_docs == 0:
+            z = np.array([], np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(z),
+                    "n_chars": pa.array(z),
+                    "n_distinct": pa.array(z),
+                    "entropy": pa.array(np.array([], np.float64)),
+                }
+            )
+        blob = "".join(texts).encode("utf-8", "surrogatepass")
+        lens = np.array(
+            [len(s.encode("utf-8", "surrogatepass")) for s in texts], np.int64
+        )
+        b = np.frombuffer(blob, np.uint8).astype(np.int64)
+        doc_of = np.repeat(np.arange(n_docs), lens)
+        comp = doc_of * 256 + b
+        cu, cc = np.unique(comp, return_counts=True)
+        d = cu // 256
+        vals = np.unique(cc)
+        ln_e9 = np.array(
+            [math.floor(1e9 * math.log(int(v))) for v in vals], np.int64
+        )
+        term = cc.astype(np.int64) * ln_e9[np.searchsorted(vals, cc)]
+        n = np.bincount(d, weights=cc, minlength=n_docs).astype(np.int64)
+        nd = np.bincount(d, minlength=n_docs).astype(np.int64)
+        s = np.bincount(d, weights=term, minlength=n_docs).astype(np.int64)
+        safe_n = np.maximum(n, 1)
+        ent = round_half_away(
+            np.log(safe_n.astype(np.float64)) - s / (1e9 * safe_n), 6
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id),
+                "n_chars": pa.array(n),
+                "n_distinct": pa.array(nd),
+                "entropy": pa.array(np.where(n > 0, ent, 0.0)),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow"
+    )

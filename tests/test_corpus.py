@@ -177,3 +177,40 @@ def test_fork_candidates_hand_case():
         ("r1", "r2", 2),  # a.py, b.py
         ("r1", "r3", 2),  # a.py, c.py
     ]
+
+
+def test_identifier_tokens_hand_case():
+    """Identifier extraction, snake split, per-lang count + tie-break."""
+    import ray.data
+
+    from sbustreamspot_core_ray.sources.corpus import identifier_tokens
+
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(["py", "py", "go"], pa.string()),
+                "content": pa.array(
+                    [
+                        "fn main_loop() { main_init(); }",
+                        "x = main_loop + 42",
+                        "var loop_count int",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    got = identifier_tokens(corpus, top_n=3, num_parts=4).to_pandas()
+    py = got[got["lang"] == "py"]
+    # py tokens: fn,main,loop,main,init,x,main,loop -> main:3, loop:2, fn/init/x:1
+    assert list(map(tuple, py.to_numpy())) == [
+        ("py", "main", 3),
+        ("py", "loop", 2),
+        ("py", "fn", 1),
+    ]
+    go = got[got["lang"] == "go"]
+    assert list(map(tuple, go.to_numpy())) == [
+        ("go", "count", 1),
+        ("go", "int", 1),
+        ("go", "loop", 1),
+    ]

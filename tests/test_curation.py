@@ -617,3 +617,24 @@ def test_intradoc_dedup_hand_case():
     assert out["n_segs"].tolist() == [3, 2, 1]
     assert out["n_dup_segs"].tolist() == [1, 1, 0]
     assert out["n_kept_words"].tolist() == [3, 2, 1]
+
+
+def test_char_entropy_hand_case():
+    """H('aab') = ln3 - (2*ln2)/3 decomposition; uniform and constant."""
+    import math
+
+    from sbustreamspot_core_ray.stages.text import char_entropy
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["aab", "zzzz", "abcd"], pa.string()),
+            }
+        )
+    )
+    out = char_entropy(docs).to_pandas().sort_values("doc_id")
+    assert out["n_chars"].tolist() == [3, 4, 4]
+    assert out["n_distinct"].tolist() == [2, 1, 4]
+    e1 = math.log(3) - (2 * math.floor(1e9 * math.log(2))) / (1e9 * 3)
+    assert out["entropy"].tolist() == [round(e1, 6), 0.0, round(math.log(4), 6)]
