@@ -7859,6 +7859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f2_moment": q_f2_moment,
         "char_entropy": q_char_entropy,
         "identifier_tokens": q_identifier_tokens,
+        "square_count": q_square_count,
+        "percolation": q_percolation,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
         "jaccard_links": q_jaccard_links,
@@ -8051,6 +8053,8 @@ def oracle_sql() -> dict[str, str]:
         "f2_moment": _f2_moment_sql(),
         "char_entropy": _char_entropy_sql(),
         "identifier_tokens": _identifier_tokens_sql(),
+        "square_count": _square_count_sql(),
+        "percolation": _percolation_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
         "condensation_depth": _SQL_CONDENSATION_DEPTH.format(m=RECIP_MOD),
@@ -9949,3 +9953,80 @@ c AS (SELECT lang, tok, count(*) AS n FROM sub WHERE tok <> '' GROUP BY 1, 2)
 SELECT lang, tok, CAST(n AS BIGINT) AS n FROM c
 QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok)
         <= {IDENT_TOP_N}"""
+
+
+def q_square_count(sf_dir: str):
+    """Exact 4-cycle census of the derived graph — wedge-pair triangular
+    decode, packed-int64 pair combine, key-disjoint C(n,2) reduce."""
+    from sbustreamspot_core_ray.pipelines.superstep import square_count
+
+    return square_count(_edges_full(sf_dir), num_partitions=32, wedge_fanout=64)
+
+
+def _square_count_sql() -> str:
+    return f"""
+WITH de AS MATERIALIZED ({_SQL_EDGES}),
+und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM de
+        WHERE src <> dst GROUP BY 1, 2),
+sym AS (SELECT a AS c, b AS v FROM und UNION ALL SELECT b, a FROM und),
+w AS (SELECT s1.v AS x, s2.v AS y FROM sym s1 JOIN sym s2
+      ON s1.c = s2.c AND s1.v < s2.v),
+cn AS (SELECT x, y, count(*) AS n FROM w GROUP BY 1, 2)
+SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) // 2 AS BIGINT) AS squares,
+       CAST(count(*) AS BIGINT) AS wedge_pairs
+FROM cn"""
+
+
+PERC_KEEPS = (100, 80, 40)
+
+
+def q_percolation(sf_dir: str):
+    """Bond-percolation robustness: connected-component fragmentation at
+    100/80/40%% deterministic edge retention over the customer-order
+    graph."""
+    from sbustreamspot_core_ray.pipelines.superstep import percolation_sweep
+
+    return percolation_sweep(
+        _edges_custorder(sf_dir), keeps=PERC_KEEPS, num_parts=P
+    )
+
+
+def _percolation_sql() -> str:
+    parts = [
+        f"e0 AS ({_SQL_EDGES_CO})",
+        "f AS (SELECT src, dst,"
+        " (src * 2654435761 + dst * 40503) % 100 AS h FROM e0)",
+    ]
+    sels = []
+    for K in PERC_KEEPS:
+        parts.append(f"ek{K} AS (SELECT src, dst FROM f WHERE h < {K})")
+        parts.append(
+            f"e{K} AS (SELECT src AS s, dst AS d FROM ek{K}"
+            f" UNION SELECT dst, src FROM ek{K})"
+        )
+        parts.append(
+            f"v{K} AS (SELECT s AS vertex FROM e{K} UNION SELECT d FROM e{K})"
+        )
+        parts.append(
+            f"r{K}(vx, lbl) AS (SELECT vertex, vertex FROM v{K}"
+            f" UNION SELECT e.d, r.lbl FROM r{K} r JOIN e{K} e ON e.s = r.vx)"
+        )
+        parts.append(
+            f"m{K} AS (SELECT vx, MIN(lbl) AS comp FROM r{K} GROUP BY vx)"
+        )
+        parts.append(
+            f"s{K} AS (SELECT comp, count(*) AS n FROM m{K} GROUP BY comp)"
+        )
+        sels.append(
+            f"SELECT CAST({K} AS BIGINT) AS keep_pct,"
+            f" CAST((SELECT count(*) FROM m{K}) AS BIGINT) AS n_vertices,"
+            f" CAST((SELECT count(*) FROM ek{K}) AS BIGINT) AS n_edges,"
+            f" CAST(count(*) AS BIGINT) AS n_components,"
+            f" CAST(max(n) AS BIGINT) AS giant_size FROM s{K}"
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(sels)
+    )

@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "fork_candidates",
     "char_entropy",
     "identifier_tokens",
+    "percolation",
 ]
 
 

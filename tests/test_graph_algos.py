@@ -1111,3 +1111,57 @@ def test_densest_subgraph_peel_vs_numpy_replica():
         rnd += 1
     assert got.to_numpy().tolist() == [list(r) for r in want]
     assert want == [(0, 6, 8), (1, 4, 6)]
+
+
+def test_square_count_known_graphs():
+    """C4 census: one plain 4-cycle (+chord unchanged), K4 has 3, K_{2,3}
+    has C(3,2)=3."""
+    from sbustreamspot_core_ray.pipelines.superstep import square_count
+
+    def sq(pairs):
+        import ray.data
+
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([p[0] for p in pairs], pa.int64()),
+                    "dst": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            )
+        )
+        return square_count(edges, num_partitions=4).to_pandas().iloc[0]
+
+    assert sq([(1, 2), (2, 3), (3, 4), (4, 1)])["squares"] == 1
+    assert sq([(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)])["squares"] == 1
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert sq(k4)["squares"] == 3
+    k23 = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (2, 12)]
+    assert sq(k23)["squares"] == 3
+    # duplicate + reversed + self-loop rows must not change the census
+    assert sq(k23 + [(10, 1), (1, 10), (5, 5)])["squares"] == 3
+
+
+def test_percolation_sweep_hand_case():
+    """keep=100 keeps both components intact; keep=0 empties the graph;
+    intermediate levels match a local replication of the hash filter."""
+    import ray.data
+
+    from sbustreamspot_core_ray.pipelines.superstep import percolation_sweep
+
+    src = np.array([1, 1, 2, 5, 6], np.int64)
+    dst = np.array([2, 3, 3, 6, 7], np.int64)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    )
+    out = (
+        percolation_sweep(edges, keeps=(100, 60, 0), num_parts=4)
+        .to_pandas()
+        .set_index("keep_pct")
+    )
+    # components {1,2,3} and {5,6,7}: 6 vertices, 5 edges, giant size 3
+    assert tuple(out.loc[100]) == (6, 5, 2, 3)
+    assert tuple(out.loc[0]) == (0, 0, 0, 0)
+    # replicate the 60% filter locally
+    h = (src * 2654435761 + dst * 40503) % 100
+    kept = h < 60
+    assert out.loc[60]["n_edges"] == int(kept.sum())
