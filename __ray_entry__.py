@@ -985,38 +985,44 @@ WHERE g.f < nf AND g.f // 4 < 8
 """
 
 
-def _pagerank_sql() -> str:
+def _pagerank_ctes(edges_sql: str, pfx: str = "") -> list:
     """Power iteration unrolled to PR_ITERS chained CTEs (same semantics as
-    pipelines/superstep.pagerank: teleport + uniform dangling mass)."""
+    pipelines/superstep.pagerank: teleport + uniform dangling mass); `pfx`
+    namespaces the CTEs so two runs compose in one statement (drift)."""
     d = PR_DAMPING
     # MATERIALIZED: each CTE is computed once — the naive inlining rescans
     # the parquet views per reference and exhausts file descriptors
+    x = pfx
     ctes = [
-        f"e AS MATERIALIZED ({_SQL_EDGES})",
-        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
-        "n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) nv FROM v)",
-        "deg AS MATERIALIZED (SELECT src AS vertex, CAST(count(*) AS DOUBLE) d FROM e GROUP BY src)",
-        "r0 AS MATERIALIZED (SELECT vertex, 1.0/(SELECT nv FROM n) AS rank FROM v)",
+        f"{x}e AS MATERIALIZED ({edges_sql})",
+        f"{x}v AS MATERIALIZED (SELECT src AS vertex FROM {x}e UNION SELECT dst FROM {x}e)",
+        f"{x}n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) nv FROM {x}v)",
+        f"{x}deg AS MATERIALIZED (SELECT src AS vertex, CAST(count(*) AS DOUBLE) d FROM {x}e GROUP BY src)",
+        f"{x}r0 AS MATERIALIZED (SELECT vertex, 1.0/(SELECT nv FROM {x}n) AS rank FROM {x}v)",
     ]
     for k in range(1, PR_ITERS + 1):
         p = k - 1
         ctes.append(
-            f"dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m FROM r{p} r"
-            f" LEFT JOIN deg ON deg.vertex = r.vertex WHERE deg.vertex IS NULL)"
+            f"{x}dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m FROM {x}r{p} r"
+            f" LEFT JOIN {x}deg ON {x}deg.vertex = r.vertex WHERE {x}deg.vertex IS NULL)"
         )
         ctes.append(
-            f"c{k} AS MATERIALIZED (SELECT e.dst AS vertex, SUM(r.rank / deg.d) AS contrib"
-            f" FROM e JOIN r{p} r ON r.vertex = e.src"
-            f" JOIN deg ON deg.vertex = e.src GROUP BY e.dst)"
+            f"{x}c{k} AS MATERIALIZED (SELECT e.dst AS vertex, SUM(r.rank / deg.d) AS contrib"
+            f" FROM {x}e e JOIN {x}r{p} r ON r.vertex = e.src"
+            f" JOIN {x}deg deg ON deg.vertex = e.src GROUP BY e.dst)"
         )
         ctes.append(
-            f"r{k} AS MATERIALIZED (SELECT v.vertex, (1.0 - {d})/(SELECT nv FROM n)"
+            f"{x}r{k} AS MATERIALIZED (SELECT v.vertex, (1.0 - {d})/(SELECT nv FROM {x}n)"
             f" + {d} * (COALESCE(c.contrib, 0.0)"
-            f" + (SELECT m FROM dang{k})/(SELECT nv FROM n)) AS rank"
-            f" FROM v LEFT JOIN c{k} c ON c.vertex = v.vertex)"
+            f" + (SELECT m FROM {x}dang{k})/(SELECT nv FROM {x}n)) AS rank"
+            f" FROM {x}v v LEFT JOIN {x}c{k} c ON c.vertex = v.vertex)"
         )
+    return ctes
+
+
+def _pagerank_sql() -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_pagerank_ctes(_SQL_EDGES))
         + f"\nSELECT vertex, ROUND(rank, 7) AS rank FROM r{PR_ITERS}"
     )
 
@@ -7861,6 +7867,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "identifier_tokens": q_identifier_tokens,
         "square_count": q_square_count,
         "percolation": q_percolation,
+        "winnow": q_winnow,
+        "pagerank_drift": q_pagerank_drift,
+        "rate_spikes": q_rate_spikes,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
         "jaccard_links": q_jaccard_links,
@@ -8055,6 +8064,9 @@ def oracle_sql() -> dict[str, str]:
         "identifier_tokens": _identifier_tokens_sql(),
         "square_count": _square_count_sql(),
         "percolation": _percolation_sql(),
+        "winnow": _winnow_sql(),
+        "pagerank_drift": _pagerank_drift_sql(),
+        "rate_spikes": _rate_spikes_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
         "condensation_depth": _SQL_CONDENSATION_DEPTH.format(m=RECIP_MOD),
@@ -10030,3 +10042,149 @@ def _percolation_sql() -> str:
         + "\n"
         + "\nUNION ALL\n".join(sels)
     )
+
+
+def q_winnow(sf_dir: str):
+    """MOSS winnowing fingerprints (k=8 byte-grams, window 4): the
+    clone-detection index rows (doc_id, pos, fp) — zero shuffles,
+    batch-local sliding-min selection."""
+    from sbustreamspot_core_ray.stages.text import winnow_fingerprints
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_fingerprints(docs)
+
+
+def _winnow_sql() -> str:
+    from sbustreamspot_core_ray.stages.text import (
+        WINNOW_K,
+        WINNOW_W,
+        _winnow_pows,
+    )
+
+    vals = ", ".join(f"({j}, {p})" for j, p in enumerate(_winnow_pows(WINNOW_K)))
+    return f"""
+WITH b AS (
+  SELECT doc_id, g.i - 1 AS pos, ord(substring(text, g.i, 1)) AS byte,
+         length(text) AS n
+  FROM documents CROSS JOIN generate_series(1, 1024) g(i)
+  WHERE g.i <= length(text)),
+pw AS (SELECT * FROM (VALUES {vals}) t(j, pw)),
+g AS (
+  SELECT b.doc_id, b.pos AS p,
+         CAST(sum(CAST(b2.byte AS HUGEINT) * pw.pw) % 2305843009213693951
+              AS BIGINT) AS h
+  FROM b JOIN pw ON TRUE
+  JOIN b b2 ON b2.doc_id = b.doc_id AND b2.pos = b.pos + pw.j
+  WHERE b.pos + {WINNOW_K} <= b.n
+  GROUP BY 1, 2),
+pk AS (SELECT doc_id, p, (h % 4503599627370496) * 1024 + p AS packed,
+              count(*) OVER (PARTITION BY doc_id) AS ng FROM g),
+wn AS (SELECT doc_id, p AS s, ng,
+        min(packed) OVER (PARTITION BY doc_id ORDER BY p
+          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS m
+      FROM pk),
+sel AS (SELECT DISTINCT doc_id, m FROM wn WHERE s <= ng - {WINNOW_W})
+SELECT doc_id, CAST(m % 1024 AS BIGINT) AS pos, CAST(m // 1024 AS BIGINT) AS fp
+FROM sel"""
+
+
+PR_DRIFT_KEEP = 90
+PR_DRIFT_TOPN = 50
+
+
+def q_pagerank_drift(sf_dir: str):
+    """Temporal PageRank drift: the top-50 vertices whose rank moved most
+    between the 90%%-edge snapshot (deterministic hash thinning) and the
+    full graph — the rank-churn report a link-graph refresh publishes.
+    Two standard PR runs; the join and cut are driver-side over the two
+    V-sized rank tables."""
+    from sbustreamspot_core_ray.pipelines.superstep import ShardedGraph, pagerank
+
+    def filt(t: pa.Table) -> pa.Table:
+        s = pa.compute.cast(t["src"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = pa.compute.cast(t["dst"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (s * 2654435761 + d * 40503) % 100 < PR_DRIFT_KEEP
+        return pa.table({"src": pa.array(s[keep]), "dst": pa.array(d[keep])})
+
+    g_old = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False).map_batches(filt, batch_format="pyarrow"),
+        num_parts=P,
+        symmetric=False,
+    )
+    r_old = pagerank(g_old, damping=PR_DAMPING, max_iters=PR_ITERS, tol=0.0).to_pandas()
+    g_new = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=False
+    )
+    r_new = pagerank(g_new, damping=PR_DAMPING, max_iters=PR_ITERS, tol=0.0).to_pandas()
+    r_old["rank"] = round_half_away(r_old["rank"], 7)
+    r_new["rank"] = round_half_away(r_new["rank"], 7)
+    j = r_new.merge(r_old, on="vertex", suffixes=("_new", "_old"))
+    delta = (j["rank_new"] - j["rank_old"]).to_numpy()
+    order = np.lexsort((j["vertex"].to_numpy(), -np.abs(delta)))[:PR_DRIFT_TOPN]
+    out = j.iloc[order]
+    return pa.table(
+        {
+            "vertex": pa.array(out["vertex"].to_numpy(np.int64)),
+            "rank_old": pa.array(out["rank_old"].to_numpy(np.float64)),
+            "rank_new": pa.array(out["rank_new"].to_numpy(np.float64)),
+            "delta": pa.array(delta[order]),
+        }
+    )
+
+
+def _pagerank_drift_sql() -> str:
+    old_edges = (
+        f"SELECT src, dst FROM ({_SQL_EDGES}) "
+        f"WHERE (src * 2654435761 + dst * 40503) % 100 < {PR_DRIFT_KEEP}"
+    )
+    ctes = _pagerank_ctes(_SQL_EDGES, "a") + _pagerank_ctes(old_edges, "b")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+j AS (SELECT a.vertex, ROUND(a.rank, 7) AS rank_new, ROUND(b.rank, 7) AS rank_old
+      FROM ar{PR_ITERS} a JOIN br{PR_ITERS} b ON a.vertex = b.vertex)
+SELECT vertex, rank_old, rank_new, rank_new - rank_old AS delta
+FROM j
+QUALIFY row_number() OVER (ORDER BY abs(rank_new - rank_old) DESC, vertex)
+        <= {PR_DRIFT_TOPN}"""
+    )
+
+
+RATE_TRAIL = 7
+RATE_TOPN = 20
+
+
+def q_rate_spikes(sf_dir: str):
+    """Top-20 daily rate spikes per event type vs the trailing-7-day sum,
+    exact integer thousandths — the operational alarm view."""
+    from sbustreamspot_core_ray.stages.events import rate_spikes
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    return rate_spikes(ev, trailing=RATE_TRAIL, top_n=RATE_TOPN, num_parts=P)
+
+
+def _rate_spikes_sql() -> str:
+    T = RATE_TRAIL
+    return f"""
+WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+b AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM e GROUP BY 1),
+d AS (SELECT b.event_type, b.lo + g.i AS day
+      FROM b CROSS JOIN generate_series(0, 255) g(i) WHERE b.lo + g.i <= b.hi),
+c AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+z AS (SELECT d.event_type, d.day, COALESCE(c.n, 0) AS n
+      FROM d LEFT JOIN c ON c.event_type = d.event_type AND c.day = d.day),
+s AS (SELECT event_type, day, n,
+        sum(n) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN {T} PRECEDING AND 1 PRECEDING) AS tsum,
+        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM z)
+SELECT event_type, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+       CAST(1000 * {T} * n // tsum AS BIGINT) AS spike_e3
+FROM s WHERE rn > {T} AND tsum > 0
+QUALIFY row_number() OVER (ORDER BY spike_e3 DESC, event_type, day)
+        <= {RATE_TOPN}"""

@@ -232,6 +232,9 @@ BENCH_QUERIES = [
     "char_entropy",
     "identifier_tokens",
     "percolation",
+    "winnow",
+    "pagerank_drift",
+    "rate_spikes",
 ]
 
 

@@ -2430,3 +2430,96 @@ def f2_moment(events: ray.data.Dataset, num_parts: int = 32) -> "pa.Table":
             "f2_med_est": pa.array([ests[R // 2]], pa.int64()),
         }
     )
+
+
+def rate_spikes(
+    events: ray.data.Dataset,
+    trailing: int = 7,
+    top_n: int = 20,
+    num_parts: int = 8,
+) -> "pa.Table":
+    """Daily rate-spike detection per event type: for every day with a
+    full `trailing`-day history (zero-filled over the type's own
+    [first, last] span), the spike ratio in exact integer thousandths is
+    spike_e3 = 1000 * trailing * n_day // sum(previous `trailing` days)
+    (integer floor division — both sides), undefined (skipped) when the
+    trailing sum is zero. Emits the top_n (event_type, day, n, spike_e3)
+    by (spike_e3 desc, type, day) — the operational alarm view next to
+    the CUSUM level-shift report.
+
+    Scale shape: the same (type, day, n) combiner partials as
+    cusum_by_type (bounded by |types| * span), ONE hashed-type shuffle,
+    then a span-length vector scan per type; the global cut merges
+    per-partition top_n pre-cuts."""
+    import pandas as pd
+
+    from ..functions.hashing import part_of, stable_id64
+
+    def combiner(t: pa.Table) -> pa.Table:
+        day = (
+            t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        g = (
+            pd.DataFrame({"event_type": t["event_type"].to_pylist(), "day": day})
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        th = stable_id64(g["event_type"].to_numpy(object)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "day": pa.array(g["day"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "__p": pa.array(part_of(th, num_parts), pa.int32()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["event_type", "day"], sort=False)["n"].sum().reset_index()
+        rows = []
+        for et, grp in df.groupby("event_type", sort=False):
+            day = grp["day"].to_numpy(np.int64)
+            n = grp["n"].to_numpy(np.int64)
+            lo, hi = int(day.min()), int(day.max())
+            span = hi - lo + 1
+            counts = np.bincount(day - lo, weights=n, minlength=span).astype(
+                np.int64
+            )
+            if span <= trailing:
+                continue
+            csum = np.concatenate([[0], np.cumsum(counts)])
+            d = np.arange(trailing, span)
+            tsum = csum[d] - csum[d - trailing]
+            ok = tsum > 0
+            spike = (
+                1000 * trailing * counts[d[ok]] // tsum[ok]
+            )
+            for dd, nn, sp in zip(d[ok], counts[d[ok]], spike):
+                rows.append((et, lo + int(dd), int(nn), int(sp)))
+        out = pd.DataFrame(
+            rows, columns=["event_type", "day", "n", "spike_e3"]
+        )
+        return out.sort_values(
+            ["spike_e3", "event_type", "day"], ascending=[False, True, True]
+        ).head(top_n)
+
+    cands = (
+        events.select_columns(["event_type", "ts"])
+        .map_batches(combiner, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = cands.sort_values(
+        ["spike_e3", "event_type", "day"], ascending=[False, True, True]
+    ).head(top_n)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "day": pa.array(out["day"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "spike_e3": pa.array(out["spike_e3"].to_numpy(np.int64)),
+        }
+    )

@@ -1102,3 +1102,122 @@ def char_entropy(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(
         kernel, batch_format="pyarrow"
     )
+
+
+WINNOW_K = 8  # k-gram length in bytes
+WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 bytes shares
+#               a selected fingerprint — Schleimer/Wilkerson/Aiken, MOSS)
+_WINNOW_POS_BITS = 10  # documents are bounded at 1024 bytes (chunk first)
+
+
+def _winnow_pows(k: int) -> list[int]:
+    p, out, acc = int(_MERS), [], 1
+    for _ in range(k):
+        out.append(acc)
+        acc = (acc * 257) % p
+    return list(reversed(out))  # 257^(k-1-j) for j = 0..k-1
+
+
+def winnow_fingerprints(
+    docs: ray.data.Dataset, k: int = WINNOW_K, w: int = WINNOW_W
+) -> ray.data.Dataset:
+    """MOSS winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD
+    2003): every byte k-gram is hashed with the 61-bit polynomial rolling
+    family (mod 2^61-1, base 257 — the fingerprints op's hash), and each
+    length-w window of consecutive gram hashes selects its minimum (ties
+    broken by earliest position via packing position into the low bits).
+    The selected (doc_id, pos, fp) rows are the clone-detection index: any
+    shared substring of length >= k+w-1 is guaranteed to share a selected
+    fingerprint. Documents beyond 2^10 bytes raise — winnow bounded
+    chunks (chunk_documents) at scale, keeping the position packing and
+    the SQL mirror fixed.
+
+    Scale shape: zero shuffles — each document is one row, so gram
+    hashing (k vectorized Mersenne-split modmul terms over the batch's
+    flattened bytes) and the sliding-window min (w-1 shifted
+    np.minimum passes over a docs x max_grams matrix) are batch-local;
+    dedup of selected minima is one lexsort run-scan. All arithmetic is
+    uint64/HUGEINT-mirrorable: fp = h mod 2^52, packed = fp * 1024 + pos."""
+
+    pows = np.array(_winnow_pows(k), np.uint64)
+    FPMOD = np.uint64(1 << 52)
+    POSW = np.uint64(1 << _WINNOW_POS_BITS)
+
+    def kernel(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        doc_id = t["doc_id"].to_numpy().astype(np.int64, copy=False)
+        enc = [s.encode("utf-8") for s in t["text"].to_pylist()]
+        lens = np.array([len(b) for b in enc], np.int64)
+        if len(lens) and int(lens.max()) >= (1 << _WINNOW_POS_BITS):
+            raise ValueError(
+                "winnow_fingerprints packs byte positions into "
+                f"{_WINNOW_POS_BITS} bits; chunk documents over "
+                f"{(1 << _WINNOW_POS_BITS) - 1} bytes first (chunk_documents)"
+            )
+        n_docs = len(lens)
+        gd = np.maximum(lens - k + 1, 0)
+        totg = int(gd.sum())
+        empty = pa.table(
+            {
+                "doc_id": pa.array(np.array([], np.int64)),
+                "pos": pa.array(np.array([], np.int64)),
+                "fp": pa.array(np.array([], np.int64)),
+            }
+        )
+        if totg == 0:
+            return empty
+        flat = np.frombuffer(b"".join(enc), np.uint8).astype(np.uint64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        doc_of = np.repeat(np.arange(n_docs), gd)
+        p_in_doc = np.arange(totg, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(gd)[:-1]]), gd
+        )
+        base = starts[doc_of] + p_in_doc
+        h = np.zeros(totg, np.uint64)
+        mers = np.uint64(_MERS)
+        for j in range(k):
+            pw = pows[j]
+            pw_hi = pw >> np.uint64(32)
+            pw_lo = pw & np.uint64(0xFFFFFFFF)
+            b = flat[base + j]
+            x = b * pw_hi
+            hi_part = (x >> np.uint64(29)) + (
+                (x & np.uint64((1 << 29) - 1)) << np.uint64(32)
+            )
+            contrib = hi_part + b * pw_lo
+            contrib = np.where(contrib >= mers, contrib - mers, contrib)
+            contrib = np.where(contrib >= mers, contrib - mers, contrib)
+            h = h + contrib  # < 2*p < 2^62: one conditional subtract
+            h = np.where(h >= mers, h - mers, h)
+        packed = ((h % FPMOD) * POSW + p_in_doc.astype(np.uint64)).astype(
+            np.int64
+        )
+        maxg = int(gd.max())
+        INF = np.int64((1 << 62))
+        M = np.full((n_docs, maxg), INF, np.int64)
+        M[doc_of, p_in_doc] = packed
+        W = M.copy()
+        for sh in range(1, w):
+            if maxg - sh > 0:
+                np.minimum(W[:, : maxg - sh], M[:, sh:], out=W[:, : maxg - sh])
+        srow, scol = np.nonzero(W < INF)
+        valid = scol <= (gd[srow] - w)
+        srow, m = srow[valid], W[srow[valid], scol[valid]]
+        order = np.lexsort((m, srow))
+        srow, m = srow[order], m[order]
+        keep = np.ones(len(m), bool)
+        if len(m) > 1:
+            keep[1:] = (srow[1:] != srow[:-1]) | (m[1:] != m[:-1])
+        srow, m = srow[keep], m[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id[srow]),
+                "pos": pa.array(m % np.int64(1 << _WINNOW_POS_BITS)),
+                "fp": pa.array(m >> np.int64(_WINNOW_POS_BITS)),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow"
+    )

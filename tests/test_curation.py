@@ -638,3 +638,63 @@ def test_char_entropy_hand_case():
     assert out["n_distinct"].tolist() == [2, 1, 4]
     e1 = math.log(3) - (2 * math.floor(1e9 * math.log(2))) / (1e9 * 3)
     assert out["entropy"].tolist() == [round(e1, 6), 0.0, round(math.log(4), 6)]
+
+
+def test_winnow_fingerprints_guarantee_and_reference():
+    """Winnowing vs a brute-force reference, plus the MOSS guarantee:
+    two docs sharing a >= k+w-1 byte substring share a selected fp."""
+    from sbustreamspot_core_ray.stages.text import (
+        WINNOW_K,
+        WINNOW_W,
+        _winnow_pows,
+        winnow_fingerprints,
+    )
+
+    MERS = (1 << 61) - 1
+    pows = _winnow_pows(WINNOW_K)
+
+    def ref(doc_id, s):
+        b = s.encode()
+        gd = len(b) - WINNOW_K + 1
+        if gd < WINNOW_W:
+            return set()
+        hs = []
+        for p in range(gd):
+            h = 0
+            for j in range(WINNOW_K):
+                h = (h + b[p + j] * pows[j]) % MERS
+            hs.append(((h % (1 << 52)) << 10) + p)
+        out = set()
+        for st in range(gd - WINNOW_W + 1):
+            out.add(min(hs[st : st + WINNOW_W]))
+        return {(doc_id, m % 1024, m >> 10) for m in out}
+
+    shared = "the common stolen passage here"
+    texts = {
+        1: "alpha " + shared + " tail one",
+        2: "totally different prefix " + shared,
+        3: "no overlap with anything else at all",
+        4: "tiny",
+    }
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            }
+        )
+    )
+    got = {
+        (int(r["doc_id"]), int(r["pos"]), int(r["fp"]))
+        for _, r in winnow_fingerprints(docs).to_pandas().iterrows()
+    }
+    expect = set()
+    for d, s in texts.items():
+        expect |= ref(d, s)
+    assert got == expect
+    fp1 = {f for (d, p, f) in got if d == 1}
+    fp2 = {f for (d, p, f) in got if d == 2}
+    fp3 = {f for (d, p, f) in got if d == 3}
+    assert fp1 & fp2  # the MOSS guarantee on the shared passage
+    assert not (fp1 & fp3)
+    assert not any(d == 4 for (d, p, f) in got)  # shorter than k+w-1

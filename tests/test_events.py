@@ -742,3 +742,29 @@ def test_f2_moment_exact_and_estimate():
             sign = np.where(u * np.uint64(c) < np.uint64(1 << 63), 1, -1)
             ests.append(int(np.dot(sign, f)) ** 2)
     assert out["f2_med_est"] == sorted(ests)[4]
+
+
+def test_rate_spikes_hand_case():
+    """Flat week then a 4x day: day 7 spike 1000 (steady), day 8 spike
+    7000*4//7 = 4000; days without full history skipped."""
+    from sbustreamspot_core_ray.stages.events import rate_spikes
+
+    DAY = 86_400_000_000
+    HOUR = 3_600_000_000
+    ts = []
+    for d in range(9):
+        ts.append(d * DAY + HOUR)
+    ts += [8 * DAY + 2 * HOUR, 8 * DAY + 3 * HOUR, 8 * DAY + 4 * HOUR]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["a"] * len(ts), pa.string()),
+                "ts": pa.array(np.array(ts, "datetime64[us]"), pa.timestamp("us")),
+            }
+        )
+    )
+    out = rate_spikes(ev, trailing=7, top_n=20, num_parts=4).to_pandas()
+    assert list(map(tuple, out.to_numpy())) == [
+        ("a", 8, 4, 4000),
+        ("a", 7, 1, 1000),
+    ]

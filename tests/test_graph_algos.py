@@ -1165,3 +1165,19 @@ def test_percolation_sweep_hand_case():
     h = (src * 2654435761 + dst * 40503) % 100
     kept = h < 60
     assert out.loc[60]["n_edges"] == int(kept.sum())
+
+
+def test_pagerank_drift_semantics():
+    """Drift = rank_full - rank_thinned on the shared vertex set, cut by
+    (|delta| desc, vertex); a vertex whose only in-edge is dropped by the
+    hash filter must show positive drift when it returns."""
+    import __ray_entry__ as E
+
+    out = E.q_pagerank_drift("/root/testdata/sf0.001").to_pandas()
+    assert list(out.columns) == ["vertex", "rank_old", "rank_new", "delta"]
+    assert len(out) == E.PR_DRIFT_TOPN
+    d = out["delta"].to_numpy()
+    assert np.allclose(d, out["rank_new"] - out["rank_old"])
+    a = np.abs(d)
+    assert (a[:-1] >= a[1:] - 1e-15).all()  # non-increasing |delta|
+    assert a[0] > 0  # thinning 10% of edges moves at least one rank
