@@ -214,3 +214,23 @@ def test_identifier_tokens_hand_case():
         ("go", "int", 1),
         ("go", "loop", 1),
     ]
+
+
+def test_dedup_int_rows_paths_agree():
+    """Packed 2-col fast path vs lexsort fallback vs np.unique(axis=0):
+    identical outputs, including negatives (fallback) and 3 columns."""
+    from sbustreamspot_core_ray.sources.edges import _dedup_int_rows
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 1000, (5000, 2)).astype(np.int64)
+    a = np.concatenate([a, a[:100]])  # force dups
+    assert np.array_equal(_dedup_int_rows(a.copy()), np.unique(a, axis=0))
+    b = a.copy()
+    b[0, 0] = -7  # negative: packed path must NOT trigger
+    assert np.array_equal(_dedup_int_rows(b.copy()), np.unique(b, axis=0))
+    c = rng.integers(-50, 50, (3000, 3)).astype(np.int64)
+    assert np.array_equal(_dedup_int_rows(c.copy()), np.unique(c, axis=0))
+    big = a.copy()
+    big[0, 1] = 1 << 40  # beyond 2^31: fallback
+    assert np.array_equal(_dedup_int_rows(big.copy()), np.unique(big, axis=0))
+    assert _dedup_int_rows(np.empty((0, 2), np.int64)).shape == (0, 2)
