@@ -7870,6 +7870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow": q_winnow,
         "pagerank_drift": q_pagerank_drift,
         "rate_spikes": q_rate_spikes,
+        "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
         "jaccard_links": q_jaccard_links,
@@ -8067,6 +8068,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow": _winnow_sql(),
         "pagerank_drift": _pagerank_drift_sql(),
         "rate_spikes": _rate_spikes_sql(),
+        "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
         "condensation_depth": _SQL_CONDENSATION_DEPTH.format(m=RECIP_MOD),
@@ -10188,3 +10190,27 @@ SELECT event_type, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
 FROM s WHERE rn > {T} AND tsum > 0
 QUALIFY row_number() OVER (ORDER BY spike_e3 DESC, event_type, day)
         <= {RATE_TOPN}"""
+
+
+def q_prefix_dups(sf_dir: str):
+    """Proper-prefix duplicates (truncated re-crawls / cut-off docs):
+    complete sorted-adjacency detection via sampled range partitioning —
+    one shuffle, driver stitches bucket edges."""
+    from sbustreamspot_core_ray.stages.dedup import prefix_duplicates
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return prefix_duplicates(docs, num_parts=P)
+
+
+def _prefix_dups_sql() -> str:
+    return """
+WITH d AS (SELECT DISTINCT text FROM documents),
+nx AS (SELECT text, lead(text) OVER (ORDER BY text) AS nxt FROM d),
+flag AS (
+  SELECT text FROM nx
+  WHERE nxt IS NOT NULL AND length(nxt) > length(text)
+    AND substring(nxt, 1, length(text)) = text)
+SELECT s.doc_id, CAST(length(s.text) AS BIGINT) AS prefix_len
+FROM documents s JOIN flag ON flag.text = s.text"""

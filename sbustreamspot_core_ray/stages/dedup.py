@@ -1349,3 +1349,169 @@ def allpairs_jaccard_join(
         broadcast_threshold=broadcast_threshold,
         kernel=kernel,
     )
+
+
+def prefix_duplicates(
+    docs: ray.data.Dataset,
+    num_parts: int = 32,
+    sample_shift: int = 56,
+) -> "pa.Table":
+    """Proper-prefix duplicate detection: every document whose full text is
+    a strict prefix of some other document (truncated re-crawls, cut-off
+    generations, partial files) — the sequence-level dedup pass exact
+    hashing misses. COMPLETE, not a heuristic: in lexicographic order all
+    extensions of a string immediately follow its exact duplicates (any
+    non-extension s > a differs from a at a position < len(a), so every
+    extension sorts before it), hence checking each distinct text against
+    ONLY its next distinct successor decides the property. Emits
+    (doc_id, prefix_len) for flagged documents.
+
+    Scale shape: deterministic sampled range partitioning on text (the
+    SNM splitter protocol: hash-gated sample folded to equi-spaced
+    splitters on the driver) -> ONE shuffle where each row ships to
+    exactly one range bucket (no halo: bucket edges are resolved by the
+    driver from per-bucket metadata) -> per-bucket lexsort + adjacent
+    distinct-run scan. Each bucket emits its flagged rows, its trailing
+    distinct run (pending rows), and its first/second distinct texts; the
+    driver stitches <= P bucket edges in a tiny loop."""
+    import pandas as pd
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    kd = docs.select_columns(["doc_id", "text"]).materialize()
+
+    def sampled(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            gate = (d.view(np.uint64) * GOLD) >> np.uint64(sample_shift) == 0
+        return pa.table(
+            {"text": pa.compute.take(t["text"], pa.array(np.flatnonzero(gate)))}
+        )
+
+    sdf = kd.map_batches(sampled, batch_format="pyarrow").to_pandas()
+    samp = (
+        sdf["text"] if "text" in sdf.columns else pd.Series([], dtype=object)
+    ).sort_values().reset_index(drop=True)
+    n_buckets = max(1, min(num_parts, len(samp)))
+    if n_buckets > 1:
+        idx = (np.arange(1, n_buckets) * len(samp)) // n_buckets
+        split_t = samp.to_numpy()[idx]
+    else:
+        split_t = np.array([], dtype=object)
+    splitters = ray.put(split_t)
+
+    def route(t: pa.Table) -> pa.Table:
+        from ..functions.proccache import cached_get
+
+        sk = cached_get(splitters)
+        txt = np.asarray(t["text"].to_pandas(), dtype=object)
+        b = (
+            np.searchsorted(sk, txt, side="right").astype(np.int32)
+            if len(sk)
+            else np.zeros(len(txt), np.int32)
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": t["text"], "__p": pa.array(b)}
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["text", "doc_id"], kind="stable")
+        txt = df["text"].to_numpy(object)
+        did = df["doc_id"].to_numpy(np.int64)
+        bucket = int(df["__p"].iloc[0])
+        n = len(txt)
+        new = np.ones(n, bool)
+        new[1:] = txt[1:] != txt[:-1]
+        starts = np.flatnonzero(new)
+        distinct = txt[starts].astype(str)
+        frames = []
+        if len(distinct) > 1:
+            # vectorized extension test: successor contains predecessor at
+            # position 0 AND is strictly longer (np.char: one C pass, no
+            # per-run Python loop)
+            a, b2 = distinct[:-1], distinct[1:]
+            lens_a = np.char.str_len(a)
+            ext = (np.char.find(b2, a) == 0) & (np.char.str_len(b2) > lens_a)
+            runs = np.flatnonzero(ext)
+            if len(runs):
+                lo = starts[runs]
+                hi = starts[runs + 1]
+                cnt = hi - lo
+                sel = np.repeat(lo, cnt) + (
+                    np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": did[sel],
+                            "prefix_len": np.repeat(lens_a[runs], cnt).astype(
+                                np.int64
+                            ),
+                            "kind": 0,
+                            "bucket": bucket,
+                            "text": "",
+                        }
+                    )
+                )
+        # trailing run: pending, resolved by the driver at the bucket edge
+        meta = []
+        if len(distinct):
+            lo = starts[-1]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": did[lo:n],
+                        "prefix_len": np.int64(len(distinct[-1])),
+                        "kind": 1,
+                        "bucket": bucket,
+                        "text": str(distinct[-1]),
+                    }
+                )
+            )
+            meta.append((-1, 0, 2, bucket, str(distinct[0])))  # meta: first
+            if len(distinct) > 1:
+                meta.append((-1, 0, 3, bucket, str(distinct[1])))  # second
+        frames.append(
+            pd.DataFrame(
+                meta, columns=["doc_id", "prefix_len", "kind", "bucket", "text"]
+            )
+        )
+        return pd.concat(frames, ignore_index=True)
+
+    parts = (
+        kd.map_batches(route, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    flagged = parts[parts["kind"] == 0][["doc_id", "prefix_len"]]
+    pend = parts[parts["kind"] == 1]
+    first = dict(zip(parts[parts["kind"] == 2]["bucket"], parts[parts["kind"] == 2]["text"]))
+    second = dict(zip(parts[parts["kind"] == 3]["bucket"], parts[parts["kind"] == 3]["text"]))
+    max_b = int(parts["bucket"].max()) if len(parts) else -1
+    extra = []
+    for b, grp in pend.groupby("bucket"):
+        t0 = grp["text"].iloc[0]
+        succ = None
+        for j in range(int(b) + 1, max_b + 1):
+            d1 = first.get(j)
+            if d1 is None:
+                continue
+            if d1 == t0:
+                if j in second:
+                    succ = second[j]
+                    break
+                continue  # bucket holds only duplicates of t0: keep looking
+            succ = d1
+            break
+        if succ is not None and len(succ) > len(t0) and succ.startswith(t0):
+            extra.append(grp[["doc_id", "prefix_len"]])
+    if extra:
+        flagged = pd.concat([flagged] + extra, ignore_index=True)
+    flagged = flagged.sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(flagged["doc_id"].to_numpy(np.int64)),
+            "prefix_len": pa.array(flagged["prefix_len"].to_numpy(np.int64)),
+        }
+    )

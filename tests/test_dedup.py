@@ -347,3 +347,33 @@ def test_allpairs_jaccard_complete_vs_bruteforce():
     assert got[["src", "dst", "inter", "uni"]].to_numpy().tolist() == \
         want_df.to_numpy().tolist()
     assert len(want_df) >= 3  # the fixture must actually exercise matches
+
+
+def test_prefix_duplicates_complete_vs_bruteforce():
+    """Sorted-adjacency prefix detection vs the O(n^2) definition,
+    including duplicate texts and multi-bucket stitching."""
+    from sbustreamspot_core_ray.stages.dedup import prefix_duplicates
+
+    texts = {
+        1: "abc", 2: "abcdef", 3: "abc", 4: "abd", 5: "ab",
+        6: "zzz", 7: "zz", 8: "zz", 9: "q", 10: "qr", 11: "xyz",
+    }
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            }
+        )
+    )
+    got = {
+        (int(r["doc_id"]), int(r["prefix_len"]))
+        for _, r in prefix_duplicates(docs, num_parts=4, sample_shift=63)
+        .to_pandas()
+        .iterrows()
+    }
+    expect = set()
+    for d, t in texts.items():
+        if any(len(u) > len(t) and u.startswith(t) for u in texts.values()):
+            expect.add((d, len(t)))
+    assert got == expect
