@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "winnow",
     "pagerank_drift",
     "rate_spikes",
+    "prefix_dups",
 ]
 
 
