@@ -7870,6 +7870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow": q_winnow,
         "pagerank_drift": q_pagerank_drift,
         "rate_spikes": q_rate_spikes,
+        "triad_census": q_triad_census,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8068,6 +8069,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow": _winnow_sql(),
         "pagerank_drift": _pagerank_drift_sql(),
         "rate_spikes": _rate_spikes_sql(),
+        "triad_census": _SQL_TRIAD_CENSUS.format(m=TRIAD_MOD),
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -10214,3 +10216,71 @@ flag AS (
     AND substring(nxt, 1, length(text)) = text)
 SELECT s.doc_id, CAST(length(s.text) AS BIGINT) AS prefix_len
 FROM documents s JOIN flag ON flag.text = s.text"""
+
+
+def q_triad_census(sf_dir: str):
+    """Directed triad census over the complete (closed-triangle) triads of
+    the folded interaction graph: 030C/030T/120D/120U/120C/210/300 counts
+    (networkx-convention semantics, pinned in tests). Broadcast wedge
+    closure with edge-direction masks riding along; no shuffle at sf scale,
+    one hash(v,w) shuffle above the broadcast cap."""
+    from sbustreamspot_core_ray.pipelines.superstep import triad_census
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pk % TRIAD_MOD, "dst": sk % TRIAD_MOD})
+
+    return triad_census(
+        li.map_batches(mk, batch_format="pyarrow"), num_partitions=4 * P
+    )
+
+
+# wider fold than RECIP_MOD: at m=997 the sf0.1 graph is near-complete
+# (~82M triangles) and the census measures raw wedge volume, not the
+# operator; 2999 keeps every one of the 7 classes populated at sf0.01
+# while cutting sf0.1 triangles ~4x
+TRIAD_MOD = 2999
+
+
+# e1=(x,y,m1), e2=(x,z,m2), e3=(y,z,m3) for sorted triple x<y<z; masks are
+# canonical-direction bitsets (1: low->high arc, 2: reverse, 3: mutual) —
+# the CASE ladder mirrors _classify_triads bit for bit
+_SQL_TRIAD_CENSUS = """
+WITH e0 AS (
+  SELECT DISTINCT l_partkey % {m} AS s, l_suppkey % {m} AS d
+  FROM lineitem WHERE l_partkey % {m} <> l_suppkey % {m}),
+p AS (
+  SELECT LEAST(s, d) AS a, GREATEST(s, d) AS b,
+         CAST(SUM(DISTINCT CASE WHEN s < d THEN 1 ELSE 2 END) AS INT) AS m
+  FROM e0 GROUP BY 1, 2),
+t AS (
+  SELECT p1.a AS x, p1.b AS y, p2.b AS z, p1.m AS m1, p2.m AS m2, p3.m AS m3
+  FROM p p1
+  JOIN p p2 ON p2.a = p1.a AND p2.b > p1.b
+  JOIN p p3 ON p3.a = p1.b AND p3.b = p2.b),
+c AS (
+  SELECT CAST(m1 = 3 AS INT) + CAST(m2 = 3 AS INT) + CAST(m3 = 3 AS INT) AS nm,
+         CASE WHEN m1 = 1 THEN x ELSE y END AS s1,
+         CASE WHEN m2 = 1 THEN x ELSE z END AS s2,
+         CASE WHEN m3 = 1 THEN y ELSE z END AS s3,
+         CASE WHEN m1 = 3 THEN z WHEN m2 = 3 THEN y ELSE x END AS zv,
+         m1, m2, m3
+  FROM t),
+k AS (
+  SELECT CASE
+    WHEN nm = 3 THEN '300'
+    WHEN nm = 2 THEN '210'
+    WHEN nm = 1 THEN (
+      CASE (CASE WHEN m1 <> 3 AND s1 = zv THEN 1 ELSE 0 END)
+         + (CASE WHEN m2 <> 3 AND s2 = zv THEN 1 ELSE 0 END)
+         + (CASE WHEN m3 <> 3 AND s3 = zv THEN 1 ELSE 0 END)
+        WHEN 2 THEN '120D' WHEN 0 THEN '120U' ELSE '120C' END)
+    WHEN s1 <> s2 AND s1 <> s3 AND s2 <> s3 THEN '030C'
+    ELSE '030T' END AS triad
+  FROM c)
+SELECT triad, CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY triad"""

@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "pagerank_drift",
     "rate_spikes",
     "prefix_dups",
+    "triad_census",
 ]
 
 

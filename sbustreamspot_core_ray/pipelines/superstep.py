@@ -4110,3 +4110,423 @@ def percolation_sweep(
             "giant_size": pa.array([r[4] for r in rows], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Directed triad census (complete triads)
+# ---------------------------------------------------------------------------
+
+# Holland–Leinhardt MAN codes for the seven COMPLETE triads (all three
+# vertex pairs connected), networkx-convention semantics (pinned against
+# nx.triadic_census in tests/test_graph_extras.py):
+#   030C cyclic 3 one-way arcs; 030T transitive 3 one-way arcs;
+#   120D one mutual dyad, off-dyad vertex points INTO the dyad (out-deg 2);
+#   120U one mutual dyad, dyad points to the off-dyad vertex (in-deg 2);
+#   120C one mutual dyad, mixed one-in-one-out; 210 two mutual; 300 all.
+TRIAD_NAMES = ("030C", "030T", "120D", "120U", "120C", "210", "300")
+
+
+def _classify_triads(
+    tu: np.ndarray,
+    tv1: np.ndarray,
+    tv2: np.ndarray,
+    m_uv1: np.ndarray,
+    m_uv2: np.ndarray,
+    m_v12: np.ndarray,
+) -> np.ndarray:
+    """Vectorized triad classification. Each row is a triangle over
+    vertices (tu, tv1, tv2) with edges (tu,tv1), (tu,tv2), (tv1,tv2);
+    each mask is the CANONICAL direction bitset of its undirected edge —
+    bit0: low-id -> high-id arc present, bit1: the reverse arc — so a
+    mask is 1, 2 or 3 and is independent of the argument order here.
+    Returns int8 codes indexing TRIAD_NAMES."""
+    x = np.minimum(np.minimum(tu, tv1), tv2)
+    z = np.maximum(np.maximum(tu, tv1), tv2)
+    y = tu + tv1 + tv2 - x - z
+    lo1, hi1 = np.minimum(tu, tv1), np.maximum(tu, tv1)
+    lo2, hi2 = np.minimum(tu, tv2), np.maximum(tu, tv2)
+    # slot the three masks onto the sorted pairs (x,y), (x,z), (y,z):
+    # hi==y uniquely selects the (x,y) edge, lo==y the (y,z) edge
+    m_xy = np.where(hi1 == y, m_uv1, np.where(hi2 == y, m_uv2, m_v12))
+    m_yz = np.where(lo1 == y, m_uv1, np.where(lo2 == y, m_uv2, m_v12))
+    m_xz = np.where(
+        (lo1 == x) & (hi1 == z),
+        m_uv1,
+        np.where((lo2 == x) & (hi2 == z), m_uv2, m_v12),
+    )
+    nm = (
+        (m_xy == 3).astype(np.int8)
+        + (m_xz == 3).astype(np.int8)
+        + (m_yz == 3).astype(np.int8)
+    )
+    # arc source per edge (meaningful only when that mask != 3)
+    s_xy = np.where(m_xy == 1, x, y)
+    s_xz = np.where(m_xz == 1, x, z)
+    s_yz = np.where(m_yz == 1, y, z)
+    # nm == 0: cyclic iff every vertex emits exactly one arc, i.e. the
+    # three sources are pairwise distinct
+    cyc = (s_xy != s_xz) & (s_xy != s_yz) & (s_xz != s_yz)
+    # nm == 1: off-dyad vertex = the one NOT on the mutual edge; its
+    # out-count over the two one-way arcs picks D (2) / U (0) / C (1)
+    zv = np.where(m_xy == 3, z, np.where(m_xz == 3, y, x))
+    zout = (
+        ((m_xy != 3) & (s_xy == zv)).astype(np.int8)
+        + ((m_xz != 3) & (s_xz == zv)).astype(np.int8)
+        + ((m_yz != 3) & (s_yz == zv)).astype(np.int8)
+    )
+    return np.where(
+        nm == 3,
+        6,
+        np.where(
+            nm == 2,
+            5,
+            np.where(
+                nm == 1,
+                np.where(zout == 2, 2, np.where(zout == 0, 3, 4)),
+                np.where(cyc, 0, 1),
+            ),
+        ),
+    ).astype(np.int8)
+
+
+@ray.remote
+def _triad_wedges_task(u, v, m, es_packed, es_mask, lo: int, hi: int):
+    """Triad-census variant of _close_wedges_task: close the wedges whose
+    first edge lies in [lo, hi), classify each closed triangle from the
+    three edge masks, return a 7-long count vector. Always probes forward
+    (wedges into the sorted edge array): the census needs each hit's es
+    POSITION to fetch the closing edge's mask, which the inverted
+    interval-count probe does not produce."""
+    n = len(u)
+    pos0 = np.arange(lo, hi)
+    run_end = np.searchsorted(u, u[lo:hi], side="right")
+    sizes = run_end - pos0 - 1
+    sizes[sizes < 0] = 0
+    tot = int(sizes.sum())
+    if tot == 0:
+        return np.zeros(7, np.int64)
+    rep = np.repeat(pos0, sizes)
+    within = np.arange(tot) - np.concatenate([[0], np.cumsum(sizes)])[rep - lo]
+    gather = rep + 1 + within
+    v1, v2 = v[rep], v[gather]
+    qa, qb = np.minimum(v1, v2), np.maximum(v1, v2)
+    qpack = (qa.astype(np.uint64) << np.uint64(32)) | qb.astype(np.uint64)
+    p = np.searchsorted(es_packed, qpack)
+    np.clip(p, 0, len(es_packed) - 1, out=p)
+    hit = es_packed[p] == qpack
+    if not hit.any():
+        return np.zeros(7, np.int64)
+    codes = _classify_triads(
+        u[rep][hit].astype(np.int64),
+        v1[hit].astype(np.int64),
+        v2[hit].astype(np.int64),
+        m[rep][hit].astype(np.int64),
+        m[gather][hit].astype(np.int64),
+        es_mask[p[hit]].astype(np.int64),
+    )
+    return np.bincount(codes, minlength=7).astype(np.int64)
+
+
+def triad_census(
+    edges: ray.data.Dataset,
+    num_partitions: int = 32,
+    broadcast_edges_max: int = 50_000_000,
+) -> "pa.Table":
+    """Exact directed triad census over the COMPLETE (closed-triangle)
+    triads of a directed graph — counts of 030C/030T/120D/120U/120C/210/300
+    (see TRIAD_NAMES). The motif layer the scalar triangle count and the
+    reciprocity summary can't see: distinguishes feed-forward (030T) from
+    feedback (030C) structure and how mutual dyads embed in triangles.
+
+    Pipeline: canonicalize each directed arc to its undirected edge plus a
+    direction bit (1: low-id->high-id, 2: reverse) -> per-edge mask = OR of
+    the bits -> degree-ordered orientation -> the triangle_count wedge
+    machinery, with the three edge masks riding along so each closed
+    triangle classifies locally in the task/partition that closes it.
+
+    Two regimes, mirroring triangle_count:
+      - |E| <= broadcast_edges_max: edge array + masks broadcast once
+        (ray.put), balanced wedge tasks probe in place; NO shuffle.
+      - larger: masks travel through the oriented/wedge tables; ONE
+        hash(v,w) shuffle co-partitions wedges with closing edges and the
+        census folds per partition.
+    Returns a tiny (triad, n) Arrow table (nonzero classes only, sorted by
+    name — matches the SQL oracle's GROUP BY)."""
+    import pyarrow.compute as pc
+
+    P = num_partitions
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["src"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = pc.cast(t["dst"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "a": np.minimum(s, d),
+                "b": np.maximum(s, d),
+                "dm": np.where(s < d, 1, 2).astype(np.int64),
+            }
+        )
+
+    raw = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    n_edges = raw.count()
+    try:
+        avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        broadcast_edges_max = min(broadcast_edges_max, int(avail * 0.10) // 24)
+    except (ValueError, OSError, AttributeError):
+        pass
+
+    def census_table(counts: np.ndarray) -> pa.Table:
+        keep = counts > 0
+        names = [TRIAD_NAMES[i] for i in np.flatnonzero(keep)]
+        return pa.table(
+            {
+                "triad": pa.array(names, pa.string()),
+                "n": pa.array(counts[keep], pa.int64()),
+            }
+        )
+
+    if n_edges <= broadcast_edges_max:
+        df = raw.to_pandas()
+        if "a" not in df.columns or not len(df):
+            return census_table(np.zeros(7, np.int64))
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        dm = df["dm"].to_numpy()
+        del df
+        vmax = int(max(a.max(), b.max()))
+        if vmax < (1 << 26):
+            nv = vmax + 1
+            ra, rb = a, b
+        else:
+            vs_sorted = np.unique(np.concatenate([a, b]))
+            nv = len(vs_sorted)
+            assert nv < (1 << 31)
+            ra = np.searchsorted(vs_sorted, a).astype(np.int64)
+            rb = np.searchsorted(vs_sorted, b).astype(np.int64)
+        packed = (ra.astype(np.uint64) << np.uint64(32)) | rb.astype(np.uint64)
+        order = np.argsort(packed, kind="stable")
+        packed = packed[order]
+        dm_s = dm[order].astype(np.int64)
+        new = np.ones(len(packed), bool)
+        new[1:] = packed[1:] != packed[:-1]
+        starts = np.flatnonzero(new)
+        es_packed = packed[starts]
+        es_mask = np.bitwise_or.reduceat(dm_s, starts)
+        ra = (es_packed >> np.uint64(32)).astype(np.int64)
+        rb = (es_packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        deg = np.bincount(ra, minlength=nv) + np.bincount(rb, minlength=nv)
+        da, db = deg[ra], deg[rb]
+        a_first = (da < db) | ((da == db) & (ra < rb))
+        u = np.where(a_first, ra, rb).astype(np.int32)
+        v = np.where(a_first, rb, ra).astype(np.int32)
+        rv = np.where(a_first, db, da).astype(np.int32)
+        em = es_mask.astype(np.int8)
+        o2 = np.lexsort((v, rv, u))
+        u, v, em = u[o2], v[o2], em[o2]
+        n = len(u)
+        if n == 0:
+            return census_table(np.zeros(7, np.int64))
+        run_end_all = np.searchsorted(u, u, side="right")
+        sizes_all = run_end_all - np.arange(n) - 1
+        cum = np.cumsum(sizes_all)
+        total_w = int(cum[-1]) if n else 0
+        T = max(1, min(num_partitions, n))
+        targets = (np.arange(1, T) * (total_w / T)).astype(np.int64)
+        cuts = np.searchsorted(cum, targets)
+        cuts = np.searchsorted(u, u[np.clip(cuts, 0, n - 1)], side="left")
+        bounds = np.unique(np.concatenate([[0], cuts, [n]]))
+        u_ref = ray.put(u)
+        v_ref = ray.put(v)
+        m_ref = ray.put(em)
+        es_ref = ray.put(es_packed)
+        esm_ref = ray.put(es_mask.astype(np.int8))
+        parts = ray.get(
+            [
+                _triad_wedges_task.remote(
+                    u_ref, v_ref, m_ref, es_ref, esm_ref,
+                    int(bounds[i]), int(bounds[i + 1]),
+                )
+                for i in range(len(bounds) - 1)
+            ]
+        )
+        return census_table(np.sum(parts, axis=0).astype(np.int64))
+
+    # ---- co-partitioned regime (|E| too large to broadcast) ----
+    und3 = distinct(raw, ["a", "b", "dm"]).materialize()
+
+    def local_mask(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        dm = t["dm"].to_numpy()
+        o = np.lexsort((b, a))
+        a, b, dm = a[o], b[o], dm[o]
+        new = np.ones(len(a), bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        st = np.flatnonzero(new)
+        return pa.table(
+            {
+                "a": a[st],
+                "b": b[st],
+                "m": np.bitwise_or.reduceat(dm, st) if len(st) else dm[:0],
+                "__p": pa.array(_pair_part(a[st], b[st], P), pa.int32()),
+            }
+        )
+
+    def merge_mask(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        dm = t["m"].to_numpy()
+        o = np.lexsort((b, a))
+        a, b, dm = a[o], b[o], dm[o]
+        new = np.ones(len(a), bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        st = np.flatnonzero(new)
+        return pa.table(
+            {
+                "a": a[st],
+                "b": b[st],
+                "m": np.bitwise_or.reduceat(dm, st) if len(st) else dm[:0],
+            }
+        )
+
+    und = (
+        und3.map_batches(local_mask, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(merge_mask, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        vv = pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()])
+        return pa.table({"vertex": vv})
+
+    deg = int_degrees(
+        und.map_batches(both_ends, batch_format="pyarrow"), P
+    ).materialize()
+    wd = _attach_value(und, deg, "a", ["b", "m"], "deg", "deg_a", P)
+    wd = _attach_value(
+        wd.rename_columns({"a": "oa", "b": "a"}),
+        deg,
+        "a",
+        ["oa", "m", "deg_a"],
+        "deg",
+        "deg_b",
+        P,
+    ).rename_columns({"a": "b", "oa": "a"})
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        da = t["deg_a"].to_numpy()
+        db = t["deg_b"].to_numpy()
+        a_first = (da < db) | ((da == db) & (a < b))
+        uu = np.where(a_first, a, b)
+        vv = np.where(a_first, b, a)
+        rvv = np.where(a_first, db, da)
+        return pa.table(
+            {
+                "u": uu,
+                "v": vv,
+                "rv": rvv,
+                "m": t["m"],
+                "up": pa.array(part_of(uu, P), pa.int32()),
+            }
+        )
+
+    oriented = wd.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        rv = t["rv"].to_numpy()
+        m = t["m"].to_numpy()
+        order = np.lexsort((v, rv, u))
+        u, v, m = u[order], v[order], m[order]
+        n = len(u)
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        run_id = np.cumsum(np.concatenate([[True], u[1:] != u[:-1]])) - 1
+        run_end = np.concatenate([starts[1:], [n]])[run_id]
+        pos = np.arange(n)
+        sizes = run_end - pos - 1
+        tot = int(sizes.sum())
+        if tot == 0:
+            e = np.empty(0, np.int64)
+            return pa.table(
+                {"wv": e, "ww": e, "wu": e, "m1": e, "m2": e,
+                 "kp": np.empty(0, np.int32)}
+            )
+        rep = np.repeat(pos, sizes)
+        within = np.arange(tot) - np.concatenate([[0], np.cumsum(sizes)])[rep]
+        gather = rep + 1 + within
+        wvc, wwc = v[rep], v[gather]
+        return pa.table(
+            {
+                "wv": wvc,
+                "ww": wwc,
+                "wu": u[rep],
+                "m1": m[rep],
+                "m2": m[gather],
+                "kp": pa.array(_pair_part(wvc, wwc, P), pa.int32()),
+            }
+        )
+
+    wedge_ds = oriented.groupby("up").map_groups(wedges, batch_format="pyarrow")
+    SENTINEL = np.iinfo(np.int64).min
+
+    def key_edge(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        z = np.zeros(len(u), np.int64)
+        return pa.table(
+            {
+                "wv": t["u"],
+                "ww": t["v"],
+                "wu": pa.array(np.full(len(u), SENTINEL, np.int64)),
+                "m1": t["m"],
+                "m2": z,
+                "kp": pa.array(_pair_part(u, v, P), pa.int32()),
+            }
+        )
+
+    probes = wedge_ds.union(oriented.map_batches(key_edge, batch_format="pyarrow"))
+
+    def match(t: pa.Table) -> pa.Table:
+        wu = t["wu"].to_numpy(zero_copy_only=False)
+        is_edge = wu == SENTINEL
+        wv = t["wv"].to_numpy(zero_copy_only=False)
+        ww = t["ww"].to_numpy(zero_copy_only=False)
+        m1 = t["m1"].to_numpy(zero_copy_only=False)
+        m2 = t["m2"].to_numpy(zero_copy_only=False)
+        es = _pair_struct(wv[is_edge], ww[is_edge])
+        esm = m1[is_edge]
+        o = np.argsort(es, kind="stable")
+        es, esm = es[o], esm[o]
+        qs = _pair_struct(wv[~is_edge], ww[~is_edge])
+        qu = wu[~is_edge]
+        qm1 = m1[~is_edge]
+        qm2 = m2[~is_edge]
+        counts = np.zeros(7, np.int64)
+        if len(es) and len(qs):
+            p = np.clip(np.searchsorted(es, qs), 0, len(es) - 1)
+            hit = es[p] == qs
+            if hit.any():
+                codes = _classify_triads(
+                    qu[hit], qs["a"][hit], qs["b"][hit],
+                    qm1[hit], qm2[hit], esm[p[hit]],
+                )
+                counts = np.bincount(codes, minlength=7).astype(np.int64)
+        return pa.table(
+            {"code": np.arange(7, dtype=np.int64), "n": counts}
+        )
+
+    parts = (
+        probes.groupby("kp")
+        .map_groups(match, batch_format="pyarrow")
+        .to_pandas()
+    )
+    totals = np.zeros(7, np.int64)
+    if len(parts):
+        np.add.at(totals, parts["code"].to_numpy(), parts["n"].to_numpy())
+    return census_table(totals)

@@ -767,3 +767,46 @@ def test_neighbor_sample_vs_bruteforce():
     h1 = got[got["hop"] == 1]
     assert h1.groupby("src").size().max() <= 2
     assert not set(got[got["hop"] == 2]["src"]) & {1, 2}
+
+
+def test_triad_census_vs_networkx_both_regimes():
+    """Both census regimes (broadcast and co-partitioned) against
+    nx.triadic_census on a deterministic directed graph dense enough to
+    populate all seven complete-triad classes."""
+    import networkx as nx
+
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        TRIAD_NAMES,
+        triad_census,
+    )
+
+    # seeded-PCG arcs over 40 vertices (~570 distinct: mutual pairs, self
+    # loops and duplicates all present by construction)
+    rng = np.random.default_rng(1234)
+    n = 40
+    arcs = list(
+        zip(
+            rng.integers(0, n, 700).tolist(),
+            rng.integers(0, n, 700).tolist(),
+        )
+    )
+    g = nx.DiGraph((s, d) for s, d in arcs if s != d)
+    want = {
+        k: v for k, v in nx.triadic_census(g).items() if k in TRIAD_NAMES and v
+    }
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a[0] for a in arcs], pa.int64()),
+                "dst": pa.array([a[1] for a in arcs], pa.int64()),
+            }
+        )
+    )
+    for cap in (10**9, 1):  # broadcast regime, then force the shuffle path
+        got_t = triad_census(edges, num_partitions=4, broadcast_edges_max=cap)
+        got = dict(
+            zip(got_t["triad"].to_pylist(), got_t["n"].to_pylist())
+        )
+        assert got == want, (cap, got, want)
+    assert len(want) == 7  # the fixture must exercise every class
