@@ -7871,6 +7871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_drift": q_pagerank_drift,
         "rate_spikes": q_rate_spikes,
         "triad_census": q_triad_census,
+        "linear_attribution": q_linear_attribution,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8070,6 +8071,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_drift": _pagerank_drift_sql(),
         "rate_spikes": _rate_spikes_sql(),
         "triad_census": _SQL_TRIAD_CENSUS.format(m=TRIAD_MOD),
+        "linear_attribution": _SQL_LINEAR_ATTribution,
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -10284,3 +10286,42 @@ k AS (
     ELSE '030T' END AS triad
   FROM c)
 SELECT triad, CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY triad"""
+
+
+def q_linear_attribution(sf_dir: str):
+    """Multi-touch linear attribution: every purchase splits 1e6 integer
+    micro-credits equally over the user's click/view touches in the 7
+    days strictly before it (remainder to the earliest touches) — the
+    complement of asof_attribution's last-touch model. One hash(user)
+    shuffle, vectorized struct-searchsorted ranges per partition."""
+    from sbustreamspot_core_ray.stages.events import linear_attribution
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return linear_attribution(ev, num_parts=P)
+
+
+_SQL_LINEAR_ATTribution = """
+WITH conv AS (
+  SELECT event_id AS cid, user_id, ts FROM events
+  WHERE event_type = 'purchase'),
+tch AS (
+  SELECT event_id AS tid, user_id, ts, event_type FROM events
+  WHERE event_type IN ('click', 'view')),
+pairs AS (
+  SELECT c.cid, t.event_type, t.ts, t.tid
+  FROM conv c JOIN tch t ON t.user_id = c.user_id
+   AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 7 DAY),
+k AS (
+  SELECT event_type,
+         COUNT(*) OVER (PARTITION BY cid) AS k,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY ts, tid) - 1 AS pos
+  FROM pairs)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(1000000 // k
+                + CASE WHEN pos < 1000000 % k THEN 1 ELSE 0 END)
+            AS BIGINT) AS credit_micro
+FROM k GROUP BY event_type"""

@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "rate_spikes",
     "prefix_dups",
     "triad_census",
+    "linear_attribution",
 ]
 
 

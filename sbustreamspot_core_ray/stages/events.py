@@ -2523,3 +2523,118 @@ def rate_spikes(
             "spike_e3": pa.array(out["spike_e3"].to_numpy(np.int64)),
         }
     )
+
+
+def linear_attribution(
+    events: ray.data.Dataset,
+    conv_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_us: int = 7 * 86_400_000_000,
+    credit_unit: int = 1_000_000,
+    num_parts: int = 32,
+) -> "pa.Table":
+    """Multi-touch LINEAR attribution: each conversion splits one unit of
+    credit equally across ALL the user's touch events in the window
+    strictly before it (the complement of asof_join's last-touch model).
+    Credits are integer micro-units — credit_unit // k per touch with the
+    remainder going to the k earliest touches in (ts, event_id) order —
+    so per-conversion credit sums to exactly credit_unit and the totals
+    are order-independent integers (bit-exact vs the SQL mirror).
+
+    Returns one row per touch event_type: (event_type, n_touches,
+    credit_micro).
+
+    Scale shape: type filter at the read -> ONE shuffle on hash(user) % P
+    -> per-partition vectorized kernel: lexsort by (user, ts, event_id),
+    per-conversion touch ranges via TWO struct searchsorteds over the
+    partition's touch rows (no per-user loop), grouped-arange pair
+    expansion, remainder by within-conversion position, and a
+    per-partition (type, credit) fold so only P x |types| rows reach the
+    driver. Pair volume is bounded by conversions x touches-per-window,
+    never |events|^2."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    types = [conv_type, *touch_types]
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.is_in(et, value_set=pa.array(types))
+        t = t.filter(keep)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "t": pc.cast(t["ts"], pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "t", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy(object)
+        is_conv = et == conv_type
+        tu, tt = u[~is_conv], t[~is_conv]
+        tet = et[~is_conv]
+        cu, ct = u[is_conv], t[is_conv]
+        out = {"event_type": [], "n_touches": [], "credit_micro": []}
+        if len(tu) and len(cu):
+            tk = np.empty(len(tu), dtype=[("u", "<i8"), ("t", "<i8")])
+            tk["u"], tk["t"] = tu, tt
+            qlo = np.empty(len(cu), dtype=tk.dtype)
+            qlo["u"], qlo["t"] = cu, ct - window_us
+            qhi = np.empty(len(cu), dtype=tk.dtype)
+            qhi["u"], qhi["t"] = cu, ct  # strictly-before: side="left"
+            lo = np.searchsorted(tk, qlo, side="left")
+            hi = np.searchsorted(tk, qhi, side="left")
+            k = hi - lo
+            sel = k > 0
+            lo, k = lo[sel], k[sel]
+            tot = int(k.sum())
+            if tot:
+                rep = np.repeat(np.arange(len(k)), k)
+                pos = np.arange(tot) - np.repeat(np.cumsum(k) - k, k)
+                tidx = np.repeat(lo, k) + pos
+                kk = np.repeat(k, k)
+                credit = credit_unit // kk + (pos < credit_unit % kk)
+                # touch rows are (t, event_id)-sorted within each user, so
+                # `pos` IS the within-conversion rank the SQL ROW_NUMBER
+                # (ORDER BY ts, event_id) assigns
+                pt = pd.DataFrame(
+                    {"event_type": tet[tidx], "credit": credit}
+                )
+                g = pt.groupby("event_type", sort=True)
+                agg = g["credit"].agg(["count", "sum"])
+                out["event_type"] = list(agg.index)
+                out["n_touches"] = agg["count"].astype(np.int64).tolist()
+                out["credit_micro"] = agg["sum"].astype(np.int64).tolist()
+        return pd.DataFrame(out)
+
+    parts = (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_touches": pa.array([], pa.int64()),
+                "credit_micro": pa.array([], pa.int64()),
+            }
+        )
+    g = parts.groupby("event_type", sort=True).agg(
+        n_touches=("n_touches", "sum"), credit_micro=("credit_micro", "sum")
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(list(g.index), pa.string()),
+            "n_touches": pa.array(g["n_touches"].to_numpy(np.int64)),
+            "credit_micro": pa.array(g["credit_micro"].to_numpy(np.int64)),
+        }
+    )

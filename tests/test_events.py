@@ -768,3 +768,65 @@ def test_rate_spikes_hand_case():
         ("a", 8, 4, 4000),
         ("a", 7, 1, 1000),
     ]
+
+
+def test_linear_attribution_vs_bruteforce():
+    """Integer micro-credit split vs the O(n^2) definition, covering
+    remainder assignment order, the strict ts < conv bound, the window
+    lower bound, and conversions with zero touches."""
+    import pandas as pd
+
+    from sbustreamspot_core_ray.stages.events import linear_attribution
+
+    W = 100
+    rows = [
+        # (event_id, t_us, user, type)
+        (1, 10, 1, "click"), (2, 20, 1, "view"), (3, 25, 1, "click"),
+        (4, 30, 1, "purchase"),          # 3 touches: 333334/333333/333333
+        (5, 30, 1, "click"),             # ts == purchase ts -> excluded
+        (6, 200, 1, "purchase"),         # touches at 200-W=100..199: none
+        (7, 150, 2, "view"), (8, 151, 2, "view"),
+        (9, 160, 2, "purchase"),         # k=2: 500000 each
+        (10, 5, 3, "error"),             # non-touch type never credited
+        (11, 50, 3, "purchase"),         # no touches at all
+    ]
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+    )
+    got = (
+        linear_attribution(events, window_us=W, num_parts=4)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    # brute force
+    credits: dict[str, list[int]] = {}
+    convs = [r for r in rows if r[3] == "purchase"]
+    for c in convs:
+        tch = sorted(
+            (r for r in rows
+             if r[3] in ("click", "view") and r[2] == c[2]
+             and c[1] - W <= r[1] < c[1]),
+            key=lambda r: (r[1], r[0]),
+        )
+        k = len(tch)
+        for pos, r in enumerate(tch):
+            credits.setdefault(r[3], []).append(
+                1_000_000 // k + (1 if pos < 1_000_000 % k else 0)
+            )
+    want = pd.DataFrame(
+        sorted(
+            (t, len(v), sum(v)) for t, v in credits.items()
+        ),
+        columns=["event_type", "n_touches", "credit_micro"],
+    )
+    assert got.to_numpy().tolist() == want.to_numpy().tolist()
+    # every conversion with touches pays out exactly 1e6
+    assert int(want["credit_micro"].sum()) == 2_000_000
