@@ -7872,6 +7872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_spikes": q_rate_spikes,
         "triad_census": q_triad_census,
         "linear_attribution": q_linear_attribution,
+        "kmv_overlap": q_kmv_overlap,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8072,6 +8073,7 @@ def oracle_sql() -> dict[str, str]:
         "rate_spikes": _rate_spikes_sql(),
         "triad_census": _SQL_TRIAD_CENSUS.format(m=TRIAD_MOD),
         "linear_attribution": _SQL_LINEAR_ATTribution,
+        "kmv_overlap": _kmv_overlap_sql(),
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -10325,3 +10327,52 @@ SELECT event_type,
                 + CASE WHEN pos < 1000000 % k THEN 1 ELSE 0 END)
             AS BIGINT) AS credit_micro
 FROM k GROUP BY event_type"""
+
+
+KMV_K = 256
+
+
+def q_kmv_overlap(sf_dir: str):
+    """Bottom-k (KMV) sketch intersection: distinct users doing BOTH
+    click and purchase, estimated from two mergeable k=256 sketches with
+    the exact count as witness. One hash(user) shuffle; P bounded
+    partials; integer sketch state, HUGEINT-mirrored hash."""
+    from sbustreamspot_core_ray.stages.events import kmv_overlap
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return kmv_overlap(ev, k=KMV_K, num_parts=P)
+
+
+def _kmv_overlap_sql() -> str:
+    from sbustreamspot_core_ray.stages.events import HLL_MIX
+
+    return f"""
+WITH p AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IN ('click', 'purchase')),
+h AS (
+  SELECT event_type,
+         CAST((CAST(user_id AS HUGEINT) * {HLL_MIX})
+              % 18446744073709551616 AS HUGEINT) AS h
+  FROM p),
+sa AS (SELECT h FROM h WHERE event_type = 'click' ORDER BY h LIMIT {KMV_K}),
+sb AS (SELECT h FROM h WHERE event_type = 'purchase' ORDER BY h LIMIT {KMV_K}),
+un AS (
+  SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+  ORDER BY h LIMIT {KMV_K}),
+stats AS (SELECT MAX(h) AS tau, CAST(COUNT(*) AS BIGINT) AS k_used FROM un),
+rho AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rho FROM un
+  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+bothc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_both FROM (
+    SELECT user_id FROM p GROUP BY user_id
+    HAVING COUNT(DISTINCT event_type) = 2))
+SELECT s.k_used, r.rho, b.exact_both,
+       CAST(r.rho AS DOUBLE) / CAST(s.k_used AS DOUBLE) AS jaccard_est,
+       (CAST(r.rho AS DOUBLE) / CAST(s.k_used AS DOUBLE))
+         * (CAST(s.k_used - 1 AS DOUBLE) * 18446744073709551616.0
+            / CAST(s.tau AS DOUBLE)) AS inter_est
+FROM stats s, rho r, bothc b"""

@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "prefix_dups",
     "triad_census",
     "linear_attribution",
+    "kmv_overlap",
 ]
 
 

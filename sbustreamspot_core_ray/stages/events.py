@@ -2638,3 +2638,108 @@ def linear_attribution(
             "credit_micro": pa.array(g["credit_micro"].to_numpy(np.int64)),
         }
     )
+
+
+def kmv_overlap(
+    events: ray.data.Dataset,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    k: int = 256,
+    num_parts: int = 32,
+) -> "pa.Table":
+    """KMV (k-minimum-values / bottom-k) sketch INTERSECTION: estimate the
+    number of distinct users who performed BOTH event types from two
+    bottom-k hash sketches (Beyer et al.'s distinct-value estimator:
+    jaccard ~= rho / k over the union's bottom-k, |A u B| ~= (k-1)*2^64 /
+    tau), with the exact intersection count riding along as the accuracy
+    witness. The set-OPERATION counterpart of hll_users' per-set
+    cardinalities — sketches compose under union, so per-shard sketches
+    of a 100 TB corpus merge to one k-row state on the driver.
+
+    Parity: hash = user * Fibonacci-mix mod 2^64 (HUGEINT-mirrored in
+    SQL); sketch contents, tau, rho and the exact witness are integers;
+    the two estimates are the identical IEEE divide/multiply sequence on
+    both sides.
+
+    Scale shape: type filter + per-block (user, typebit) dedup -> ONE
+    cheap shuffle on hash(user) % P (each user's rows in one partition,
+    so the per-user bit-OR and the exact both-types count are globally
+    exact) -> per-partition bottom-k partials (bounded k rows per type
+    per partition) -> driver merges P tiny partials. No sort, no
+    second shuffle."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    POW64F = 18446744073709551616.0
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.is_in(et, value_set=pa.array([type_a, type_b]))
+        t = t.filter(keep)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bit = np.where(
+            np.asarray(t["event_type"].to_pandas()) == type_a, 1, 2
+        ).astype(np.int64)
+        df = pd.DataFrame({"user_id": u, "bit": bit}).drop_duplicates()
+        df["__p"] = part_of(df["user_id"].to_numpy(np.int64), num_parts)
+        return pa.table(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "bit": df["bit"].to_numpy(np.int64),
+                "__p": pa.array(df["__p"].to_numpy(np.int32)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        bit = df["bit"].to_numpy(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        mask = np.zeros(len(uu), np.int64)
+        np.bitwise_or.at(mask, inv, bit)
+        with np.errstate(over="ignore"):
+            h = uu.astype(np.uint64) * np.uint64(HLL_MIX)
+        rows = {"kind": [], "val": []}
+        for kind, m in ((0, 1), (1, 2)):
+            hs = np.sort(h[(mask & m) > 0])[:k]
+            rows["kind"].extend([kind] * len(hs))
+            rows["val"].extend(hs.view(np.int64).tolist())
+        rows["kind"].append(2)
+        rows["val"].append(int((mask == 3).sum()))
+        return pd.DataFrame(rows)
+
+    parts = (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+
+    def out(k_used, rho, exact_both, jac, inter):
+        return pa.table(
+            {
+                "k_used": pa.array([k_used], pa.int64()),
+                "rho": pa.array([rho], pa.int64()),
+                "exact_both": pa.array([exact_both], pa.int64()),
+                "jaccard_est": pa.array([jac], pa.float64()),
+                "inter_est": pa.array([inter], pa.float64()),
+            }
+        )
+
+    if not len(parts):
+        return out(0, 0, 0, 0.0, 0.0)
+    exact_both = int(parts[parts["kind"] == 2]["val"].sum())
+    sa = np.unique(
+        parts[parts["kind"] == 0]["val"].to_numpy(np.int64).view(np.uint64)
+    )[:k]
+    sb = np.unique(
+        parts[parts["kind"] == 1]["val"].to_numpy(np.int64).view(np.uint64)
+    )[:k]
+    un = np.unique(np.concatenate([sa, sb]))[:k]
+    k_used = len(un)
+    if k_used == 0:
+        return out(0, 0, exact_both, 0.0, 0.0)
+    tau = un[-1]
+    rho = int((np.isin(un, sa) & np.isin(un, sb)).sum())
+    jac = np.float64(rho) / np.float64(k_used)
+    union_est = np.float64(k_used - 1) * POW64F / np.float64(tau)
+    return out(k_used, rho, exact_both, float(jac), float(jac * union_est))

@@ -830,3 +830,39 @@ def test_linear_attribution_vs_bruteforce():
     assert got.to_numpy().tolist() == want.to_numpy().tolist()
     # every conversion with touches pays out exactly 1e6
     assert int(want["credit_micro"].sum()) == 2_000_000
+
+
+def test_kmv_overlap_small_k_vs_bruteforce():
+    """With k smaller than the union, the sketch estimate must follow the
+    Beyer et al. formula exactly; with k larger, rho == exact overlap."""
+    from sbustreamspot_core_ray.stages.events import HLL_MIX, kmv_overlap
+
+    users_a = list(range(1, 61))          # click users 1..60
+    users_b = list(range(41, 121))        # purchase users 41..120 (20 shared)
+    rows = [(u, "click") for u in users_a] + [(u, "purchase") for u in users_b]
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            }
+        )
+    )
+    for k in (16, 512):
+        got = kmv_overlap(events, k=k, num_parts=4).to_pandas().iloc[0]
+        h = (np.array(sorted(set(users_a + users_b)), np.uint64)
+             * np.uint64(HLL_MIX))
+        ha = np.sort(np.array(users_a, np.uint64) * np.uint64(HLL_MIX))[:k]
+        hb = np.sort(np.array(users_b, np.uint64) * np.uint64(HLL_MIX))[:k]
+        un = np.unique(np.concatenate([ha, hb]))[:k]
+        rho = int((np.isin(un, ha) & np.isin(un, hb)).sum())
+        assert int(got["k_used"]) == len(un)
+        assert int(got["rho"]) == rho
+        assert int(got["exact_both"]) == 20
+        jac = np.float64(rho) / np.float64(len(un))
+        est = jac * (np.float64(len(un) - 1)
+                     * 18446744073709551616.0 / np.float64(un[-1]))
+        assert got["jaccard_est"] == jac and got["inter_est"] == float(est)
+    # big-k sanity: sketch contains everything -> rho equals exact overlap
+    got = kmv_overlap(events, k=512, num_parts=4).to_pandas().iloc[0]
+    assert int(got["rho"]) == 20
