@@ -7873,6 +7873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triad_census": q_triad_census,
         "linear_attribution": q_linear_attribution,
         "kmv_overlap": q_kmv_overlap,
+        "dup_spans": q_dup_spans,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8074,6 +8075,7 @@ def oracle_sql() -> dict[str, str]:
         "triad_census": _SQL_TRIAD_CENSUS.format(m=TRIAD_MOD),
         "linear_attribution": _SQL_LINEAR_ATTribution,
         "kmv_overlap": _kmv_overlap_sql(),
+        "dup_spans": _dup_spans_sql(),
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -10376,3 +10378,55 @@ SELECT s.k_used, r.rho, b.exact_both,
          * (CAST(s.k_used - 1 AS DOUBLE) * 18446744073709551616.0
             / CAST(s.tau AS DOUBLE)) AS inter_est
 FROM stats s, rho r, bothc b"""
+
+
+def q_dup_spans(sf_dir: str):
+    """Cross-document duplicated-span coverage (exact substring-dedup
+    signal): per doc, the token positions covered by a word-5-gram that
+    also occurs in another document. One gram-key shuffle + one doc-key
+    fold."""
+    from sbustreamspot_core_ray.stages.curation import dup_span_coverage
+
+    return dup_span_coverage(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        num_parts=P,
+    )
+
+
+def _dup_spans_sql() -> str:
+    from sbustreamspot_core_ray.stages.curation import DECON_N as N
+
+    return rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE trim(text) <> ''),
+g AS (
+  SELECT doc_id, i, array_to_string(words[i:i+{N - 1}], ' ') AS gram
+  FROM w, UNNEST(range(1, len(words) - {N - 2})) AS t(i)
+  WHERE len(words) >= {N}),
+dupg AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+  GROUP BY gram HAVING COUNT(*) >= 2),
+d AS (SELECT doc_id, i FROM g WHERE gram IN (SELECT gram FROM dupg)),
+dd AS (
+  SELECT doc_id, i,
+         lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nx
+  FROM d),
+cov AS (
+  SELECT doc_id,
+         CAST(SUM(LEAST(COALESCE(nx - i, {N}), {N})) AS BIGINT) AS covered
+  FROM dd GROUP BY doc_id),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_tokens
+  FROM documents)
+SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       COALESCE(c.covered, 0) AS covered_tokens,
+       ROUND(CASE WHEN t.n_tokens > 0
+                  THEN CAST(COALESCE(c.covered, 0) AS DOUBLE) / t.n_tokens
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM tok t LEFT JOIN cov c USING (doc_id)"""

@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "triad_census",
     "linear_attribution",
     "kmv_overlap",
+    "dup_spans",
 ]
 
 

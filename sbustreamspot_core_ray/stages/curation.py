@@ -905,3 +905,125 @@ def intradoc_dedup(docs: ray.data.Dataset, window: int = 2) -> ray.data.Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(
         kernel, batch_format="pyarrow"
     )
+
+
+def dup_span_coverage(
+    docs: ray.data.Dataset,
+    n: int = DECON_N,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Per-document CROSS-DOC duplicated-span coverage — the exact
+    substring-dedup signal of Lee et al.'s "Deduplicating Training Data
+    Makes Language Models Better": the fraction of a document's token
+    positions covered by some word n-gram that also occurs in at least
+    one OTHER document (within-doc repeats do not count). ngram_novelty
+    asks "did this doc coin the gram"; this asks "how much of this doc is
+    shared text" — the quantity substring-level dedup would remove.
+
+    Coverage is the exact union of the duplicated-gram intervals
+    [i, i+n): with duplicated starts sorted, covered = sum over starts of
+    min(next_start - start, n), last term n — one vectorized diff, no
+    interval sweep.
+
+    Scale shape: one stateless gram-extraction `map_batches` (positions
+    ride along) -> ONE shuffle on hash(gram) % P -> per-partition
+    factorize + distinct-doc count per gram marks duplicated occurrences
+    -> ONE hash(doc_id) % P shuffle folds covered spans per doc (token
+    totals ride the same fold as tagged rows). Returns every document:
+    (doc_id, n_tokens, covered_tokens, dup_frac)."""
+
+    from ..functions.hashing import part_of
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("").tolist()
+        grams, counts = doc_word_ngrams(texts, n)
+        ids = np.repeat(df["doc_id"].to_numpy(np.int64), counts)
+        gstarts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(int(counts.sum())) - np.repeat(gstarts, counts)
+        out = pd.DataFrame({"doc_id": ids, "gram": grams, "pos": pos})
+        h = pd.util.hash_array(out["gram"].to_numpy(object)).astype(np.uint64)
+        out["__p"] = part_of(h, num_parts).astype(np.int32)
+        return out
+
+    def mark_dups(df: pd.DataFrame) -> pd.DataFrame:
+        """All occurrences of a gram land here: keep the (doc, pos) rows
+        of grams present in >= 2 distinct docs."""
+        ids = df["doc_id"].to_numpy(np.int64)
+        pos = df["pos"].to_numpy(np.int64)
+        codes, _ = pd.factorize(df["gram"].to_numpy(object), sort=False)
+        pair = np.empty(len(ids), dtype=[("c", "<i8"), ("d", "<i8")])
+        pair["c"], pair["d"] = codes, ids
+        up = np.unique(pair)
+        ndocs = np.bincount(up["c"], minlength=codes.max() + 1 if len(codes) else 0)
+        keep = ndocs[codes] >= 2
+        return pd.DataFrame(
+            {"doc_id": ids[keep], "pos": pos[keep], "n_tokens": np.int64(-1)}
+        )
+
+    def token_rows(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("").tolist()
+        nt = np.array([len(t.split()) for t in texts], np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "pos": np.zeros(len(nt), np.int64),
+                "n_tokens": nt,
+            }
+        )
+
+    def tag_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__p2"] = part_of(
+            df["doc_id"].to_numpy(np.int64), num_parts
+        ).astype(np.int32)
+        return df
+
+    def fold_cover(df: pd.DataFrame) -> pd.DataFrame:
+        is_tok = df["n_tokens"].to_numpy(np.int64) >= 0
+        tok = df[is_tok]
+        spans = df[~is_tok].sort_values(["doc_id", "pos"], kind="stable")
+        ids = spans["doc_id"].to_numpy(np.int64)
+        pos = spans["pos"].to_numpy(np.int64)
+        cov_ids = np.empty(0, np.int64)
+        cov = np.empty(0, np.int64)
+        if len(ids):
+            last = np.concatenate([ids[1:] != ids[:-1], [True]])
+            gap = np.empty(len(ids), np.int64)
+            gap[:-1] = pos[1:] - pos[:-1]
+            gap[last] = n
+            seg = np.minimum(gap, n)
+            bnd = np.flatnonzero(np.concatenate([[True], ids[1:] != ids[:-1]]))
+            cov = np.add.reduceat(seg, bnd)
+            cov_ids = ids[bnd]
+        g = tok.groupby("doc_id", sort=True)["n_tokens"].max()
+        d_ids = g.index.to_numpy()
+        nt = g.to_numpy(np.int64)
+        covered = np.zeros(len(d_ids), np.int64)
+        if len(cov_ids):
+            p = np.searchsorted(d_ids, cov_ids)
+            covered[p] = cov
+        frac = np.where(nt > 0, covered / np.maximum(nt, 1), 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": d_ids,
+                "n_tokens": nt,
+                "covered_tokens": covered,
+                "dup_frac": round_half_away(frac, 6),
+            }
+        )
+
+    marked = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pandas", batch_size=1024)
+        .groupby("__p")
+        .map_groups(mark_dups, batch_format="pandas")
+    )
+    totals = docs.select_columns(["doc_id", "text"]).map_batches(
+        token_rows, batch_format="pandas"
+    )
+    return (
+        marked.union(totals)
+        .map_batches(tag_doc, batch_format="pandas")
+        .groupby("__p2")
+        .map_groups(fold_cover, batch_format="pandas")
+    )

@@ -698,3 +698,56 @@ def test_winnow_fingerprints_guarantee_and_reference():
     assert fp1 & fp2  # the MOSS guarantee on the shared passage
     assert not (fp1 & fp3)
     assert not any(d == 4 for (d, p, f) in got)  # shorter than k+w-1
+
+
+def test_dup_span_coverage_vs_bruteforce():
+    """Interval-union coverage vs the O(n^2) definition: overlapping and
+    adjacent duplicated grams, within-doc-only repeats (must NOT count),
+    short docs, and empty text."""
+    from sbustreamspot_core_ray.stages.curation import dup_span_coverage
+
+    texts = {
+        1: "a b c d e f g h",          # shares 'a b c d e' run with 2
+        2: "x a b c d e f y z",        # overlapping dup grams
+        3: "p q r s t",                # unique text, no dups
+        4: "m m m m m m m m m m",      # within-doc repeats only vs itself
+        5: "m m m m m m m m m m",      # exact dup of 4 -> fully covered
+        6: "one two",                  # shorter than n: no grams
+        7: "",                         # empty
+    }
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            }
+        )
+    )
+    got = (
+        dup_span_coverage(docs, n=5, num_parts=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute force
+    n = 5
+    grams = {}
+    for d, t in texts.items():
+        ws = t.split()
+        for i in range(len(ws) - n + 1):
+            grams.setdefault(" ".join(ws[i : i + n]), set()).add(d)
+    want = []
+    for d, t in sorted(texts.items()):
+        ws = t.split()
+        covered = set()
+        for i in range(len(ws) - n + 1):
+            g = " ".join(ws[i : i + n])
+            if len(grams[g]) >= 2:
+                covered.update(range(i, i + n))
+        want.append((d, len(ws), len(covered)))
+    assert got[["doc_id", "n_tokens", "covered_tokens"]].to_numpy().tolist() \
+        == [list(r) for r in want]
+    by_id = {r[0]: r for r in want}
+    assert by_id[4][2] == 10 and by_id[5][2] == 10  # cross-doc dup counts
+    assert by_id[3][2] == 0                          # unique text untouched
+    assert by_id[2][2] == 6                          # partial overlap-union
