@@ -7874,6 +7874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_attribution": q_linear_attribution,
         "kmv_overlap": q_kmv_overlap,
         "dup_spans": q_dup_spans,
+        "kmeans": q_kmeans,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8076,6 +8077,7 @@ def oracle_sql() -> dict[str, str]:
         "linear_attribution": _SQL_LINEAR_ATTribution,
         "kmv_overlap": _kmv_overlap_sql(),
         "dup_spans": _dup_spans_sql(),
+        "kmeans": _kmeans_sql(),
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -10430,3 +10432,77 @@ SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
                   THEN CAST(COALESCE(c.covered, 0) AS DOUBLE) / t.n_tokens
                   ELSE 0.0 END, 6) AS dup_frac
 FROM tok t LEFT JOIN cov c USING (doc_id)"""
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q_kmeans(sf_dir: str):
+    """Lloyd's k-means (k=8, 3 update rounds) over integer-quantized
+    embeddings — seed = lowest vec_ids, floor-division centroid updates,
+    lowest-c tie-breaks, empty clusters carry over; exact integers end to
+    end. Broadcast centroids + combiner partials; no shuffle."""
+    from sbustreamspot_core_ray.stages.ann import kmeans_lloyd
+
+    return kmeans_lloyd(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        num_parts=P,
+    )
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd iterations: every distance / floor-divide update /
+    tie-break mirrors stages/ann.kmeans_lloyd on integer-valued DOUBLEs
+    (products <= 2^34 — exact, so SUM order cannot round)."""
+    K, T = KMEANS_K, KMEANS_ITERS
+    ctes = [
+        f"e AS (SELECT vec_id, {_Q_EMB} AS q FROM embeddings)",
+        "ed AS (SELECT vec_id, d, q[d] AS val FROM e,"
+        " UNNEST(range(1, len(q) + 1)) AS t(d))",
+        f"c0 AS (SELECT vec_id AS c, d, val FROM ed WHERE vec_id < {K})",
+    ]
+    for i in range(1, T + 1):
+        ctes.append(
+            f"dist{i} AS (SELECT ed.vec_id, c.c,"
+            " SUM((ed.val - c.val) * (ed.val - c.val)) AS dist"
+            f" FROM ed JOIN c{i - 1} c USING (d) GROUP BY ed.vec_id, c.c)"
+        )
+        ctes.append(
+            f"asg{i} AS (SELECT vec_id, c FROM dist{i} QUALIFY"
+            " row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1)"
+        )
+        ctes.append(
+            f"upd{i} AS (SELECT a.c, ed.d,"
+            " floor(SUM(ed.val) / COUNT(DISTINCT ed.vec_id)) AS val"
+            f" FROM asg{i} a JOIN ed ON ed.vec_id = a.vec_id"
+            " GROUP BY a.c, ed.d)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT p.c, p.d, COALESCE(u.val, p.val) AS val"
+            f" FROM c{i - 1} p LEFT JOIN upd{i} u"
+            " ON u.c = p.c AND u.d = p.d)"
+        )
+    ctes.append(
+        "distf AS (SELECT ed.vec_id, c.c,"
+        " SUM((ed.val - c.val) * (ed.val - c.val)) AS dist"
+        f" FROM ed JOIN c{T} c USING (d) GROUP BY ed.vec_id, c.c)"
+    )
+    ctes.append(
+        "asgf AS (SELECT vec_id, c, dist FROM distf QUALIFY"
+        " row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1)"
+    )
+    ctes.append(
+        f"csum AS (SELECT c, CAST(SUM(val) AS BIGINT) AS cent_sum"
+        f" FROM c{T} GROUP BY c)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT a.c AS cluster, CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(a.dist) AS BIGINT) AS inertia, MAX(cs.cent_sum) AS cent_sum"
+        " FROM asgf a JOIN csum cs ON cs.c = a.c GROUP BY a.c"
+    )

@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "linear_attribution",
     "kmv_overlap",
     "dup_spans",
+    "kmeans",
 ]
 
 

@@ -893,3 +893,124 @@ def label_margin(embs: ray.data.Dataset, dim: int = 64) -> "pa.Table":
             ),
         }
     )
+
+
+class _KmeansAssign:
+    """Actor-pool stage: quantized centroid matrix fetched once per
+    worker; per batch emits long-form partial sums (c, d, s) + counts, or
+    the final per-cluster (n, inertia) partials when finalize=True."""
+
+    def __init__(self, cent_ref, finalize: bool = False):
+        from ..functions.proccache import cached_get
+
+        self.C = cached_get(cent_ref)  # (k, d) integer-valued float64
+        self.cn = (self.C * self.C).sum(axis=1)  # exact: fits in float64
+        self.finalize = finalize
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        X = quantize(_mat(t["embedding"], np.float64))
+        # exact integer arithmetic in float64: products <= 2^34, row sums
+        # <= 2^40 << 2^53, so the BLAS summation order cannot round
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ self.C.T) + self.cn
+        assign = np.argmin(d2, axis=1)  # ties -> lowest c (first argmin)
+        k, dim = self.C.shape
+        if self.finalize:
+            n = np.bincount(assign, minlength=k).astype(np.int64)
+            inertia = np.zeros(k, np.float64)
+            np.add.at(inertia, assign, d2[np.arange(len(assign)), assign])
+            return pa.table(
+                {
+                    "c": np.arange(k, dtype=np.int64),
+                    "n": n,
+                    "inertia": inertia.astype(np.int64),
+                }
+            )
+        S = np.zeros((k, dim), np.float64)
+        np.add.at(S, assign, X)
+        cnt = np.bincount(assign, minlength=k).astype(np.int64)
+        cc = np.repeat(np.arange(k, dtype=np.int64), dim)
+        dd = np.tile(np.arange(dim, dtype=np.int64), k)
+        return pa.table(
+            {
+                "c": cc,
+                "d": dd,
+                "s": S.reshape(-1).astype(np.int64),
+                "cnt": np.repeat(cnt, dim),
+            }
+        )
+
+
+def kmeans_lloyd(
+    embeddings: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 3,
+    num_parts: int = 32,
+) -> "pa.Table":
+    """Lloyd's k-means over the quantized embedding space with EXACT
+    integer arithmetic end to end — the iterative-training loop of the ML
+    family, bit-mirrorable by an unrolled SQL oracle: centroids start at
+    the k lowest vec_ids, every distance/assignment/update is an
+    integer-valued float64 op (products <= 2^34, sums << 2^53), the
+    update is floor(sum/count) per dimension, ties break to the lowest
+    centroid id, and empty clusters carry their previous centroid.
+    Returns per final cluster (cluster, n, inertia, cent_sum) — counts,
+    summed final distances, and the centroid-coordinate checksum, all
+    exact integers.
+
+    Scale shape: the classic scalable Lloyd loop — quantized dataset
+    materialized ONCE; per iteration the (k x d) centroid matrix is
+    broadcast via ray.put (fetched once per worker, `cached_get`) and one
+    `map_batches` pass emits k*d-row partial sums that fold to new
+    centroids on the driver. iters+1 linear passes, no shuffle at any
+    step, driver state O(k*d)."""
+    import pandas as pd
+
+    import pyarrow.compute as pc
+
+    emb = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    seed = (
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(k))),
+            batch_format="pyarrow",
+        )
+        .sort("vec_id")
+        .take_all()
+    )
+    C = quantize(np.stack([np.asarray(r["embedding"], np.float64) for r in seed]))
+    dim = C.shape[1]
+    for _ in range(iters):
+        ref = ray.put(C)
+        parts = emb.map_batches(
+            _KmeansAssign,
+            fn_constructor_args=(ref,),
+            batch_format="pyarrow",
+            concurrency=(1, num_parts),
+        ).to_pandas()
+        g = parts.groupby(["c", "d"], sort=True)[["s", "cnt"]].sum()
+        s = g["s"].to_numpy(np.int64).reshape(k, dim)
+        cnt = g["cnt"].to_numpy(np.int64).reshape(k, dim)[:, 0]
+        nz = cnt > 0
+        newC = C.copy()
+        # floor(sum/count): quotient magnitudes are exact in float64, so
+        # floor-of-double-divide == integer floor division (SQL mirror)
+        newC[nz] = np.floor(s[nz].astype(np.float64) / cnt[nz, None])
+        C = newC
+    ref = ray.put(C)
+    fin = emb.map_batches(
+        _KmeansAssign,
+        fn_constructor_args=(ref, True),
+        batch_format="pyarrow",
+        concurrency=(1, num_parts),
+    ).to_pandas()
+    g = fin.groupby("c", sort=True)[["n", "inertia"]].sum()
+    n = g["n"].to_numpy(np.int64)
+    keep = n > 0
+    cs = C.sum(axis=1).astype(np.int64)
+    return pa.table(
+        {
+            "cluster": pa.array(g.index.to_numpy(np.int64)[keep]),
+            "n": pa.array(n[keep]),
+            "inertia": pa.array(g["inertia"].to_numpy(np.int64)[keep]),
+            "cent_sum": pa.array(cs[keep]),
+        }
+    )

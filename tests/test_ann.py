@@ -242,3 +242,67 @@ def test_label_margin_hand_case():
     # the interloper at (0,0) is nearer label 0's (0,0) centroid
     assert out.loc[1, "n_correct"] == 2
     assert out.loc[1, "correct_share"] == 0.666667
+
+
+def test_kmeans_lloyd_vs_numpy_reference():
+    """Distributed Lloyd vs a straight numpy implementation of the same
+    spec (seed rows, floor-div updates, lowest-c ties, empty-cluster
+    carry), including a forced empty cluster."""
+    from sbustreamspot_core_ray.stages.ann import kmeans_lloyd, quantize
+
+    rng = np.random.default_rng(77)
+    # two tight blobs + one isolated far point; k=4 guarantees an empty
+    # cluster after the first update (seeds 0..3 all start in blob A)
+    A = rng.normal(0.0, 0.05, (30, 8))
+    B = rng.normal(3.0, 0.05, (20, 8))
+    far = np.full((1, 8), 40.0)
+    X = np.vstack([A, B, far]).astype(np.float32)
+    X[3] = X[2]  # identical seeds: ties go to the lower c, so c3 starves
+    k, iters = 4, 3
+
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in X],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    got = (
+        kmeans_lloyd(emb, k=k, iters=iters, num_parts=4)
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+
+    Q = quantize(X.astype(np.float64))
+    C = Q[:k].copy()
+    saw_empty = False
+    for _ in range(iters):
+        d2 = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + (C * C).sum(1)
+        a = np.argmin(d2, axis=1)
+        newC = C.copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                newC[c] = np.floor(Q[m].sum(0) / m.sum())
+            else:
+                saw_empty = True  # carry-over path exercised
+        C = newC
+    d2 = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + (C * C).sum(1)
+    a = np.argmin(d2, axis=1)
+    want = []
+    for c in range(k):
+        m = a == c
+        if m.any():
+            want.append(
+                (c, int(m.sum()), int(d2[m, c].sum()), int(C[c].sum()))
+            )
+    assert got.to_numpy().tolist() == [list(r) for r in want]
+    # the duplicate seed starves c3 in round 1 (ties go to the lower c);
+    # the carried seed centroid then recaptures the duplicate pair, so the
+    # empty-cluster carry path is genuinely on the compared trajectory
+    assert saw_empty
