@@ -7875,6 +7875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_overlap": q_kmv_overlap,
         "dup_spans": q_dup_spans,
         "kmeans": q_kmeans,
+        "cosine_join": q_cosine_join,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8078,6 +8079,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_overlap": _kmv_overlap_sql(),
         "dup_spans": _dup_spans_sql(),
         "kmeans": _kmeans_sql(),
+        "cosine_join": _cosine_join_sql(),
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -10506,3 +10508,28 @@ def _kmeans_sql() -> str:
         " CAST(SUM(a.dist) AS BIGINT) AS inertia, MAX(cs.cent_sum) AS cent_sum"
         " FROM asgf a JOIN csum cs ON cs.c = a.c GROUP BY a.c"
     )
+
+
+def q_cosine_join(sf_dir: str):
+    """COMPLETE exact cosine-threshold self-join (no hashing, no recall
+    loss) at the near-dup threshold — the exact baseline for the
+    sign-bucket and LSH paths. Block-replicated all-pairs shuffle, exact
+    integer tile matmuls."""
+    from sbustreamspot_core_ray.stages.ann import cosine_threshold_join
+
+    return cosine_threshold_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        threshold=NEARDUP_THRESH,
+        num_parts=P,
+    )
+
+
+def _cosine_join_sql() -> str:
+    return f"""
+WITH qe AS (SELECT vec_id, {_Q_EMB} AS q FROM embeddings)
+SELECT a.vec_id AS src, b.vec_id AS dst,
+       ROUND({_q_cos('a.q', 'b.q')}, 6) AS cosine
+FROM qe a JOIN qe b ON b.vec_id > a.vec_id
+WHERE {_q_cos('a.q', 'b.q')} >= {NEARDUP_THRESH}"""

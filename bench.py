@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "kmv_overlap",
     "dup_spans",
     "kmeans",
+    "cosine_join",
 ]
 
 

@@ -1014,3 +1014,111 @@ def kmeans_lloyd(
             "cent_sum": pa.array(cs[keep]),
         }
     )
+
+
+def cosine_threshold_join(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.35,
+    block_rows: int = 2048,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """COMPLETE exact-threshold cosine self-join — every pair src < dst
+    with cosine >= threshold, no hashing, no recall loss: the exact
+    baseline the hyperplane-bucket near-dup (recall < 1 by construction)
+    and LSH paths are measured against, the embedding analog of
+    allpairs_jaccard_join. Threshold tested on the RAW cosine; ROUND(6)
+    only on output (the _q_cos parity expression, bit-exact vs SQL).
+
+    Scale shape: the classic block-replicated all-pairs join — rows are
+    tiled into vec_id-range blocks of `block_rows`; each row ships to its
+    B pair-partitions (i,j), i <= j, so the ONE shuffle carries n*B rows
+    while the O(n^2) multiply work lands in (B^2+B)/2 independent tile
+    tasks (each one exact-integer matmul over <= block_rows^2 pairs).
+    Work is inherently quadratic — this is the exact-completeness path;
+    sign_bucket near-dup is the sub-quadratic scale path."""
+    import pyarrow.compute as pc
+
+    nmax = embeddings.max("vec_id")
+    B = int(nmax) // block_rows + 1
+
+    def fanout(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = quantize(_mat(t["embedding"], np.float64))
+        bk = ids // block_rows
+        # pair-partition ids for row in block b: (i, b) for i <= b and
+        # (b, j) for j >= b — vectorized per distinct block in the batch
+        out_id, out_kp, out_side, out_rows = [], [], [], []
+        for b in np.unique(bk):
+            m = bk == b
+            lo = np.arange(0, b + 1)            # (i, b): this row is side 1
+            hi = np.arange(b, B)                # (b, j): this row is side 0
+            kp_lo = lo * B + b
+            kp_hi = b * B + hi
+            kps = np.concatenate([kp_lo, kp_hi[1:]])  # skip (b,b) duplicate
+            sides = np.concatenate(
+                [np.ones(len(lo), np.int8), np.zeros(len(hi) - 1, np.int8)]
+            )
+            nrep = len(kps)
+            idx = np.flatnonzero(m)
+            out_rows.append(np.repeat(idx, nrep))
+            out_id.append(np.repeat(ids[m], nrep))
+            out_kp.append(np.tile(kps, len(idx)))
+            out_side.append(np.tile(sides, len(idx)))
+        rows = np.concatenate(out_rows)
+        flat = Q[rows]
+        return pa.table(
+            {
+                "vec_id": np.concatenate(out_id),
+                "kp": pa.array(np.concatenate(out_kp).astype(np.int32)),
+                "side": pa.array(np.concatenate(out_side)),
+                "q": pa.array(
+                    list(flat), pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    def tile(t: pa.Table) -> pa.Table:
+        kp = int(t["kp"][0].as_py())
+        i, j = kp // B, kp % B
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = _mat(t["q"], np.float64)
+        if i == j:
+            # diagonal tile: one copy of each row (side==1), triangular mask
+            m = side == 1
+            ai, A = ids[m], Q[m]
+            sims = exact_cosine(A, A)
+            r, c = np.nonzero(np.triu(sims >= threshold, k=1))
+            src, dst = ai[r], ai[c]
+        else:
+            m0, m1 = side == 0, side == 1
+            ai, A = ids[m0], Q[m0]   # block i rows (side 0 = (b, j) tag)
+            bi, Bm = ids[m1], Q[m1]  # block j rows
+            if not len(ai) or not len(bi):
+                e = np.empty(0, np.int64)
+                return pa.table({"src": e, "dst": e,
+                                 "cosine": np.empty(0, np.float64)})
+            sims = exact_cosine(A, Bm)
+            r, c = np.nonzero(sims >= threshold)
+            src, dst = ai[r], bi[c]
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        cos = (
+            sims[r, c] if len(r) else np.empty(0, np.float64)
+        )
+        from ..functions.rounding import round_half_away
+
+        return pa.table(
+            {
+                "src": lo,
+                "dst": hi,
+                "cosine": round_half_away(cos, 6),
+            }
+        )
+
+    return (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(fanout, batch_format="pyarrow")
+        .groupby("kp")
+        .map_groups(tile, batch_format="pyarrow")
+    )

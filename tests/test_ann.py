@@ -306,3 +306,53 @@ def test_kmeans_lloyd_vs_numpy_reference():
     # the carried seed centroid then recaptures the duplicate pair, so the
     # empty-cluster carry path is genuinely on the compared trajectory
     assert saw_empty
+
+
+def test_cosine_threshold_join_complete_vs_bruteforce():
+    """Block-replicated exact join vs the O(n^2) definition with
+    block_rows small enough to exercise diagonal AND off-diagonal tiles,
+    plus completeness vs the recall-lossy sign-bucket path's ground set."""
+    from sbustreamspot_core_ray.stages.ann import (
+        cosine_threshold_join,
+        exact_cosine,
+        quantize,
+    )
+
+    rng = np.random.default_rng(99)
+    base = rng.normal(0, 1, (10, 16))
+    # near-duplicates of the first 10 rows + noise rows
+    X = np.vstack([base, base + rng.normal(0, 0.05, (10, 16)),
+                   rng.normal(0, 1, (15, 16))]).astype(np.float32)
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in X], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    thr = 0.9
+    got = (
+        cosine_threshold_join(emb, threshold=thr, block_rows=8, num_parts=4)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    Q = quantize(X.astype(np.float64))
+    sims = exact_cosine(Q, Q)
+    want = [
+        (i, j, sims[i, j])
+        for i in range(len(X))
+        for j in range(i + 1, len(X))
+        if sims[i, j] >= thr
+    ]
+    assert len(want) >= 10  # the 10 planted near-dup pairs at least
+    assert [(int(r.src), int(r.dst)) for r in got.itertuples()] \
+        == [(i, j) for i, j, _ in want]
+    from sbustreamspot_core_ray.functions.rounding import round_half_away
+
+    assert got["cosine"].to_numpy().tolist() == [
+        float(round_half_away(np.array([c]), 6)[0]) for _, _, c in want
+    ]
