@@ -7876,6 +7876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": q_dup_spans,
         "kmeans": q_kmeans,
         "cosine_join": q_cosine_join,
+        "psi_drift": q_psi_drift,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8080,6 +8081,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(),
         "kmeans": _kmeans_sql(),
         "cosine_join": _cosine_join_sql(),
+        "psi_drift": _psi_drift_sql(),
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -10533,3 +10535,71 @@ SELECT a.vec_id AS src, b.vec_id AS dst,
        ROUND({_q_cos('a.q', 'b.q')}, 6) AS cosine
 FROM qe a JOIN qe b ON b.vec_id > a.vec_id
 WHERE {_q_cos('a.q', 'b.q')} >= {NEARDUP_THRESH}"""
+
+
+def q_psi_drift(sf_dir: str):
+    """Population Stability Index per event type: cent-binned value
+    histograms of the reference half (ts < Jan 16) vs the current half,
+    Laplace-smoothed, per-bin terms floored to int64 nanonats so the
+    total is an order-independent integer sum. Pure combiner — no
+    row-scale shuffle."""
+    from sbustreamspot_core_ray.stages.events import psi_drift
+
+    return psi_drift(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ),
+        num_parts=P,
+    )
+
+
+def _psi_drift_sql() -> str:
+    from sbustreamspot_core_ray.stages.events import (
+        PSI_NBINS,
+        PSI_SPLIT_US,
+        PSI_STEP_CENTS,
+    )
+
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) >= {PSI_SPLIT_US} THEN 1 ELSE 0 END AS half,
+         LEAST(GREATEST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        // {PSI_STEP_CENTS}, 0), {PSI_NBINS - 1}) AS bin
+  FROM events),
+c AS (SELECT event_type, half, bin, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2, 3),
+grid AS (
+  SELECT t.event_type, h.half, b.bin
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       (SELECT UNNEST(range(0, 2)) AS half) h,
+       (SELECT UNNEST(range(0, {PSI_NBINS})) AS bin) b),
+f AS (
+  SELECT g.event_type, g.half, g.bin, COALESCE(c.n, 0) + 1 AS sn,
+         COALESCE(c.n, 0) AS rawn
+  FROM grid g LEFT JOIN c
+    ON c.event_type = g.event_type AND c.half = g.half AND c.bin = g.bin),
+tot AS (
+  SELECT event_type,
+         SUM(sn) FILTER (half = 0) AS SQ,
+         SUM(sn) FILTER (half = 1) AS SP,
+         SUM(rawn) FILTER (half = 0) AS n_ref,
+         SUM(rawn) FILTER (half = 1) AS n_cur
+  FROM f GROUP BY event_type),
+wide AS (
+  SELECT f.event_type, f.bin,
+         MAX(CASE WHEN f.half = 0 THEN f.sn END) AS sq,
+         MAX(CASE WHEN f.half = 1 THEN f.sn END) AS sp
+  FROM f GROUP BY f.event_type, f.bin),
+terms AS (
+  SELECT w.event_type,
+         FLOOR(((CAST(w.sp AS DOUBLE) * t.SQ - CAST(w.sq AS DOUBLE) * t.SP)
+                / (CAST(t.SP AS DOUBLE) * CAST(t.SQ AS DOUBLE)))
+               * ln((CAST(w.sp AS DOUBLE) * t.SQ)
+                    / (CAST(w.sq AS DOUBLE) * t.SP)) * 1e9) AS term
+  FROM wide w JOIN tot t USING (event_type))
+SELECT t.event_type, CAST(t.n_ref AS BIGINT) AS n_ref,
+       CAST(t.n_cur AS BIGINT) AS n_cur,
+       CAST(SUM(terms.term) AS BIGINT) AS psi_e9
+FROM terms JOIN tot t USING (event_type)
+GROUP BY t.event_type, t.n_ref, t.n_cur"""

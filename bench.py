@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "dup_spans",
     "kmeans",
     "cosine_join",
+    "psi_drift",
 ]
 
 

@@ -11,6 +11,8 @@ per-user Python.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -2743,3 +2745,105 @@ def kmv_overlap(
     jac = np.float64(rho) / np.float64(k_used)
     union_est = np.float64(k_used - 1) * POW64F / np.float64(tau)
     return out(k_used, rho, exact_both, float(jac), float(jac * union_est))
+
+
+PSI_SPLIT_US = 1705363200000000  # 2024-01-16T00:00:00Z: ref half | cur half
+PSI_STEP_CENTS = 2000
+PSI_NBINS = 25
+
+
+def psi_drift(
+    events: ray.data.Dataset,
+    split_us: int = PSI_SPLIT_US,
+    step_cents: int = PSI_STEP_CENTS,
+    nbins: int = PSI_NBINS,
+    num_parts: int = 32,
+) -> "pa.Table":
+    """Population Stability Index per event type — the distribution-drift
+    monitor of an ML feature pipeline (CUSUM watches the mean; PSI
+    watches the whole histogram): value is cent-quantized into fixed
+    integer bins, the stream splits into reference (ts < split) and
+    current halves, and PSI = sum_b (p_b - q_b) * ln(p_b / q_b) over
+    Laplace-smoothed bin frequencies. Every per-bin term is
+    floor(1e9 * term) — an int64 nanonat — so the cross-bin total is an
+    ORDER-INDEPENDENT integer sum (the bm25/doc_logprob parity chain:
+    exact-integer-valued doubles into one divide, one libm ln, two
+    multiplies, floor). Returns (event_type, n_ref, n_cur, psi_e9).
+
+    Scale shape: pure combiner — per-batch (type, half, bin) counts (a
+    fixed |types| * 2 * nbins grid), one tiny fixed-cardinality groupby,
+    driver folds the grid. No row-scale shuffle anywhere."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        b = np.clip(cents // step_cents, 0, nbins - 1)
+        half = (ts >= split_us).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": np.asarray(t["event_type"].to_pandas(), object),
+                "half": half,
+                "bin": b,
+            }
+        )
+        g = df.groupby(["event_type", "half", "bin"], sort=False).size()
+        g = g.reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.table(g)
+
+    parts = (
+        events.select_columns(["event_type", "ts", "value"])
+        .map_batches(tag, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_ref": pa.array([], pa.int64()),
+                "n_cur": pa.array([], pa.int64()),
+                "psi_e9": pa.array([], pa.int64()),
+            }
+        )
+    g = (
+        parts.groupby(["event_type", "half", "bin"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    types = sorted(g["event_type"].unique())
+    out_t, out_r, out_c, out_p = [], [], [], []
+    for et in types:
+        sub = g[g["event_type"] == et]
+        q = np.zeros(nbins, np.int64)  # reference
+        p = np.zeros(nbins, np.int64)  # current
+        rq = sub[sub["half"] == 0]
+        rp = sub[sub["half"] == 1]
+        q[rq["bin"].to_numpy(np.int64)] = rq["n"].to_numpy(np.int64)
+        p[rp["bin"].to_numpy(np.int64)] = rp["n"].to_numpy(np.int64)
+        # Laplace +1 smoothing: no empty-bin infinities, still integers
+        sq, sp = q + 1, p + 1
+        SQ, SP = int(sq.sum()), int(sp.sum())
+        spq = float(SP) * float(SQ)  # <= 1e12: exact in float64
+        # per-bin scalar chain with math.log — bit-identical to DuckDB's
+        # ln (same libm); np.log's SIMD path is deliberately avoided (the
+        # bm25/doc_logprob parity rule)
+        psi = 0
+        for i in range(nbins):
+            af = float(sp[i]) * SQ - float(sq[i]) * SP  # exact integers
+            rr = (float(sp[i]) * SQ) / (float(sq[i]) * SP)
+            psi += math.floor((af / spq) * math.log(rr) * 1e9)
+        out_t.append(et)
+        out_r.append(int(q.sum()))
+        out_c.append(int(p.sum()))
+        out_p.append(int(psi))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "n_ref": pa.array(out_r, pa.int64()),
+            "n_cur": pa.array(out_c, pa.int64()),
+            "psi_e9": pa.array(out_p, pa.int64()),
+        }
+    )

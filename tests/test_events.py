@@ -866,3 +866,67 @@ def test_kmv_overlap_small_k_vs_bruteforce():
     # big-k sanity: sketch contains everything -> rho equals exact overlap
     got = kmv_overlap(events, k=512, num_parts=4).to_pandas().iloc[0]
     assert int(got["rho"]) == 20
+
+
+def test_psi_drift_vs_reference():
+    """PSI vs a scalar reference: a planted shift must score far above an
+    unshifted type, terms must all be nonnegative, and smoothing must keep
+    empty bins finite."""
+    import math
+
+    from sbustreamspot_core_ray.stages.events import psi_drift
+
+    split = 1_000
+    rows = []
+    # type 'stable': identical distribution both halves
+    for half, t0 in ((0, 0), (1, split)):
+        for i in range(200):
+            rows.append(("stable", t0 + i, (i % 10) * 30.0))
+    # type 'shifted': values jump 10x in the second half
+    for i in range(200):
+        rows.append(("shifted", i, (i % 10) * 30.0))
+    for i in range(200):
+        rows.append(("shifted", split + i, 300.0 + (i % 10) * 30.0))
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+    )
+    nb, step = 25, 2000
+    got = (
+        psi_drift(events, split_us=split, step_cents=step, nbins=nb,
+                  num_parts=4)
+        .to_pandas()
+        .set_index("event_type")
+    )
+
+    def ref_psi(vals0, vals1):
+        q = np.zeros(nb, np.int64)
+        p = np.zeros(nb, np.int64)
+        for v in vals0:
+            q[min(max(int(math.floor(v * 100 + 0.5)) // step, 0), nb - 1)] += 1
+        for v in vals1:
+            p[min(max(int(math.floor(v * 100 + 0.5)) // step, 0), nb - 1)] += 1
+        sq, sp = q + 1, p + 1
+        SQ, SP = int(sq.sum()), int(sp.sum())
+        return sum(
+            math.floor(
+                ((float(sp[i]) * SQ - float(sq[i]) * SP)
+                 / (float(SP) * float(SQ)))
+                * math.log((float(sp[i]) * SQ) / (float(sq[i]) * SP)) * 1e9
+            )
+            for i in range(nb)
+        )
+
+    base = [(i % 10) * 30.0 for i in range(200)]
+    shift = [300.0 + (i % 10) * 30.0 for i in range(200)]
+    assert int(got.loc["stable", "psi_e9"]) == ref_psi(base, base)
+    assert int(got.loc["shifted", "psi_e9"]) == ref_psi(base, shift)
+    assert int(got.loc["shifted", "psi_e9"]) > 100 * max(
+        1, abs(int(got.loc["stable", "psi_e9"]))
+    )
+    assert (got["n_ref"] == 200).all() and (got["n_cur"] == 200).all()
