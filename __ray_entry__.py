@@ -7877,6 +7877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q_kmeans,
         "cosine_join": q_cosine_join,
         "psi_drift": q_psi_drift,
+        "rfm_cells": q_rfm_cells,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8082,6 +8083,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": _kmeans_sql(),
         "cosine_join": _cosine_join_sql(),
         "psi_drift": _psi_drift_sql(),
+        "rfm_cells": _SQL_RFM,
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -10603,3 +10605,42 @@ SELECT t.event_type, CAST(t.n_ref AS BIGINT) AS n_ref,
        CAST(SUM(terms.term) AS BIGINT) AS psi_e9
 FROM terms JOIN tot t USING (event_type)
 GROUP BY t.event_type, t.n_ref, t.n_cur"""
+
+
+def q_rfm_cells(sf_dir: str):
+    """RFM segmentation census: per-customer recency/frequency/monetary,
+    each exact-ntile(5)-ranked over the deterministic (metric, custkey)
+    order via the sample-sort ranking primitive; (r, f, m) cell counts."""
+    from sbustreamspot_core_ray.stages.relational import rfm_cells
+
+    return rfm_cells(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        ),
+        n_tiles=5,
+        num_parts=P,
+    )
+
+
+_SQL_RFM = """
+WITH m AS (
+  SELECT o_custkey AS cust,
+         MAX(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+           AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS total
+  FROM orders GROUP BY o_custkey),
+n AS (SELECT COUNT(*) AS n FROM m),
+r AS (SELECT cust, ((ROW_NUMBER() OVER (ORDER BY last_day, cust) - 1) * 5)
+                   // n.n AS r_tile FROM m, n),
+f AS (SELECT cust, ((ROW_NUMBER() OVER (ORDER BY n_orders, cust) - 1) * 5)
+                   // n.n AS f_tile FROM m, n),
+mo AS (SELECT cust, ((ROW_NUMBER() OVER (ORDER BY total, cust) - 1) * 5)
+                    // n.n AS m_tile FROM m, n)
+SELECT CAST(r.r_tile AS BIGINT) AS r_tile,
+       CAST(f.f_tile AS BIGINT) AS f_tile,
+       CAST(mo.m_tile AS BIGINT) AS m_tile,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r JOIN f USING (cust) JOIN mo USING (cust)
+GROUP BY 1, 2, 3"""

@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "kmeans",
     "cosine_join",
     "psi_drift",
+    "rfm_cells",
 ]
 
 

@@ -2280,3 +2280,205 @@ def bloom_semi_join_audit(
             "n_false_pos": pa.array([n_pass - n_member], pa.int64()),
         }
     )
+
+
+def exact_ntile(
+    keyed: ray.data.Dataset,
+    metric_col: str,
+    key_col: str,
+    n_tiles: int,
+    num_parts: int = 32,
+    sample_shift: int = 56,
+) -> ray.data.Dataset:
+    """Distributed EXACT ntile assignment over the total order
+    (metric, key) — the engine's ORDER BY + NTILE primitive, built as a
+    sample-sort: tile(row) = ((global_rank) * n_tiles) // n with rank the
+    0-based position in the total order (ties broken by the key column —
+    fully deterministic, mirrored by SQL ROW_NUMBER).
+
+    Scale shape: hash-gated sample folds to P-1 equi-spaced (metric, key)
+    splitters on the driver -> ONE range shuffle (each row to exactly one
+    bucket) -> per-bucket lexsort gives local ranks; bucket sizes prefix-
+    sum on the driver (P integers) and broadcast, so global rank = bucket
+    base + local rank without a second shuffle. Returns
+    (key_col, metric_col, tile)."""
+    import pandas as pd
+
+    from ..functions.proccache import cached_get
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    kd = keyed.select_columns([key_col, metric_col]).materialize()
+    n_total = kd.count()
+
+    def sampled(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            gate = (k.view(np.uint64) * GOLD) >> np.uint64(sample_shift) == 0
+        idx = pa.array(np.flatnonzero(gate))
+        return pa.table(
+            {
+                "m": pa.compute.take(t[metric_col], idx),
+                "k": pa.compute.take(t[key_col], idx),
+            }
+        )
+
+    sdf = kd.map_batches(sampled, batch_format="pyarrow").to_pandas()
+    if len(sdf):
+        sm = sdf["m"].to_numpy(np.int64)
+        sk = sdf["k"].to_numpy(np.int64)
+        o = np.lexsort((sk, sm))
+        sm, sk = sm[o], sk[o]
+    else:
+        sm = sk = np.empty(0, np.int64)
+    n_buckets = max(1, min(num_parts, len(sm)))
+    if n_buckets > 1:
+        idx = (np.arange(1, n_buckets) * len(sm)) // n_buckets
+        split_m, split_k = sm[idx], sk[idx]
+    else:
+        split_m = split_k = np.empty(0, np.int64)
+    spl = ray.put((split_m, split_k))
+
+    def route(t: pa.Table) -> pa.Table:
+        m0, k0 = cached_get(spl)
+        m = t[metric_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(m0):
+            sp = np.empty(len(m0), dtype=[("m", "<i8"), ("k", "<i8")])
+            sp["m"], sp["k"] = m0, k0
+            q = np.empty(len(m), dtype=sp.dtype)
+            q["m"], q["k"] = m, k
+            b = np.searchsorted(sp, q, side="right").astype(np.int32)
+        else:
+            b = np.zeros(len(m), np.int32)
+        return pa.table({key_col: k, metric_col: m, "__p": pa.array(b)})
+
+    routed = kd.map_batches(route, batch_format="pyarrow").materialize()
+
+    # bucket sizes -> exact global base offsets (P integers on the driver)
+    sizes = (
+        routed.groupby("__p")
+        .count()
+        .to_pandas()
+        .sort_values("__p")
+    )
+    bases = np.zeros(n_buckets + 1, np.int64)
+    if len(sizes):
+        bvals = np.zeros(n_buckets, np.int64)
+        bvals[sizes["__p"].to_numpy(np.int64)] = sizes["count()"].to_numpy(
+            np.int64
+        )
+        bases[1:] = np.cumsum(bvals)
+    base_ref = ray.put(bases)
+
+    def rank_tile(t: pa.Table) -> pa.Table:
+        bases_l = cached_get(base_ref)
+        b = int(t["__p"][0].as_py())
+        m = t[metric_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((k, m))
+        rank = np.empty(len(m), np.int64)
+        rank[o] = np.arange(len(m)) + bases_l[b]
+        tile = (rank * n_tiles) // max(n_total, 1)
+        return pa.table({key_col: k, metric_col: m, "tile": tile})
+
+    return routed.groupby("__p").map_groups(rank_tile, batch_format="pyarrow")
+
+
+def rfm_cells(
+    orders: ray.data.Dataset,
+    n_tiles: int = 5,
+    num_parts: int = 32,
+) -> "pa.Table":
+    """RFM customer segmentation — the classic feature-engineering rollup:
+    per customer Recency (last order day), Frequency (order count),
+    Monetary (exact 1e-4-unit total), each ranked into exact n_tiles by
+    the deterministic (metric, custkey) total order via
+    :func:`exact_ntile`, then the (r, f, m) cell census (<= n_tiles^3
+    rows). All integers end to end.
+
+    Scale shape: ONE hash(custkey) shuffle folds the per-customer metrics,
+    three sample-sort ntile passes over the customer-scale table (never
+    the order-scale input), two co-partitioned int-key joins reunite the
+    tiles, one fixed-cardinality census groupby."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..pipelines.superstep import _attach_value
+
+    def tag(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 10000.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"cust": c, "day": day, "cents": cents})
+        g = df.groupby("cust", sort=False).agg(
+            last_day=("day", "max"), n_orders=("day", "size"),
+            total=("cents", "sum"),
+        ).reset_index()
+        g["__p"] = part_of(g["cust"].to_numpy(np.int64), num_parts)
+        return pa.table(g)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cust", sort=False).agg(
+            last_day=("last_day", "max"), n_orders=("n_orders", "sum"),
+            total=("total", "sum"),
+        ).reset_index()
+        return g[["cust", "last_day", "n_orders", "total"]]
+
+    metrics = (
+        orders.select_columns(["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()
+    )
+    r = exact_ntile(metrics, "last_day", "cust", n_tiles, num_parts)
+    f = exact_ntile(metrics, "n_orders", "cust", n_tiles, num_parts)
+    m = exact_ntile(metrics, "total", "cust", n_tiles, num_parts)
+
+    def _pick(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"cust": t["cust"], name: t["tile"]})
+
+        return fn
+
+    rt = r.map_batches(_pick("r_tile"), batch_format="pyarrow")
+    ft = f.map_batches(_pick("f_tile"), batch_format="pyarrow")
+    mt = m.map_batches(_pick("m_tile"), batch_format="pyarrow")
+    j = _attach_value(rt, ft, "cust", ["r_tile"], "f_tile", "f_tile",
+                      num_parts, lookup_key="cust")
+    j = _attach_value(j, mt, "cust", ["r_tile", "f_tile"], "m_tile", "m_tile",
+                      num_parts, lookup_key="cust")
+
+    def census(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        g = (
+            df.groupby(["r_tile", "f_tile", "m_tile"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.table(g)
+
+    parts = j.map_batches(census, batch_format="pyarrow").to_pandas()
+    g = (
+        parts.groupby(["r_tile", "f_tile", "m_tile"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "r_tile": pa.array(g["r_tile"].to_numpy(np.int64)),
+            "f_tile": pa.array(g["f_tile"].to_numpy(np.int64)),
+            "m_tile": pa.array(g["m_tile"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+        }
+    )

@@ -625,3 +625,31 @@ def test_bloom_semi_join_audit_hand_checked():
     assert out["n_member"] == 3
     assert out["n_false_pos"] == expect_pass - 3
     assert out["n_pass"] >= out["n_member"]
+
+
+def test_exact_ntile_vs_sorted_reference():
+    """Sample-sort ntile vs the single-machine definition, with ties on
+    the metric (key breaks them) and enough rows to span real buckets."""
+    from sbustreamspot_core_ray.stages.relational import exact_ntile
+
+    rng = np.random.default_rng(5)
+    keys = np.arange(1, 1501, dtype=np.int64)
+    vals = rng.integers(0, 40, 1500).astype(np.int64)  # heavy ties
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    )
+    got = (
+        exact_ntile(ds, "v", "k", 5, num_parts=8, sample_shift=58)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    order = np.lexsort((keys, vals))
+    rank = np.empty(len(keys), np.int64)
+    rank[order] = np.arange(len(keys))
+    want = (rank * 5) // len(keys)
+    assert got["tile"].to_numpy().tolist() == want[
+        np.argsort(keys, kind="stable")
+    ].tolist()
+    # every tile holds exactly n/5 rows (n divisible by 5 here)
+    assert np.bincount(want).tolist() == [300] * 5
