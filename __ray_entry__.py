@@ -7878,6 +7878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_join": q_cosine_join,
         "psi_drift": q_psi_drift,
         "rfm_cells": q_rfm_cells,
+        "dedup_stack": q_dedup_stack,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8084,6 +8085,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_join": _cosine_join_sql(),
         "psi_drift": _psi_drift_sql(),
         "rfm_cells": _SQL_RFM,
+        "dedup_stack": _dedup_stack_sql(),
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -10644,3 +10646,57 @@ SELECT CAST(r.r_tile AS BIGINT) AS r_tile,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM r JOIN f USING (cust) JOIN mo USING (cust)
 GROUP BY 1, 2, 3"""
+
+
+def q_dedup_stack(sf_dir: str):
+    """Flagship dedup-stack attrition manifest: exact sha256 -> minhash
+    near-dup components -> proper-prefix removal, each doc attributed to
+    the first stage that removes it; (stage, n) decomposition."""
+    from sbustreamspot_core_ray.stages.curation import dedup_stack
+
+    return dedup_stack(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        threshold=0.8,
+        num_parts=P,
+        minhash_parts=4,
+    )
+
+
+def _dedup_stack_sql() -> str:
+    mh = _minhash_dedup_sql()
+    px = _dup_stack_prefix_sql()
+    return f"""
+WITH ex AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM documents),
+mg AS (SELECT * FROM ({mh}) t),
+pxs AS (SELECT DISTINCT doc_id FROM ({px}) t),
+f AS (
+  SELECT d.doc_id,
+         (ex.rn > 1) AS f_ex,
+         (mg.dup_group <> d.doc_id) AS f_nd,
+         (pxs.doc_id IS NOT NULL) AS f_px
+  FROM documents d
+  JOIN ex ON ex.doc_id = d.doc_id
+  JOIN mg ON mg.doc_id = d.doc_id
+  LEFT JOIN pxs ON pxs.doc_id = d.doc_id),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
+         CAST(SUM(CASE WHEN f_ex THEN 1 ELSE 0 END) AS BIGINT) AS rex,
+         CAST(SUM(CASE WHEN NOT f_ex AND f_nd THEN 1 ELSE 0 END)
+              AS BIGINT) AS rnd,
+         CAST(SUM(CASE WHEN NOT f_ex AND NOT f_nd AND f_px THEN 1 ELSE 0 END)
+              AS BIGINT) AS rpx
+  FROM f)
+SELECT 'input' AS stage, n_in AS n FROM c
+UNION ALL SELECT 'removed_exact', rex FROM c
+UNION ALL SELECT 'removed_near_dup', rnd FROM c
+UNION ALL SELECT 'removed_prefix', rpx FROM c
+UNION ALL SELECT 'kept', n_in - rex - rnd - rpx FROM c"""
+
+
+def _dup_stack_prefix_sql() -> str:
+    return _prefix_dups_sql()

@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "cosine_join",
     "psi_drift",
     "rfm_cells",
+    "dedup_stack",
 ]
 
 

@@ -1027,3 +1027,115 @@ def dup_span_coverage(
         .groupby("__p2")
         .map_groups(fold_cover, batch_format="pandas")
     )
+
+
+def dedup_stack(
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_parts: int = 32,
+    minhash_parts: int = 4,
+) -> "pa.Table":
+    """Flagship dedup-stack manifest — the attrition report of the full
+    dedup pipeline a pre-training corpus actually runs, stages in the
+    order they fire: exact sha256 first-wins, minhash-LSH near-dup
+    components (keep the min-id representative), proper-prefix truncated
+    re-crawl removal. Each doc is attributed to the FIRST stage that
+    removes it, so the counts decompose the corpus exactly:
+    input = removed_exact + removed_near_dup + removed_prefix + kept.
+    Returns the long-form (stage, n) table.
+
+    Scale shape: composes the three existing operators (each already
+    one-cheap-key-shuffle shaped), then ONE hash(doc_id) co-partition of
+    the four doc-scale flag streams with a vectorized per-partition set
+    fold; the driver sums P count rows."""
+    import pandas as pd
+
+    from ..functions.hashing import part_of
+    from .dedup import exact_dedup, minhash_lsh_dedup, prefix_duplicates
+
+    kd = docs.select_columns(["doc_id", "text"]).materialize()
+
+    def tag(kind: int):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": d,
+                    "kind": np.full(len(d), kind, np.int8),
+                    "__p": pa.array(part_of(d, num_parts), pa.int32()),
+                }
+            )
+
+        return fn
+
+    all_ids = kd.map_batches(tag(0), batch_format="pyarrow")
+    winners = exact_dedup(kd, num_parts=num_parts).map_batches(
+        tag(1), batch_format="pyarrow"
+    )
+    groups = minhash_lsh_dedup(
+        kd, threshold=threshold, num_parts=minhash_parts
+    )
+
+    def near_flags(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = t["dup_group"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = d[d != g]
+        return pa.table(
+            {
+                "doc_id": d,
+                "kind": np.full(len(d), 2, np.int8),
+                "__p": pa.array(part_of(d, num_parts), pa.int32()),
+            }
+        )
+
+    near = groups.map_batches(near_flags, batch_format="pyarrow")
+    px = prefix_duplicates(kd, num_parts=num_parts)  # materialized table
+    pxd = np.unique(px["doc_id"].to_numpy(zero_copy_only=False))
+    prefix_ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(pxd, pa.int64())})
+    ).map_batches(tag(3), batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        piv = (
+            df.groupby(["doc_id", "kind"]).size().unstack(fill_value=0)
+        )
+        for k in (0, 1, 2, 3):
+            if k not in piv.columns:
+                piv[k] = 0
+        is_doc = piv[0] > 0
+        f_ex = is_doc & (piv[1] == 0)          # not an exact winner
+        f_nd = is_doc & ~f_ex & (piv[2] > 0)   # near-dup non-representative
+        f_px = is_doc & ~f_ex & ~f_nd & (piv[3] > 0)
+        n_in = int(is_doc.sum())
+        return pd.DataFrame(
+            {
+                "input": [n_in],
+                "removed_exact": [int(f_ex.sum())],
+                "removed_near_dup": [int(f_nd.sum())],
+                "removed_prefix": [int(f_px.sum())],
+            }
+        )
+
+    parts = (
+        all_ids.union(winners, near, prefix_ds)
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n_in = int(parts["input"])
+    rex = int(parts["removed_exact"])
+    rnd = int(parts["removed_near_dup"])
+    rpx = int(parts["removed_prefix"])
+    return pa.table(
+        {
+            "stage": pa.array(
+                ["input", "removed_exact", "removed_near_dup",
+                 "removed_prefix", "kept"],
+                pa.string(),
+            ),
+            "n": pa.array(
+                [n_in, rex, rnd, rpx, n_in - rex - rnd - rpx], pa.int64()
+            ),
+        }
+    )

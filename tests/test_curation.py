@@ -751,3 +751,41 @@ def test_dup_span_coverage_vs_bruteforce():
     assert by_id[4][2] == 10 and by_id[5][2] == 10  # cross-doc dup counts
     assert by_id[3][2] == 0                          # unique text untouched
     assert by_id[2][2] == 6                          # partial overlap-union
+
+
+def test_dedup_stack_attribution_hand_case():
+    """Stage attribution on a corpus with every removal class: exact
+    clones, a near-dup pair (high Jaccard, not identical), a truncated
+    prefix, and unique docs. First-stage-wins attribution must decompose
+    the input exactly."""
+    from sbustreamspot_core_ray.stages.curation import dedup_stack
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    near = base.replace("tonight", "today")  # one-token edit: Jaccard ~0.9
+    texts = {
+        1: base,
+        2: base,                      # exact clone -> removed_exact
+        3: near,                      # near-dup of 1 -> removed_near_dup
+        4: base[: len(base) // 2],    # proper prefix of 1 -> removed_prefix
+        5: "completely unrelated text about distributed dataflow engines "
+           "processing parquet blocks with vectorized kernels every day",
+        6: "another unique document mentioning graphs sketches and "
+           "streaming anomaly detection pipelines at petabyte scale",
+    }
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            }
+        )
+    )
+    res = dedup_stack(docs, threshold=0.4, num_parts=4, minhash_parts=2)
+    got = dict(zip(res["stage"].to_pylist(), res["n"].to_pylist()))
+    assert got["input"] == 6
+    assert got["removed_exact"] == 1          # doc 2
+    assert got["removed_near_dup"] >= 1       # doc 3 (maybe 4 too if shingled in)
+    assert got["removed_prefix"] + got["removed_near_dup"] == 2  # docs 3 and 4
+    assert got["kept"] == 3                   # docs 1, 5, 6
+    assert sum(v for k, v in got.items() if k != "input") == got["input"]
