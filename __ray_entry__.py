@@ -7879,6 +7879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift": q_psi_drift,
         "rfm_cells": q_rfm_cells,
         "dedup_stack": q_dedup_stack,
+        "phash_near_dup": q_phash_near_dup,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8086,6 +8087,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _psi_drift_sql(),
         "rfm_cells": _SQL_RFM,
         "dedup_stack": _dedup_stack_sql(),
+        "phash_near_dup": _SQL_PHASH_NEAR_DUP,
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -10700,3 +10702,76 @@ UNION ALL SELECT 'kept', n_in - rex - rnd - rpx FROM c"""
 
 def _dup_stack_prefix_sql() -> str:
     return _prefix_dups_sql()
+
+
+PHASH_MAX_HAMMING = 7
+
+
+def q_phash_near_dup(sf_dir: str):
+    """Perceptual near-duplicate image pairs: COMPLETE pigeonhole-banded
+    hamming join over the 64-bit blockhash (bands=8 > radius=7 — every
+    pair within the radius is found). Rides the generic
+    banded_hamming_pairs machinery."""
+    from sbustreamspot_core_ray.stages.multimodal import (
+        media_from_documents,
+        phash_near_dup,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return phash_near_dup(
+        media_from_documents(docs),
+        max_hamming=PHASH_MAX_HAMMING,
+        bands=8,
+        num_parts=P,
+    )
+
+
+_SQL_PHASH_NEAR_DUP = """
+WITH RECURSIVE pw(i, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT i + 1, p * 2 FROM pw WHERE i < 63
+),
+img AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0),
+b AS (
+  SELECT media_id, g.j // 64 AS blk,
+         ascii(substring(text, CAST((g.j % length(text)) + 1 AS INT), 1))
+           AS byte
+  FROM img, generate_series(0, 4095) g(j)
+  WHERE length(text) > 0
+),
+bs AS (SELECT media_id, blk, SUM(byte) AS s FROM b GROUP BY 1, 2),
+tot AS (SELECT media_id, SUM(s) AS t FROM bs GROUP BY 1),
+h AS (
+  SELECT bs.media_id,
+         SUM(CASE WHEN bs.s * 64 > tot.t THEN pw.p ELSE CAST(0 AS HUGEINT)
+             END) AS hraw
+  FROM bs JOIN tot USING (media_id) JOIN pw ON pw.i = bs.blk
+  GROUP BY bs.media_id
+),
+ph AS (
+  SELECT img.media_id,
+         COALESCE(h.hraw, CAST(0 AS HUGEINT)) AS hraw,
+         COALESCE(CAST(CASE
+           WHEN h.hraw >= CAST(9223372036854775808 AS HUGEINT)
+           THEN h.hraw - CAST(18446744073709551616 AS HUGEINT)
+           ELSE h.hraw END AS BIGINT), 0) AS phash
+  FROM img LEFT JOIN h USING (media_id)
+),
+bp(k, p) AS (VALUES (0,1::HUGEINT),(1,256::HUGEINT),(2,65536::HUGEINT),(3,16777216::HUGEINT),(4,4294967296::HUGEINT),(5,1099511627776::HUGEINT),(6,281474976710656::HUGEINT),(7,72057594037927936::HUGEINT)),
+bnd AS (
+  SELECT media_id, phash, bp.k AS band,
+         CAST((hraw // bp.p) % 256 AS BIGINT) AS bv
+  FROM ph, bp
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS src, b2.media_id AS dst,
+         a.phash AS pha, b2.phash AS phb
+  FROM bnd a
+  JOIN bnd b2 ON b2.band = a.band AND b2.bv = a.bv
+             AND a.media_id < b2.media_id
+)
+SELECT src, dst, bit_count(xor(pha, phb)) AS hamming
+FROM cand WHERE bit_count(xor(pha, phb)) <= 7"""

@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "psi_drift",
     "rfm_cells",
     "dedup_stack",
+    "phash_near_dup",
 ]
 
 

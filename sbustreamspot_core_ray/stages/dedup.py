@@ -692,6 +692,40 @@ def simhash_near_dup(
     vectorized verify. bucket_cap bounds degenerate buckets: a bucket
     bigger than the cap is truncated WITH a logged count (explicit recall
     loss, never silent)."""
+    hashed = docs.select_columns(["doc_id", "text"]).map_batches(
+        partial(call_singleton, _SimHash64), batch_format="pandas", batch_size=1024
+    )
+    return banded_hamming_pairs(
+        hashed,
+        id_col="doc_id",
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        bands=bands,
+        num_parts=num_parts,
+        bucket_cap=bucket_cap,
+    )
+
+
+def banded_hamming_pairs(
+    hashed: ray.data.Dataset,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    bands: int,
+    num_parts: int = 32,
+    bucket_cap: int = 100_000,
+) -> ray.data.Dataset:
+    """Generic pigeonhole-banded Hamming pair join over ANY int64 hash
+    column (simhash, perceptual blockhash, ...): split the 64-bit hash
+    into `bands` equal bit-bands; any pair within hamming <= bands-1
+    shares at least one exact band, so with max_hamming <= bands-1 the
+    candidate set is COMPLETE (no recall loss beyond the explicit
+    bucket_cap truncation, which is logged). Returns distinct
+    (src, dst, hamming) with hamming <= max_hamming.
+
+    Shape: `bands`-row fan-out per id, ONE shuffle on hash(band key) %
+    num_parts, vectorized run-scan pair generation per partition,
+    distinct on the pair key, vectorized popcount verify."""
     from ..functions.hashing import part_of
     from ..sources.edges import distinct_int_rows
 
@@ -699,13 +733,9 @@ def simhash_near_dup(
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
 
-    hashed = docs.select_columns(["doc_id", "text"]).map_batches(
-        partial(call_singleton, _SimHash64), batch_format="pandas", batch_size=1024
-    )
-
     def band_rows(df: pd.DataFrame) -> pa.Table:
-        sh = df["simhash"].to_numpy(np.int64).astype(np.uint64)
-        ids = df["doc_id"].to_numpy(np.int64)
+        sh = df[hash_col].to_numpy(np.int64).astype(np.uint64)
+        ids = df[id_col].to_numpy(np.int64)
         n = len(ids)
         out_b = np.tile(np.arange(bands, dtype=np.int64), n)
         vals = np.empty(n * bands, np.int64)
@@ -715,7 +745,7 @@ def simhash_near_dup(
         return pa.table(
             {
                 "doc_id": np.repeat(ids, bands),
-                "simhash": np.repeat(df["simhash"].to_numpy(np.int64), bands),
+                "simhash": np.repeat(df[hash_col].to_numpy(np.int64), bands),
                 "bkey": key,
                 "__p": part_of(key.astype(np.uint64), num_parts).astype(np.int32),
             }

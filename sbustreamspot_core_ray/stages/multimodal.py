@@ -264,17 +264,10 @@ PHASH_FIELD = 4096  # bytes of the tiled fake image hashed (64 blocks x 64)
 PHASH_BLOCKS = 64
 
 
-def image_blockhash(media: ray.data.Dataset, num_partitions: int = 8) -> ray.data.Dataset:
-    """Perceptual blockhash image dedup: tile the (fake-)decoded image's
-    first PHASH_FIELD bytes into PHASH_BLOCKS blocks, set bit i when
-    block i's byte sum * PHASH_BLOCKS exceeds the field total (block mean
-    > global mean, integer cross-multiplied — no division, no float), and
-    pack the 64 bits into an int64. dup_group = min media_id sharing the
-    hash (exact-match perceptual dedup; a banded hamming>0 variant would
-    reuse stages/dedup.py's simhash banding unchanged).
-
-    Whole-batch vectorized after the per-row byte-buffer view (inherent to
-    binary payload columns); one tiny hash-keyed groupby + join."""
+def image_phashes(media: ray.data.Dataset) -> ray.data.Dataset:
+    """(media_id, phash): the 64-bit integer blockhash per image row —
+    the shared hash stage behind image_blockhash (exact-match dedup) and
+    phash_near_dup (banded hamming join). Materialized once."""
 
     def kernel(t: pa.Table) -> pa.Table:
         kinds = t["kind"].to_numpy(zero_copy_only=False)
@@ -299,9 +292,53 @@ def image_blockhash(media: ray.data.Dataset, num_partitions: int = 8) -> ray.dat
             {"media_id": ids, "phash": phash.view(np.int64)}
         )
 
-    hashed = media.select_columns(["media_id", "kind", "payload"]).map_batches(
+    return media.select_columns(["media_id", "kind", "payload"]).map_batches(
         kernel, batch_format="pyarrow", batch_size=256
-    ).materialize()  # consumed by both the group side and the probe side
+    ).materialize()
+
+
+def phash_near_dup(
+    media: ray.data.Dataset,
+    max_hamming: int = 7,
+    bands: int = 8,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Perceptual near-duplicate image PAIRS: banded Hamming join over the
+    64-bit blockhash (the multimodal counterpart of simhash_near_dup,
+    riding stages/dedup.banded_hamming_pairs unchanged). With the default
+    bands=8 > max_hamming=7 the pigeonhole candidate set is COMPLETE —
+    every pair within the radius is found, no recall loss. Returns
+    distinct (src, dst, hamming)."""
+    from .dedup import banded_hamming_pairs
+
+    hashed = image_phashes(media)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["media_id"], "simhash": t["phash"]})
+
+    return banded_hamming_pairs(
+        hashed.map_batches(rename, batch_format="pyarrow"),
+        id_col="doc_id",
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        bands=bands,
+        num_parts=num_parts,
+    )
+
+
+def image_blockhash(media: ray.data.Dataset, num_partitions: int = 8) -> ray.data.Dataset:
+    """Perceptual blockhash image dedup: tile the (fake-)decoded image's
+    first PHASH_FIELD bytes into PHASH_BLOCKS blocks, set bit i when
+    block i's byte sum * PHASH_BLOCKS exceeds the field total (block mean
+    > global mean, integer cross-multiplied — no division, no float), and
+    pack the 64 bits into an int64. dup_group = min media_id sharing the
+    hash (exact-match perceptual dedup; a banded hamming>0 variant would
+    reuse stages/dedup.py's simhash banding unchanged).
+
+    Whole-batch vectorized after the per-row byte-buffer view (inherent to
+    binary payload columns); one tiny hash-keyed groupby + join."""
+
+    hashed = image_phashes(media)
     groups = hashed.groupby("phash").min("media_id").rename_columns(
         {"min(media_id)": "dup_group"}
     )

@@ -180,3 +180,53 @@ def test_scene_cuts_hand_case():
     assert d1["frame_no"].tolist() == [1]
     assert d1["delta"].tolist() == [0]  # uniform bytes: flat
     assert d1["is_cut"].tolist() == [False]
+
+
+def test_phash_near_dup_complete_vs_bruteforce():
+    """Banded perceptual hamming join vs the O(n^2) popcount definition —
+    bands=8 > radius=7 makes the candidate set provably complete, so the
+    outputs must match EXACTLY, including planted flip-distance pairs."""
+    from sbustreamspot_core_ray.stages.multimodal import (
+        image_phashes,
+        media_from_documents,
+        phash_near_dup,
+    )
+
+    rng = np.random.default_rng(3)
+    base = "".join(chr(65 + int(c)) for c in rng.integers(0, 26, 600))
+    texts = {}
+    for i in range(12):
+        did = i * 3  # doc_id % 3 == 0 -> image rows
+        t = list(base)
+        # progressively mutate: doc 0 is base, others flip i*8 chars
+        for j in range(i * 8):
+            t[(j * 37) % len(t)] = chr(65 + (j % 26))
+        texts[did] = "".join(t)
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            }
+        )
+    )
+    media = media_from_documents(docs)
+    got = (
+        phash_near_dup(media, max_hamming=7, bands=8, num_parts=4)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    hp = image_phashes(media).to_pandas()
+    ids = hp["media_id"].to_numpy(np.int64)
+    hv = hp["phash"].to_numpy(np.int64).astype(np.uint64)
+    want = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            i, j = (a, b) if ids[a] < ids[b] else (b, a)
+            ham = int(bin(int(hv[i] ^ hv[j])).count("1"))
+            if ham <= 7:
+                want.append((int(ids[i]), int(ids[j]), ham))
+    want.sort()
+    assert got.to_numpy().tolist() == [list(r) for r in want]
+    assert len(want) >= 3  # the mutation ladder must produce real pairs
