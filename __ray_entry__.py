@@ -7880,6 +7880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_cells": q_rfm_cells,
         "dedup_stack": q_dedup_stack,
         "phash_near_dup": q_phash_near_dup,
+        "cooccurrence_links": q_cooccurrence_links,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8088,6 +8089,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_cells": _SQL_RFM,
         "dedup_stack": _dedup_stack_sql(),
         "phash_near_dup": _SQL_PHASH_NEAR_DUP,
+        "cooccurrence_links": _SQL_COOC,
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -10775,3 +10777,41 @@ cand AS (
 )
 SELECT src, dst, bit_count(xor(pha, phb)) AS hamming
 FROM cand WHERE bit_count(xor(pha, phb)) <= 7"""
+
+
+COOC_WINDOW_US = 3_600_000_000  # 1 h
+
+
+def q_cooccurrence_links(sf_dir: str):
+    """Shared-key identity-linking candidates: unordered user pairs with
+    events on the same props key within 1 h; exact via (key, bucket)+halo
+    partitioning, one shuffle, windowed searchsorted pair expansion."""
+    from sbustreamspot_core_ray.stages.events import cooccurrence_links
+
+    return cooccurrence_links(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "props"],
+        ),
+        window_us=COOC_WINDOW_US,
+        num_parts=P,
+    )
+
+
+_SQL_COOC = f"""
+WITH e AS (
+  SELECT user_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS kk,
+         epoch_us(ts) AS t, event_id
+  FROM events),
+p AS (
+  SELECT LEAST(a.user_id, b.user_id) AS ua,
+         GREATEST(a.user_id, b.user_id) AS ub,
+         a.kk
+  FROM e a JOIN e b ON b.kk = a.kk
+   AND a.event_id < b.event_id
+   AND abs(b.t - a.t) <= {COOC_WINDOW_US}
+   AND a.user_id <> b.user_id)
+SELECT ua AS user_a, ub AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_meetings,
+       CAST(COUNT(DISTINCT kk) AS BIGINT) AS n_keys
+FROM p GROUP BY 1, 2"""

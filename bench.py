@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "rfm_cells",
     "dedup_stack",
     "phash_near_dup",
+    "cooccurrence_links",
 ]
 
 

@@ -2847,3 +2847,147 @@ def psi_drift(
             "psi_e9": pa.array(out_p, pa.int64()),
         }
     )
+
+
+def cooccurrence_links(
+    events: ray.data.Dataset,
+    window_us: int = 3_600_000_000,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Windowed co-occurrence identity linking — the shared-device /
+    shared-key entity-resolution candidate generator: pairs of DISTINCT
+    users with events on the same props key within `window_us` of each
+    other. Returns per unordered user pair (user_a < user_b):
+    n_meetings (distinct qualifying event pairs) and n_keys (distinct
+    shared keys). Exact, not heuristic.
+
+    Scale shape: bucket = t // window; every event ships to its bucket
+    AND the next one (halo copy), so any pair within the window lands in
+    at least one shared (key, bucket) group — completeness by
+    construction, duplicates removed by one distinct on the event-pair
+    id. ONE shuffle on hash(key, bucket) % P, vectorized searchsorted
+    window-pair expansion per group (never all-pairs per key), distinct,
+    then a hash(user-pair) fold. Pair volume is bounded by events x
+    window occupancy, not |events|^2."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = (
+            pd.Series(np.asarray(t["props"].to_pandas(), object))
+            .str.extract(r"(\d+)", expand=False)
+            .fillna("-1")
+            .astype(np.int64)
+            .to_numpy()
+        )
+        b = ts // window_us
+        n = len(u)
+        # halo: each row to its bucket and the next
+        uu = np.tile(u, 2)
+        tt = np.tile(ts, 2)
+        ee = np.tile(eid, 2)
+        kk2 = np.tile(kk, 2)
+        bb = np.concatenate([b, b + 1])
+        with np.errstate(over="ignore"):
+            key = kk2.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + bb.astype(
+                np.uint64
+            )
+        return pa.table(
+            {
+                "u": uu,
+                "t": tt,
+                "eid": ee,
+                "kk": kk2,
+                "bb": bb,
+                "__p": pa.array(part_of(key, num_parts), pa.int32()),
+            }
+        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["kk", "bb", "t", "eid"], kind="stable")
+        kkb = df[["kk", "bb"]].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        u = df["u"].to_numpy(np.int64)
+        e = df["eid"].to_numpy(np.int64)
+        n = len(t)
+        grp = np.ones(n, bool)
+        grp[1:] = (kkb[1:] != kkb[:-1]).any(axis=1)
+        gid = np.cumsum(grp) - 1
+        # per-row window end: last index in the SAME group with t <= t_i + W,
+        # via ONE searchsorted over a (group << 44 | t-offset) composite —
+        # offsets span < 2^44 us (~200 days) and gids < 2^19 per partition
+        # (partition sizes are block-bounded), so the composite is exact
+        assert len(gid) == 0 or gid[-1] < (1 << 19)
+        gkey = gid.astype(np.int64) << np.int64(44)
+        comp = gkey + np.clip(t - t.min(), 0, (1 << 44) - 1)
+        hi = np.searchsorted(
+            comp, gkey + np.clip(t - t.min() + window_us, 0, (1 << 44) - 1),
+            side="right",
+        )
+        pos = np.arange(n)
+        cnt = hi - pos - 1
+        cnt[cnt < 0] = 0
+        tot = int(cnt.sum())
+        if tot == 0:
+            z = np.empty(0, np.int64)
+            return pd.DataFrame({"ua": z, "ub": z, "kk": z, "ea": z, "eb": z})
+        rep = np.repeat(pos, cnt)
+        within = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        mate = rep + 1 + within
+        keep = u[rep] != u[mate]
+        rep, mate = rep[keep], mate[keep]
+        ua = np.minimum(u[rep], u[mate])
+        ub = np.maximum(u[rep], u[mate])
+        ea = np.minimum(e[rep], e[mate])
+        eb = np.maximum(e[rep], e[mate])
+        return pd.DataFrame(
+            {"ua": ua, "ub": ub, "kk": df["kk"].to_numpy(np.int64)[rep],
+             "ea": ea, "eb": eb}
+        )
+
+    from ..sources.edges import distinct_int_rows
+
+    cand = distinct_int_rows(
+        events.select_columns(["event_id", "ts", "user_id", "props"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(pairs, batch_format="pandas"),
+        ["ua", "ub", "kk", "ea", "eb"],
+        num_parts,
+    )
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        ua = t["ua"].to_numpy(zero_copy_only=False)
+        ub = t["ub"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            key = ua.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + ub.astype(
+                np.uint64
+            )
+        return pa.table(
+            {
+                "ua": ua, "ub": ub, "kk": t["kk"],
+                "__p": pa.array(part_of(key, num_parts), pa.int32()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["ua", "ub"], sort=True).agg(
+            n_meetings=("kk", "size"), n_keys=("kk", "nunique")
+        ).reset_index()
+        return pd.DataFrame(
+            {
+                "user_a": g["ua"].to_numpy(np.int64),
+                "user_b": g["ub"].to_numpy(np.int64),
+                "n_meetings": g["n_meetings"].to_numpy(np.int64),
+                "n_keys": g["n_keys"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        cand.map_batches(tag_pair, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+    )

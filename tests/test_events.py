@@ -930,3 +930,53 @@ def test_psi_drift_vs_reference():
         1, abs(int(got.loc["stable", "psi_e9"]))
     )
     assert (got["n_ref"] == 200).all() and (got["n_cur"] == 200).all()
+
+
+def test_cooccurrence_links_vs_bruteforce():
+    """Halo-bucketed window pairs vs the O(n^2) definition, with pairs
+    spanning bucket boundaries (the halo case), same-user suppression,
+    multi-key pairs, and exact boundary |dt| == window."""
+    from sbustreamspot_core_ray.stages.events import cooccurrence_links
+
+    W = 100
+    rows = [
+        # (event_id, t, user, k)
+        (1, 0, 10, 5), (2, 50, 20, 5),      # in-bucket pair
+        (3, 95, 30, 5), (4, 180, 40, 5),    # cross-bucket within W (halo)
+        (5, 200, 10, 5), (6, 301, 20, 5),   # dt=101 > W: NOT a pair
+        (7, 400, 10, 5), (8, 500, 20, 5),   # dt=100 == W: boundary pair
+        (9, 600, 10, 7), (10, 650, 20, 7),  # second shared key
+        (11, 700, 10, 9), (12, 750, 10, 9), # same user: suppressed
+    ]
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "props": pa.array(
+                    ['{"k": %d}' % r[3] for r in rows], pa.string()
+                ),
+            }
+        )
+    )
+    got = (
+        cooccurrence_links(events, window_us=W, num_parts=4)
+        .to_pandas()
+        .sort_values(["user_a", "user_b"])
+        .reset_index(drop=True)
+    )
+    # brute force
+    agg: dict[tuple, list] = {}
+    for a in rows:
+        for b in rows:
+            if a[0] < b[0] and a[3] == b[3] and a[2] != b[2] \
+                    and abs(a[1] - b[1]) <= W:
+                key = (min(a[2], b[2]), max(a[2], b[2]))
+                agg.setdefault(key, []).append(a[3])
+    want = sorted(
+        (ua, ub, len(ks), len(set(ks))) for (ua, ub), ks in agg.items()
+    )
+    assert got.to_numpy().tolist() == [list(r) for r in want]
+    assert (10, 20) in agg and len(agg[(10, 20)]) == 4  # three key-5 meetings (incl. the dt==W boundary) + one key-7
+    assert (30, 40) in agg  # the halo-spanning pair was found
