@@ -7881,6 +7881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_stack": q_dedup_stack,
         "phash_near_dup": q_phash_near_dup,
         "cooccurrence_links": q_cooccurrence_links,
+        "markov_eval": q_markov_eval,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8090,6 +8091,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stack": _dedup_stack_sql(),
         "phash_near_dup": _SQL_PHASH_NEAR_DUP,
         "cooccurrence_links": _SQL_COOC,
+        "markov_eval": _markov_eval_sql(),
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -10815,3 +10817,47 @@ SELECT ua AS user_a, ub AS user_b,
        CAST(COUNT(*) AS BIGINT) AS n_meetings,
        CAST(COUNT(DISTINCT kk) AS BIGINT) AS n_keys
 FROM p GROUP BY 1, 2"""
+
+
+def q_markov_eval(sf_dir: str):
+    """Train/eval Markov next-event predictor: transitions before Jan 16
+    train the per-type argmax model (lexicographic ties), later
+    transitions score it; integer hits, one mirrored ROUND(6) divide."""
+    from sbustreamspot_core_ray.stages.events import markov_eval
+
+    return markov_eval(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        ),
+        num_parts=P,
+    )
+
+
+def _markov_eval_sql() -> str:
+    from sbustreamspot_core_ray.stages.events import PSI_SPLIT_US
+
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+s AS (
+  SELECT event_type AS ft, t,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS tt
+  FROM e),
+tr AS (
+  SELECT ft, tt, (t >= {PSI_SPLIT_US}) AS iseval
+  FROM s WHERE tt IS NOT NULL),
+trn AS (SELECT ft, tt, COUNT(*) AS n FROM tr WHERE NOT iseval GROUP BY 1, 2),
+model AS (
+  SELECT ft, tt AS predicted FROM trn
+  QUALIFY row_number() OVER (PARTITION BY ft ORDER BY n DESC, tt) = 1),
+ev AS (SELECT ft, tt FROM tr WHERE iseval)
+SELECT m.ft AS from_type, m.predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN ev.tt = m.predicted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN ev.tt = m.predicted THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM ev JOIN model m ON m.ft = ev.ft
+GROUP BY m.ft, m.predicted"""

@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "dedup_stack",
     "phash_near_dup",
     "cooccurrence_links",
+    "markov_eval",
 ]
 
 

@@ -2991,3 +2991,115 @@ def cooccurrence_links(
         .groupby("__p")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def markov_eval(
+    events: ray.data.Dataset,
+    split_us: int = PSI_SPLIT_US,
+    num_parts: int = 32,
+) -> "pa.Table":
+    """Train/eval split for a first-order Markov next-event predictor —
+    the model-evaluation loop of a behavioral pipeline, exact end to end:
+    transitions are per-user consecutive (ts, event_id)-ordered event
+    pairs, assigned to TRAIN when the first event precedes `split_us`
+    and to EVAL otherwise; the model predicts, per from_type, the
+    max-train-count next type (ties to the lexicographically smallest);
+    eval accuracy is integer hits over integer totals with one mirrored
+    ROUND(6) divide. Returns (from_type, predicted, n_eval, n_hits,
+    accuracy); from_types absent from training are excluded (inner-join
+    semantics, mirrored in SQL).
+
+    Scale shape: ONE hash(user) shuffle; the per-partition kernel emits
+    |types|^2 x 2 partial counts; the driver folds the fixed-cardinality
+    grid, fits the argmax model, and scores — model state never exceeds
+    the type vocabulary."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import round_half_away
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": u,
+                "e": pc.cast(t["event_id"], pa.int64()),
+                "t": pc.cast(t["ts"], pa.int64()),
+                "ty": t["event_type"],
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["u", "t", "e"], kind="stable")
+        u = df["u"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        ty = df["ty"].to_numpy(object)
+        if len(u) < 2:
+            return pd.DataFrame(
+                {"ft": [], "tt": [], "iseval": [], "n": []}
+            )
+        same = u[1:] == u[:-1]
+        ft, tt = ty[:-1][same], ty[1:][same]
+        iseval = (t[:-1][same] >= split_us).astype(np.int64)
+        g = (
+            pd.DataFrame({"ft": ft, "tt": tt, "iseval": iseval})
+            .groupby(["ft", "tt", "iseval"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = (
+        events.select_columns(["event_id", "ts", "user_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pa.table(
+        {
+            "from_type": pa.array([], pa.string()),
+            "predicted": pa.array([], pa.string()),
+            "n_eval": pa.array([], pa.int64()),
+            "n_hits": pa.array([], pa.int64()),
+            "accuracy": pa.array([], pa.float64()),
+        }
+    )
+    if not len(parts):
+        return empty
+    g = (
+        parts.groupby(["ft", "tt", "iseval"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    trn = g[g["iseval"] == 0]
+    ev = g[g["iseval"] == 1]
+    if not len(trn) or not len(ev):
+        return empty
+    model = (
+        trn.sort_values(["ft", "n", "tt"],
+                        ascending=[True, False, True], kind="stable")
+        .drop_duplicates("ft")
+        .set_index("ft")["tt"]
+    )
+    rows = []
+    for ft, sub in ev.groupby("ft", sort=True):
+        if ft not in model.index:
+            continue
+        pred = model.loc[ft]
+        n_eval = int(sub["n"].sum())
+        n_hits = int(sub[sub["tt"] == pred]["n"].sum())
+        acc = float(round_half_away(
+            np.array([n_hits / n_eval]), 6)[0])
+        rows.append((ft, pred, n_eval, n_hits, acc))
+    return pa.table(
+        {
+            "from_type": pa.array([r[0] for r in rows], pa.string()),
+            "predicted": pa.array([r[1] for r in rows], pa.string()),
+            "n_eval": pa.array([r[2] for r in rows], pa.int64()),
+            "n_hits": pa.array([r[3] for r in rows], pa.int64()),
+            "accuracy": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )

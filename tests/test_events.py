@@ -980,3 +980,53 @@ def test_cooccurrence_links_vs_bruteforce():
     assert got.to_numpy().tolist() == [list(r) for r in want]
     assert (10, 20) in agg and len(agg[(10, 20)]) == 4  # three key-5 meetings (incl. the dt==W boundary) + one key-7
     assert (30, 40) in agg  # the halo-spanning pair was found
+
+
+def test_markov_eval_hand_case():
+    """Argmax model + tie-break + split assignment on a hand-built
+    stream: transitions straddling the split train on the FIRST event's
+    half; a from_type seen only in eval is excluded."""
+    from sbustreamspot_core_ray.stages.events import markov_eval
+
+    S = 1000
+    rows = [
+        # user 1 trains A->B twice, A->C once (model: A->B)
+        (1, 0, 1, "A"), (2, 10, 1, "B"), (3, 20, 1, "A"), (4, 30, 1, "C"),
+        (5, 40, 1, "A"), (6, 50, 1, "B"),
+        # user 2 trains B->A and B->C once each (tie -> predicted 'A')
+        (7, 0, 2, "B"), (8, 10, 2, "A"), (9, 20, 2, "B"), (10, 30, 2, "C"),
+        # straddle: first event before split -> TRAIN (C->A)
+        (11, S - 5, 2, "C"), (12, S + 5, 2, "A"),
+        # eval: user 1 after split: A->B (hit), A->C (miss), B->A
+        (13, S + 10, 1, "A"), (14, S + 20, 1, "B"),
+        (15, S + 30, 1, "A"), (16, S + 40, 1, "C"),
+        (17, S + 50, 1, "B"), (18, S + 60, 1, "A"),
+        # eval-only from_type D: excluded (no training row)
+        (19, S + 70, 2, "D"), (20, S + 80, 2, "A"),
+    ]
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+    )
+    got = (
+        markov_eval(events, split_us=S, num_parts=4)
+        .to_pandas()
+        .set_index("from_type")
+    )
+    # eval transitions: u1: A->B, B->A(14->15? no: 14 B@+20 -> 15 A@+30 yes),
+    # A->C, C->B(16->17), B->A(17->18); u2: C->A? trained (straddle);
+    # eval u2: A->D (13? no, u2: 12 A@S+5 -> 19 D@S+70), D->A
+    assert got.loc["A", "predicted"] == "B"
+    assert got.loc["B", "predicted"] == "A"   # tie broken lexicographically
+    assert "D" not in got.index               # never trained
+    # A eval rows: u1 A->B (hit), u1 A->C (miss), u2 A->D (miss) = 1/3
+    assert int(got.loc["A", "n_eval"]) == 3
+    assert int(got.loc["A", "n_hits"]) == 1
+    # B eval: u1 B->A @+20->+30 (hit), u1 B->A @+50->+60 (hit) = 2/2
+    assert int(got.loc["B", "n_eval"]) == 2 and int(got.loc["B", "n_hits"]) == 2
