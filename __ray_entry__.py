@@ -7882,6 +7882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_near_dup": q_phash_near_dup,
         "cooccurrence_links": q_cooccurrence_links,
         "markov_eval": q_markov_eval,
+        "attack_percolation": q_attack_percolation,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8092,6 +8093,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_near_dup": _SQL_PHASH_NEAR_DUP,
         "cooccurrence_links": _SQL_COOC,
         "markov_eval": _markov_eval_sql(),
+        "attack_percolation": _attack_sql(),
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -10861,3 +10863,74 @@ SELECT m.ft AS from_type, m.predicted,
                   AS DOUBLE) / COUNT(*), 6) AS accuracy
 FROM ev JOIN model m ON m.ft = ev.ft
 GROUP BY m.ft, m.predicted"""
+
+
+ATTACK_REMOVES = (0, 1, 5, 10)
+
+
+def q_attack_percolation(sf_dir: str):
+    """Targeted-attack robustness: delete the top R%% of vertices by
+    (degree desc, id) from the folded interaction graph and recompute
+    connected components per level — the hub-attack complement of the
+    random bond-percolation sweep."""
+    from sbustreamspot_core_ray.pipelines.superstep import attack_sweep
+
+    return attack_sweep(
+        _edges_directed(sf_dir), removes=ATTACK_REMOVES, num_parts=P
+    )
+
+
+def _attack_sql() -> str:
+    parts = [
+        f"e0 AS (SELECT DISTINCT l_partkey % {RECIP_MOD} AS src,"
+        f" l_suppkey % {RECIP_MOD} AS dst FROM lineitem)",
+        "p AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b"
+        " FROM e0 WHERE src <> dst)",
+        "vv AS (SELECT a AS vertex FROM p UNION ALL SELECT b FROM p)",
+        "dg AS (SELECT vertex, CAST(COUNT(*) AS BIGINT) AS deg"
+        " FROM vv GROUP BY vertex)",
+        "nv AS (SELECT COUNT(*) AS n FROM dg)",
+    ]
+    sels = []
+    for R in ATTACK_REMOVES:
+        parts.append(
+            f"rm{R} AS (SELECT vertex FROM dg, nv QUALIFY"
+            f" row_number() OVER (ORDER BY deg DESC, vertex)"
+            f" <= (nv.n * {R}) // 100)"
+        )
+        parts.append(
+            f"pk{R} AS (SELECT a, b FROM p"
+            f" WHERE a NOT IN (SELECT vertex FROM rm{R})"
+            f" AND b NOT IN (SELECT vertex FROM rm{R}))"
+        )
+        parts.append(
+            f"ee{R} AS (SELECT a AS s, b AS d FROM pk{R}"
+            f" UNION SELECT b, a FROM pk{R})"
+        )
+        parts.append(
+            f"v{R} AS (SELECT s AS vertex FROM ee{R} UNION SELECT d FROM ee{R})"
+        )
+        parts.append(
+            f"r{R}(vx, lbl) AS (SELECT vertex, vertex FROM v{R}"
+            f" UNION SELECT e.d, r.lbl FROM r{R} r JOIN ee{R} e ON e.s = r.vx)"
+        )
+        parts.append(
+            f"m{R} AS (SELECT vx, MIN(lbl) AS comp FROM r{R} GROUP BY vx)"
+        )
+        parts.append(
+            f"s{R} AS (SELECT comp, count(*) AS n FROM m{R} GROUP BY comp)"
+        )
+        sels.append(
+            f"SELECT CAST({R} AS BIGINT) AS remove_pct,"
+            f" CAST((SELECT count(*) FROM rm{R}) AS BIGINT) AS n_removed,"
+            f" CAST((SELECT count(*) FROM m{R}) AS BIGINT) AS n_vertices,"
+            f" CAST((SELECT count(*) FROM pk{R}) AS BIGINT) AS n_edges,"
+            f" CAST(count(*) AS BIGINT) AS n_components,"
+            f" CAST(COALESCE(max(n), 0) AS BIGINT) AS giant_size FROM s{R}"
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(sels)
+    )

@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "phash_near_dup",
     "cooccurrence_links",
     "markov_eval",
+    "attack_percolation",
 ]
 
 

@@ -4530,3 +4530,177 @@ def triad_census(
     if len(parts):
         np.add.at(totals, parts["code"].to_numpy(), parts["n"].to_numpy())
     return census_table(totals)
+
+
+def attack_sweep(
+    edges: ray.data.Dataset,
+    removes: tuple[int, ...] = (0, 1, 5, 10),
+    num_parts: int = 8,
+) -> "pa.Table":
+    """Targeted-attack robustness sweep — the hub-removal complement of
+    :func:`percolation_sweep`'s random link failure (the classic
+    scale-free asymmetry: resilient to random failure, fragile to
+    attack): for each percentage R the top ceil(V*R/100) vertices by
+    (degree DESC, id ASC) are deleted and connected components are
+    recomputed over the surviving induced subgraph. Reports per level
+    (remove_pct, n_removed, n_vertices, n_edges, n_components,
+    giant_size); the graph is the canonical distinct undirected edge set
+    (self-loops dropped), n_vertices counts surviving-edge endpoints.
+
+    Scale shape: distinct + degree fold (one cheap-key shuffle);
+    the removal cutoff comes from a per-degree histogram (bounded by max
+    degree, tiny on the driver) — only the TIE CLASS at the cutoff
+    degree is pulled to the driver to resolve the id order (size
+    logged); the removal set broadcasts once (ray.put, <= V*R/100 int64s)
+    and every filter task probes it with searchsorted; per level the
+    standard CSR build + superstep CC runs, stats fold as bounded
+    partials. Levels run sequentially to bound actor count."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import part_of
+    from ..functions.proccache import cached_get
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["src"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = pc.cast(t["dst"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"a": np.minimum(s, d), "b": np.maximum(s, d)})
+
+    und = distinct(
+        edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"]
+    ).materialize()
+    n_edges_full = und.count()
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()])
+        return pa.table({"vertex": v})
+
+    deg = int_degrees(
+        und.map_batches(both_ends, batch_format="pyarrow"), num_parts
+    ).materialize()
+    n_v = deg.count()
+
+    # per-degree histogram: bounded by max degree, folded on the driver
+    def dhist(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"deg": u, "n": c.astype(np.int64)})
+
+    hist = deg.map_batches(dhist, batch_format="pyarrow").to_pandas()
+    hist = hist.groupby("deg", sort=True)["n"].sum().sort_index(ascending=False)
+    degs_desc = hist.index.to_numpy()
+    cnts_desc = hist.to_numpy(np.int64)
+    cum = np.cumsum(cnts_desc)
+
+    rows = []
+    for R in removes:
+        k = (n_v * R) // 100
+        if k == 0:
+            removed_ref = ray.put(np.empty(0, np.int64))
+            n_removed = 0
+        else:
+            ci = int(np.searchsorted(cum, k))  # first degree class crossing k
+            dstar = int(degs_desc[ci])
+            n_above = int(cum[ci - 1]) if ci else 0
+            n_ties = k - n_above  # smallest ids win within the tie class
+
+            def above(t: pa.Table, dstar=dstar) -> pa.Table:
+                d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+                m = d > dstar
+                return pa.table({"vertex": t["vertex"].to_numpy(
+                    zero_copy_only=False)[m]})
+
+            def at(t: pa.Table, dstar=dstar) -> pa.Table:
+                d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+                m = d == dstar
+                return pa.table({"vertex": t["vertex"].to_numpy(
+                    zero_copy_only=False)[m]})
+
+            hard = deg.map_batches(above, batch_format="pyarrow").to_pandas()
+            ties = deg.map_batches(at, batch_format="pyarrow").to_pandas()
+            # all-empty map outputs lose their schema in to_pandas
+            hv = (hard["vertex"].to_numpy(np.int64)
+                  if "vertex" in hard.columns else np.empty(0, np.int64))
+            tv = (ties["vertex"].to_numpy(np.int64)
+                  if "vertex" in ties.columns else np.empty(0, np.int64))
+            tie_ids = np.sort(tv)[:n_ties]
+            removed = np.sort(np.concatenate([hv, tie_ids]))
+            n_removed = len(removed)
+            removed_ref = ray.put(removed)
+
+        def filt(t: pa.Table, ref=removed_ref) -> pa.Table:
+            rm = cached_get(ref)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            if len(rm):
+                pa_ = np.searchsorted(rm, a)
+                pb_ = np.searchsorted(rm, b)
+                ina = (pa_ < len(rm)) & (rm[np.clip(pa_, 0, len(rm) - 1)] == a)
+                inb = (pb_ < len(rm)) & (rm[np.clip(pb_, 0, len(rm) - 1)] == b)
+                keep = ~(ina | inb)
+                a, b = a[keep], b[keep]
+            return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+        kept = und.map_batches(filt, batch_format="pyarrow").materialize()
+        n_edges = kept.count()
+        if n_edges == 0:
+            rows.append((R, n_removed, 0, 0, 0, 0))
+            continue
+        g = ShardedGraph.build(kept, num_parts=num_parts, symmetric=True)
+        cc = connected_components(g)
+
+        def label_partial(t: pa.Table) -> pa.Table:
+            lab = t["component"].to_numpy(zero_copy_only=False).astype(np.int64)
+            u, c = np.unique(lab, return_counts=True)
+            return pa.table(
+                {
+                    "component": u,
+                    "n": c.astype(np.int64),
+                    "__p": pa.array(part_of(u, num_parts), pa.int32()),
+                }
+            )
+
+        def fold(t: pa.Table) -> pa.Table:
+            lab = t["component"].to_numpy()
+            n = t["n"].to_numpy()
+            u, inv = np.unique(lab, return_inverse=True)
+            sizes = np.bincount(inv, weights=n, minlength=len(u)).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "n_components": pa.array([np.int64(len(u))]),
+                    "giant": pa.array(
+                        [np.int64(sizes.max()) if len(sizes) else np.int64(0)]
+                    ),
+                    "n_vertices": pa.array([np.int64(sizes.sum())]),
+                }
+            )
+
+        parts = (
+            cc.map_batches(label_partial, batch_format="pyarrow")
+            .groupby("__p")
+            .map_groups(fold, batch_format="pyarrow")
+            .to_pandas()
+        )
+        rows.append(
+            (
+                R,
+                n_removed,
+                int(parts["n_vertices"].sum()),
+                int(n_edges),
+                int(parts["n_components"].sum()),
+                int(parts["giant"].max()) if len(parts) else 0,
+            )
+        )
+    return pa.table(
+        {
+            "remove_pct": pa.array([r[0] for r in rows], pa.int64()),
+            "n_removed": pa.array([r[1] for r in rows], pa.int64()),
+            "n_vertices": pa.array([r[2] for r in rows], pa.int64()),
+            "n_edges": pa.array([r[3] for r in rows], pa.int64()),
+            "n_components": pa.array([r[4] for r in rows], pa.int64()),
+            "giant_size": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )

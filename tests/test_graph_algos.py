@@ -1181,3 +1181,52 @@ def test_pagerank_drift_semantics():
     a = np.abs(d)
     assert (a[:-1] >= a[1:] - 1e-15).all()  # non-increasing |delta|
     assert a[0] > 0  # thinning 10% of edges moves at least one rank
+
+
+def test_attack_sweep_vs_networkx():
+    """Hub-removal sweep vs networkx on a hub-and-spoke fixture where the
+    attack provably shatters the graph (and ties at the cutoff degree are
+    resolved by smallest id, mirrored here)."""
+    import networkx as nx
+
+    from sbustreamspot_core_ray.pipelines.superstep import attack_sweep
+
+    # two hubs (1, 2) each with 40 spokes, bridged by one edge; plus a
+    # separate 10-cycle so removal ties exercise the id order
+    arcs = [(1, 100 + i) for i in range(40)] + [(2, 200 + i) for i in range(40)]
+    arcs += [(1, 2)]
+    arcs += [(300 + i, 300 + (i + 1) % 10) for i in range(10)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in arcs], pa.int64()),
+                "dst": pa.array([b for _, b in arcs], pa.int64()),
+            }
+        )
+    )
+    got = (
+        attack_sweep(edges, removes=(0, 2, 20), num_parts=4)
+        .to_pandas()
+        .set_index("remove_pct")
+    )
+
+    g0 = nx.Graph(arcs)
+    n_v = g0.number_of_nodes()
+    deg = dict(g0.degree())
+    order = sorted(deg, key=lambda v: (-deg[v], v))
+    for R in (0, 2, 20):
+        k = (n_v * R) // 100
+        g = g0.copy()
+        g.remove_nodes_from(order[:k])
+        g.remove_nodes_from([v for v in list(g) if g.degree(v) == 0])
+        comps = list(nx.connected_components(g))
+        row = got.loc[R]
+        assert int(row["n_removed"]) == k
+        assert int(row["n_vertices"]) == g.number_of_nodes()
+        assert int(row["n_edges"]) == g.number_of_edges()
+        assert int(row["n_components"]) == len(comps)
+        assert int(row["giant_size"]) == (
+            max(len(c) for c in comps) if comps else 0
+        )
+    # the attack must actually shatter the hubs at 2% (k=1: hub 1 removed)
+    assert int(got.loc[2, "giant_size"]) < int(got.loc[0, "giant_size"])
