@@ -7883,6 +7883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_links": q_cooccurrence_links,
         "markov_eval": q_markov_eval,
         "attack_percolation": q_attack_percolation,
+        "item_cosine": q_item_cosine,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8094,6 +8095,7 @@ def oracle_sql() -> dict[str, str]:
         "cooccurrence_links": _SQL_COOC,
         "markov_eval": _markov_eval_sql(),
         "attack_percolation": _attack_sql(),
+        "item_cosine": _SQL_ITEM_COSINE,
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -10934,3 +10936,39 @@ def _attack_sql() -> str:
         + "\n"
         + "\nUNION ALL\n".join(sels)
     )
+
+
+ITEM_COS_MIN, ITEM_COS_TOPN = 2, 100
+
+
+def q_item_cosine(sf_dir: str):
+    """Item-item cosine from co-purchase baskets: top-100 part pairs by
+    n_ab / (sqrt(n_a) * sqrt(n_b)) — the recsys normalization of the raw
+    market-basket counts. Two cheap-key shuffles + degree combiner."""
+    from sbustreamspot_core_ray.stages.relational import item_cosine
+
+    return item_cosine(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        ),
+        min_count=ITEM_COS_MIN,
+        topn=ITEM_COS_TOPN,
+        num_parts=P,
+    )
+
+
+_SQL_ITEM_COSINE = f"""
+WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+ic AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM bp GROUP BY p),
+pr AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS nab
+  FROM bp a JOIN bp b ON b.o = a.o AND b.p > a.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {ITEM_COS_MIN}),
+c AS (
+  SELECT pr.pa, pr.pb, pr.nab,
+         CAST(pr.nab AS DOUBLE)
+           / (sqrt(CAST(ia.n AS DOUBLE)) * sqrt(CAST(ib.n AS DOUBLE))) AS raw
+  FROM pr JOIN ic ia ON ia.p = pr.pa JOIN ic ib ON ib.p = pr.pb)
+SELECT pa AS part_a, pb AS part_b, nab AS n_pairs, ROUND(raw, 6) AS cosine
+FROM c
+QUALIFY row_number() OVER (ORDER BY raw DESC, pa, pb) <= {ITEM_COS_TOPN}"""

@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "cooccurrence_links",
     "markov_eval",
     "attack_percolation",
+    "item_cosine",
 ]
 
 

@@ -2482,3 +2482,162 @@ def rfm_cells(
             "n": pa.array(g["n"].to_numpy(np.int64)),
         }
     )
+
+
+def item_cosine(
+    lineitem: ray.data.Dataset,
+    min_count: int = 2,
+    topn: int = 100,
+    num_parts: int = 16,
+) -> "pa.Table":
+    """Item-item cosine similarity from co-purchase baskets — the recsys
+    normalization of the raw market-basket pair counts: cosine(a, b) =
+    n_ab / (sqrt(n_a) * sqrt(n_b)) with n_x the number of orders
+    containing part x, ranked by (raw cosine desc, a, b) top-n. The raw
+    count favors popular items; the cosine surfaces genuinely associated
+    pairs. All counts are exact integers; the cosine is the _q_cos parity
+    chain (exact dot, two correctly-rounded sqrts, one multiply, one
+    divide), ROUND(6) only on output.
+
+    Scale shape: ONE hash(order) shuffle -> per-partition triangular
+    basket-pair enumeration with per-partition pair-count COMBINING ->
+    ONE hash(pair) shuffle folds global pair counts and prunes
+    count < min_count -> item counts via the degree combiner -> two
+    co-partitioned int-key joins attach n_a/n_b -> per-partition partial
+    top-n on the raw cosine, driver folds P*topn rows."""
+    import pandas as pd
+
+    from ..functions.rounding import round_half_away
+    from ..pipelines.superstep import _attach_value, int_degrees
+
+    def tag(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"o": o, "p": p}).drop_duplicates()
+        return pa.table(
+            {
+                "o": df["o"].to_numpy(np.int64),
+                "p": df["p"].to_numpy(np.int64),
+                "__p": pa.array(
+                    part_of(df["o"].to_numpy(np.int64), num_parts), pa.int32()
+                ),
+            }
+        )
+
+    def basket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["o", "p"]].drop_duplicates().sort_values(["o", "p"])
+        o = df["o"].to_numpy(np.int64)
+        p = df["p"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], o[1:] != o[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(o)]]))
+        npair = lens * (lens - 1) // 2
+        tot = int(npair.sum())
+        if tot == 0:
+            z = np.empty(0, np.int64)
+            return pd.DataFrame({"pa": z, "pb": z, "n": z})
+        run = np.repeat(np.arange(len(lens)), npair)
+        within = np.arange(tot) - np.concatenate([[0], np.cumsum(npair)])[run]
+        L = lens[run]
+        i = np.floor(
+            ((2 * L - 1) - np.sqrt((2 * L - 1).astype(np.float64) ** 2
+                                   - 8 * within)) / 2
+        ).astype(np.int64)
+        off = i * (L - 1) - i * (i - 1) // 2
+        j = within - off + i + 1
+        base = starts[run]
+        g = (
+            pd.DataFrame({"pa": p[base + i], "pb": p[base + j]})
+            .groupby(["pa", "pb"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        a = t["pa"].to_numpy(zero_copy_only=False)
+        b = t["pb"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            key = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.astype(
+                np.uint64
+            )
+        return pa.table(
+            {"pa": a, "pb": b, "n": t["n"],
+             "__p": pa.array(part_of(key, num_parts), pa.int32())}
+        )
+
+    def fold_pair(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["pa", "pb"], sort=False)["n"].sum().reset_index()
+        g = g[g["n"] >= min_count]
+        # arrow out: downstream rename/Project must not see pandas blocks
+        return pa.table(
+            {
+                "pa": g["pa"].to_numpy(np.int64),
+                "pb": g["pb"].to_numpy(np.int64),
+                "n": g["n"].to_numpy(np.int64),
+            }
+        )
+
+    baskets = lineitem.select_columns(["l_orderkey", "l_partkey"]).map_batches(
+        tag, batch_format="pyarrow"
+    ).materialize()
+    pairs = (
+        baskets.groupby("__p")
+        .map_groups(basket_pairs, batch_format="pandas")
+        .map_batches(tag_pair, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold_pair, batch_format="pandas")
+    )
+    # item frequencies must come from GLOBALLY distinct (order, part):
+    # the tag-side dedup is batch-local only, but every row of an order
+    # lands in one hash(order) partition, so a per-partition dedup is
+    # globally exact before the degree combiner
+    def dedup_items(df: pd.DataFrame) -> pa.Table:
+        g = df[["o", "p"]].drop_duplicates()
+        return pa.table({"vertex": g["p"].to_numpy(np.int64)})
+
+    items = int_degrees(
+        baskets.groupby("__p").map_groups(dedup_items, batch_format="pandas"),
+        num_parts,
+    ).materialize()
+    j = _attach_value(
+        pairs.rename_columns({"pa": "k"}), items, "k", ["pb", "n"],
+        "deg", "na", num_parts,
+    ).rename_columns({"k": "pa"})
+    j = _attach_value(
+        j.rename_columns({"pb": "k"}), items, "k", ["pa", "n", "na"],
+        "deg", "nb", num_parts,
+    ).rename_columns({"k": "pb"})
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        nab = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        raw = nab / (np.sqrt(na) * np.sqrt(nb))
+        a = t["pa"].to_numpy(zero_copy_only=False)
+        b = t["pb"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, -raw))[:topn]
+        return pa.table(
+            {
+                "part_a": a[order],
+                "part_b": b[order],
+                "n_pairs": t["n"].to_numpy(zero_copy_only=False)[order],
+                "raw": raw[order],
+            }
+        )
+
+    top = j.map_batches(partial_top, batch_format="pyarrow").to_pandas()
+    top = top.sort_values(
+        ["raw", "part_a", "part_b"], ascending=[False, True, True],
+        kind="stable",
+    ).head(topn)
+    return pa.table(
+        {
+            "part_a": pa.array(top["part_a"].to_numpy(np.int64)),
+            "part_b": pa.array(top["part_b"].to_numpy(np.int64)),
+            "n_pairs": pa.array(top["n_pairs"].to_numpy(np.int64)),
+            "cosine": pa.array(
+                round_half_away(top["raw"].to_numpy(np.float64), 6)
+            ),
+        }
+    )

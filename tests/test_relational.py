@@ -653,3 +653,52 @@ def test_exact_ntile_vs_sorted_reference():
     ].tolist()
     # every tile holds exactly n/5 rows (n divisible by 5 here)
     assert np.bincount(want).tolist() == [300] * 5
+
+
+def test_item_cosine_vs_bruteforce():
+    """Cosine normalization vs the O(n^2) definition on hand baskets:
+    a popular pair with low cosine must rank below a rare-but-exclusive
+    pair, and item counts must be globally deduplicated."""
+    from sbustreamspot_core_ray.stages.relational import item_cosine
+
+    baskets = {
+        1: [10, 11], 2: [10, 11], 3: [10, 11],      # exclusive pair
+        4: [20, 21, 10], 5: [20, 21, 11], 6: [20, 21],
+        7: [20, 30], 8: [20, 31], 9: [20, 32],       # 20 is popular
+        10: [10, 11],                                 # duplicate rows below
+    }
+    rows_o, rows_p = [], []
+    for o, ps in baskets.items():
+        for p in ps:
+            rows_o.extend([o, o])  # duplicate every lineitem row
+            rows_p.extend([p, p])
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array(rows_o, pa.int64()),
+                "l_partkey": pa.array(rows_p, pa.int64()),
+            }
+        )
+    )
+    got = item_cosine(li, min_count=2, topn=10, num_parts=4).to_pandas()
+
+    import itertools
+    from collections import Counter
+
+    cnt = Counter()
+    icnt = Counter()
+    for o, ps in baskets.items():
+        ps = sorted(set(ps))
+        icnt.update(ps)
+        cnt.update(itertools.combinations(ps, 2))
+    want = []
+    for (a, b), n in cnt.items():
+        if n >= 2:
+            raw = n / (np.sqrt(icnt[a]) * np.sqrt(icnt[b]))
+            want.append((raw, a, b, n))
+    want.sort(key=lambda r: (-r[0], r[1], r[2]))
+    assert got[["part_a", "part_b", "n_pairs"]].to_numpy().tolist() == [
+        [a, b, n] for _, a, b, n in want[:10]
+    ]
+    # (10, 11): 4/ (2 sqrt(5)) ~ 0.894 beats (20, 21): 3/(sqrt(6*3)) ~ 0.707
+    assert got.iloc[0][["part_a", "part_b"]].tolist() == [10, 11]
