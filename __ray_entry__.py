@@ -7884,6 +7884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_eval": q_markov_eval,
         "attack_percolation": q_attack_percolation,
         "item_cosine": q_item_cosine,
+        "seasonal_deviation": q_seasonal_deviation,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8096,6 +8097,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_eval": _markov_eval_sql(),
         "attack_percolation": _attack_sql(),
         "item_cosine": _SQL_ITEM_COSINE,
+        "seasonal_deviation": _seasonal_sql(),
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -10972,3 +10974,51 @@ c AS (
 SELECT pa AS part_a, pb AS part_b, nab AS n_pairs, ROUND(raw, 6) AS cosine
 FROM c
 QUALIFY row_number() OVER (ORDER BY raw DESC, pa, pb) <= {ITEM_COS_TOPN}"""
+
+
+def q_seasonal_deviation(sf_dir: str):
+    """Weekly-seasonality deviation alarms: reference-half day-of-week
+    profiles score current-half days by integer cross-multiplied
+    relative deviation (exact thousandths, no floats). Pure combiner."""
+    from sbustreamspot_core_ray.stages.events import seasonal_deviation
+
+    return seasonal_deviation(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+        ),
+        num_parts=P,
+    )
+
+
+def _seasonal_sql() -> str:
+    from sbustreamspot_core_ray.stages.events import (
+        PSI_SPLIT_US,
+        SEASONAL_TOPN,
+    )
+
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CASE WHEN epoch_us(ts) >= {PSI_SPLIT_US} THEN 1 ELSE 0 END AS half
+  FROM events),
+c AS (SELECT event_type, half, day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2, 3),
+rd AS (SELECT event_type, day % 7 AS dow, SUM(n) AS r
+       FROM c WHERE half = 0 GROUP BY 1, 2),
+rt AS (SELECT event_type, SUM(n) AS R FROM c WHERE half = 0 GROUP BY 1),
+ct AS (SELECT event_type, SUM(n) AS C FROM c WHERE half = 1 GROUP BY 1),
+cur AS (SELECT event_type, day, n FROM c WHERE half = 1),
+d AS (
+  SELECT cur.event_type, cur.day, cur.n,
+         (abs(cur.n * rt.R - ct.C * rd.r) * 1000) // (ct.C * rd.r) AS dev_e3
+  FROM cur
+  JOIN rt USING (event_type)
+  JOIN ct USING (event_type)
+  JOIN rd ON rd.event_type = cur.event_type AND rd.dow = cur.day % 7
+  WHERE rd.r > 0 AND ct.C > 0)
+SELECT event_type, CAST(day AS BIGINT) AS day, n,
+       CAST(dev_e3 AS BIGINT) AS dev_e3
+FROM d
+QUALIFY row_number() OVER (ORDER BY dev_e3 DESC, event_type, day)
+        <= {SEASONAL_TOPN}"""

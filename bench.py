@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "markov_eval",
     "attack_percolation",
     "item_cosine",
+    "seasonal_deviation",
 ]
 
 

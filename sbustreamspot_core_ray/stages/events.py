@@ -3103,3 +3103,101 @@ def markov_eval(
             "accuracy": pa.array([r[4] for r in rows], pa.float64()),
         }
     )
+
+
+SEASONAL_TOPN = 20
+
+
+def seasonal_deviation(
+    events: ray.data.Dataset,
+    split_us: int = PSI_SPLIT_US,
+    topn: int = SEASONAL_TOPN,
+    num_parts: int = 32,
+) -> "pa.Table":
+    """Weekly-seasonality deviation alarms — the deseasonalized
+    complement of rate_spikes' trailing-window test: the reference half
+    (before `split_us`) learns each event type's day-of-week profile
+    (pure integer counts keyed on epoch-day % 7, identical on both
+    sides); each current-half day is scored by its integer
+    cross-multiplied deviation from the profile-scaled expectation,
+    dev_e3 = (|n_day * R - C * r_dow| * 1000) // (C * r_dow) — exact
+    thousandths of relative deviation with NO float anywhere. Returns
+    the top-n (event_type, day, n, dev_e3) by (dev_e3 desc, type, day).
+    Days whose dow the reference never saw are skipped (both sides).
+
+    Scale shape: pure combiner — per-batch (type, half, day) counts, one
+    fixed-cardinality fold (types x days observed), driver scores the
+    tiny grid."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    US_DAY = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // US_DAY
+        half = (ts >= split_us).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": np.asarray(t["event_type"].to_pandas(), object),
+                    "half": half,
+                    "day": day,
+                }
+            )
+            .groupby(["event_type", "half", "day"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.table(g)
+
+    parts = (
+        events.select_columns(["event_type", "ts"])
+        .map_batches(tag, batch_format="pyarrow")
+        .to_pandas()
+    )
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "day": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "dev_e3": pa.array([], pa.int64()),
+        }
+    )
+    if not len(parts):
+        return empty
+    g = (
+        parts.groupby(["event_type", "half", "day"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    rows = []
+    for et, sub in g.groupby("event_type", sort=True):
+        ref = sub[sub["half"] == 0]
+        cur = sub[sub["half"] == 1]
+        if not len(ref) or not len(cur):
+            continue
+        rd = np.zeros(7, np.int64)
+        dow = ref["day"].to_numpy(np.int64) % 7
+        np.add.at(rd, dow, ref["n"].to_numpy(np.int64))
+        R = int(rd.sum())
+        C = int(cur["n"].sum())
+        for day, n in zip(
+            cur["day"].to_numpy(np.int64), cur["n"].to_numpy(np.int64)
+        ):
+            r = int(rd[day % 7])
+            if r == 0 or C == 0:
+                continue
+            dev = (abs(int(n) * R - C * r) * 1000) // (C * r)
+            rows.append((et, int(day), int(n), dev))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    rows = rows[:topn]
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "day": pa.array([r[1] for r in rows], pa.int64()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "dev_e3": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

@@ -1030,3 +1030,47 @@ def test_markov_eval_hand_case():
     assert int(got.loc["A", "n_hits"]) == 1
     # B eval: u1 B->A @+20->+30 (hit), u1 B->A @+50->+60 (hit) = 2/2
     assert int(got.loc["B", "n_eval"]) == 2 and int(got.loc["B", "n_hits"]) == 2
+
+
+def test_seasonal_deviation_hand_case():
+    """Integer deviation scoring vs the definition computed in-test:
+    planted spike, dow never seen in the reference skipped from scoring
+    but still counted in the current total."""
+    from sbustreamspot_core_ray.stages.events import seasonal_deviation
+
+    US_DAY = 86_400_000_000
+    split = 14 * US_DAY
+    counts = {}
+    for d in range(14):
+        if d % 7 == 6:
+            continue
+        counts[d] = 10 if d % 2 == 0 else 5
+    cur_counts = {14: 30, 15: 5, 20: 99}  # 20 has dow 6: skipped, still in C
+    rows = []
+    for d, n in {**counts, **cur_counts}.items():
+        rows += [("X", d * US_DAY + i) for i in range(n)]
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+    )
+    got = seasonal_deviation(events, split_us=split, num_parts=4).to_pandas()
+
+    rd = {}
+    for d, n in counts.items():
+        rd[d % 7] = rd.get(d % 7, 0) + n
+    R = sum(counts.values())
+    C = sum(cur_counts.values())
+    want = []
+    for d, n in cur_counts.items():
+        r = rd.get(d % 7, 0)
+        if r == 0:
+            continue
+        want.append(("X", d, n, (abs(n * R - C * r) * 1000) // (C * r)))
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got.to_numpy().tolist() == [list(r) for r in want]
+    assert 20 not in got["day"].tolist()  # dow-6 day skipped (r == 0)
+    assert len(got) == 2
