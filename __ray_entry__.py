@@ -1027,9 +1027,9 @@ def _pagerank_sql() -> str:
     )
 
 
-def _lp_ctes() -> list:
+def _lp_ctes(e0_sql: str | None = None) -> list:
     ctes = [
-        f"e0 AS ({_SQL_EDGES_CO})",
+        f"e0 AS ({e0_sql or _SQL_EDGES_CO})",
         "e AS (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0)",
         "v AS (SELECT s AS vertex FROM e UNION SELECT d FROM e)",
         "l0 AS (SELECT vertex, vertex AS label FROM v)",
@@ -7885,6 +7885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attack_percolation": q_attack_percolation,
         "item_cosine": q_item_cosine,
         "seasonal_deviation": q_seasonal_deviation,
+        "conductance": q_conductance,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8098,6 +8099,7 @@ def oracle_sql() -> dict[str, str]:
         "attack_percolation": _attack_sql(),
         "item_cosine": _SQL_ITEM_COSINE,
         "seasonal_deviation": _seasonal_sql(),
+        "conductance": _conductance_sql(),
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -11022,3 +11024,56 @@ SELECT event_type, CAST(day AS BIGINT) AS day, n,
 FROM d
 QUALIFY row_number() OVER (ORDER BY dev_e3 DESC, event_type, day)
         <= {SEASONAL_TOPN}"""
+
+
+COND_TOPN = 10
+
+
+def q_conductance(sf_dir: str):
+    """Per-community conductance (cut/vol) of LPA labels on the
+    order-part-supplier co-occurrence graph — the cut-quality audit alongside the modularity
+    witness. Top-10 communities by size; exact integer cut/vol with one
+    mirrored divide."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        community_conductance,
+        label_propagation,
+    )
+
+    edges = _edges_triangle(sf_dir).materialize()
+    g = ShardedGraph.build(edges, num_parts=P, symmetric=True)
+    labels = label_propagation(g, iters=LP_ITERS)
+    return community_conductance(edges, labels, topn=COND_TOPN, num_parts=P)
+
+
+def _conductance_sql() -> str:
+    ctes = _lp_ctes(_SQL_EDGES_TRI) + [
+        f"lab AS (SELECT vertex, label FROM l{LP_ITERS})",
+        "und AS (SELECT s AS a, d AS b FROM e WHERE s < d)",
+        "dg AS (SELECT s AS vertex, CAST(COUNT(*) AS BIGINT) AS deg"
+        " FROM e WHERE s <> d GROUP BY s)",
+        "vols AS (SELECT lab.label, SUM(dg.deg) AS vol,"
+        " CAST(COUNT(*) AS BIGINT) AS n_vertices"
+        " FROM dg JOIN lab USING (vertex) GROUP BY lab.label)",
+        "cutrows AS ("
+        " SELECT la.label FROM und"
+        "  JOIN lab la ON la.vertex = und.a"
+        "  JOIN lab lb ON lb.vertex = und.b WHERE la.label <> lb.label"
+        " UNION ALL"
+        " SELECT lb.label FROM und"
+        "  JOIN lab la ON la.vertex = und.a"
+        "  JOIN lab lb ON lb.vertex = und.b WHERE la.label <> lb.label)",
+        "cuts AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cut"
+        " FROM cutrows GROUP BY label)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT v.label, v.n_vertices, CAST(v.vol AS BIGINT) AS vol,
+       COALESCE(c.cut, 0) AS cut,
+       ROUND(CAST(COALESCE(c.cut, 0) AS DOUBLE) / v.vol, 6) AS conductance
+FROM vols v LEFT JOIN cuts c USING (label)
+WHERE v.vol > 0
+QUALIFY row_number() OVER (ORDER BY v.n_vertices DESC, v.label)
+        <= {COND_TOPN}"""
+    )

@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "attack_percolation",
     "item_cosine",
     "seasonal_deviation",
+    "conductance",
 ]
 
 

@@ -4704,3 +4704,115 @@ def attack_sweep(
             "giant_size": pa.array([r[5] for r in rows], pa.int64()),
         }
     )
+
+
+def community_conductance(
+    edges: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    topn: int = 10,
+    num_parts: int = 8,
+) -> "pa.Table":
+    """Per-community conductance over a (vertex, label) assignment — the
+    cut-quality audit modularity doesn't give: for each community S,
+    vol(S) = sum of member degrees, cut(S) = edges with exactly one
+    endpoint in S, phi = cut/vol (one mirrored ROUND(6) divide; all
+    counts exact integers). Communities rank by (n_vertices desc, label),
+    top-n; vertices with degree 0 (self-loop-only) are excluded on both
+    sides. Works with any label table (LPA, CC, WL colors).
+
+    Scale shape: canonical distinct edge set + degree combiner (one
+    cheap-key shuffle), TWO co-partitioned int-key label attaches onto
+    edges and one onto degrees, per-partition (label, cut/vol/n) partials,
+    driver folds a community-cardinality grid."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import part_of
+    from ..functions.rounding import round_half_away
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["src"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = pc.cast(t["dst"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"a": np.minimum(s, d), "b": np.maximum(s, d)})
+
+    und = distinct(
+        edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"]
+    ).materialize()
+    lab = labels.materialize()
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()])
+        return pa.table({"vertex": v})
+
+    deg = int_degrees(
+        und.map_batches(both_ends, batch_format="pyarrow"), num_parts
+    )
+    # (vertex, deg, label) for deg>0 vertices
+    dl = _attach_value(deg, lab, "vertex", ["deg"], "label", "label",
+                       num_parts)
+
+    def vol_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pa.Table.to_pandas(t)
+        g = df.groupby("label", sort=False).agg(
+            vol=("deg", "sum"), n_vertices=("deg", "size")
+        ).reset_index()
+        return pa.table(
+            {
+                "label": g["label"].to_numpy(np.int64),
+                "vol": g["vol"].to_numpy(np.int64),
+                "n_vertices": g["n_vertices"].to_numpy(np.int64),
+                "cut": np.zeros(len(g), np.int64),
+            }
+        )
+
+    el = _attach_value(und, lab, "a", ["b"], "label", "la", num_parts)
+    el = _attach_value(
+        el.rename_columns({"a": "oa", "b": "a"}), lab, "a", ["oa", "la"],
+        "label", "lb", num_parts,
+    ).rename_columns({"a": "b", "oa": "a"})
+
+    def cut_partial(t: pa.Table) -> pa.Table:
+        la = t["la"].to_numpy(zero_copy_only=False)
+        lb = t["lb"].to_numpy(zero_copy_only=False)
+        m = la != lb
+        both = np.concatenate([la[m], lb[m]])
+        u, c = np.unique(both, return_counts=True)
+        z = np.zeros(len(u), np.int64)
+        return pa.table(
+            {"label": u.astype(np.int64), "vol": z, "n_vertices": z,
+             "cut": c.astype(np.int64)}
+        )
+
+    parts = (
+        dl.map_batches(vol_partial, batch_format="pyarrow")
+        .union(el.map_batches(cut_partial, batch_format="pyarrow"))
+        .to_pandas()
+    )
+    if not len(parts):
+        return pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "n_vertices": pa.array([], pa.int64()),
+                "vol": pa.array([], pa.int64()),
+                "cut": pa.array([], pa.int64()),
+                "conductance": pa.array([], pa.float64()),
+            }
+        )
+    g = parts.groupby("label", sort=True)[["vol", "n_vertices", "cut"]].sum()
+    g = g[g["vol"] > 0].reset_index()
+    g = g.sort_values(["n_vertices", "label"], ascending=[False, True],
+                      kind="stable").head(topn)
+    phi = g["cut"].to_numpy(np.float64) / g["vol"].to_numpy(np.float64)
+    return pa.table(
+        {
+            "label": pa.array(g["label"].to_numpy(np.int64)),
+            "n_vertices": pa.array(g["n_vertices"].to_numpy(np.int64)),
+            "vol": pa.array(g["vol"].to_numpy(np.int64)),
+            "cut": pa.array(g["cut"].to_numpy(np.int64)),
+            "conductance": pa.array(round_half_away(phi, 6)),
+        }
+    )

@@ -1230,3 +1230,45 @@ def test_attack_sweep_vs_networkx():
         )
     # the attack must actually shatter the hubs at 2% (k=1: hub 1 removed)
     assert int(got.loc[2, "giant_size"]) < int(got.loc[0, "giant_size"])
+
+
+def test_community_conductance_hand_case():
+    """cut/vol on a two-cluster barbell with a hand-checkable bridge:
+    conductance of each triangle community is 1/7, and the label table is
+    supplied directly so the test pins the operator, not LPA."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        community_conductance,
+    )
+
+    # two triangles {1,2,3} and {4,5,6} joined by bridge (3, 4); plus an
+    # isolated self-loop vertex 9 that must be excluded (degree 0)
+    arcs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4), (9, 9)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in arcs], pa.int64()),
+                "dst": pa.array([b for _, b in arcs], pa.int64()),
+            }
+        )
+    )
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "vertex": pa.array([1, 2, 3, 4, 5, 6, 9], pa.int64()),
+                "label": pa.array([1, 1, 1, 4, 4, 4, 9], pa.int64()),
+            }
+        )
+    )
+    got = (
+        community_conductance(edges, labels, topn=10, num_parts=4)
+        .to_pandas()
+        .set_index("label")
+    )
+    assert set(got.index) == {1, 4}  # label 9 excluded: vol 0
+    for lbl in (1, 4):
+        row = got.loc[lbl]
+        # vol = 2+2+3 = 7 (bridge endpoint has deg 3), cut = 1
+        assert int(row["n_vertices"]) == 3
+        assert int(row["vol"]) == 7
+        assert int(row["cut"]) == 1
+        assert abs(row["conductance"] - round(1 / 7, 6)) < 1e-12
