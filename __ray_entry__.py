@@ -7886,6 +7886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_cosine": q_item_cosine,
         "seasonal_deviation": q_seasonal_deviation,
         "conductance": q_conductance,
+        "gap_slo": q_gap_slo,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8100,6 +8101,7 @@ def oracle_sql() -> dict[str, str]:
         "item_cosine": _SQL_ITEM_COSINE,
         "seasonal_deviation": _seasonal_sql(),
         "conductance": _conductance_sql(),
+        "gap_slo": _gap_slo_sql(),
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -11077,3 +11079,41 @@ WHERE v.vol > 0
 QUALIFY row_number() OVER (ORDER BY v.n_vertices DESC, v.label)
         <= {COND_TOPN}"""
     )
+
+
+def q_gap_slo(sf_dir: str):
+    """Exact p50/p95/p99 inter-arrival gaps per event type — discrete
+    lower percentile selected at rank ((n-1)*q)//100 via the sample-sort
+    ranking primitive (microsecond gaps can't cent-histogram)."""
+    from sbustreamspot_core_ray.stages.events import gap_slo
+
+    return gap_slo(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "event_type"],
+        ),
+        num_parts=P,
+    )
+
+
+def _gap_slo_sql() -> str:
+    from sbustreamspot_core_ray.stages.events import GAP_SLO_PCTS
+
+    vals = ",".join(f"({q})" for q in GAP_SLO_PCTS)
+    return f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t, event_id FROM events),
+g AS (
+  SELECT event_type,
+         t - lag(t) OVER (PARTITION BY event_type
+                          ORDER BY t, event_id) AS gap
+  FROM e),
+g2 AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+r AS (
+  SELECT event_type, gap,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM g2)
+SELECT event_type, CAST(q.q AS BIGINT) AS pct, CAST(gap AS BIGINT) AS gap_us
+FROM r JOIN (VALUES {vals}) q(q) ON r.rk = ((r.n - 1) * q.q) // 100
+ORDER BY event_type, pct"""

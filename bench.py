@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "item_cosine",
     "seasonal_deviation",
     "conductance",
+    "gap_slo",
 ]
 
 

@@ -3201,3 +3201,154 @@ def seasonal_deviation(
             "dev_e3": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+GAP_SLO_PCTS = (50, 95, 99)
+
+
+def gap_slo(
+    events: ray.data.Dataset,
+    pcts: tuple[int, ...] = GAP_SLO_PCTS,
+    num_parts: int = 32,
+) -> "pa.Table":
+    """Exact inter-arrival SLO percentiles per event type — p50/p95/p99
+    of the gaps between consecutive events of each type in global
+    (ts, event_id) order, selected EXACTLY (value at 0-based rank
+    ((n-1)*q)//100 of the sorted gap multiset — the discrete lower
+    percentile, deterministic regardless of tie order). The
+    unbounded-cardinality complement of the cent-histogram value
+    percentiles: microsecond gaps can't histogram, so selection runs on
+    the sample-sort ranking primitive.
+
+    Scale shape: ONE hash(type) shuffle computes per-type consecutive
+    gaps (each type's stream sorts within its partition — type
+    cardinality is the vocabulary, the per-type order is inherent to the
+    metric); gaps re-key as ONE composite int64 (type_code * 2^44 + gap,
+    gaps < 2^44 us ~ 200 days) and the exact_ntile machinery with
+    n_tiles = n ranks them globally in one range shuffle; the target
+    ranks (|types| * |pcts| integers) broadcast and one filter pass
+    emits the selected rows."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.proccache import cached_get
+    from .relational import exact_ntile
+
+    def tag(t: pa.Table) -> pa.Table:
+        ty = np.asarray(t["event_type"].to_pandas(), object)
+        codes = pd.Series(ty).astype("category")
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "t": pc.cast(t["ts"], pa.int64()),
+                "e": pc.cast(t["event_id"], pa.int64()),
+                "__p": pa.array(
+                    part_of(
+                        pd.util.hash_array(ty).astype(np.uint64), num_parts
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "t", "e"], kind="stable")
+        ty = df["event_type"].to_numpy(object)
+        t = df["t"].to_numpy(np.int64)
+        e = df["e"].to_numpy(np.int64)
+        if len(t) < 2:
+            return pd.DataFrame({"event_type": [], "gap": [], "gid": []})
+        same = ty[1:] == ty[:-1]
+        return pd.DataFrame(
+            {
+                "event_type": ty[1:][same],
+                "gap": (t[1:] - t[:-1])[same],
+                "gid": e[1:][same],
+            }
+        )
+
+    gp = (
+        events.select_columns(["event_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(gaps, batch_format="pandas")
+        .materialize()
+    )
+    # type vocabulary + per-type gap counts (tiny)
+    cnts = (
+        gp.map_batches(
+            lambda df: df.groupby("event_type", sort=True)
+            .size()
+            .reset_index(name="n"),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if not len(cnts):
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "pct": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+    cnts = cnts.groupby("event_type", sort=True)["n"].sum()
+    types = list(cnts.index)
+    n_per = cnts.to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(n_per)[:-1]])
+    code_map = {t: i for i, t in enumerate(types)}
+    code_ref = ray.put(code_map)
+
+    def composite(df: pd.DataFrame) -> pa.Table:
+        cm = cached_get(code_ref)
+        code = df["event_type"].map(cm).to_numpy(np.int64)
+        gap = df["gap"].to_numpy(np.int64)
+        assert (gap < (1 << 44)).all() and (gap >= 0).all()
+        return pa.table(
+            {
+                "k": df["gid"].to_numpy(np.int64),
+                "m": code * (1 << 44) + gap,
+            }
+        )
+
+    ranked = exact_ntile(
+        gp.map_batches(composite, batch_format="pandas"),
+        "m",
+        "k",
+        n_tiles=int(n_per.sum()),
+        num_parts=num_parts,
+    )
+    targets: dict[int, list] = {}
+    for i, ty in enumerate(types):
+        for q in pcts:
+            rk = int(offsets[i] + ((n_per[i] - 1) * q) // 100)
+            targets.setdefault(rk, []).append((ty, q))  # ranks can collide
+    tref = ray.put(targets)
+
+    def pick(t: pa.Table) -> pa.Table:
+        tg = cached_get(tref)
+        tile = t["tile"].to_numpy(zero_copy_only=False)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        keep = np.isin(tile, np.fromiter(tg.keys(), np.int64))
+        rows = [
+            (ty, q, int(v) & ((1 << 44) - 1))
+            for r, v in zip(tile[keep], m[keep])
+            for ty, q in tg[int(r)]
+        ]
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "pct": pa.array([r[1] for r in rows], pa.int64()),
+                "gap_us": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    out = ranked.map_batches(pick, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["event_type", "pct"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "pct": pa.array(out["pct"].to_numpy(np.int64)),
+            "gap_us": pa.array(out["gap_us"].to_numpy(np.int64)),
+        }
+    )

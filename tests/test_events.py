@@ -1074,3 +1074,39 @@ def test_seasonal_deviation_hand_case():
     assert got.to_numpy().tolist() == [list(r) for r in want]
     assert 20 not in got["day"].tolist()  # dow-6 day skipped (r == 0)
     assert len(got) == 2
+
+
+def test_gap_slo_vs_sorted_reference():
+    """Exact discrete percentile selection vs a plain sorted reference,
+    including ties, a type with a single gap, and rank formula edges."""
+    from sbustreamspot_core_ray.stages.events import gap_slo
+
+    rows = []
+    # type A: 101 events with gaps 1..100 shuffled deterministically
+    gaps = [((i * 37) % 100) + 1 for i in range(100)]
+    t = 0
+    rows.append(("A", 1_000, t))
+    for i, g in enumerate(gaps):
+        t += g
+        rows.append(("A", 1_001 + i, t))
+    # type B: two events -> one gap
+    rows += [("B", 2_000, 10), ("B", 2_001, 510)]
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        )
+    )
+    got = gap_slo(events, pcts=(50, 95, 99), num_parts=4).to_pandas()
+    sa = sorted(gaps)
+    for q in (50, 95, 99):
+        want = sa[((len(sa) - 1) * q) // 100]
+        row = got[(got["event_type"] == "A") & (got["pct"] == q)]
+        assert int(row["gap_us"].iloc[0]) == want
+    for q in (50, 95, 99):
+        row = got[(got["event_type"] == "B") & (got["pct"] == q)]
+        assert int(row["gap_us"].iloc[0]) == 500
+    assert len(got) == 6
