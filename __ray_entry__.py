@@ -7887,6 +7887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_deviation": q_seasonal_deviation,
         "conductance": q_conductance,
         "gap_slo": q_gap_slo,
+        "dup_auc": q_dup_auc,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8102,6 +8103,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_deviation": _seasonal_sql(),
         "conductance": _conductance_sql(),
         "gap_slo": _gap_slo_sql(),
+        "dup_auc": _SQL_DUP_AUC,
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -11117,3 +11119,46 @@ r AS (
 SELECT event_type, CAST(q.q AS BIGINT) AS pct, CAST(gap AS BIGINT) AS gap_us
 FROM r JOIN (VALUES {vals}) q(q) ON r.rk = ((r.n - 1) * q.q) // 100
 ORDER BY event_type, pct"""
+
+
+def q_dup_auc(sf_dir: str):
+    """Exact tie-corrected AUC of n_chars as a prefix-duplicate
+    predictor: Mann-Whitney over the (length, label) histogram grid —
+    integers until one mirrored divide."""
+    from sbustreamspot_core_ray.stages.dedup import dup_auc
+
+    return dup_auc(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "n_chars"],
+        ),
+        num_parts=P,
+    )
+
+
+_SQL_DUP_AUC = f"""
+WITH l AS (
+  SELECT n_chars AS score,
+         CASE WHEN doc_id IN (SELECT doc_id FROM ({_prefix_dups_sql()}) t)
+              THEN 1 ELSE 0 END AS pos
+  FROM documents),
+g AS (
+  SELECT score,
+         CAST(SUM(pos) AS BIGINT) AS np_,
+         CAST(SUM(1 - pos) AS BIGINT) AS nn_
+  FROM l GROUP BY score),
+w AS (
+  SELECT score, np_, nn_,
+         2 * (COALESCE(SUM(np_ + nn_) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+           + (np_ + nn_) + 1 AS two_mid
+  FROM g),
+t AS (
+  SELECT SUM(np_) AS n_pos, SUM(nn_) AS n_neg,
+         SUM(np_ * two_mid) AS two_rs
+  FROM w)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(two_rs - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       ROUND(CAST(two_rs - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2 * n_pos * n_neg), 6) AS auc
+FROM t"""

@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "seasonal_deviation",
     "conductance",
     "gap_slo",
+    "dup_auc",
 ]
 
 

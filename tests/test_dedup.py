@@ -377,3 +377,55 @@ def test_prefix_duplicates_complete_vs_bruteforce():
         if any(len(u) > len(t) and u.startswith(t) for u in texts.values()):
             expect.add((d, len(t)))
     assert got == expect
+
+
+def test_dup_auc_vs_sklearn_style_reference():
+    """Tie-corrected Mann-Whitney AUC vs a direct midrank computation on
+    a fixture with heavy score ties and known prefix structure."""
+    from sbustreamspot_core_ray.stages.dedup import dup_auc
+
+    texts = {}
+    # ten long docs; docs 11..14 are strict prefixes (positives), with
+    # lengths that TIE with some negatives
+    for i in range(1, 11):
+        texts[i] = "w" + " x" * (20 + i)   # distinct long docs
+    texts[11] = texts[1][:10]
+    texts[12] = texts[2][:10]              # same length as 11 (tie)
+    texts[13] = texts[3][:30]
+    texts[14] = texts[4][: len(texts[5][:30])]  # more tie pressure
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+                "n_chars": pa.array(
+                    [len(texts[i]) for i in sorted(texts)], pa.int64()
+                ),
+            }
+        )
+    )
+    got = dup_auc(docs, num_parts=4).to_pandas().iloc[0]
+    # reference: midrank AUC over (score, pos)
+    pos_ids = {
+        d for d, t in texts.items()
+        if any(len(u) > len(t) and u.startswith(t) for u in texts.values())
+    }
+    pairs = sorted((len(t), 1 if d in pos_ids else 0) for d, t in texts.items())
+    scores = np.array([p[0] for p in pairs], np.float64)
+    labels = np.array([p[1] for p in pairs], np.int64)
+    order = np.argsort(scores, kind="stable")
+    s_sorted, l_sorted = scores[order], labels[order]
+    ranks = np.empty(len(s_sorted), np.float64)
+    i = 0
+    while i < len(s_sorted):
+        j = i
+        while j < len(s_sorted) and s_sorted[j] == s_sorted[i]:
+            j += 1
+        ranks[i:j] = (i + j + 1) / 2  # 1-based midrank
+        i = j
+    n_pos, n_neg = int(l_sorted.sum()), int((1 - l_sorted).sum())
+    u = ranks[l_sorted == 1].sum() - n_pos * (n_pos + 1) / 2
+    want_auc = u / (n_pos * n_neg)
+    assert int(got["n_pos"]) == n_pos and int(got["n_neg"]) == n_neg
+    assert abs(got["auc"] - round(want_auc, 6)) < 1e-12
+    assert int(got["u2"]) == int(round(2 * u))
