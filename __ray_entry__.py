@@ -332,10 +332,11 @@ dpos AS (
 dsh AS (SELECT DISTINCT doc_id, ({terms}) % {_POW64} AS sh FROM dpos)"""
 
 
-def _minhash_cand_ctes(num_perm: int = 128, bands: int = 32, seed: int = 23) -> str:
-    """sig/bandv/cand CTEs: minhash signatures (uint64-wraparound (a*x+b)
-    mod 2^61-1, matching dedup._MinHash), banded with the golden-ratio fold,
-    then star candidate pairs per bucket."""
+def _minhash_band_ctes(num_perm: int = 128, bands: int = 32, seed: int = 23) -> str:
+    """perm/gp/sig/bandv CTEs: minhash signatures (uint64-wraparound
+    (a*x+b) mod 2^61-1, matching dedup._MinHash) banded with the
+    golden-ratio fold — shared by the star-candidate chain and the
+    incremental delta-candidate chain."""
     rng = np.random.Generator(np.random.PCG64(seed))
     a = rng.integers(1, 2**61 - 1, size=num_perm, dtype=np.uint64)
     b = rng.integers(0, 2**61 - 1, size=num_perm, dtype=np.uint64)
@@ -360,7 +361,12 @@ bandv AS (
          CAST((SUM((s * gp.g) % {_POW64}) % {_POW64}) // 2 AS BIGINT) AS band_value
   FROM sig JOIN gp ON gp.j = m % {rows}
   GROUP BY doc_id, m // {rows}
-),
+)"""
+
+
+def _minhash_cand_ctes(num_perm: int = 128, bands: int = 32, seed: int = 23) -> str:
+    """band CTEs + the star candidate pairs per bucket."""
+    return f"""{_minhash_band_ctes(num_perm, bands, seed)},
 cand AS (
   SELECT DISTINCT src, dst FROM (
     SELECT min(doc_id) OVER (PARTITION BY band_idx, band_value) AS src,
@@ -7888,6 +7894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conductance": q_conductance,
         "gap_slo": q_gap_slo,
         "dup_auc": q_dup_auc,
+        "incremental_near_dup": q_incremental_near_dup,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8104,6 +8111,7 @@ def oracle_sql() -> dict[str, str]:
         "conductance": _conductance_sql(),
         "gap_slo": _gap_slo_sql(),
         "dup_auc": _SQL_DUP_AUC,
+        "incremental_near_dup": _incremental_near_dup_sql(),
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -11162,3 +11170,54 @@ SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
        ROUND(CAST(two_rs - n_pos * (n_pos + 1) AS DOUBLE)
              / (2 * n_pos * n_neg), 6) AS auc
 FROM t"""
+
+
+def q_incremental_near_dup(sf_dir: str):
+    """Streaming-corpus near-dup maintenance: verified pairs touching the
+    newest 10% of doc ids only (new-new and old-new), old-old pairs never
+    enumerated — each ingestion round pays its delta's bucket fan-out."""
+    from sbustreamspot_core_ray.stages.dedup import incremental_near_dup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+    delta = int(docs.max("doc_id")) * 9 // 10
+    out = incremental_near_dup(
+        docs, delta_min_id=delta, threshold=0.8, num_parts=P
+    ).to_pandas()
+    out["jaccard"] = round_half_away(out["jaccard"], 6)
+    return out
+
+
+def _incremental_near_dup_sql(threshold: float = 0.8) -> str:
+    return f"""
+WITH {_doc_shingle_ctes()},
+{_minhash_band_ctes()},
+delta AS (SELECT (MAX(doc_id) * 9) // 10 AS d0 FROM documents),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b2.doc_id AS dst
+  FROM bandv a
+  JOIN bandv b2 ON b2.band_idx = a.band_idx
+               AND b2.band_value = a.band_value
+               AND a.doc_id < b2.doc_id
+  WHERE a.doc_id >= (SELECT d0 FROM delta)
+     OR b2.doc_id >= (SELECT d0 FROM delta)),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.src, c.dst, count(*) AS ninter
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.src
+  JOIN dsh b2 ON b2.doc_id = c.dst AND b2.sh = a.sh
+  GROUP BY c.src, c.dst
+),
+jac AS (
+  SELECT c.src, c.dst,
+         CAST(COALESCE(i.ninter, 0) AS DOUBLE)
+           / (sa.n + sb.n - COALESCE(i.ninter, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.src = c.src AND i.dst = c.dst
+  JOIN sizes sa ON sa.doc_id = c.src
+  JOIN sizes sb ON sb.doc_id = c.dst
+)
+SELECT src, dst, ROUND(jaccard, 6) AS jaccard FROM jac
+WHERE jaccard >= {threshold}"""

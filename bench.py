@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "conductance",
     "gap_slo",
     "dup_auc",
+    "incremental_near_dup",
 ]
 
 

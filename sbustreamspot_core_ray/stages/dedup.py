@@ -1641,3 +1641,111 @@ def dup_auc(
             "auc": pa.array([auc], pa.float64()),
         }
     )
+
+
+def incremental_near_dup(
+    docs: ray.data.Dataset,
+    delta_min_id: int,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    shingle_k: int = 5,
+    bands: int = 32,
+    num_parts: int = 8,
+    bucket_cap: int = 100_000,
+) -> ray.data.Dataset:
+    """Incremental near-dup maintenance — the streaming-corpus op: given
+    a corpus where docs with doc_id >= delta_min_id are NEW ARRIVALS,
+    return exactly the verified near-dup pairs that TOUCH a new doc
+    (new-new and old-new), without enumerating old-old pairs. At 100 TB
+    the old band table is persisted state and each ingestion round pays
+    only its delta's bucket fan-out — candidate volume is
+    new-members x bucket co-members, never corpus^2. Returns
+    (src, dst, jaccard) with src < dst, raw jaccard >= threshold,
+    ROUND(6) on output.
+
+    Candidates per (band, value) bucket: every unordered pair whose
+    max-id member is new pairs with ALL earlier members; old members
+    additionally pair with earlier NEW members — complete for
+    delta-touching pairs (each pair enumerated at its larger id once).
+    Hot buckets truncate at bucket_cap with a logged count. ONE shuffle
+    on hash(band key); verification rides ngram_jaccard_verify."""
+    from ..functions.hashing import part_of
+    from ..sources.edges import distinct_int_rows
+
+    bands_ds = minhash_band_table(docs, num_perm, shingle_k, bands)
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.select(["doc_id", "band_idx", "band_value"])
+        with np.errstate(over="ignore"):
+            mixed = t["band_idx"].to_numpy().astype(np.uint64) * np.uint64(
+                0x9E3779B97F4A7C15
+            ) + t["band_value"].to_numpy().astype(np.uint64)
+        return t.append_column(
+            "kp", pa.array(part_of(mixed, num_parts), pa.int32())
+        )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        bi = t["band_idx"].to_numpy()
+        bv = t["band_value"].to_numpy()
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        keys = np.stack([bi.astype(np.int64), bv, did], axis=1)
+        keys = np.unique(keys, axis=0)  # sorted by (band, value, doc_id)
+        bi, bv, did = keys[:, 0], keys[:, 1], keys[:, 2]
+        starts_m = np.concatenate(
+            [[True], (bi[1:] != bi[:-1]) | (bv[1:] != bv[:-1])]
+        )
+        run_id = np.cumsum(starts_m) - 1
+        starts = np.flatnonzero(starts_m)
+        lens = np.diff(np.concatenate([starts, [len(did)]]))
+        over = lens > bucket_cap
+        if over.any():
+            print(
+                f"incremental_near_dup: truncating {int(over.sum())} buckets "
+                f"over cap={bucket_cap} (explicit recall loss)"
+            )
+        pos_in_run = np.arange(len(did)) - starts[run_id]
+        keep_row = pos_in_run < bucket_cap
+        is_new = did >= delta_min_id
+        # prefix count of NEW members before each position within its run
+        new_cum = np.cumsum(is_new & keep_row)
+        run_base_cum = new_cum[starts] - (is_new & keep_row)[starts]
+        new_before = new_cum - (is_new & keep_row) - run_base_cum[run_id]
+        # case 1: new member at position p pairs with ALL p earlier members
+        # case 2: old member pairs with its new_before earlier new members
+        cnt = np.where(is_new & keep_row, pos_in_run,
+                       np.where(keep_row, new_before, 0)).astype(np.int64)
+        tot = int(cnt.sum())
+        if tot == 0:
+            z = np.empty(0, np.int64)
+            return pa.table({"src": z, "dst": z})
+        rep = np.repeat(np.arange(len(did)), cnt)
+        within = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        # partner index: case 1 -> run_start + within (all earlier members);
+        # case 2 -> the within-th NEW member of the run (gather via a
+        # compacted index of new positions)
+        new_idx = np.flatnonzero(is_new & keep_row)
+        # position of first new member of each run inside new_idx
+        first_new_of_run = np.searchsorted(new_idx, starts)
+        case1 = (is_new & keep_row)[rep]
+        partner = np.where(
+            case1,
+            starts[run_id[rep]] + within,
+            new_idx[
+                np.minimum(
+                    first_new_of_run[run_id[rep]] + within,
+                    len(new_idx) - 1 if len(new_idx) else 0,
+                )
+            ] if len(new_idx) else 0,
+        )
+        src = np.minimum(did[rep], did[partner])
+        dst = np.maximum(did[rep], did[partner])
+        return pa.table({"src": src, "dst": dst})
+
+    cands = distinct_int_rows(
+        bands_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("kp")
+        .map_groups(pairs, batch_format="pyarrow"),
+        ["src", "dst"],
+        num_parts,
+    )
+    return ngram_jaccard_verify(cands, docs, threshold, shingle_k)

@@ -429,3 +429,78 @@ def test_dup_auc_vs_sklearn_style_reference():
     assert int(got["n_pos"]) == n_pos and int(got["n_neg"]) == n_neg
     assert abs(got["auc"] - round(want_auc, 6)) < 1e-12
     assert int(got["u2"]) == int(round(2 * u))
+
+
+def test_incremental_near_dup_vs_full_recompute():
+    """Delta-touching pairs must equal the FULL bucket-pair near-dup
+    restricted to pairs with a new endpoint — including old-new pairs
+    where the OLD doc has the larger id is impossible by id convention,
+    but old docs pairing with earlier-id NEW docs is exercised."""
+    from sbustreamspot_core_ray.stages.dedup import (
+        _MinHash,
+        incremental_near_dup,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = {
+        1: base,
+        2: base.replace("kappa", "kappa2"),      # near-dup of 1 (old-old)
+        5: base.replace("zeta", "zeta9"),        # old, near 1 and 2
+        10: base.replace("mu", "mu7"),           # NEW: near all of 1,2,5
+        11: base,                                 # NEW exact text of 1
+        12: "unrelated totally different words nothing shared here at all "
+            "with the other documents in this tiny corpus fixture",
+        3: "another old unique document with its own vocabulary entirely",
+    }
+    DELTA = 10
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            }
+        )
+    )
+    got = (
+        incremental_near_dup(docs, delta_min_id=DELTA, threshold=0.5,
+                             num_parts=4)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    # reference: full bucket co-membership pairs filtered to delta-touching,
+    # verified by exact shingle jaccard
+    mh = _MinHash(128, 5, 32)
+    import pandas as pd
+
+    bt = mh(pd.DataFrame({"doc_id": sorted(texts),
+                          "text": [texts[i] for i in sorted(texts)]}))
+    buckets = {}
+    for _, r in bt.iterrows():
+        buckets.setdefault((r["band_idx"], r["band_value"]), set()).add(
+            int(r["doc_id"])
+        )
+    cand = set()
+    for mem in buckets.values():
+        for a in mem:
+            for b in mem:
+                if a < b and (a >= DELTA or b >= DELTA):
+                    cand.add((a, b))
+
+    def shingles(t):
+        s = t.encode()
+        return {t[i:i + 5] for i in range(max(len(t) - 4, 1))}
+
+    want = []
+    for a, b in sorted(cand):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            want.append((a, b))
+    assert [(int(r.src), int(r.dst)) for r in got.itertuples()] == want
+    # fixture exercises: new-new (10,11)? 10 vs 11 near; old-new (1,10) etc.
+    assert any(a < DELTA <= b for a, b in want)   # old-new present
+    assert any(a >= DELTA and b >= DELTA for a, b in want)  # new-new present
+    assert all(a >= DELTA or b >= DELTA for a, b in want)
+    assert (1, 2) not in want                     # old-old excluded
