@@ -7895,6 +7895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_slo": q_gap_slo,
         "dup_auc": q_dup_auc,
         "incremental_near_dup": q_incremental_near_dup,
+        "order_360": q_order_360,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8112,6 +8113,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_slo": _gap_slo_sql(),
         "dup_auc": _SQL_DUP_AUC,
         "incremental_near_dup": _incremental_near_dup_sql(),
+        "order_360": _SQL_ORDER_360,
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -11221,3 +11223,46 @@ jac AS (
 )
 SELECT src, dst, ROUND(jaccard, 6) AS jaccard FROM jac
 WHERE jaccard >= {threshold}"""
+
+
+def q_order_360(sf_dir: str):
+    """Denormalized order-360 wide table: per order the customer key,
+    nation/region names, exact integer revenue, item count, latest ship
+    day — lineitem combiner + two co-partitioned joins + broadcast dims."""
+    from sbustreamspot_core_ray.stages.relational import order_wide_table
+
+    nr = _nation_region_dim(sf_dir)
+    return order_wide_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        nr,
+        num_parts=P,
+    )
+
+
+_SQL_ORDER_360 = """
+WITH lo AS (
+  SELECT l_orderkey AS o_orderkey,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                  AS BIGINT)) AS revenue_units,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         MAX(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)))
+           AS last_ship_day
+  FROM lineitem GROUP BY l_orderkey)
+SELECT o.o_orderkey, o.o_custkey, n.n_name AS nation, r.r_name AS region,
+       lo.revenue_units, lo.n_items, CAST(lo.last_ship_day AS BIGINT)
+         AS last_ship_day
+FROM orders o
+JOIN lo USING (o_orderkey)
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey"""

@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "gap_slo",
     "dup_auc",
     "incremental_near_dup",
+    "order_360",
 ]
 
 

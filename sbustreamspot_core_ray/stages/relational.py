@@ -2641,3 +2641,112 @@ def item_cosine(
             ),
         }
     )
+
+
+def order_wide_table(
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    nation_region: "pa.Table",
+    num_parts: int = 16,
+) -> ray.data.Dataset:
+    """Denormalized order-360 wide table — the canonical ETL build a
+    serving layer reads: one row per order carrying the customer key,
+    nation and region names, exact integer revenue (1e-4 units, floored
+    per item BEFORE summing — the q1 technique), item count, and the
+    latest ship day. The op every warehouse pipeline runs nightly.
+
+    Scale shape: lineitem pre-aggregates per order INSIDE each batch
+    (combiner) -> one orderkey-key aggregate -> co-partitioned int-key
+    join onto orders -> co-partitioned join onto the customer dim on
+    custkey (customer does NOT broadcast at corpus scale) -> the 25-row
+    nation->(n_name, r_name) map broadcasts via ray.put and resolves in
+    place. Output stays distributed (order-scale)."""
+    import pyarrow.compute as pc
+
+    from ..functions.proccache import cached_get
+
+    def pre(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            pc.cast(pc.cast(t["l_shipdate"], pa.date32()), pa.int32())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        uk, inv = np.unique(ok, return_inverse=True)
+        sums = np.bincount(inv, weights=units, minlength=len(uk)).astype(np.int64)
+        cnts = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        mx = np.full(len(uk), np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, day)
+        return pa.table(
+            {"o_orderkey": uk, "revenue_units": sums, "n_items": cnts,
+             "last_ship_day": mx}
+        )
+
+    def tag_p(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__p", pa.array(part_of(ok.astype(np.int64), num_parts), pa.int32())
+        )
+
+    def fold_order(df) -> pa.Table:
+        g = df.groupby("o_orderkey", as_index=False).agg(
+            revenue_units=("revenue_units", "sum"),
+            n_items=("n_items", "sum"),
+            last_ship_day=("last_ship_day", "max"),
+        )
+        return pa.table({c: g[c].to_numpy(np.int64) for c in
+                         ["o_orderkey", "revenue_units", "n_items",
+                          "last_ship_day"]})
+
+    # hashed __p fold, NEVER a raw orderkey map_groups (order cardinality
+    # is corpus-scale; per-group Python would be 150k calls at sf0.1)
+    per_order = (
+        lineitem.select_columns(
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        )
+        .map_batches(pre, batch_format="pyarrow")
+        .map_batches(tag_p, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold_order, batch_format="pandas")
+    )
+    base = orders.select_columns(["o_orderkey", "o_custkey"]).join(
+        per_order, join_type="inner", num_partitions=num_parts,
+        on=("o_orderkey",),
+    )
+    wide = base.join(
+        customer.select_columns(["c_custkey", "c_nationkey"]).rename_columns(
+            {"c_custkey": "o_custkey"}
+        ),
+        join_type="inner",
+        num_partitions=num_parts,
+        on=("o_custkey",),
+    )
+    nr_ref = ray.put(
+        {
+            int(r["n_nationkey"]): (str(r["n_name"]), str(r["r_name"]))
+            for r in nation_region.to_pylist()
+        }
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        nr = cached_get(nr_ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = [nr.get(int(k), ("", "")) for k in nk.tolist()]
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "nation": pa.array([a for a, _ in names], pa.string()),
+                "region": pa.array([b for _, b in names], pa.string()),
+                "revenue_units": t["revenue_units"],
+                "n_items": t["n_items"],
+                "last_ship_day": t["last_ship_day"],
+            }
+        )
+
+    return wide.map_batches(resolve, batch_format="pyarrow")

@@ -702,3 +702,61 @@ def test_item_cosine_vs_bruteforce():
     ]
     # (10, 11): 4/ (2 sqrt(5)) ~ 0.894 beats (20, 21): 3/(sqrt(6*3)) ~ 0.707
     assert got.iloc[0][["part_a", "part_b"]].tolist() == [10, 11]
+
+
+def test_order_wide_table_hand_case():
+    """Wide-table build on hand rows: per-order revenue floors per ITEM
+    before summing, item counts, max ship day, and the dim chain."""
+    from sbustreamspot_core_ray.stages.relational import order_wide_table
+
+    orders = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([7, 8], pa.int64()),
+            }
+        )
+    )
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                "l_extendedprice": pa.array([10.005, 20.0, 5.5], pa.float64()),
+                "l_discount": pa.array([0.1, 0.0, 0.5], pa.float64()),
+                "l_shipdate": pa.array([86400000000 * d for d in (3, 9, 4)],
+                                       pa.timestamp("us")),
+            }
+        )
+    )
+    customer = ray.data.from_arrow(
+        pa.table(
+            {
+                "c_custkey": pa.array([7, 8], pa.int64()),
+                "c_nationkey": pa.array([0, 1], pa.int64()),
+            }
+        )
+    )
+    nr = pa.table(
+        {
+            "n_nationkey": pa.array([0, 1], pa.int64()),
+            "n_name": pa.array(["FRANCE", "PERU"], pa.string()),
+            "r_name": pa.array(["EUROPE", "AMERICA"], pa.string()),
+        }
+    )
+    got = (
+        order_wide_table(orders, li, customer, nr, num_parts=4)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    import math
+
+    rev1 = math.floor(10.005 * 0.9 * 10000 + 0.5) + math.floor(20.0 * 10000 + 0.5)
+    rev2 = math.floor(5.5 * 0.5 * 10000 + 0.5)
+    assert got.iloc[0][["o_custkey", "nation", "region"]].tolist() == \
+        [7, "FRANCE", "EUROPE"]
+    assert int(got.iloc[0]["revenue_units"]) == rev1
+    assert int(got.iloc[0]["n_items"]) == 2
+    assert int(got.iloc[0]["last_ship_day"]) == 9
+    assert int(got.iloc[1]["revenue_units"]) == rev2
+    assert got.iloc[1]["region"] == "AMERICA"
