@@ -7896,6 +7896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_auc": q_dup_auc,
         "incremental_near_dup": q_incremental_near_dup,
         "order_360": q_order_360,
+        "abc_classes": q_abc_classes,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8114,6 +8115,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_auc": _SQL_DUP_AUC,
         "incremental_near_dup": _incremental_near_dup_sql(),
         "order_360": _SQL_ORDER_360,
+        "abc_classes": _SQL_ABC,
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -11266,3 +11268,41 @@ JOIN lo USING (o_orderkey)
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey"""
+
+
+def q_abc_classes(sf_dir: str):
+    """ABC/Pareto inventory classes of parts by exact integer revenue:
+    cumulative-share thresholds 80/95 tested by integer
+    cross-multiplication over a sample-sort WEIGHTED prefix sum."""
+    from sbustreamspot_core_ray.stages.relational import abc_classes
+
+    return abc_classes(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        ),
+        num_parts=P,
+    )
+
+
+_SQL_ABC = """
+WITH pr AS (
+  SELECT l_partkey AS part,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                  AS BIGINT)) AS rev
+  FROM lineitem GROUP BY l_partkey),
+t AS (SELECT SUM(rev) AS total FROM pr),
+c AS (
+  SELECT part, rev,
+         COALESCE(SUM(rev) OVER (ORDER BY rev DESC, part
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM pr),
+k AS (
+  SELECT CASE WHEN 5 * cum_prev < 4 * (SELECT total FROM t) THEN 'A'
+              WHEN 20 * cum_prev < 19 * (SELECT total FROM t) THEN 'B'
+              ELSE 'C' END AS cls,
+         rev
+  FROM c)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue_units
+FROM k GROUP BY cls"""

@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "dup_auc",
     "incremental_near_dup",
     "order_360",
+    "abc_classes",
 ]
 
 

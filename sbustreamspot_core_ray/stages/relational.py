@@ -2750,3 +2750,157 @@ def order_wide_table(
         )
 
     return wide.map_batches(resolve, batch_format="pyarrow")
+
+
+def abc_classes(
+    lineitem: ray.data.Dataset,
+    num_parts: int = 32,
+    sample_shift: int = 56,
+) -> "pa.Table":
+    """ABC (Pareto) inventory classification of parts by revenue — the
+    classic 80/95 cumulative-share analysis, exact: parts sort by
+    (revenue desc, partkey), each part classes on the cumulative revenue
+    STRICTLY BEFORE it with integer cross-multiplication (5*cum < 4*T ->
+    A, 20*cum < 19*T -> B, else C; no float share anywhere). Returns
+    (cls, n_parts, revenue_units).
+
+    Scale shape: lineitem shrinks to per-part integer revenue via the
+    combiner + one part-key fold; the class pass is a sample-sort
+    WEIGHTED prefix sum — splitters on (-revenue, partkey) route each
+    part to one range bucket, per-bucket revenue totals prefix-sum on
+    the driver (P integers), and each bucket classes its parts from its
+    base offset. The exact_ntile pattern extended from rank counting to
+    weighted cumulative sums."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.proccache import cached_get
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def pre(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(pk, return_inverse=True)
+        sums = np.bincount(inv, weights=units, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "part": uk,
+                "rev": sums,
+                "__p": pa.array(part_of(uk, num_parts), pa.int32()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("part", as_index=False)["rev"].sum()
+        return pa.table(
+            {"part": g["part"].to_numpy(np.int64),
+             "rev": g["rev"].to_numpy(np.int64)}
+        )
+
+    parts_ds = (
+        lineitem.select_columns(["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()
+    )
+
+    def sampled(t: pa.Table) -> pa.Table:
+        k = t["part"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            gate = (k.view(np.uint64) * GOLD) >> np.uint64(sample_shift) == 0
+        idx = pa.array(np.flatnonzero(gate))
+        return pa.table(
+            {"rev": pc.take(t["rev"], idx), "part": pc.take(t["part"], idx)}
+        )
+
+    sdf = parts_ds.map_batches(sampled, batch_format="pyarrow").to_pandas()
+    if len(sdf):
+        o = np.lexsort((sdf["part"].to_numpy(np.int64),
+                        -sdf["rev"].to_numpy(np.int64)))
+        sm = sdf["rev"].to_numpy(np.int64)[o]
+        sk = sdf["part"].to_numpy(np.int64)[o]
+    else:
+        sm = sk = np.empty(0, np.int64)
+    nb = max(1, min(num_parts, len(sm)))
+    if nb > 1:
+        idx = (np.arange(1, nb) * len(sm)) // nb
+        split_m, split_k = sm[idx], sk[idx]
+    else:
+        split_m = split_k = np.empty(0, np.int64)
+    spl = ray.put((split_m, split_k))
+
+    def route(t: pa.Table) -> pa.Table:
+        m0, k0 = cached_get(spl)
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        pk = t["part"].to_numpy(zero_copy_only=False)
+        if len(m0):
+            sp = np.empty(len(m0), dtype=[("m", "<i8"), ("k", "<i8")])
+            sp["m"], sp["k"] = -m0, k0   # descending revenue order key
+            q = np.empty(len(rev), dtype=sp.dtype)
+            q["m"], q["k"] = -rev, pk
+            b = np.searchsorted(sp, q, side="right").astype(np.int32)
+        else:
+            b = np.zeros(len(rev), np.int32)
+        return pa.table({"part": pk, "rev": rev, "__p": pa.array(b)})
+
+    routed = parts_ds.map_batches(route, batch_format="pyarrow").materialize()
+    sums = (
+        routed.groupby("__p").sum("rev").to_pandas().sort_values("__p")
+    )
+    bvals = np.zeros(nb, np.int64)
+    if len(sums):
+        bvals[sums["__p"].to_numpy(np.int64)] = sums["sum(rev)"].to_numpy(
+            np.int64
+        )
+    bases = np.concatenate([[0], np.cumsum(bvals)[:-1]])
+    total = int(bvals.sum())
+    base_ref = ray.put(bases)
+
+    def classify(t: pa.Table) -> pa.Table:
+        bl = cached_get(base_ref)
+        b = int(t["__p"][0].as_py())
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        pk = t["part"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((pk, -rev))
+        rev_s = rev[o]
+        cum_prev = int(bl[b]) + np.concatenate(
+            [[0], np.cumsum(rev_s)[:-1]]
+        )
+        cls = np.where(
+            5 * cum_prev < 4 * total, 0,
+            np.where(20 * cum_prev < 19 * total, 1, 2),
+        )
+        out = np.zeros((3, 2), np.int64)
+        np.add.at(out[:, 0], cls, 1)
+        np.add.at(out[:, 1], cls, rev_s)
+        return pa.table(
+            {
+                "cls": np.array([0, 1, 2], np.int64),
+                "n_parts": out[:, 0],
+                "revenue_units": out[:, 1],
+            }
+        )
+
+    agg = (
+        routed.groupby("__p")
+        .map_groups(classify, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("cls", sort=True)[["n_parts", "revenue_units"]]
+        .sum()
+    )
+    agg = agg[agg["n_parts"] > 0]
+    names = np.array(["A", "B", "C"], object)
+    return pa.table(
+        {
+            "cls": pa.array([names[i] for i in agg.index], pa.string()),
+            "n_parts": pa.array(agg["n_parts"].to_numpy(np.int64)),
+            "revenue_units": pa.array(
+                agg["revenue_units"].to_numpy(np.int64)
+            ),
+        }
+    )

@@ -760,3 +760,48 @@ def test_order_wide_table_hand_case():
     assert int(got.iloc[0]["last_ship_day"]) == 9
     assert int(got.iloc[1]["revenue_units"]) == rev2
     assert got.iloc[1]["region"] == "AMERICA"
+
+
+def test_abc_classes_vs_sorted_reference():
+    """Weighted-prefix classification vs a single-machine reference with
+    revenue ties at the 80% boundary and many buckets."""
+    from sbustreamspot_core_ray.stages.relational import abc_classes
+
+    rng = np.random.default_rng(11)
+    parts = np.arange(1, 501, dtype=np.int64)
+    revs = rng.integers(1, 50, 500).astype(np.int64)
+    revs[:3] = 10_000  # dominant A heads with exact ties
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_partkey": pa.array(np.repeat(parts, 2)),
+                "l_extendedprice": pa.array(
+                    np.repeat(revs, 2).astype(np.float64) / 2 / 10000 * 10000
+                    / 10000
+                ),
+                "l_discount": pa.array(np.zeros(1000, np.float64)),
+            }
+        )
+    )
+    got = (
+        abc_classes(li, num_parts=8, sample_shift=58)
+        .to_pandas()
+        .set_index("cls")
+    )
+    # reference on the same floored units
+    units = np.floor(revs.astype(np.float64) / 2 / 10000 * 10000 / 10000
+                     * 10000 + 0.5).astype(np.int64) * 2
+    o = np.lexsort((parts, -units))
+    u = units[o]
+    cum_prev = np.concatenate([[0], np.cumsum(u)[:-1]])
+    total = int(u.sum())
+    cls = np.where(5 * cum_prev < 4 * total, 0,
+                   np.where(20 * cum_prev < 19 * total, 1, 2))
+    for i, name in enumerate("ABC"):
+        m = cls == i
+        if m.any():
+            assert int(got.loc[name, "n_parts"]) == int(m.sum())
+            assert int(got.loc[name, "revenue_units"]) == int(u[m].sum())
+        else:
+            assert name not in got.index
+    assert int(got.loc["A", "n_parts"]) >= 3
