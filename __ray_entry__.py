@@ -7897,6 +7897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_near_dup": q_incremental_near_dup,
         "order_360": q_order_360,
         "abc_classes": q_abc_classes,
+        "doc_keywords": q_doc_keywords,
         "prefix_dups": q_prefix_dups,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
@@ -8116,6 +8117,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_near_dup": _incremental_near_dup_sql(),
         "order_360": _SQL_ORDER_360,
         "abc_classes": _SQL_ABC,
+        "doc_keywords": _SQL_DOC_KEYWORDS,
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
@@ -11306,3 +11308,37 @@ k AS (
 SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
        CAST(SUM(rev) AS BIGINT) AS revenue_units
 FROM k GROUP BY cls"""
+
+
+def q_doc_keywords(sf_dir: str):
+    """Per-document keyword extraction: top-3 terms by integer tf*idf
+    (idf = floor(1e9 * ln(N/df)) nanonats, libm-parity), lexicographic
+    ties. Two cheap-key shuffles."""
+    from sbustreamspot_core_ray.stages.text import doc_keywords
+
+    return doc_keywords(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        top_k=3,
+        num_parts=P,
+    )
+
+
+_SQL_DOC_KEYWORDS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * CAST(floor(ln(CAST((SELECT n FROM n) AS DOUBLE) / df.df)
+                            * 1e9) AS BIGINT) AS score
+  FROM tf JOIN df USING (term))
+SELECT doc_id, term, tf, score FROM sc
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+        <= 3"""

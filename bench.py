@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "incremental_near_dup",
     "order_360",
     "abc_classes",
+    "doc_keywords",
 ]
 
 

@@ -1221,3 +1221,86 @@ def winnow_fingerprints(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         kernel, batch_format="pyarrow"
     )
+
+
+def doc_keywords(
+    docs: ray.data.Dataset,
+    top_k: int = 3,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Per-document keyword extraction: the top_k terms of each doc by
+    integer tf*idf — score = tf * floor(1e9 * ln(N/df)) (idf in int64
+    nanonats via the libm-parity chain: one double divide, one math.log,
+    one multiply, floor), ties to the lexicographically smaller term.
+    The per-doc counterpart of the corpus-level tfidf_topterms.
+
+    Scale shape: per-batch (doc, term, tf) fold (docs are row-local, so
+    per-doc tf is complete in one pass) -> ONE shuffle on hash(term) % P
+    where the partition computes df over its complete term groups and
+    merges scores back onto its rows (string-exact pandas merge inside
+    the partition — never a cross-partition string join) -> ONE
+    hash(doc) % P fold takes each doc's top_k. math.log runs once per
+    DISTINCT term per partition (vocabulary-scale, the bm25 pattern),
+    never per row."""
+    import math
+
+    import pandas as pd
+
+    from ..functions.hashing import part_of
+
+    n_docs = docs.count()
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        g = (
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(np.int64)[
+                        ex.index.to_numpy()
+                    ],
+                    "term": ex.to_numpy(object),
+                }
+            )
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        g["tf"] = g["tf"].astype(np.int64)
+        h = pd.util.hash_array(g["term"].to_numpy(object)).astype(np.uint64)
+        g["__p"] = part_of(h, num_parts).astype(np.int32)
+        return g
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dfreq = df.groupby("term", sort=False)["doc_id"].size()
+        idf = {
+            t: math.floor(math.log(float(n_docs) / int(c)) * 1e9)
+            for t, c in dfreq.items()
+        }
+        out = df[["doc_id", "term", "tf"]].copy()
+        out["score"] = (
+            out["tf"].to_numpy(np.int64)
+            * np.fromiter((idf[t] for t in out["term"]), np.int64,
+                          count=len(out))
+        )
+        out["__p2"] = part_of(
+            out["doc_id"].to_numpy(np.int64), num_parts
+        ).astype(np.int32)
+        return out
+
+    def top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True], kind="stable")
+        g = df.groupby("doc_id", sort=False).head(top_k)
+        return g[["doc_id", "term", "tf", "score"]].reset_index(drop=True)
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(tf_rows, batch_format="pandas", batch_size=1024)
+        .groupby("__p")
+        .map_groups(score, batch_format="pandas")
+        .groupby("__p2")
+        .map_groups(top, batch_format="pandas")
+    )

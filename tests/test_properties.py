@@ -146,3 +146,54 @@ def test_scc_matches_closure_reference(pairs):
     mutual = R & R.T
     want = {int(v): int(vs[np.flatnonzero(mutual[i])[0]]) for v, i in ((v, idx[v]) for v in vs)}
     assert out == want
+
+
+def test_doc_keywords_vs_reference():
+    """tf*idf keyword extraction vs a scalar reference: idf nanonat
+    parity, lexicographic tie-break, top-k cut, rare term beats common."""
+    import math
+
+    from sbustreamspot_core_ray.stages.text import doc_keywords
+
+    texts = {
+        1: "apple apple banana cherry",
+        2: "apple banana banana durian",
+        3: "apple cherry cherry cherry durian elderberry",
+        4: "fig fig fig apple",
+    }
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            }
+        )
+    )
+    got = (
+        doc_keywords(docs, top_k=2, num_parts=4)
+        .to_pandas()
+        .sort_values(["doc_id", "score", "term"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # reference
+    from collections import Counter
+
+    N = len(texts)
+    tf = {d: Counter(t.split()) for d, t in texts.items()}
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    want = []
+    for d in sorted(texts):
+        scored = sorted(
+            (
+                (-c * math.floor(math.log(N / df[t]) * 1e9), t, c)
+                for t, c in tf[d].items()
+            )
+        )[:2]
+        for negs, t, c in scored:
+            want.append([d, t, c, -negs])
+    assert got.to_numpy().tolist() == want
+    # 'fig' (df=1) must top doc 4 over ubiquitous 'apple' (df=4, idf=0)
+    assert got[got["doc_id"] == 4].iloc[0]["term"] == "fig"
