@@ -2585,20 +2585,8 @@ def degree_assortativity(
     deg = int_degrees(
         und.map_batches(both_ends, batch_format="pyarrow"), P
     ).materialize()
-    wd = _attach_value(und, deg, "a", ["b"], "deg", "deg_a", P)
-    wd = _attach_value(
-        wd.rename_columns({"a": "oa", "b": "a"}),
-        deg,
-        "a",
-        ["oa", "deg_a"],
-        "deg",
-        "deg_b",
-        P,
-    )
 
-    def partials(t: pa.Table) -> pa.Table:
-        x = t["deg_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        y = t["deg_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def _moments(x: np.ndarray, y: np.ndarray) -> pa.Table:
         return pa.table(
             {
                 "e": pa.array([len(x)], pa.int64()),
@@ -2608,7 +2596,46 @@ def degree_assortativity(
             }
         )
 
-    rows = wd.map_batches(partials, batch_format="pyarrow").take_all()
+    n_vertices = deg.count()
+    if n_vertices <= 5_000_000:
+        # V-scale degree table is small: broadcast it (ray.put once, read
+        # per task) and fuse both endpoint-degree attaches AND the moment
+        # fold into ONE edge pass — zero extra shuffles vs the two
+        # co-partitioned joins of the any-scale path below
+        dp = deg.to_pandas()
+        dv = dp["vertex"].to_numpy(np.int64)
+        o = np.argsort(dv, kind="stable")
+        d_ref = ray.put((dv[o], dp["deg"].to_numpy(np.int64)[o]))
+
+        def bcast_partials(t: pa.Table) -> pa.Table:
+            from ..functions.proccache import cached_get
+
+            dvs, dds = cached_get(d_ref)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            x = dds[np.searchsorted(dvs, a)].astype(np.int64)
+            y = dds[np.searchsorted(dvs, b)].astype(np.int64)
+            return _moments(x, y)
+
+        rows = und.map_batches(bcast_partials, batch_format="pyarrow").take_all()
+    else:
+        wd = _attach_value(und, deg, "a", ["b"], "deg", "deg_a", P)
+        wd = _attach_value(
+            wd.rename_columns({"a": "oa", "b": "a"}),
+            deg,
+            "a",
+            ["oa", "deg_a"],
+            "deg",
+            "deg_b",
+            P,
+        )
+
+        def partials(t: pa.Table) -> pa.Table:
+            x = t["deg_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = t["deg_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return _moments(x, y)
+
+        rows = wd.map_batches(partials, batch_format="pyarrow").take_all()
     e = sum(r["e"] for r in rows)
     sx = sum(int(r["sx"]) for r in rows)
     sxy = sum(int(r["sxy"]) for r in rows)
@@ -2999,11 +3026,76 @@ def _attach_map(
     return left.union(right).groupby("__p").map_groups(merge, batch_format="pyarrow")
 
 
+def _driver_boruvka_tail(
+    u: np.ndarray,
+    v: np.ndarray,
+    w: np.ndarray,
+    cu: np.ndarray,
+    cv: np.ndarray,
+    phase0: int,
+) -> pa.Table:
+    """Finish the remaining Boruvka phases on the driver: the EXACT same
+    per-phase schedule as the distributed loop (lexmin cross edge per
+    component by (w, u, v), CC over the hook pairs, relabel, drop merged
+    edges) replayed in numpy, so the emitted (u, v, w, phase) rows are
+    bit-identical to what the Dataset path would produce. Called only
+    below `driver_finish_threshold` live rows — the geometric shrink of
+    the cross set means at any scale only the cheap tail folds here,
+    while the distributed loop remains the all-scale fallback. Output may
+    contain the same edge twice within a phase (chosen by both endpoint
+    components) exactly like the distributed path; the caller's final
+    distinct dedupes."""
+    outs: list[tuple[np.ndarray, ...]] = []
+    ph = phase0
+    # strictly merging components => terminates; bound defensively anyway
+    for _ in range(64):
+        if not len(u):
+            break
+        c = np.concatenate([cu, cv])
+        oc = np.concatenate([cv, cu])
+        sw = np.concatenate([w, w])
+        su = np.concatenate([u, u])
+        sv = np.concatenate([v, v])
+        order = np.lexsort((sv, su, sw, c))
+        c, oc, sw, su, sv = c[order], oc[order], sw[order], su[order], sv[order]
+        first = np.ones(len(c), bool)
+        first[1:] = c[1:] != c[:-1]
+        hc, hoc = c[first], oc[first]
+        outs.append(
+            (su[first], sv[first], sw[first],
+             np.full(int(first.sum()), ph, np.int64))
+        )
+        vs, lab = driver_components(hc, hoc, hc)
+        # every live component holds >=1 cross edge, so it appears in the
+        # hook table and the lookup is total
+        ncu = lab[np.searchsorted(vs, cu)]
+        ncv = lab[np.searchsorted(vs, cv)]
+        keep = ncu != ncv
+        u, v, w = u[keep], v[keep], w[keep]
+        cu, cv = ncu[keep], ncv[keep]
+        ph += 1
+    if not outs:
+        return pa.table(
+            {col: pa.array([], pa.int64()) for col in ("u", "v", "w", "phase")}
+        )
+    return pa.table(
+        {
+            "u": pa.array(np.concatenate([o[0] for o in outs]), pa.int64()),
+            "v": pa.array(np.concatenate([o[1] for o in outs]), pa.int64()),
+            "w": pa.array(np.concatenate([o[2] for o in outs]), pa.int64()),
+            "phase": pa.array(
+                np.concatenate([o[3] for o in outs]), pa.int64()
+            ),
+        }
+    )
+
+
 def boruvka_msf(
     edges: ray.data.Dataset,
     num_parts: int = 32,
     max_phases: int = 32,
     driver_cc_threshold: int = 2_000_000,
+    driver_finish_threshold: int = 1_000_000,
 ) -> ray.data.Dataset:
     """Distributed Boruvka minimum spanning forest over canonical int64
     edges (u < v, deduped, columns u/v/w). Weights need not be distinct:
@@ -3119,6 +3211,27 @@ def boruvka_msf(
     msf_parts: list[ray.data.Dataset] = []
     for phase in range(1, max_phases + 1):
         _t0 = _time.time()
+        n_live = cur.count()
+        if n_live == 0:
+            break
+        if n_live <= driver_finish_threshold:
+            # tail phases: the live cross set is small — finish the exact
+            # same phase schedule on the driver (bounded materialization,
+            # <= driver_finish_threshold rows x 5 int64) instead of paying
+            # 3 shuffles + 3 materializations of fixed overhead per tiny
+            # phase; the distributed loop above remains the any-scale path
+            tp = cur.to_pandas()
+            tail = _driver_boruvka_tail(
+                tp["u"].to_numpy(np.int64), tp["v"].to_numpy(np.int64),
+                tp["w"].to_numpy(np.int64), tp["cu"].to_numpy(np.int64),
+                tp["cv"].to_numpy(np.int64), phase,
+            )
+            if _dbg:
+                print(f"[msf] phases {phase}+ driver tail "
+                      f"({n_live} live rows) {_time.time()-_t0:.1f}s")
+            if tail.num_rows:
+                msf_parts.append(ray.data.from_arrow(tail))
+            break
         minrows = (
             cur.map_batches(prep, batch_format="pyarrow")
             .groupby("__p")
@@ -4054,6 +4167,22 @@ def percolation_sweep(
         n_edges = kept.count()
         if n_edges == 0:
             rows.append((K, 0, 0, 0, 0))
+            continue
+        if n_edges <= 2_000_000:
+            # small kept set: vectorized driver CC (same fast path as the
+            # LSH co-bucket clusters) — a CSR shard pool costs ~5s of
+            # fixed machinery per level; the superstep branch below is
+            # the any-scale path
+            kp = kept.to_pandas()
+            vs, lab = driver_components(
+                kp["src"].to_numpy(np.int64), kp["dst"].to_numpy(np.int64),
+                kp["src"].to_numpy(np.int64),
+            )
+            comps, sizes = np.unique(lab, return_counts=True)
+            rows.append(
+                (K, int(len(vs)), int(n_edges), int(len(comps)),
+                 int(sizes.max()) if len(sizes) else 0)
+            )
             continue
         g = ShardedGraph.build(kept, num_parts=num_parts, symmetric=True)
         cc = connected_components(g)
