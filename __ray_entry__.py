@@ -1136,11 +1136,48 @@ def q_edge_table(sf_dir: str):
 
 
 def q_degrees(sf_dir: str):
+    """Distinct-destination out-degree per source: batch-local (src, dst)
+    pair dedup as the combiner, then ONE hash(src) shuffle whose
+    co-location makes the per-partition dedup + run-count globally exact
+    — replaces the distinct shuffle + native sort-based groupby pair."""
+    from sbustreamspot_core_ray.functions.hashing import part_of
+
+    def local(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["src"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = pc.cast(t["dst"], pa.int64()).to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, s))
+        s, d = s[o], d[o]
+        keep = np.ones(len(s), bool)
+        keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {"src": s, "dst": d, "__p": pa.array(part_of(s, P), pa.int32())}
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        o = np.lexsort((d, s))
+        s, d = s[o], d[o]
+        keep = np.ones(len(s), bool)
+        keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        s = s[keep]
+        first = np.ones(len(s), bool)
+        first[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(s)))
+        return pa.table(
+            {
+                "src": pa.array(s[starts], pa.int64()),
+                "outdeg": pa.array(counts.astype(np.int64)),
+            }
+        )
+
     return (
-        _edges_full(sf_dir)
-        .groupby("src")
-        .count()
-        .rename_columns({"count()": "outdeg"})
+        _edges_full(sf_dir, dedup=False)
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pyarrow")
     )
 
 

@@ -3387,15 +3387,109 @@ def temporal_reachability(
     )
     seeds = np.unique(np.asarray(seeds, np.int64))
     seeds = seeds[np.isin(seeds, present)]
+
+    # --- small-state regime: while the arrival table AND frontier are
+    # below broadcast_threshold, each round is ONE broadcast edge scan
+    # whose per-batch output is already min-folded per dst, merged into
+    # driver-side sorted arrays — no shuffle, no per-round Dataset
+    # materialization. Arrival state is O(reached vertices); if it
+    # outgrows the threshold the loop below takes over with the exact
+    # same min-fold semantics (min over ints is order-free, so the two
+    # regimes are bit-identical).
+    arr_v = seeds.copy()  # sorted (np.unique)
+    arr_t = np.full(len(seeds), start_t, np.int64)
+    fv, ft = arr_v, arr_t
+    rounds_used = 0
+    while (
+        rounds_used < max_rounds
+        and 0 < len(fv) <= broadcast_threshold
+        and len(arr_v) <= broadcast_threshold
+    ):
+        o = np.argsort(fv, kind="stable")
+        f_ref = ray.put((fv[o], ft[o]))
+
+        def cand_partial(t: pa.Table) -> pa.Table:
+            from ..functions.proccache import cached_get
+
+            fv_s, ftv_s = cached_get(f_ref)
+            s = t["src"].to_numpy()
+            pos = np.clip(np.searchsorted(fv_s, s), 0, len(fv_s) - 1)
+            hit = fv_s[pos] == s
+            tt = t["t"].to_numpy()[hit]
+            keep = tt >= ftv_s[pos[hit]]
+            d = t["dst"].to_numpy()[hit][keep]
+            tt = tt[keep]
+            oo = np.lexsort((tt, d))
+            d, tt = d[oo], tt[oo]
+            first = np.ones(len(d), bool)
+            first[1:] = d[1:] != d[:-1]
+            return pa.table(
+                {
+                    "dst": pa.array(d[first], pa.int64()),
+                    "t": pa.array(tt[first], pa.int64()),
+                }
+            )
+
+        chunks = [
+            b
+            for b in edges.map_batches(
+                cand_partial, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        rounds_used += 1
+        if not chunks:
+            fv = np.array([], np.int64)
+            break
+        dv = np.concatenate([c["dst"].to_numpy() for c in chunks])
+        dt = np.concatenate([c["t"].to_numpy() for c in chunks])
+        oo = np.lexsort((dt, dv))
+        dv, dt = dv[oo], dt[oo]
+        first = np.ones(len(dv), bool)
+        first[1:] = dv[1:] != dv[:-1]
+        dv, dt = dv[first], dt[first]
+        pos = np.clip(np.searchsorted(arr_v, dv), 0, max(len(arr_v) - 1, 0))
+        known = len(arr_v) > 0
+        hit = (arr_v[pos] == dv) if known else np.zeros(len(dv), bool)
+        better = hit & (dt < (arr_t[pos] if known else dt))
+        new = ~hit
+        # in-place improvements + sorted insert of new vertices
+        arr_t[pos[better]] = dt[better]
+        if new.any():
+            ins = np.searchsorted(arr_v, dv[new])
+            arr_v = np.insert(arr_v, ins, dv[new])
+            arr_t = np.insert(arr_t, ins, dt[new])
+        fv = np.concatenate([dv[better], dv[new]])
+        ft = np.concatenate([dt[better], dt[new]])
+    if len(fv) == 0 or rounds_used >= max_rounds:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vertex": pa.array(arr_v, pa.int64()),
+                    "t_arr": pa.array(arr_t, pa.int64()),
+                }
+            )
+        )
+
+    # --- state outgrew the broadcast threshold: hand off to the
+    # shuffle-merge loop (the any-scale path) with the rounds budget left
+    max_rounds = max_rounds - rounds_used
     arr = ray.data.from_arrow(
         pa.table(
             {
-                "vertex": pa.array(seeds, pa.int64()),
-                "t_arr": pa.array(np.full(len(seeds), start_t, np.int64)),
+                "vertex": pa.array(arr_v, pa.int64()),
+                "t_arr": pa.array(arr_t, pa.int64()),
             }
         )
     ).materialize()
-    frontier = arr
+    frontier = ray.data.from_arrow(
+        pa.table(
+            {
+                "vertex": pa.array(fv, pa.int64()),
+                "t_arr": pa.array(ft, pa.int64()),
+            }
+        )
+    ).materialize()
 
     def usable(t: pa.Table) -> pa.Table:
         # candidate rows ride straight into the merge shuffle, side-tagged
@@ -3411,7 +3505,7 @@ def temporal_reachability(
             }
         )
 
-    n_frontier = arr.count()
+    n_frontier = frontier.count()
     for _ in range(max_rounds):
         if n_frontier <= broadcast_threshold:
             ft = frontier.to_pandas()

@@ -945,9 +945,11 @@ def test_temporal_reachability_hand_case():
             }
         )
     )
-    # both frontier-attach regimes must agree: broadcast (default) and
-    # the co-partitioned _attach_value fallback (threshold 0)
-    for bt in (1_000_000, 0):
+    # all three regimes must agree: driver-merged small state (default),
+    # a mid-computation handoff to the shuffle loop (threshold 2: the
+    # arrival table outgrows it after round 1), and the co-partitioned
+    # _attach_value fallback from round 1 (threshold 0)
+    for bt in (1_000_000, 2, 0):
         got = (
             temporal_reachability(
                 edges, seeds=[1, 77], num_partitions=4, start_t=0,
