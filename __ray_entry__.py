@@ -9816,8 +9816,11 @@ def q_neighbor_sample(sf_dir: str):
     edge table — the frontier is broadcast per hop, never shuffled."""
     from sbustreamspot_core_ray.pipelines.superstep import neighbor_sample
 
+    # dedup=False: the sampler ranks over DISTINCT (src, dst) pairs
+    # internally, so the global distinct shuffle is skipped; materialized
+    # because every hop re-scans the table
     return neighbor_sample(
-        _edges_full(sf_dir),
+        _edges_full(sf_dir, dedup=False).materialize(),
         np.array(NS_SEEDS, np.int64),
         fanouts=NS_FANOUTS,
         num_parts=P,

@@ -3599,6 +3599,7 @@ def link_negative_samples(
     c1: int = 0x9E3779B97F4A7C15,
     c2: int = 0xC2B2AE3D27D4EB4F,
     c3: int = 0xFF51AFD7ED558CCD,
+    broadcast_keys_threshold: int = 50_000_000,
 ) -> ray.data.Dataset:
     """Deterministic negative sampling for link-prediction training data:
     every DISTINCT edge (src, dst) becomes a label-1 row, and for each
@@ -3615,25 +3616,58 @@ def link_negative_samples(
     `ray.put` (id list, not per-edge state; a 10^12-edge corpus whose
     distinct-dst set exceeds worker memory needs a rank-keyed
     co-partitioned join instead — raise-documented below). Candidate
-    generation is a stateless vectorized map; membership filtering is ONE
-    shuffle of packed (src << 32 | dst) keys with a per-partition
-    searchsorted — no driver-side set. Input edges must be distinct
-    (positives are emitted as-is)."""
+    generation is a stateless vectorized map; membership filtering
+    broadcasts the sorted packed (src << 32 | dst) key set and fuses the
+    anti-join into the generation pass (zero shuffles) while it fits the
+    same 50M cap, else falls back to ONE shuffle of packed keys with a
+    per-partition searchsorted. Input edges must be distinct (positives
+    are emitted as-is)."""
     import pyarrow.compute as pc
 
     P = num_partitions
     C1, C2, C3 = np.uint64(c1), np.uint64(c2), np.uint64(c3)
 
-    dst_parts = edges.map_batches(
-        lambda t: pa.table({"dst": pc.unique(t["dst"])}),
+    def pack(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+        if len(s) and (
+            int(s.max()) >= (1 << 31)
+            or int(d.max()) >= (1 << 31)
+            or int(s.min()) < 0
+            or int(d.min()) < 0
+        ):
+            raise ValueError("vertex ids must fit in 31 bits for key packing")
+        return (s << np.int64(32)) | d
+
+    # one driver pull of the packed edge keys serves BOTH the distinct-dst
+    # universe (dst = key & 0xFFFFFFFF) and, when it fits, the broadcast
+    # membership side of the anti-join
+    key_parts = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(
+                    pack(
+                        pc.cast(t["src"], pa.int64()).to_numpy(
+                            zero_copy_only=False
+                        ),
+                        pc.cast(t["dst"], pa.int64()).to_numpy(
+                            zero_copy_only=False
+                        ),
+                    ),
+                    pa.int64(),
+                )
+            }
+        ),
         batch_format="pyarrow",
     )
-    dsts = np.unique(
+    real_keys = np.sort(
         np.concatenate(
-            [b["dst"].to_numpy() for b in dst_parts.iter_batches(batch_format="pyarrow")]
+            [
+                b["k"].to_numpy()
+                for b in key_parts.iter_batches(batch_format="pyarrow")
+            ]
             or [np.array([], np.int64)]
         )
     )
+    dsts = np.unique(real_keys & np.int64(0xFFFFFFFF))
     if len(dsts) == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -3651,16 +3685,6 @@ def link_negative_samples(
         )
     n_dst = np.uint64(len(dsts))
     dst_ref = ray.put(dsts)
-
-    def pack(s: np.ndarray, d: np.ndarray) -> np.ndarray:
-        if len(s) and (
-            int(s.max()) >= (1 << 31)
-            or int(d.max()) >= (1 << 31)
-            or int(s.min()) < 0
-            or int(d.min()) < 0
-        ):
-            raise ValueError("vertex ids must fit in 31 bits for key packing")
-        return (s << np.int64(32)) | d
 
     def gen(t: pa.Table) -> pa.Table:
         from ..functions.proccache import cached_get
@@ -3715,12 +3739,53 @@ def link_negative_samples(
             }
         )
 
-    neg = (
-        edges.map_batches(gen, batch_format="pyarrow")
-        .union(edges.map_batches(tag_real, batch_format="pyarrow"))
-        .groupby("__p")
-        .map_groups(keep_nonmembers, batch_format="pyarrow")
-    )
+    if len(real_keys) <= broadcast_keys_threshold:
+        # the sorted packed edge-key set fits in plasma (same cap as the
+        # dst universe): broadcast it and fuse candidate generation with
+        # the anti-join in ONE stateless edge pass — zero shuffles; the
+        # union + hashed-key shuffle below is the any-scale path
+        real_ref = ray.put(real_keys)
+
+        def gen_neg(t: pa.Table) -> pa.Table:
+            from ..functions.proccache import cached_get
+
+            universe = cached_get(dst_ref)
+            real = cached_get(real_ref)
+            s = t["src"].to_numpy()
+            d = t["dst"].to_numpy()
+            su = s.astype(np.int64).view(np.uint64)
+            du = d.astype(np.int64).view(np.uint64)
+            outs, outd = [], []
+            with np.errstate(over="ignore"):
+                for j in range(1, k + 1):
+                    idx = (
+                        (su * C1 + du * C2 + np.uint64(j) * C3) % n_dst
+                    ).astype(np.int64)
+                    outs.append(s)
+                    outd.append(universe[idx])
+            cs = np.concatenate(outs) if outs else np.array([], np.int64)
+            cd = np.concatenate(outd) if outd else np.array([], np.int64)
+            key = pack(cs, cd)
+            if len(real):
+                pos = np.clip(np.searchsorted(real, key), 0, len(real) - 1)
+                nonmember = real[pos] != key
+                cs, cd = cs[nonmember], cd[nonmember]
+            return pa.table(
+                {
+                    "src": pa.array(cs, pa.int64()),
+                    "dst": pa.array(cd, pa.int64()),
+                    "label": pa.array(np.zeros(len(cs), np.int64)),
+                }
+            )
+
+        neg = edges.map_batches(gen_neg, batch_format="pyarrow")
+    else:
+        neg = (
+            edges.map_batches(gen, batch_format="pyarrow")
+            .union(edges.map_batches(tag_real, batch_format="pyarrow"))
+            .groupby("__p")
+            .map_groups(keep_nonmembers, batch_format="pyarrow")
+        )
     pos = edges.map_batches(
         lambda t: pa.table(
             {
@@ -3998,6 +4063,13 @@ def neighbor_sample(
         s, d, h = src[order], dst[order], pri[order]
         if len(s) == 0:
             return s, d, h
+        # drop duplicate (src, dst) pairs first (pri is a function of the
+        # pair, so dups are adjacent after the lexsort): the sample is
+        # over the DISTINCT neighbor set, which lets the caller feed the
+        # raw un-deduped edge stream with no global distinct shuffle
+        uniq = np.ones(len(s), bool)
+        uniq[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        s, d, h = s[uniq], d[uniq], h[uniq]
         new = np.empty(len(s), bool)
         new[0] = True
         np.not_equal(s[1:], s[:-1], out=new[1:])
@@ -4042,12 +4114,32 @@ def neighbor_sample(
             )
             return pd.DataFrame({"src": s, "dst": d})
 
-        hop_df = (
-            edges.map_batches(combiner, batch_format="pyarrow")
-            .groupby("__p")
-            .map_groups(fold, batch_format="pandas")
-            .to_pandas()
-        )
+        partials = edges.map_batches(combiner, batch_format="pyarrow")
+        if len(frontier) * k <= 1_000_000:
+            # mini-batch regime (the GNN-trainer case by construction):
+            # per-batch survivors are <= k per frontier source, so the
+            # global exact top-k folds on the driver — no shuffle per hop
+            chunks = [
+                b
+                for b in partials.iter_batches(batch_format="pyarrow")
+                if b.num_rows
+            ]
+            if chunks:
+                s, d, _ = topk_per_src(
+                    np.concatenate([c["src"].to_numpy() for c in chunks]),
+                    np.concatenate([c["dst"].to_numpy() for c in chunks]),
+                    np.concatenate([c["h"].to_numpy() for c in chunks]),
+                    k,
+                )
+            else:
+                s = d = np.array([], np.int64)
+            hop_df = pd.DataFrame({"src": s, "dst": d})
+        else:
+            hop_df = (
+                partials.groupby("__p")
+                .map_groups(fold, batch_format="pandas")
+                .to_pandas()
+            )
         if len(hop_df) == 0:  # no frontier vertex has out-edges: done
             break
         hop_df.insert(0, "hop", np.int64(hop))

@@ -1005,13 +1005,19 @@ def test_link_negative_samples_vs_python_oracle():
     )
     K = 3
     C = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0xFF51AFD7ED558CCD)
-    got = (
+    # both anti-join regimes must agree: broadcast key set (default) and
+    # the hashed-key shuffle fallback (threshold 0)
+    regimes = [
         link_negative_samples(edges, k=K, num_partitions=4,
-                              c1=C[0], c2=C[1], c3=C[2])
+                              c1=C[0], c2=C[1], c3=C[2],
+                              broadcast_keys_threshold=bt)
         .to_pandas()
         .sort_values(["label", "src", "dst"])
         .reset_index(drop=True)
-    )
+        for bt in (50_000_000, 0)
+    ]
+    assert regimes[0].equals(regimes[1])
+    got = regimes[0]
 
     dsts = sorted({d for _, d in e})
     n = len(dsts)
