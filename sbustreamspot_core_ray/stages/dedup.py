@@ -1220,17 +1220,31 @@ def allpairs_jaccard_join(
             {"d": ex.index.to_numpy(), "term": ex.to_numpy()}
         ).drop_duplicates()
         counts = pairs.groupby("term", sort=False).size()
+        terms = counts.index.to_numpy(dtype=object)
+        # deterministic cross-process term hash (python's hash() is
+        # per-process salted and would split a term's partials)
+        hp = pd.util.hash_array(terms.astype(str)).view(np.int64)
         return pd.DataFrame(
             {
-                "term": counts.index.to_numpy(dtype=object),
+                "term": terms,
                 "df_partial": counts.to_numpy(np.int64),
+                "__p": (part_of(hp, num_parts)).astype(np.int32),
             }
         )
 
+    def df_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", sort=False)["df_partial"].sum()
+        return pd.DataFrame(
+            {"term": g.index.to_numpy(object), "df": g.to_numpy(np.int64)}
+        )
+
+    # batch-local df combiner -> ONE hash(term) shuffle on P int keys ->
+    # vectorized per-partition sum (the native string-keyed groupby
+    # sort-shuffles the full partial table)
     vocab = (
         docs.map_batches(tok_partial, batch_format="pandas")
-        .groupby("term")
-        .aggregate(Sum("df_partial", alias_name="df"))
+        .groupby("__p")
+        .map_groups(df_fold, batch_format="pandas")
     )
     vdf = vocab.to_pandas()
     if len(vdf) > max_vocab:
@@ -1339,28 +1353,59 @@ def allpairs_jaccard_join(
     )
 
     def kernel(df: pd.DataFrame, _k: int, _t: float) -> pa.Table:
-        cache: dict[str, np.ndarray] = {}
-
-        def ts(text: str | None) -> np.ndarray:
-            text = text or ""
-            r = cache.get(text)
-            if r is None:
-                r = np.unique(
-                    np.array(
-                        [w for w in text.lower().split(" ") if w], dtype=object
-                    )
-                )
-                cache[text] = r
-            return r
-
+        # fully vectorized exact verify: unique texts tokenized ONCE per
+        # batch, tokens factorized to injective int codes (exactness needs
+        # no global vocabulary — any per-batch injection works), then a
+        # per-pair-chunk gather + lexsort run-scan counts intersections
+        # with zero per-pair Python
         n = len(df)
+        both = np.concatenate(
+            [
+                df["text_src"].fillna("").to_numpy(object),
+                df["text_dst"].fillna("").to_numpy(object),
+            ]
+        )
+        texts, inv = np.unique(both, return_inverse=True)
+        s = pd.Series(texts).str.lower().str.split(" ").explode()
+        valid = (s.notna() & (s != "")).to_numpy()
+        ti = s.index.to_numpy()[valid].astype(np.int64)
+        codes = pd.factorize(s.to_numpy()[valid])[0].astype(np.int64)
+        o = np.lexsort((codes, ti))
+        ti, codes = ti[o], codes[o]
+        keep_tok = np.ones(len(ti), bool)
+        keep_tok[1:] = (ti[1:] != ti[:-1]) | (codes[1:] != codes[:-1])
+        ti, codes = ti[keep_tok], codes[keep_tok]
+        sizes = np.bincount(ti, minlength=len(texts)).astype(np.int64)
+        offs = np.cumsum(sizes) - sizes
+        ia, ib = inv[:n], inv[n:]
+
+        def gather(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            ln = sizes[idx]
+            starts = np.cumsum(ln) - ln
+            out = (
+                np.arange(int(ln.sum()), dtype=np.int64)
+                - np.repeat(starts, ln)
+                + np.repeat(offs[idx], ln)
+            )
+            return out, ln
+
         inter = np.empty(n, np.int64)
         uni = np.empty(n, np.int64)
-        for i, (a, b) in enumerate(zip(df["text_src"], df["text_dst"])):
-            sa, sb = ts(a), ts(b)
-            it = np.intersect1d(sa, sb, assume_unique=True).size
-            inter[i] = it
-            uni[i] = sa.size + sb.size - it
+        CH = 65536  # pairs per chunk bounds the gathered token volume
+        for c0 in range(0, n, CH):
+            c1 = min(c0 + CH, n)
+            ga, la = gather(ia[c0:c1])
+            gb, lb = gather(ib[c0:c1])
+            m = c1 - c0
+            pid = np.concatenate(
+                [np.repeat(np.arange(m), la), np.repeat(np.arange(m), lb)]
+            )
+            vals = codes[np.concatenate([ga, gb])]
+            oo = np.lexsort((vals, pid))
+            pid_s, vals_s = pid[oo], vals[oo]
+            eq = (pid_s[1:] == pid_s[:-1]) & (vals_s[1:] == vals_s[:-1])
+            inter[c0:c1] = np.bincount(pid_s[1:][eq], minlength=m)
+            uni[c0:c1] = la + lb - inter[c0:c1]
         keep = (uni > 0) & (TD * inter >= TN * uni)
         return pa.table(
             {
