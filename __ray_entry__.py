@@ -6841,6 +6841,85 @@ def _wl_sql() -> str:
 
 NEG_K = 2
 NEG_C = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0xFF51AFD7ED558CCD)
+LP_TEST_PCT = 10
+
+
+def q_linkpred_auc(sf_dir: str):
+    """Leakage-free link-prediction evaluation: 10%% of the distinct
+    canonical edges held out by pair hash, Adamic-Adar scored over the
+    TRAIN graph only (integer billionths) against one seeded negative
+    per positive, exact tie-corrected Mann-Whitney AUC. One row
+    (n_pos, n_neg, u2, auc)."""
+    from sbustreamspot_core_ray.pipelines.superstep import linkpred_holdout_auc
+
+    return linkpred_holdout_auc(
+        _edges_full(sf_dir, dedup=False),
+        test_pct=LP_TEST_PCT,
+        num_partitions=P,
+        c1=NEG_C[0],
+        c2=NEG_C[1],
+        c3=NEG_C[2],
+    )
+
+
+def _linkpred_auc_sql() -> str:
+    two64 = 1 << 64
+    return f"""
+WITH e0 AS MATERIALIZED ({_SQL_EDGES}),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+lab AS (SELECT a, b,
+               (a * 2654435761 + b * 40503) % 100 < {LP_TEST_PCT} AS is_test
+        FROM canon),
+train AS MATERIALIZED (SELECT a, b FROM lab WHERE NOT is_test),
+tst AS MATERIALIZED (SELECT a, b FROM lab WHERE is_test),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT a AS v FROM canon UNION SELECT b FROM canon)),
+vr AS MATERIALIZED (
+  SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM verts),
+neg AS MATERIALIZED (
+  SELECT least(t.a, vr.v) AS a, greatest(t.a, vr.v) AS b
+  FROM tst t JOIN vr ON vr.r = CAST(
+    ((CAST(t.a AS HUGEINT) * {NEG_C[0]} + CAST(t.b AS HUGEINT) * {NEG_C[1]}
+      + {NEG_C[2]}) % {two64}) % (SELECT count(*) FROM verts) AS BIGINT)
+  WHERE t.a <> vr.v
+    AND NOT EXISTS (SELECT 1 FROM canon c
+                    WHERE c.a = least(t.a, vr.v) AND c.b = greatest(t.a, vr.v))
+),
+qn AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY pos, a, b) AS qid, a, b, pos FROM (
+    SELECT a, b, 1 AS pos FROM tst UNION ALL SELECT a, b, 0 FROM neg)),
+sym AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM train UNION ALL SELECT b, a FROM train),
+wt AS MATERIALIZED (
+  SELECT s, CAST(floor(1e9 / ln(count(*))) AS BIGINT) AS w
+  FROM sym GROUP BY s HAVING count(*) >= 2),
+sc0 AS (
+  SELECT qn.qid, SUM(wt.w) AS score
+  FROM qn JOIN sym x ON x.d = qn.a JOIN sym y ON y.s = x.s AND y.d = qn.b
+  JOIN wt ON wt.s = x.s
+  GROUP BY qn.qid),
+sc AS (SELECT qn.qid, qn.pos, COALESCE(sc0.score, 0) AS score
+       FROM qn LEFT JOIN sc0 USING (qid)),
+g AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS np_,
+             CAST(SUM(1 - pos) AS BIGINT) AS nn_
+      FROM sc GROUP BY score),
+w2 AS (
+  SELECT score, np_, nn_,
+         2 * (COALESCE(SUM(np_ + nn_) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+           + (np_ + nn_) + 1 AS two_mid
+  FROM g),
+t AS (SELECT SUM(np_) AS n_pos, SUM(nn_) AS n_neg,
+             SUM(np_ * two_mid) AS two_rs
+      FROM w2)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(two_rs - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       ROUND(CAST(two_rs - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2 * n_pos * n_neg), 6) AS auc
+FROM t"""
 
 
 def q_link_negatives(sf_dir: str):
@@ -8062,6 +8141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "allpairs_jaccard": q_allpairs_jaccard,
         "temporal_reach": q_temporal_reach,
         "link_negatives": q_link_negatives,
+        "linkpred_auc": q_linkpred_auc,
         "wl_colors": q_wl_colors,
         "densest_peel": q_densest_peel,
         "corpus_split": q_corpus_split,
@@ -9793,6 +9873,7 @@ FROM documents d LEFT JOIN (
         "allpairs_jaccard": _allpairs_jaccard_sql(),
         "temporal_reach": _temporal_reach_sql(),
         "link_negatives": _link_negatives_sql(),
+        "linkpred_auc": _linkpred_auc_sql(),
         "wl_colors": _wl_sql(),
         "densest_peel": _densest_peel_sql(),
         "corpus_split": _corpus_split_sql(),

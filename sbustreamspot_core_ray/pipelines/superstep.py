@@ -3799,6 +3799,268 @@ def link_negative_samples(
     return pos.union(neg)
 
 
+def linkpred_holdout_auc(
+    edges: ray.data.Dataset,
+    test_pct: int = 10,
+    num_partitions: int = 32,
+    c1: int = 0x9E3779B97F4A7C15,
+    c2: int = 0xC2B2AE3D27D4EB4F,
+    c3: int = 0xFF51AFD7ED558CCD,
+    broadcast_threshold: int = 50_000_000,
+) -> "pa.Table":
+    """End-to-end link-prediction evaluation: hold out `test_pct`%% of the
+    DISTINCT canonical edges by a deterministic pair hash, score every
+    held-out (positive) pair and one seeded-hash negative per positive by
+    the Adamic-Adar index computed over the TRAIN graph only (exact
+    integer billionths, floor(1e9/ln(deg)) per common neighbor), then
+    report the exact tie-corrected Mann-Whitney AUC — the leakage-free
+    offline metric a link-graph team reads before shipping a
+    recommend-links model. One row (n_pos, n_neg, u2, auc).
+
+    Composition of the repo's own exact primitives: the hash split is the
+    pagerank_drift thinning hash, negatives are link_negative_samples'
+    seeded scheme (canonicalized, real edges excluded), scores are
+    adamic_adar's integer weights, the AUC fold is dup_auc's midrank
+    algebra — all integer until the one mirrored ROUND(6) divide.
+
+    Scale shape: canon dedup is the standard one-shuffle distinct; the
+    canonical key set (<= broadcast_threshold, raise-documented), per-
+    vertex train degrees and the query-pair CSR broadcast once via
+    ray.put; scoring is ONE stateless pass over the canonical edge table
+    — each train sym edge (w, x) expands only x's query partners (most
+    batches expand nothing) and membership-checks (w, b) against the
+    broadcast key set, so no wedge is ever enumerated outside the query
+    set and nothing E-scale shuffles after the distinct."""
+    import pyarrow.compute as pc
+
+    from ..functions.proccache import cached_get
+    from ..functions.rounding import round_half_away
+
+    P = num_partitions
+    C1, C2, C3 = np.uint64(c1), np.uint64(c2), np.uint64(c3)
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["src"], pa.int64())
+        d = pc.cast(t["dst"], pa.int64())
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table(
+            {"a": pc.min_element_wise(s, d), "b": pc.max_element_wise(s, d)}
+        )
+
+    cn = distinct(
+        edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"]
+    ).materialize()
+
+    def pack(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        if len(x) and (
+            int(x.max()) >= (1 << 31)
+            or int(y.max()) >= (1 << 31)
+            or int(x.min()) < 0
+            or int(y.min()) < 0
+        ):
+            raise ValueError("vertex ids must fit in 31 bits for key packing")
+        return (x << np.int64(32)) | y
+
+    chunks = [
+        b
+        for b in cn.map_batches(
+            lambda t: pa.table(
+                {"k": pa.array(pack(t["a"].to_numpy(), t["b"].to_numpy()))}
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    keys = np.sort(
+        np.concatenate([c["k"].to_numpy() for c in chunks])
+        if chunks
+        else np.array([], np.int64)
+    )
+    if len(keys) > broadcast_threshold:
+        raise ValueError(
+            "canonical edge-key set too large to broadcast; co-partition "
+            "the query pairs and membership keys by hash(pair) instead"
+        )
+    ka = keys >> np.int64(32)
+    kb = keys & np.int64(0xFFFFFFFF)
+    is_test = (ka * 2654435761 + kb * 40503) % 100 < test_pct
+    ta, tb = ka[is_test], kb[is_test]
+    train_keys = keys[~is_test]
+
+    # train degrees + adamic-adar center weights (deg < 2 can never be a
+    # common neighbor; weight 0 keeps the ln() domain safe)
+    verts, deg = np.unique(
+        np.concatenate([train_keys >> np.int64(32),
+                        train_keys & np.int64(0xFFFFFFFF)]),
+        return_counts=True,
+    )
+    wt = np.zeros(len(verts), np.int64)
+    big = deg >= 2
+    wt[big] = np.floor(1e9 / np.log(deg[big])).astype(np.int64)
+
+    # one seeded-hash negative per test pair, canonicalized, real edges
+    # (train OR test) excluded — duplicates kept (separate samples), the
+    # SQL mirror recomputes them row-for-row
+    uni = np.unique(np.concatenate([ka, kb]))
+    if len(uni):
+        with np.errstate(over="ignore"):
+            idx = (
+                (
+                    ta.view(np.uint64) * C1
+                    + tb.view(np.uint64) * C2
+                    + C3
+                )
+                % np.uint64(len(uni))
+            ).astype(np.int64)
+        w_ = uni[idx]
+        na = np.minimum(ta, w_)
+        nb = np.maximum(ta, w_)
+        ok = na != nb
+        if len(keys):
+            kq = pack(na[ok], nb[ok])
+            pos_ = np.clip(np.searchsorted(keys, kq), 0, len(keys) - 1)
+            ok2 = keys[pos_] != kq
+            na, nb = na[ok][ok2], nb[ok][ok2]
+        else:
+            na, nb = na[ok], nb[ok]
+    else:
+        na = nb = np.array([], np.int64)
+
+    n_pos, n_neg = len(ta), len(na)
+    if n_pos == 0 or n_neg == 0:
+        return pa.table(
+            {
+                "n_pos": pa.array([n_pos], pa.int64()),
+                "n_neg": pa.array([n_neg], pa.int64()),
+                "u2": pa.array([0], pa.int64()),
+                "auc": pa.array([0.0], pa.float64()),
+            }
+        )
+
+    # query CSR grouped by the LOWER-TRAIN-DEGREE endpoint (ties: the
+    # smaller id): each wedge is still found via exactly one sym edge
+    # (w, indexed endpoint) — detection is endpoint-symmetric — but the
+    # expansion volume drops from sum(deg(a)) to sum(min(deg(a), deg(b)))
+    # across query pairs, which is what hub endpoints would otherwise blow
+    qa = np.concatenate([ta, na])
+    qb = np.concatenate([tb, nb])
+
+    def _deg_of(v: np.ndarray) -> np.ndarray:
+        if not len(verts):
+            return np.zeros(len(v), np.int64)
+        p_ = np.clip(np.searchsorted(verts, v), 0, len(verts) - 1)
+        return np.where(verts[p_] == v, deg[p_], 0)
+
+    swap = _deg_of(qb) < _deg_of(qa)
+    qa, qb = np.where(swap, qb, qa), np.where(swap, qa, qb)
+    order = np.argsort(qa, kind="stable")
+    qa_s, qb_s = qa[order], qb[order]
+    qid_s = np.arange(len(qa), dtype=np.int64)[order]
+    qv, qcnt = np.unique(qa_s, return_counts=True)
+    qoff = np.cumsum(qcnt) - qcnt
+    bref = ray.put((train_keys, verts, wt, qv, qcnt, qoff, qb_s, qid_s))
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        tk, vs, wts, qvv, qcc, qoo, qbb, qii = cached_get(bref)
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        tr = (a * 2654435761 + b * 40503) % 100 >= test_pct
+        a, b = a[tr], b[tr]
+        w = np.concatenate([a, b])  # sym: both orientations, w = center
+        x = np.concatenate([b, a])
+        xi = np.clip(np.searchsorted(qvv, x), 0, max(len(qvv) - 1, 0))
+        sel = (len(qvv) > 0) & (qvv[xi] == x) if len(qvv) else np.zeros(
+            len(x), bool
+        )
+        w, xi = w[sel], xi[sel]
+        cnt = qcc[xi]
+        tot = int(cnt.sum())
+        if tot == 0:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        starts = np.cumsum(cnt) - cnt
+        ridx = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(starts, cnt)
+            + np.repeat(qoo[xi], cnt)
+        )
+        rw = np.repeat(w, cnt)
+        rb = qbb[ridx]
+        rq = qii[ridx]
+        wi = np.clip(np.searchsorted(vs, rw), 0, max(len(vs) - 1, 0))
+        wv = np.where(vs[wi] == rw, wts[wi], 0) if len(vs) else np.zeros(
+            len(rw), np.int64
+        )
+        lo = np.minimum(rw, rb)
+        hi = np.maximum(rw, rb)
+        live = (rw != rb) & (wv > 0)
+        kq = pack(lo[live], hi[live])
+        if len(tk):
+            pp = np.clip(np.searchsorted(tk, kq), 0, len(tk) - 1)
+            hit = tk[pp] == kq
+        else:
+            hit = np.zeros(len(kq), bool)
+        rq, wv = rq[live][hit], wv[live][hit]
+        if not len(rq):
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        u_, inv = np.unique(rq, return_inverse=True)
+        sums = np.bincount(inv, weights=wv, minlength=len(u_)).astype(
+            np.int64
+        )
+        return pa.table({"qid": pa.array(u_), "s": pa.array(sums)})
+
+    parts = [
+        b
+        for b in cn.map_batches(
+            score_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    scores = np.zeros(len(qa), np.int64)
+    if parts:
+        pq = np.concatenate([p["qid"].to_numpy() for p in parts])
+        ps = np.concatenate([p["s"].to_numpy() for p in parts])
+        np.add.at(scores, pq, ps)
+
+    # exact midrank AUC (dup_auc algebra): 2*midrank = 2*cum_prev+cnt+1
+    labels = np.concatenate(
+        [np.ones(n_pos, np.int64), np.zeros(n_neg, np.int64)]
+    )
+    g_scores, inv = np.unique(scores, return_inverse=True)
+    np_ = np.bincount(inv, weights=labels, minlength=len(g_scores)).astype(
+        np.int64
+    )
+    nn_ = np.bincount(inv, minlength=len(g_scores)).astype(np.int64) - np_
+    cnt_g = np_ + nn_
+    cum_prev = np.concatenate([[0], np.cumsum(cnt_g)[:-1]])
+    two_mid = 2 * cum_prev + cnt_g + 1
+    two_rs = int((np_ * two_mid).sum())
+    u2 = two_rs - n_pos * (n_pos + 1)
+    auc = float(
+        round_half_away(
+            np.array([u2 / (2.0 * n_pos * n_neg)]), 6
+        )[0]
+    )
+    return pa.table(
+        {
+            "n_pos": pa.array([n_pos], pa.int64()),
+            "n_neg": pa.array([n_neg], pa.int64()),
+            "u2": pa.array([int(u2)], pa.int64()),
+            "auc": pa.array([auc], pa.float64()),
+        }
+    )
+
+
 WL_CG = 1203980568741239047   # neighbor-contribution multiplier
 WL_CS = 1549187396127840017   # own-color multiplier
 WL_CO = 876049781234569241    # out-neighborhood multiplier

@@ -810,3 +810,83 @@ def test_triad_census_vs_networkx_both_regimes():
         )
         assert got == want, (cap, got, want)
     assert len(want) == 7  # the fixture must exercise every class
+
+
+def test_linkpred_holdout_auc_python_oracle():
+    """The full split -> negatives -> train-AA scores -> midrank AUC chain
+    must match a direct python recomputation on a seeded random graph."""
+    import math
+
+    from sbustreamspot_core_ray.pipelines.superstep import linkpred_holdout_auc
+
+    rng = np.random.default_rng(77)
+    n = 60
+    arcs = list(
+        zip(
+            rng.integers(0, n, 900).tolist(),
+            rng.integers(0, n, 900).tolist(),
+        )
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a[0] for a in arcs], pa.int64()),
+                "dst": pa.array([a[1] for a in arcs], pa.int64()),
+            }
+        )
+    )
+    PCT = 20
+    C = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0xFF51AFD7ED558CCD)
+    got = linkpred_holdout_auc(
+        edges, test_pct=PCT, num_partitions=4, c1=C[0], c2=C[1], c3=C[2]
+    ).to_pandas()
+
+    # python oracle
+    canon = sorted({(min(s, d), max(s, d)) for s, d in arcs if s != d})
+    test = [(a, b) for a, b in canon if (a * 2654435761 + b * 40503) % 100 < PCT]
+    train = [e for e in canon if e not in set(test)]
+    verts = sorted({v for e in canon for v in e})
+    adj: dict[int, set[int]] = {}
+    for a, b in train:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    wt = {
+        v: math.floor(1e9 / math.log(len(ns)))
+        for v, ns in adj.items()
+        if len(ns) >= 2
+    }
+    cset = set(canon)
+    neg = []
+    for a, b in test:
+        w = verts[((a * C[0] + b * C[1] + C[2]) % (1 << 64)) % len(verts)]
+        p = (min(a, w), max(a, w))
+        if a != w and p not in cset:
+            neg.append(p)
+
+    def score(p):
+        a, b = p
+        return sum(
+            wt.get(w, 0) for w in adj.get(a, set()) & adj.get(b, set())
+        )
+
+    rows = [(score(p), 1) for p in test] + [(score(p), 0) for p in neg]
+    rows.sort()
+    # midrank AUC over the (score, label) multiset
+    n_pos = sum(l for _, l in rows)
+    n_neg = len(rows) - n_pos
+    from collections import Counter
+
+    by_score = Counter(s for s, _ in rows)
+    cum = 0
+    two_rs = 0
+    for s in sorted(by_score):
+        cnt = by_score[s]
+        two_mid = 2 * cum + cnt + 1
+        two_rs += two_mid * sum(l for sc, l in rows if sc == s)
+        cum += cnt
+    u2 = two_rs - n_pos * (n_pos + 1)
+
+    assert int(got["n_pos"][0]) == n_pos
+    assert int(got["n_neg"][0]) == n_neg
+    assert int(got["u2"][0]) == u2
+    assert 0.0 < got["auc"][0] <= 1.0
