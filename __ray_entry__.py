@@ -2819,6 +2819,149 @@ SELECT CAST((SELECT count(*) FROM sz) AS BIGINT) AS n_sccs,
 """
 
 
+BOWTIE_M = 2999    # vertex fold for the bow-tie link layer
+BOWTIE_MULT = 31   # supplier spread multiplier (coprime with BOWTIE_M)
+
+
+def _edges_bowtie(sf_dir: str) -> ray.data.Dataset:
+    """Directed graph with genuine bow-tie structure: a sparse folded
+    part->supplier layer (one lineitem row per order keeps mean degree
+    low enough that the giant SCC stays partial: real IN/OUT/tendril
+    classes) plus a disjoint orders-derived island in the id range
+    [BOWTIE_M, BOWTIE_M+211) that exercises the DISCONNECTED class."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_linenumber"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    )
+
+    def mk_link(t: pa.Table) -> pa.Table:
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False)
+        keep = ln == 1
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table(
+            {"src": p % BOWTIE_M, "dst": (s * BOWTIE_MULT) % BOWTIE_M}
+        )
+
+    def mk_island(t: pa.Table) -> pa.Table:
+        ok_ = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ok_ % 97 == 0
+        ok_, ck = ok_[keep], ck[keep]
+        return pa.table(
+            {
+                "src": BOWTIE_M + ck % 211,
+                "dst": BOWTIE_M + (ok_ * 13) % 211,
+            }
+        )
+
+    return li.map_batches(mk_link, batch_format="pyarrow").union(
+        orders.map_batches(mk_island, batch_format="pyarrow")
+    )
+
+
+def q_bowtie(sf_dir: str):
+    """Web-graph bow-tie decomposition (Broder taxonomy): six rows
+    (class, n_components, n_vertices) — CORE largest SCC, IN/OUT by
+    condensation reachability, TUBES on core-avoiding IN->OUT paths,
+    TENDRILS the rest of the core's weak component, DISCONNECTED the
+    remainder."""
+    from sbustreamspot_core_ray.pipelines.superstep import bowtie_decomposition
+
+    return bowtie_decomposition(_edges_bowtie(sf_dir), num_partitions=P)
+
+
+def _bowtie_sql() -> str:
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_partkey % {BOWTIE_M} AS s,
+         (l_suppkey * {BOWTIE_MULT}) % {BOWTIE_M} AS d
+  FROM lineitem WHERE l_linenumber = 1
+  UNION
+  SELECT DISTINCT {BOWTIE_M} + o_custkey % 211,
+         {BOWTIE_M} + (o_orderkey * 13) % 211
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+v AS (SELECT DISTINCT x AS v FROM (SELECT s AS x FROM e UNION SELECT d FROM e)),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d
+),
+mut AS (
+  SELECT a.s AS v, a.d AS u
+  FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s
+),
+mn AS (SELECT v, MIN(u) AS mu FROM mut GROUP BY v),
+scc AS (
+  SELECT v.v AS vertex, LEAST(v.v, COALESCE(mn.mu, v.v)) AS scc_id
+  FROM v LEFT JOIN mn ON mn.v = v.v
+),
+sz AS (SELECT scc_id, count(*) AS n FROM scc GROUP BY scc_id),
+core AS (SELECT scc_id FROM sz ORDER BY n DESC, scc_id LIMIT 1),
+ce AS (
+  SELECT DISTINCT sa.scc_id AS cs, sb.scc_id AS cd
+  FROM e
+  JOIN scc sa ON sa.vertex = e.s
+  JOIN scc sb ON sb.vertex = e.d
+  WHERE sa.scc_id <> sb.scc_id
+),
+rp(c) AS (
+  SELECT scc_id FROM core
+  UNION
+  SELECT ce.cd FROM rp JOIN ce ON ce.cs = rp.c
+),
+rm(c) AS (
+  SELECT scc_id FROM core
+  UNION
+  SELECT ce.cs FROM rm JOIN ce ON ce.cd = rm.c
+),
+ue AS (SELECT cs, cd FROM ce UNION SELECT cd, cs FROM ce),
+wk(c) AS (
+  SELECT scc_id FROM core
+  UNION
+  SELECT ue.cd FROM wk JOIN ue ON ue.cs = wk.c
+),
+ins AS (SELECT c FROM rm WHERE c NOT IN (SELECT scc_id FROM core)),
+outs AS (SELECT c FROM rp WHERE c NOT IN (SELECT scc_id FROM core)),
+re AS (SELECT cs, cd FROM ce
+       WHERE cs NOT IN (SELECT scc_id FROM core)
+         AND cd NOT IN (SELECT scc_id FROM core)),
+fi(c) AS (
+  SELECT c FROM ins
+  UNION
+  SELECT re.cd FROM fi JOIN re ON re.cs = fi.c
+),
+toc(c) AS (
+  SELECT c FROM outs
+  UNION
+  SELECT re.cs FROM toc JOIN re ON re.cd = toc.c
+),
+cls AS (
+  SELECT sz.scc_id, sz.n,
+    CASE
+      WHEN sz.scc_id IN (SELECT scc_id FROM core) THEN 'core'
+      WHEN sz.scc_id IN (SELECT c FROM ins) THEN 'in'
+      WHEN sz.scc_id IN (SELECT c FROM outs) THEN 'out'
+      WHEN sz.scc_id NOT IN (SELECT c FROM wk) THEN 'disconnected'
+      WHEN sz.scc_id IN (SELECT c FROM fi)
+       AND sz.scc_id IN (SELECT c FROM toc) THEN 'tubes'
+      ELSE 'tendrils'
+    END AS class
+  FROM sz
+),
+names(class) AS (
+  VALUES ('core'), ('in'), ('out'), ('tubes'), ('tendrils'), ('disconnected'))
+SELECT names.class,
+       CAST(COALESCE(count(cls.scc_id), 0) AS BIGINT) AS n_components,
+       CAST(COALESCE(sum(cls.n), 0) AS BIGINT) AS n_vertices
+FROM names LEFT JOIN cls ON cls.class = names.class
+GROUP BY names.class"""
+
+
 def q_graph_summary(sf_dir: str):
     """One-row directed-graph summary (raw/distinct/self-loop/reciprocal
     edge counts + reciprocity): one unordered-key shuffle, per-partition
@@ -7976,6 +8119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_distance": q_sssp_distance,
         "assortativity": q_assortativity,
         "scc": q_scc,
+        "bowtie": q_bowtie,
         "condensation": q_condensation,
         "condensation_depth": q_condensation_depth,
         "graph_summary": q_graph_summary,
@@ -8237,6 +8381,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _SQL_DOC_KEYWORDS,
         "prefix_dups": _prefix_dups_sql(),
         "scc": _SQL_SCC.format(m=RECIP_MOD),
+        "bowtie": _bowtie_sql(),
         "condensation": _SQL_CONDENSATION.format(m=RECIP_MOD),
         "condensation_depth": _SQL_CONDENSATION_DEPTH.format(m=RECIP_MOD),
         "graph_summary": f"""

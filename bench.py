@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "bloom_semi",
     "allpairs_jaccard",
     "link_negatives",
+    "linkpred_auc",
+    "bowtie",
     "wl_colors",
     "densest_peel",
     "corpus_split",

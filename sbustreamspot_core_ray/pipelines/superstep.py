@@ -4061,6 +4061,207 @@ def linkpred_holdout_auc(
     )
 
 
+BOWTIE_CLASSES = ("core", "in", "out", "tubes", "tendrils", "disconnected")
+
+
+def bowtie_decomposition(
+    edges: ray.data.Dataset,
+    num_partitions: int = 32,
+    max_rounds: int = 64,
+    collect_threshold: int = 50_000_000,
+) -> "pa.Table":
+    """Bow-tie decomposition of a directed link graph (the Broder et al.
+    web-structure taxonomy, public): CORE = the largest SCC (ties: the
+    smallest canonical scc_id), IN = components that reach the core, OUT
+    = components the core reaches, TUBES = remaining components on an
+    IN->OUT path that avoids the core, TENDRILS = the rest of the core's
+    weak component, DISCONNECTED = everything else. Always returns six
+    rows (class, n_components, n_vertices), zero-filled.
+
+    Scale shape: SCC labels come from the distributed forward-backward
+    superstep; labels attach to both edge endpoints through the
+    co-partitioned `_attach_value` join (V-scale, never broadcast) and
+    condensation edges dedup through the house distinct. Only
+    COMPONENT-scale state reaches the driver — the (scc_id, size) table
+    (pre-aggregated per hash partition) and the deduped condensation
+    edges — both bounded by `collect_threshold` (raises with guidance
+    instead of silently materializing); the five reachability sweeps run
+    as vectorized frontier BFS over those component arrays, so no pass
+    ever touches V- or E-scale data on the driver."""
+    import pyarrow.compute as pc
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t["src"], pa.int64()),
+                "dst": pc.cast(t["dst"], pa.int64()),
+            }
+        )
+
+    de = distinct(
+        edges.map_batches(cast, batch_format="pyarrow"), ["src", "dst"]
+    ).materialize()  # consumed by the SCC build and the label attach
+    scc = strongly_connected_components(
+        de, num_partitions=num_partitions, max_rounds=max_rounds
+    ).materialize()
+
+    # per-component sizes: partial unique per batch, exact fold per hash
+    # partition (all rows of one scc_id share a partition), then the
+    # C-scale result concatenates on the driver
+    def size_partials(t: pa.Table) -> pa.Table:
+        lbl = t["scc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(lbl, return_counts=True)
+        return pa.table(
+            {
+                "scc_id": u,
+                "n": c.astype(np.int64),
+                "__p": pa.array(part_of(u, num_partitions), pa.int32()),
+            }
+        )
+
+    def size_fold(t: pa.Table) -> pa.Table:
+        lbl = t["scc_id"].to_numpy()
+        n = t["n"].to_numpy()
+        u, inv = np.unique(lbl, return_inverse=True)
+        s = np.bincount(inv, weights=n, minlength=len(u)).astype(np.int64)
+        return pa.table({"scc_id": u, "n": s})
+
+    size_chunks = [
+        b
+        for b in scc.map_batches(size_partials, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(size_fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    comp = (
+        np.concatenate([c["scc_id"].to_numpy() for c in size_chunks])
+        if size_chunks
+        else np.array([], np.int64)
+    )
+    csize = (
+        np.concatenate([c["n"].to_numpy() for c in size_chunks])
+        if size_chunks
+        else np.array([], np.int64)
+    )
+    if len(comp) > collect_threshold:
+        raise ValueError(
+            "condensation too large for driver-side reachability; shard "
+            "the component BFS through the superstep engine instead"
+        )
+    order = np.argsort(comp, kind="stable")
+    comp, csize = comp[order], csize[order]
+    C = len(comp)
+
+    empty = pa.table(
+        {
+            "class": pa.array(list(BOWTIE_CLASSES)),
+            "n_components": pa.array([0] * 6, pa.int64()),
+            "n_vertices": pa.array([0] * 6, pa.int64()),
+        }
+    )
+    if C == 0:
+        return empty
+
+    # condensation edges (component-indexed), deduped distributed
+    w1 = _attach_value(de, scc, "src", ["dst"], "scc_id", "cs", num_partitions)
+    w2 = _attach_value(w1, scc, "dst", ["cs"], "scc_id", "cd", num_partitions)
+
+    def cedge(t: pa.Table) -> pa.Table:
+        cs = t["cs"].to_numpy()
+        cd = t["cd"].to_numpy()
+        keep = cs != cd
+        return pa.table({"cs": cs[keep], "cd": cd[keep]})
+
+    ce_chunks = [
+        b
+        for b in distinct(
+            w2.map_batches(cedge, batch_format="pyarrow"), ["cs", "cd"]
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if ce_chunks:
+        es = np.searchsorted(
+            comp, np.concatenate([c["cs"].to_numpy() for c in ce_chunks])
+        )
+        ed = np.searchsorted(
+            comp, np.concatenate([c["cd"].to_numpy() for c in ce_chunks])
+        )
+    else:
+        es = ed = np.array([], np.int64)
+    if len(es) > collect_threshold:
+        raise ValueError(
+            "condensation too large for driver-side reachability; shard "
+            "the component BFS through the superstep engine instead"
+        )
+
+    def reach(seeds: np.ndarray, heads: np.ndarray, tails: np.ndarray) -> np.ndarray:
+        """Boolean reachability over the component DAG: vectorized
+        frontier BFS (CSR by sorted heads, searchsorted fan-out)."""
+        seen = seeds.copy()
+        if not len(heads):
+            return seen
+        o = np.argsort(heads, kind="stable")
+        hs, ts = heads[o], tails[o]
+        uh, start = np.unique(hs, return_index=True)
+        cnt = np.diff(np.append(start, len(hs)))
+        frontier = np.flatnonzero(seen)
+        while len(frontier):
+            p = np.searchsorted(uh, frontier)
+            ok = (p < len(uh)) & (uh[np.clip(p, 0, len(uh) - 1)] == frontier)
+            p = p[ok]
+            if not len(p):
+                break
+            idxs = np.concatenate(
+                [np.arange(start[i], start[i] + cnt[i]) for i in p]
+            )
+            nxt = np.unique(ts[idxs])
+            nxt = nxt[~seen[nxt]]
+            seen[nxt] = True
+            frontier = nxt
+        return seen
+
+    # CORE: largest size, ties -> smallest scc_id (comp is sorted by id,
+    # so the first argmax IS the tie-break winner)
+    core_i = int(np.argmax(csize))
+    is_core = np.zeros(C, bool)
+    is_core[core_i] = True
+    rp = reach(is_core, es, ed)
+    rm = reach(is_core, ed, es)
+    in_ = rm & ~is_core
+    out_ = rp & ~is_core
+    wk = reach(is_core, np.concatenate([es, ed]), np.concatenate([ed, es]))
+    other = wk & ~is_core & ~in_ & ~out_
+    keep = ~is_core[es] & ~is_core[ed]  # core-avoiding condensation edges
+    res, red = es[keep], ed[keep]
+    from_in = reach(in_.copy(), res, red)
+    to_out = reach(out_.copy(), red, res)
+    tube = other & from_in & to_out
+    tend = other & ~tube
+    disc = ~wk
+
+    masks = {
+        "core": is_core,
+        "in": in_,
+        "out": out_,
+        "tubes": tube,
+        "tendrils": tend,
+        "disconnected": disc,
+    }
+    return pa.table(
+        {
+            "class": pa.array(list(BOWTIE_CLASSES)),
+            "n_components": pa.array(
+                [int(masks[k].sum()) for k in BOWTIE_CLASSES], pa.int64()
+            ),
+            "n_vertices": pa.array(
+                [int(csize[masks[k]].sum()) for k in BOWTIE_CLASSES],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 WL_CG = 1203980568741239047   # neighbor-contribution multiplier
 WL_CS = 1549187396127840017   # own-color multiplier
 WL_CO = 876049781234569241    # out-neighborhood multiplier

@@ -890,3 +890,41 @@ def test_linkpred_holdout_auc_python_oracle():
     assert int(got["n_neg"][0]) == n_neg
     assert int(got["u2"][0]) == u2
     assert 0.0 < got["auc"][0] <= 1.0
+
+
+def test_bowtie_decomposition_all_classes():
+    """Hand-built fixture with every bow-tie class populated: core cycle
+    1-2-3, IN chain 11->10->1, OUT chain 3->20->21, tube 10->50->20,
+    in-tendril 10->30, out-tendril 40->20, disconnected 2-cycle 60-61."""
+    from sbustreamspot_core_ray.pipelines.superstep import bowtie_decomposition
+
+    arcs = [
+        (1, 2), (2, 3), (3, 1),          # core SCC (size 3, largest)
+        (10, 1), (11, 10),               # IN
+        (3, 20), (20, 21),               # OUT
+        (10, 50), (50, 20),              # tube
+        (10, 30),                        # in-tendril
+        (40, 20),                        # out-tendril
+        (60, 61), (61, 60),              # disconnected SCC (size 2)
+    ]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in arcs], pa.int64()),
+                "dst": pa.array([b for _, b in arcs], pa.int64()),
+            }
+        )
+    )
+    got = bowtie_decomposition(edges, num_partitions=4).to_pandas()
+    res = {
+        r["class"]: (int(r["n_components"]), int(r["n_vertices"]))
+        for _, r in got.iterrows()
+    }
+    assert res == {
+        "core": (1, 3),
+        "in": (2, 2),
+        "out": (2, 2),
+        "tubes": (1, 1),
+        "tendrils": (2, 2),
+        "disconnected": (1, 2),
+    }
