@@ -1414,6 +1414,70 @@ def _ppr_sql() -> str:
     )
 
 
+def q_spam_mass(sf_dir: str):
+    """TrustRank spam mass per vertex: classic PageRank and seed-
+    personalized PageRank over the same graph, spam_mass =
+    (pagerank - trustrank)/pagerank. Ranks round 7 before the one
+    division, the mass 6 after — both mirrored in SQL."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        spam_mass,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=False
+    )
+    return spam_mass(
+        g,
+        np.array(PPR_SEEDS, np.int64),
+        damping=PR_DAMPING,
+        max_iters=PR_ITERS,
+    )
+
+
+def _spam_mass_sql() -> str:
+    """Both unrolled chains share one prefixed-CTE statement: p_* is the
+    classic-pagerank chain, t_* the seed-teleport chain (trust vector tv
+    with mass 1/|S| per seed; dangling mass lands on the seeds)."""
+    d = PR_DAMPING
+    seeds = ", ".join(str(s) for s in PPR_SEEDS)
+    ns = len(PPR_SEEDS)
+    ctes = _pagerank_ctes(_SQL_EDGES, "p_")
+    ctes += [
+        "tv AS MATERIALIZED (SELECT vertex, CASE WHEN vertex IN"
+        f" ({seeds}) THEN 1.0/{ns} ELSE 0.0 END AS tv FROM p_v)",
+        "t_r0 AS MATERIALIZED (SELECT vertex, tv AS rank FROM tv)",
+    ]
+    for k in range(1, PR_ITERS + 1):
+        p = k - 1
+        ctes.append(
+            f"t_dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m"
+            f" FROM t_r{p} r LEFT JOIN p_deg deg ON deg.vertex = r.vertex"
+            f" WHERE deg.vertex IS NULL)"
+        )
+        ctes.append(
+            f"t_c{k} AS MATERIALIZED (SELECT e.dst AS vertex, SUM(r.rank / deg.d) AS contrib"
+            f" FROM p_e e JOIN t_r{p} r ON r.vertex = e.src"
+            f" JOIN p_deg deg ON deg.vertex = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"t_r{k} AS MATERIALIZED (SELECT t.vertex, (1.0 - {d}) * t.tv"
+            f" + {d} * (COALESCE(c.contrib, 0.0)"
+            f" + (SELECT m FROM t_dang{k}) * t.tv) AS rank"
+            f" FROM tv t LEFT JOIN t_c{k} c ON c.vertex = t.vertex)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT vertex, pr AS pagerank, tr AS trustrank,
+       CASE WHEN pr > 0 THEN ROUND((pr - tr) / pr, 6) ELSE 0.0 END AS spam_mass
+FROM (
+  SELECT p.vertex, ROUND(p.rank, 7) AS pr, ROUND(t.rank, 7) AS tr
+  FROM p_r{PR_ITERS} p JOIN t_r{PR_ITERS} t ON t.vertex = p.vertex
+)"""
+    )
+
+
 def q_connected_components(sf_dir: str):
     from sbustreamspot_core_ray.pipelines.superstep import (
         ShardedGraph,
@@ -8104,6 +8168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_pagerank": q_weighted_pagerank,
         "pagerank_incremental": q_pagerank_incremental,
         "personalized_pagerank": q_personalized_pagerank,
+        "spam_mass": q_spam_mass,
         "bfs_distance": q_bfs_distance,
         "bipartite": q_bipartite,
         "matching": q_matching,
@@ -8331,6 +8396,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_pagerank": _weighted_pagerank_sql(),
         "pagerank_incremental": _pagerank_incremental_sql(),
         "personalized_pagerank": _ppr_sql(),
+        "spam_mass": _spam_mass_sql(),
         "bfs_distance": _bfs_sql(),
         "bipartite": _bipartite_sql(),
         "matching": _matching_sql(),

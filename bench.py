@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "group_sample",
     "events_cumsum",
     "personalized_pagerank",
+    "spam_mass",
     "bfs_distance",
     "hits",
     "weighted_pagerank",

@@ -4061,6 +4061,70 @@ def linkpred_holdout_auc(
     )
 
 
+def spam_mass(
+    graph: "ShardedGraph",
+    trusted_seeds: np.ndarray,
+    damping: float = 0.85,
+    max_iters: int = 10,
+) -> ray.data.Dataset:
+    """TrustRank spam mass (Gyongyi/Garcia-Molina/Pedersen, public): run
+    classic PageRank and seed-personalized PageRank (TrustRank) over the
+    SAME sharded graph, then per vertex report spam_mass =
+    (pagerank - trustrank) / pagerank — the fraction of a page's rank
+    that does NOT flow from the trusted seed set. Both ranks round to 7
+    digits BEFORE the division (the identical doubles both engines
+    produce), the mass to 6 after, so the mirror stays bit-exact.
+
+    Scale shape: two superstep power iterations reuse one actor pool and
+    CSR build; each run's per-partition rank table snapshots as an
+    immutable object-store ref (actor task ordering guarantees the
+    snapshot precedes the second run's re-init), and the zip/divide runs
+    as one remote task per partition — no shuffle, no driver-side V-scale
+    state, vertex order aligned by construction (both tables are the
+    partition's sorted owned array)."""
+    from ..functions.rounding import round_half_away
+
+    pagerank(graph, damping=damping, max_iters=max_iters, tol=0.0)
+    base_refs = [a.state_table.remote("rank") for a in graph.actors]
+    pagerank(
+        graph,
+        damping=damping,
+        max_iters=max_iters,
+        tol=0.0,
+        teleport_seeds=np.asarray(trusted_seeds, np.int64),
+    )
+    trust_refs = [a.state_table.remote("rank") for a in graph.actors]
+
+    @ray.remote
+    def zip_mass(pt: pa.Table, tt: pa.Table) -> pa.Table:
+        if not np.array_equal(
+            pt["vertex"].to_numpy(), tt["vertex"].to_numpy()
+        ):
+            raise AssertionError(
+                "spam_mass: partition vertex sets diverged between runs"
+            )
+        pr = round_half_away(pt["rank"].to_numpy(), 7)
+        tr = round_half_away(tt["rank"].to_numpy(), 7)
+        pos = pr > 0
+        mass = np.where(
+            pos,
+            round_half_away((pr - tr) / np.where(pos, pr, 1.0), 6),
+            0.0,
+        )
+        return pa.table(
+            {
+                "vertex": pt["vertex"],
+                "pagerank": pr,
+                "trustrank": tr,
+                "spam_mass": mass,
+            }
+        )
+
+    return ray.data.from_arrow_refs(
+        [zip_mass.remote(p_, t_) for p_, t_ in zip(base_refs, trust_refs)]
+    )
+
+
 BOWTIE_CLASSES = ("core", "in", "out", "tubes", "tendrils", "disconnected")
 
 

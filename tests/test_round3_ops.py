@@ -928,3 +928,26 @@ def test_bowtie_decomposition_all_classes():
         "tendrils": (2, 2),
         "disconnected": (1, 2),
     }
+
+
+def test_spam_mass_untrusted_branch_is_all_spam():
+    """A vertex unreachable from the trusted seeds gets trustrank 0 and
+    spam_mass exactly 1; the seed keeps most of its rank trusted."""
+    from sbustreamspot_core_ray.pipelines.superstep import ShardedGraph, spam_mass
+
+    arcs = [(1, 2), (3, 2), (2, 4)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in arcs], pa.int64()),
+                "dst": pa.array([b for _, b in arcs], pa.int64()),
+            }
+        )
+    )
+    g = ShardedGraph.build(edges, num_parts=2, symmetric=False)
+    df = spam_mass(g, np.array([1], np.int64), max_iters=10).to_pandas()
+    df = df.set_index("vertex")
+    assert df.loc[3, "trustrank"] == 0.0
+    assert df.loc[3, "spam_mass"] == 1.0
+    assert df.loc[1, "spam_mass"] < 1.0
+    assert (df["spam_mass"] <= 1.0).all()
