@@ -1478,6 +1478,77 @@ FROM (
     )
 
 
+SALSA_QTY = 5  # lineitem thinning filter: keeps real component structure
+
+
+def q_salsa(sf_dir: str):
+    """SALSA hub/authority scores via the closed-form stationary
+    distribution over bipartite part->order support components (no
+    co-citation projection): score = (n_side_C / side_total) *
+    (deg / E_C), rounded 9."""
+    from sbustreamspot_core_ray.pipelines.superstep import salsa_scores
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey", "l_quantity"],
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = q <= SALSA_QTY
+        p_ = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table({"src": 20_000_000 + p_, "dst": 10_000_000 + o})
+
+    return salsa_scores(
+        li.map_batches(mk, batch_format="pyarrow"),
+        num_partitions=P,
+        hub_threshold=20_000_000,
+    )
+
+
+def _salsa_sql() -> str:
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 20000000 + l_partkey AS h, 10000000 + l_orderkey AS a
+  FROM lineitem WHERE l_quantity <= {SALSA_QTY}
+),
+sym AS (SELECT h AS s, a AS d FROM e UNION SELECT a, h FROM e),
+v AS (SELECT DISTINCT s AS v FROM sym),
+reach(s, d) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.s, sym.d FROM reach r JOIN sym ON sym.s = r.d
+),
+comp AS (
+  SELECT v.v AS vertex, LEAST(v.v, COALESCE(MIN(r.d), v.v)) AS comp
+  FROM v LEFT JOIN reach r ON r.s = v.v GROUP BY v.v
+),
+deg AS (
+  SELECT x AS vertex, count(*) AS deg
+  FROM (SELECT h AS x FROM e UNION ALL SELECT a FROM e) GROUP BY x
+),
+j AS (
+  SELECT d.vertex, d.deg, c.comp, d.vertex >= 20000000 AS hub
+  FROM deg d JOIN comp c USING (vertex)
+),
+cs AS (
+  SELECT comp,
+         SUM(CASE WHEN hub THEN 1 ELSE 0 END) AS nh,
+         SUM(CASE WHEN hub THEN 0 ELSE 1 END) AS na,
+         SUM(CASE WHEN hub THEN 0 ELSE deg END) AS ec
+  FROM j GROUP BY comp
+),
+tot AS (SELECT SUM(nh) AS th, SUM(na) AS ta FROM cs)
+SELECT j.vertex,
+       CASE WHEN j.hub THEN 'hub' ELSE 'auth' END AS side,
+       CAST(j.deg AS BIGINT) AS deg,
+       ROUND((CAST(CASE WHEN j.hub THEN cs.nh ELSE cs.na END AS DOUBLE)
+              / CAST(CASE WHEN j.hub THEN tot.th ELSE tot.ta END AS DOUBLE))
+             * (CAST(j.deg AS DOUBLE) / CAST(cs.ec AS DOUBLE)), 9) AS score
+FROM j JOIN cs USING (comp) CROSS JOIN tot"""
+
+
 def q_connected_components(sf_dir: str):
     from sbustreamspot_core_ray.pipelines.superstep import (
         ShardedGraph,
@@ -8169,6 +8240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_incremental": q_pagerank_incremental,
         "personalized_pagerank": q_personalized_pagerank,
         "spam_mass": q_spam_mass,
+        "salsa": q_salsa,
         "bfs_distance": q_bfs_distance,
         "bipartite": q_bipartite,
         "matching": q_matching,
@@ -8397,6 +8469,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_incremental": _pagerank_incremental_sql(),
         "personalized_pagerank": _ppr_sql(),
         "spam_mass": _spam_mass_sql(),
+        "salsa": _salsa_sql(),
         "bfs_distance": _bfs_sql(),
         "bipartite": _bipartite_sql(),
         "matching": _matching_sql(),

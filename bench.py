@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "events_cumsum",
     "personalized_pagerank",
     "spam_mass",
+    "salsa",
     "bfs_distance",
     "hits",
     "weighted_pagerank",

@@ -4061,6 +4061,156 @@ def linkpred_holdout_auc(
     )
 
 
+def salsa_scores(
+    edges: ray.data.Dataset,
+    num_partitions: int = 32,
+    hub_threshold: int = 20_000_000,
+    digits: int = 9,
+) -> ray.data.Dataset:
+    """SALSA hub/authority scores (Lempel-Moran, public) over a bipartite
+    link graph (src ids >= hub_threshold are hubs, dst ids below are
+    authorities — callers pass disjoint id ranges). Uses the paper's
+    closed-form stationary distribution instead of iterating the random
+    walk: within each connected component C of the bipartite support,
+    authority(i) = (|A_C| / |A|) * (d(i) / E_C) and symmetrically for
+    hubs, where E_C is the component's edge count (= the component sum of
+    either side's degrees). One row per vertex:
+    (vertex, side, deg, score).
+
+    Scale shape: NO co-citation projection is ever materialized (the
+    naive SALSA builds it; it is quadratic in hub fan-out). distinct
+    edges -> superstep min-label CC -> per-vertex degree fold (hashed
+    partials) -> component label attach + two component-sum attaches, all
+    through the co-partitioned `_attach_value` join — V-scale state never
+    broadcasts and never lands on the driver; the only driver scalars are
+    the two side totals. Scores divide as (n_side/total) * (deg/E_C) in
+    that exact operation order, mirrored by the SQL oracle, so the
+    doubles are bit-identical."""
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import round_half_away
+
+    P = num_partitions
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t["src"], pa.int64()),
+                "dst": pc.cast(t["dst"], pa.int64()),
+            }
+        )
+
+    de = distinct(
+        edges.map_batches(cast, batch_format="pyarrow"), ["src", "dst"]
+    ).materialize()  # consumed by the CC build and the degree fold
+    g = ShardedGraph.build(de, num_parts=P, symmetric=True)
+    cc = connected_components(g)
+
+    def deg_partials(t: pa.Table) -> pa.Table:
+        both = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
+        u, c = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "vertex": u,
+                "deg": c.astype(np.int64),
+                "__p": pa.array(part_of(u, P), pa.int32()),
+            }
+        )
+
+    def deg_fold(t: pa.Table) -> pa.Table:
+        v = t["vertex"].to_numpy()
+        c = t["deg"].to_numpy()
+        u, inv = np.unique(v, return_inverse=True)
+        s = np.bincount(inv, weights=c, minlength=len(u)).astype(np.int64)
+        return pa.table({"vertex": u, "deg": s})
+
+    degs = (
+        de.map_batches(deg_partials, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(deg_fold, batch_format="pyarrow")
+    )
+    w = _attach_value(degs, cc, "vertex", ["deg"], "component", "comp", P)
+
+    # component aggregates (hub count, authority count, edge count): the
+    # edge count is the authority-side degree sum — exact per component
+    def comp_partials(t: pa.Table) -> pa.Table:
+        v = t["vertex"].to_numpy()
+        dg = t["deg"].to_numpy()
+        cp = t["comp"].to_numpy()
+        hub = v >= hub_threshold
+        u, inv = np.unique(cp, return_inverse=True)
+        nh = np.bincount(inv, weights=hub, minlength=len(u)).astype(np.int64)
+        na = np.bincount(inv, weights=~hub, minlength=len(u)).astype(np.int64)
+        ec = np.bincount(
+            inv, weights=np.where(hub, 0, dg), minlength=len(u)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "comp": u,
+                "nh": nh,
+                "na": na,
+                "ec": ec,
+                "__p": pa.array(part_of(u, P), pa.int32()),
+            }
+        )
+
+    def comp_fold(t: pa.Table) -> pa.Table:
+        cp = t["comp"].to_numpy()
+        u, inv = np.unique(cp, return_inverse=True)
+        out = {"comp": u}
+        for c in ("nh", "na", "ec"):
+            out[c] = np.bincount(
+                inv, weights=t[c].to_numpy(), minlength=len(u)
+            ).astype(np.int64)
+        # pack the two side counts into one attach value (both < 2^31)
+        out["nhna"] = (out["nh"] << np.int64(32)) | out["na"]
+        return pa.table(out)
+
+    sums = (
+        w.map_batches(comp_partials, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(comp_fold, batch_format="pyarrow")
+        .materialize()  # consumed by two attaches and the totals fold
+    )
+
+    n_hubs = 0
+    n_auth = 0
+    for b in sums.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            n_hubs += int(b["nh"].to_numpy().sum())
+            n_auth += int(b["na"].to_numpy().sum())
+
+    w2 = _attach_value(
+        w, sums, "comp", ["vertex", "deg"], "nhna", "nhna", P, lookup_key="comp"
+    )
+    w3 = _attach_value(
+        w2, sums, "comp", ["vertex", "deg", "nhna"], "ec", "ec", P,
+        lookup_key="comp",
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        v = t["vertex"].to_numpy()
+        dg = t["deg"].to_numpy().astype(np.float64)
+        nhna = t["nhna"].to_numpy()
+        ec = t["ec"].to_numpy().astype(np.float64)
+        hub = v >= hub_threshold
+        n_side = np.where(
+            hub, nhna >> np.int64(32), nhna & np.int64(0xFFFFFFFF)
+        ).astype(np.float64)
+        tot = np.where(hub, float(n_hubs), float(n_auth))
+        sc = round_half_away((n_side / tot) * (dg / ec), digits)
+        return pa.table(
+            {
+                "vertex": pa.array(v),
+                "side": pa.array(np.where(hub, "hub", "auth")),
+                "deg": t["deg"],
+                "score": pa.array(sc, pa.float64()),
+            }
+        )
+
+    return w3.map_batches(score, batch_format="pyarrow")
+
+
 def spam_mass(
     graph: "ShardedGraph",
     trusted_seeds: np.ndarray,

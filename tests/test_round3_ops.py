@@ -951,3 +951,32 @@ def test_spam_mass_untrusted_branch_is_all_spam():
     assert df.loc[3, "spam_mass"] == 1.0
     assert df.loc[1, "spam_mass"] < 1.0
     assert (df["spam_mass"] <= 1.0).all()
+
+
+def test_salsa_closed_form_two_components():
+    """Two disjoint bipartite stars: scores must match the Lempel-Moran
+    closed form (component-weighted degree fractions) computed by hand."""
+    from sbustreamspot_core_ray.pipelines.superstep import salsa_scores
+
+    # comp 1: hub 100 -> auths 1,2,3 ; comp 2: hubs 200,201 -> auth 4
+    arcs = [(100, 1), (100, 2), (100, 3), (200, 4), (201, 4)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in arcs], pa.int64()),
+                "dst": pa.array([b for _, b in arcs], pa.int64()),
+            }
+        )
+    )
+    df = (
+        salsa_scores(edges, num_partitions=2, hub_threshold=100)
+        .to_pandas()
+        .set_index("vertex")
+    )
+    # |H|=3, |A|=4; comp1: nh=1, na=3, E=3; comp2: nh=2, na=1, E=2
+    assert df.loc[100, "score"] == round((1 / 3) * (3 / 3), 9)
+    assert df.loc[1, "score"] == round((3 / 4) * (1 / 3), 9)
+    assert df.loc[200, "score"] == round((2 / 3) * (1 / 2), 9)
+    assert df.loc[4, "score"] == round((1 / 4) * (2 / 2), 9)
+    assert set(df[df.index >= 100]["side"]) == {"hub"}
+    assert set(df[df.index < 100]["side"]) == {"auth"}
