@@ -1217,13 +1217,16 @@ def q_weighted_pagerank(sf_dir: str):
     return df
 
 
-def _weighted_pagerank_sql() -> str:
+def _weighted_pagerank_sql(we_sql: str | None = None) -> str:
     """The pagerank chain over multiplicity weights: contribution
     rank * w / W (left-associated IEEE, mirrored by the engine's
-    (rank*w)/W per-edge expression)."""
+    (rank*w)/W per-edge expression). `we_sql` overrides the weighted-edge
+    CTE body (src, dst, w) — the host-contracted variant passes its own."""
     d = PR_DAMPING
     ctes = [
-        "we AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w"
+        f"we AS MATERIALIZED ({we_sql})"
+        if we_sql
+        else "we AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w"
         f" FROM ({_SQL_EDGES_RAW}) GROUP BY src, dst)",
         "v AS MATERIALIZED (SELECT src AS vertex FROM we UNION SELECT dst FROM we)",
         "n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) nv FROM v)",
@@ -1253,6 +1256,47 @@ def _weighted_pagerank_sql() -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT vertex, ROUND(rank, 7) AS rank FROM r{PR_ITERS}"
     )
+
+
+HOST_FOLD = 100  # pages per synthetic "host" (id // HOST_FOLD)
+
+
+def q_host_pagerank(sf_dir: str):
+    """Host-level PageRank by graph contraction: every page id maps to
+    its host (id // HOST_FOLD), intra-host links drop, inter-host link
+    multiplicities become edge weights, then weighted PageRank runs on
+    the contracted graph — the standard site-level authority pipeline.
+    The contraction is one stateless map over the raw edge stream; the
+    multiplicity count happens inside each CSR shard's finalize (the
+    weighted build), so nothing page-scale shuffles after the map."""
+    from sbustreamspot_core_ray.pipelines.superstep import ShardedGraph, pagerank
+
+    raw = _edges_full(sf_dir, dedup=False)
+
+    def hostify(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy() // HOST_FOLD
+        d = t["dst"].to_numpy() // HOST_FOLD
+        keep = s != d
+        return pa.table({"src": s[keep], "dst": d[keep]})
+
+    g = ShardedGraph.build(
+        raw.map_batches(hostify, batch_format="pyarrow"),
+        num_parts=P,
+        symmetric=False,
+        weighted=True,
+    )
+    df = pagerank(g, damping=PR_DAMPING, max_iters=PR_ITERS, tol=0.0).to_pandas()
+    df["rank"] = round_half_away(df["rank"], 7)
+    return df
+
+
+def _host_pagerank_sql() -> str:
+    we = (
+        "SELECT hs AS src, hd AS dst, CAST(count(*) AS DOUBLE) AS w FROM ("
+        f"SELECT src // {HOST_FOLD} AS hs, dst // {HOST_FOLD} AS hd"
+        f" FROM ({_SQL_EDGES_RAW})) WHERE hs <> hd GROUP BY hs, hd"
+    )
+    return _weighted_pagerank_sql(we)
 
 
 PR_WARM_ITERS1 = 5
@@ -8241,6 +8285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": q_personalized_pagerank,
         "spam_mass": q_spam_mass,
         "salsa": q_salsa,
+        "host_pagerank": q_host_pagerank,
         "bfs_distance": q_bfs_distance,
         "bipartite": q_bipartite,
         "matching": q_matching,
@@ -8470,6 +8515,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _ppr_sql(),
         "spam_mass": _spam_mass_sql(),
         "salsa": _salsa_sql(),
+        "host_pagerank": _host_pagerank_sql(),
         "bfs_distance": _bfs_sql(),
         "bipartite": _bipartite_sql(),
         "matching": _matching_sql(),

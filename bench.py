@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "personalized_pagerank",
     "spam_mass",
     "salsa",
+    "host_pagerank",
     "bfs_distance",
     "hits",
     "weighted_pagerank",
