@@ -1258,6 +1258,122 @@ def _weighted_pagerank_sql(we_sql: str | None = None) -> str:
     )
 
 
+def q_ols_regression(sf_dir: str):
+    """Distributed simple OLS per l_returnflag: regress whole-dollar
+    extended price on quantity. One streaming pass accumulates exact
+    integer moment sums per group (batch partials, Python-int driver
+    fold), then the closed-form slope/intercept/r2 divide once —
+    mirrored by HUGEINT sums in SQL."""
+    from sbustreamspot_core_ray.stages.stats import grouped_moment_sums, ols_table
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def extract(t: pa.Table):
+        g = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        x = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        y = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        return g, x, y
+
+    return ols_table(grouped_moment_sums(li, extract), group_col="grp")
+
+
+def _ols_sql() -> str:
+    return """
+WITH m AS (
+  SELECT l_returnflag AS grp,
+         CAST(count(*) AS HUGEINT) AS n,
+         SUM(CAST(floor(l_quantity + 0.5) AS HUGEINT)) AS sx,
+         SUM(CAST(floor(l_extendedprice + 0.5) AS HUGEINT)) AS sy,
+         SUM(CAST(floor(l_quantity + 0.5) AS HUGEINT)
+             * CAST(floor(l_quantity + 0.5) AS HUGEINT)) AS sxx,
+         SUM(CAST(floor(l_quantity + 0.5) AS HUGEINT)
+             * CAST(floor(l_extendedprice + 0.5) AS HUGEINT)) AS sxy,
+         SUM(CAST(floor(l_extendedprice + 0.5) AS HUGEINT)
+             * CAST(floor(l_extendedprice + 0.5) AS HUGEINT)) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+  CASE WHEN n*sxx - sx*sx <> 0
+       THEN ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                  / CAST(n*sxx - sx*sx AS DOUBLE), 6) ELSE 0.0 END AS slope,
+  CASE WHEN n*sxx - sx*sx <> 0
+       THEN ROUND(CAST(sy*sxx - sx*sxy AS DOUBLE)
+                  / CAST(n*sxx - sx*sx AS DOUBLE), 6) ELSE 0.0 END AS intercept,
+  CASE WHEN n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
+       THEN ROUND(CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE)
+                  / CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE), 6)
+       ELSE 0.0 END AS r2
+FROM m"""
+
+
+def q_pearson_corr(sf_dir: str):
+    """Pairwise Pearson correlations over three integer-quantized
+    lineitem features (quantity, whole-dollar price, discount basis
+    points) in ONE streaming pass: the pair name is the moment group, so
+    all three correlations fold from the same batch partials."""
+    from sbustreamspot_core_ray.stages.stats import (
+        grouped_moment_sums,
+        pearson_table,
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def extract(t: pa.Table):
+        q = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        pr = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        dc = np.floor(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 10000.0 + 0.5
+        ).astype(np.int64)
+        n = len(q)
+        g = np.concatenate(
+            [
+                np.full(n, "qty_price"),
+                np.full(n, "qty_disc"),
+                np.full(n, "price_disc"),
+            ]
+        )
+        return g, np.concatenate([q, q, pr]), np.concatenate([pr, dc, dc])
+
+    return pearson_table(grouped_moment_sums(li, extract), group_col="pair")
+
+
+def _pearson_sql() -> str:
+    def leg(name: str, xe: str, ye: str) -> str:
+        return f"""
+  SELECT '{name}' AS pair, CAST(count(*) AS HUGEINT) AS n,
+         SUM({xe}) AS sx, SUM({ye}) AS sy,
+         SUM({xe} * {xe}) AS sxx, SUM({xe} * {ye}) AS sxy,
+         SUM({ye} * {ye}) AS syy
+  FROM lineitem"""
+
+    q = "CAST(floor(l_quantity + 0.5) AS HUGEINT)"
+    pr = "CAST(floor(l_extendedprice + 0.5) AS HUGEINT)"
+    dc = "CAST(floor(l_discount * 10000.0 + 0.5) AS HUGEINT)"
+    return f"""
+WITH m AS ({leg('qty_price', q, pr)} UNION ALL {leg('qty_disc', q, dc)}
+  UNION ALL {leg('price_disc', pr, dc)})
+SELECT pair, CAST(n AS BIGINT) AS n,
+  CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0
+       THEN ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                  / sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE)), 6)
+       ELSE 0.0 END AS r
+FROM m"""
+
+
 HOST_FOLD = 100  # pages per synthetic "host" (id // HOST_FOLD)
 
 
@@ -8286,6 +8402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spam_mass": q_spam_mass,
         "salsa": q_salsa,
         "host_pagerank": q_host_pagerank,
+        "ols_regression": q_ols_regression,
+        "pearson_corr": q_pearson_corr,
         "bfs_distance": q_bfs_distance,
         "bipartite": q_bipartite,
         "matching": q_matching,
@@ -8516,6 +8634,8 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass": _spam_mass_sql(),
         "salsa": _salsa_sql(),
         "host_pagerank": _host_pagerank_sql(),
+        "ols_regression": _ols_sql(),
+        "pearson_corr": _pearson_sql(),
         "bfs_distance": _bfs_sql(),
         "bipartite": _bipartite_sql(),
         "matching": _matching_sql(),

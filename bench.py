@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "spam_mass",
     "salsa",
     "host_pagerank",
+    "ols_regression",
+    "pearson_corr",
     "bfs_distance",
     "hits",
     "weighted_pagerank",

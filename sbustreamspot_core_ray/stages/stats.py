@@ -1,0 +1,147 @@
+"""Distributed exact-moment statistics: one streaming pass accumulates
+integer moment sums (n, Sx, Sy, Sxx, Sxy, Syy) per group inside
+`map_batches`, the driver folds the tiny partial rows with unbounded
+Python integers, and the closed-form OLS / Pearson expressions divide
+exactly once at the end — so a SQL mirror computing the same HUGEINT
+sums lands on bit-identical doubles.
+
+Scale shape: the input streams once (column-pruned), every batch reduces
+to <= n_groups rows of int64 partials (each bounded by batch_rows *
+max|x*y| — callers quantize features so per-batch sums fit int64), and
+only those partials reach the driver. No shuffle, no V-scale state.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.rounding import round_half_away
+
+MOMENT_COLS = ("n", "sx", "sy", "sxx", "sxy", "syy")
+
+
+def grouped_moment_sums(
+    ds: ray.data.Dataset,
+    extract: Callable[[pa.Table], tuple[np.ndarray, np.ndarray, np.ndarray]],
+) -> dict[str, tuple[int, int, int, int, int, int]]:
+    """Accumulate exact per-group second-order moments of integer feature
+    pairs. `extract(batch) -> (group, x, y)` where group is any numpy
+    array usable as a key (stringable) and x, y are int64 feature arrays.
+    Returns {group: (n, Sx, Sy, Sxx, Sxy, Syy)} folded with Python ints
+    (no driver-side overflow regardless of total volume)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        g, x, y = extract(t)
+        u, inv = np.unique(g, return_inverse=True)
+        k = len(u)
+
+        def agg(w: np.ndarray) -> np.ndarray:
+            return np.bincount(inv, weights=w, minlength=k).astype(np.int64)
+
+        ones = np.ones(len(x), np.int64)
+        return pa.table(
+            {
+                "g": pa.array(u.astype(str)),
+                "n": agg(ones),
+                "sx": agg(x),
+                "sy": agg(y),
+                "sxx": agg(x * x),
+                "sxy": agg(x * y),
+                "syy": agg(y * y),
+            }
+        )
+
+    acc: dict[str, list[int]] = {}
+    for b in ds.map_batches(partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if not b.num_rows:
+            continue
+        gs = b["g"].to_pylist()
+        cols = [b[c].to_numpy() for c in MOMENT_COLS]
+        for i, gkey in enumerate(gs):
+            cur = acc.setdefault(gkey, [0, 0, 0, 0, 0, 0])
+            for j in range(6):
+                cur[j] += int(cols[j][i])
+    return {g: tuple(v) for g, v in acc.items()}
+
+
+def ols_table(
+    moments: dict[str, tuple[int, int, int, int, int, int]],
+    group_col: str = "grp",
+    digits: int = 6,
+) -> pa.Table:
+    """Closed-form per-group simple OLS from exact integer moments:
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept =
+    (Sy*Sxx - Sx*Sxy) / (same denominator), r2 = (n*Sxy - Sx*Sy)^2 /
+    ((n*Sxx - Sx^2) * (n*Syy - Sy^2)). Numerators and denominators stay
+    exact Python integers; the one float divide (and its ROUND) is the
+    expression a HUGEINT SQL mirror reproduces bit-for-bit. Degenerate
+    groups (zero variance) emit NULL-free zeros, mirrored by the SQL
+    CASE."""
+    rows = []
+    for g in sorted(moments):
+        n, sx, sy, sxx, sxy, syy = moments[g]
+        den = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        num = n * sxy - sx * sy
+        slope = float(num) / float(den) if den != 0 else 0.0
+        icpt = float(sy * sxx - sx * sxy) / float(den) if den != 0 else 0.0
+        r2 = (
+            float(num * num) / float(den * deny)
+            if den != 0 and deny != 0
+            else 0.0
+        )
+        rows.append((g, n, slope, icpt, r2))
+    return pa.table(
+        {
+            group_col: pa.array([r[0] for r in rows]),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "slope": pa.array(
+                round_half_away(np.array([r[2] for r in rows]), digits),
+                pa.float64(),
+            ),
+            "intercept": pa.array(
+                round_half_away(np.array([r[3] for r in rows]), digits),
+                pa.float64(),
+            ),
+            "r2": pa.array(
+                round_half_away(np.array([r[4] for r in rows]), digits),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def pearson_table(
+    moments: dict[str, tuple[int, int, int, int, int, int]],
+    group_col: str = "pair",
+    digits: int = 6,
+) -> pa.Table:
+    """Per-group Pearson correlation from the same exact moments:
+    r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)).
+    The sqrt runs on the exact integer product cast to double — one
+    deterministic IEEE op each side."""
+    rows = []
+    for g in sorted(moments):
+        n, sx, sy, sxx, sxy, syy = moments[g]
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        num = n * sxy - sx * sy
+        r = float(num) / float(np.sqrt(float(den))) if den > 0 else 0.0
+        rows.append((g, n, r))
+    return pa.table(
+        {
+            group_col: pa.array([r[0] for r in rows]),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "r": pa.array(
+                round_half_away(np.array([r[2] for r in rows]), digits),
+                pa.float64(),
+            ),
+        }
+    )

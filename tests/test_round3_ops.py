@@ -980,3 +980,37 @@ def test_salsa_closed_form_two_components():
     assert df.loc[4, "score"] == round((1 / 4) * (2 / 2), 9)
     assert set(df[df.index >= 100]["side"]) == {"hub"}
     assert set(df[df.index < 100]["side"]) == {"auth"}
+
+
+def test_moment_stats_perfect_lines():
+    """Exact-moment OLS and Pearson on hand data: perfect lines recover
+    slope/intercept exactly with r2 = 1 and r = +/-1."""
+    from sbustreamspot_core_ray.stages.stats import (
+        grouped_moment_sums,
+        ols_table,
+        pearson_table,
+    )
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 5 + ["b"] * 4),
+            "x": pa.array([1, 2, 3, 4, 5, 1, 2, 3, 4], pa.int64()),
+            "y": pa.array([3, 5, 7, 9, 11, 10, 8, 6, 4], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+
+    def ex(b):
+        return (
+            b["g"].to_numpy(zero_copy_only=False),
+            b["x"].to_numpy(),
+            b["y"].to_numpy(),
+        )
+
+    m = grouped_moment_sums(ds, ex)
+    ot = ols_table(m).to_pandas().set_index("grp")
+    assert ot.loc["a", "slope"] == 2.0 and ot.loc["a", "intercept"] == 1.0
+    assert ot.loc["b", "slope"] == -2.0 and ot.loc["b", "intercept"] == 12.0
+    assert ot.loc["a", "r2"] == 1.0 and ot.loc["b", "r2"] == 1.0
+    pt = pearson_table(m).to_pandas().set_index("pair")
+    assert pt.loc["a", "r"] == 1.0 and pt.loc["b", "r"] == -1.0
