@@ -1374,6 +1374,46 @@ SELECT pair, CAST(n AS BIGINT) AS n,
 FROM m"""
 
 
+EMB_COV_Q = 1 << 20  # embedding quantization step for the covariance pass
+
+
+def q_embedding_covariance(sf_dir: str):
+    """Exact 64x64 sample covariance of the embedding table (upper
+    triangle): integer-quantized vectors, per-batch integer Gram
+    partials, Python-int driver fold, one mirrored divide chain."""
+    from sbustreamspot_core_ray.stages.stats import embedding_covariance
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return embedding_covariance(emb, q=EMB_COV_Q)
+
+
+def _embedding_covariance_sql() -> str:
+    q = float(EMB_COV_Q)
+    return f"""
+WITH x AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {q} + 0.5)
+              AS HUGEINT) AS xv
+  FROM embeddings
+),
+nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+s AS MATERIALIZED (SELECT i, SUM(xv) AS sx FROM x GROUP BY i),
+g AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.xv * b.xv) AS sxy
+  FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.i >= a.i
+  GROUP BY a.i, b.i
+)
+SELECT g.i, g.j, CAST(nn.n AS BIGINT) AS n,
+       ROUND(CAST(nn.n * g.sxy - sa.sx * sb.sx AS DOUBLE)
+             / CAST(nn.n * (nn.n - 1) AS DOUBLE) / ({q} * {q}), 12) AS cov
+FROM g
+JOIN s sa ON sa.i = g.i
+JOIN s sb ON sb.i = g.j
+CROSS JOIN nn"""
+
+
 HOST_FOLD = 100  # pages per synthetic "host" (id // HOST_FOLD)
 
 
@@ -8403,6 +8443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salsa": q_salsa,
         "host_pagerank": q_host_pagerank,
         "ols_regression": q_ols_regression,
+        "embedding_covariance": q_embedding_covariance,
         "pearson_corr": q_pearson_corr,
         "bfs_distance": q_bfs_distance,
         "bipartite": q_bipartite,
@@ -8635,6 +8676,7 @@ def oracle_sql() -> dict[str, str]:
         "salsa": _salsa_sql(),
         "host_pagerank": _host_pagerank_sql(),
         "ols_regression": _ols_sql(),
+        "embedding_covariance": _embedding_covariance_sql(),
         "pearson_corr": _pearson_sql(),
         "bfs_distance": _bfs_sql(),
         "bipartite": _bipartite_sql(),

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "host_pagerank",
     "ols_regression",
     "pearson_corr",
+    "embedding_covariance",
     "bfs_distance",
     "hits",
     "weighted_pagerank",

@@ -119,6 +119,86 @@ def ols_table(
     )
 
 
+def embedding_covariance(
+    ds: ray.data.Dataset,
+    col: str = "embedding",
+    q: int = 1 << 20,
+    digits: int = 12,
+) -> pa.Table:
+    """Exact sample covariance matrix of an embedding column: every
+    vector quantizes to integers (floor(x * q + 0.5) on the float64
+    upcast — both engines produce the same int), one streaming pass
+    accumulates n, the per-dimension sums, and the integer Gram matrix
+    (X^T X, one d x d int64 matmul per batch), the driver folds with
+    Python ints, and cov(i, j) = (n*Sxy - Sx_i*Sx_j) / (n*(n-1)) / q^2
+    divides in exactly that order so the HUGEINT SQL mirror matches
+    bit-for-bit. Output: upper triangle (i, j 1-based, n, cov).
+
+    Scale shape: each batch reduces to one (d, d) integer Gram — the
+    dataset streams once and only O(d^2) partials per batch reach the
+    driver; at d=64 that is 4 KB per batch regardless of corpus size."""
+    from .ann import _mat
+
+    def partials(t: pa.Table) -> pa.Table:
+        e = _mat(t[col], np.float64)
+        x = np.floor(e * float(q) + 0.5).astype(np.int64)
+        d = x.shape[1]
+        g = x.T @ x
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": np.concatenate(
+                    [iu + 1, np.arange(1, d + 1), np.array([0])]
+                ).astype(np.int64),
+                "j": np.concatenate(
+                    [ju + 1, np.zeros(d, np.int64), np.array([0])]
+                ).astype(np.int64),
+                "v": np.concatenate(
+                    [g[iu, ju], x.sum(axis=0), np.array([x.shape[0]])]
+                ).astype(np.int64),
+            }
+        )
+
+    gram: dict[tuple[int, int], int] = {}
+    sums: dict[int, int] = {}
+    n = 0
+    for b in ds.map_batches(partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if not b.num_rows:
+            continue
+        ii = b["i"].to_numpy()
+        jj = b["j"].to_numpy()
+        vv = b["v"].to_numpy()
+        for i_, j_, v_ in zip(ii.tolist(), jj.tolist(), vv.tolist()):
+            if i_ == 0:
+                n += v_
+            elif j_ == 0:
+                sums[i_] = sums.get(i_, 0) + v_
+            else:
+                gram[(i_, j_)] = gram.get((i_, j_), 0) + v_
+    rows_i, rows_j, rows_c = [], [], []
+    den = n * (n - 1)
+    qq = float(q) * float(q)
+    for (i_, j_), sxy in sorted(gram.items()):
+        num = n * sxy - sums[i_] * sums[j_]
+        cov = float(num) / float(den) / qq if den > 0 else 0.0
+        rows_i.append(i_)
+        rows_j.append(j_)
+        rows_c.append(cov)
+    return pa.table(
+        {
+            "i": pa.array(rows_i, pa.int64()),
+            "j": pa.array(rows_j, pa.int64()),
+            "n": pa.array([n] * len(rows_i), pa.int64()),
+            "cov": pa.array(
+                round_half_away(np.array(rows_c, np.float64), digits),
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def pearson_table(
     moments: dict[str, tuple[int, int, int, int, int, int]],
     group_col: str = "pair",
