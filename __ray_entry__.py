@@ -1374,6 +1374,245 @@ SELECT pair, CAST(n AS BIGINT) AS n,
 FROM m"""
 
 
+def q_token_fertility(sf_dir: str):
+    """Tokenizer fertility per language: whitespace tokens per character
+    (the multilingual-pipeline health metric — a language whose fertility
+    collapses is being mis-segmented). One combiner pass: per-batch
+    (lang, docs, tokens, chars) partials, driver fold, one mirrored
+    ROUND divide."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text", "n_chars"]
+    )
+
+    def partials(df):
+        import pandas as pd
+
+        stripped = df["text"].fillna("").str.replace(
+            r"^\s+|\s+$", "", regex=True
+        )
+        toks = np.where(
+            stripped == "", 0, stripped.str.split(r"\s+").str.len()
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"lang": df["lang"], "t": toks, "c": df["n_chars"]}
+        ).groupby("lang", sort=False)
+        out = g.agg(docs=("t", "size"), tokens=("t", "sum"), chars=("c", "sum"))
+        return out.reset_index()
+
+    acc: dict[str, list[int]] = {}
+    for b in docs.map_batches(partials, batch_format="pandas").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for lang, d_, t_, c_ in zip(
+            b["lang"].to_pylist(),
+            b["docs"].to_pylist(),
+            b["tokens"].to_pylist(),
+            b["chars"].to_pylist(),
+        ):
+            cur = acc.setdefault(lang, [0, 0, 0])
+            cur[0] += int(d_)
+            cur[1] += int(t_)
+            cur[2] += int(c_)
+    langs = sorted(acc)
+    fert = np.array(
+        [acc[l][1] / acc[l][2] if acc[l][2] else 0.0 for l in langs]
+    )
+    return pa.table(
+        {
+            "lang": pa.array(langs),
+            "n_docs": pa.array([acc[l][0] for l in langs], pa.int64()),
+            "tokens": pa.array([acc[l][1] for l in langs], pa.int64()),
+            "chars": pa.array([acc[l][2] for l in langs], pa.int64()),
+            "fertility": pa.array(round_half_away(fert, 6), pa.float64()),
+        }
+    )
+
+
+def _token_fertility_sql() -> str:
+    return r"""
+WITH t AS (
+  SELECT lang, n_chars,
+    CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+         ELSE len(regexp_split_to_array(
+                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+    END AS ws
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CASE WHEN SUM(n_chars) > 0
+            THEN ROUND(CAST(SUM(ws) AS DOUBLE) / SUM(n_chars), 6)
+            ELSE 0.0 END AS fertility
+FROM t GROUP BY lang"""
+
+
+def q_lang_source_mi(sf_dir: str):
+    """Mutual information between document language and source in
+    integer nanonats per observed (lang, source) cell: term_e9 =
+    floor(1e9 * c_ls * ln(N*c_ls / (c_l*c_s)) / N) — the libm-parity
+    chain (exact-integer doubles, one divide, one ln), so the corpus MI
+    is the order-independent integer sum of the cells. Pure combiner
+    pass over a tiny grid."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+
+    acc: dict[tuple[str, str], int] = {}
+    for b in docs.map_batches(
+        lambda df: df.groupby(["lang", "source"], sort=False)
+        .size()
+        .rename("n")
+        .reset_index(),
+        batch_format="pandas",
+    ).iter_batches(batch_format="pyarrow"):
+        for l_, s_, n_ in zip(
+            b["lang"].to_pylist(), b["source"].to_pylist(), b["n"].to_pylist()
+        ):
+            acc[(l_, s_)] = acc.get((l_, s_), 0) + int(n_)
+    n_tot = sum(acc.values())
+    cl: dict[str, int] = {}
+    cs: dict[str, int] = {}
+    for (l_, s_), c in acc.items():
+        cl[l_] = cl.get(l_, 0) + c
+        cs[s_] = cs.get(s_, 0) + c
+    cells = sorted(acc)
+    terms = []
+    for l_, s_ in cells:
+        c = acc[(l_, s_)]
+        t = np.log(float(n_tot * c) / float(cl[l_] * cs[s_]))
+        terms.append(int(np.floor(1e9 * float(c) * t / float(n_tot))))
+    return pa.table(
+        {
+            "lang": pa.array([c[0] for c in cells]),
+            "source": pa.array([c[1] for c in cells]),
+            "n": pa.array([acc[c] for c in cells], pa.int64()),
+            "mi_term_e9": pa.array(terms, pa.int64()),
+        }
+    )
+
+
+def _lang_source_mi_sql() -> str:
+    return """
+WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+nl AS (SELECT lang, SUM(n) AS cl FROM c GROUP BY lang),
+ns AS (SELECT source, SUM(n) AS cs FROM c GROUP BY source),
+nt AS (SELECT SUM(n) AS n_tot FROM c)
+SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n,
+       CAST(floor(1e9 * CAST(c.n AS DOUBLE) * ln(
+              CAST((SELECT n_tot FROM nt) * c.n AS DOUBLE)
+              / CAST(nl.cl * ns.cs AS DOUBLE))
+            / CAST((SELECT n_tot FROM nt) AS DOUBLE)) AS BIGINT) AS mi_term_e9
+FROM c JOIN nl USING (lang) JOIN ns USING (source)"""
+
+
+def q_decision_stump(sf_dir: str):
+    """Exact decision-stump induction: best quantity threshold splitting
+    lineitem rows on the returned-flag target by weighted Gini impurity.
+    Per-batch (quantity, n, pos) partials (the feature has a tiny
+    integer domain), Python-int driver fold, and the argmin compares the
+    exact rationals by HUGEINT-style cross-multiplication — ties break
+    to the smaller threshold, identically in SQL. One row:
+    (best_t, n_left, n_right, pos_left, pos_right, gini)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_returnflag"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        q = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        pos = (
+            t["l_returnflag"].to_numpy(zero_copy_only=False) == "R"
+        ).astype(np.int64)
+        u, inv = np.unique(q, return_inverse=True)
+        return pa.table(
+            {
+                "q": u,
+                "n": np.bincount(inv, minlength=len(u)).astype(np.int64),
+                "p": np.bincount(inv, weights=pos, minlength=len(u)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    cnt: dict[int, list[int]] = {}
+    for b in li.map_batches(partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for q_, n_, p_ in zip(
+            b["q"].to_pylist(), b["n"].to_pylist(), b["p"].to_pylist()
+        ):
+            cur = cnt.setdefault(int(q_), [0, 0])
+            cur[0] += int(n_)
+            cur[1] += int(p_)
+    qs = sorted(cnt)
+    n_tot = sum(v[0] for v in cnt.values())
+    p_tot = sum(v[1] for v in cnt.values())
+    best = None  # (num, den, t, nl, pl)
+    nl = pl = 0
+    for t_ in qs[:-1]:  # a split needs both sides non-empty
+        nl += cnt[t_][0]
+        pl += cnt[t_][1]
+        nr, pr = n_tot - nl, p_tot - pl
+        # weighted gini numerator over common denominator nl*nr:
+        # G = A/nl + B/nr, A = nl^2 - pl^2 - (nl-pl)^2
+        a = nl * nl - pl * pl - (nl - pl) * (nl - pl)
+        b_ = nr * nr - pr * pr - (nr - pr) * (nr - pr)
+        num, den = a * nr + b_ * nl, nl * nr
+        if best is None or num * best[1] < best[0] * den:
+            best = (num, den, t_, nl, pl)
+    num, den, t_, nl, pl = best
+    gini = float(num) / float(den) / float(n_tot)
+    return pa.table(
+        {
+            "best_t": pa.array([t_], pa.int64()),
+            "n_left": pa.array([nl], pa.int64()),
+            "n_right": pa.array([n_tot - nl], pa.int64()),
+            "pos_left": pa.array([pl], pa.int64()),
+            "pos_right": pa.array([p_tot - pl], pa.int64()),
+            "gini": pa.array(
+                round_half_away(np.array([gini]), 9), pa.float64()
+            ),
+        }
+    )
+
+
+def _decision_stump_sql() -> str:
+    return """
+WITH c AS (
+  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS p
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT SUM(n) AS nt, SUM(p) AS pt FROM c),
+cum AS (
+  SELECT q AS t,
+         SUM(n) OVER (ORDER BY q) AS nl,
+         SUM(p) OVER (ORDER BY q) AS pl
+  FROM c),
+cand AS (
+  SELECT t, nl, pl, (SELECT nt FROM tot) - nl AS nr,
+         (SELECT pt FROM tot) - pl AS pr
+  FROM cum WHERE nl < (SELECT nt FROM tot)),
+sc AS (
+  SELECT t, nl, pl, nr, pr,
+         (nl*nl - pl*pl - (nl-pl)*(nl-pl)) * nr
+           + (nr*nr - pr*pr - (nr-pr)*(nr-pr)) * nl AS num,
+         nl * nr AS den
+  FROM cand),
+best AS (
+  SELECT * FROM sc a WHERE NOT EXISTS (
+    SELECT 1 FROM sc b
+    WHERE b.num * a.den < a.num * b.den
+       OR (b.num * a.den = a.num * b.den AND b.t < a.t)))
+SELECT CAST(t AS BIGINT) AS best_t,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       CAST(pl AS BIGINT) AS pos_left, CAST(pr AS BIGINT) AS pos_right,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+             / CAST((SELECT nt FROM tot) AS DOUBLE), 9) AS gini
+FROM best"""
+
+
 EMB_COV_Q = 1 << 20  # embedding quantization step for the covariance pass
 
 
@@ -8444,6 +8683,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": q_host_pagerank,
         "ols_regression": q_ols_regression,
         "embedding_covariance": q_embedding_covariance,
+        "token_fertility": q_token_fertility,
+        "lang_source_mi": q_lang_source_mi,
+        "decision_stump": q_decision_stump,
         "pearson_corr": q_pearson_corr,
         "bfs_distance": q_bfs_distance,
         "bipartite": q_bipartite,
@@ -8677,6 +8919,9 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_sql(),
         "ols_regression": _ols_sql(),
         "embedding_covariance": _embedding_covariance_sql(),
+        "token_fertility": _token_fertility_sql(),
+        "lang_source_mi": _lang_source_mi_sql(),
+        "decision_stump": _decision_stump_sql(),
         "pearson_corr": _pearson_sql(),
         "bfs_distance": _bfs_sql(),
         "bipartite": _bipartite_sql(),

@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "ols_regression",
     "pearson_corr",
     "embedding_covariance",
+    "token_fertility",
+    "lang_source_mi",
+    "decision_stump",
     "bfs_distance",
     "hits",
     "weighted_pagerank",
