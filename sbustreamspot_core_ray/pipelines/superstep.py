@@ -1047,8 +1047,8 @@ def condensation_summary(
     de = distinct(
         edges.map_batches(cast, batch_format="pyarrow"), ["src", "dst"]
     )
-    w1 = _attach_value(de, scc, "src", ["dst"], "scc_id", "cs", num_partitions)
-    w2 = _attach_value(
+    w1 = _attach_value_auto(de, scc, "src", ["dst"], "scc_id", "cs", num_partitions)
+    w2 = _attach_value_auto(
         w1, scc, "dst", ["cs"], "scc_id", "cd", num_partitions
     )
 
@@ -1150,8 +1150,8 @@ def modularity_summary(
     m = und.count()
 
     labels = labels.materialize()  # consumed by three attach passes
-    w1 = _attach_value(und, labels, "src", ["dst"], "label", "ls", num_partitions)
-    w2 = _attach_value(w1, labels, "dst", ["ls"], "label", "ld", num_partitions)
+    w1 = _attach_value_auto(und, labels, "src", ["dst"], "label", "ls", num_partitions)
+    w2 = _attach_value_auto(w1, labels, "dst", ["ls"], "label", "ld", num_partitions)
 
     # per-label intra-community edge partials, tagged for the union-groupby
     def intra(t: pa.Table) -> pa.Table:
@@ -1180,7 +1180,7 @@ def modularity_summary(
     deg = int_degrees(
         und.map_batches(both_ends, batch_format="pyarrow"), num_partitions
     )
-    degl = _attach_value(deg, labels, "vertex", ["deg"], "label", "lab", num_partitions)
+    degl = _attach_value_auto(deg, labels, "vertex", ["deg"], "label", "lab", num_partitions)
 
     def dsum(t: pa.Table) -> pa.Table:
         lab = t["lab"].to_numpy()
@@ -1287,8 +1287,8 @@ def condensation_depth(
         )
 
     de = distinct(edges.map_batches(cast, batch_format="pyarrow"), ["src", "dst"])
-    w1 = _attach_value(de, scc, "src", ["dst"], "scc_id", "cs", num_partitions)
-    w2 = _attach_value(w1, scc, "dst", ["cs"], "scc_id", "cd", num_partitions)
+    w1 = _attach_value_auto(de, scc, "src", ["dst"], "scc_id", "cs", num_partitions)
+    w2 = _attach_value_auto(w1, scc, "dst", ["cs"], "scc_id", "cd", num_partitions)
 
     def cedge(t: pa.Table) -> pa.Table:
         cs = t["cs"].to_numpy()
@@ -1638,6 +1638,72 @@ def _pair_part(v: np.ndarray, w: np.ndarray, num_parts: int) -> np.ndarray:
             np.uint64
         )
     return part_of(mixed, num_parts)
+
+
+ATTACH_BROADCAST_ROWS = 2_000_000  # lookup rows below this broadcast once
+
+
+def _attach_value_auto(
+    keyed: ray.data.Dataset,
+    lookup: ray.data.Dataset,
+    key_col: str,
+    carry_cols: list[str],
+    val_col: str,
+    out_col: str,
+    num_parts: int,
+    lookup_key: str = "vertex",
+    broadcast_rows: int = ATTACH_BROADCAST_ROWS,
+) -> ray.data.Dataset:
+    """`_attach_value` with a small-side fast path: when the (MATERIALIZED)
+    lookup is below `broadcast_rows`, pull it once, `ray.put` the sorted
+    key/value arrays, and join inside a stateless `map_batches`
+    searchsorted — zero shuffles instead of one union shuffle per attach.
+    Above the threshold it falls back to the co-partitioned join (the
+    V-scale path a 100-TB run needs). Callers pass a materialized lookup
+    so the row count is free."""
+    if lookup.count() > broadcast_rows:
+        return _attach_value(
+            keyed, lookup, key_col, carry_cols, val_col, out_col,
+            num_parts, lookup_key,
+        )
+    from ..functions.proccache import cached_get
+
+    ks, vs = [], []
+    for b in lookup.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            ks.append(b[lookup_key].to_numpy(zero_copy_only=False))
+            vs.append(b[val_col].to_numpy(zero_copy_only=False))
+    k = (
+        np.concatenate(ks).astype(np.int64)
+        if ks
+        else np.array([], np.int64)
+    )
+    v = (
+        np.concatenate(vs).astype(np.int64)
+        if vs
+        else np.array([], np.int64)
+    )
+    order = np.argsort(k, kind="stable")
+    ref = ray.put((k[order], v[order]))
+
+    def merge(t: pa.Table) -> pa.Table:
+        lk, lv = cached_get(ref)
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(lk):
+            pos = np.clip(np.searchsorted(lk, keys), 0, len(lk) - 1)
+            hit = lk[pos] == keys
+        else:
+            pos = np.zeros(len(keys), np.int64)
+            hit = np.zeros(len(keys), bool)
+        cols = {key_col: pa.array(keys[hit], pa.int64())}
+        for c in carry_cols:
+            cols[c] = pa.array(
+                t[c].to_numpy(zero_copy_only=False)[hit], pa.int64()
+            )
+        cols[out_col] = pa.array(lv[pos][hit], pa.int64())
+        return pa.table(cols)
+
+    return keyed.map_batches(merge, batch_format="pyarrow")
 
 
 def _attach_value(
@@ -4129,7 +4195,7 @@ def salsa_scores(
         .groupby("__p")
         .map_groups(deg_fold, batch_format="pyarrow")
     )
-    w = _attach_value(degs, cc, "vertex", ["deg"], "component", "comp", P)
+    w = _attach_value_auto(degs, cc.materialize(), "vertex", ["deg"], "component", "comp", P)
 
     # component aggregates (hub count, authority count, edge count): the
     # edge count is the authority-side degree sum — exact per component
@@ -4180,10 +4246,10 @@ def salsa_scores(
             n_hubs += int(b["nh"].to_numpy().sum())
             n_auth += int(b["na"].to_numpy().sum())
 
-    w2 = _attach_value(
+    w2 = _attach_value_auto(
         w, sums, "comp", ["vertex", "deg"], "nhna", "nhna", P, lookup_key="comp"
     )
-    w3 = _attach_value(
+    w3 = _attach_value_auto(
         w2, sums, "comp", ["vertex", "deg", "nhna"], "ec", "ec", P,
         lookup_key="comp",
     )
@@ -4378,8 +4444,8 @@ def bowtie_decomposition(
         return empty
 
     # condensation edges (component-indexed), deduped distributed
-    w1 = _attach_value(de, scc, "src", ["dst"], "scc_id", "cs", num_partitions)
-    w2 = _attach_value(w1, scc, "dst", ["cs"], "scc_id", "cd", num_partitions)
+    w1 = _attach_value_auto(de, scc, "src", ["dst"], "scc_id", "cs", num_partitions)
+    w2 = _attach_value_auto(w1, scc, "dst", ["cs"], "scc_id", "cd", num_partitions)
 
     def cedge(t: pa.Table) -> pa.Table:
         cs = t["cs"].to_numpy()
