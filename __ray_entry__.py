@@ -8496,6 +8496,170 @@ def q_term_tf(sf_dir: str):
     return term_total_freq(docs, top_n=100)
 
 
+ZIPF_TOP = 200  # head size for the log-log fit
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf exponent of the corpus: distributed term-frequency combiner
+    -> top-200 head (tf desc, term asc) -> log-log OLS. Rank and
+    frequency map to integer micronats (floor(1e6*ln(x)), the libm-
+    parity chain), so the 200-point fit uses the exact-moment OLS
+    closed form — one row (n, slope, intercept, r2)."""
+    from sbustreamspot_core_ray.stages.stats import ols_table
+    from sbustreamspot_core_ray.stages.text import term_total_freq
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    head = term_total_freq(docs, top_n=ZIPF_TOP).to_pandas()
+    tf = head["tf"].to_numpy(np.int64)  # already (tf desc, term asc)
+    r = np.arange(1, len(tf) + 1, dtype=np.int64)
+    x = np.floor(1e6 * np.log(r.astype(np.float64))).astype(np.int64)
+    y = np.floor(1e6 * np.log(tf.astype(np.float64))).astype(np.int64)
+    n = len(x)
+    mom = {
+        "zipf": (
+            n,
+            int(x.sum()),
+            int(y.sum()),
+            int((x * x).sum()),
+            int((x * y).sum()),
+            int((y * y).sum()),
+        )
+    }
+    return ols_table(mom, group_col="grp")
+
+
+def _zipf_slope_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT term, count(*) AS tf FROM t WHERE term <> '' GROUP BY term
+       ORDER BY tf DESC, term ASC LIMIT {ZIPF_TOP}),
+top AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term ASC) AS r FROM tf),
+pts AS (
+  SELECT CAST(floor(1e6 * ln(CAST(r AS DOUBLE))) AS HUGEINT) AS x,
+         CAST(floor(1e6 * ln(CAST(tf AS DOUBLE))) AS HUGEINT) AS y
+  FROM top),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+      FROM pts)
+SELECT 'zipf' AS grp, CAST(n AS BIGINT) AS n,
+  CASE WHEN n*sxx - sx*sx <> 0
+       THEN ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                  / CAST(n*sxx - sx*sx AS DOUBLE), 6) ELSE 0.0 END AS slope,
+  CASE WHEN n*sxx - sx*sx <> 0
+       THEN ROUND(CAST(sy*sxx - sx*sxy AS DOUBLE)
+                  / CAST(n*sxx - sx*sx AS DOUBLE), 6) ELSE 0.0 END AS intercept,
+  CASE WHEN n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
+       THEN ROUND(CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE)
+                  / CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE), 6)
+       ELSE 0.0 END AS r2
+FROM m"""
+
+
+def q_neighbor_degree_curve(sf_dir: str):
+    """Degree-correlation curve knn(k): for each degree k, the mean
+    degree of the neighbors of degree-k endpoints over the undirected
+    simple graph. Degrees broadcast once (rich_club's regime), each edge
+    batch contributes both endpoint directions to a bounded per-degree
+    (count, neighbor-degree-sum) histogram, driver folds, one mirrored
+    divide."""
+    import pyarrow.compute as pc
+
+    from sbustreamspot_core_ray.functions.proccache import cached_get
+    from sbustreamspot_core_ray.pipelines.superstep import distinct, int_degrees
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["src"], pa.int64())
+        d = pc.cast(t["dst"], pa.int64())
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table(
+            {"a": pc.min_element_wise(s, d), "b": pc.max_element_wise(s, d)}
+        )
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vertex": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                )
+            }
+        )
+
+    und = distinct(
+        _edges_full(sf_dir, dedup=False).map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"],
+    ).materialize()
+    deg = int_degrees(
+        und.map_batches(both_ends, batch_format="pyarrow"), num_parts=P
+    )
+    dtab = deg.to_pandas()
+    vs = dtab["vertex"].to_numpy(np.int64)
+    ds_ = dtab["deg"].to_numpy(np.int64)
+    order = np.argsort(vs, kind="stable")
+    ref = ray.put((vs[order], ds_[order]))
+
+    def partials(t: pa.Table) -> pa.Table:
+        verts, degs = cached_get(ref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        da = degs[np.searchsorted(verts, a)]
+        db = degs[np.searchsorted(verts, b)]
+        k = np.concatenate([da, db])
+        nd = np.concatenate([db, da])
+        u, inv = np.unique(k, return_inverse=True)
+        return pa.table(
+            {
+                "k": u,
+                "cnt": np.bincount(inv, minlength=len(u)).astype(np.int64),
+                "s": np.bincount(inv, weights=nd, minlength=len(u)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    acc: dict[int, list[int]] = {}
+    for b in und.map_batches(partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for k_, c_, s_ in zip(
+            b["k"].to_pylist(), b["cnt"].to_pylist(), b["s"].to_pylist()
+        ):
+            cur = acc.setdefault(int(k_), [0, 0])
+            cur[0] += int(c_)
+            cur[1] += int(s_)
+    ks = sorted(acc)
+    knn = np.array([acc[k][1] / acc[k][0] for k in ks])
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "n_endpoints": pa.array([acc[k][0] for k in ks], pa.int64()),
+            "knn": pa.array(round_half_away(knn, 6), pa.float64()),
+        }
+    )
+
+
+def _neighbor_degree_curve_sql() -> str:
+    return f"""
+WITH e0 AS MATERIALIZED ({_SQL_EDGES}),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+deg AS MATERIALIZED (
+  SELECT v AS vertex, count(*) AS deg
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+ends AS (
+  SELECT da.deg AS k, db.deg AS nd
+  FROM und JOIN deg da ON da.vertex = und.a JOIN deg db ON db.vertex = und.b
+  UNION ALL
+  SELECT db.deg, da.deg
+  FROM und JOIN deg da ON da.vertex = und.a JOIN deg db ON db.vertex = und.b)
+SELECT k, CAST(count(*) AS BIGINT) AS n_endpoints,
+       ROUND(CAST(SUM(nd) AS DOUBLE) / count(*), 6) AS knn
+FROM ends GROUP BY k"""
+
+
 def q_dup_stats(sf_dir: str):
     """Histogram of exact-duplicate group sizes: (group_size, n_groups,
     n_docs) — dedup telemetry from bounded per-partition histograms."""
@@ -8686,6 +8850,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_fertility": q_token_fertility,
         "lang_source_mi": q_lang_source_mi,
         "decision_stump": q_decision_stump,
+        "zipf_slope": q_zipf_slope,
+        "neighbor_degree_curve": q_neighbor_degree_curve,
         "pearson_corr": q_pearson_corr,
         "bfs_distance": q_bfs_distance,
         "bipartite": q_bipartite,
@@ -8922,6 +9088,8 @@ def oracle_sql() -> dict[str, str]:
         "token_fertility": _token_fertility_sql(),
         "lang_source_mi": _lang_source_mi_sql(),
         "decision_stump": _decision_stump_sql(),
+        "zipf_slope": _zipf_slope_sql(),
+        "neighbor_degree_curve": _neighbor_degree_curve_sql(),
         "pearson_corr": _pearson_sql(),
         "bfs_distance": _bfs_sql(),
         "bipartite": _bipartite_sql(),

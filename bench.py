@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "token_fertility",
     "lang_source_mi",
     "decision_stump",
+    "zipf_slope",
+    "neighbor_degree_curve",
     "bfs_distance",
     "hits",
     "weighted_pagerank",
