@@ -8496,6 +8496,230 @@ def q_term_tf(sf_dir: str):
     return term_total_freq(docs, top_n=100)
 
 
+KANON_BUCKET = 100_000  # acctbal cents per quasi-identifier bucket
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the customer quasi-identifier triple
+    (nation, market segment, account-balance bucket): the histogram of
+    equivalence-class sizes (k, n_groups, n_rows) — the table a privacy
+    review reads to find re-identifiable rows (k = 1 singletons first).
+    Combiner pass: per-batch QI counts, one bounded-cardinality fold,
+    driver histogram."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = t["c_mktsegment"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        bucket = np.floor_divide(cents, KANON_BUCKET)
+        import pandas as pd
+
+        g = (
+            pd.DataFrame({"nk": nk, "seg": seg, "bk": bucket})
+            .groupby(["nk", "seg", "bk"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    acc: dict[tuple, int] = {}
+    for b in cust.map_batches(partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for nk, seg, bk, n_ in zip(
+            b["nk"].to_pylist(),
+            b["seg"].to_pylist(),
+            b["bk"].to_pylist(),
+            b["n"].to_pylist(),
+        ):
+            key = (int(nk), seg, int(bk))
+            acc[key] = acc.get(key, 0) + int(n_)
+    sizes: dict[int, int] = {}
+    for n_ in acc.values():
+        sizes[n_] = sizes.get(n_, 0) + 1
+    ks = sorted(sizes)
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "n_groups": pa.array([sizes[k] for k in ks], pa.int64()),
+            "n_rows": pa.array([k * sizes[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def _k_anonymity_sql() -> str:
+    return f"""
+WITH q AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                    / {KANON_BUCKET}.0) AS BIGINT) AS bk,
+         count(*) AS n
+  FROM customer GROUP BY 1, 2, 3)
+SELECT n AS k, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(n * count(*) AS BIGINT) AS n_rows
+FROM q GROUP BY n"""
+
+
+def q_integrity_audit(sf_dir: str):
+    """Referential-integrity and null-rate audit across the star schema:
+    orphan counts for three FK relations (lineitem->orders,
+    lineitem->part, orders->customer) via the bounded-key anti-join,
+    plus empty-text and nonpositive-length counts on documents. One row
+    per check (check, n_bad, n_total) — the data-validation gate a
+    pipeline runs before training."""
+    from sbustreamspot_core_ray.stages.relational import anti_join_keys
+
+    def count_ds(ds) -> int:
+        return ds.count()
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).materialize()
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).materialize()
+    checks = []
+    n_li = count_ds(li)
+    n_ord = count_ds(orders)
+    checks.append(
+        (
+            "lineitem_orphan_order",
+            count_ds(
+                anti_join_keys(
+                    li,
+                    orders.select_columns(["o_orderkey"]).rename_columns(
+                        {"o_orderkey": "l_orderkey"}
+                    ),
+                    "l_orderkey",
+                    num_partitions=P,
+                )
+            ),
+            n_li,
+        )
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    )
+    checks.append(
+        (
+            "lineitem_orphan_part",
+            count_ds(
+                anti_join_keys(
+                    li,
+                    part.rename_columns({"p_partkey": "l_partkey"}),
+                    "l_partkey",
+                    num_partitions=P,
+                )
+            ),
+            n_li,
+        )
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    checks.append(
+        (
+            "order_orphan_customer",
+            count_ds(
+                anti_join_keys(
+                    orders,
+                    cust.rename_columns({"c_custkey": "o_custkey"}),
+                    "o_custkey",
+                    num_partitions=P,
+                )
+            ),
+            n_ord,
+        )
+    )
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "n_chars"]
+    )
+    bad_empty = 0
+    bad_len = 0
+    n_docs = 0
+    for b in docs.map_batches(
+        lambda t: pa.table(
+            {
+                "e": pa.array(
+                    [
+                        int(
+                            (
+                                pc.equal(
+                                    pc.coalesce(t["text"], ""), ""
+                                ).to_numpy(zero_copy_only=False)
+                            ).sum()
+                        )
+                    ]
+                ),
+                "l": pa.array(
+                    [
+                        int(
+                            (
+                                t["n_chars"].to_numpy(zero_copy_only=False)
+                                <= 0
+                            ).sum()
+                        )
+                    ]
+                ),
+                "n": pa.array([t.num_rows]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        for e_, l_, n_ in zip(
+            b["e"].to_pylist(), b["l"].to_pylist(), b["n"].to_pylist()
+        ):
+            bad_empty += int(e_)
+            bad_len += int(l_)
+            n_docs += int(n_)
+    checks.append(("doc_empty_text", bad_empty, n_docs))
+    checks.append(("doc_nonpositive_len", bad_len, n_docs))
+    return pa.table(
+        {
+            "chk": pa.array([c[0] for c in checks]),
+            "n_bad": pa.array([c[1] for c in checks], pa.int64()),
+            "n_total": pa.array([c[2] for c in checks], pa.int64()),
+        }
+    )
+
+
+def _integrity_audit_sql() -> str:
+    return """
+SELECT 'lineitem_orphan_order' AS chk,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_bad,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_total
+UNION ALL
+SELECT 'lineitem_orphan_part',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'order_orphan_customer',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       CAST((SELECT count(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'doc_empty_text',
+       CAST((SELECT count(*) FROM documents
+             WHERE COALESCE(text, '') = '') AS BIGINT),
+       CAST((SELECT count(*) FROM documents) AS BIGINT)
+UNION ALL
+SELECT 'doc_nonpositive_len',
+       CAST((SELECT count(*) FROM documents WHERE n_chars <= 0) AS BIGINT),
+       CAST((SELECT count(*) FROM documents) AS BIGINT)"""
+
+
 ZIPF_TOP = 200  # head size for the log-log fit
 
 
@@ -8851,6 +9075,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_mi": q_lang_source_mi,
         "decision_stump": q_decision_stump,
         "zipf_slope": q_zipf_slope,
+        "k_anonymity": q_k_anonymity,
+        "integrity_audit": q_integrity_audit,
         "neighbor_degree_curve": q_neighbor_degree_curve,
         "pearson_corr": q_pearson_corr,
         "bfs_distance": q_bfs_distance,
@@ -9089,6 +9315,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_mi": _lang_source_mi_sql(),
         "decision_stump": _decision_stump_sql(),
         "zipf_slope": _zipf_slope_sql(),
+        "k_anonymity": _k_anonymity_sql(),
+        "integrity_audit": _integrity_audit_sql(),
         "neighbor_degree_curve": _neighbor_degree_curve_sql(),
         "pearson_corr": _pearson_sql(),
         "bfs_distance": _bfs_sql(),

@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "decision_stump",
     "zipf_slope",
     "neighbor_degree_curve",
+    "k_anonymity",
+    "integrity_audit",
     "bfs_distance",
     "hits",
     "weighted_pagerank",
