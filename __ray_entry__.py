@@ -16,6 +16,7 @@ identical derivation is expressible in SQL.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -8496,6 +8497,54 @@ def q_term_tf(sf_dir: str):
     return term_total_freq(docs, top_n=100)
 
 
+def q_partitioned_write(sf_dir: str):
+    """End-to-end resumable-sink round trip through the driver contract:
+    write documents partitioned by lang (one directory per partition,
+    atomic part files, _SUCCESS markers, manifest), read only completed
+    partitions back, and return per-lang row counts — proving the write
+    path, not just the transform. The scratch root is wiped first so the
+    query is deterministic; the skip-on-resume behavior is covered by
+    test_sinks."""
+    import shutil
+
+    from sbustreamspot_core_ray.sources.sinks import (
+        read_partitioned,
+        write_partitioned_resumable,
+    )
+
+    root = f"/tmp/graft_pwrite_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    write_partitioned_resumable(docs, root, "lang")
+    back = read_partitioned(root)
+
+    acc: dict[str, int] = {}
+    for b in back.map_batches(
+        lambda df: df.groupby("lang", sort=False)
+        .size()
+        .rename("n")
+        .reset_index(),
+        batch_format="pandas",
+    ).iter_batches(batch_format="pyarrow"):
+        for l_, n_ in zip(b["lang"].to_pylist(), b["n"].to_pylist()):
+            acc[l_] = acc.get(l_, 0) + int(n_)
+    langs = sorted(acc)
+    return pa.table(
+        {
+            "lang": pa.array(langs),
+            "n_docs": pa.array([acc[l] for l in langs], pa.int64()),
+        }
+    )
+
+
+def _partitioned_write_sql() -> str:
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang"""
+
+
 KANON_BUCKET = 100_000  # acctbal cents per quasi-identifier bucket
 
 
@@ -9098,6 +9147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope": q_zipf_slope,
         "k_anonymity": q_k_anonymity,
         "integrity_audit": q_integrity_audit,
+        "partitioned_write": q_partitioned_write,
         "neighbor_degree_curve": q_neighbor_degree_curve,
         "pearson_corr": q_pearson_corr,
         "bfs_distance": q_bfs_distance,
@@ -9338,6 +9388,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_slope": _zipf_slope_sql(),
         "k_anonymity": _k_anonymity_sql(),
         "integrity_audit": _integrity_audit_sql(),
+        "partitioned_write": _partitioned_write_sql(),
         "neighbor_degree_curve": _neighbor_degree_curve_sql(),
         "pearson_corr": _pearson_sql(),
         "bfs_distance": _bfs_sql(),

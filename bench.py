@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "neighbor_degree_curve",
     "k_anonymity",
     "integrity_audit",
+    "partitioned_write",
     "bfs_distance",
     "hits",
     "weighted_pagerank",
