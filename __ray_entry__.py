@@ -8497,6 +8497,134 @@ def q_term_tf(sf_dir: str):
     return term_total_freq(docs, top_n=100)
 
 
+IC_ROUNDS = 4
+IC_TH = (3 << 64) // 10  # activation gate: hash < 0.3 * 2^64 (exact int)
+IC_C = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x94D049BB133111EB)
+
+
+def q_ic_cascade(sf_dir: str):
+    """Deterministic independent-cascade diffusion from the seed
+    customers: an edge (u, v) fires in round k iff the seeded integer
+    hash (u*C1 + v*C2 + k*C3) mod 2^64 falls below the exact integer
+    threshold 0.3*2^64 — randomness replaced by a mirrored hash gate, so
+    the simulation is reproducible and SQL-checkable. Synchronous
+    rounds; output (round, n_new) newly-activated counts.
+
+    Scale shape: the active set broadcasts per round (sorted array via
+    ray.put) and the distinct edge table streams once per round with a
+    vectorized gate — T passes, no shuffle; a web-scale active set would
+    switch to the co-partitioned membership join, same contract as the
+    attach fast path."""
+    from sbustreamspot_core_ray.functions.proccache import cached_get
+    from sbustreamspot_core_ray.pipelines.superstep import distinct
+
+    C1, C2, C3 = (np.uint64(c) for c in IC_C)
+    th = np.uint64(IC_TH)
+
+    de = distinct(_edges_full(sf_dir, dedup=False), ["src", "dst"]).materialize()
+
+    # seeds that exist in the graph (round 0): per-batch presence bitmask
+    # (|seeds| <= 64), driver ORs the tiny ints — edges never leave workers
+    seeds = np.array(PPR_SEEDS, np.int64)
+
+    def seed_mask(t: pa.Table) -> pa.Table:
+        hit = np.isin(seeds, t["src"].to_numpy()) | np.isin(
+            seeds, t["dst"].to_numpy()
+        )
+        m = int(np.sum((1 << np.arange(len(seeds)))[hit]))
+        return pa.table({"m": pa.array([m], pa.int64())})
+
+    mask = 0
+    for b in de.map_batches(seed_mask, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for m in b["m"].to_pylist():
+            mask |= int(m)
+    present = (mask >> np.arange(len(seeds))) & 1 == 1
+    active = np.sort(seeds[present])
+    out_rounds = [0]
+    out_new = [int(len(active))]
+
+    for k in range(1, IC_ROUNDS + 1):
+        ref = ray.put(active)
+        kk = np.uint64(k)
+
+        def gate(t: pa.Table, _ref=ref, _k=kk) -> pa.Table:
+            act = cached_get(_ref)
+            s = t["src"].to_numpy()
+            d = t["dst"].to_numpy()
+            si = np.searchsorted(act, s)
+            src_on = (si < len(act)) & (
+                act[np.clip(si, 0, max(len(act) - 1, 0))] == s
+            )
+            di = np.searchsorted(act, d)
+            dst_off = ~(
+                (di < len(act))
+                & (act[np.clip(di, 0, max(len(act) - 1, 0))] == d)
+            )
+            cand = src_on & dst_off
+            s_, d_ = s[cand], d[cand]
+            with np.errstate(over="ignore"):
+                h = (
+                    s_.view(np.uint64) * np.uint64(IC_C[0])
+                    + d_.view(np.uint64) * np.uint64(IC_C[1])
+                    + _k * np.uint64(IC_C[2])
+                )
+            fire = h < np.uint64(IC_TH)
+            return pa.table({"v": pa.array(np.unique(d_[fire]))})
+
+        news = []
+        for b in de.map_batches(gate, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            if b.num_rows:
+                news.append(b["v"].to_numpy())
+        new = (
+            np.setdiff1d(np.unique(np.concatenate(news)), active)
+            if news
+            else np.array([], np.int64)
+        )
+        out_rounds.append(k)
+        out_new.append(int(len(new)))
+        active = np.union1d(active, new)
+
+    return pa.table(
+        {
+            "round": pa.array(out_rounds, pa.int64()),
+            "n_new": pa.array(out_new, pa.int64()),
+        }
+    )
+
+
+def _ic_cascade_sql() -> str:
+    two64 = 1 << 64
+    seeds = ", ".join(str(s) for s in PPR_SEEDS)
+    ctes = [
+        f"e AS MATERIALIZED ({_SQL_EDGES})",
+        "verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e)",
+        f"a0 AS MATERIALIZED (SELECT v FROM verts WHERE v IN ({seeds}))",
+    ]
+    for k in range(1, IC_ROUNDS + 1):
+        p = k - 1
+        ctes.append(
+            f"n{k} AS MATERIALIZED (SELECT DISTINCT e.dst AS v FROM e"
+            f" JOIN a{p} ON a{p}.v = e.src"
+            f" WHERE e.dst NOT IN (SELECT v FROM a{p})"
+            f" AND (CAST(e.src AS HUGEINT) * {IC_C[0]}"
+            f"      + CAST(e.dst AS HUGEINT) * {IC_C[1]}"
+            f"      + {k} * CAST({IC_C[2]} AS HUGEINT)) % {two64} < {IC_TH})"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT v FROM a{p} UNION SELECT v FROM n{k})"
+        )
+    selects = ["SELECT 0 AS round, CAST(count(*) AS BIGINT) AS n_new FROM a0"]
+    selects += [
+        f"SELECT {k}, CAST(count(*) AS BIGINT) FROM n{k}"
+        for k in range(1, IC_ROUNDS + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_partitioned_write(sf_dir: str):
     """End-to-end resumable-sink round trip through the driver contract:
     write documents partitioned by lang (one directory per partition,
@@ -9148,6 +9276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": q_k_anonymity,
         "integrity_audit": q_integrity_audit,
         "partitioned_write": q_partitioned_write,
+        "ic_cascade": q_ic_cascade,
         "neighbor_degree_curve": q_neighbor_degree_curve,
         "pearson_corr": q_pearson_corr,
         "bfs_distance": q_bfs_distance,
@@ -9389,6 +9518,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": _k_anonymity_sql(),
         "integrity_audit": _integrity_audit_sql(),
         "partitioned_write": _partitioned_write_sql(),
+        "ic_cascade": _ic_cascade_sql(),
         "neighbor_degree_curve": _neighbor_degree_curve_sql(),
         "pearson_corr": _pearson_sql(),
         "bfs_distance": _bfs_sql(),

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "k_anonymity",
     "integrity_audit",
     "partitioned_write",
+    "ic_cascade",
     "bfs_distance",
     "hits",
     "weighted_pagerank",
