@@ -8497,6 +8497,56 @@ def q_term_tf(sf_dir: str):
     return term_total_freq(docs, top_n=100)
 
 
+FH_DIM = 256  # feature-hashing output dimensionality
+
+
+def q_feature_hashing(sf_dir: str):
+    """Hashing-trick featurization: sparse signed `FH_DIM`-bucket term
+    features per document (j = term_hash % dim, sign from bit 8 of the
+    61-bit hash), zero cells dropped. Vocabulary-free — each batch hashes
+    only its distinct terms."""
+    from sbustreamspot_core_ray.stages.text import feature_hashing
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return feature_hashing(docs, dim=FH_DIM, num_parts=P)
+
+
+def _feature_hashing_sql() -> str:
+    m = (1 << 61) - 1
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+vocab AS (SELECT DISTINCT term FROM tt),
+pw(i, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT i+1, (p * 257) % {m} FROM pw
+  WHERE i < (SELECT max(length(term)) FROM vocab)
+),
+b AS (
+  SELECT term, g.i AS pos, ascii(substring(term, CAST(g.i AS INT), 1)) AS byte,
+         length(term) AS n
+  FROM vocab, generate_series(1, 256) g(i) WHERE g.i <= length(term)
+),
+h AS (
+  SELECT term,
+         CAST(SUM((CAST(byte AS HUGEINT) * pw.p) % {m}) % {m} AS BIGINT) AS h
+  FROM b JOIN pw ON pw.i = b.n - b.pos GROUP BY term
+),
+f AS (
+  SELECT tt.doc_id, h.h % {FH_DIM} AS j,
+         CASE WHEN (h.h // 256) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM tt JOIN h USING (term)
+)
+SELECT doc_id, CAST(j AS BIGINT) AS j, CAST(SUM(sgn) AS BIGINT) AS val
+FROM f GROUP BY doc_id, j HAVING SUM(sgn) <> 0"""
+
+
 IC_ROUNDS = 4
 IC_TH = (3 << 64) // 10  # activation gate: hash < 0.3 * 2^64 (exact int)
 IC_C = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x94D049BB133111EB)
@@ -9277,6 +9327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "integrity_audit": q_integrity_audit,
         "partitioned_write": q_partitioned_write,
         "ic_cascade": q_ic_cascade,
+        "feature_hashing": q_feature_hashing,
         "neighbor_degree_curve": q_neighbor_degree_curve,
         "pearson_corr": q_pearson_corr,
         "bfs_distance": q_bfs_distance,
@@ -9519,6 +9570,7 @@ def oracle_sql() -> dict[str, str]:
         "integrity_audit": _integrity_audit_sql(),
         "partitioned_write": _partitioned_write_sql(),
         "ic_cascade": _ic_cascade_sql(),
+        "feature_hashing": _feature_hashing_sql(),
         "neighbor_degree_curve": _neighbor_degree_curve_sql(),
         "pearson_corr": _pearson_sql(),
         "bfs_distance": _bfs_sql(),

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "integrity_audit",
     "partitioned_write",
     "ic_cascade",
+    "feature_hashing",
     "bfs_distance",
     "hits",
     "weighted_pagerank",

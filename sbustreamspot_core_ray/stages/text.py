@@ -1304,3 +1304,64 @@ def doc_keywords(
         .groupby("__p2")
         .map_groups(top, batch_format="pandas")
     )
+
+
+def feature_hashing(
+    docs: ray.data.Dataset, dim: int = 256, num_parts: int = 16
+) -> ray.data.Dataset:
+    """The hashing trick (Weinberger et al., public): map every token to
+    a signed bucket of a fixed `dim`-dimensional feature vector without a
+    vocabulary pass — j = h % dim, sign = +1 iff bit 8 of the 61-bit
+    term hash is clear, feature[j] += sign per occurrence. Output sparse
+    rows (doc_id, j, val), zero cells dropped.
+
+    Scale shape: each batch hashes only its DISTINCT terms (one
+    vectorized rolling_hash_61 call), folds occurrences to (doc*dim+j)
+    partial sums, and ONE int-keyed hashed groupby completes the sum —
+    the doc x dim output is the only thing that shuffles."""
+    from ..functions.hashing import part_of
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        ex = toks.explode()
+        keep = ex.notna() & (ex != "")
+        ex = ex[keep]
+        doc = df["doc_id"].reindex(ex.index).to_numpy(np.int64)
+        terms = ex.to_numpy(dtype=object)
+        if not len(terms):
+            return pd.DataFrame(
+                {"k": pd.Series([], dtype=np.int64),
+                 "v": pd.Series([], dtype=np.int64),
+                 "__p": pd.Series([], dtype=np.int32)}
+            )
+        u, inv = np.unique(terms, return_inverse=True)
+        h = rolling_hash_61(list(u)).astype(np.int64)
+        j = h % dim
+        sgn = np.where((h >> 8) & 1 == 0, 1, -1).astype(np.int64)
+        key = doc * dim + j[inv]
+        uk, kinv = np.unique(key, return_inverse=True)
+        v = np.bincount(kinv, weights=sgn[inv], minlength=len(uk)).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {"k": uk, "v": v, "__p": part_of(uk, num_parts).astype(np.int32)}
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", sort=False)["v"].sum().reset_index()
+        g = g[g["v"] != 0]
+        out = pd.DataFrame(
+            {
+                "doc_id": (g["k"] // dim).astype(np.int64),
+                "j": (g["k"] % dim).astype(np.int64),
+                "val": g["v"].astype(np.int64),
+            }
+        )
+        return out
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(partials, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+    )
