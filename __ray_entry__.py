@@ -4309,6 +4309,49 @@ def q_copurchase_pairs(sf_dir: str):
     )
 
 
+TRIPLE_ITEM_MIN = 3
+TRIPLE_MIN = 2
+TRIPLE_TOPN = 100
+
+
+def q_frequent_triples(sf_dir: str):
+    """Apriori 3-itemset mining: top-100 supplier triples co-occurring in
+    >= 2 orders, candidate space pruned by global item support (>= 3
+    orders) before the basket triple fan-out — one orderkey shuffle,
+    broadcast frequent-item set, two vectorized repeat passes. Suppliers
+    (not parts): the denser key space gives real repeat counts at every
+    sf."""
+    from sbustreamspot_core_ray.stages.relational import frequent_triples
+
+    return frequent_triples(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+        ).map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "l_partkey"]),
+            batch_format="pyarrow",
+        ),
+        num_partitions=P,
+        item_min=TRIPLE_ITEM_MIN,
+        min_count=TRIPLE_MIN,
+        topn=TRIPLE_TOPN,
+    )
+
+
+_SQL_FREQUENT_TRIPLES = f"""
+WITH d AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS pk FROM lineitem),
+freq AS (SELECT pk FROM d GROUP BY pk HAVING count(*) >= {TRIPLE_ITEM_MIN}),
+df AS MATERIALIZED (SELECT ok, pk FROM d JOIN freq USING (pk)),
+t AS (
+  SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3, COUNT(*) AS cnt
+  FROM df a JOIN df b ON b.ok = a.ok AND b.pk > a.pk
+            JOIN df c ON c.ok = a.ok AND c.pk > b.pk
+  GROUP BY 1, 2, 3
+)
+SELECT p1, p2, p3, cnt FROM t WHERE cnt >= {TRIPLE_MIN}
+ORDER BY cnt DESC, p1, p2, p3 LIMIT {TRIPLE_TOPN}
+"""
+
+
 def q_snapshot_diff(sf_dir: str):
     """Change-data-capture diff between two deterministic snapshots of
     orders (A = keys not divisible by 7; B = keys not divisible by 11,
@@ -9455,6 +9498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "persistent_hitters": q_persistent_hitters,
         "q5_local_supplier": q_q5_local_supplier,
         "copurchase_pairs": q_copurchase_pairs,
+        "frequent_triples": q_frequent_triples,
         "butterflies": q_butterflies,
         "snapshot_diff": q_snapshot_diff,
         "open_orders": q_open_orders,
@@ -10403,6 +10447,7 @@ SELECT day, CAST(SUM(dd) OVER (ORDER BY day) AS BIGINT) AS open_orders
 FROM g ORDER BY day
 """,
         "butterflies": _SQL_BUTTERFLIES,
+        "frequent_triples": _SQL_FREQUENT_TRIPLES,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "copurchase_pairs": f"""
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

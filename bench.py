@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "props_stats",
     "q5_local_supplier",
     "copurchase_pairs",
+    "frequent_triples",
     "modularity",
     "path_counts",
     "condensation_depth",

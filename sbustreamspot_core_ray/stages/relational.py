@@ -617,6 +617,211 @@ def copurchase_pairs(
     )
 
 
+def frequent_triples(
+    lineitem: ray.data.Dataset,
+    num_partitions: int = 16,
+    item_min: int = 3,
+    min_count: int = 2,
+    topn: int = 100,
+    basket_cap: int = 256,
+) -> "pa.Table":
+    """Apriori-style frequent 3-itemset mining: the top-n part triples
+    co-occurring in >= min_count orders, candidate space pruned by global
+    item support (only parts in >= item_min distinct orders enter a
+    basket) — the downward-closure step that keeps the triple fan-out
+    bounded at corpus scale.
+
+    Scale shape: ONE shuffle on hash(orderkey) (the copurchase_pairs
+    shape). Item supports are folded from per-partition partial counts
+    (combiner rows, never a raw-key groupby), the surviving item set is
+    `ray.put` ONCE and membership-tested per partition with a sorted
+    searchsorted. Triples are enumerated with two vectorized repeat
+    passes (pairs via the closed-form triangular decode, then each pair
+    (i, j) extended by its basket tail k > j), baskets capped at
+    `basket_cap` items with an explicit log line (recall loss never
+    silent), counts COMBINED per partition before the SECOND shuffle on
+    hash(triple); triple partitions are key-disjoint so per-partition
+    top-n cuts compose into an exact driver fold of <= P * topn rows."""
+    from ..pipelines.superstep import _pair_part, distinct
+
+    de = distinct(
+        lineitem.select_columns(["l_orderkey", "l_partkey"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "ok": t["l_orderkey"].cast(pa.int64()),
+                    "pk": t["l_partkey"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["ok", "pk"],
+    ).materialize()  # consumed by the support fold AND the basket pass
+
+    def support_partial(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy()
+        u, c = np.unique(pk, return_counts=True)
+        return pa.table(
+            {
+                "pk": u,
+                "c": c.astype(np.int64),
+                "__p": pa.array(part_of(u, num_partitions), pa.int32()),
+            }
+        )
+
+    def support_fold(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy()
+        c = t["c"].to_numpy()
+        u, inv = np.unique(pk, return_inverse=True)
+        s = np.bincount(inv, weights=c, minlength=len(u)).astype(np.int64)
+        keep = s >= item_min
+        return pa.table({"pk": u[keep]})
+
+    freq = np.sort(
+        de.map_batches(support_partial, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(support_fold, batch_format="pyarrow")
+        .to_pandas()["pk"]
+        .to_numpy(np.int64)
+    )
+    freq_ref = ray.put(freq)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ok = t["ok"].to_numpy()
+        return t.append_column(
+            "__p", pa.array(part_of(ok, num_partitions), pa.int32())
+        )
+
+    def basket_triples(t: pa.Table) -> pa.Table:
+        from ..functions.proccache import cached_get
+
+        fr = cached_get(freq_ref)
+        ok = t["ok"].to_numpy()
+        pk = t["pk"].to_numpy()
+        if len(fr):
+            pos = np.minimum(np.searchsorted(fr, pk), len(fr) - 1)
+            keepm = fr[pos] == pk
+        else:
+            keepm = np.zeros(len(pk), bool)
+        ok, pk = ok[keepm], pk[keepm]
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.flatnonzero(np.concatenate([[True], ok[1:] != ok[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(ok)]]))
+        over = lens > basket_cap
+        if over.any():
+            print(
+                f"frequent_triples: truncating {int(over.sum())} baskets "
+                f"over cap={basket_cap} (explicit recall loss)"
+            )
+            lens = np.minimum(lens, basket_cap)
+        z = np.empty(0, np.int64)
+        empty = pa.table(
+            {
+                "p1": z,
+                "p2": z,
+                "p3": z,
+                "cnt": z,
+                "__q": pa.array(np.empty(0, np.int32), pa.int32()),
+            }
+        )
+        npair = lens * (lens - 1) // 2
+        tot = int(npair.sum())
+        if tot == 0:
+            return empty
+        # stage 1: (i, j) pairs per basket — closed-form triangular decode
+        run_id = np.repeat(np.arange(len(lens)), npair)
+        within = np.arange(tot) - np.concatenate([[0], np.cumsum(npair)])[run_id]
+        L = lens[run_id]
+        i = np.floor(
+            ((2 * L - 1) - np.sqrt((2 * L - 1).astype(np.float64) ** 2 - 8 * within))
+            / 2
+        ).astype(np.int64)
+        j = within - (i * (L - 1) - i * (i - 1) // 2) + i + 1
+        # stage 2: extend each pair by its basket tail (k = j+1 .. L-1)
+        ext = L - 1 - j
+        tot3 = int(ext.sum())
+        if tot3 == 0:
+            return empty
+        pair_id = np.repeat(np.arange(tot), ext)
+        koff = np.arange(tot3) - np.concatenate([[0], np.cumsum(ext)])[pair_id]
+        k = j[pair_id] + 1 + koff
+        base = starts[run_id][pair_id]
+        a = pk[base + i[pair_id]]
+        b = pk[base + j[pair_id]]
+        c = pk[base + k]
+        # partition-local combine: one row per distinct triple
+        po = np.lexsort((c, b, a))
+        a, b, c = a[po], b[po], c[po]
+        first = np.concatenate(
+            [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (c[1:] != c[:-1])]
+        )
+        idx = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate([idx, [len(a)]]))
+        a, b, c = a[idx], b[idx], c[idx]
+        return pa.table(
+            {
+                "p1": a,
+                "p2": b,
+                "p3": c,
+                "cnt": cnt,
+                "__q": pa.array(
+                    _pair_part(_mix3(a, b), c, num_partitions), pa.int32()
+                ),
+            }
+        )
+
+    def triple_fold(t: pa.Table) -> pa.Table:
+        a = t["p1"].to_numpy()
+        b = t["p2"].to_numpy()
+        c = t["p3"].to_numpy()
+        n = t["cnt"].to_numpy()
+        po = np.lexsort((c, b, a))
+        a, b, c, n = a[po], b[po], c[po], n[po]
+        first = np.concatenate(
+            [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (c[1:] != c[:-1])]
+        )
+        idx = np.flatnonzero(first)
+        sums = np.add.reduceat(n, idx) if len(n) else np.empty(0, np.int64)
+        a, b, c = a[idx], b[idx], c[idx]
+        keep = sums >= min_count
+        a, b, c, sums = a[keep], b[keep], c[keep], sums[keep]
+        sel = np.lexsort((c, b, a, -sums))[:topn]
+        return pa.table({"p1": a[sel], "p2": b[sel], "p3": c[sel], "cnt": sums[sel]})
+
+    parts = (
+        de.map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(basket_triples, batch_format="pyarrow")
+        .groupby("__q")
+        .map_groups(triple_fold, batch_format="pyarrow")
+        .take_all()
+    )
+    a = np.array([r["p1"] for r in parts], np.int64)
+    b = np.array([r["p2"] for r in parts], np.int64)
+    c = np.array([r["p3"] for r in parts], np.int64)
+    n = np.array([r["cnt"] for r in parts], np.int64)
+    sel = (
+        np.lexsort((c, b, a, -n))[:topn] if len(a) else np.empty(0, np.int64)
+    )
+    return pa.table(
+        {
+            "p1": pa.array(a[sel], pa.int64()),
+            "p2": pa.array(b[sel], pa.int64()),
+            "p3": pa.array(c[sel], pa.int64()),
+            "cnt": pa.array(n[sel], pa.int64()),
+        }
+    )
+
+
+def _mix3(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Fold two int64 columns into one mixed uint64 key (feeds _pair_part
+    for a 3-column composite partition id)."""
+    with np.errstate(over="ignore"):
+        return a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.astype(
+            np.uint64
+        )
+
+
 DAY_US = 86_400_000_000
 
 

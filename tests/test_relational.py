@@ -239,6 +239,32 @@ def test_copurchase_pairs_hand_checked():
     assert len(t) == 3
 
 
+def test_frequent_triples_hand_checked():
+    """Baskets: o1 {1,2,3}, o2 {1,2,3}, o3 {1,2,3,4}, o4 {5,6,7}.
+    Item supports: 1,2,3 -> 3 orders; 4,5,6,7 -> 1 order. With
+    item_min=2 only {1,2,3} survive pruning, so the single frequent
+    triple is (1,2,3) x3 — basket o4 and the extension item 4 drop out."""
+    from sbustreamspot_core_ray.stages.relational import frequent_triples
+
+    ok = [1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4]
+    pk = [1, 2, 3, 1, 2, 3, 1, 2, 3, 4, 5, 6, 7]
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_partkey": pa.array(pk, pa.int64()),
+            }
+        )
+    )
+    t = frequent_triples(
+        li, num_partitions=2, item_min=2, min_count=1, topn=10
+    ).to_pandas()
+    assert len(t) == 1
+    assert (
+        int(t["p1"][0]), int(t["p2"][0]), int(t["p3"][0]), int(t["cnt"][0])
+    ) == (1, 2, 3, 3)
+
+
 def test_local_supplier_revenue_hand_checked():
     """One qualifying order (customer nation 1 == supplier nation 1,
     in-window); a second order fails the nation match, a third the date
