@@ -2488,6 +2488,58 @@ def q_bfs_distance(sf_dir: str):
     return bfs_distance(g, seeds=np.array(BFS_SEEDS, np.int64), max_hops=BFS_MAX_HOPS)
 
 
+LANDMARK_MOD = 97
+LANDMARK_TOPN = 200
+
+
+def q_landmark_distances(sf_dir: str):
+    """ALT-style landmark distance bounds: exact BFS distances from the
+    5-landmark set, triangle-inequality (lb, ub) per sample vertex pair
+    (id % 97 == 0), top-200 closest candidate pairs. One batched
+    multi-seed BFS + a blocked broadcast pair scorer."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        landmark_distances,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=True
+    )
+    return landmark_distances(
+        g,
+        seeds=np.array(BFS_SEEDS, np.int64),
+        sample_mod=LANDMARK_MOD,
+        max_hops=BFS_MAX_HOPS,
+        topn=LANDMARK_TOPN,
+    )
+
+
+def _landmark_sql() -> str:
+    seeds = ", ".join(f"({s})" for s in BFS_SEEDS)
+    return f"""
+WITH RECURSIVE e0 AS ({_SQL_EDGES}),
+e AS (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0),
+walk(seed, vertex, dist) AS (
+  SELECT s, s, 0 FROM (VALUES {seeds}) t(s) WHERE s IN (SELECT s FROM e)
+  UNION
+  SELECT walk.seed, e.d, walk.dist + 1 FROM walk JOIN e ON e.s = walk.vertex
+  WHERE walk.dist < {BFS_MAX_HOPS}
+),
+dd AS (SELECT seed, vertex, MIN(dist) AS dist FROM walk GROUP BY 1, 2),
+sv AS (SELECT DISTINCT vertex FROM dd WHERE vertex % {LANDMARK_MOD} = 0),
+p AS (SELECT a.vertex AS u, b.vertex AS v FROM sv a JOIN sv b ON b.vertex > a.vertex),
+m AS (
+  SELECT p.u, p.v,
+         MAX(ABS(da.dist - db.dist)) AS lb,
+         MIN(da.dist + db.dist) AS ub
+  FROM p JOIN dd da ON da.vertex = p.u
+         JOIN dd db ON db.vertex = p.v AND db.seed = da.seed
+  GROUP BY p.u, p.v
+)
+SELECT u, v, CAST(lb AS BIGINT) AS lb, CAST(ub AS BIGINT) AS ub
+FROM m ORDER BY ub, u, v LIMIT {LANDMARK_TOPN}"""
+
+
 BIPARTITE_CO_SEEDS = (1, 2, 3)  # customer keys, present at every sf
 BIPARTITE_TRI_SEEDS = (30_000_001, 30_000_002, 30_000_003)  # suppliers
 
@@ -9374,6 +9426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_degree_curve": q_neighbor_degree_curve,
         "pearson_corr": q_pearson_corr,
         "bfs_distance": q_bfs_distance,
+        "landmark_distances": q_landmark_distances,
         "bipartite": q_bipartite,
         "matching": q_matching,
         "msf": q_msf,
@@ -9618,6 +9671,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_degree_curve": _neighbor_degree_curve_sql(),
         "pearson_corr": _pearson_sql(),
         "bfs_distance": _bfs_sql(),
+        "landmark_distances": _landmark_sql(),
         "bipartite": _bipartite_sql(),
         "matching": _matching_sql(),
         "msf": _msf_sql(),

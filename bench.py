@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "q5_local_supplier",
     "copurchase_pairs",
     "frequent_triples",
+    "landmark_distances",
     "modularity",
     "path_counts",
     "condensation_depth",

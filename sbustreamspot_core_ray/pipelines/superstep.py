@@ -1409,6 +1409,122 @@ def bfs_hop_histogram(
     )
 
 
+def landmark_distances(
+    graph: ShardedGraph,
+    seeds,
+    sample_mod: int = 97,
+    max_hops: int = 8,
+    topn: int = 200,
+    block: int = 512,
+) -> "pa.Table":
+    """Landmark (ALT-style) distance estimation: exact BFS distances from
+    a small landmark set, then for every pair of SAMPLE vertices (id %
+    sample_mod == 0, reached by >= 1 landmark) the triangle-inequality
+    bounds lb = max_l |d(l,u) - d(l,v)| and ub = min_l (d(l,u) + d(l,v))
+    over landmarks reaching BOTH endpoints. Returns the topn closest
+    candidate pairs by (ub, u, v) — the index-free close-pair primitive
+    landmark routing builds on.
+
+    Scale shape: ONE batched multi-seed BFS (one exchange stream serves
+    every landmark); each shard ships only its owned sample rows
+    (V/sample_mod * L, never V*L). The tiny (ids, D) landmark matrix is
+    `ray.put` ONCE; pair scoring is a blocked map_batches over row-block
+    tasks (each block scores against the strict upper triangle only, peak
+    memory block x n x L), with an exact per-block top-n cut — blocks
+    partition the u axis, so the driver fold over <= nblocks * topn rows
+    is exact. Unsalted graphs only (the BFS kernel's constraint)."""
+    if graph.salted:
+        raise ValueError(
+            "landmark_distances supports unsalted graphs only; build the "
+            "ShardedGraph without salt_threshold"
+        )
+    from ..functions.proccache import cached_get
+
+    actors = graph.actors
+    seeds = np.unique(np.asarray(seeds, np.int64))
+    frontier = sum(ray.get([a.bfsm_init.remote(seeds) for a in actors]))
+    it = 0
+    while frontier and it < max_hops:
+        frontier = sum(graph._exchange("bfsm"))
+        it += 1
+    t = pa.concat_tables(
+        ray.get([a.bfsm_sample_dists.remote(sample_mod) for a in actors])
+    )
+    v = t["vertex"].to_numpy()
+    sd = t["seed"].to_numpy()
+    dist = t["dist"].to_numpy()
+    ids = np.unique(v)
+    n, L = len(ids), len(seeds)
+    BIG = np.int64(1) << np.int64(31)
+    D = np.full((n, L), BIG, np.int64)
+    D[np.searchsorted(ids, v), np.searchsorted(seeds, sd)] = dist
+    cols = {
+        "u": pa.array(np.empty(0, np.int64)),
+        "v": pa.array(np.empty(0, np.int64)),
+        "lb": pa.array(np.empty(0, np.int64)),
+        "ub": pa.array(np.empty(0, np.int64)),
+    }
+    if n < 2:
+        return pa.table(cols)
+    ref = ray.put((ids, D))
+    starts = list(range(0, n - 1, block))
+
+    def score_block(bt: pa.Table) -> pa.Table:
+        ids_, D_ = cached_get(ref)
+        outs = []
+        for lo in bt["lo"].to_numpy():
+            hi = min(lo + block, len(ids_))
+            bi = D_[lo:hi]  # (b, L)
+            # strict upper triangle: each row i scores against j > i
+            sums = bi[:, None, :] + D_[None, :, :]          # (b, n, L)
+            both = (bi[:, None, :] < BIG) & (D_[None, :, :] < BIG)
+            ub = np.where(both, sums, BIG).min(axis=2)      # (b, n)
+            diffs = np.abs(bi[:, None, :] - D_[None, :, :])
+            lb = np.where(both, diffs, -1).max(axis=2)
+            jj = np.arange(len(ids_))[None, :]
+            ii = (lo + np.arange(hi - lo))[:, None]
+            ok = (jj > ii) & (ub < BIG)
+            ri, rj = np.nonzero(ok)
+            u = ids_[lo + ri]
+            w = ids_[rj]
+            ubv = ub[ri, rj]
+            lbv = lb[ri, rj]
+            sel = np.lexsort((w, u, ubv))[:topn]
+            outs.append(
+                pa.table(
+                    {
+                        "u": pa.array(u[sel], pa.int64()),
+                        "v": pa.array(w[sel], pa.int64()),
+                        "lb": pa.array(lbv[sel], pa.int64()),
+                        "ub": pa.array(ubv[sel], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs) if outs else pa.table(cols)
+
+    parts = (
+        ray.data.from_arrow(
+            pa.table({"lo": pa.array(starts, pa.int64())})
+        )
+        .repartition(len(starts))
+        .map_batches(score_block, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+    u = np.array([r["u"] for r in parts], np.int64)
+    w = np.array([r["v"] for r in parts], np.int64)
+    lb = np.array([r["lb"] for r in parts], np.int64)
+    ub = np.array([r["ub"] for r in parts], np.int64)
+    sel = np.lexsort((w, u, ub))[:topn] if len(u) else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "u": pa.array(u[sel], pa.int64()),
+            "v": pa.array(w[sel], pa.int64()),
+            "lb": pa.array(lb[sel], pa.int64()),
+            "ub": pa.array(ub[sel], pa.int64()),
+        }
+    )
+
+
 def bipartite_check(
     graph: ShardedGraph,
     edges: ray.data.Dataset,

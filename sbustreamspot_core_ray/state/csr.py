@@ -1390,6 +1390,27 @@ class CsrShard:
             }
         )
 
+    def bfsm_sample_dists(self, mod: int) -> pa.Table:
+        """(vertex, seed, dist) rows for owned SAMPLE vertices (vertex %
+        mod == 0) per reaching seed — the landmark distance table. Ships
+        |owned|/mod * S rows max; everything else stays in the shard."""
+        INF = np.iinfo(np.int64).max
+        sel = np.flatnonzero(self.owned % mod == 0)
+        z = np.empty(0, np.int64)
+        if len(sel) == 0:
+            return pa.table({"vertex": z, "seed": z, "dist": z})
+        d = self.mdist[sel]
+        ri, rj = np.nonzero(d < INF)
+        if len(ri) == 0:
+            return pa.table({"vertex": z, "seed": z, "dist": z})
+        return pa.table(
+            {
+                "vertex": pa.array(self.owned[sel][ri], pa.int64()),
+                "seed": pa.array(self.mseeds[rj], pa.int64()),
+                "dist": pa.array(d[ri, rj], pa.int64()),
+            }
+        )
+
     # ---- downstream shortest-path counts (Brandes back-propagation) ----
     #
     # After a sigma BFS, g(v) = number of shortest paths STARTING at v

@@ -413,6 +413,28 @@ def test_bfs_distance_layers():
     assert capped == {1: 0, 2: 1, 3: 2}
 
 
+def test_landmark_distances_path():
+    """Single landmark 1 on the path 1-2-3-4: lb = |d(1,u)-d(1,v)|,
+    ub = d(1,u)+d(1,v) for every sampled pair, ordered by (ub, u, v);
+    the disconnected component never appears (no common landmark)."""
+    from sbustreamspot_core_ray.pipelines.superstep import landmark_distances
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    g = ShardedGraph.build(edges_ds(edges), num_parts=4, symmetric=True)
+    t = landmark_distances(
+        g, seeds=[1], sample_mod=1, max_hops=8, topn=100, block=2
+    ).to_pandas()
+    rows = list(t.itertuples(index=False, name=None))
+    assert rows == [
+        (1, 2, 1, 1),
+        (1, 3, 2, 2),
+        (1, 4, 3, 3),
+        (2, 3, 1, 3),
+        (2, 4, 2, 4),
+        (3, 4, 1, 5),
+    ]
+
+
 def test_adamic_adar_weights():
     """AA on a known wedge structure matches the hand-computed integer
     surrogate floor(1e9/ln(deg(center))) summed per non-adjacent pair."""
