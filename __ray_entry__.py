@@ -9351,6 +9351,82 @@ def q_bm25_search(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+RRF_K = 60
+RRF_FUSE = 20
+
+
+def q_rank_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of BM25 and total-term-frequency rankings
+    for the fixed 5-term query: rrf_e9 = sum of floor(1e9/(60+rank)) over
+    the two systems' top-50 lists; top-20 fused docs. Exact integers."""
+    from sbustreamspot_core_ray.stages.text import rank_fusion
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return rank_fusion(
+        docs, BM25_TERMS, top_n=BM25_TOP, fuse_n=RRF_FUSE, k=RRF_K,
+        k1=BM25_K1, b=BM25_B,
+    )
+
+
+def _rank_fusion_sql() -> str:
+    """Both rankings re-derived independently (the _bm25_sql expression
+    chain verbatim for system A; integer term-frequency totals for system
+    B), fused with integer nanounit reciprocal ranks."""
+    k1p1 = repr(BM25_K1 + 1.0)
+    k1 = repr(BM25_K1)
+    omb = repr(1.0 - BM25_B)
+    bb = repr(BM25_B)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(ts, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"count(*) FILTER (WHERE tf{i} > 0) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(
+        f"(ln((st.n - st.df{i} + 0.5e0) / (st.df{i} + 0.5e0) + 1.0e0)"
+        f" * (b.tf{i} * {k1p1}e0)"
+        f" / (b.tf{i} + {k1}e0 * ({omb}e0 + {bb}e0"
+        f" * (b.dl / (CAST(st.sdl AS DOUBLE) / st.n)))))"
+        for i in range(len(BM25_TERMS))
+    )
+    tft = " + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(ts) AS dl,
+         {tf_cols}
+  FROM tok
+),
+st AS (SELECT count(*) AS n, sum(dl) AS sdl, {df_cols} FROM base),
+sc AS (SELECT b.doc_id, {score} AS score FROM base b, st),
+ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM sc WHERE score > 0.0e0
+  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= {BM25_TOP}
+),
+tf AS (SELECT doc_id, {tft} AS tft FROM base WHERE {tft} > 0),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY tft DESC, doc_id) AS r
+  FROM tf
+  QUALIFY row_number() OVER (ORDER BY tft DESC, doc_id) <= {BM25_TOP}
+),
+u AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         COALESCE(1000000000 // ({RRF_K} + ra.r), 0)
+         + COALESCE(1000000000 // ({RRF_K} + rb.r), 0) AS rrf_e9
+  FROM ra FULL JOIN rb ON rb.doc_id = ra.doc_id
+)
+SELECT doc_id, CAST(rrf_e9 AS BIGINT) AS rrf_e9 FROM u
+ORDER BY rrf_e9 DESC, doc_id LIMIT {RRF_FUSE}"""
+
+
 def _bm25_sql() -> str:
     """The independent SQL recomputation: same tokenization, its own corpus
     stats, the identical left-associated score expression (float literals
@@ -9630,6 +9706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_stats": q_dup_stats,
         "doc_percentiles": q_doc_percentiles,
         "bm25_search": q_bm25_search,
+        "rank_fusion": q_rank_fusion,
         "tfidf_topterms": q_tfidf_topterms,
         "group_sample": q_group_sample,
         "events_cumsum": q_events_cumsum,
@@ -11243,6 +11320,7 @@ FROM s3 ORDER BY doc_id
         "embedding_near_dup": _embedding_near_dup_sql(),
         "embedding_dedup": _embedding_dedup_sql(),
         "bm25_search": _bm25_sql(),
+        "rank_fusion": _rank_fusion_sql(),
         "tfidf_topterms": _SQL_TFIDF_TOPTERMS,
         "group_sample": _SQL_GROUP_SAMPLE,
         "events_cumsum": _SQL_EVENTS_CUMSUM,

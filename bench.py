@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "copurchase_pairs",
     "frequent_triples",
     "landmark_distances",
+    "rank_fusion",
     "modularity",
     "path_counts",
     "condensation_depth",

@@ -426,6 +426,56 @@ def bm25_search(
     return ranked.sort(["score", "doc_id"], descending=[True, False]).limit(top_n)
 
 
+def rank_fusion(
+    docs: ray.data.Dataset,
+    terms: tuple,
+    top_n: int = 50,
+    fuse_n: int = 20,
+    k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "pa.Table":
+    """Reciprocal-rank fusion (RRF) of two retrieval systems over the same
+    fixed query: BM25 (bm25_search) and raw total query-term frequency.
+    Each system contributes floor(1e9 / (k + rank)) for its top-`top_n`
+    docs (exact integers — the float 1/(k+r) scaled to integer nanounits
+    so fusion is order-free and SQL-mirrorable); fused score is the sum,
+    output the top-`fuse_n` docs by (rrf_e9 DESC, doc_id).
+
+    Scale shape: both rankings are distributed passes that each return
+    <= top_n rows (BM25's stats-combiner + broadcast-scalar scorer; the
+    tf ranking is a vectorized per-batch fold into sort+limit); the fuse
+    step touches only 2 * top_n rows on the driver."""
+    import pyarrow as pa
+
+    a = bm25_search(docs, terms, top_n=top_n, k1=k1, b=b).to_pandas()
+    nt = len(terms)
+    base = docs.map_batches(_Bm25TermCounts(tuple(terms)), batch_format="pandas")
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        tft = df[[f"tf{i}" for i in range(nt)]].to_numpy(np.int64).sum(axis=1)
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64), "tft": tft})
+        return out[out["tft"] > 0]
+
+    bt = (
+        base.map_batches(total, batch_format="pandas")
+        .sort(["tft", "doc_id"], descending=[True, False])
+        .limit(top_n)
+        .to_pandas()
+    )
+    fused: dict[int, int] = {}
+    for ranking in (a["doc_id"].to_numpy(np.int64), bt["doc_id"].to_numpy(np.int64)):
+        for r, d in enumerate(ranking, 1):
+            fused[int(d)] = fused.get(int(d), 0) + 10**9 // (k + r)
+    order = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:fuse_n]
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in order], pa.int64()),
+            "rrf_e9": pa.array([s for _, s in order], pa.int64()),
+        }
+    )
+
+
 class _LangTokenHistPartial:
     """Per-batch (lang, ws_tokens) histogram — whitespace token counts
     collapse to a tiny key space, so the global shuffle moves histograms,
