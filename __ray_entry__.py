@@ -1654,6 +1654,77 @@ JOIN s sb ON sb.i = g.j
 CROSS JOIN nn"""
 
 
+PCA_Q = 1 << 14       # embedding quantization for the PCA pass
+PCA_VSCALE = 1 << 14  # power-iteration vector renormalization scale
+PCA_ITERS = 12
+
+
+def q_pca_projection(sf_dir: str):
+    """First-principal-component projection by exact-integer power
+    iteration on the centered scatter matrix C = n*Sxy - Sx Sx^T:
+    12 fixed v <- Cv rounds with sign-aware truncated renormalization,
+    then proj = n*(x . v) - (Sx . v) per vector — integers end to end,
+    HUGEINT-mirrorable (no float summation order anywhere)."""
+    from sbustreamspot_core_ray.stages.stats import pca_power_projection
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_power_projection(
+        emb, q=PCA_Q, vscale=PCA_VSCALE, iters=PCA_ITERS
+    )
+
+
+def _pca_projection_sql() -> str:
+    q = float(PCA_Q)
+    vs = PCA_VSCALE
+    ctes = [f"""x AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {q} + 0.5)
+              AS HUGEINT) AS xv
+  FROM embeddings
+)""",
+        "nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings)",
+        "s AS MATERIALIZED (SELECT i, SUM(xv) AS sx FROM x GROUP BY i)",
+        """g AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, SUM(a.xv * b.xv) AS sxy
+  FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.i >= a.i
+  GROUP BY a.i, b.i
+)""",
+        """cu AS (
+  SELECT g.i, g.j, nn.n * g.sxy - sa.sx * sb.sx AS c
+  FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j CROSS JOIN nn
+)""",
+        "c AS MATERIALIZED (SELECT i, j, c FROM cu "
+        "UNION ALL SELECT j, i, c FROM cu WHERE i <> j)",
+        f"v0 AS (SELECT DISTINCT i, CAST({vs} AS HUGEINT) AS val FROM x)",
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        p = k - 1
+        ctes.append(
+            f"y{k} AS MATERIALIZED (SELECT c.i AS i, SUM(c.c * v{p}.val) AS y"
+            f" FROM c JOIN v{p} ON v{p}.i = c.j GROUP BY c.i)"
+        )
+        ctes.append(f"m{k} AS (SELECT MAX(ABS(y)) AS m FROM y{k})")
+        ctes.append(
+            f"v{k} AS MATERIALIZED (SELECT i, CASE WHEN y >= 0"
+            f" THEN (y * {vs}) // m"
+            f" ELSE -(((-y) * {vs}) // m) END AS val FROM y{k}, m{k})"
+        )
+    T = PCA_ITERS
+    ctes.append(
+        f"c0 AS (SELECT SUM(s.sx * v{T}.val) AS c0 FROM s"
+        f" JOIN v{T} ON v{T}.i = s.i)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT x.vec_id,
+       CAST(nn.n * SUM(x.xv * vv.val) - c0.c0 AS BIGINT) AS proj
+FROM x JOIN v{T} vv ON vv.i = x.i CROSS JOIN nn CROSS JOIN c0
+GROUP BY x.vec_id, nn.n, c0.c0"""
+    )
+
+
 HOST_FOLD = 100  # pages per synthetic "host" (id // HOST_FOLD)
 
 
@@ -9490,6 +9561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": q_host_pagerank,
         "ols_regression": q_ols_regression,
         "embedding_covariance": q_embedding_covariance,
+        "pca_projection": q_pca_projection,
         "token_fertility": q_token_fertility,
         "lang_source_mi": q_lang_source_mi,
         "decision_stump": q_decision_stump,
@@ -9736,6 +9808,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_sql(),
         "ols_regression": _ols_sql(),
         "embedding_covariance": _embedding_covariance_sql(),
+        "pca_projection": _pca_projection_sql(),
         "token_fertility": _token_fertility_sql(),
         "lang_source_mi": _lang_source_mi_sql(),
         "decision_stump": _decision_stump_sql(),

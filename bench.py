@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "frequent_triples",
     "landmark_distances",
     "rank_fusion",
+    "pca_projection",
     "modularity",
     "path_counts",
     "condensation_depth",

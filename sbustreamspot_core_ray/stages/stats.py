@@ -225,3 +225,109 @@ def pearson_table(
             ),
         }
     )
+
+
+def pca_power_projection(
+    ds: ray.data.Dataset,
+    col: str = "embedding",
+    q: int = 1 << 14,
+    vscale: int = 1 << 14,
+    iters: int = 12,
+) -> ray.data.Dataset:
+    """Approximate first principal component by EXACT-integer power
+    iteration, then the (scaled) PC1 projection of every embedding.
+
+    All arithmetic is integers end to end, so the result is bit-identical
+    to a HUGEINT SQL mirror with no float-summation-order exposure (the
+    technique that carried the covariance/ANN oracles):
+    - vectors quantize to x = floor(e * q + 0.5) (float64 upcast);
+    - the centered scatter matrix C = n * Sxy - Sx Sx^T folds from
+      per-batch integer Gram partials (Python-int driver fold — C fits
+      HUGEINT at any realistic n; see the bound in the SQL mirror);
+    - `iters` rounds of v <- C v renormalized by SIGN-AWARE TRUNCATED
+      division v_i = trunc(y_i * vscale / max|y|) — the one nonlinear
+      step, expressed identically in numpy/Python ints and SQL CASE +
+      HUGEINT division (both truncate toward zero);
+    - output proj_i = n * (x_i . v) - (Sx . v): the centered projection
+      scaled by n, an exact int64.
+
+    Scale shape: one streaming pass folds O(d^2) partials per batch (the
+    embedding_covariance shape); the d x d power iteration is driver-side
+    Python ints (d = 64: microseconds); the projection pass broadcasts v
+    (d int64s) and streams. C is PSD, so the iteration converges to PC1
+    without sign oscillation; `iters` is fixed and part of the mirrored
+    semantics, not a convergence test."""
+    from .ann import _mat
+
+    def partials(t: pa.Table) -> pa.Table:
+        e = _mat(t[col], np.float64)
+        x = np.floor(e * float(q) + 0.5).astype(np.int64)
+        d = x.shape[1]
+        g = x.T @ x
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": np.concatenate(
+                    [iu + 1, np.arange(1, d + 1), np.array([0])]
+                ).astype(np.int64),
+                "j": np.concatenate(
+                    [ju + 1, np.zeros(d, np.int64), np.array([0])]
+                ).astype(np.int64),
+                "v": np.concatenate(
+                    [g[iu, ju], x.sum(axis=0), np.array([x.shape[0]])]
+                ).astype(np.int64),
+            }
+        )
+
+    gram: dict[tuple[int, int], int] = {}
+    sums: dict[int, int] = {}
+    n = 0
+    src = ds.materialize()  # consumed twice: Gram fold + projection
+    for b in src.map_batches(partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if not b.num_rows:
+            continue
+        for i_, j_, v_ in zip(
+            b["i"].to_numpy().tolist(),
+            b["j"].to_numpy().tolist(),
+            b["v"].to_numpy().tolist(),
+        ):
+            if i_ == 0:
+                n += v_
+            elif j_ == 0:
+                sums[i_] = sums.get(i_, 0) + v_
+            else:
+                gram[(i_, j_)] = gram.get((i_, j_), 0) + v_
+    d = max(sums) if sums else 0
+    sx = [sums.get(i + 1, 0) for i in range(d)]
+    C = [[0] * d for _ in range(d)]
+    for (i_, j_), sxy in gram.items():
+        c = n * sxy - sx[i_ - 1] * sx[j_ - 1]
+        C[i_ - 1][j_ - 1] = c
+        C[j_ - 1][i_ - 1] = c
+    v = [vscale] * d
+    for _ in range(iters):
+        y = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max((abs(t) for t in y), default=0)
+        if m == 0:
+            break
+        v = [
+            (abs(t) * vscale // m) * (1 if t >= 0 else -1) for t in y
+        ]
+    varr = np.array(v, np.int64)
+    c0 = sum(s * w for s, w in zip(sx, v))
+    nn = n
+
+    def project(t: pa.Table) -> pa.Table:
+        e = _mat(t[col], np.float64)
+        x = np.floor(e * float(q) + 0.5).astype(np.int64)
+        proj = nn * (x @ varr) - c0
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "proj": pa.array(proj, pa.int64()),
+            }
+        )
+
+    return src.map_batches(project, batch_format="pyarrow")

@@ -1014,3 +1014,31 @@ def test_moment_stats_perfect_lines():
     assert ot.loc["a", "r2"] == 1.0 and ot.loc["b", "r2"] == 1.0
     pt = pearson_table(m).to_pandas().set_index("pair")
     assert pt.loc["a", "r"] == 1.0 and pt.loc["b", "r"] == -1.0
+
+
+def test_pca_projection_line():
+    """Rank-1 data along direction (1, 2): the centered PC1 projection is
+    k * (t - mean) for collinear points, so projections are strictly
+    monotone in t and antisymmetric around the centroid."""
+    from sbustreamspot_core_ray.stages.stats import pca_power_projection
+
+    ts = [-2.0, -1.0, 0.0, 1.0, 2.0]
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(5)), pa.int64()),
+                "embedding": pa.array(
+                    [[t, 2.0 * t] for t in ts], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    out = (
+        pca_power_projection(emb, q=1 << 14, vscale=1 << 14, iters=12)
+        .to_pandas()
+        .sort_values("vec_id")["proj"]
+        .to_numpy()
+    )
+    assert (np.diff(out) > 0).all() or (np.diff(out) < 0).all()
+    assert out[2] == 0  # centroid projects to zero exactly
+    assert out[0] == -out[4] and out[1] == -out[3]
