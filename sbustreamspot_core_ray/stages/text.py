@@ -290,22 +290,36 @@ def tfidf_top_terms(
     join instead of a silent driver OOM. Pass two scores each doc's terms
     against the broadcast map, vectorized per batch."""
     import ray as _ray
-    from ray.data.aggregate import Sum
 
     n_docs = docs.count()
-    vocab = (
-        docs.map_batches(
-            partial(call_singleton, _TermDocFreqPartial), batch_format="pandas"
+
+    def df_tag(df: pd.DataFrame) -> pd.DataFrame:
+        g = call_singleton(_TermDocFreqPartial, df)
+        # int partition key: the wide op is a P-group hashed combine, not
+        # a vocabulary-scale raw-string sort-aggregate (the BASELINE.md
+        # stall pattern)
+        h = pd.util.hash_array(g["term"].to_numpy(dtype=object))
+        g["__p"] = (h % 32).astype(np.int32)
+        return g
+
+    def df_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("term", sort=False)["df_partial"]
+            .sum()
+            .reset_index(name="df")
         )
-        .groupby("term")
-        .aggregate(Sum("df_partial", alias_name="df"))
+
+    vdf = (
+        docs.map_batches(df_tag, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(df_fold, batch_format="pandas")
+        .to_pandas()
     )
-    if vocab.count() > max_vocab:
+    if len(vdf) > max_vocab:
         raise ValueError(
             f"vocabulary exceeds max_vocab={max_vocab}; use a term-keyed "
             "co-partitioned join for the df attach instead of the broadcast"
         )
-    vdf = vocab.to_pandas()
     df_ref = _ray.put(pd.Series(vdf["df"].to_numpy(np.int64), index=vdf["term"]))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -653,7 +667,8 @@ def bigram_logprob(docs: ray.data.Dataset) -> ray.data.Dataset:
     import math
 
     import ray as _ray
-    from ray.data.aggregate import Sum
+
+    NPARTS = 32
 
     def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
         _, a, b = _bigram_pairs(df)
@@ -661,7 +676,8 @@ def bigram_logprob(docs: ray.data.Dataset) -> ray.data.Dataset:
             return pd.DataFrame(
                 {"a": pd.Series([], dtype=object),
                  "b": pd.Series([], dtype=object),
-                 "c_partial": pd.Series([], dtype=np.int64)}
+                 "c_partial": pd.Series([], dtype=np.int64),
+                 "__p": pd.Series([], dtype=np.int32)}
             )
         g = (
             pd.DataFrame({"a": a, "b": b})
@@ -669,12 +685,28 @@ def bigram_logprob(docs: ray.data.Dataset) -> ray.data.Dataset:
             .size()
             .reset_index(name="c_partial")
         )
+        # int partition key from the pair hash: all partials of one bigram
+        # land in one partition, so the fold below is exact and the wide op
+        # is a P-group hashed combine, never a vocab-scale raw-string
+        # sort-aggregate (the BASELINE.md stall pattern)
+        h = pd.util.hash_array(
+            (g["a"] + "\x1f" + g["b"]).to_numpy(dtype=object)
+        )
+        g["__p"] = (h % NPARTS).astype(np.int32)
+        return g
+
+    def pair_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["a", "b"], sort=False)["c_partial"]
+            .sum()
+            .reset_index(name="c")
+        )
         return g
 
     counts = (
         docs.map_batches(pair_partial, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Sum("c_partial", alias_name="c"))
+        .groupby("__p")
+        .map_groups(pair_fold, batch_format="pandas")
         .to_pandas()
     )
     if len(counts):
