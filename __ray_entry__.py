@@ -2515,6 +2515,49 @@ def _katz_sql(iters: int = KATZ_ITERS) -> str:
     )
 
 
+WALK_ITERS = 3
+
+
+def q_walk_centrality(sf_dir: str):
+    """Exact k-walk-count centrality over the directed full derived graph:
+    number of length-3 walks ending at each vertex (A^T applied 3 times to
+    the ones vector), int64-exact on both sides — the un-attenuated Katz
+    truncation."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        walk_counts,
+    )
+
+    g = ShardedGraph.build(
+        _edges_full(sf_dir, dedup=False), num_parts=P, symmetric=False
+    )
+    return walk_counts(g, iters=WALK_ITERS)
+
+
+def _walk_sql(iters: int = WALK_ITERS) -> str:
+    """Unrolled integer walk-count oracle: x0 = 1 on the vertex set, each
+    round sums the previous round over in-edges (BIGINT throughout)."""
+    ctes = [
+        f"e AS MATERIALIZED ({_SQL_EDGES})",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "x0 AS MATERIALIZED (SELECT vertex, CAST(1 AS BIGINT) AS x FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"x{k} AS MATERIALIZED (SELECT v.vertex,"
+            f" COALESCE(s.c, 0) AS x"
+            f" FROM v LEFT JOIN (SELECT e.dst AS vertex,"
+            f" CAST(SUM(x.x) AS BIGINT) AS c FROM e"
+            f" JOIN x{p} x ON x.vertex = e.src GROUP BY e.dst) s"
+            f" ON s.vertex = v.vertex)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vertex, x AS walks FROM x{iters}"
+    )
+
+
 def q_neighbor_features(sf_dir: str):
     """Graph feature engineering: per-vertex (sum, max) of all neighbors'
     degrees over the symmetrized full derived graph — ONE superstep
@@ -9634,6 +9677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_links": q_jaccard_links,
         "hits": q_hits,
         "katz": q_katz,
+        "walk_centrality": q_walk_centrality,
         "neighbor_features": q_neighbor_features,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
@@ -9921,6 +9965,7 @@ FROM s
         "jaccard_links": _SQL_JACCARD_LINKS.format(edges=_SQL_EDGES, top=CN_TOP),
         "hits": _hits_sql(),
         "katz": _katz_sql(),
+        "walk_centrality": _walk_sql(),
         "neighbor_features": _SQL_NEIGHBOR_FEATURES,
         "connected_components": f"""
 WITH RECURSIVE e0 AS ({_SQL_EDGES_CO}),

@@ -629,6 +629,37 @@ def katz_centrality(
     return graph.state_dataset("rank").rename_columns({"rank": "katz"})
 
 
+def walk_counts(graph: ShardedGraph, iters: int = 3) -> ray.data.Dataset:
+    """Exact k-walk-count centrality: x_0 = 1, x_{k+1}(v) = sum_{u->v}
+    x_k(u), so x_k(v) is the number of distinct length-k walks ending at v
+    (row sums of A^k applied to the all-ones vector) — the un-attenuated
+    truncation of Katz / eigenvector centrality. Reuses the Katz exchange
+    hooks with alpha=1, beta=0 after a beta=1 init; the float64 state is
+    EXACT for counts < 2^53, asserted per shard before the int64 cast.
+
+    Same scatter volume as one PageRank superstep per iteration. Unsalted
+    graphs only (same constraint as katz_centrality)."""
+    if graph.salted:
+        raise ValueError(
+            "walk_counts supports unsalted graphs only; build the "
+            "ShardedGraph without salt_threshold"
+        )
+    actors = graph.actors
+    ray.get([a.katz_init.remote(1.0) for a in actors])
+    for _ in range(iters):
+        graph._exchange("katz", scatter_args=(1.0,), apply_args=(0.0,))
+    ds = graph.state_dataset("rank")
+
+    def to_int(t: "pa.Table") -> "pa.Table":
+        w = t["rank"].to_numpy(zero_copy_only=False)
+        assert np.all(w < 2.0**53), "walk counts exceed float64 exactness"
+        return pa.table(
+            {"vertex": t["vertex"], "walks": w.astype(np.int64)}
+        )
+
+    return ds.map_batches(to_int, batch_format="pyarrow")
+
+
 def neighbor_degree_agg(graph: ShardedGraph) -> ray.data.Dataset:
     """Graph feature engineering in ONE superstep: every vertex aggregates
     (sum, max) of its in-neighbors' out-degrees — on a symmetric build,

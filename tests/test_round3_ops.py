@@ -1042,3 +1042,24 @@ def test_pca_projection_line():
     assert (np.diff(out) > 0).all() or (np.diff(out) < 0).all()
     assert out[2] == 0  # centroid projects to zero exactly
     assert out[0] == -out[4] and out[1] == -out[3]
+
+
+def test_walk_counts_path_graph():
+    """Directed path 1->2->3->4: length-2 walk counts are 0,0,1,1 (only
+    vertices 3 and 4 terminate a 2-walk)."""
+    from sbustreamspot_core_ray.pipelines.superstep import (
+        ShardedGraph,
+        walk_counts,
+    )
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 2, 3], pa.int64()),
+                "dst": pa.array([2, 3, 4], pa.int64()),
+            }
+        )
+    )
+    g = ShardedGraph.build(edges, num_parts=2, symmetric=False)
+    df = walk_counts(g, iters=2).to_pandas().set_index("vertex")["walks"]
+    assert df.to_dict() == {1: 0, 2: 0, 3: 1, 4: 1}
