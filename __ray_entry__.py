@@ -8594,6 +8594,51 @@ ORDER BY n_repos DESC, n_imports DESC, tgt
 LIMIT {SHARED_IMPORTS_K}"""
 
 
+BP_MIN_LEN = 8
+BP_MIN_FILES = 2
+BP_TOP = 100
+
+
+def q_boilerplate_lines(sf_dir: str):
+    """C4-style boilerplate detection over the code corpus: top repeated
+    space-trimmed lines (len >= BP_MIN_LEN) by DISTINCT-file count, kept
+    when shared by >= BP_MIN_FILES files. Per-file dedup is batch-local
+    (one row per file) -> hashed-partition fold -> driver merge."""
+    from sbustreamspot_core_ray.sources.corpus import (
+        boilerplate_lines,
+        generate_corpus,
+        ingest_corpus,
+    )
+
+    root = "/tmp/graft_corpus_q"
+    generate_corpus(root, n_files=2000, seed=23)
+    return boilerplate_lines(
+        ingest_corpus(root, num_partitions=4),
+        min_len=BP_MIN_LEN,
+        min_files=BP_MIN_FILES,
+        top_n=BP_TOP,
+    )
+
+
+def _boilerplate_sql() -> str:
+    from sbustreamspot_core_ray.sources.corpus import generate_corpus
+
+    generate_corpus("/tmp/graft_corpus_q", n_files=2000, seed=23)
+    return f"""
+WITH c AS (
+  SELECT repo || '/' || path AS f, content
+  FROM read_parquet('/tmp/graft_corpus_q/corpus/*.parquet')
+),
+raw AS (SELECT f, unnest(string_split(content, chr(10))) AS x FROM c),
+n AS (
+  SELECT DISTINCT f, trim(x) AS line FROM raw
+  WHERE length(trim(x)) >= {BP_MIN_LEN}
+),
+cnt AS (SELECT line, CAST(COUNT(*) AS BIGINT) AS n_files FROM n GROUP BY line)
+SELECT line, n_files FROM cnt WHERE n_files >= {BP_MIN_FILES}
+ORDER BY n_files DESC, line LIMIT {BP_TOP}"""
+
+
 KNN_LSH_PLANES = 5
 
 
@@ -9836,6 +9881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scene_cuts": q_scene_cuts,
         "corpus_pipeline": q_corpus_pipeline,
         "shared_imports": q_shared_imports,
+        "boilerplate_lines": q_boilerplate_lines,
     }
 
 
@@ -11430,6 +11476,7 @@ FROM s3 ORDER BY doc_id
         "similarity_report": _similarity_report_sql(),
         "corpus_pipeline": _corpus_pipeline_sql(),
         "shared_imports": _shared_imports_sql(),
+        "boilerplate_lines": _boilerplate_sql(),
         "kcore": _kcore_sql(),
         "common_neighbors": _SQL_COMMON_NEIGHBORS,
         "knn_ivf": _knn_ivf_sql(),

@@ -583,3 +583,76 @@ def identifier_tokens(
             "n": pa.array(out["n"].to_numpy(np.int64)),
         }
     )
+
+
+def boilerplate_lines(
+    corpus: ray.data.Dataset,
+    min_len: int = 8,
+    min_files: int = 2,
+    top_n: int = 100,
+    num_parts: int = 16,
+) -> "pa.Table":
+    """Cross-document boilerplate-line detection (the C4-style curation
+    step that strips license headers / repeated import blocks before
+    training): the top_n space-trimmed lines of length >= min_len that
+    occur in >= min_files DISTINCT files, ordered (n_files desc, line
+    asc).
+
+    Scale shape: each file is one row, so per-file line dedup is
+    batch-local (vectorized split + explode + drop_duplicates); the
+    combiner emits (line, n_files_partial) — boilerplate-vocabulary-sized,
+    never the exploded line stream — keyed by a stable line hash into
+    num_parts partitions; ONE __p groupby folds exact counts and applies
+    the min_files filter plus a local top_n pre-cut (a line's full count
+    lives in exactly one partition, so the global top_n survives the
+    per-partition cut); the driver merges <= num_parts * top_n rows.
+    Trimming is strip(' ') to mirror SQL trim() exactly."""
+    import pandas as pd
+
+    from ..functions.hashing import part_of, stable_id64
+
+    def combiner(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["content"].to_pylist(), dtype=object).fillna("")
+        ex = s.str.split("\n").explode()
+        line = ex.str.strip(" ")
+        keep = line.str.len() >= min_len
+        sub = pd.DataFrame(
+            {
+                "f": ex.index.to_numpy()[keep.to_numpy()],
+                "line": line[keep].to_numpy(object),
+            }
+        ).drop_duplicates()
+        g = sub.groupby("line", sort=False).size().reset_index(name="nf")
+        kh = stable_id64(g["line"].to_numpy(object)).astype(np.int64)
+        return pa.table(
+            {
+                "line": pa.array(g["line"], pa.string()),
+                "nf": pa.array(g["nf"].to_numpy(np.int64)),
+                "__p": pa.array(part_of(kh, num_parts), pa.int32()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.groupby("line", sort=False)["nf"].sum().reset_index(name="n_files")
+        a = a[a["n_files"] >= min_files]
+        a = a.sort_values(["n_files", "line"], ascending=[False, True])
+        return a.head(top_n)[["line", "n_files"]]
+
+    cands = (
+        corpus.select_columns(["content"])
+        .map_batches(combiner, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        cands.sort_values(["n_files", "line"], ascending=[False, True])
+        .head(top_n)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "line": pa.array(out["line"], pa.string()),
+            "n_files": pa.array(out["n_files"].to_numpy(np.int64)),
+        }
+    )

@@ -234,3 +234,29 @@ def test_dedup_int_rows_paths_agree():
     big[0, 1] = 1 << 40  # beyond 2^31: fallback
     assert np.array_equal(_dedup_int_rows(big.copy()), np.unique(big, axis=0))
     assert _dedup_int_rows(np.empty((0, 2), np.int64)).shape == (0, 2)
+
+
+def test_boilerplate_lines_fixture(tmp_path):
+    import ray.data
+    """Three files sharing one long line; a unique long line and short
+    lines never qualify."""
+    import pyarrow.parquet as pq
+
+    from sbustreamspot_core_ray.sources.corpus import boilerplate_lines
+
+    shared = "import common/license/header.py"
+    rows = {
+        "repo": ["r0", "r1", "r2"],
+        "path": ["a.py", "b.py", "c.py"],
+        "commit": ["c", "c", "c"],
+        "lang": ["py", "py", "py"],
+        "content": [
+            shared + "\n" + shared + "\nunique line zero zero",
+            shared + "\nshort",
+            shared + "\n  " + shared + "  ",
+        ],
+    }
+    ds = ray.data.from_arrow(pa.table(rows))
+    out = boilerplate_lines(ds, min_len=8, min_files=2, top_n=10).to_pandas()
+    assert out["line"].tolist() == [shared]
+    assert out["n_files"].tolist() == [3]  # per-file dedup: 3 files, not 5 hits
