@@ -4475,6 +4475,99 @@ def q_copurchase_pairs(sf_dir: str):
     )
 
 
+def _edges_copurchase(sf_dir: str) -> ray.data.Dataset:
+    """Distinct co-purchase part-pair edges (least, greatest per order):
+    ONE hash(orderkey) shuffle, triangular basket decode per partition,
+    within-partition pair dedup (k4_count's driver prep uniques the packed
+    pairs globally, so no second shuffle)."""
+    import pandas as pd
+
+    from sbustreamspot_core_ray.functions.hashing import part_of
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ok": ok,
+                "pk": pc.cast(t["l_partkey"], pa.int64()),
+                "__p": pa.array(part_of(ok, P), pa.int32()),
+            }
+        )
+
+    def pairs(df: "pd.DataFrame") -> pa.Table:
+        ok = df["ok"].to_numpy()
+        pk = df["pk"].to_numpy()
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        keep = np.concatenate(
+            [[True], (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        )
+        ok, pk = ok[keep], pk[keep]
+        n = len(ok)
+        empty = pa.table(
+            {
+                "src": pa.array(np.empty(0, np.int64)),
+                "dst": pa.array(np.empty(0, np.int64)),
+            }
+        )
+        if n == 0:
+            return empty
+        run_end = np.searchsorted(ok, ok, side="right")
+        sizes = run_end - np.arange(n) - 1
+        tot = int(sizes.sum())
+        if tot == 0:
+            return empty
+        rep = np.repeat(np.arange(n), sizes)
+        within = np.arange(tot) - np.concatenate([[0], np.cumsum(sizes)])[rep]
+        gather = rep + 1 + within
+        x, y = pk[rep], pk[gather]
+        lo = np.minimum(x, y).astype(np.uint64)
+        hi = np.maximum(x, y).astype(np.uint64)
+        uq = np.unique((lo << np.uint64(32)) | hi)
+        return pa.table(
+            {
+                "src": pa.array((uq >> np.uint64(32)).astype(np.int64)),
+                "dst": pa.array(
+                    (uq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        li.map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def q_k4_count(sf_dir: str):
+    """Exact 4-clique census of the part co-purchase graph: two rounds of
+    the degree-oriented wedge-closure kernel (triangles, then third-corner
+    pairs probed against the edge set; hits // 6)."""
+    from sbustreamspot_core_ray.pipelines.superstep import k4_count
+
+    return k4_count(_edges_copurchase(sf_dir), num_tasks=4 * P)
+
+
+_SQL_K4 = """
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b2
+      FROM b x JOIN b y ON x.o = y.o AND x.p < y.p),
+tri AS (SELECT e1.a AS a, e1.b2 AS b, e2.b2 AS c
+        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b2 > e1.b2
+        JOIN e e3 ON e3.a = e1.b2 AND e3.b2 = e2.b2)
+SELECT CAST(COUNT(*) AS BIGINT) AS k4
+FROM tri t
+JOIN e x ON x.a = t.c
+JOIN e y ON y.a = t.b AND y.b2 = x.b2
+JOIN e z ON z.a = t.a AND z.b2 = x.b2
+"""
+
+
 TRIPLE_ITEM_MIN = 3
 TRIPLE_MIN = 2
 TRIPLE_TOPN = 100
@@ -9788,6 +9881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "persistent_hitters": q_persistent_hitters,
         "q5_local_supplier": q_q5_local_supplier,
         "copurchase_pairs": q_copurchase_pairs,
+        "k4_count": q_k4_count,
         "frequent_triples": q_frequent_triples,
         "butterflies": q_butterflies,
         "snapshot_diff": q_snapshot_diff,
@@ -10744,6 +10838,7 @@ FROM g ORDER BY day
         "butterflies": _SQL_BUTTERFLIES,
         "frequent_triples": _SQL_FREQUENT_TRIPLES,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "k4_count": _SQL_K4,
         "copurchase_pairs": f"""
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 p AS (

@@ -2729,6 +2729,133 @@ def triangle_count(
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def k4_count(
+    edges: ray.data.Dataset,
+    num_tasks: int = 64,
+    broadcast_edges_max: int = 50_000_000,
+    incidence_max: int = 200_000_000,
+) -> ray.data.Dataset:
+    """Exact 4-clique (K4) census of the simple undirected graph, as two
+    rounds of the same wedge-closure kernel triangle_count uses:
+
+    round 1 — degree-ordered orientation + wedge closure enumerates every
+    triangle exactly once (mode-2 tasks return the corner tuples);
+    round 2 — the 3 (canonical edge, third corner) incidences per triangle
+    form a new "adjacency": within each edge's run, every pair of thirds
+    (c, d) is probed against the packed edge set, and a hit is exactly the
+    K4 {a, b, c, d} seen from edge (a, b). Each K4 is hit once per its 6
+    edges, so k4 = hits // 6 (divisibility asserted).
+
+    Scale shape: broadcast regime only — the oriented arrays and the
+    incidence arrays ship once via ray.put and both rounds fan out as
+    balanced Ray tasks (cumulative-work splits snapped to run starts).
+    Caps are explicit and raise loudly (|E| <= broadcast_edges_max,
+    3 * n_triangles <= incidence_max) — graphs beyond them need the
+    co-partitioned route documented in triangle_count; this census never
+    silently degrades. Returns a one-row Dataset {"k4": n}."""
+    import pyarrow.compute as pcc
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pcc.cast(t["src"], pa.int64())
+        d = pcc.cast(t["dst"], pa.int64())
+        keep = pcc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table(
+            {"a": pcc.min_element_wise(s, d), "b": pcc.max_element_wise(s, d)}
+        )
+
+    df = edges.map_batches(canon, batch_format="pyarrow").to_pandas()
+    if "a" not in df.columns or not len(df):
+        return ray.data.from_arrow(pa.table({"k4": pa.array([0], pa.int64())}))
+    a = df["a"].to_numpy()
+    b = df["b"].to_numpy()
+    del df
+    if len(a) > broadcast_edges_max:
+        raise ValueError(
+            f"k4_count broadcast regime cap exceeded ({len(a)} raw edges > "
+            f"{broadcast_edges_max}); route through a co-partitioned closure"
+        )
+    vs = np.unique(np.concatenate([a, b]))
+    nv = len(vs)
+    assert nv < (1 << 31)  # int32 ranks, same bound as the triangle path
+    ra = np.searchsorted(vs, a).astype(np.int64)
+    rb = np.searchsorted(vs, b).astype(np.int64)
+    es_packed = np.unique(
+        (ra.astype(np.uint64) << np.uint64(32)) | rb.astype(np.uint64)
+    )
+    ra = (es_packed >> np.uint64(32)).astype(np.int64)
+    rb = (es_packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    deg = np.bincount(ra, minlength=nv) + np.bincount(rb, minlength=nv)
+    da, db = deg[ra], deg[rb]
+    a_first = (da < db) | ((da == db) & (ra < rb))
+    u = np.where(a_first, ra, rb).astype(np.int32)
+    v = np.where(a_first, rb, ra).astype(np.int32)
+    rv = np.where(a_first, db, da).astype(np.int32)
+    order = np.lexsort((v, rv, u))
+    u, v = u[order], v[order]
+
+    def balanced_bounds(run_key: np.ndarray) -> np.ndarray:
+        n = len(run_key)
+        run_end = np.searchsorted(run_key, run_key, side="right")
+        sizes = run_end - np.arange(n) - 1
+        cum = np.cumsum(sizes)
+        total = int(cum[-1]) if n else 0
+        T = max(1, min(num_tasks, n))
+        targets = (np.arange(1, T) * (total / T)).astype(np.int64)
+        cuts = np.searchsorted(cum, targets)
+        cuts = np.searchsorted(run_key, run_key[np.clip(cuts, 0, n - 1)], "left")
+        return np.unique(np.concatenate([[0], cuts, [n]]))
+
+    es_ref = ray.put(es_packed)
+    b1 = balanced_bounds(u)
+    u_ref, v_ref = ray.put(u), ray.put(v)
+    tri = ray.get(
+        [
+            _close_wedges_task.remote(
+                u_ref, v_ref, es_ref, int(b1[i]), int(b1[i + 1]), 2
+            )
+            for i in range(len(b1) - 1)
+        ]
+    )
+    packs, thirds = [], []
+    for _, tu, tv, tw in tri:
+        if tu is None:
+            continue
+        for x, y, z in ((tu, tv, tw), (tu, tw, tv), (tv, tw, tu)):
+            lo = np.minimum(x, y).astype(np.uint64)
+            hi = np.maximum(x, y).astype(np.uint64)
+            packs.append((lo << np.uint64(32)) | hi)
+            thirds.append(z)
+    if not packs:
+        return ray.data.from_arrow(pa.table({"k4": pa.array([0], pa.int64())}))
+    epack = np.concatenate(packs)
+    third = np.concatenate(thirds).astype(np.int32)
+    if len(epack) > incidence_max:
+        raise ValueError(
+            f"k4_count incidence cap exceeded ({len(epack)} (edge, third) "
+            f"rows > {incidence_max}); shard round 2 before retrying"
+        )
+    o2 = np.lexsort((third, epack))
+    epack, third = epack[o2], third[o2]
+    b2 = balanced_bounds(epack)
+    e2_ref, t2_ref = ray.put(epack), ray.put(third)
+    hits = sum(
+        r[0]
+        for r in ray.get(
+            [
+                _close_wedges_task.remote(
+                    e2_ref, t2_ref, es_ref, int(b2[i]), int(b2[i + 1]), 0
+                )
+                for i in range(len(b2) - 1)
+            ]
+        )
+    )
+    assert hits % 6 == 0, hits
+    return ray.data.from_arrow(
+        pa.table({"k4": pa.array([hits // 6], pa.int64())})
+    )
+
+
 def clustering_coefficient(
     edges: ray.data.Dataset, num_partitions: int = 32
 ) -> ray.data.Dataset:

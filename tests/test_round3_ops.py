@@ -1063,3 +1063,37 @@ def test_walk_counts_path_graph():
     g = ShardedGraph.build(edges, num_parts=2, symmetric=False)
     df = walk_counts(g, iters=2).to_pandas().set_index("vertex")["walks"]
     assert df.to_dict() == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_k4_count_k5_plus_tail():
+    """K5 has C(5,4)=5 four-cliques; a pendant edge adds none."""
+    from itertools import combinations
+
+    from sbustreamspot_core_ray.pipelines.superstep import k4_count
+
+    pairs = list(combinations(range(5), 2)) + [(4, 99)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in pairs], pa.int64()),
+                "dst": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+    )
+    out = k4_count(edges, num_tasks=3).to_pandas()
+    assert out["k4"].tolist() == [5]
+
+
+def test_k4_count_triangle_free():
+    """A 4-cycle has no triangles, hence no K4."""
+    from sbustreamspot_core_ray.pipelines.superstep import k4_count
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 2, 3], pa.int64()),
+                "dst": pa.array([1, 2, 3, 0], pa.int64()),
+            }
+        )
+    )
+    assert k4_count(edges).to_pandas()["k4"].tolist() == [0]
