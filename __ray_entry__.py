@@ -8197,6 +8197,74 @@ def q_ann_recall(sf_dir: str):
     return pd.concat(frames, ignore_index=True)
 
 
+MMR_K = 10
+MMR_CAND = 50
+MMR_LAMBDA = 0.5
+
+
+def q_mmr_diversify(sf_dir: str):
+    """MMR-diversified top-k for query vector = embedding of vec_id 0:
+    greedy lam*rel - (1-lam)*max-sim-to-selected over the top-MMR_CAND
+    cosine candidates, bit-identical to the unrolled SQL greedy chain
+    (integer-quantized parity arithmetic throughout)."""
+    from sbustreamspot_core_ray.stages.ann import mmr_select
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q0 = emb.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0]
+    out = mmr_select(
+        emb,
+        np.asarray(q0, np.float64),
+        k=MMR_K,
+        n_candidates=MMR_CAND,
+        lam=MMR_LAMBDA,
+    )
+    out["score"] = round_half_away(out["score"], 6)
+    return out
+
+
+def _mmr_sql() -> str:
+    """Unrolled MMR greedy chain: candidate top-MMR_CAND by raw quantized
+    cosine, pairwise candidate sims, then MMR_K argmax steps each joining
+    the accumulated selection (score desc, vec_id tie-break) — every float
+    expression identical to the Ray side."""
+    lam, com = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    ctes = [
+        f"qe AS MATERIALIZED (SELECT vec_id, {_Q_EMB} AS q FROM embeddings)",
+        "q0 AS (SELECT q AS qq FROM qe WHERE vec_id = 0)",
+        f"cand AS MATERIALIZED (SELECT e.vec_id, {_q_cos('q0.qq', 'e.q')} AS raw, e.q"
+        f" FROM q0, qe e"
+        f" QUALIFY row_number() OVER (ORDER BY raw DESC, e.vec_id) <= {MMR_CAND})",
+        f"pw AS MATERIALIZED (SELECT x.vec_id AS i, y.vec_id AS j,"
+        f" {_q_cos('x.q', 'y.q')} AS s FROM cand x, cand y)",
+        f"acc1 AS MATERIALIZED (SELECT vec_id, {lam} * raw - {com} * 0.0"
+        f" AS score, CAST(1 AS BIGINT) AS rnk FROM cand"
+        f" ORDER BY score DESC, vec_id LIMIT 1)",
+    ]
+    for r in range(2, MMR_K + 1):
+        p = r - 1
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT c.vec_id,"
+            f" {lam} * c.raw - {com} * m.ms AS score,"
+            f" CAST({r} AS BIGINT) AS rnk FROM cand c"
+            f" JOIN (SELECT p.i AS vec_id, MAX(p.s) AS ms FROM pw p"
+            f" JOIN acc{p} s ON s.vec_id = p.j GROUP BY p.i) m"
+            f" ON m.vec_id = c.vec_id"
+            f" WHERE c.vec_id NOT IN (SELECT vec_id FROM acc{p})"
+            f" ORDER BY score DESC, c.vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"acc{r} AS MATERIALIZED (SELECT * FROM acc{p}"
+            f" UNION ALL SELECT * FROM a{r})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT rnk, vec_id, ROUND(score, 6) AS score FROM acc{MMR_K}"
+        " ORDER BY rnk"
+    )
+
+
 IVF_NC = 8
 IVF_NPROBE = 3
 NEARDUP_PLANES = 4
@@ -9949,6 +10017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "simhash_near_dup": q_simhash_near_dup,
+        "mmr_diversify": q_mmr_diversify,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
@@ -11708,6 +11777,7 @@ SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """,
         "knn_cosine": _knn_cosine_sql(),
+        "mmr_diversify": _mmr_sql(),
     }
 
 

@@ -1122,3 +1122,74 @@ def cosine_threshold_join(
         .groupby("kp")
         .map_groups(tile, batch_format="pyarrow")
     )
+
+
+def mmr_select(
+    embeddings: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    n_candidates: int = 50,
+    lam: float = 0.5,
+    quantize_scale: float = QUANT_SCALE,
+) -> pd.DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedily select `k`
+    results from the `n_candidates` highest-cosine candidates, each step
+    maximizing lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)
+    with a (score desc, vec_id asc) tie-break — the standard
+    search-result / RAG-context diversification operator.
+
+    Exact-parity construction: the candidate scan is the proven
+    knn_brute_force quantized kernel (distributed partial top-k, one tiny
+    merge); the greedy loop runs on the driver over <= n_candidates rows
+    with every relevance and pairwise similarity produced by
+    exact_cosine's fixed expression over integer-valued float64 vectors,
+    so scores are bit-identical to the unrolled SQL-oracle chain. Returns
+    (rnk, vec_id, score) with UNROUNDED scores (callers round on output)."""
+    import pyarrow.compute as pcc
+
+    q = np.asarray(query, np.float64)
+    cand = (
+        knn_brute_force(
+            embeddings, q[None, :], k=n_candidates,
+            quantize_scale=quantize_scale,
+        )
+        .to_pandas()
+        .sort_values(["cosine", "vec_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    ids = cand["vec_id"].to_numpy(np.int64)
+    rel = cand["cosine"].to_numpy(np.float64)
+    ids_ref = ray.put(ids)
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pcc.is_in(
+            pcc.cast(t["vec_id"], pa.int64()),
+            value_set=pa.array(ray.get(ids_ref), pa.int64()),
+        )
+        return t.filter(keep)
+
+    sub = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("vec_id")
+        .loc[ids]
+    )
+    V = quantize(
+        np.stack([np.asarray(v, np.float64) for v in sub["embedding"]]),
+        quantize_scale,
+    )
+    S = exact_cosine(V, V)  # pairwise candidate sims, SQL-mirrorable
+    n = len(ids)
+    k = min(k, n)
+    maxsim = np.zeros(n, np.float64)
+    remaining = np.ones(n, bool)
+    rows = []
+    for rnk in range(1, k + 1):
+        score = lam * rel - (1.0 - lam) * maxsim
+        idx_rem = np.flatnonzero(remaining)
+        best = idx_rem[np.lexsort((ids[idx_rem], -score[idx_rem]))[0]]
+        rows.append((rnk, int(ids[best]), float(score[best])))
+        remaining[best] = False
+        maxsim = np.maximum(maxsim, S[:, best])
+    return pd.DataFrame(rows, columns=["rnk", "vec_id", "score"])

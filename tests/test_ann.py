@@ -356,3 +356,33 @@ def test_cosine_threshold_join_complete_vs_bruteforce():
     assert got["cosine"].to_numpy().tolist() == [
         float(round_half_away(np.array([c]), 6)[0]) for _, _, c in want
     ]
+
+
+def test_mmr_prefers_diverse_over_redundant():
+    """Query along e1; candidates: near-duplicates of the query vs one
+    orthogonal-ish vector. After picking the best match, MMR must pick the
+    diverse vector over a second near-duplicate."""
+    import pandas as pd
+
+    from sbustreamspot_core_ray.stages.ann import mmr_select
+
+    vecs = {
+        1: [0.99, 0.14, 0.0],  # best match
+        2: [0.98, 0.19, 0.0],  # near-dup of 1
+        3: [0.5, 0.0, 0.87],   # relevant but diverse
+    }
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(vecs), pa.int64()),
+                "embedding": pa.array(
+                    [vecs[i] for i in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    out = mmr_select(
+        emb, np.array([1.0, 0.0, 0.0]), k=2, n_candidates=3, lam=0.5
+    )
+    assert out["vec_id"].tolist() == [1, 3]
+    assert out["rnk"].tolist() == [1, 2]
