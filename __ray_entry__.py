@@ -3836,6 +3836,47 @@ def q_triangles_per_vertex(sf_dir: str):
     )
 
 
+def q_scan_stat(sf_dir: str):
+    """Scan statistic (graph anomaly detection, the StreamSpot theme):
+    scan1(v) = edges in the closed 1-hop neighborhood = deg(v) +
+    triangles(v) — rides the oriented-wedge triangle pipeline's
+    with_degrees output, one added vectorized column."""
+    from sbustreamspot_core_ray.pipelines.superstep import triangle_count
+
+    ds = triangle_count(
+        _edges_triangle(sf_dir), num_partitions=4 * P,
+        per_vertex=True, with_degrees=True,
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "scan1", pc.add(t["deg"], t["triangles"])
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+_SQL_SCAN_STAT = f"""
+WITH de AS ({_SQL_EDGES_TRI}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM de WHERE src <> dst),
+deg AS (SELECT vertex, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS vertex FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY vertex),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+tv AS (SELECT vertex, CAST(count(*) AS BIGINT) AS triangles FROM (
+         SELECT x AS vertex FROM tri UNION ALL
+         SELECT y FROM tri UNION ALL
+         SELECT z FROM tri
+       ) GROUP BY vertex)
+SELECT d.vertex, COALESCE(t.triangles, 0) AS triangles, d.deg,
+       d.deg + COALESCE(t.triangles, 0) AS scan1
+FROM deg d LEFT JOIN tv t ON t.vertex = d.vertex
+"""
+
+
 def q_edge_support(sf_dir: str):
     """Per-edge triangle support (the k-truss metric) on the co-occurrence
     graph — rides the oriented-wedge triangle pipeline with per_edge
@@ -8870,6 +8911,34 @@ def q_term_df(sf_dir: str):
     return term_doc_freq(docs, top_n=100)
 
 
+def q_type_token_ratio(sf_dir: str):
+    """Per-source lexical diversity (type-token ratio): distinct terms /
+    total tokens per source, hashed-(source, term)-partition fold, one
+    cheap-key shuffle."""
+    from sbustreamspot_core_ray.stages.text import type_token_ratio
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return type_token_ratio(docs)
+
+
+_SQL_TTR = """
+WITH t AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tt AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS n_types
+  FROM t WHERE term <> '' GROUP BY source
+)
+SELECT source, n_types, n_tokens,
+       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr
+FROM tt ORDER BY source
+"""
+
+
 VOCAB_BUCKET = 2  # doc_id bucket width (synthetic corpus vocab saturates fast)
 
 
@@ -9894,6 +9963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighborhood_sketch": q_neighborhood_sketch,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "scan_stat": q_scan_stat,
         "edge_support": q_edge_support,
         "ktruss": q_ktruss,
         "kcore": q_kcore,
@@ -10024,6 +10094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": q_ann_recall,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_dedup": q_embedding_dedup,
+        "type_token_ratio": q_type_token_ratio,
         "term_df": q_term_df,
         "vocab_growth": q_vocab_growth,
         "term_tf": q_term_tf,
@@ -10257,6 +10328,7 @@ SELECT a, b, count(*) AS support FROM (
   SELECT y, z FROM tri
 ) GROUP BY a, b
 """,
+        "scan_stat": _SQL_SCAN_STAT,
         "ktruss": _ktruss_sql(),
         "shingles": f"""
 WITH e AS (
@@ -11670,6 +11742,7 @@ SELECT sz AS group_size,
 FROM g GROUP BY sz ORDER BY sz
 """,
         "vocab_growth": _SQL_VOCAB_GROWTH,
+        "type_token_ratio": _SQL_TTR,
         "term_df": """
 WITH t AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents

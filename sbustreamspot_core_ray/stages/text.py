@@ -1447,3 +1447,67 @@ def feature_hashing(
         .groupby("__p")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def type_token_ratio(
+    docs: ray.data.Dataset, num_parts: int = 16
+) -> pd.DataFrame:
+    """Per-source lexical diversity: type-token ratio = distinct terms /
+    total tokens per source (lower() + single-space split, the corpus'
+    standard tokenization) — the vocabulary-richness audit a data-mixing
+    pass reads next to the composition stats.
+
+    Scale shape: the per-batch combiner pre-folds to (source, term, n)
+    partials (vocabulary x sources sized, never the token stream), keyed
+    by hash(source, term) into num_parts partitions so each (source,
+    term)'s total lives in exactly ONE partition; the per-partition fold
+    emits (source, types_partial, tokens_partial) — num_parts * n_sources
+    rows — and the driver sums and divides once. One cheap-key shuffle
+    total."""
+    import numpy as np
+
+    from ..functions.hashing import part_of, stable_id64
+    from ..functions.rounding import round_half_away
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        src = df["source"].to_numpy(object)[ex.index.to_numpy()]
+        g = (
+            pd.DataFrame({"source": src, "term": ex.to_numpy(object)})
+            .groupby(["source", "term"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        kh = stable_id64(
+            (g["source"] + "\x00" + g["term"]).to_numpy(object)
+        ).astype(np.int64)
+        g["__p"] = part_of(kh, num_parts).astype(np.int32)
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        per_key = df.groupby(["source", "term"], sort=False)["n"].sum()
+        agg = per_key.reset_index().groupby("source", sort=False)["n"].agg(
+            types_p="size", tokens_p="sum"
+        )
+        return agg.reset_index()
+
+    parts = (
+        docs.map_batches(combiner, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("source", sort=True)
+        .agg(n_types=("types_p", "sum"), n_tokens=("tokens_p", "sum"))
+        .reset_index()
+    )
+    out["n_types"] = out["n_types"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    out["ttr"] = round_half_away(
+        out["n_types"].to_numpy(np.float64) / out["n_tokens"].to_numpy(),
+        6,
+    )
+    return out
