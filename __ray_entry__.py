@@ -6726,6 +6726,40 @@ def q_hourly_filled(sf_dir: str):
     return counts_per_window_filled(ev)
 
 
+def q_burstiness(sf_dir: str):
+    """Per-type Fano factor of hourly event counts over the type's dense
+    window range — exact integer moments, one division at the end."""
+    from sbustreamspot_core_ray.stages.events import burstiness
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return burstiness(ev)
+
+
+_SQL_BURSTINESS = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS win FROM events
+),
+s AS (
+  SELECT event_type, win, CAST(COUNT(*) AS BIGINT) AS n
+  FROM h GROUP BY 1, 2
+),
+a AS (
+  SELECT event_type,
+         CAST(MAX(win) - MIN(win) + 1 AS HUGEINT) AS nwin,
+         SUM(CAST(n AS HUGEINT)) AS sx,
+         SUM(CAST(n AS HUGEINT) * n) AS sxx
+  FROM s GROUP BY event_type
+)
+SELECT event_type, CAST(nwin AS BIGINT) AS n_windows,
+       CAST(sx AS BIGINT) AS n_events,
+       ROUND(CAST(nwin * sxx - sx * sx AS DOUBLE)
+             / CAST(nwin * sx AS DOUBLE), 6) AS fano
+FROM a ORDER BY event_type
+"""
+
+
 def q_embedding_outliers(sf_dir: str):
     """Top-3 farthest vectors from their label centroid, integer-exact
     (c^2-scaled squared distance clears the mean's denominator)."""
@@ -10029,6 +10063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficient": q_clustering_coefficient,
         "late_events": q_late_events,
         "hourly_filled": q_hourly_filled,
+        "burstiness": q_burstiness,
         "embedding_centroids": q_embedding_centroids,
         "label_margin": q_label_margin,
         "embedding_outliers": q_embedding_outliers,
@@ -11068,6 +11103,7 @@ SELECT event_id, user_id, ts_us, watermark_us,
        watermark_us - ts_us AS lateness_us
 FROM s WHERE watermark_us - ts_us > {LATE_US}
 """,
+        "burstiness": _SQL_BURSTINESS,
         "hourly_filled": """
 WITH c AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS win, count(*) AS n

@@ -3352,3 +3352,63 @@ def gap_slo(
             "gap_us": pa.array(out["gap_us"].to_numpy(np.int64)),
         }
     )
+
+
+def burstiness(
+    events: ray.data.Dataset,
+    window_us: int = 3_600_000_000,
+) -> "pd.DataFrame":
+    """Per-type burstiness: the Fano factor (variance / mean) of the
+    per-window event-count series over the type's dense [min, max] window
+    range (missing windows count 0) — a Poisson process scores ~1, bursty
+    traffic >> 1. The rate-anomaly screen that decides whether rate_spikes
+    thresholds can assume Poisson noise.
+
+    Exact-parity construction: the combiner pre-folds to sparse
+    (type, window, n) partials; one (type, window) groupby completes exact
+    counts; per type the moments (n_windows, sum n, sum n^2) are integers,
+    and fano = (N * sxx - sx^2) / (N * sx) is evaluated as ONE exact
+    integer numerator/denominator (Python bigint, no overflow) cast to
+    float64 for a single division — bit-identical to the SQL
+    HUGEINT-then-DOUBLE mirror. Output is types-sized."""
+    import pandas as pd
+
+    from ..functions.rounding import round_half_away
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False), object)
+        w = us // window_us
+        types, inv = np.unique(et, return_inverse=True)
+        key = np.stack([inv.astype(np.int64), w], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(types[uniq[:, 0]], pa.string()),
+                "win": uniq[:, 1],
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    sparse = (
+        events.select_columns(["ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby(["event_type", "win"])
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+        .to_pandas()
+    )
+    rows = []
+    for et, g in sparse.groupby("event_type", sort=True):
+        w = g["win"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        N = int(w.max() - w.min()) + 1
+        sx = int(n.sum())
+        sxx = int((n.astype(object) * n.astype(object)).sum())
+        fano = float(N * sxx - sx * sx) / float(N * sx)
+        rows.append((et, N, sx, round_half_away(fano, 6)))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n_windows", "n_events", "fano"]
+    )
