@@ -4500,6 +4500,41 @@ COPURCHASE_TOPN = 100
 COPURCHASE_MIN = 2
 
 
+def q_weighted_median(sf_dir: str):
+    """Exact quantity-weighted median extended price per return flag:
+    cent-quantized bounded-domain histogram fold, int64 cumulative
+    crossing at ceil(total/2)."""
+    from sbustreamspot_core_ray.stages.relational import weighted_median
+
+    return weighted_median(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+        ),
+        num_parts=P,
+    )
+
+
+_SQL_WEIGHTED_MEDIAN = """
+WITH k AS (
+  SELECT l_returnflag AS grp,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+t AS (SELECT grp, SUM(w) AS tot FROM k GROUP BY grp),
+c AS (SELECT grp, cents, w,
+             SUM(w) OVER (PARTITION BY grp ORDER BY cents) AS cum
+      FROM k)
+SELECT c.grp, c.cents AS median_cents, CAST(t.tot AS BIGINT) AS total_weight,
+       ROUND(c.cents / 100.0, 2) AS wmedian
+FROM c JOIN t ON t.grp = c.grp
+WHERE c.cum >= (t.tot + 1) // 2
+QUALIFY row_number() OVER (PARTITION BY c.grp ORDER BY c.cents) = 1
+ORDER BY c.grp
+"""
+
+
 def q_copurchase_pairs(sf_dir: str):
     """Market-basket pair mining: top-100 part pairs co-occurring in the
     most orders, one orderkey shuffle + triangular basket enumeration +
@@ -10053,6 +10088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "persistent_hitters": q_persistent_hitters,
         "q5_local_supplier": q_q5_local_supplier,
         "copurchase_pairs": q_copurchase_pairs,
+        "weighted_median": q_weighted_median,
         "k4_count": q_k4_count,
         "frequent_triples": q_frequent_triples,
         "butterflies": q_butterflies,
@@ -11015,6 +11051,7 @@ FROM g ORDER BY day
         "frequent_triples": _SQL_FREQUENT_TRIPLES,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "k4_count": _SQL_K4,
+        "weighted_median": _SQL_WEIGHTED_MEDIAN,
         "copurchase_pairs": f"""
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 p AS (

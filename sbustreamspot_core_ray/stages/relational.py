@@ -3109,3 +3109,91 @@ def abc_classes(
             ),
         }
     )
+
+
+def weighted_median(
+    lineitem: ray.data.Dataset,
+    num_parts: int = 32,
+) -> "pd.DataFrame":
+    """Exact quantity-weighted median extended price per return flag: the
+    smallest price whose cumulative quantity weight (ordered by price)
+    reaches ceil(total_weight / 2) — the inventory-valuation median where
+    each line weighs by units, not rows.
+
+    Scale shape: prices are cent-quantized, so the value DOMAIN is bounded
+    (<= 10^7 distinct cents) regardless of data volume — the
+    grouped_value_percentiles cent-histogram argument. The combiner folds
+    each batch to sparse (grp, cents, sum_w) partials; ONE
+    hash(grp, cents) shuffle completes exact per-key weights
+    (partition-disjoint keys); the driver cumsums the bounded sparse
+    histogram per group and selects the crossing row. All arithmetic is
+    int64; the only float is the final cents / 100 display division."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import round_half_away
+
+    def pre(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        w = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = np.asarray(
+            t["l_returnflag"].to_numpy(zero_copy_only=False), object
+        )
+        df = (
+            pd.DataFrame({"grp": grp, "cents": cents, "w": w})
+            .groupby(["grp", "cents"], sort=False)["w"]
+            .sum()
+            .reset_index()
+        )
+        kh = (
+            pd.util.hash_array(
+                (df["grp"] + "\x00" + df["cents"].astype(str)).to_numpy(object)
+            )
+            .astype(np.uint64)
+        )
+        df["__p"] = part_of(kh, num_parts).astype(np.int32)
+        return pa.table(
+            {
+                "grp": pa.array(df["grp"], pa.string()),
+                "cents": pa.array(df["cents"].to_numpy(np.int64)),
+                "w": pa.array(df["w"].to_numpy(np.int64)),
+                "__p": pa.array(df["__p"].to_numpy(np.int32)),
+            }
+        )
+
+    def fold(df: "pd.DataFrame") -> pa.Table:
+        g = df.groupby(["grp", "cents"], as_index=False)["w"].sum()
+        return pa.table(
+            {
+                "grp": pa.array(g["grp"], pa.string()),
+                "cents": pa.array(g["cents"].to_numpy(np.int64)),
+                "w": pa.array(g["w"].to_numpy(np.int64)),
+            }
+        )
+
+    hist = (
+        lineitem.select_columns(
+            ["l_returnflag", "l_extendedprice", "l_quantity"]
+        )
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = []
+    for grp, g in hist.groupby("grp", sort=True):
+        o = np.argsort(g["cents"].to_numpy(np.int64))
+        c = g["cents"].to_numpy(np.int64)[o]
+        w = g["w"].to_numpy(np.int64)[o]
+        cum = np.cumsum(w)
+        tot = int(cum[-1])
+        r = (tot + 1) // 2
+        i = int(np.searchsorted(cum, r))
+        rows.append(
+            (grp, int(c[i]), tot, round_half_away(c[i] / 100.0, 2))
+        )
+    return pd.DataFrame(
+        rows, columns=["grp", "median_cents", "total_weight", "wmedian"]
+    )
