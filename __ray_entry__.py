@@ -3301,6 +3301,97 @@ SELECT vertex, CAST(count(*) AS BIGINT) AS reach_cnt,
 FROM md GROUP BY vertex"""
 
 
+def q_partition_skew(sf_dir: str):
+    """Partitioning/skew audit (the north rule's explicit-partitioning
+    requirement, made inspectable): per-partition edge counts under the
+    engine's own hash partitioner (part_of: Fibonacci multiplicative mix
+    >> 33, mod P) on the src key, plus each partition's integer ppm share
+    — the diagnostic a skew-salting decision reads."""
+    from sbustreamspot_core_ray.functions.hashing import part_of
+
+    def tag(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = part_of(src, P)
+        cnt = np.bincount(p, minlength=P)
+        return pa.table(
+            {
+                "part": pa.array(np.arange(P, dtype=np.int64)),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    parts = (
+        _edges_full(sf_dir)  # dedup=True: the audit is over DISTINCT edges
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .sum("n_partial")
+        .to_pandas()
+        .rename(columns={"sum(n_partial)": "n_rows"})
+        .sort_values("part")
+        .reset_index(drop=True)
+    )
+    total = int(parts["n_rows"].sum())
+    parts["share_ppm"] = (
+        parts["n_rows"].to_numpy(np.int64) * 1_000_000 // total
+    )
+    return parts
+
+
+_SQL_PARTITION_SKEW = f"""
+WITH e AS ({_SQL_EDGES}),
+p AS (
+  SELECT CAST((((CAST(src AS HUGEINT) * 11400714819323198485)
+                % 18446744073709551616) // 8589934592) % {P} AS BIGINT)
+         AS part
+  FROM e
+),
+c AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows FROM p GROUP BY part),
+t AS (SELECT SUM(n_rows) AS total FROM c)
+SELECT part, n_rows,
+       CAST(n_rows * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM c, t ORDER BY part
+"""
+
+
+def q_effective_diameter(sf_dir: str):
+    """Per-seed effective diameter (90th-percentile BFS distance): the
+    smallest hop h whose cumulative reached count crosses 90% of the
+    seed's total reach — integer cross-multiplied (10 * cum >= 9 * total),
+    composed over the bfs_hop_histogram superstep output."""
+    df = (
+        q_hop_histogram(sf_dir)
+        .to_pandas()
+        .sort_values(["seed", "dist"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for seed, g in df.groupby("seed", sort=True):
+        n = g["n_vertices"].to_numpy(np.int64)
+        d = g["dist"].to_numpy(np.int64)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        i = int(np.flatnonzero(10 * cum >= 9 * total)[0])
+        rows.append((int(seed), int(d[i]), total))
+    return pd.DataFrame(rows, columns=["seed", "eff_diam", "reached"])
+
+
+def _effective_diameter_sql() -> str:
+    return f"""
+WITH h AS ({_hop_histogram_sql()}),
+c AS (
+  SELECT seed, dist, n_vertices,
+         SUM(n_vertices) OVER (PARTITION BY seed ORDER BY dist) AS cum,
+         SUM(n_vertices) OVER (PARTITION BY seed) AS total
+  FROM h
+)
+SELECT seed, CAST(dist AS BIGINT) AS eff_diam,
+       CAST(total AS BIGINT) AS reached
+FROM c WHERE 10 * cum >= 9 * total
+QUALIFY row_number() OVER (PARTITION BY seed ORDER BY dist) = 1
+ORDER BY seed
+"""
+
+
 def q_hop_histogram(sf_dir: str):
     """Per-seed BFS hop profile (seed, dist, n_vertices): one BFS per
     sample seed; each shard returns only a bounded per-hop histogram."""
@@ -9969,6 +10060,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stress_centrality": q_stress_centrality,
         "closeness_sample": q_closeness_sample,
         "hop_histogram": q_hop_histogram,
+        "effective_diameter": q_effective_diameter,
+        "partition_skew": q_partition_skew,
         "harmonic_sample": q_harmonic_sample,
         "mis": q_mis,
         "coloring": q_coloring,
@@ -10224,6 +10317,8 @@ def oracle_sql() -> dict[str, str]:
         "stress_centrality": _stress_sql(),
         "closeness_sample": _closeness_sample_sql(),
         "hop_histogram": _hop_histogram_sql(),
+        "effective_diameter": _effective_diameter_sql(),
+        "partition_skew": _SQL_PARTITION_SKEW,
         "harmonic_sample": _harmonic_sample_sql(),
         "mis": _mis_sql(),
         "coloring": _coloring_sql(),
