@@ -9900,6 +9900,59 @@ def q_bm25_search(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+QL_MU = 2000.0
+QL_TOP = 50
+
+
+def q_ql_search(sf_dir: str):
+    """Dirichlet query-likelihood retrieval (product form, no per-doc
+    logs) for the fixed 5-term query: top-50 by P(q|d)*1e15, exact integer
+    corpus stats + one fixed IEEE factor chain per doc."""
+    from sbustreamspot_core_ray.stages.text import ql_search
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ql_search(docs, BM25_TERMS, mu=QL_MU, top_n=QL_TOP).to_pandas()
+    out["score_e15"] = round_half_away(out["score_e15"], 6)
+    return out.reset_index(drop=True)
+
+
+def _ql_sql() -> str:
+    """Independent SQL recomputation of the Dirichlet QL product chain:
+    same tokenization, own corpus stats, identical left-associated factor
+    product (float literals repr-rendered)."""
+    mu = repr(QL_MU)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(ts, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    ctf_cols = ", ".join(
+        f"sum(tf{i}) AS ctf{i}" for i in range(len(BM25_TERMS))
+    )
+    score = " * ".join(
+        f"((b.tf{i} + {mu} * (CAST(st.ctf{i} AS DOUBLE)"
+        f" / CAST(st.sdl AS DOUBLE))) / (b.dl + {mu}))"
+        for i in range(len(BM25_TERMS))
+    )
+    anyhit = " + ".join(f"b.tf{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(ts) AS dl,
+         {tf_cols}
+  FROM tok
+),
+st AS (SELECT sum(dl) AS sdl, {ctf_cols} FROM base),
+sc AS (SELECT b.doc_id, ({score}) * 1.0e15 AS score_e15
+       FROM base b, st WHERE ({anyhit}) > 0)
+SELECT doc_id, ROUND(score_e15, 6) AS score_e15 FROM sc
+QUALIFY row_number() OVER (ORDER BY score_e15 DESC, doc_id) <= {QL_TOP}"""
+
+
 RRF_K = 60
 RRF_FUSE = 20
 
@@ -10264,6 +10317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_tf": q_term_tf,
         "dup_stats": q_dup_stats,
         "doc_percentiles": q_doc_percentiles,
+        "ql_search": q_ql_search,
         "bm25_search": q_bm25_search,
         "rank_fusion": q_rank_fusion,
         "tfidf_topterms": q_tfidf_topterms,
@@ -11889,6 +11943,7 @@ FROM s3 ORDER BY doc_id
         "embedding_near_dup": _embedding_near_dup_sql(),
         "embedding_dedup": _embedding_dedup_sql(),
         "bm25_search": _bm25_sql(),
+        "ql_search": _ql_sql(),
         "rank_fusion": _rank_fusion_sql(),
         "tfidf_topterms": _SQL_TFIDF_TOPTERMS,
         "group_sample": _SQL_GROUP_SAMPLE,

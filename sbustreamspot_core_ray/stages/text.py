@@ -1511,3 +1511,59 @@ def type_token_ratio(
         6,
     )
     return out
+
+
+def ql_search(
+    docs: ray.data.Dataset,
+    terms: tuple,
+    mu: float = 2000.0,
+    top_n: int = 50,
+) -> ray.data.Dataset:
+    """Dirichlet-smoothed query-likelihood retrieval (the LM-based sibling
+    of bm25_search): rank docs by P(q|d) = Π_i (tf_i + mu·p_c(t_i)) /
+    (dl + mu), kept in PRODUCT form — monotone-equal to the usual
+    sum-of-logs score but with no per-document log, so the float chain
+    stays a fixed left-associated IEEE expression over exact integer
+    corpus stats (the bm25_search parity technique; np.log's SIMD path
+    would break ulp parity and is avoided entirely). Emits
+    score_e15 = P(q|d) * 1e15 (rounded on output by callers); docs
+    matching no query term are filtered.
+
+    Same scale shape as bm25_search: one term-count corpus pass, a
+    one-row-per-batch integer stats combiner summed on the driver,
+    broadcast-scalar scoring map, top-n sort of matching docs only."""
+    base = docs.map_batches(
+        _Bm25TermCounts(tuple(terms)), batch_format="pandas"
+    ).materialize()  # consumed twice: stats + scoring
+    nt = len(terms)
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        row = {"sdl": np.array([df["dl"].sum()], np.int64)}
+        for i in range(nt):
+            row[f"ctf{i}"] = np.array([df[f"tf{i}"].sum()], np.int64)
+        return pd.DataFrame(row)
+
+    st = base.map_batches(stats_partial, batch_format="pandas").to_pandas().sum()
+    sdl = int(st["sdl"])
+    pc = [float(int(st[f"ctf{i}"])) / float(sdl) for i in range(nt)]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df["dl"].to_numpy(np.int64)
+        denom = dl + mu
+        acc = None
+        hit = np.zeros(len(df), bool)
+        for i in range(nt):
+            tf = df[f"tf{i}"].to_numpy(np.int64)
+            hit |= tf > 0
+            # EXACT mirror of the SQL factor (same parenthesization)
+            f = (tf + mu * pc[i]) / denom
+            acc = f if acc is None else acc * f
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"], "score_e15": acc * 1.0e15}
+        )
+        return out[hit]
+
+    ranked = base.map_batches(score, batch_format="pandas")
+    return ranked.sort(
+        ["score_e15", "doc_id"], descending=[True, False]
+    ).limit(top_n)
