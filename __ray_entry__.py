@@ -4238,6 +4238,119 @@ def q_q1_revenue(sf_dir: str):
     return out
 
 
+IVM_DEL_MOD = 97
+IVM_INS_MOD = 89
+
+
+def q_ivm_refresh(sf_dir: str):
+    """Incremental view maintenance of the Q1 rollup under a deterministic
+    refresh batch (TPC-H RF-style: DELETE lineitems with l_orderkey %
+    IVM_DEL_MOD == 0, INSERT re-keyed copies of l_orderkey % IVM_INS_MOD
+    == 0): the maintained result is base + insert-partials −
+    delete-partials, folded per group in ONE corpus pass (each batch emits
+    all/del/ins partial columns) — never a rescan of the modified
+    relation. The oracle recomputes from the modified relation directly,
+    so value parity proves the combine algebra is a correct IVM."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        units = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isdel = (ok % IVM_DEL_MOD == 0).astype(np.int64)
+        isins = (ok % IVM_INS_MOD == 0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "rf": np.asarray(
+                    t["l_returnflag"].to_numpy(zero_copy_only=False), object
+                ),
+                "ls": np.asarray(
+                    t["l_linestatus"].to_numpy(zero_copy_only=False), object
+                ),
+                "q_all": qty,
+                "u_all": units,
+                "n_all": np.ones(len(ok), np.int64),
+                "q_del": qty * isdel,
+                "u_del": units * isdel,
+                "n_del": isdel,
+                "q_ins": qty * isins,
+                "u_ins": units * isins,
+                "n_ins": isins,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["rf", "ls"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        li.map_batches(pre, batch_format="pyarrow")
+        .groupby(["rf", "ls"])
+        .sum(
+            ["q_all", "u_all", "n_all", "q_del", "u_del", "n_del",
+             "q_ins", "u_ins", "n_ins"]
+        )
+        .to_pandas()
+    )
+    qty = (
+        g["sum(q_all)"] - g["sum(q_del)"] + g["sum(q_ins)"]
+    ).to_numpy(np.int64)
+    units = (
+        g["sum(u_all)"] - g["sum(u_del)"] + g["sum(u_ins)"]
+    ).to_numpy(np.int64)
+    n = (
+        g["sum(n_all)"] - g["sum(n_del)"] + g["sum(n_ins)"]
+    ).to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "l_returnflag": g["rf"],
+            "l_linestatus": g["ls"],
+            "sum_qty": round_half_away(qty.astype(np.float64), 2),
+            "sum_revenue": round_half_away(
+                units.astype(np.float64) / 10000.0, 2
+            ),
+            "n_rows": n,
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(
+        drop=True
+    )
+
+
+_SQL_IVM_REFRESH = f"""
+WITH mod AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice, l_discount
+  FROM lineitem WHERE l_orderkey % {IVM_DEL_MOD} <> 0
+  UNION ALL
+  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice, l_discount
+  FROM lineitem WHERE l_orderkey % {IVM_INS_MOD} = 0
+)
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0
+                                 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0,
+             2) AS sum_revenue,
+       count(*) AS n_rows
+FROM mod GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def q_events_windowed(sf_dir: str):
     """Tumbling 1h windows. sum_value summed in exact integer cents
     (order-independent; see stages/events.py quantize_units) so the value
@@ -10193,6 +10306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_clusters": q_lsh_clusters,
         "streamspot_snapshots": q_streamspot_snapshots,
         "q1_revenue": q_q1_revenue,
+        "ivm_refresh": q_ivm_refresh,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
         "interval_coverage": q_interval_coverage,
@@ -10588,6 +10702,7 @@ SELECT event_type,
          AS sum_value
 FROM events GROUP BY 1, 2
 """,
+        "ivm_refresh": _SQL_IVM_REFRESH,
         "interval_coverage": _SQL_INTERVAL_COVERAGE,
         "decayed_counts": _SQL_DECAYED_COUNTS,
         "sessionize": """
