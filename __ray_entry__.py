@@ -8429,6 +8429,32 @@ WHERE {APJ_DEN} * inter >= {APJ_NUM} * (sa.n + sb.n - inter)
 """
 
 
+def q_dedup_by_source(sf_dir: str):
+    """Per-source exact-dedup impact: total docs, first-wins kept docs,
+    integer ppm removal rate — one sha-key shuffle, additive per-source
+    partials."""
+    from sbustreamspot_core_ray.stages.dedup import dedup_by_source
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return dedup_by_source(docs, num_parts=P)
+
+
+_SQL_DEDUP_BY_SOURCE = """
+WITH k AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST((count(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END))
+            * 1000000 // count(*) AS BIGINT) AS removed_ppm
+FROM k GROUP BY source ORDER BY source
+"""
+
+
 def q_minhash_dedup(sf_dir: str):
     """Minhash-LSH near-dup groups. SQL-mirrored end-to-end: seeded
     permutation constants -> HUGEINT minhash/banding -> star candidate
@@ -10415,6 +10441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_rollup": q_path_rollup,
         "fork_candidates": q_fork_candidates,
         "edit_distance_dedup": q_edit_distance_dedup,
+        "dedup_by_source": q_dedup_by_source,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -12183,6 +12210,7 @@ FROM documents d LEFT JOIN (
         "corpus_split": _corpus_split_sql(),
         "path_rollup": _path_rollup_sql(),
         "fork_candidates": _fork_candidates_sql(),
+        "dedup_by_source": _SQL_DEDUP_BY_SOURCE,
         "exact_dedup": """
 SELECT doc_id, sha256(text) AS content_hash FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

@@ -1794,3 +1794,66 @@ def incremental_near_dup(
         num_parts,
     )
     return ngram_jaccard_verify(cands, docs, threshold, shingle_k)
+
+
+def dedup_by_source(
+    docs: ray.data.Dataset, num_parts: int = 32
+) -> "pd.DataFrame":
+    """Per-source dedup impact report (the data-mixing view of exact
+    dedup): for each source, total docs, docs KEPT by first-wins
+    (min doc_id per sha256(text)) exact dedup, and the integer ppm removal
+    rate — the table a curation run publishes to show which sources are
+    dup-heavy before reweighting.
+
+    Scale shape: one hash(sha) shuffle co-locates all copies of a text, so
+    the per-partition fold resolves each group's winner locally and emits
+    ADDITIVE per-source (docs, kept) partials — num_parts * n_sources rows
+    to the driver, never a doc-level join back."""
+    import hashlib
+
+    def hash_part(df: pd.DataFrame) -> pd.DataFrame:
+        dig = [hashlib.sha256(t.encode("utf-8")).digest() for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "sha": [d.hex() for d in dig],
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "source": np.asarray(df["source"].to_numpy(), object),
+                "__p": np.array(
+                    [int.from_bytes(d[:8], "little") % num_parts for d in dig],
+                    np.int32,
+                ),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("source", sort=False).size()
+        first = (
+            df.sort_values(["sha", "doc_id"])
+            .groupby("sha", sort=False)
+            .head(1)
+        )
+        kept = first.groupby("source", sort=False).size()
+        out = tot.to_frame("docs_p").join(
+            kept.to_frame("kept_p"), how="left"
+        )
+        out["kept_p"] = out["kept_p"].fillna(0).astype(np.int64)
+        return out.reset_index().rename(columns={"index": "source"})
+
+    parts = (
+        docs.select_columns(["doc_id", "source", "text"])
+        .map_batches(hash_part, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("source", sort=True)
+        .agg(n_docs=("docs_p", "sum"), n_kept=("kept_p", "sum"))
+        .reset_index()
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_kept"] = out["n_kept"].astype(np.int64)
+    out["removed_ppm"] = (
+        (out["n_docs"] - out["n_kept"]) * 1_000_000 // out["n_docs"]
+    ).astype(np.int64)
+    return out
