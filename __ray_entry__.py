@@ -3927,6 +3927,49 @@ def q_triangles_per_vertex(sf_dir: str):
     )
 
 
+def q_transitivity(sf_dir: str):
+    """Global clustering coefficient (transitivity) of the co-occurrence
+    graph: 3 * triangles / wedges, wedges = sum C(deg, 2) — both exact
+    integers off the triangle pipeline's with_degrees output, one float
+    division at the end."""
+    from sbustreamspot_core_ray.pipelines.superstep import triangle_count
+
+    df = triangle_count(
+        _edges_triangle(sf_dir), num_partitions=4 * P,
+        per_vertex=True, with_degrees=True,
+    ).to_pandas()
+    tri = int(df["triangles"].sum()) // 3  # each triangle counted at 3 corners
+    deg = df["deg"].to_numpy(np.int64)
+    wedges = int((deg * (deg - 1) // 2).sum())
+    return pd.DataFrame(
+        {
+            "triangles": np.array([tri], np.int64),
+            "wedges": np.array([wedges], np.int64),
+            "transitivity": [
+                round_half_away(float(3 * tri) / float(wedges), 6)
+            ],
+        }
+    )
+
+
+_SQL_TRANSITIVITY = f"""
+WITH de AS ({_SQL_EDGES_TRI}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM de WHERE src <> dst),
+deg AS (SELECT vertex, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT a AS vertex FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY vertex),
+w AS (SELECT SUM(d * (d - 1) // 2) AS wedges FROM deg),
+tri AS (SELECT CAST(count(*) AS BIGINT) AS n
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT tri.n AS triangles, CAST(w.wedges AS BIGINT) AS wedges,
+       ROUND(CAST(3 * tri.n AS DOUBLE) / CAST(w.wedges AS DOUBLE), 6)
+         AS transitivity
+FROM tri, w
+"""
+
+
 def q_scan_stat(sf_dir: str):
     """Scan statistic (graph anomaly detection, the StreamSpot theme):
     scan1(v) = edges in the closed 1-hop neighborhood = deg(v) +
@@ -10318,6 +10361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "scan_stat": q_scan_stat,
+        "transitivity": q_transitivity,
         "edge_support": q_edge_support,
         "ktruss": q_ktruss,
         "kcore": q_kcore,
@@ -10690,6 +10734,7 @@ SELECT a, b, count(*) AS support FROM (
 ) GROUP BY a, b
 """,
         "scan_stat": _SQL_SCAN_STAT,
+        "transitivity": _SQL_TRANSITIVITY,
         "ktruss": _ktruss_sql(),
         "shingles": f"""
 WITH e AS (
