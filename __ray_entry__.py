@@ -7110,6 +7110,68 @@ def q_value_outliers(sf_dir: str):
     return value_outliers(ev)
 
 
+def q_longest_streak(sf_dir: str):
+    """Per-user longest consecutive-active-day streak + total active days
+    (gaps-and-islands), one user-key shuffle, vectorized island scan."""
+    from sbustreamspot_core_ray.stages.events import longest_streak
+
+    return longest_streak(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+        ),
+        num_parts=P,
+    )
+
+
+def q_conversion_lag(sf_dir: str):
+    """Per-user signup -> first-subsequent-purchase lag (funnel
+    time-to-convert), one user-key shuffle, vectorized per-partition
+    minima."""
+    from sbustreamspot_core_ray.stages.events import conversion_lag
+
+    return conversion_lag(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["ts", "user_id", "event_type"],
+        ),
+        num_parts=P,
+    )
+
+
+_SQL_CONVERSION_LAG = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS signup_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.signup_us
+  GROUP BY e.user_id
+)
+SELECT s.user_id, s.signup_us, p.purchase_us,
+       p.purchase_us - s.signup_us AS lag_us
+FROM s JOIN p ON p.user_id = s.user_id ORDER BY s.user_id
+"""
+
+
+_SQL_LONGEST_STREAK = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM d
+),
+s AS (SELECT user_id, island, count(*) AS len FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_daily_users(sf_dir: str):
     """COUNT(DISTINCT user) per day — batch-deduped pairs cross one
     composite-key shuffle, then a tiny window-keyed fold."""
@@ -10437,6 +10499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": q_props_stats,
         "value_outliers": q_value_outliers,
         "daily_users": q_daily_users,
+        "longest_streak": q_longest_streak,
+        "conversion_lag": q_conversion_lag,
         "hll_users": q_hll_users,
         "cms_top_users": q_cms_top_users,
         "event_trigrams": q_event_trigrams,
@@ -11668,6 +11732,8 @@ SELECT t.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
 FROM t JOIN p ON p.d BETWEEN t.day - {WAU_DAYS - 1} AND t.day
 GROUP BY t.day
 """,
+        "longest_streak": _SQL_LONGEST_STREAK,
+        "conversion_lag": _SQL_CONVERSION_LAG,
         "daily_users": """
 WITH d AS (
   SELECT epoch_us(ts) // 86400000000 AS "window", user_id FROM events

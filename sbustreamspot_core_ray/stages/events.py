@@ -3412,3 +3412,141 @@ def burstiness(
     return pd.DataFrame(
         rows, columns=["event_type", "n_windows", "n_events", "fano"]
     )
+
+
+def longest_streak(
+    events: ray.data.Dataset,
+    day_us: int = 86_400_000_000,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Per-user longest run of consecutive active days plus total active
+    days — the classic gaps-and-islands engagement metric. ONE
+    hash(user) shuffle; per partition the distinct (user, day) rows sort
+    once and the island key (day - rank-within-user) falls out of a
+    vectorized cumcount, so runs group exactly with no per-user Python.
+    Output is users-sized."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = us // day_us
+        key = np.stack([uid, day], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table(
+            {
+                "user_id": uniq[:, 0],
+                "day": uniq[:, 1],
+                "__p": pa.array(
+                    part_of(uniq[:, 0].astype(np.uint64), num_parts),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        d = df.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"]
+        )
+        uid = d["user_id"].to_numpy(np.int64)
+        day = d["day"].to_numpy(np.int64)
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        # rank within user = position - user start position
+        pos = np.arange(len(uid))
+        start = np.maximum.accumulate(np.where(new_user, pos, 0))
+        island = day - (pos - start)
+        g = (
+            pd.DataFrame({"user_id": uid, "island": island})
+            .groupby(["user_id", "island"], sort=False)
+            .size()
+            .reset_index(name="len")
+        )
+        a = g.groupby("user_id", sort=False)["len"].agg(
+            longest_streak="max", active_days="sum"
+        )
+        a = a.reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(a["user_id"].to_numpy(np.int64)),
+                "longest_streak": pa.array(
+                    a["longest_streak"].to_numpy(np.int64)
+                ),
+                "active_days": pa.array(a["active_days"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        events.select_columns(["ts", "user_id"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def conversion_lag(
+    events: ray.data.Dataset,
+    from_type: str = "signup",
+    to_type: str = "purchase",
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Funnel conversion lag: per user, the first `from_type` event and
+    the first `to_type` event AT OR AFTER it, with the lag in
+    microseconds — the time-to-convert table cohort dashboards aggregate.
+    Users who never convert are omitted (inner semantics, mirrors the SQL
+    join).
+
+    ONE hash(user) shuffle of the two event types' (user, ts) rows (the
+    sessionize cost class — the 'first purchase after the first signup'
+    dependency makes per-batch purchase minima uncombinable, so raw rows
+    route once); per partition both resolutions are vectorized groupby
+    minima."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.or_(
+            pc.equal(et, from_type), pc.equal(et, to_type)
+        )
+        t = t.filter(keep)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": uid,
+                "us": pc.cast(t["ts"], pa.int64()),
+                "is_to": pc.equal(t["event_type"], to_type),
+                "__p": pa.array(
+                    part_of(uid.astype(np.uint64), num_parts), pa.int32()
+                ),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        f = df[~df["is_to"]]
+        su = f.groupby("user_id", sort=False)["us"].min()
+        t = df[df["is_to"]].copy()
+        t["su"] = t["user_id"].map(su)
+        t = t[t["su"].notna() & (t["us"] >= t["su"])]
+        pu = t.groupby("user_id", sort=False)["us"].min()
+        out = su.to_frame("signup_us").join(pu.to_frame("purchase_us"), how="inner")
+        out = out.reset_index().sort_values("user_id")
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
+                "signup_us": pa.array(out["signup_us"].to_numpy(np.int64)),
+                "purchase_us": pa.array(
+                    out["purchase_us"].to_numpy(np.int64)
+                ),
+                "lag_us": pa.array(
+                    (out["purchase_us"] - out["signup_us"]).to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        events.select_columns(["ts", "user_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+    )
