@@ -4022,6 +4022,59 @@ def q_edge_support(sf_dir: str):
     )
 
 
+def q_edge_jaccard(sf_dir: str):
+    """Per-edge neighborhood Jaccard (tie strength) for every
+    triangle-participating edge of the co-occurrence graph:
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b) − {a,b}| = support / (da + db − 2 −
+    support) — the embeddedness score strong-tie detection thresholds.
+    Rides the per-edge triangle pipeline (support) plus its with_degrees
+    twin; the merge is over the triangle-edge table (≤ the support table,
+    far below |E|)."""
+    from sbustreamspot_core_ray.pipelines.superstep import triangle_count
+
+    sup = triangle_count(
+        _edges_triangle(sf_dir), num_partitions=4 * P, per_edge=True
+    ).to_pandas()
+    deg = (
+        triangle_count(
+            _edges_triangle(sf_dir), num_partitions=4 * P,
+            per_vertex=True, with_degrees=True,
+        )
+        .to_pandas()
+        .set_index("vertex")["deg"]
+    )
+    da = sup["a"].map(deg).to_numpy(np.int64)
+    db = sup["b"].map(deg).to_numpy(np.int64)
+    s = sup["support"].to_numpy(np.int64)
+    sup["jaccard"] = round_half_away(
+        s.astype(np.float64) / (da + db - 2 - s), 6
+    )
+    return sup.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+_SQL_EDGE_JACCARD = f"""
+WITH de AS ({_SQL_EDGES_TRI}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM de WHERE src <> dst),
+deg AS (SELECT vertex, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT a AS vertex FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY vertex),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+sup AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+          SELECT x AS a, y AS b FROM tri UNION ALL
+          SELECT x, z FROM tri UNION ALL
+          SELECT y, z FROM tri
+        ) GROUP BY a, b)
+SELECT s.a, s.b, s.support,
+       ROUND(CAST(s.support AS DOUBLE)
+             / (da.d + db.d - 2 - s.support), 6) AS jaccard
+FROM sup s JOIN deg da ON da.vertex = s.a JOIN deg db ON db.vertex = s.b
+ORDER BY s.a, s.b
+"""
+
+
 KTRUSS_K = 4
 KTRUSS_SQL_ROUNDS = 20  # measured 15 peel rounds at sf0.01; extra are no-ops
 
@@ -10425,6 +10478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scan_stat": q_scan_stat,
         "transitivity": q_transitivity,
         "edge_support": q_edge_support,
+        "edge_jaccard": q_edge_jaccard,
         "ktruss": q_ktruss,
         "kcore": q_kcore,
         "common_neighbors": q_common_neighbors,
@@ -10799,6 +10853,7 @@ SELECT a, b, count(*) AS support FROM (
 """,
         "scan_stat": _SQL_SCAN_STAT,
         "transitivity": _SQL_TRANSITIVITY,
+        "edge_jaccard": _SQL_EDGE_JACCARD,
         "ktruss": _ktruss_sql(),
         "shingles": f"""
 WITH e AS (
