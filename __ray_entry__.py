@@ -10437,6 +10437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_drift": q_pagerank_drift,
         "rate_spikes": q_rate_spikes,
         "triad_census": q_triad_census,
+        "decay_attribution": q_decay_attribution,
         "linear_attribution": q_linear_attribution,
         "kmv_overlap": q_kmv_overlap,
         "dup_spans": q_dup_spans,
@@ -10696,6 +10697,7 @@ def oracle_sql() -> dict[str, str]:
         "rate_spikes": _rate_spikes_sql(),
         "triad_census": _SQL_TRIAD_CENSUS.format(m=TRIAD_MOD),
         "linear_attribution": _SQL_LINEAR_ATTribution,
+        "decay_attribution": _SQL_DECAY_ATTRIBUTION,
         "kmv_overlap": _kmv_overlap_sql(),
         "dup_spans": _dup_spans_sql(),
         "kmeans": _kmeans_sql(),
@@ -12991,6 +12993,51 @@ SELECT event_type,
                 + CASE WHEN pos < 1000000 % k THEN 1 ELSE 0 END)
             AS BIGINT) AS credit_micro
 FROM k GROUP BY event_type"""
+
+
+def q_decay_attribution(sf_dir: str):
+    """Time-decay multi-touch attribution: per-conversion integer credit
+    split proportional to 2^(6 - age_days) over the 7-day prior window,
+    remainder to the earliest touches — exact integers end-to-end."""
+    from sbustreamspot_core_ray.stages.events import decay_attribution
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return decay_attribution(ev, num_parts=P)
+
+
+_SQL_DECAY_ATTRIBUTION = """
+WITH conv AS (
+  SELECT event_id AS cid, user_id, ts FROM events
+  WHERE event_type = 'purchase'),
+tch AS (
+  SELECT event_id AS tid, user_id, ts, event_type FROM events
+  WHERE event_type IN ('click', 'view')),
+pairs AS (
+  SELECT c.cid, t.event_type, t.ts, t.tid,
+         CASE CAST((epoch_us(c.ts) - epoch_us(t.ts)) // 86400000000
+                   AS BIGINT)
+           WHEN 0 THEN 64 WHEN 1 THEN 32 WHEN 2 THEN 16
+           WHEN 3 THEN 8 WHEN 4 THEN 4 WHEN 5 THEN 2 ELSE 1 END AS w
+  FROM conv c JOIN tch t ON t.user_id = c.user_id
+   AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 7 DAY),
+k AS (
+  SELECT event_type, w,
+         SUM(w) OVER (PARTITION BY cid) AS sw,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY ts, tid) - 1 AS pos,
+         cid
+  FROM pairs),
+b AS (
+  SELECT event_type, cid, pos, 1000000 * w // sw AS base,
+         SUM(1000000 * w // sw) OVER (PARTITION BY cid) AS sbase
+  FROM k)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(base + CASE WHEN pos < 1000000 - sbase THEN 1 ELSE 0 END)
+            AS BIGINT) AS credit_micro
+FROM b GROUP BY event_type ORDER BY event_type"""
 
 
 KMV_K = 256

@@ -3550,3 +3550,113 @@ def conversion_lag(
         .groupby("__p")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def decay_attribution(
+    events: ray.data.Dataset,
+    conv_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_us: int = 7 * 86_400_000_000,
+    credit_unit: int = 1_000_000,
+    num_parts: int = 32,
+) -> "pa.DataFrame":
+    """Multi-touch TIME-DECAY attribution: each conversion splits one unit
+    of credit over its prior-window touches proportionally to
+    w = 2^(6 - age_days) (64 for same-day, halving per day, 1 at >= 6
+    days) — the recency-weighted complement of linear_attribution. Credits
+    are integer micro-units: base_i = credit_unit * w_i // sum(w), with
+    the remainder going +1 to the earliest touches in (ts, event_id)
+    order, so per-conversion credit sums to exactly credit_unit and all
+    totals are order-independent integers (bit-exact vs the SQL mirror).
+
+    Same scale shape as linear_attribution: type filter at the read, ONE
+    hash(user) shuffle, per-partition struct-searchsorted ranges +
+    grouped-arange expansion, per-partition (type, credit) fold."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    types = [conv_type, *touch_types]
+    DAY = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.is_in(et, value_set=pa.array(types))
+        t = t.filter(keep)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "t": pc.cast(t["ts"], pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "__p": pa.array(part_of(u, num_parts), pa.int32()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "t", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy(object)
+        is_conv = et == conv_type
+        tu, tt = u[~is_conv], t[~is_conv]
+        tet = et[~is_conv]
+        cu, ct = u[is_conv], t[is_conv]
+        out = {"event_type": [], "n_touches": [], "credit_micro": []}
+        if len(tu) and len(cu):
+            tk = np.empty(len(tu), dtype=[("u", "<i8"), ("t", "<i8")])
+            tk["u"], tk["t"] = tu, tt
+            qlo = np.empty(len(cu), dtype=tk.dtype)
+            qlo["u"], qlo["t"] = cu, ct - window_us
+            qhi = np.empty(len(cu), dtype=tk.dtype)
+            qhi["u"], qhi["t"] = cu, ct
+            lo = np.searchsorted(tk, qlo, side="left")
+            hi = np.searchsorted(tk, qhi, side="left")
+            k = hi - lo
+            sel = k > 0
+            lo, k = lo[sel], k[sel]
+            cts = ct[sel]
+            tot = int(k.sum())
+            if tot:
+                rep = np.repeat(np.arange(len(k)), k)
+                pos = np.arange(tot) - np.repeat(np.cumsum(k) - k, k)
+                tidx = np.repeat(lo, k) + pos
+                age = (np.repeat(cts, k) - tt[tidx]) // DAY
+                w = np.where(age <= 5, 64 >> np.minimum(age, 5), 1).astype(
+                    np.int64
+                )
+                starts = np.cumsum(k) - k
+                sw = np.add.reduceat(w, starts)
+                base = credit_unit * w // np.repeat(sw, k)
+                sbase = np.add.reduceat(base, starts)
+                rem = credit_unit - sbase
+                credit = base + (pos < np.repeat(rem, k))
+                pt = pd.DataFrame(
+                    {"event_type": tet[tidx], "credit": credit}
+                )
+                agg = pt.groupby("event_type", sort=True)["credit"].agg(
+                    ["count", "sum"]
+                )
+                out["event_type"] = list(agg.index)
+                out["n_touches"] = agg["count"].astype(np.int64).tolist()
+                out["credit_micro"] = agg["sum"].astype(np.int64).tolist()
+        return pd.DataFrame(out)
+
+    parts = (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {"event_type": [], "n_touches": [], "credit_micro": []}
+        )
+    out = (
+        parts.groupby("event_type", sort=True)
+        .agg(n_touches=("n_touches", "sum"), credit_micro=("credit_micro", "sum"))
+        .reset_index()
+    )
+    out["n_touches"] = out["n_touches"].astype(np.int64)
+    out["credit_micro"] = out["credit_micro"].astype(np.int64)
+    return out
