@@ -10438,6 +10438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_spikes": q_rate_spikes,
         "triad_census": q_triad_census,
         "decay_attribution": q_decay_attribution,
+        "benford": q_benford,
         "linear_attribution": q_linear_attribution,
         "kmv_overlap": q_kmv_overlap,
         "dup_spans": q_dup_spans,
@@ -10698,6 +10699,7 @@ def oracle_sql() -> dict[str, str]:
         "triad_census": _SQL_TRIAD_CENSUS.format(m=TRIAD_MOD),
         "linear_attribution": _SQL_LINEAR_ATTribution,
         "decay_attribution": _SQL_DECAY_ATTRIBUTION,
+        "benford": _SQL_BENFORD,
         "kmv_overlap": _kmv_overlap_sql(),
         "dup_spans": _dup_spans_sql(),
         "kmeans": _kmeans_sql(),
@@ -13038,6 +13040,60 @@ SELECT event_type,
        CAST(SUM(base + CASE WHEN pos < 1000000 - sbase THEN 1 ELSE 0 END)
             AS BIGINT) AS credit_micro
 FROM b GROUP BY event_type ORDER BY event_type"""
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit audit of event values (fraud/data-quality
+    screen): counts per leading digit of the positive integer cents, with
+    integer ppm shares — vectorized string-head digit extraction, one
+    tiny digit-key groupby."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        cents = cents[cents > 0]
+        digit = (
+            pd.Series(cents).astype(str).str[0].astype(np.int64).to_numpy()
+        )
+        cnt = np.bincount(digit, minlength=10)[1:]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    out = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("digit")
+        .sum("n_partial")
+        .to_pandas()
+        .rename(columns={"sum(n_partial)": "n"})
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    total = int(out["n"].sum())
+    out["ppm"] = out["n"].to_numpy(np.int64) * 1_000_000 // total
+    return out
+
+
+_SQL_BENFORD = """
+WITH c AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events
+),
+d AS (
+  SELECT CAST(left(CAST(cents AS VARCHAR), 1) AS BIGINT) AS digit
+  FROM c WHERE cents > 0
+),
+g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS total FROM g)
+SELECT digit, n, CAST(n * 1000000 // t.total AS BIGINT) AS ppm
+FROM g, t ORDER BY digit
+"""
 
 
 KMV_K = 256
