@@ -1097,3 +1097,64 @@ def test_k4_count_triangle_free():
         )
     )
     assert k4_count(edges).to_pandas()["k4"].tolist() == [0]
+
+
+def test_burstiness_constant_vs_bursty():
+    """A perfectly even series has Fano 0; concentrating the same events
+    into one window maximizes it."""
+    import pandas as pd
+
+    from sbustreamspot_core_ray.stages.events import burstiness
+
+    hour = 3_600_000_000
+    even = [i * hour + 5 for i in range(8)]          # 1 event/window x 8
+    burst = [3 * hour + i for i in range(8)]          # 8 events, 1 window
+    ts = pa.array(
+        [pd.Timestamp(t, unit="us") for t in even + burst],
+        pa.timestamp("us"),
+    )
+    ev = ray.data.from_arrow(
+        pa.table({"ts": ts, "event_type": ["even"] * 8 + ["burst"] * 8})
+    )
+    out = burstiness(ev).set_index("event_type")
+    assert out.loc["even", "fano"] == 0.0
+    assert out.loc["burst", "n_windows"] == 1 and out.loc["burst", "fano"] == 0.0
+
+
+def test_weighted_median_fixture():
+    """Weights pull the median to the heavy value: prices 1.00/2.00/3.00
+    with quantities 1/1/5 -> weighted median 3.00."""
+    from sbustreamspot_core_ray.stages.relational import weighted_median
+
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": ["A", "A", "A"],
+                "l_extendedprice": pa.array([1.0, 2.0, 3.0], pa.float64()),
+                "l_quantity": pa.array([1.0, 1.0, 5.0], pa.float64()),
+            }
+        )
+    )
+    out = weighted_median(li, num_parts=2)
+    assert out["median_cents"].tolist() == [300]
+    assert out["total_weight"].tolist() == [7]
+
+
+def test_longest_streak_islands():
+    """Days {0,1,2, 5,6, 9} -> longest 3, active 6."""
+    import pandas as pd
+
+    from sbustreamspot_core_ray.stages.events import longest_streak
+
+    day = 86_400_000_000
+    days = [0, 1, 2, 5, 6, 9]
+    ts = pa.array(
+        [pd.Timestamp(d * day + 7, unit="us") for d in days],
+        pa.timestamp("us"),
+    )
+    ev = ray.data.from_arrow(
+        pa.table({"ts": ts, "user_id": pa.array([42] * 6, pa.int64())})
+    )
+    out = longest_streak(ev, num_parts=2).to_pandas()
+    assert out["longest_streak"].tolist() == [3]
+    assert out["active_days"].tolist() == [6]
