@@ -10250,6 +10250,40 @@ SELECT doc_id, ROUND(score_e15, 6) AS score_e15 FROM sc
 QUALIFY row_number() OVER (ORDER BY score_e15 DESC, doc_id) <= {QL_TOP}"""
 
 
+def q_retrieval_overlap(sf_dir: str):
+    """Retrieval-system agreement audit: set overlap of the BM25 top-50
+    and the Dirichlet-QL top-50 for the same fixed query — exact integer
+    counts + ppm Jaccard, the sanity check run before fusing rankers."""
+    a = set(q_bm25_search(sf_dir)["doc_id"].tolist())
+    b = set(q_ql_search(sf_dir)["doc_id"].tolist())
+    inter = len(a & b)
+    union = len(a | b)
+    return pd.DataFrame(
+        {
+            "n_bm25": np.array([len(a)], np.int64),
+            "n_ql": np.array([len(b)], np.int64),
+            "n_common": np.array([inter], np.int64),
+            "jaccard_ppm": np.array([inter * 1_000_000 // union], np.int64),
+        }
+    )
+
+
+def _retrieval_overlap_sql() -> str:
+    return f"""
+WITH a AS ({_bm25_sql()}),
+b AS ({_ql_sql()}),
+s AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_bm25,
+         (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_ql,
+         (SELECT CAST(count(*) AS BIGINT) FROM a
+          JOIN b ON b.doc_id = a.doc_id) AS n_common
+)
+SELECT n_bm25, n_ql, n_common,
+       CAST(n_common * 1000000 // (n_bm25 + n_ql - n_common) AS BIGINT)
+         AS jaccard_ppm
+FROM s"""
+
+
 RRF_K = 60
 RRF_FUSE = 20
 
@@ -10623,6 +10657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_stats": q_dup_stats,
         "doc_percentiles": q_doc_percentiles,
         "ql_search": q_ql_search,
+        "retrieval_overlap": q_retrieval_overlap,
         "bm25_search": q_bm25_search,
         "rank_fusion": q_rank_fusion,
         "tfidf_topterms": q_tfidf_topterms,
@@ -12256,6 +12291,7 @@ FROM s3 ORDER BY doc_id
         "embedding_dedup": _embedding_dedup_sql(),
         "bm25_search": _bm25_sql(),
         "ql_search": _ql_sql(),
+        "retrieval_overlap": _retrieval_overlap_sql(),
         "rank_fusion": _rank_fusion_sql(),
         "tfidf_topterms": _SQL_TFIDF_TOPTERMS,
         "group_sample": _SQL_GROUP_SAMPLE,
