@@ -279,6 +279,28 @@ BENCH_QUERIES = [
     "order_360",
     "abc_classes",
     "doc_keywords",
+    # closing-session additions (all sf-scale; boilerplate_lines rides the
+    # fixed 2000-file corpus like shared_imports)
+    "walk_centrality",
+    "boilerplate_lines",
+    "k4_count",
+    "mmr_diversify",
+    "scan_stat",
+    "transitivity",
+    "edge_jaccard",
+    "type_token_ratio",
+    "burstiness",
+    "weighted_median",
+    "ivm_refresh",
+    "partition_skew",
+    "effective_diameter",
+    "ql_search",
+    "retrieval_overlap",
+    "dedup_by_source",
+    "longest_streak",
+    "conversion_lag",
+    "decay_attribution",
+    "benford",
 ]
 
 

@@ -1124,18 +1124,43 @@ def revenue_by_nation(
         sums = np.bincount(inv, weights=units, minlength=len(uk)).astype(np.int64)
         return pa.table({"s_suppkey": uk, "units": sums})
 
+    def norm(t: pa.Table) -> pa.Table:
+        # tiny inputs can surface schema-less EMPTY aggregate blocks (Ray
+        # Data drops the schema with the rows), which the downstream
+        # Project/join reject ("no match for key field s_suppkey");
+        # re-stamp the schema (and fold the rename in) so every block,
+        # empty or not, is join-compatible
+        if "s_suppkey" not in t.column_names:
+            return pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "units": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {"s_suppkey": t["s_suppkey"], "units": t["sum(units)"]}
+        )
+
     per_supp = (
         lineitem.select_columns(["l_suppkey", "l_extendedprice", "l_discount"])
         .map_batches(pre, batch_format="pyarrow")
         .groupby("s_suppkey")
         .sum("units")
-        .rename_columns({"sum(units)": "units"})
+        .map_batches(norm, batch_format="pyarrow")
     )
-    joined = per_supp.join(
-        supplier.select_columns(["s_suppkey", "s_nationkey"]),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("s_suppkey",),
+    # supplier is a DIMENSION (10k rows/sf1): broadcast its
+    # suppkey -> nationkey map once instead of a shuffle join — the same
+    # attach pattern as the 25-row nation/region lut (and it sidesteps
+    # Ray Data's hash-join crash on the schema-less empty aggregate
+    # blocks tiny inputs produce; map_batches is not even CALLED for
+    # empty blocks, so they pass through every normalization harmlessly)
+    sdf = supplier.select_columns(["s_suppkey", "s_nationkey"]).to_pandas()
+    so = np.argsort(sdf["s_suppkey"].to_numpy(np.int64))
+    supp_ref = ray.put(
+        (
+            sdf["s_suppkey"].to_numpy(np.int64)[so],
+            sdf["s_nationkey"].to_numpy(np.int64)[so],
+        )
     )
 
     lut = nation_region.combine_chunks().sort_by("n_nationkey")
@@ -1144,20 +1169,30 @@ def revenue_by_nation(
     def attach(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        sk_keys, sk_nation = ray.get(supp_ref)
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        spos = np.searchsorted(sk_keys, sk)
+        np.clip(spos, 0, max(len(sk_keys) - 1, 0), out=spos)
+        if len(sk_keys):
+            ok = sk_keys[spos] == sk  # inner-join semantics
+        else:
+            ok = np.zeros(len(sk), bool)
         dim = ray.get(lookup_ref)
         keys = dim["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = sk_nation[spos[ok]]
         idx = np.searchsorted(keys, nk)  # vectorized dim lookup, no row loop
         return pa.table(
             {
                 "r_name": pc.take(dim["r_name"], pa.array(idx)),
                 "n_name": pc.take(dim["n_name"], pa.array(idx)),
-                "units": t["units"],
+                "units": pa.array(
+                    t["units"].to_numpy(zero_copy_only=False)[ok]
+                ),
             }
         )
 
     return (
-        joined.map_batches(attach, batch_format="pyarrow")
+        per_supp.map_batches(attach, batch_format="pyarrow")
         .groupby(["r_name", "n_name"])
         .sum("units")
         .rename_columns({"sum(units)": "units"})
