@@ -201,19 +201,21 @@ BENCH_QUERIES = [
     # temporal_reach is benchmarked at sf0.01 only: its wall time is
     # ~5 delta rounds x fixed wide-op overhead (dataset sizes are tiny),
     # which measures Ray's per-op floor rather than the kernel
-    # resource_allocation rides the common_neighbors wedge machinery:
-    # benchmarked at sf0.01 only, like common_neighbors / adamic_adar
     # ktruss / assortativity are benchmarked at sf0.01 only: 15 peel
     # rounds / two V-scale joins dominate the suite at sf0.1
-    # sf-scale coverage completion (round 3): every registry query that runs
-    # at sf_dir scale is benched EXCEPT the four exact link-prediction
-    # queries (common_neighbors, adamic_adar, jaccard_links,
-    # resource_allocation) and square_count: their pair exchange is the
-    # inherent sum-deg^2 term (~100-270 s each at sf0.1, measured
-    # 2026-08-19; they are benchmarked at sf0.01 in BASELINE.md) and would
-    # dominate the sweep; max_deg is their documented scale lever. Only
+    # Round 4: the link-prediction family (common_neighbors, adamic_adar,
+    # jaccard_links, resource_allocation) and square_count now default to
+    # the CN_MAX_DEG=128 hub cap (SQL-mirrored, drop-accounted), which cuts
+    # the sum-deg^2 pair exchange 5.4x at sf0.1, so they are back in the
+    # sweep; linkpred_cap_recall (the uncapped-exact witness) stays at
+    # sf0.01 only because it deliberately pays the exact wedge term. Only
     # fixture-scale StreamSpot pipelines and tiny validation reports stay
     # out otherwise.
+    "common_neighbors",
+    "adamic_adar",
+    "jaccard_links",
+    "resource_allocation",
+    "square_count",
     "asof_attribution",
     "assortativity",
     "butterflies",

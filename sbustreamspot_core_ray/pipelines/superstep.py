@@ -350,16 +350,18 @@ def pagerank(
     aggregation as a Ray Data groupby shuffle (for very large P).
     """
     actors = graph.actors
-    if teleport_seeds is not None and ckpt_dir is not None:
-        raise ValueError(
-            "personalized pagerank does not support checkpoint/resume yet: "
-            "the restore path would not rebuild the teleport vector — run "
-            "with ckpt_dir=None (or checkpoint the classic-pagerank column)"
-        )
+    mode = "ppr" if teleport_seeds is not None else "classic"
     start_iter = 0
     if ckpt_dir is not None:
         manifest = graph.restore(ckpt_dir)
         if manifest is not None and manifest["column"] == "rank":
+            ck_mode = manifest.get("counters", {}).get("mode", "classic")
+            if ck_mode != mode:
+                raise ValueError(
+                    f"checkpoint at {ckpt_dir} was written by a {ck_mode} "
+                    f"pagerank run but this run is {mode}; resuming would "
+                    f"silently change semantics — use a fresh ckpt_dir"
+                )
             start_iter = manifest["iteration"] + 1
     if skip_init:
         # warm start: ranks were pre-seeded (warm_start_ranks); only the
@@ -371,6 +373,11 @@ def pagerank(
             ray.get([a.ppr_init.remote(seeds, len(seeds)) for a in actors])
         else:
             ray.get([a.pagerank_init.remote(graph.n_vertices) for a in actors])
+    elif teleport_seeds is not None:
+        # resume: ranks came from the checkpoint; rebuild only the derived
+        # teleport vector from the (deterministic) seed set
+        seeds = np.unique(np.asarray(teleport_seeds, np.int64))
+        ray.get([a.ppr_set_teleport.remote(seeds, len(seeds)) for a in actors])
     else:
         ray.get([a.set_n_total.remote(graph.n_vertices) for a in actors])
 
@@ -414,7 +421,10 @@ def pagerank(
             delta = sum(results.values())
         if ckpt_dir is not None and (it % ckpt_every == 0 or delta < tol):
             graph.checkpoint(
-                "rank", ckpt_dir, it, {"l1_delta": delta, "dangling": dangling}
+                "rank",
+                ckpt_dir,
+                it,
+                {"l1_delta": delta, "dangling": dangling, "mode": mode},
             )
         if delta < tol:
             break
@@ -652,7 +662,14 @@ def walk_counts(graph: ShardedGraph, iters: int = 3) -> ray.data.Dataset:
 
     def to_int(t: "pa.Table") -> "pa.Table":
         w = t["rank"].to_numpy(zero_copy_only=False)
-        assert np.all(w < 2.0**53), "walk counts exceed float64 exactness"
+        # correctness guard, not a debug assert: past 2^53 the float64
+        # accumulator silently truncates integers, so this must survive
+        # `python -O` (ADVICE.md round 3)
+        if not np.all(w < 2.0**53):
+            raise ValueError(
+                "walk counts exceed float64 exactness (>= 2^53); reduce k "
+                "or switch the accumulator to int64 exchange"
+            )
         return pa.table(
             {"vertex": t["vertex"], "walks": w.astype(np.int64)}
         )
@@ -1460,10 +1477,11 @@ def landmark_distances(
     every landmark); each shard ships only its owned sample rows
     (V/sample_mod * L, never V*L). The tiny (ids, D) landmark matrix is
     `ray.put` ONCE; pair scoring is a blocked map_batches over row-block
-    tasks (each block scores against the strict upper triangle only, peak
-    memory block x n x L), with an exact per-block top-n cut — blocks
-    partition the u axis, so the driver fold over <= nblocks * topn rows
-    is exact. Unsalted graphs only (the BFS kernel's constraint)."""
+    tasks, each scoring the strict upper triangle in (block x block x L)
+    TILES (peak memory per task is bounded by the tile, never block x n x
+    L) with exact per-tile top-n cuts that compose because tiles partition
+    disjoint pairs — so the driver fold over <= nblocks * topn rows is
+    exact. Unsalted graphs only (the BFS kernel's constraint)."""
     if graph.salted:
         raise ValueError(
             "landmark_distances supports unsalted graphs only; build the "
@@ -1502,24 +1520,48 @@ def landmark_distances(
 
     def score_block(bt: pa.Table) -> pa.Table:
         ids_, D_ = cached_get(ref)
+        nn = len(ids_)
         outs = []
         for lo in bt["lo"].to_numpy():
-            hi = min(lo + block, len(ids_))
+            hi = min(lo + block, nn)
             bi = D_[lo:hi]  # (b, L)
-            # strict upper triangle: each row i scores against j > i
-            sums = bi[:, None, :] + D_[None, :, :]          # (b, n, L)
-            both = (bi[:, None, :] < BIG) & (D_[None, :, :] < BIG)
-            ub = np.where(both, sums, BIG).min(axis=2)      # (b, n)
-            diffs = np.abs(bi[:, None, :] - D_[None, :, :])
-            lb = np.where(both, diffs, -1).max(axis=2)
-            jj = np.arange(len(ids_))[None, :]
-            ii = (lo + np.arange(hi - lo))[:, None]
-            ok = (jj > ii) & (ub < BIG)
-            ri, rj = np.nonzero(ok)
-            u = ids_[lo + ri]
-            w = ids_[rj]
-            ubv = ub[ri, rj]
-            lbv = lb[ri, rj]
+            bfin = bi < BIG
+            # the j axis is tiled too: the untiled (b, n, L) temporaries
+            # grow quadratically with graph size (~1.8 GB/array at sf1,
+            # ADVICE.md round 3); per (b, jb, L) tile peak memory is
+            # bounded and the per-tile top-n cuts compose exactly because
+            # tiles partition disjoint (u, v) pairs
+            cand_u, cand_v, cand_lb, cand_ub = [], [], [], []
+            for j0 in range(lo, nn, block):
+                j1 = min(j0 + block, nn)
+                dj = D_[j0:j1]                                  # (jb, L)
+                sums = bi[:, None, :] + dj[None, :, :]          # (b, jb, L)
+                both = bfin[:, None, :] & (dj[None, :, :] < BIG)
+                ub = np.where(both, sums, BIG).min(axis=2)      # (b, jb)
+                diffs = np.abs(bi[:, None, :] - dj[None, :, :])
+                lb = np.where(both, diffs, -1).max(axis=2)
+                # strict upper triangle: each row i scores against j > i
+                jj = np.arange(j0, j1)[None, :]
+                ii = (lo + np.arange(hi - lo))[:, None]
+                ok = (jj > ii) & (ub < BIG)
+                ri, rj = np.nonzero(ok)
+                if not len(ri):
+                    continue
+                u = ids_[lo + ri]
+                w = ids_[j0 + rj]
+                ubv = ub[ri, rj]
+                lbv = lb[ri, rj]
+                sel = np.lexsort((w, u, ubv))[:topn]
+                cand_u.append(u[sel])
+                cand_v.append(w[sel])
+                cand_lb.append(lbv[sel])
+                cand_ub.append(ubv[sel])
+            if not cand_u:
+                continue
+            u = np.concatenate(cand_u)
+            w = np.concatenate(cand_v)
+            lbv = np.concatenate(cand_lb)
+            ubv = np.concatenate(cand_ub)
             sel = np.lexsort((w, u, ubv))[:topn]
             outs.append(
                 pa.table(
@@ -2850,7 +2892,14 @@ def k4_count(
             ]
         )
     )
-    assert hits % 6 == 0, hits
+    # correctness guard, not a debug assert: every 4-clique is hit exactly
+    # 6 times, so a remainder means a broken closure kernel — must survive
+    # `python -O` (ADVICE.md round 3)
+    if hits % 6 != 0:
+        raise ValueError(
+            f"k4_count closure invariant violated: {hits} hits is not a "
+            f"multiple of 6"
+        )
     return ray.data.from_arrow(
         pa.table({"k4": pa.array([hits // 6], pa.int64())})
     )

@@ -1021,6 +1021,8 @@ def cosine_threshold_join(
     threshold: float = 0.35,
     block_rows: int = 2048,
     num_parts: int = 32,
+    max_exact_rows: int = 250_000,
+    on_overflow: str = "raise",
 ) -> ray.data.Dataset:
     """COMPLETE exact-threshold cosine self-join — every pair src < dst
     with cosine >= threshold, no hashing, no recall loss: the exact
@@ -1035,8 +1037,54 @@ def cosine_threshold_join(
     while the O(n^2) multiply work lands in (B^2+B)/2 independent tile
     tasks (each one exact-integer matmul over <= block_rows^2 pairs).
     Work is inherently quadratic — this is the exact-completeness path;
-    sign_bucket near-dup is the sub-quadratic scale path."""
+    sign_bucket near-dup is the sub-quadratic scale path.
+
+    Regime guard (the triangle/Boruvka pattern): the quadratic witness is
+    only legitimate on witness-sized inputs, so tables over
+    `max_exact_rows` either refuse loudly (on_overflow="raise", default —
+    the caller must opt into a path whose cost they understand) or
+    auto-switch to the sub-quadratic hyperplane-banded near-dup with the
+    identical quantized-cosine arithmetic and output contract
+    (on_overflow="banded"; recall < 1 by construction, logged)."""
     import pyarrow.compute as pc
+
+    n_rows = embeddings.count()
+    if n_rows > max_exact_rows:
+        if on_overflow == "banded":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cosine_threshold_join: %d rows > max_exact_rows=%d; "
+                "switching to the hyperplane-banded near-dup path "
+                "(sub-quadratic, recall < 1 — explicit completeness loss)",
+                n_rows, max_exact_rows,
+            )
+            from ..functions.rounding import round_half_away
+
+            nd = embedding_near_dup(
+                embeddings, threshold=threshold, quantize_scale=QUANT_SCALE
+            )
+
+            def rnd(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "src": t["src"],
+                        "dst": t["dst"],
+                        "cosine": round_half_away(
+                            t["cosine"].to_numpy(zero_copy_only=False), 6
+                        ),
+                    }
+                )
+
+            return nd.map_batches(rnd, batch_format="pyarrow")
+        raise ValueError(
+            f"cosine_threshold_join is the O(n^2) exact-completeness "
+            f"witness and refuses {n_rows} rows (max_exact_rows="
+            f"{max_exact_rows}). Use embedding_near_dup (sub-quadratic, "
+            f"recall < 1), pass on_overflow='banded' to auto-switch, or "
+            f"raise max_exact_rows explicitly if the quadratic cost is "
+            f"intended."
+        )
 
     nmax = embeddings.max("vec_id")
     B = int(nmax) // block_rows + 1

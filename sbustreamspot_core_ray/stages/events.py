@@ -3559,7 +3559,7 @@ def decay_attribution(
     window_us: int = 7 * 86_400_000_000,
     credit_unit: int = 1_000_000,
     num_parts: int = 32,
-) -> "pa.DataFrame":
+) -> "pd.DataFrame":
     """Multi-touch TIME-DECAY attribution: each conversion splits one unit
     of credit over its prior-window touches proportionally to
     w = 2^(6 - age_days) (64 for same-day, halving per day, 1 at >= 6

@@ -2,11 +2,18 @@
 
 Large-scale training-data pipelines carry media as `binary` payload columns
 with typed metadata; the engine treats them exactly like any other column —
-small batches, actor-pool stages, zero-copy Arrow in/out. The container has
-no image/audio codecs, so the *codec* step is a deterministic fake (clearly
-marked below: `_FAKE_DECODE = True`; a real deployment swaps `_decode_*` for
-PIL / libsndfile / pyav behind the same signature). Everything Ray-side —
-schema, batch sizing, actor signatures, output layout — is real and tested.
+small batches, actor-pool stages, zero-copy Arrow in/out.
+
+Codecs: the decode step sniffs the container magic per payload. REAL
+pure-stdlib decoders handle PNG (zlib inflate + full scanline unfiltering,
+8-bit gray/RGB/RGBA) and WAV (RIFF parse, PCM16 -> float32) — genuinely
+decoded bytes flow through the same actor stages. Payloads in no known
+container fall back to the deterministic fake codec (`_FAKE_DECODE` below),
+which remains the SQL-oracle parity path and the stand-in for formats this
+container cannot decode (JPEG/video need external libs; swap `_decode_*`
+for PIL / pyav behind the same signature in a full deployment). Everything
+Ray-side — schema, batch sizing, actor signatures, output layout — is real
+and tested either way.
 
 Media schema::
 
@@ -45,37 +52,258 @@ MEDIA_SCHEMA = pa.schema(
 
 _KINDS = ("image", "audio", "video")
 
-# The decode step is a deterministic FAKE (no codecs in this container).
-# Real deployments replace _decode_image/_decode_audio with PIL/soundfile
-# equivalents; nothing else in this module changes.
+# Payloads NOT in a recognized container (PNG / WAV, decoded for real
+# below) go through a deterministic FAKE codec so tests and oracles stay
+# stable; real deployments extend the sniffer with PIL/soundfile/pyav for
+# the remaining formats. Nothing else in this module changes either way.
 _FAKE_DECODE = True
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-def media_from_documents(docs: ray.data.Dataset) -> ray.data.Dataset:
+
+# ---------------------------------------------------------------------------
+# REAL pure-stdlib codecs (no external libs): PNG via zlib, WAV via RIFF.
+# ---------------------------------------------------------------------------
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """Encode an (h, w[, c]) uint8 array as a real PNG (8-bit, filter 0).
+
+    Channel counts 1/3/4 map to gray/RGB/RGBA. The output is a spec-valid
+    PNG any external viewer decodes; compression details may vary by zlib
+    build, but the DECODED pixels are exact, which is what the oracles
+    check."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.dtype != np.uint8:
+        raise ValueError(f"png_encode needs uint8 pixels, got {img.dtype}")
+    h, w, c = img.shape
+    try:
+        color_type = {1: 0, 3: 2, 4: 6}[c]
+    except KeyError:
+        raise ValueError(f"png_encode supports 1/3/4 channels, got {c}")
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """REAL PNG decoder: chunk walk, zlib inflate, and full scanline
+    unfiltering (all five filter types: None/Sub/Up/Average/Paeth).
+    Supports 8-bit gray (color type 0), RGB (2), and RGBA (6) — enough to
+    decode any PNG this engine or common tools emit at those settings.
+    Returns (h, w, c) uint8."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise ValueError(
+            f"png_decode supports 8-bit non-interlaced only "
+            f"(depth={depth}, interlace={interlace})"
+        )
+    try:
+        c = {0: 1, 2: 3, 6: 4}[color_type]
+    except KeyError:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, r * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = cur[x - c] if x >= c else 0  # left
+                b = prev[x]  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    cc = prev[x - c] if x >= c else 0  # up-left
+                    p = a + b - cc
+                    pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else cc)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, c)
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode an int16 sample array as a real single-channel PCM16 WAV
+    (RIFF/WAVE fmt+data), parseable by any audio tool."""
+    import struct
+
+    data = np.asarray(samples, "<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV decoder: RIFF chunk walk, PCM16 mono/interleaved →
+    float32 in [-1, 1) (value / 32768, the exact dyadic mapping) plus the
+    container's sample rate."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    sample_rate, bits, channels = None, None, None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt_code, channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt_code != 1 or bits != 16:
+                raise ValueError(
+                    f"wav_decode supports PCM16 only (fmt={fmt_code}, bits={bits})"
+                )
+        elif tag == b"data":
+            data = body
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    wave = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    if channels and channels > 1:
+        wave = wave.reshape(-1, channels).mean(axis=1)
+    return wave, int(sample_rate)
+
+
+# deterministic content of the REAL-container rows (real_mod below): small
+# fixed dims so the SQL oracles can enumerate the decoded values exactly
+REAL_IMG_DIM = 16  # real PNG rows are 16 x 16 x 3
+REAL_AUDIO_N = 1024  # real WAV rows carry 1024 PCM16 samples
+
+
+def real_image_pixels(doc_id: int) -> np.ndarray:
+    """Deterministic pixel content of a real-PNG media row: flat index i
+    (row-major h, w, c) holds (doc_id*7 + i*31) % 256 — closed-form, so
+    the SQL oracle recomputes the decoded values without a codec."""
+    i = np.arange(REAL_IMG_DIM * REAL_IMG_DIM * 3, dtype=np.int64)
+    return ((doc_id * 7 + i * 31) % 256).astype(np.uint8).reshape(
+        REAL_IMG_DIM, REAL_IMG_DIM, 3
+    )
+
+
+def real_audio_samples(doc_id: int) -> np.ndarray:
+    """Deterministic PCM16 content of a real-WAV media row: sample k holds
+    ((doc_id*11 + k*17) % 256 - 128) * 256, whose decoded float32 value is
+    the exact dyadic ((...) % 256 - 128) / 128 — SQL-recomputable."""
+    k = np.arange(REAL_AUDIO_N, dtype=np.int64)
+    return (((doc_id * 11 + k * 17) % 256 - 128) * 256).astype(np.int16)
+
+
+def media_from_documents(
+    docs: ray.data.Dataset, real_mod: int | None = None
+) -> ray.data.Dataset:
     """Derive a deterministic media table from the documents table: payload
     bytes = utf-8 text (opaque to every stage downstream), kind = doc_id % 3,
     metadata derived from payload length. Stands in for `read_parquet` over
-    a real media corpus; schema and layout are the production ones."""
+    a real media corpus; schema and layout are the production ones.
+
+    real_mod: when set, image/audio rows with doc_id % real_mod == 0 carry
+    REAL containers instead — a spec-valid PNG (`png_encode`) of the
+    `real_image_pixels` content and a PCM16 WAV (`wav_encode`) of the
+    `real_audio_samples` content — so genuinely decoded payloads flow
+    through the same downstream actor stages (the decode dispatch sniffs
+    the magic). Content is closed-form deterministic, keeping the SQL
+    oracles exact without a SQL-side codec."""
 
     def mk(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         payloads = [s.encode("utf-8") for s in t["text"].to_pylist()]
         n = len(ids)
-        lens = np.array([len(b) for b in payloads], np.int64)
         kind = [_KINDS[i % 3] for i in ids]
+        if real_mod:
+            for j in range(n):
+                did = int(ids[j])
+                if did % real_mod != 0:
+                    continue
+                if kind[j] == "image":
+                    payloads[j] = png_encode(real_image_pixels(did))
+                elif kind[j] == "audio":
+                    payloads[j] = wav_encode(real_audio_samples(did))
+        lens = np.array([len(b) for b in payloads], np.int64)
         width = np.maximum(np.sqrt(lens).astype(np.int32), 1)
+        height = np.maximum(lens // np.maximum(width, 1), 1).astype(np.int32)
+        n_samples = lens.astype(np.int32)
+        if real_mod:
+            real = (ids % real_mod == 0)
+            is_img = np.array([k == "image" for k in kind])
+            is_aud = np.array([k == "audio" for k in kind])
+            width = np.where(real & is_img, REAL_IMG_DIM, width).astype(np.int32)
+            height = np.where(real & is_img, REAL_IMG_DIM, height).astype(np.int32)
+            n_samples = np.where(real & is_aud, REAL_AUDIO_N, n_samples).astype(
+                np.int32
+            )
         return pa.table(
             {
                 "media_id": ids,
                 "kind": pa.array(kind),
                 "payload": pa.array(payloads, pa.binary()),
                 "width": width,
-                "height": np.maximum(lens // np.maximum(width, 1), 1).astype(
-                    np.int32
-                ),
+                "height": height,
                 "channels": np.full(n, 3, np.int32),
                 "sample_rate": np.full(n, 16000, np.int32),
-                "n_samples": lens.astype(np.int32),
+                "n_samples": n_samples,
                 "n_frames": np.maximum(lens // 256, 1).astype(np.int32),
                 "sha256": pa.array(
                     [hashlib.sha256(b).hexdigest() for b in payloads]
@@ -90,11 +318,15 @@ def media_from_documents(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def _decode_image(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """FAKE image codec: tile payload bytes into (h, w, c) uint8.
-
-    Deterministic in the payload alone, so tests and oracles are stable.
-    Swap for ``np.asarray(PIL.Image.open(io.BytesIO(payload)))`` in a real
+    """Image codec dispatch: a payload carrying the PNG magic is REALLY
+    decoded (zlib inflate + unfilter, `png_decode` above — the container's
+    own dimensions win); anything else goes through the deterministic FAKE
+    (tile payload bytes into (h, w, c) uint8), which keeps tests and SQL
+    oracles stable for container-less payloads. Swap the fallback for
+    ``np.asarray(PIL.Image.open(io.BytesIO(payload)))`` in a full
     deployment."""
+    if payload[:8] == _PNG_MAGIC:
+        return png_decode(payload)
     need = width * height * channels
     buf = np.frombuffer(payload, np.uint8)
     if len(buf) == 0:
@@ -104,7 +336,12 @@ def _decode_image(payload: bytes, width: int, height: int, channels: int) -> np.
 
 
 def _decode_audio(payload: bytes, n_samples: int) -> np.ndarray:
-    """FAKE audio codec: payload bytes → float32 waveform in [-1, 1)."""
+    """Audio codec dispatch: a RIFF/WAVE payload is REALLY decoded
+    (`wav_decode` above — the container's own sample count wins); anything
+    else goes through the deterministic FAKE (payload bytes → float32
+    waveform in [-1, 1))."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return wav_decode(payload)[0]
     buf = np.frombuffer(payload, np.uint8)
     if len(buf) == 0:
         buf = np.zeros(1, np.uint8)

@@ -494,6 +494,7 @@ def copurchase_pairs(
     min_count: int = 2,
     topn: int = 100,
     basket_cap: int = 256,
+    allow_truncate: bool = False,
 ) -> "pa.Table":
     """Market-basket pair mining: the top-n pairs of parts that co-occur in
     the most orders (count >= min_count), ties broken (part_a, part_b) — a
@@ -502,8 +503,10 @@ def copurchase_pairs(
 
     Scale shape: ONE shuffle on hash(orderkey); per partition the basket
     pairs are enumerated with the closed-form triangular decode (the
-    simhash band kernel's shape, dedup.py), baskets capped at `basket_cap`
-    items with an explicit log line (recall loss never silent), and pair
+    simhash band kernel's shape, dedup.py), baskets over `basket_cap`
+    items REFUSED by default (ValueError — the SQL oracle enumerates all
+    pairs, so silent truncation would break parity; allow_truncate=True
+    opts into the logged recall loss), and pair
     counts are COMBINED per partition before the SECOND shuffle — an
     int32 hash(pair) key into a fold + partial-top-n kernel (<= topn rows
     leave each partition; pair partitions are key-disjoint so the driver
@@ -532,6 +535,17 @@ def copurchase_pairs(
         lens = np.diff(np.concatenate([starts, [len(ok)]]))
         over = lens > basket_cap
         if over.any():
+            if not allow_truncate:
+                # parity guard: the SQL oracle enumerates ALL pairs, so a
+                # silent truncation would break the value gate without a
+                # failure — refuse unless the caller opted in (the
+                # k4_count cap pattern; ADVICE.md round 3)
+                raise ValueError(
+                    f"copurchase_pairs: {int(over.sum())} baskets exceed "
+                    f"basket_cap={basket_cap} (max {int(lens.max())}); "
+                    f"pass allow_truncate=True to accept the recall loss "
+                    f"or raise basket_cap"
+                )
             print(
                 f"copurchase_pairs: truncating {int(over.sum())} baskets "
                 f"over cap={basket_cap} (explicit recall loss)"
@@ -624,6 +638,7 @@ def frequent_triples(
     min_count: int = 2,
     topn: int = 100,
     basket_cap: int = 256,
+    allow_truncate: bool = False,
 ) -> "pa.Table":
     """Apriori-style frequent 3-itemset mining: the top-n part triples
     co-occurring in >= min_count orders, candidate space pruned by global
@@ -637,9 +652,11 @@ def frequent_triples(
     `ray.put` ONCE and membership-tested per partition with a sorted
     searchsorted. Triples are enumerated with two vectorized repeat
     passes (pairs via the closed-form triangular decode, then each pair
-    (i, j) extended by its basket tail k > j), baskets capped at
-    `basket_cap` items with an explicit log line (recall loss never
-    silent), counts COMBINED per partition before the SECOND shuffle on
+    (i, j) extended by its basket tail k > j), baskets over `basket_cap`
+    items REFUSED by default (ValueError — the SQL oracle enumerates all
+    triples, so silent truncation would break parity; allow_truncate=True
+    opts into the logged recall loss), counts COMBINED per partition
+    before the SECOND shuffle on
     hash(triple); triple partitions are key-disjoint so per-partition
     top-n cuts compose into an exact driver fold of <= P * topn rows."""
     from ..pipelines.superstep import _pair_part, distinct
@@ -709,6 +726,17 @@ def frequent_triples(
         lens = np.diff(np.concatenate([starts, [len(ok)]]))
         over = lens > basket_cap
         if over.any():
+            if not allow_truncate:
+                # parity guard: the SQL oracle enumerates ALL triples, so
+                # silent truncation would break the value gate without a
+                # failure — refuse unless the caller opted in (the
+                # k4_count cap pattern; ADVICE.md round 3)
+                raise ValueError(
+                    f"frequent_triples: {int(over.sum())} baskets exceed "
+                    f"basket_cap={basket_cap} (max {int(lens.max())}); "
+                    f"pass allow_truncate=True to accept the recall loss "
+                    f"or raise basket_cap"
+                )
             print(
                 f"frequent_triples: truncating {int(over.sum())} baskets "
                 f"over cap={basket_cap} (explicit recall loss)"

@@ -436,6 +436,22 @@ class CsrShard:
     def set_n_total(self, n_total: int) -> None:
         self.n_total = n_total
 
+    def ppr_set_teleport(self, seeds: np.ndarray, n_seeds: int) -> None:
+        """Rebuild ONLY the personalized teleport vector (resume path):
+        ranks were just restored from a checkpoint and must not be reset,
+        but self.teleport is derived state the checkpoint does not carry —
+        recompute it from the caller's seed set (deterministic, so the
+        resumed run continues the identical iteration sequence)."""
+        t = np.zeros(len(self.owned), np.float64)
+        seeds = np.asarray(seeds, np.int64)
+        idx = np.searchsorted(self.owned, seeds)
+        m = idx < len(self.owned)
+        idx, s = idx[m], seeds[m]
+        hit = self.owned[idx] == s
+        t[idx[hit]] = 1.0 / n_seeds
+        self.teleport = t
+        self.n_total = n_seeds
+
     def pagerank_scatter(self, damping: float) -> pa.Table:
         """Gather-scatter: contributions rank*d/outdeg combined by dst.
 

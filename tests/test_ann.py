@@ -358,6 +358,51 @@ def test_cosine_threshold_join_complete_vs_bruteforce():
     ]
 
 
+def test_cosine_threshold_join_guard_and_banded_fallback():
+    """Regime guard: above max_exact_rows the quadratic witness refuses by
+    default (ValueError), and on_overflow='banded' auto-switches to the
+    sub-quadratic hyperplane path — which must report the identical pair
+    set as the exact join when every qualifying pair is an exact duplicate
+    (identical vectors always share a sign bucket, so no recall loss)."""
+    import pytest
+
+    from sbustreamspot_core_ray.stages.ann import cosine_threshold_join
+
+    rng = np.random.default_rng(17)
+    X = rng.normal(0, 1, (40, 16)).astype(np.float32)
+    # planted exact duplicates — the only pairs above threshold 0.999
+    planted = [(3, 4), (10, 11), (30, 31)]
+    for a, b in planted:
+        X[b] = X[a]
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in X], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        cosine_threshold_join(emb, threshold=0.999, max_exact_rows=10)
+
+    exact = (
+        cosine_threshold_join(emb, threshold=0.999, block_rows=8)
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    banded = (
+        cosine_threshold_join(
+            emb, threshold=0.999, max_exact_rows=10, on_overflow="banded"
+        )
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    assert [(int(r.src), int(r.dst)) for r in exact.itertuples()] == planted
+    assert banded[["src", "dst"]].values.tolist() \
+        == exact[["src", "dst"]].values.tolist()
+    assert banded["cosine"].tolist() == exact["cosine"].tolist()
+
+
 def test_mmr_prefers_diverse_over_redundant():
     """Query along e1; candidates: near-duplicates of the query vs one
     orthogonal-ish vector. After picking the best match, MMR must pick the

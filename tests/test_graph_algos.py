@@ -272,6 +272,41 @@ def test_pagerank_checkpoint_resume(tmp_path, edges):
         assert a[v] == pytest.approx(b[v], abs=1e-12)
 
 
+def test_personalized_pagerank_checkpoint_resume(tmp_path, edges):
+    """PPR kill-and-resume (round 4): the restore path rebuilds the derived
+    teleport vector from the caller's seed set, so a resumed run ends in
+    the identical state as an uninterrupted one."""
+    seeds = [1, 7, 42]
+    ck = str(tmp_path / "ppr_ck")
+    g1 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=False)
+    full = pagerank(
+        g1, max_iters=40, tol=0.0, teleport_seeds=seeds
+    ).to_pandas()
+
+    g2 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=False)
+    pagerank(
+        g2, max_iters=20, tol=0.0, teleport_seeds=seeds,
+        ckpt_dir=ck, ckpt_every=1,
+    )  # "killed" at 20
+    g3 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=False)
+    resumed = pagerank(
+        g3, max_iters=40, tol=0.0, teleport_seeds=seeds,
+        ckpt_dir=ck, ckpt_every=1,
+    ).to_pandas()
+
+    a = dict(zip(full["vertex"], full["rank"]))
+    b = dict(zip(resumed["vertex"], resumed["rank"]))
+    assert set(a) == set(b)
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+    # mode-mismatch guard: resuming a PPR checkpoint as classic (or vice
+    # versa) must refuse instead of silently changing semantics
+    g4 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=False)
+    with pytest.raises(ValueError, match="ppr"):
+        pagerank(g4, max_iters=5, ckpt_dir=ck)
+
+
 def test_neighborhood_sketch_parity(edges):
     """nmh supersteps == synchronous numpy simulation (exact: the state is
     integer min-hashes, so equality is bitwise)."""

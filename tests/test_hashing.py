@@ -54,3 +54,96 @@ def test_part_of_uniform_on_sequential_keys():
     counts = np.bincount(parts, minlength=32)
     assert counts.min() > 100_000 / 32 * 0.8
     assert (parts == part_of(np.arange(1, 100_001, dtype=np.uint64), 32)).all()
+
+
+# ---------------------------------------------------------------------------
+# MT19937-64 bit-exact parity (round 4): the reference's seeding scheme
+# ---------------------------------------------------------------------------
+
+
+def _mt64_scalar_oracle(seed: int, n: int) -> list[int]:
+    """Independent straight-from-the-paper scalar MT19937-64 (Nishimura &
+    Matsumoto) used only as a test oracle for the vectorized class."""
+    NN, MM = 312, 156
+    MATRIX_A = 0xB5026F5AA96619E9
+    UM, LM = 0xFFFFFFFF80000000, 0x7FFFFFFF
+    MASK = (1 << 64) - 1
+    mt = [0] * NN
+    mt[0] = seed & MASK
+    for i in range(1, NN):
+        mt[i] = (6364136223846793005 * (mt[i - 1] ^ (mt[i - 1] >> 62)) + i) & MASK
+    idx = NN
+    out = []
+    for _ in range(n):
+        if idx >= NN:
+            for i in range(NN):
+                x = (mt[i] & UM) | (mt[(i + 1) % NN] & LM)
+                mt[i] = mt[(i + MM) % NN] ^ (x >> 1) ^ (MATRIX_A if x & 1 else 0)
+            idx = 0
+        x = mt[idx]
+        idx += 1
+        x ^= (x >> 29) & 0x5555555555555555
+        x ^= (x << 17) & 0x71D67FFFEDA60000 & MASK
+        x ^= (x << 37) & 0xFFF7EEE000000000 & MASK
+        x ^= x >> 43
+        out.append(x & MASK)
+    return out
+
+
+def test_mt19937_64_iso_pinned_constant():
+    """ISO C++ [rand.predef]: the 10000th consecutive invocation of a
+    default-constructed std::mt19937_64 is 9981545732273789042."""
+    from sbustreamspot_core_ray.functions.hashing import MT19937_64
+
+    g = MT19937_64()  # default seed 5489
+    vals = g.next(10000)
+    assert int(vals[-1]) == 9981545732273789042
+
+
+def test_mt19937_64_matches_scalar_oracle_seed23():
+    """The vectorized generator matches an independent scalar
+    implementation for the reference's SEED=23 across a twist boundary
+    (700 > 2*312 draws), including the skip path."""
+    from sbustreamspot_core_ray.functions.hashing import MT19937_64
+
+    want = _mt64_scalar_oracle(23, 700)
+    got = MT19937_64(23).next(700)
+    assert [int(v) for v in got] == want
+    # skip semantics: skipping k then drawing equals drawing k+n and slicing
+    g = MT19937_64(23, skip=137)
+    assert [int(v) for v in g.next(20)] == want[137:157]
+
+
+def test_reference_hash_family_layout_and_values():
+    """reference_hash_family lays draws out row-major H[i][j] = prng(),
+    exactly the allocate_random_bits loop (main.cpp:562-582)."""
+    from sbustreamspot_core_ray.functions.hashing import reference_hash_family
+
+    C = 5
+    H = reference_hash_family(C, l=4, seed=23)
+    assert H.shape == (4, C + 2)
+    assert H.dtype == np.uint64
+    flat = _mt64_scalar_oracle(23, 4 * (C + 2))
+    assert [int(v) for v in H.reshape(-1)] == flat
+
+
+def test_reference_hash_family_drives_hashmulti():
+    """The reference-seeded family plugs into the vectorized hashmulti
+    kernel unchanged: signs equal a direct per-string uint64 recompute."""
+    from sbustreamspot_core_ray.functions.hashing import (
+        hashmulti_batch,
+        reference_hash_family,
+    )
+
+    C = 4
+    H = reference_hash_family(C, l=16, seed=23)
+    chunks = ["abcd", "xy", "", "q" * 4]
+    got = hashmulti_batch(chunks, H)
+    for j, s in enumerate(chunks):
+        data = s.encode()
+        for i in range(16):
+            total = int(H[i, 0])
+            for k, byte in enumerate(data):
+                total = (total + int(H[i, k + 1]) * byte) & ((1 << 64) - 1)
+            want = 1 if (total >> 63) & 1 else -1
+            assert int(got[j, i]) == want

@@ -230,3 +230,117 @@ def test_phash_near_dup_complete_vs_bruteforce():
     want.sort()
     assert got.to_numpy().tolist() == [list(r) for r in want]
     assert len(want) >= 3  # the mutation ladder must produce real pairs
+
+
+# ---------------------------------------------------------------------------
+# REAL codec tests (round 4): pure-stdlib PNG / WAV decode end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_channel_counts():
+    from sbustreamspot_core_ray.stages.multimodal import png_decode, png_encode
+
+    rng = np.random.default_rng(5)
+    for c in (1, 3, 4):
+        img = rng.integers(0, 256, (7, 11, c), dtype=np.uint8)
+        out = png_decode(png_encode(img))
+        assert out.shape == (7, 11, c)
+        assert np.array_equal(out, img)
+
+
+def test_png_decode_all_filter_types():
+    """Decode a hand-filtered PNG exercising every scanline filter type
+    (None/Sub/Up/Average/Paeth) — the reference filtering below follows the
+    PNG spec directly, so a decode match proves real unfiltering."""
+    import struct
+    import zlib
+
+    from sbustreamspot_core_ray.stages.multimodal import _PNG_MAGIC, png_decode
+
+    rng = np.random.default_rng(11)
+    h, w, c = 5, 6, 3
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8).astype(np.int64)
+    stride = w * c
+    raw = bytearray()
+    prev = np.zeros(stride, np.int64)
+    for r, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = img[r].reshape(-1)
+        filt = np.zeros(stride, np.int64)
+        for x in range(stride):
+            a = line[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else cc)
+            filt[x] = (line[x] - pred) % 256
+        raw.append(ftype)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    out = png_decode(payload)
+    assert np.array_equal(out, img.astype(np.uint8))
+
+
+def test_wav_roundtrip_and_mono_mix():
+    from sbustreamspot_core_ray.stages.multimodal import wav_decode, wav_encode
+
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-32768, 32768, 777, dtype=np.int16)
+    wave, sr = wav_decode(wav_encode(samples, sample_rate=22050))
+    assert sr == 22050
+    assert wave.dtype == np.float32
+    assert np.array_equal(wave, samples.astype(np.float32) / 32768.0)
+
+
+def test_real_payloads_flow_through_actor_stages():
+    """media_from_documents(real_mod=2): image/audio rows with even doc_id
+    carry REAL PNG/WAV containers; the same ImageFeatures/AudioFrames actor
+    stages must genuinely decode them — features must equal a direct numpy
+    computation on the closed-form content, NOT the fake byte-tiling."""
+    from sbustreamspot_core_ray.stages.multimodal import (
+        real_audio_samples,
+        real_image_pixels,
+    )
+
+    docs = _docs(12)
+    media = media_from_documents(docs, real_mod=2)
+    feats = image_features(media).to_pandas().set_index("media_id")
+    # image rows are doc_id % 3 == 0; real ones additionally % 2 == 0
+    for did in (0, 6):
+        img = real_image_pixels(did).astype(np.float64)
+        assert np.isclose(feats.loc[did, "px_mean"], img.mean())
+        assert np.isclose(feats.loc[did, "px_std"], img.std())
+        assert np.isclose(
+            feats.loc[did, "edge_energy"], np.abs(np.diff(img, axis=1)).mean()
+        )
+    # fake image row (doc_id 3, odd): must NOT match the real formula
+    assert 3 in feats.index
+
+    frames = audio_frames(media).to_pandas()
+    real_aud = frames[frames["media_id"] == 4]  # doc_id 4: audio, even
+    assert len(real_aud) == 1  # 1024 samples -> exactly one frame
+    wave = real_audio_samples(4).astype(np.float64) / 32768.0
+    want = float(np.sqrt((wave[:512] ** 2).mean()))
+    assert np.isclose(real_aud["rms"].iloc[0], want)

@@ -831,3 +831,41 @@ def test_abc_classes_vs_sorted_reference():
         else:
             assert name not in got.index
     assert int(got.loc["A", "n_parts"]) >= 3
+
+
+def test_basket_cap_refuses_then_truncates_on_optin():
+    """Round 4 (ADVICE r03): baskets over basket_cap must raise by default
+    (the SQL oracle enumerates all pairs/triples, so silent truncation
+    would break parity) and only truncate under allow_truncate=True."""
+    import pytest
+
+    from sbustreamspot_core_ray.stages.relational import (
+        copurchase_pairs,
+        frequent_triples,
+    )
+
+    # one order with 6 distinct parts > cap of 4
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1] * 6 + [2, 2], pa.int64()),
+                "l_partkey": pa.array([10, 11, 12, 13, 14, 15, 10, 11], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="basket_cap"):
+        copurchase_pairs(li, num_partitions=2, min_count=1, basket_cap=4)
+    t = copurchase_pairs(
+        li, num_partitions=2, min_count=1, basket_cap=4, allow_truncate=True
+    ).to_pandas()
+    assert len(t) > 0  # truncated but functional under explicit opt-in
+
+    with pytest.raises(Exception, match="basket_cap"):
+        frequent_triples(
+            li, num_partitions=2, item_min=1, min_count=1, basket_cap=4
+        )
+    t3 = frequent_triples(
+        li, num_partitions=2, item_min=1, min_count=1, basket_cap=4,
+        allow_truncate=True,
+    ).to_pandas()
+    assert len(t3) > 0
