@@ -8485,14 +8485,20 @@ verts AS MATERIALIZED (
   SELECT DISTINCT v FROM (SELECT a AS v FROM canon UNION SELECT b FROM canon)),
 vr AS MATERIALIZED (
   SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM verts),
-neg AS MATERIALIZED (
-  SELECT least(t.a, vr.v) AS a, greatest(t.a, vr.v) AS b
-  FROM tst t JOIN vr ON vr.r = CAST(
+-- the negative's target rank is computed in a PROJECTION first so the
+-- vr join is a pure equi-join (hash join): a scalar subquery inside the
+-- join condition forces a ~tst x vr nested loop (~5 min at sf0.01)
+negk AS MATERIALIZED (
+  SELECT t.a, t.b, CAST(
     ((CAST(t.a AS HUGEINT) * {NEG_C[0]} + CAST(t.b AS HUGEINT) * {NEG_C[1]}
-      + {NEG_C[2]}) % {two64}) % (SELECT count(*) FROM verts) AS BIGINT)
-  WHERE t.a <> vr.v
+      + {NEG_C[2]}) % {two64}) % (SELECT count(*) FROM verts) AS BIGINT) AS r
+  FROM tst t),
+neg AS MATERIALIZED (
+  SELECT least(k.a, vr.v) AS a, greatest(k.a, vr.v) AS b
+  FROM negk k JOIN vr ON vr.r = k.r
+  WHERE k.a <> vr.v
     AND NOT EXISTS (SELECT 1 FROM canon c
-                    WHERE c.a = least(t.a, vr.v) AND c.b = greatest(t.a, vr.v))
+                    WHERE c.a = least(k.a, vr.v) AND c.b = greatest(k.a, vr.v))
 ),
 qn AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY pos, a, b) AS qid, a, b, pos FROM (
@@ -8502,11 +8508,18 @@ sym AS MATERIALIZED (
 wt AS MATERIALIZED (
   SELECT s, CAST(floor(1e9 / ln(count(*))) AS BIGINT) AS w
   FROM sym GROUP BY s HAVING count(*) >= 2),
+-- common neighbors as a composite-key (qid, center) intersection of the
+-- two adjacency fan-outs: the naive x-then-y wedge probe makes the
+-- planner expand sum(deg(N(a)) * deg(center)) intermediate rows (~7 min
+-- at sf0.01); this form hash-joins two |query-pair-neighborhood|-sized
+-- sets and runs in seconds with the identical result
+na AS MATERIALIZED (SELECT qn.qid, x.s AS c FROM qn JOIN sym x ON x.d = qn.a),
+nb AS MATERIALIZED (SELECT qn.qid, y.s AS c FROM qn JOIN sym y ON y.d = qn.b),
 sc0 AS (
-  SELECT qn.qid, SUM(wt.w) AS score
-  FROM qn JOIN sym x ON x.d = qn.a JOIN sym y ON y.s = x.s AND y.d = qn.b
-  JOIN wt ON wt.s = x.s
-  GROUP BY qn.qid),
+  SELECT na.qid, SUM(wt.w) AS score
+  FROM na JOIN nb ON nb.qid = na.qid AND nb.c = na.c
+  JOIN wt ON wt.s = na.c
+  GROUP BY na.qid),
 sc AS (SELECT qn.qid, qn.pos, COALESCE(sc0.score, 0) AS score
        FROM qn LEFT JOIN sc0 USING (qid)),
 g AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS np_,
