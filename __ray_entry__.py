@@ -10549,269 +10549,274 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        "edge_table": q_edge_table,
-        "degrees": q_degrees,
-        "pagerank": q_pagerank,
-        "weighted_pagerank": q_weighted_pagerank,
-        "pagerank_incremental": q_pagerank_incremental,
-        "personalized_pagerank": q_personalized_pagerank,
-        "spam_mass": q_spam_mass,
-        "salsa": q_salsa,
-        "host_pagerank": q_host_pagerank,
+        # ORDER MATTERS: the driver checks a prefix of this registry each
+        # round. Front: the 4 r02 FAILs (fixed r3, locally exact) and
+        # anomaly_scenarios, then never-driver-checked queries fastest-first,
+        # then queries already driver-green in r01-r03 (all 263 pass
+        # scripts/check_oracles.py --exact at sf0.01, 2026-08-20).
+        "sessionize": q_sessionize,
+        "knn_cosine": q_knn_cosine,
+        "knn_ivf": q_knn_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "anomaly_scenarios": q_anomaly_scenarios,
+        "pii_redact": q_pii_redact,
+        "q6_forecast": q_q6_forecast,
+        "embedding_quantize": q_embedding_quantize,
+        "repetition_signals": q_repetition_signals,
+        "char_entropy": q_char_entropy,
+        "winnow": q_winnow,
+        "psi_drift": q_psi_drift,
+        "seasonal_deviation": q_seasonal_deviation,
+        "triad_census": q_triad_census,
+        "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
+        "benford": q_benford,
+        "modal_event_type": q_modal_event_type,
+        "pareto_skyline": q_pareto_skyline,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "user_entropy": q_user_entropy,
+        "lang_confusion": q_lang_confusion,
+        "kmv_overlap": q_kmv_overlap,
+        "interarrival_stats": q_interarrival_stats,
+        "doc_keywords": q_doc_keywords,
+        "q15_top_supplier": q_q15_top_supplier,
+        "supplier_share": q_supplier_share,
+        "linear_attribution": q_linear_attribution,
+        "cms_top_users": q_cms_top_users,
+        "phash_near_dup": q_phash_near_dup,
+        "decay_attribution": q_decay_attribution,
+        "top_users_per_type": q_top_users_per_type,
+        "chunk_documents": q_chunk_documents,
+        "ivm_refresh": q_ivm_refresh,
+        "markov_eval": q_markov_eval,
+        "interval_join": q_interval_join,
+        "sampling_weights": q_sampling_weights,
+        "event_trigrams": q_event_trigrams,
+        "q17_small_orders": q_q17_small_orders,
+        "event_type_pivot": q_event_type_pivot,
+        "q20_excess_suppliers": q_q20_excess_suppliers,
+        "group_sample": q_group_sample,
+        "conversion_lag": q_conversion_lag,
+        "dedup_by_source": q_dedup_by_source,
+        "late_events": q_late_events,
+        "funnel": q_funnel,
+        "corpus_manifest": q_corpus_manifest,
+        "cosine_join": q_cosine_join,
+        "prefix_dups": q_prefix_dups,
+        "f2_moment": q_f2_moment,
+        "q13_order_counts": q_q13_order_counts,
+        "edit_distance_dedup": q_edit_distance_dedup,
+        "rate_spikes": q_rate_spikes,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "longest_streak": q_longest_streak,
+        "events_cumsum": q_events_cumsum,
+        "throttle_events": q_throttle_events,
+        "interval_coverage": q_interval_coverage,
+        "event_transitions": q_event_transitions,
+        "ql_search": q_ql_search,
+        "q11_important_parts": q_q11_important_parts,
+        "incremental_near_dup": q_incremental_near_dup,
+        "value_outliers": q_value_outliers,
+        "wau_rolling": q_wau_rolling,
+        "weighted_median": q_weighted_median,
+        "embedding_outliers": q_embedding_outliers,
+        "event_pmi": q_event_pmi,
+        "dup_stats": q_dup_stats,
+        "burstiness": q_burstiness,
+        "ngram_containment": q_ngram_containment,
+        "type_token_ratio": q_type_token_ratio,
+        "weekly_retention": q_weekly_retention,
+        "snapshot_diff": q_snapshot_diff,
+        "scan_stat": q_scan_stat,
+        "value_mad": q_value_mad,
+        "embedding_centroids": q_embedding_centroids,
+        "chunk_dedup": q_chunk_dedup,
+        "edge_support": q_edge_support,
+        "doc_percentiles": q_doc_percentiles,
+        "q16_supplier_counts": q_q16_supplier_counts,
+        "bm25_search": q_bm25_search,
+        "copurchase_pairs": q_copurchase_pairs,
+        "dup_auc": q_dup_auc,
+        "percolation": q_percolation,
+        "decayed_counts": q_decayed_counts,
+        "source_stats": q_source_stats,
+        "hourly_filled": q_hourly_filled,
+        "persistent_hitters": q_persistent_hitters,
+        "pack_sequences": q_pack_sequences,
+        "abc_classes": q_abc_classes,
+        "value_percentiles": q_value_percentiles,
+        "term_df": q_term_df,
+        "clustering_coefficient": q_clustering_coefficient,
+        "snm_dedup": q_snm_dedup,
+        "term_tf": q_term_tf,
+        "ngram_novelty": q_ngram_novelty,
+        "label_margin": q_label_margin,
+        "transitivity": q_transitivity,
+        "daily_users": q_daily_users,
+        "q9_profit": q_q9_profit,
+        "props_stats": q_props_stats,
+        "cooccurrence_links": q_cooccurrence_links,
+        "tfidf_topterms": q_tfidf_topterms,
+        "revenue_rollup": q_revenue_rollup,
+        "bpe_pairs": q_bpe_pairs,
+        "fill_rate": q_fill_rate,
+        "open_orders": q_open_orders,
+        "q4_priority": q_q4_priority,
+        "q19_brackets": q_q19_brackets,
+        "q18_large_orders": q_q18_large_orders,
+        "dup_spans": q_dup_spans,
+        "q12_priority_class": q_q12_priority_class,
+        "corpus_split": q_corpus_split,
+        "q14_promo_share": q_q14_promo_share,
+        "revenue_by_nation": q_revenue_by_nation,
+        "bigram_logprob": q_bigram_logprob,
+        "hll_users": q_hll_users,
+        "k4_count": q_k4_count,
+        "gap_slo": q_gap_slo,
+        "vocab_growth": q_vocab_growth,
+        "budget_fill": q_budget_fill,
+        "scene_cuts": q_scene_cuts,
+        "oov_rate": q_oov_rate,
+        "rank_fusion": q_rank_fusion,
+        "component_sizes": q_component_sizes,
+        "temporal_reach": q_temporal_reach,
+        "allpairs_jaccard": q_allpairs_jaccard,
+        "image_resize": q_image_resize,
+        "retrieval_overlap": q_retrieval_overlap,
+        "q10_returns": q_q10_returns,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
+        "bottomk_median": q_bottomk_median,
+        "frequent_triples": q_frequent_triples,
+        "doc_logprob": q_doc_logprob,
+        "edge_jaccard": q_edge_jaccard,
+        "embedding_dedup": q_embedding_dedup,
+        "katz": q_katz,
+        "neighbor_features": q_neighbor_features,
+        "knn_lsh": q_knn_lsh,
+        "walk_centrality": q_walk_centrality,
+        "hits": q_hits,
+        "kcore": q_kcore,
+        "mmr_diversify": q_mmr_diversify,
+        "image_phash": q_image_phash,
+        "path_rollup": q_path_rollup,
+        "butterflies": q_butterflies,
+        "dedup_stack": q_dedup_stack,
+        "fork_candidates": q_fork_candidates,
+        "boilerplate_lines": q_boilerplate_lines,
+        "customers_no_urgent": q_customers_no_urgent,
+        "identifier_tokens": q_identifier_tokens,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q3_shipping": q_q3_shipping,
+        "linkpred_auc": q_linkpred_auc,
+        "q22_idle_balances": q_q22_idle_balances,
+        "order_360": q_order_360,
+        "shared_imports": q_shared_imports,
+        "degree_gini": q_degree_gini,
+        "modularity": q_modularity,
+        "densest_peel": q_densest_peel,
+        "wl_colors": q_wl_colors,
+        "q8_market_share": q_q8_market_share,
+        "bloom_semi": q_bloom_semi,
+        "link_negatives": q_link_negatives,
+        "cc_incremental": q_cc_incremental,
+        "item_cosine": q_item_cosine,
+        "degree_histogram": q_degree_histogram,
+        "q5_local_supplier": q_q5_local_supplier,
+        "rfm_cells": q_rfm_cells,
+        "pagerank_drift": q_pagerank_drift,
+        "rich_club": q_rich_club,
+        "adamic_adar": q_adamic_adar,
+        "resource_allocation": q_resource_allocation,
+        "common_neighbors": q_common_neighbors,
+        "jaccard_links": q_jaccard_links,
+        "conductance": q_conductance,
+        "ann_recall": q_ann_recall,
+        "square_count": q_square_count,
+        "ktruss": q_ktruss,
+        "attack_percolation": q_attack_percolation,
+        "kmeans": q_kmeans,
+        "linkpred_cap_recall": q_linkpred_cap_recall,
+        "fingerprints": q_fingerprints,
         "ols_regression": q_ols_regression,
-        "embedding_covariance": q_embedding_covariance,
-        "pca_projection": q_pca_projection,
-        "token_fertility": q_token_fertility,
         "lang_source_mi": q_lang_source_mi,
         "decision_stump": q_decision_stump,
-        "zipf_slope": q_zipf_slope,
         "k_anonymity": q_k_anonymity,
-        "integrity_audit": q_integrity_audit,
-        "partitioned_write": q_partitioned_write,
-        "ic_cascade": q_ic_cascade,
-        "feature_hashing": q_feature_hashing,
-        "neighbor_degree_curve": q_neighbor_degree_curve,
         "pearson_corr": q_pearson_corr,
+        "intradoc_dedup": q_intradoc_dedup,
+        "similarity_report": q_similarity_report,
+        "token_counts": q_token_counts,
+        "simhash_dedup": q_simhash_dedup,
+        "embedding_covariance": q_embedding_covariance,
+        "token_fertility": q_token_fertility,
+        "partitioned_write": q_partitioned_write,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "simhash_near_dup": q_simhash_near_dup,
+        "pca_projection": q_pca_projection,
+        "feature_hashing": q_feature_hashing,
+        "graph_summary": q_graph_summary,
+        "cusum_shift": q_cusum_shift,
+        "q1_revenue": q_q1_revenue,
+        "events_windowed": q_events_windowed,
+        "asof_attribution": q_asof_attribution,
+        "triangle_count": q_triangle_count,
+        "top_users": q_top_users,
+        "exact_dedup": q_exact_dedup,
+        "zipf_slope": q_zipf_slope,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "ngram_jaccard": q_ngram_jaccard,
+        "events_hopping": q_events_hopping,
+        "integrity_audit": q_integrity_audit,
+        "minhash_dedup": q_minhash_dedup,
+        "random_walks": q_random_walks,
+        "walk_skipgrams": q_walk_skipgrams,
+        "neighborhood_sketch": q_neighborhood_sketch,
+        "shingles": q_shingles,
+        "neighbor_sample": q_neighbor_sample,
+        "media_features": q_media_features,
+        "audio_frames": q_audio_frames,
+        "video_frames": q_video_frames,
+        "weighted_pagerank": q_weighted_pagerank,
+        "hop_histogram": q_hop_histogram,
+        "effective_diameter": q_effective_diameter,
+        "connected_components": q_connected_components,
+        "label_propagation": q_label_propagation,
+        "simhash_sketches": q_simhash_sketches,
+        "degrees": q_degrees,
+        "personalized_pagerank": q_personalized_pagerank,
+        "host_pagerank": q_host_pagerank,
         "bfs_distance": q_bfs_distance,
-        "landmark_distances": q_landmark_distances,
-        "bipartite": q_bipartite,
-        "matching": q_matching,
-        "msf": q_msf,
         "path_counts": q_path_counts,
         "stress_centrality": q_stress_centrality,
         "closeness_sample": q_closeness_sample,
-        "hop_histogram": q_hop_histogram,
-        "effective_diameter": q_effective_diameter,
-        "partition_skew": q_partition_skew,
         "harmonic_sample": q_harmonic_sample,
         "mis": q_mis,
         "coloring": q_coloring,
-        "diameter": q_diameter,
-        "sssp_distance": q_sssp_distance,
-        "assortativity": q_assortativity,
-        "scc": q_scc,
-        "bowtie": q_bowtie,
-        "condensation": q_condensation,
-        "condensation_depth": q_condensation_depth,
-        "graph_summary": q_graph_summary,
-        "random_walks": q_random_walks,
-        "walk_skipgrams": q_walk_skipgrams,
-        "neighbor_sample": q_neighbor_sample,
-        "intradoc_dedup": q_intradoc_dedup,
-        "cusum_shift": q_cusum_shift,
-        "f2_moment": q_f2_moment,
-        "char_entropy": q_char_entropy,
-        "identifier_tokens": q_identifier_tokens,
-        "square_count": q_square_count,
-        "percolation": q_percolation,
-        "winnow": q_winnow,
-        "pagerank_drift": q_pagerank_drift,
-        "rate_spikes": q_rate_spikes,
-        "triad_census": q_triad_census,
-        "decay_attribution": q_decay_attribution,
-        "benford": q_benford,
-        "linear_attribution": q_linear_attribution,
-        "kmv_overlap": q_kmv_overlap,
-        "dup_spans": q_dup_spans,
-        "kmeans": q_kmeans,
-        "cosine_join": q_cosine_join,
-        "psi_drift": q_psi_drift,
-        "rfm_cells": q_rfm_cells,
-        "dedup_stack": q_dedup_stack,
-        "phash_near_dup": q_phash_near_dup,
-        "cooccurrence_links": q_cooccurrence_links,
-        "markov_eval": q_markov_eval,
-        "attack_percolation": q_attack_percolation,
-        "item_cosine": q_item_cosine,
-        "seasonal_deviation": q_seasonal_deviation,
-        "conductance": q_conductance,
-        "gap_slo": q_gap_slo,
-        "dup_auc": q_dup_auc,
-        "incremental_near_dup": q_incremental_near_dup,
-        "order_360": q_order_360,
-        "abc_classes": q_abc_classes,
-        "doc_keywords": q_doc_keywords,
-        "prefix_dups": q_prefix_dups,
-        "adamic_adar": q_adamic_adar,
-        "resource_allocation": q_resource_allocation,
-        "jaccard_links": q_jaccard_links,
-        "hits": q_hits,
-        "katz": q_katz,
-        "walk_centrality": q_walk_centrality,
-        "neighbor_features": q_neighbor_features,
-        "connected_components": q_connected_components,
-        "label_propagation": q_label_propagation,
-        "cc_incremental": q_cc_incremental,
-        "component_sizes": q_component_sizes,
-        "degree_gini": q_degree_gini,
-        "modularity": q_modularity,
-        "neighborhood_sketch": q_neighborhood_sketch,
-        "triangle_count": q_triangle_count,
-        "triangles_per_vertex": q_triangles_per_vertex,
-        "scan_stat": q_scan_stat,
-        "transitivity": q_transitivity,
-        "edge_support": q_edge_support,
-        "edge_jaccard": q_edge_jaccard,
-        "ktruss": q_ktruss,
-        "kcore": q_kcore,
-        "common_neighbors": q_common_neighbors,
-        "linkpred_cap_recall": q_linkpred_cap_recall,
-        "lsh_isolated": q_lsh_isolated,
-        "anomaly_scenarios": q_anomaly_scenarios,
-        "similarity_report": q_similarity_report,
-        "shingles": q_shingles,
         "streamhash_sketches": q_streamhash_sketches,
-        "simhash_sketches": q_simhash_sketches,
+        "spam_mass": q_spam_mass,
+        "landmark_distances": q_landmark_distances,
+        "sssp_distance": q_sssp_distance,
         "incremental_sketches": q_incremental_sketches,
-        "lsh_clusters": q_lsh_clusters,
         "streamspot_snapshots": q_streamspot_snapshots,
-        "q1_revenue": q_q1_revenue,
-        "ivm_refresh": q_ivm_refresh,
-        "events_windowed": q_events_windowed,
-        "sessionize": q_sessionize,
-        "interval_coverage": q_interval_coverage,
-        "decayed_counts": q_decayed_counts,
-        "funnel": q_funnel,
-        "asof_attribution": q_asof_attribution,
-        "interval_join": q_interval_join,
-        "events_hopping": q_events_hopping,
-        "top_users": q_top_users,
-        "event_transitions": q_event_transitions,
-        "event_pmi": q_event_pmi,
-        "user_entropy": q_user_entropy,
-        "value_mad": q_value_mad,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "customers_no_urgent": q_customers_no_urgent,
-        "revenue_by_nation": q_revenue_by_nation,
-        "revenue_rollup": q_revenue_rollup,
-        "q3_shipping": q_q3_shipping,
-        "q4_priority": q_q4_priority,
-        "q12_priority_class": q_q12_priority_class,
-        "q14_promo_share": q_q14_promo_share,
-        "q19_brackets": q_q19_brackets,
-        "q6_forecast": q_q6_forecast,
-        "pareto_skyline": q_pareto_skyline,
-        "q8_market_share": q_q8_market_share,
-        "q16_supplier_counts": q_q16_supplier_counts,
-        "q7_nation_volume": q_q7_nation_volume,
-        "q10_returns": q_q10_returns,
-        "q18_large_orders": q_q18_large_orders,
-        "q9_profit": q_q9_profit,
-        "q15_top_supplier": q_q15_top_supplier,
-        "q11_important_parts": q_q11_important_parts,
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
-        "q20_excess_suppliers": q_q20_excess_suppliers,
-        "q21_waiting_suppliers": q_q21_waiting_suppliers,
-        "q22_idle_balances": q_q22_idle_balances,
-        "q13_order_counts": q_q13_order_counts,
-        "q17_small_orders": q_q17_small_orders,
-        "persistent_hitters": q_persistent_hitters,
-        "q5_local_supplier": q_q5_local_supplier,
-        "copurchase_pairs": q_copurchase_pairs,
-        "weighted_median": q_weighted_median,
-        "k4_count": q_k4_count,
-        "frequent_triples": q_frequent_triples,
-        "butterflies": q_butterflies,
-        "snapshot_diff": q_snapshot_diff,
-        "open_orders": q_open_orders,
-        "fill_rate": q_fill_rate,
-        "supplier_share": q_supplier_share,
-        "clustering_coefficient": q_clustering_coefficient,
-        "late_events": q_late_events,
-        "hourly_filled": q_hourly_filled,
-        "burstiness": q_burstiness,
-        "embedding_centroids": q_embedding_centroids,
-        "label_margin": q_label_margin,
-        "embedding_outliers": q_embedding_outliers,
-        "embedding_quantize": q_embedding_quantize,
-        "props_stats": q_props_stats,
-        "value_outliers": q_value_outliers,
-        "daily_users": q_daily_users,
-        "longest_streak": q_longest_streak,
-        "conversion_lag": q_conversion_lag,
-        "hll_users": q_hll_users,
-        "cms_top_users": q_cms_top_users,
-        "event_trigrams": q_event_trigrams,
-        "top_users_per_type": q_top_users_per_type,
-        "wau_rolling": q_wau_rolling,
-        "modal_event_type": q_modal_event_type,
-        "event_type_pivot": q_event_type_pivot,
-        "interarrival_stats": q_interarrival_stats,
-        "degree_histogram": q_degree_histogram,
-        "rich_club": q_rich_club,
-        "weekly_retention": q_weekly_retention,
-        "value_percentiles": q_value_percentiles,
-        "bottomk_median": q_bottomk_median,
-        "throttle_events": q_throttle_events,
-        "doc_logprob": q_doc_logprob,
-        "bigram_logprob": q_bigram_logprob,
-        "chunk_documents": q_chunk_documents,
-        "chunk_dedup": q_chunk_dedup,
-        "pack_sequences": q_pack_sequences,
-        "budget_fill": q_budget_fill,
-        "bpe_pairs": q_bpe_pairs,
-        "oov_rate": q_oov_rate,
-        "doc_quality": q_doc_quality,
-        "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
-        "fingerprints": q_fingerprints,
-        "repetition_signals": q_repetition_signals,
-        "source_stats": q_source_stats,
-        "sampling_weights": q_sampling_weights,
-        "decontaminate": q_decontaminate,
-        "ngram_novelty": q_ngram_novelty,
-        "lang_confusion": q_lang_confusion,
-        "corpus_manifest": q_corpus_manifest,
-        "stratified_sample": q_stratified_sample,
-        "pii_redact": q_pii_redact,
-        "exact_dedup": q_exact_dedup,
-        "snm_dedup": q_snm_dedup,
-        "bloom_semi": q_bloom_semi,
-        "allpairs_jaccard": q_allpairs_jaccard,
-        "temporal_reach": q_temporal_reach,
-        "link_negatives": q_link_negatives,
-        "linkpred_auc": q_linkpred_auc,
-        "wl_colors": q_wl_colors,
-        "densest_peel": q_densest_peel,
-        "corpus_split": q_corpus_split,
-        "path_rollup": q_path_rollup,
-        "fork_candidates": q_fork_candidates,
-        "edit_distance_dedup": q_edit_distance_dedup,
-        "dedup_by_source": q_dedup_by_source,
-        "minhash_dedup": q_minhash_dedup,
-        "simhash_dedup": q_simhash_dedup,
-        "simhash_near_dup": q_simhash_near_dup,
-        "mmr_diversify": q_mmr_diversify,
-        "knn_cosine": q_knn_cosine,
-        "knn_ivf": q_knn_ivf,
-        "knn_lsh": q_knn_lsh,
-        "ann_recall": q_ann_recall,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_dedup": q_embedding_dedup,
-        "type_token_ratio": q_type_token_ratio,
-        "term_df": q_term_df,
-        "vocab_growth": q_vocab_growth,
-        "term_tf": q_term_tf,
-        "dup_stats": q_dup_stats,
-        "doc_percentiles": q_doc_percentiles,
-        "ql_search": q_ql_search,
-        "retrieval_overlap": q_retrieval_overlap,
-        "bm25_search": q_bm25_search,
-        "rank_fusion": q_rank_fusion,
-        "tfidf_topterms": q_tfidf_topterms,
-        "group_sample": q_group_sample,
-        "events_cumsum": q_events_cumsum,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_containment": q_ngram_containment,
-        "image_phash": q_image_phash,
-        "media_features": q_media_features,
-        "image_resize": q_image_resize,
-        "audio_frames": q_audio_frames,
-        "video_frames": q_video_frames,
-        "scene_cuts": q_scene_cuts,
+        "pagerank": q_pagerank,
+        "diameter": q_diameter,
+        "matching": q_matching,
+        "partition_skew": q_partition_skew,
+        "neighbor_degree_curve": q_neighbor_degree_curve,
+        "ic_cascade": q_ic_cascade,
+        "lsh_clusters": q_lsh_clusters,
+        "scc": q_scc,
+        "msf": q_msf,
+        "salsa": q_salsa,
         "corpus_pipeline": q_corpus_pipeline,
-        "shared_imports": q_shared_imports,
-        "boilerplate_lines": q_boilerplate_lines,
+        "assortativity": q_assortativity,
+        "pagerank_incremental": q_pagerank_incremental,
+        "lsh_isolated": q_lsh_isolated,
+        "condensation": q_condensation,
+        "edge_table": q_edge_table,
+        "bowtie": q_bowtie,
+        "bipartite": q_bipartite,
+        "condensation_depth": q_condensation_depth,
     }
 
 
