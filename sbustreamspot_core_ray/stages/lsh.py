@@ -119,9 +119,12 @@ def isolated_gids(
         .max("hits")
         .rename_columns({"max(hits)": "hits"})
     )
-    return agg.add_column(
-        "isolated", lambda df: df["hits"] == 0, batch_format="pandas"
-    ).select_columns(["gid", "isolated"])
+    def mark(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"gid": t["gid"], "isolated": pc.equal(t["hits"], 0)})
+
+    return agg.map_batches(mark, batch_format="pyarrow")
 
 
 def shared_bucket_pairs(

@@ -97,9 +97,9 @@ def construct_shingle_vectors(
     and the incremental actor path must match it (tests/test_streamspot).
     """
 
-    def per_gid(g: pd.DataFrame) -> pa.Table:
+    def per_gid(g: pa.Table) -> pa.Table:
         t = _chunk_counts_table(g, chunk_length)
-        gid = int(g["gid"].iloc[0])
+        gid = g["gid"][0].as_py()
         return pa.table(
             {
                 "gid": pa.array(np.full(t.num_rows, gid, np.int64)),
@@ -108,4 +108,4 @@ def construct_shingle_vectors(
             }
         )
 
-    return edges.groupby("gid").map_groups(per_gid, batch_format="pandas")
+    return edges.groupby("gid").map_groups(per_gid, batch_format="pyarrow")
