@@ -7747,6 +7747,38 @@ def q_chunk_dedup(sf_dir: str):
     return chunk_exact_dedup(docs, chunk_tokens=CHUNK_TOKENS)
 
 
+def q_substring_dedup(sf_dir: str):
+    """Cross-document repeated-substring coverage (Lee et al. char-level
+    dedup signal, arXiv:2107.06499): 32-char grams at stride 4, positions
+    whose gram occurs in >= 2 distinct docs, per-doc counts + ppm. ONE
+    hash(gram) shuffle; per-doc totals are arithmetic on n_chars."""
+    from sbustreamspot_core_ray.stages.dedup import substring_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return substring_dedup(docs)
+
+
+def q_importance_weights(sf_dir: str):
+    """DSIR-style importance weights (arXiv:2302.03169, unigram features):
+    int64-nanonat log-ratio of add-1-smoothed target-domain (lang='en')
+    vs corpus unigram probabilities, summed per document. One
+    vocabulary-keyed groupby + broadcast (term, q) lookup; no corpus
+    shuffle."""
+    from sbustreamspot_core_ray.stages.curation import importance_weights
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return importance_weights(docs, target_lang="en", top_v=DSIR_V)
+
+
+# top-V cut below the synthetic corpus vocabulary (~31 terms) so the OOV
+# log-ratio path fires in every check, mirroring the UNIGRAM_V posture
+DSIR_V = 24
+
+
 OOV_V = 20
 
 
@@ -10559,6 +10591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "anomaly_scenarios": q_anomaly_scenarios,
+        "substring_dedup": q_substring_dedup,
+        "importance_weights": q_importance_weights,
         "pii_redact": q_pii_redact,
         "q6_forecast": q_q6_forecast,
         "embedding_quantize": q_embedding_quantize,
@@ -12124,6 +12158,61 @@ agg AS (
 )
 SELECT d.doc_id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_bigrams,
        COALESCE(agg.lp, 0) AS logprob_e9
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
+        "substring_dedup": """
+WITH d AS (SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= 32),
+idx AS (
+  SELECT doc_id,
+         unnest(generate_series(1, CAST(n_chars - 31 AS BIGINT), 4)) AS i
+  FROM d
+),
+pos AS (
+  SELECT idx.doc_id, substr(d.text, CAST(idx.i AS INTEGER), 32) AS gram
+  FROM idx JOIN d USING (doc_id)
+),
+dg AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM pos GROUP BY gram)
+SELECT p.doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (WHERE dg.nd >= 2) AS dup_grams,
+       count(*) FILTER (WHERE dg.nd >= 2) * 1000000 // count(*) AS dup_ppm
+FROM pos p JOIN dg USING (gram)
+GROUP BY p.doc_id
+""",
+        "importance_weights": f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+),
+tk AS (SELECT doc_id, lang, t FROM toks WHERE t <> ''),
+cnt AS (SELECT t, count(*) AS c,
+               count(*) FILTER (WHERE lang = 'en') AS ct
+        FROM tk GROUP BY t),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS C, CAST(SUM(ct) AS BIGINT) AS CT
+        FROM cnt),
+topv AS (SELECT t, c, ct FROM cnt ORDER BY c DESC, t LIMIT {DSIR_V}),
+vv AS (SELECT count(*) AS v FROM topv),
+q AS (SELECT t,
+        CAST(floor(ln(CAST(ct + 1 AS DOUBLE)
+             / CAST((SELECT CT FROM tot) + (SELECT v FROM vv) AS DOUBLE))
+             * 1e9 + 0.5) AS BIGINT)
+      - CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+             / CAST((SELECT C FROM tot) + (SELECT v FROM vv) AS DOUBLE))
+             * 1e9 + 0.5) AS BIGINT) AS qd
+      FROM topv),
+oov AS (SELECT
+        CAST(floor(ln(1.0e0
+             / CAST((SELECT CT FROM tot) + (SELECT v FROM vv) AS DOUBLE))
+             * 1e9 + 0.5) AS BIGINT)
+      - CAST(floor(ln(1.0e0
+             / CAST((SELECT C FROM tot) + (SELECT v FROM vv) AS DOUBLE))
+             * 1e9 + 0.5) AS BIGINT) AS qd),
+s AS (SELECT tk.doc_id, COALESCE(q.qd, (SELECT qd FROM oov)) AS qd
+      FROM tk LEFT JOIN q ON q.t = tk.t),
+agg AS (SELECT doc_id, count(*) AS n, CAST(SUM(qd) AS BIGINT) AS w
+        FROM s GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_tokens,
+       COALESCE(agg.w, 0) AS weight_e9
 FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """,
         "chunk_dedup": f"""

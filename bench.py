@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "sessionize",
     "interval_join",
     "exact_dedup",
+    "substring_dedup",
+    "importance_weights",
     "minhash_dedup",
     "simhash_dedup",
     "lang_id",

@@ -1139,3 +1139,116 @@ def dedup_stack(
             ),
         }
     )
+
+
+DSIR_V = 5000
+
+
+def importance_weights(
+    docs: ray.data.Dataset,
+    target_lang: str = "en",
+    top_v: int = DSIR_V,
+) -> ray.data.Dataset:
+    """DSIR-style data-selection importance weights (Xie et al., "Data
+    Selection for Language Models via Importance Resampling", arXiv:
+    2302.03169, with unigram features instead of hashed n-grams so the SQL
+    oracle is exact): per-document weight_e9 = Σ_tokens [q_tgt(t) -
+    q_raw(t)] where q_*(t) quantizes ln of the add-1-smoothed unigram
+    probability under the target domain (docs with lang = `target_lang`)
+    and the raw corpus respectively. Positive weights mark documents that
+    look like the target domain — the resampling key for corpus curation.
+
+    Float-parity posture (the doc_logprob pattern): all counts and totals
+    are exact integers, each probability is ONE correctly rounded IEEE
+    divide of two integers, ln is math.log (libm-parity with DuckDB), and
+    per-token quantization to int64 nanonats makes per-doc sums
+    order-independent.
+
+    Scale shape: pass 1 is a per-batch term-count combiner (corpus + target
+    counts in one pandas groupby) into ONE vocabulary-keyed groupby; the
+    top-V cut sorts only the vocabulary aggregate; the (term, q) table is
+    broadcast via ray.put once; pass 2 is a stateless vectorized
+    searchsorted lookup — no shuffle touches the corpus rows."""
+    import math
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def term_partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        is_tgt = (
+            df["lang"].reindex(ex.index).to_numpy(object) == target_lang
+        )
+        g = pd.DataFrame(
+            {"term": ex.to_numpy(object), "t": is_tgt.astype(np.int64)}
+        ).groupby("term", sort=False)
+        out = g.agg(c_partial=("t", "size"), ct_partial=("t", "sum"))
+        return out.reset_index()
+
+    counts = (
+        docs.select_columns(["text", "lang"])
+        .map_batches(term_partials, batch_format="pandas")
+        .groupby("term")
+        .aggregate(
+            Sum("c_partial", alias_name="c"),
+            Sum("ct_partial", alias_name="ct"),
+        )
+        .materialize()  # consumed three times: totals + top-V cut
+    )
+    tot = counts.aggregate(
+        Sum("c", alias_name="C"), Sum("ct", alias_name="CT")
+    )
+    T_all, T_tgt = int(tot["C"]), int(tot["CT"])
+    top = (
+        counts.sort(["c", "term"], descending=[True, False])
+        .limit(top_v)
+        .to_pandas()
+    )
+    Vv = len(top)
+    order = np.argsort(top["term"].to_numpy(dtype=object), kind="stable")
+    terms_sorted = top["term"].to_numpy(dtype=object)[order]
+    c_sorted = top["c"].to_numpy(np.int64)[order]
+    ct_sorted = top["ct"].to_numpy(np.int64)[order]
+    den_tgt = float(T_tgt + Vv)
+    den_all = float(T_all + Vv)
+
+    def q_pair(ct: int, c: int) -> int:
+        qt = math.floor(math.log((ct + 1) / den_tgt) * 1e9 + 0.5)
+        qr = math.floor(math.log((c + 1) / den_all) * 1e9 + 0.5)
+        return qt - qr
+
+    q = np.array(
+        [q_pair(ct, c) for ct, c in zip(ct_sorted.tolist(), c_sorted.tolist())],
+        np.int64,
+    )
+    q_oov = q_pair(0, 0)
+    vocab_ref = _ray.put((terms_sorted, q))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        terms, qv = _ray.get(vocab_ref)
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        tok = ex.to_numpy(dtype=object)
+        if len(terms):
+            idx = np.minimum(np.searchsorted(terms, tok), len(terms) - 1)
+            hit = terms[idx] == tok
+            per_tok = np.where(hit, qv[idx], q_oov)
+        else:
+            per_tok = np.full(len(tok), q_oov, np.int64)
+        s = pd.Series(per_tok, index=ex.index)
+        sums = s.groupby(level=0).sum().reindex(df.index, fill_value=0)
+        ntok = s.groupby(level=0).size().reindex(df.index, fill_value=0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tokens": ntok.to_numpy(np.int64),
+                "weight_e9": sums.to_numpy(np.int64),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )

@@ -1857,3 +1857,152 @@ def dedup_by_source(
         (out["n_docs"] - out["n_kept"]) * 1_000_000 // out["n_docs"]
     ).astype(np.int64)
     return out
+
+
+SUBSTR_K = 32
+SUBSTR_STRIDE = 4
+
+
+def substring_dedup(
+    docs: ray.data.Dataset,
+    k: int = SUBSTR_K,
+    stride: int = SUBSTR_STRIDE,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Cross-document repeated-substring detection (the char-level dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499, applied at fixed stride instead of
+    suffix arrays): sample the k-char gram at every `stride`-th position of
+    each document, mark positions whose gram occurs in >= 2 DISTINCT
+    documents, and report per-document duplicated-position counts plus ppm
+    coverage (exact integers throughout). Within-document repeats alone do
+    NOT mark a position (that signal is `intradoc_dedup`). Documents
+    shorter than k are excluded (zero sampled positions).
+
+    Scale shape: gram expansion is a stateless vectorized map (a
+    sliding-window byte view copied once per batch — amplification is
+    k/stride bytes per input byte, the op's intrinsic cost); ONE shuffle
+    keyed hash(gram) % P co-locates every occurrence of a gram; the
+    per-partition kernel factorizes grams, counts distinct docs per gram
+    via one lexsort, and emits per-doc duplicated-position partials; the
+    per-doc totals come arithmetically from n_chars (no second corpus
+    pass) and meet the partials in an int-key doc_id fold."""
+    from ..functions.hashing import part_of
+
+    def gram_rows(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        texts = t["text"].to_pylist()
+        out_ids: list[np.ndarray] = []
+        bufs: list[np.ndarray] = []
+        npos_total = 0
+        for did, txt in zip(ids, texts):
+            b = np.frombuffer((txt or "").encode("utf-8"), np.uint8)
+            if len(b) < k:
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(b, k)[::stride]
+            bufs.append(np.ascontiguousarray(win).reshape(-1))
+            out_ids.append(np.full(len(win), did, np.int64))
+            npos_total += len(win)
+        if not npos_total:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.empty(0, np.int64),
+                    "gram": np.empty(0, object),
+                    "__p": np.empty(0, np.int32),
+                }
+            )
+        buf = np.concatenate(bufs)
+        offsets = (np.arange(npos_total + 1, dtype=np.int32) * k)
+        grams = pa.Array.from_buffers(
+            pa.utf8(),
+            npos_total,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+        )
+        gnp = grams.to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(gnp).astype(np.uint64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(out_ids),
+                "gram": gnp,
+                "__p": part_of(h, num_parts).astype(np.int32),
+            }
+        )
+
+    def dup_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        """All occurrences of a gram land in one partition: distinct-doc
+        count per gram via factorize + lexsort boundaries, then per-doc
+        duplicated-position partial sums."""
+        ids = df["doc_id"].to_numpy(np.int64)
+        codes, _ = pd.factorize(df["gram"].to_numpy(object), sort=False)
+        ncodes = int(codes.max()) + 1 if len(codes) else 0
+        order = np.lexsort((ids, codes))
+        oc, oi = codes[order], ids[order]
+        pair_first = np.concatenate(
+            [[True], (oc[1:] != oc[:-1]) | (oi[1:] != oi[:-1])]
+        )
+        docs_per_gram = np.bincount(oc[pair_first], minlength=ncodes)
+        dup_pos = docs_per_gram[codes] >= 2
+        du, dc = np.unique(ids[dup_pos], return_counts=True)
+        return pd.DataFrame(
+            {"doc_id": du, "dup_partial": dc.astype(np.int64)}
+        )
+
+    def tag_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__p2"] = part_of(
+            df["doc_id"].to_numpy(np.int64), num_parts
+        ).astype(np.int32)
+        return df
+
+    def fold_finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("doc_id", sort=True)[["dup_partial", "n_grams"]]
+            .sum()
+            .reset_index()
+        )
+        ng = g["n_grams"].to_numpy(np.int64)
+        dup = g["dup_partial"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_grams": ng,
+                "dup_grams": dup,
+                "dup_ppm": dup * 1_000_000 // np.maximum(ng, 1),
+            }
+        )
+
+    grams = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pyarrow", batch_size=1024)
+        .groupby("__p")
+        .map_groups(dup_kernel, batch_format="pandas")
+    )
+
+    def base_with_ngrams(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        n = t["n_chars"].to_numpy().astype(np.int64)
+        keep = n >= k
+        return pd.DataFrame(
+            {
+                "doc_id": ids[keep],
+                "dup_partial": np.zeros(int(keep.sum()), np.int64),
+                "n_grams": (n[keep] - k) // stride + 1,
+            }
+        )
+
+    def zero_ngrams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_grams"] = np.zeros(len(df), np.int64)
+        return df
+
+    return (
+        grams.map_batches(zero_ngrams, batch_format="pandas")
+        .union(
+            docs.select_columns(["doc_id", "n_chars"]).map_batches(
+                base_with_ngrams, batch_format="pyarrow"
+            )
+        )
+        .map_batches(tag_doc, batch_format="pandas")
+        .groupby("__p2")
+        .map_groups(fold_finish, batch_format="pandas")
+    )

@@ -789,3 +789,53 @@ def test_dedup_stack_attribution_hand_case():
     assert got["removed_prefix"] + got["removed_near_dup"] == 2  # docs 3 and 4
     assert got["kept"] == 3                   # docs 1, 5, 6
     assert sum(v for k, v in got.items() if k != "input") == got["input"]
+
+
+def test_importance_weights_prefers_target_domain_tokens():
+    """DSIR sanity: docs made of target-domain-only tokens score positive,
+    off-domain-only tokens negative; weights are exact integers matching
+    the closed-form add-1 log-ratio."""
+    import math
+
+    from sbustreamspot_core_ray.stages.curation import importance_weights
+
+    rows = [
+        (1, "en", "alpha alpha beta"),
+        (2, "en", "alpha beta beta"),
+        (3, "de", "gamma gamma delta"),
+        (4, "de", "gamma delta delta"),
+    ]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = (
+        importance_weights(docs, target_lang="en", top_v=10)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # closed form: T_all=12, T_tgt=6, vocab={alpha,beta,gamma,delta} V=4
+    cnt_all = {"alpha": 3, "beta": 3, "gamma": 3, "delta": 3}
+    cnt_tgt = {"alpha": 3, "beta": 3, "gamma": 0, "delta": 0}
+
+    def q(t):
+        qt = math.floor(math.log((cnt_tgt[t] + 1) / (6 + 4)) * 1e9 + 0.5)
+        qr = math.floor(math.log((cnt_all[t] + 1) / (12 + 4)) * 1e9 + 0.5)
+        return qt - qr
+
+    expect = {
+        1: 2 * q("alpha") + q("beta"),
+        2: q("alpha") + 2 * q("beta"),
+        3: 2 * q("gamma") + q("delta"),
+        4: q("gamma") + 2 * q("delta"),
+    }
+    for did, w in expect.items():
+        assert out.loc[did, "weight_e9"] == w
+        assert out.loc[did, "n_tokens"] == 3
+    assert out.loc[1, "weight_e9"] > 0 > out.loc[3, "weight_e9"]

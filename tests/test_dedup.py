@@ -504,3 +504,57 @@ def test_incremental_near_dup_vs_full_recompute():
     assert any(a >= DELTA and b >= DELTA for a, b in want)  # new-new present
     assert all(a >= DELTA or b >= DELTA for a, b in want)
     assert (1, 2) not in want                     # old-old excluded
+
+
+def test_substring_dedup_marks_cross_doc_positions_only():
+    """Hand oracle: k=8, stride 2. Docs 1 and 2 share a long run; doc 3 is
+    unique but repeats a gram internally (must NOT count — within-doc
+    repeats alone are intradoc_dedup's signal); doc 4 is shorter than k
+    (excluded)."""
+    from sbustreamspot_core_ray.stages.dedup import substring_dedup
+
+    shared = "abcdefghijklmnop"  # 16 chars
+    texts = {
+        1: shared + "XXXX",
+        2: "YY" + shared,
+        3: "qrstuvwqrstuvwqr",  # period-7 self-repeat, no cross-doc gram
+        4: "short",
+    }
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array(
+                    [texts[i] for i in sorted(texts)], pa.string()
+                ),
+                "n_chars": pa.array(
+                    [len(texts[i]) for i in sorted(texts)], pa.int64()
+                ),
+            }
+        )
+    )
+    out = (
+        substring_dedup(docs, k=8, stride=2, num_parts=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # brute-force oracle
+    k, stride = 8, 2
+    grams: dict[str, set[int]] = {}
+    pos: dict[int, list[str]] = {}
+    for did, t in texts.items():
+        if len(t) < k:
+            continue
+        gs = [t[i : i + k] for i in range(0, len(t) - k + 1, stride)]
+        pos[did] = gs
+        for g in gs:
+            grams.setdefault(g, set()).add(did)
+    assert sorted(out.index) == sorted(pos)
+    for did, gs in pos.items():
+        dup = sum(1 for g in gs if len(grams[g]) >= 2)
+        assert out.loc[did, "n_grams"] == len(gs)
+        assert out.loc[did, "dup_grams"] == dup
+        assert out.loc[did, "dup_ppm"] == dup * 1_000_000 // len(gs)
+    assert out.loc[3, "dup_grams"] == 0  # self-repeat not marked
+    assert out.loc[1, "dup_grams"] > 0 and out.loc[2, "dup_grams"] > 0
