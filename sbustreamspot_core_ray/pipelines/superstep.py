@@ -69,6 +69,42 @@ class ShardedGraph:
         for a in self.actors:
             a.set_peers.remote(self.actors)
         self.n_vertices = 0
+        self._owner_pid = os.getpid()
+
+    def shutdown(self, drain_timeout: float = 60.0) -> None:
+        """Kill the shard pool. REQUIRED for actor reclamation: set_peers
+        gives every shard handles to all its peers, an actor-handle CYCLE
+        that Ray's distributed refcounting never collects — dropping the
+        driver-side handles alone leaks the whole pool for the session
+        lifetime (the accumulation behind the r03 full-suite flake: ~500
+        idle CsrShard processes eventually exhaust worker threads).
+
+        Drains each actor's FIFO mailbox first (a __ray_ready__ barrier
+        behind any state_table/from_arrow_refs fetches already submitted,
+        whose results then live in the object store owned by this driver
+        and survive the kill), so `g = build(); return pagerank(g)` stays
+        safe when the wrapper is dropped at function exit. Idempotent;
+        safe after ray.shutdown()."""
+        actors, self.actors = getattr(self, "actors", []), []
+        if not actors:
+            return
+        try:
+            refs = [a.__ray_ready__.remote() for a in actors]
+            ray.wait(refs, num_returns=len(refs), timeout=drain_timeout)
+        except Exception:
+            pass
+        for a in actors:
+            try:
+                ray.kill(a, no_restart=True)
+            except Exception:
+                pass
+
+    def __del__(self):  # driver-side wrapper is cycle-free -> prompt GC
+        try:
+            if os.getpid() == getattr(self, "_owner_pid", -1):
+                self.shutdown()
+        except Exception:
+            pass
 
     @classmethod
     def build(
