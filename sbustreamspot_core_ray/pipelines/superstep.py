@@ -495,6 +495,13 @@ def connected_components(
     if ckpt_dir is not None:
         manifest = graph.restore(ckpt_dir)
         if manifest is not None and manifest["column"] == "label":
+            ck_mode = manifest.get("counters", {}).get("mode", "cc")
+            if ck_mode != "cc":
+                raise ValueError(
+                    f"checkpoint at {ckpt_dir} was written by a {ck_mode} "
+                    "run but this run is connected_components; resuming "
+                    "would silently change semantics — use a fresh ckpt_dir"
+                )
             start_iter = manifest["iteration"] + 1
     if start_iter == 0 and not skip_init:
         ray.get([a.cc_init.remote() for a in actors])
@@ -524,7 +531,9 @@ def connected_components(
         # checkpoint on the path COMMON to both combine modes — resumability
         # must not silently depend on the exchange strategy
         if ckpt_dir is not None and (it % ckpt_every == 0 or changed == 0):
-            graph.checkpoint("label", ckpt_dir, it, {"changed": changed})
+            graph.checkpoint(
+                "label", ckpt_dir, it, {"changed": changed, "mode": "cc"}
+            )
         if changed == 0:
             break
     return graph.state_dataset("label").rename_columns({"label": "component"})
@@ -536,36 +545,63 @@ def connected_components(
 
 
 def label_propagation(
-    graph: ShardedGraph, iters: int = 5, combine: str = "direct"
+    graph: ShardedGraph,
+    iters: int = 5,
+    combine: str = "direct",
+    ckpt_dir: str | None = None,
+    ckpt_every: int = 2,
 ) -> ray.data.Dataset:
     """Synchronous LP: label_{t+1}(v) = most frequent label among in-neighbors
     (symmetrized graph → all neighbors), ties broken by min label, isolated
-    vertices keep their own. Fixed iteration count for determinism."""
+    vertices keep their own. Fixed iteration count for determinism.
+
+    ckpt_dir: per-partition parquet + mode-tagged manifest every ckpt_every
+    supersteps (and at the final one); a restarted run resumes the
+    remaining iterations from the restored labels. A CC checkpoint in the
+    same directory is rejected (same state column, different semantics)."""
     assert graph.symmetric, "label_propagation needs a symmetric graph"
     actors = graph.actors
-    ray.get([a.lp_init.remote() for a in actors])
-    for _ in range(iters):
+    start_iter = 0
+    if ckpt_dir is not None:
+        manifest = graph.restore(ckpt_dir)
+        if manifest is not None and manifest["column"] == "label":
+            ck_mode = manifest.get("counters", {}).get("mode", "cc")
+            if ck_mode != "lp":
+                raise ValueError(
+                    f"checkpoint at {ckpt_dir} was written by a {ck_mode} "
+                    "run but this run is label_propagation; resuming would "
+                    "silently change semantics — use a fresh ckpt_dir"
+                )
+            start_iter = manifest["iteration"] + 1
+    if start_iter == 0:
+        ray.get([a.lp_init.remote() for a in actors])
+    for it in range(start_iter, iters):
         if graph.salted:
             ray.get([a.push_hot_ranks.remote("lp") for a in actors])
         if combine == "direct":
             graph._exchange("lp")
-            continue
-        if graph.salted:
-            ray.get([a.await_hot_delivery.remote() for a in actors])
-        refs = [a.lp_scatter.remote() for a in actors]
+        else:
+            if graph.salted:
+                ray.get([a.await_hot_delivery.remote() for a in actors])
+            refs = [a.lp_scatter.remote() for a in actors]
 
-        def apply_lp(p: int, g: pa.Table) -> float:
-            v = g["vertex"].to_numpy()
-            l = g["label"].to_numpy()
-            c = g["cnt"].to_numpy()
-            pairs = np.stack([v, l], axis=1)
-            uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
-            sums = np.bincount(inv, weights=c, minlength=len(uniq)).astype(np.int64)
-            return ray.get(
-                actors[p].lp_apply.remote(uniq[:, 0], uniq[:, 1], sums)
-            )
+            def apply_lp(p: int, g: pa.Table) -> float:
+                v = g["vertex"].to_numpy()
+                l = g["label"].to_numpy()
+                c = g["cnt"].to_numpy()
+                pairs = np.stack([v, l], axis=1)
+                uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+                sums = np.bincount(
+                    inv, weights=c, minlength=len(uniq)
+                ).astype(np.int64)
+                return ray.get(
+                    actors[p].lp_apply.remote(uniq[:, 0], uniq[:, 1], sums)
+                )
 
-        graph._combine_push(refs, apply_lp)
+            graph._combine_push(refs, apply_lp)
+        # checkpoint on the path COMMON to both combine modes
+        if ckpt_dir is not None and (it % ckpt_every == 0 or it == iters - 1):
+            graph.checkpoint("label", ckpt_dir, it, {"mode": "lp"})
     return graph.state_dataset("label")
 
 

@@ -1383,3 +1383,45 @@ def test_sharded_graph_pool_reclaimed_on_drop():
     if before >= 0:
         assert during >= before + 4
         assert after <= before
+
+
+def test_label_propagation_checkpoint_resume(tmp_path, edges):
+    """LP kill-and-resume (round 4): a run restarted from the mode-tagged
+    manifest after 2 of 5 iterations ends bit-identical to an
+    uninterrupted 5-iteration run."""
+    from sbustreamspot_core_ray.pipelines.superstep import label_propagation
+
+    ck = str(tmp_path / "lp_ck")
+    g1 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    full = label_propagation(g1, iters=5).to_pandas()
+
+    g2 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    label_propagation(g2, iters=2, ckpt_dir=ck, ckpt_every=1)  # "killed"
+    g3 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    resumed = label_propagation(
+        g3, iters=5, ckpt_dir=ck, ckpt_every=1
+    ).to_pandas()
+
+    assert dict(zip(full["vertex"], full["label"])) == dict(
+        zip(resumed["vertex"], resumed["label"])
+    )
+
+
+def test_lp_and_cc_checkpoints_are_mutually_rejected(tmp_path, edges):
+    """Both algorithms checkpoint the `label` column; the mode tag must
+    prevent silently resuming one from the other's state."""
+    from sbustreamspot_core_ray.pipelines.superstep import label_propagation
+
+    ck_lp = str(tmp_path / "lp_ck")
+    g1 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    label_propagation(g1, iters=2, ckpt_dir=ck_lp, ckpt_every=1)
+    g2 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    with pytest.raises(ValueError, match="lp run"):
+        connected_components(g2, ckpt_dir=ck_lp)
+
+    ck_cc = str(tmp_path / "cc_ck")
+    g3 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    connected_components(g3, max_iters=2, ckpt_dir=ck_cc, ckpt_every=1)
+    g4 = ShardedGraph.build(edges_ds(edges), num_parts=P, symmetric=True)
+    with pytest.raises(ValueError, match="cc run"):
+        label_propagation(g4, iters=3, ckpt_dir=ck_cc)
