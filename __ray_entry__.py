@@ -7760,6 +7760,19 @@ def q_substring_dedup(sf_dir: str):
     return substring_dedup(docs)
 
 
+def q_winnow_dups(sf_dir: str):
+    """MOSS clone-pair report: doc pairs sharing >= 2 distinct winnowing
+    fingerprints after dropping fingerprints held by > 8 docs (the
+    common-code filter that also bounds pair expansion). One hash(fp)
+    shuffle + one hash(pair) fold over the shuffle-free winnow index."""
+    from sbustreamspot_core_ray.stages.dedup import winnow_dups
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_dups(docs, min_shared=2, max_docs_per_fp=8)
+
+
 def q_importance_weights(sf_dir: str):
     """DSIR-style importance weights (arXiv:2302.03169, unigram features):
     int64-nanonat log-ratio of add-1-smoothed target-domain (lang='en')
@@ -10593,6 +10606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_scenarios": q_anomaly_scenarios,
         "substring_dedup": q_substring_dedup,
         "importance_weights": q_importance_weights,
+        "winnow_dups": q_winnow_dups,
         "pii_redact": q_pii_redact,
         "q6_forecast": q_q6_forecast,
         "embedding_quantize": q_embedding_quantize,
@@ -12159,6 +12173,20 @@ agg AS (
 SELECT d.doc_id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_bigrams,
        COALESCE(agg.lp, 0) AS logprob_e9
 FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
+        "winnow_dups": f"""
+WITH d AS (
+  SELECT DISTINCT doc_id, fp FROM ({_winnow_sql()}) wfp
+),
+cnt AS (SELECT fp, count(*) AS c FROM d GROUP BY fp),
+ok AS (SELECT fp FROM cnt WHERE c BETWEEN 2 AND 8),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM d a JOIN ok USING (fp) JOIN d b USING (fp)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT da AS doc_a, db AS doc_b, count(*) AS shared_fps
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "substring_dedup": """
 WITH d AS (SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= 32),

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "interval_join",
     "exact_dedup",
     "substring_dedup",
+    "winnow_dups",
     "importance_weights",
     "minhash_dedup",
     "simhash_dedup",

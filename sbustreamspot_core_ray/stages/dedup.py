@@ -2006,3 +2006,119 @@ def substring_dedup(
         .groupby("__p2")
         .map_groups(fold_finish, batch_format="pandas")
     )
+
+
+def winnow_dups(
+    docs: ray.data.Dataset,
+    k: int | None = None,
+    w: int | None = None,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 8,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """MOSS-style clone-pair report over the winnowing index (Schleimer,
+    Wilkerson, Aiken, SIGMOD 2003 §5): document pairs ranked by the number
+    of DISTINCT shared selected fingerprints. Fingerprints occurring in
+    more than `max_docs_per_fp` documents are dropped first — MOSS's
+    boilerplate/common-code filter, and the bound that keeps per-
+    fingerprint pair expansion O(max_docs^2) instead of O(corpus^2) on a
+    hot fingerprint. Returns (doc_a, doc_b, shared_fps), doc_a < doc_b,
+    shared_fps >= min_shared; exact integers.
+
+    Scale shape: winnow_fingerprints is shuffle-free; then ONE
+    hash(fp) shuffle groups each fingerprint's (<= max_docs_per_fp)
+    holders, pairs expand via <= max_docs_per_fp-1 vectorized shifted
+    passes, and per-pair partials meet in ONE hash(packed-pair) fold."""
+    from ..functions.hashing import part_of
+    from .text import WINNOW_K, WINNOW_W, winnow_fingerprints
+
+    k = WINNOW_K if k is None else k
+    w = WINNOW_W if w is None else w
+    fps = winnow_fingerprints(docs, k=k, w=w)
+
+    def distinct_rows(t: pa.Table) -> pd.DataFrame:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        f = t["fp"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, f))
+        d, f = d[order], f[order]
+        first = np.concatenate(
+            [[True], (f[1:] != f[:-1]) | (d[1:] != d[:-1])]
+        )
+        d, f = d[first], f[first]
+        return pd.DataFrame(
+            {
+                "doc_id": d,
+                "fp": f,
+                "__p": part_of(f.astype(np.uint64), num_parts).astype(
+                    np.int32
+                ),
+            }
+        )
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        f = df["fp"].to_numpy(np.int64)
+        order = np.lexsort((d, f))
+        d, f = d[order], f[order]
+        # cross-batch distinct (doc, fp): batches were locally distinct
+        first = np.concatenate(
+            [[True], (f[1:] != f[:-1]) | (d[1:] != d[:-1])]
+        )
+        d, f = d[first], f[first]
+        run_start = np.flatnonzero(
+            np.concatenate([[True], f[1:] != f[:-1]])
+        )
+        run_id = np.cumsum(
+            np.concatenate([[False], f[1:] != f[:-1]])
+        )
+        run_len = np.diff(np.concatenate([run_start, [len(f)]]))
+        within = np.arange(len(f)) - run_start[run_id]
+        keep_run = (run_len >= 2) & (run_len <= max_docs_per_fp)
+        packed: list[np.ndarray] = []
+        for delta in range(1, max_docs_per_fp):
+            m = keep_run[run_id] & (within + delta < run_len[run_id])
+            if not m.any():
+                continue
+            i = np.flatnonzero(m)
+            a, b = d[i], d[i + delta]  # sorted by doc within run: a < b
+            packed.append((a << np.int64(32)) | b)
+        if not packed:
+            return pd.DataFrame(
+                {
+                    "pair": np.empty(0, np.int64),
+                    "n_partial": np.empty(0, np.int64),
+                }
+            )
+        pu, pc = np.unique(np.concatenate(packed), return_counts=True)
+        return pd.DataFrame({"pair": pu, "n_partial": pc.astype(np.int64)})
+
+    def tag_pair(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__p2"] = part_of(
+            df["pair"].to_numpy(np.int64).astype(np.uint64), num_parts
+        ).astype(np.int32)
+        return df
+
+    def fold_finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("pair", sort=True)["n_partial"].sum().reset_index()
+        )
+        n = g["n_partial"].to_numpy(np.int64)
+        keep = n >= min_shared
+        pair = g["pair"].to_numpy(np.int64)[keep]
+        return pd.DataFrame(
+            {
+                "doc_a": pair >> np.int64(32),
+                "doc_b": pair & np.int64(0xFFFFFFFF),
+                "shared_fps": n[keep],
+            }
+        )
+
+    return (
+        fps.map_batches(distinct_rows, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(pair_partials, batch_format="pandas")
+        .map_batches(tag_pair, batch_format="pandas")
+        .groupby("__p2")
+        .map_groups(fold_finish, batch_format="pandas")
+    )

@@ -558,3 +558,62 @@ def test_substring_dedup_marks_cross_doc_positions_only():
         assert out.loc[did, "dup_ppm"] == dup * 1_000_000 // len(gs)
     assert out.loc[3, "dup_grams"] == 0  # self-repeat not marked
     assert out.loc[1, "dup_grams"] > 0 and out.loc[2, "dup_grams"] > 0
+
+
+def test_winnow_dups_matches_bruteforce_moss():
+    """Brute-force oracle: recompute winnow fingerprints per doc (reusing
+    the stage's own index as ground truth is avoided — the pair logic is
+    recomputed from scratch over doc-level fingerprint sets)."""
+    from sbustreamspot_core_ray.stages.dedup import winnow_dups
+    from sbustreamspot_core_ray.stages.text import winnow_fingerprints
+
+    clone = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {
+        1: clone + " alpha variant tail one",
+        2: clone + " beta variant tail two",
+        3: "completely different content about arrow batches and shuffles",
+        4: clone + " gamma variant tail three",
+    }
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array(
+                    [texts[i] for i in sorted(texts)], pa.string()
+                ),
+            }
+        )
+    )
+    out = winnow_dups(
+        docs, min_shared=2, max_docs_per_fp=8, num_parts=4
+    ).to_pandas()
+    got = {
+        (a, b): n
+        for a, b, n in zip(out["doc_a"], out["doc_b"], out["shared_fps"])
+    }
+
+    # oracle from the fingerprint index (doc-level distinct sets)
+    idx = winnow_fingerprints(docs).to_pandas()
+    sets = {
+        did: set(idx[idx["doc_id"] == did]["fp"]) for did in sorted(texts)
+    }
+    from collections import Counter
+
+    fp_docs = Counter()
+    for did, s in sets.items():
+        for fp in s:
+            fp_docs[fp] += 1
+    expect = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            n = sum(
+                1
+                for fp in sets[a] & sets[b]
+                if 2 <= fp_docs[fp] <= 8
+            )
+            if n >= 2:
+                expect[(a, b)] = n
+    assert got == expect
+    assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+    assert all(3 not in p for p in got)
