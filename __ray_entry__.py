@@ -7773,6 +7773,18 @@ def q_winnow_dups(sf_dir: str):
     return winnow_dups(docs, min_shared=2, max_docs_per_fp=8)
 
 
+def q_kn_logprob(sf_dir: str):
+    """Interpolated Kneser-Ney bigram corpus score (d=0.75, integer
+    nanonats): discounted ML term + continuation-probability backoff,
+    one hashed-pair combiner shuffle, broadcast (bigram, q) lookup."""
+    from sbustreamspot_core_ray.stages.text import kneser_ney_logprob
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return kneser_ney_logprob(docs)
+
+
 def q_importance_weights(sf_dir: str):
     """DSIR-style importance weights (arXiv:2302.03169, unigram features):
     int64-nanonat log-ratio of add-1-smoothed target-domain (lang='en')
@@ -10607,6 +10619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": q_substring_dedup,
         "importance_weights": q_importance_weights,
         "winnow_dups": q_winnow_dups,
+        "kn_logprob": q_kn_logprob,
         "pii_redact": q_pii_redact,
         "q6_forecast": q_q6_forecast,
         "embedding_quantize": q_embedding_quantize,
@@ -12134,6 +12147,52 @@ s AS (SELECT tk.doc_id, COALESCE(q.qln, (SELECT qln FROM oov)) AS qln
 agg AS (SELECT doc_id, count(*) AS n, SUM(qln) AS lp FROM s GROUP BY doc_id)
 SELECT d.doc_id, COALESCE(agg.n, 0) AS n_tokens,
        COALESCE(agg.lp, 0) AS logprob_e9
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
+        "kn_logprob": """
+WITH base AS (
+  SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS arr
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+  FROM base
+),
+tk AS (
+  SELECT doc_id, t,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM w WHERE t <> ''
+),
+bg AS (
+  SELECT a.doc_id, a.t AS wa, b.t AS wb
+  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+),
+cnt AS (SELECT wa, wb, count(*) AS c FROM bg GROUP BY wa, wb),
+lt AS (SELECT wa, CAST(SUM(c) AS BIGINT) AS ca FROM cnt GROUP BY wa),
+nf AS (SELECT wa, count(*) AS n1f FROM cnt GROUP BY wa),
+nr AS (SELECT wb, count(*) AS n1r FROM cnt GROUP BY wb),
+nt AS (SELECT count(*) AS n1t FROM cnt),
+q AS (
+  SELECT cnt.wa, cnt.wb,
+         CAST(floor(ln(
+           greatest(CAST(cnt.c AS DOUBLE) - 0.75, 0)
+             / CAST(lt.ca AS DOUBLE)
+           + (0.75 * CAST(nf.n1f AS DOUBLE)) / CAST(lt.ca AS DOUBLE)
+             * (CAST(nr.n1r AS DOUBLE)
+                / CAST((SELECT n1t FROM nt) AS DOUBLE))
+         ) * 1e9 + 0.5) AS BIGINT) AS qln
+  FROM cnt JOIN lt USING (wa) JOIN nf USING (wa) JOIN nr USING (wb)
+),
+s AS (
+  SELECT bg.doc_id, q.qln
+  FROM bg JOIN q ON q.wa = bg.wa AND q.wb = bg.wb
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, CAST(SUM(qln) AS BIGINT) AS lp
+  FROM s GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(agg.lp, 0) AS kn_logprob_e9
 FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """,
         "bigram_logprob": """

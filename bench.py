@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "exact_dedup",
     "substring_dedup",
     "winnow_dups",
+    "kn_logprob",
     "importance_weights",
     "minhash_dedup",
     "simhash_dedup",

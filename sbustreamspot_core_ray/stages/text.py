@@ -1567,3 +1567,118 @@ def ql_search(
     return ranked.sort(
         ["score_e15", "doc_id"], descending=[True, False]
     ).limit(top_n)
+
+
+KN_DISCOUNT = 0.75
+
+
+def kneser_ney_logprob(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document interpolated Kneser-Ney bigram score in integer
+    nanonats (the smoothing used by KenLM-style corpus-filtering models;
+    Kneser & Ney 1995, Chen & Goodman 1999): with fixed discount d = 0.75,
+
+        p(b|a) = max(c(a,b) - d, 0)/c(a)
+               + (d * N1+(a,·))/c(a) * (N1+(·,b)/N1+(·,·))
+
+    where N1+(a,·) counts distinct continuations of a, N1+(·,b) distinct
+    left-contexts of b (the continuation probability — KN's signature),
+    and N1+(·,·) the distinct-bigram total. Scoring the corpus's own
+    documents means every bigram is in-table (no unseen branch).
+
+    Float-parity posture (doc_logprob pattern): all counts exact integers;
+    the probability is the FIXED IEEE chain t1 + t2*t3 with
+    t1 = (c-0.75)/ca, t2 = (0.75*n1f)/ca, t3 = n1r/n1t, parenthesized
+    identically in the SQL mirror; ln is math.log (libm parity); per-
+    bigram int64 quantization makes per-doc sums order-independent.
+
+    Scale shape identical to bigram_logprob: ONE hashed-pair combiner
+    shuffle builds the bigram table (corpus rows never shuffle), the
+    continuation counts are vocabulary-scale transforms on that table,
+    and the scored (bigram, q) table is ray.put once."""
+    import math
+
+    import ray as _ray
+
+    NPARTS = 32
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, a, b = _bigram_pairs(df)
+        if not len(a):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object),
+                 "b": pd.Series([], dtype=object),
+                 "c_partial": pd.Series([], dtype=np.int64),
+                 "__p": pd.Series([], dtype=np.int32)}
+            )
+        g = (
+            pd.DataFrame({"a": a, "b": b})
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .reset_index(name="c_partial")
+        )
+        h = pd.util.hash_array(
+            (g["a"] + "\x1f" + g["b"]).to_numpy(dtype=object)
+        )
+        g["__p"] = (h % NPARTS).astype(np.int32)
+        return g
+
+    def pair_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["a", "b"], sort=False)["c_partial"]
+            .sum()
+            .reset_index(name="c")
+        )
+
+    counts = (
+        docs.map_batches(pair_partial, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(pair_fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(counts):
+        ca = counts.groupby("a")["c"].transform("sum").to_numpy(np.int64)
+        n1f = counts.groupby("a")["c"].transform("size").to_numpy(np.int64)
+        n1r = counts.groupby("b")["c"].transform("size").to_numpy(np.int64)
+        n1t = len(counts)
+        cab = counts["c"].to_numpy(np.int64)
+        d = KN_DISCOUNT
+        qln = np.empty(len(counts), np.int64)
+        for i in range(len(counts)):
+            t1 = max(float(cab[i]) - d, 0.0) / float(ca[i])
+            t2 = (d * float(n1f[i])) / float(ca[i])
+            t3 = float(n1r[i]) / float(n1t)
+            qln[i] = math.floor(math.log(t1 + t2 * t3) * 1e9 + 0.5)
+        key = (counts["a"] + "\x1f" + counts["b"]).to_numpy(dtype=object)
+        order = np.argsort(key, kind="stable")
+        vocab_ref = _ray.put((key[order], qln[order]))
+    else:
+        vocab_ref = _ray.put((np.empty(0, object), np.empty(0, np.int64)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        keys, q = _ray.get(vocab_ref)
+        di, a, b = _bigram_pairs(df)
+        out_n = np.zeros(len(df), np.int64)
+        out_lp = np.zeros(len(df), np.int64)
+        if len(a):
+            k = (pd.Series(a) + "\x1f" + pd.Series(b)).to_numpy(dtype=object)
+            idx = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
+            if not (keys[idx] == k).all():
+                raise ValueError("bigram missing from corpus table")
+            per = q[idx]
+            s = pd.Series(per, index=di)
+            sums = s.groupby(level=0).sum()
+            ns = s.groupby(level=0).size()
+            pos = {ix: i for i, ix in enumerate(df.index)}
+            for ix, v in sums.items():
+                out_lp[pos[ix]] = v
+            for ix, v in ns.items():
+                out_n[pos[ix]] = v
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_bigrams": out_n,
+                "kn_logprob_e9": out_lp,
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")

