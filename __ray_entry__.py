@@ -7773,6 +7773,24 @@ def q_winnow_dups(sf_dir: str):
     return winnow_dups(docs, min_shared=2, max_docs_per_fp=8)
 
 
+def _cdc_vals() -> str:
+    from sbustreamspot_core_ray.stages.text import _winnow_pows
+
+    return ", ".join(f"({j}, {p})" for j, p in enumerate(_winnow_pows(8)))
+
+
+def q_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking dedup (rsync/LBFS boundary rule, winnow's
+    61-bit rolling hash, cut when gram hash %% 64 == 0): per-doc chunk
+    counts + cross-doc duplicate-chunk ppm. One hash(chunk) shuffle."""
+    from sbustreamspot_core_ray.stages.dedup import cdc_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return cdc_dedup(docs)
+
+
 def q_kn_logprob(sf_dir: str):
     """Interpolated Kneser-Ney bigram corpus score (d=0.75, integer
     nanonats): discounted ML term + continuation-probability backoff,
@@ -10620,6 +10638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_weights": q_importance_weights,
         "winnow_dups": q_winnow_dups,
         "kn_logprob": q_kn_logprob,
+        "cdc_dedup": q_cdc_dedup,
         "pii_redact": q_pii_redact,
         "q6_forecast": q_q6_forecast,
         "embedding_quantize": q_embedding_quantize,
@@ -12148,6 +12167,47 @@ agg AS (SELECT doc_id, count(*) AS n, SUM(qln) AS lp FROM s GROUP BY doc_id)
 SELECT d.doc_id, COALESCE(agg.n, 0) AS n_tokens,
        COALESCE(agg.lp, 0) AS logprob_e9
 FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
+        "cdc_dedup": f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE length(text) > 0),
+b AS (
+  SELECT d.doc_id, g.i - 1 AS pos, ord(substring(d.text, g.i, 1)) AS byte,
+         d.n
+  FROM d CROSS JOIN generate_series(1, 1024) g(i)
+  WHERE g.i <= d.n),
+pw AS (SELECT * FROM (VALUES {_cdc_vals()}) t(j, pw)),
+g AS (
+  SELECT b.doc_id, b.pos AS p,
+         CAST(sum(CAST(b2.byte AS HUGEINT) * pw.pw) % 2305843009213693951
+              AS BIGINT) AS h
+  FROM b JOIN pw ON TRUE
+  JOIN b b2 ON b2.doc_id = b.doc_id AND b2.pos = b.pos + pw.j
+  WHERE b.pos + 8 <= b.n
+  GROUP BY 1, 2),
+cuts AS (
+  SELECT g.doc_id, g.p + 8 AS cut
+  FROM g JOIN d USING (doc_id)
+  WHERE g.h % 64 = 0 AND g.p + 8 < d.n
+  UNION ALL
+  SELECT doc_id, 0 AS cut FROM d),
+spans AS (
+  SELECT c.doc_id, c.cut AS start,
+         LEAD(c.cut, 1, d.n) OVER (
+           PARTITION BY c.doc_id ORDER BY c.cut) AS stop
+  FROM cuts c JOIN d USING (doc_id)),
+ch AS (
+  SELECT s.doc_id,
+         substr(d.text, CAST(s.start + 1 AS INTEGER),
+                CAST(s.stop - s.start AS INTEGER)) AS chunk
+  FROM spans s JOIN d USING (doc_id)),
+dg AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk)
+SELECT ch.doc_id,
+       count(*) AS n_chunks,
+       count(*) FILTER (WHERE dg.nd >= 2) AS dup_chunks,
+       count(*) FILTER (WHERE dg.nd >= 2) * 1000000 // count(*) AS dup_ppm
+FROM ch JOIN dg USING (chunk)
+GROUP BY ch.doc_id
 """,
         "kn_logprob": """
 WITH base AS (

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "substring_dedup",
     "winnow_dups",
     "kn_logprob",
+    "cdc_dedup",
     "importance_weights",
     "minhash_dedup",
     "simhash_dedup",

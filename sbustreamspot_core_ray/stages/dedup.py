@@ -2122,3 +2122,172 @@ def winnow_dups(
         .groupby("__p2")
         .map_groups(fold_finish, batch_format="pandas")
     )
+
+
+CDC_K = 8          # rolling-gram width (bytes), winnow's hash family
+CDC_MASK_MOD = 64  # boundary when gram hash % 64 == 0 -> ~64-byte chunks
+
+
+def cdc_dedup(
+    docs: ray.data.Dataset,
+    k: int = CDC_K,
+    mask_mod: int = CDC_MASK_MOD,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Content-defined-chunking dedup (the rsync / LBFS primitive,
+    Muthitacharoen et al. SOSP 2001, without min/max chunk bounds so the
+    boundary rule stays closed-form for the SQL mirror): a chunk boundary
+    falls AFTER every k-byte gram whose 61-bit polynomial rolling hash
+    (winnow's hash family) is ≡ 0 mod `mask_mod`; chunks tile each
+    document between consecutive boundaries. Because boundaries depend
+    only on local content, an insertion shifts at most one chunk — the
+    property that makes CDC dedup robust where fixed-size chunking
+    (chunk_dedup) is not. Reports per-document (n_chunks, dup_chunks,
+    dup_ppm) where a chunk is dup when its exact bytes occur in >= 2
+    DISTINCT documents. Documents over 1023 bytes raise (the winnow SQL
+    mirror's position bound — chunk_documents first at scale).
+
+    Scale shape: boundary detection is a stateless vectorized map (the
+    same Mersenne modmul gram hash as winnow, k terms over the batch's
+    flattened bytes); chunks are contiguous spans, so the chunk column is
+    ONE zero-copy Arrow string array over the flat byte buffer; ONE
+    hash(chunk) shuffle marks cross-doc chunks; per-doc totals ride base
+    rows into an int-key doc_id fold (the substring_dedup skeleton)."""
+    from ..functions.hashing import part_of
+    from .text import _MERS, _WINNOW_POS_BITS, _winnow_pows
+
+    pows = np.array(_winnow_pows(k), np.uint64)
+
+    def chunk_rows(t: pa.Table) -> pd.DataFrame:
+        doc_id = t["doc_id"].to_numpy().astype(np.int64)
+        enc = [s.encode("utf-8") for s in t["text"].to_pylist()]
+        lens = np.array([len(b) for b in enc], np.int64)
+        if len(lens) and int(lens.max()) >= (1 << _WINNOW_POS_BITS):
+            raise ValueError(
+                "cdc_dedup mirrors the winnow SQL position bound; chunk "
+                f"documents over {(1 << _WINNOW_POS_BITS) - 1} bytes first"
+            )
+        keep = lens > 0
+        doc_id, lens = doc_id[keep], lens[keep]
+        enc = [e for e, kp in zip(enc, keep) if kp]
+        n_docs = len(lens)
+        if not n_docs:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.empty(0, np.int64),
+                    "chunk": np.empty(0, object),
+                    "__p": np.empty(0, np.int32),
+                }
+            )
+        flat = np.frombuffer(b"".join(enc), np.uint8).astype(np.uint64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        gd = np.maximum(lens - k + 1, 0)
+        totg = int(gd.sum())
+        cut_mask = np.zeros(int(lens.sum()), bool)  # flat-buffer cut points
+        if totg:
+            doc_of = np.repeat(np.arange(n_docs), gd)
+            p_in_doc = np.arange(totg, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(gd)[:-1]]), gd
+            )
+            base = starts[doc_of] + p_in_doc
+            h = np.zeros(totg, np.uint64)
+            mers = np.uint64(_MERS)
+            for j in range(k):
+                pw = pows[j]
+                pw_hi = pw >> np.uint64(32)
+                pw_lo = pw & np.uint64(0xFFFFFFFF)
+                b = flat[base + j]
+                x = b * pw_hi
+                hi_part = (x >> np.uint64(29)) + (
+                    (x & np.uint64((1 << 29) - 1)) << np.uint64(32)
+                )
+                contrib = hi_part + b * pw_lo
+                contrib = np.where(contrib >= mers, contrib - mers, contrib)
+                contrib = np.where(contrib >= mers, contrib - mers, contrib)
+                h = h + contrib
+                h = np.where(h >= mers, h - mers, h)
+            is_cut = (h % np.uint64(mask_mod) == 0) & (
+                p_in_doc + k < lens[doc_of]
+            )
+            cut_mask[base[is_cut] + k] = True
+        # chunk offsets: every doc start + every cut, plus the final end
+        cut_mask[starts] = True
+        offs = np.flatnonzero(cut_mask)
+        offsets = np.concatenate([offs, [len(flat)]]).astype(np.int32)
+        buf = flat.astype(np.uint8)
+        chunks = pa.Array.from_buffers(
+            pa.utf8(),
+            len(offs),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+        )
+        chunk_doc = doc_id[
+            np.searchsorted(starts, offs, side="right") - 1
+        ]
+        cnp = chunks.to_numpy(zero_copy_only=False)
+        hsh = pd.util.hash_array(cnp).astype(np.uint64)
+        return pd.DataFrame(
+            {
+                "doc_id": chunk_doc,
+                "chunk": cnp,
+                "__p": part_of(hsh, num_parts).astype(np.int32),
+            }
+        )
+
+    def dup_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        codes, _ = pd.factorize(df["chunk"].to_numpy(object), sort=False)
+        ncodes = int(codes.max()) + 1 if len(codes) else 0
+        order = np.lexsort((ids, codes))
+        oc, oi = codes[order], ids[order]
+        pair_first = np.concatenate(
+            [[True], (oc[1:] != oc[:-1]) | (oi[1:] != oi[:-1])]
+        )
+        docs_per_chunk = np.bincount(oc[pair_first], minlength=ncodes)
+        dup_pos = docs_per_chunk[codes] >= 2
+        du, dc = np.unique(ids[dup_pos], return_counts=True)
+        au, ac = np.unique(ids, return_counts=True)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([au, du]),
+                "n_chunks": np.concatenate(
+                    [ac.astype(np.int64), np.zeros(len(du), np.int64)]
+                ),
+                "dup_partial": np.concatenate(
+                    [np.zeros(len(au), np.int64), dc.astype(np.int64)]
+                ),
+            }
+        )
+
+    def tag_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__p2"] = part_of(
+            df["doc_id"].to_numpy(np.int64), num_parts
+        ).astype(np.int32)
+        return df
+
+    def fold_finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("doc_id", sort=True)[["n_chunks", "dup_partial"]]
+            .sum()
+            .reset_index()
+        )
+        nc = g["n_chunks"].to_numpy(np.int64)
+        dup = g["dup_partial"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_chunks": nc,
+                "dup_chunks": dup,
+                "dup_ppm": dup * 1_000_000 // np.maximum(nc, 1),
+            }
+        )
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(chunk_rows, batch_format="pyarrow", batch_size=1024)
+        .groupby("__p")
+        .map_groups(dup_kernel, batch_format="pandas")
+        .map_batches(tag_doc, batch_format="pandas")
+        .groupby("__p2")
+        .map_groups(fold_finish, batch_format="pandas")
+    )

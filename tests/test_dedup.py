@@ -617,3 +617,68 @@ def test_winnow_dups_matches_bruteforce_moss():
     assert got == expect
     assert (1, 2) in got and (1, 4) in got and (2, 4) in got
     assert all(3 not in p for p in got)
+
+
+def test_cdc_dedup_shift_robustness_vs_bruteforce():
+    """The CDC property fixed-size chunking lacks: prepending bytes to a
+    document shifts content, but chunk boundaries re-synchronize, so the
+    shared tail still dedups. Oracle is a from-scratch Python rolling-hash
+    chunker over the same constants."""
+    from sbustreamspot_core_ray.stages.dedup import cdc_dedup
+    from sbustreamspot_core_ray.stages.text import _MERS, _winnow_pows
+
+    base = (
+        "the shared long passage about streaming dataflow engines and "
+        "content defined chunk boundaries resynchronizing after an edit "
+        "which fixed size chunking can never recover from at all"
+    )
+    texts = {
+        1: base,
+        2: "PREPENDED HEADER >> " + base,  # shifted copy
+        3: "entirely different text with no overlap whatsoever here",
+    }
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array(
+                    [texts[i] for i in sorted(texts)], pa.string()
+                ),
+            }
+        )
+    )
+    out = (
+        cdc_dedup(docs, num_parts=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    # brute-force oracle
+    pows = _winnow_pows(8)
+
+    def chunks(s: str) -> list[str]:
+        b = s.encode()
+        cuts = [0]
+        for i in range(len(b) - 7):
+            h = sum(b[i + j] * pows[j] for j in range(8)) % int(_MERS)
+            if h % 64 == 0 and i + 8 < len(b):
+                cuts.append(i + 8)
+        cuts = sorted(set(cuts)) + [len(b)]
+        return [
+            b[cuts[x] : cuts[x + 1]].decode() for x in range(len(cuts) - 1)
+        ]
+
+    ch = {d: chunks(t) for d, t in texts.items()}
+    holders: dict[str, set[int]] = {}
+    for d, cs in ch.items():
+        for c in cs:
+            holders.setdefault(c, set()).add(d)
+    for d, cs in ch.items():
+        dup = sum(1 for c in cs if len(holders[c]) >= 2)
+        assert out.loc[d, "n_chunks"] == len(cs)
+        assert out.loc[d, "dup_chunks"] == dup
+        assert out.loc[d, "dup_ppm"] == dup * 1_000_000 // len(cs)
+    # re-synchronization: the shifted copy still shares most chunks
+    assert out.loc[2, "dup_chunks"] >= out.loc[2, "n_chunks"] - 2
+    assert out.loc[3, "dup_chunks"] == 0
