@@ -663,9 +663,10 @@ iso AS (
 )
 SELECT gid // 100 AS scenario,
        COUNT(*) AS n_graphs,
-       SUM(CASE WHEN gid >= 26 THEN 1 ELSE 0 END) AS n_attack,
-       SUM(CASE WHEN isolated THEN 1 ELSE 0 END) AS n_flagged,
-       SUM(CASE WHEN isolated AND gid >= 26 THEN 1 ELSE 0 END) AS true_pos,
+       CAST(SUM(CASE WHEN gid >= 26 THEN 1 ELSE 0 END) AS BIGINT) AS n_attack,
+       CAST(SUM(CASE WHEN isolated THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN isolated AND gid >= 26 THEN 1 ELSE 0 END) AS BIGINT)
+         AS true_pos,
        ROUND(CASE WHEN SUM(CASE WHEN isolated THEN 1 ELSE 0 END) = 0 THEN -1.0
              ELSE CAST(SUM(CASE WHEN isolated AND gid >= 26 THEN 1 ELSE 0 END)
                        AS DOUBLE)
@@ -1117,7 +1118,8 @@ def _modularity_sql() -> str:
         + """
 SELECT (SELECT m FROM mm) AS m_edges,
        COUNT(*) AS n_communities,
-       SUM(4 * (SELECT m FROM mm) * m_in - d_sum * d_sum) AS q_num,
+       CAST(SUM(4 * (SELECT m FROM mm) * m_in - d_sum * d_sum) AS BIGINT)
+         AS q_num,
        ROUND(CAST(SUM(4 * (SELECT m FROM mm) * m_in - d_sum * d_sum) AS DOUBLE)
              / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 6) AS modularity
 FROM terms
@@ -3981,7 +3983,7 @@ w AS (
   GROUP BY x.d, y.d
 ),
 nonadj AS (SELECT w.a, w.b, w.aa FROM w ANTI JOIN canon c ON c.a = w.a AND c.b = w.b)
-SELECT a AS src, b AS dst, aa AS aa_e9 FROM nonadj
+SELECT a AS src, b AS dst, CAST(aa AS BIGINT) AS aa_e9 FROM nonadj
 ORDER BY aa DESC, a, b LIMIT {CN_TOP}"""
 
 
@@ -4002,7 +4004,7 @@ w AS (
   GROUP BY x.d, y.d
 ),
 nonadj AS (SELECT w.a, w.b, w.ra FROM w ANTI JOIN canon c ON c.a = w.a AND c.b = w.b)
-SELECT a AS src, b AS dst, ra AS ra_e9 FROM nonadj
+SELECT a AS src, b AS dst, CAST(ra AS BIGINT) AS ra_e9 FROM nonadj
 ORDER BY ra DESC, a, b LIMIT {CN_TOP}"""
 
 
@@ -5155,12 +5157,18 @@ FROM a FULL OUTER JOIN b ON b.k = a.k
 WHERE a.k IS NULL OR b.k IS NULL OR a.v <> b.v"""
 
 
+BF_MAX_DEG = 256
+
+
 def q_butterflies(sf_dir: str):
-    """Exact bipartite-motif census of the order–part graph: distinct
-    edges, per-side wedge sums, and butterflies (K_{2,2} — the bipartite
+    """Bipartite-motif census of the order–part graph: distinct edges,
+    per-side wedge sums, and butterflies (K_{2,2} — the bipartite
     triangle analog). Pair enumeration runs on the side with the smaller
     wedge sum (decided from two cheap degree aggregates) so the hub side
-    never explodes the pair volume; one hash(center) + one hash(pair)
+    never explodes the pair volume, and centers above BF_MAX_DEG on the
+    chosen side contribute no pairs (drop-accounted in the
+    dropped_centers column; the SQL oracle applies the identical cap on
+    the identically-chosen side). One hash(center) + one hash(pair)
     shuffle, integer counts end-to-end."""
     from sbustreamspot_core_ray.stages.relational import butterfly_count
 
@@ -5169,25 +5177,84 @@ def q_butterflies(sf_dir: str):
             f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
         ),
         num_partitions=P,
+        max_deg=BF_MAX_DEG,
     )
 
 
-_SQL_BUTTERFLIES = """
-WITH e AS MATERIALIZED (
+def q_butterfly_cap_witness(sf_dir: str):
+    """Witness for the BF_MAX_DEG hub cap (the linkpred_cap_recall
+    pattern): the capped census against the uncapped EXACT census on the
+    same graph — the cap's loss is measured, never assumed. One row
+    (exact_bf, capped_bf, dropped_centers)."""
+    from sbustreamspot_core_ray.stages.relational import butterfly_count
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    capped = butterfly_count(li, num_partitions=P, max_deg=BF_MAX_DEG)
+    exact = butterfly_count(li, num_partitions=P)
+    return pd.DataFrame(
+        {
+            "exact_bf": np.array([exact["butterflies"][0].as_py()], np.int64),
+            "capped_bf": np.array(
+                [capped["butterflies"][0].as_py()], np.int64
+            ),
+            "dropped_centers": np.array(
+                [capped["dropped_centers"][0].as_py()], np.int64
+            ),
+        }
+    )
+
+
+_SQL_BUTTERFLY_CTES = f"""
+e AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
 ),
-pp AS (
+do_ AS MATERIALIZED (SELECT o AS k, count(*) AS d FROM e GROUP BY o),
+dp AS MATERIALIZED (SELECT p AS k, count(*) AS d FROM e GROUP BY p),
+wo AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS w
+       FROM do_),
+wp AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS w
+       FROM dp),
+ppo AS (
   SELECT x.p AS a, y.p AS b, count(*) AS c
-  FROM e x JOIN e y ON y.o = x.o AND y.p > x.p GROUP BY 1, 2
-)
+  FROM e x JOIN e y ON y.o = x.o AND y.p > x.p
+  JOIN do_ dc ON dc.k = x.o AND dc.d <= {BF_MAX_DEG}
+  GROUP BY 1, 2),
+ppp AS (
+  SELECT x.o AS a, y.o AS b, count(*) AS c
+  FROM e x JOIN e y ON y.p = x.p AND y.o > x.o
+  JOIN dp dc ON dc.k = x.p AND dc.d <= {BF_MAX_DEG}
+  GROUP BY 1, 2),
+bfo AS (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS bf
+        FROM ppo),
+bfp AS (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS bf
+        FROM ppp),
+dro AS (SELECT CAST(count(*) AS BIGINT) AS n FROM do_ WHERE d > {BF_MAX_DEG}),
+drp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dp WHERE d > {BF_MAX_DEG})"""
+
+_SQL_BUTTERFLIES = f"""
+WITH {_SQL_BUTTERFLY_CTES}
 SELECT
   (SELECT count(*) FROM e) AS n_edges,
-  (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
-     FROM (SELECT count(*) AS d FROM e GROUP BY o)) AS wedges_order,
-  (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
-     FROM (SELECT count(*) AS d FROM e GROUP BY p)) AS wedges_part,
-  (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) FROM pp)
-    AS butterflies"""
+  wo.w AS wedges_order,
+  wp.w AS wedges_part,
+  CASE WHEN wo.w <= wp.w THEN bfo.bf ELSE bfp.bf END AS butterflies,
+  CASE WHEN wo.w <= wp.w THEN dro.n ELSE drp.n END AS dropped_centers
+FROM wo, wp, bfo, bfp, dro, drp"""
+
+_SQL_BUTTERFLY_CAP_WITNESS = f"""
+WITH {_SQL_BUTTERFLY_CTES},
+ppx AS (
+  SELECT x.p AS a, y.p AS b, count(*) AS c
+  FROM e x JOIN e y ON y.o = x.o AND y.p > x.p GROUP BY 1, 2),
+bfx AS (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS bf
+        FROM ppx)
+SELECT
+  bfx.bf AS exact_bf,
+  CASE WHEN wo.w <= wp.w THEN bfo.bf ELSE bfp.bf END AS capped_bf,
+  CASE WHEN wo.w <= wp.w THEN dro.n ELSE drp.n END AS dropped_centers
+FROM wo, wp, bfo, bfp, dro, drp, bfx"""
 
 
 Q5_REGION = "ASIA"
@@ -10780,6 +10847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash": q_image_phash,
         "path_rollup": q_path_rollup,
         "butterflies": q_butterflies,
+        "butterfly_cap_witness": q_butterfly_cap_witness,
         "dedup_stack": q_dedup_stack,
         "fork_candidates": q_fork_candidates,
         "boilerplate_lines": q_boilerplate_lines,
@@ -11163,8 +11231,9 @@ WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
 s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
                      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
       FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-t AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+t AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                  AS session_id
       FROM s)
 SELECT user_id, session_id, count(*) AS n_events,
        min(us) AS first_us, max(us) AS last_us,
@@ -11765,6 +11834,7 @@ SELECT day, CAST(SUM(dd) OVER (ORDER BY day) AS BIGINT) AS open_orders
 FROM g ORDER BY day
 """,
         "butterflies": _SQL_BUTTERFLIES,
+        "butterfly_cap_witness": _SQL_BUTTERFLY_CAP_WITNESS,
         "frequent_triples": _SQL_FREQUENT_TRIPLES,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "k4_count": _SQL_K4,
@@ -12165,17 +12235,16 @@ s AS (SELECT tk.doc_id, COALESCE(q.qln, (SELECT qln FROM oov)) AS qln
       FROM tk LEFT JOIN q ON q.t = tk.t),
 agg AS (SELECT doc_id, count(*) AS n, SUM(qln) AS lp FROM s GROUP BY doc_id)
 SELECT d.doc_id, COALESCE(agg.n, 0) AS n_tokens,
-       COALESCE(agg.lp, 0) AS logprob_e9
+       CAST(COALESCE(agg.lp, 0) AS BIGINT) AS logprob_e9
 FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """,
         "cdc_dedup": f"""
 WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
            WHERE length(text) > 0),
 b AS (
-  SELECT d.doc_id, g.i - 1 AS pos, ord(substring(d.text, g.i, 1)) AS byte,
-         d.n
-  FROM d CROSS JOIN generate_series(1, 1024) g(i)
-  WHERE g.i <= d.n),
+  SELECT doc_id, i - 1 AS pos,
+         ord(substring(text, CAST(i AS INTEGER), 1)) AS byte, n
+  FROM (SELECT doc_id, text, n, unnest(generate_series(1, n)) AS i FROM d)),
 pw AS (SELECT * FROM (VALUES {_cdc_vals()}) t(j, pw)),
 g AS (
   SELECT b.doc_id, b.pos AS p,
@@ -12483,7 +12552,8 @@ c AS (
                           ROWS UNBOUNDED PRECEDING) AS cum
   FROM q
 )
-SELECT doc_id, qk AS quality_key, n_tok AS n_tokens, cum AS cum_tokens
+SELECT doc_id, qk AS quality_key, n_tok AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
 FROM c WHERE cum <= {BUDGET_TOKENS}
 """,
         "doc_quality": r"""
@@ -14412,8 +14482,8 @@ WITH lo AS (
            AS last_ship_day
   FROM lineitem GROUP BY l_orderkey)
 SELECT o.o_orderkey, o.o_custkey, n.n_name AS nation, r.r_name AS region,
-       lo.revenue_units, lo.n_items, CAST(lo.last_ship_day AS BIGINT)
-         AS last_ship_day
+       CAST(lo.revenue_units AS BIGINT) AS revenue_units, lo.n_items,
+       CAST(lo.last_ship_day AS BIGINT) AS last_ship_day
 FROM orders o
 JOIN lo USING (o_orderkey)
 JOIN customer c ON c.c_custkey = o.o_custkey

@@ -1165,14 +1165,18 @@ def importance_weights(
     order-independent.
 
     Scale shape: pass 1 is a per-batch term-count combiner (corpus + target
-    counts in one pandas groupby) into ONE vocabulary-keyed groupby; the
-    top-V cut sorts only the vocabulary aggregate; the (term, q) table is
-    broadcast via ray.put once; pass 2 is a stateless vectorized
-    searchsorted lookup — no shuffle touches the corpus rows."""
+    counts in one pandas groupby) into a P-group hashed-key fold (the
+    BASELINE.md ngram_novelty lesson — never a vocabulary-scale raw-string
+    sort-aggregate); each fold emits its partition totals plus its local
+    top-V cut (exact: every term lives in exactly one partition), so the
+    driver sees <= P*(V+1) rows; the (term, q) table is broadcast via
+    ray.put once; pass 2 is a stateless vectorized searchsorted lookup —
+    no shuffle touches the corpus rows."""
     import math
 
     import ray as _ray
-    from ray.data.aggregate import Sum
+
+    NPARTS = 32
 
     def term_partials(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].fillna("").str.lower().str.split(" ")
@@ -1185,26 +1189,46 @@ def importance_weights(
             {"term": ex.to_numpy(object), "t": is_tgt.astype(np.int64)}
         ).groupby("term", sort=False)
         out = g.agg(c_partial=("t", "size"), ct_partial=("t", "sum"))
-        return out.reset_index()
+        out = out.reset_index()
+        h = pd.util.hash_array(out["term"].to_numpy(dtype=object))
+        out["__p"] = (h % NPARTS).astype(np.int32)
+        return out
 
-    counts = (
+    def term_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("term", sort=False)[["c_partial", "ct_partial"]]
+            .sum()
+            .reset_index()
+            .rename(columns={"c_partial": "c", "ct_partial": "ct"})
+        )
+        tot = pd.DataFrame(
+            {
+                "term": [""],
+                "c": [g["c"].sum()],
+                "ct": [g["ct"].sum()],
+                "is_tot": np.array([1], np.int8),
+            }
+        )
+        cut = g.sort_values(
+            ["c", "term"], ascending=[False, True], kind="stable"
+        ).head(top_v)
+        cut = cut.assign(is_tot=np.int8(0))
+        return pd.concat([cut, tot], ignore_index=True)
+
+    parts = (
         docs.select_columns(["text", "lang"])
         .map_batches(term_partials, batch_format="pandas")
-        .groupby("term")
-        .aggregate(
-            Sum("c_partial", alias_name="c"),
-            Sum("ct_partial", alias_name="ct"),
-        )
-        .materialize()  # consumed three times: totals + top-V cut
-    )
-    tot = counts.aggregate(
-        Sum("c", alias_name="C"), Sum("ct", alias_name="CT")
-    )
-    T_all, T_tgt = int(tot["C"]), int(tot["CT"])
-    top = (
-        counts.sort(["c", "term"], descending=[True, False])
-        .limit(top_v)
+        .groupby("__p")
+        .map_groups(term_fold, batch_format="pandas")
         .to_pandas()
+    )
+    tots = parts[parts["is_tot"] == 1]
+    T_all, T_tgt = int(tots["c"].sum()), int(tots["ct"].sum())
+    top = (
+        parts[parts["is_tot"] == 0]
+        .sort_values(["c", "term"], ascending=[False, True], kind="stable")
+        .head(top_v)
+        .reset_index(drop=True)
     )
     Vv = len(top)
     order = np.argsort(top["term"].to_numpy(dtype=object), kind="stable")

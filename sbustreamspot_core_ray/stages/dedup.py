@@ -2144,8 +2144,9 @@ def cdc_dedup(
     property that makes CDC dedup robust where fixed-size chunking
     (chunk_dedup) is not. Reports per-document (n_chunks, dup_chunks,
     dup_ppm) where a chunk is dup when its exact bytes occur in >= 2
-    DISTINCT documents. Documents over 1023 bytes raise (the winnow SQL
-    mirror's position bound — chunk_documents first at scale).
+    DISTINCT documents. Documents of any length are accepted (the gram
+    hash and cut positions are pure int64 arithmetic; the SQL mirror
+    generates its byte series up to the corpus max length).
 
     Scale shape: boundary detection is a stateless vectorized map (the
     same Mersenne modmul gram hash as winnow, k terms over the batch's
@@ -2154,7 +2155,7 @@ def cdc_dedup(
     hash(chunk) shuffle marks cross-doc chunks; per-doc totals ride base
     rows into an int-key doc_id fold (the substring_dedup skeleton)."""
     from ..functions.hashing import part_of
-    from .text import _MERS, _WINNOW_POS_BITS, _winnow_pows
+    from .text import _MERS, _winnow_pows
 
     pows = np.array(_winnow_pows(k), np.uint64)
 
@@ -2162,11 +2163,6 @@ def cdc_dedup(
         doc_id = t["doc_id"].to_numpy().astype(np.int64)
         enc = [s.encode("utf-8") for s in t["text"].to_pylist()]
         lens = np.array([len(b) for b in enc], np.int64)
-        if len(lens) and int(lens.max()) >= (1 << _WINNOW_POS_BITS):
-            raise ValueError(
-                "cdc_dedup mirrors the winnow SQL position bound; chunk "
-                f"documents over {(1 << _WINNOW_POS_BITS) - 1} bytes first"
-            )
         keep = lens > 0
         doc_id, lens = doc_id[keep], lens[keep]
         enc = [e for e, kp in zip(enc, keep) if kp]
@@ -2213,10 +2209,15 @@ def cdc_dedup(
         # chunk offsets: every doc start + every cut, plus the final end
         cut_mask[starts] = True
         offs = np.flatnonzero(cut_mask)
-        offsets = np.concatenate([offs, [len(flat)]]).astype(np.int32)
         buf = flat.astype(np.uint8)
+        if len(flat) < (1 << 31):
+            offsets = np.concatenate([offs, [len(flat)]]).astype(np.int32)
+            styp = pa.utf8()
+        else:  # huge-doc batch: int64 offsets (large_string)
+            offsets = np.concatenate([offs, [len(flat)]]).astype(np.int64)
+            styp = pa.large_utf8()
         chunks = pa.Array.from_buffers(
-            pa.utf8(),
+            styp,
             len(offs),
             [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
         )

@@ -2194,9 +2194,11 @@ def pareto_skyline(
 
 
 def butterfly_count(
-    lineitem: ray.data.Dataset, num_partitions: int = 16
+    lineitem: ray.data.Dataset,
+    num_partitions: int = 16,
+    max_deg: int | None = None,
 ) -> "pa.Table":
-    """Exact bipartite-motif census of the order–part graph: distinct
+    """Bipartite-motif census of the order–part graph: distinct
     edges, wedges centered on each side (sum of C(deg, 2)), and
     butterflies (complete K_{2,2} subgraphs — 2 orders x 2 parts, the
     bipartite analog of the triangle and the standard cohesion motif for
@@ -2206,11 +2208,17 @@ def butterfly_count(
     enumerating from the order side or the part side gives the identical
     total, so the pair enumeration runs on whichever side has the SMALLER
     wedge sum (decided from the two cheap degree aggregates — the hub
-    side never explodes the pair volume). Scale shape: one hash(center)
-    shuffle for exact per-center pair partials (the copurchase
-    triangular-decode kernel), one hash(pair) shuffle folding partial
-    counts, a per-partition sum of C(c, 2), and a #partitions-row driver
-    fold. All integers end-to-end."""
+    side never explodes the pair volume). Even the smaller side can hide
+    million-degree hubs on a skewed 100-TB bipartite graph, so `max_deg`
+    caps the per-center pair fan-out exactly like the link-prediction
+    family's CN_MAX_DEG: centers whose degree exceeds the cap contribute
+    no pairs, and the census reports them in a `dropped_centers` column
+    (drop-accounted, never silent; the SQL oracle applies the identical
+    cap on the identical side). max_deg=None keeps the exact census.
+    Scale shape: one hash(center) shuffle for per-center pair partials
+    (the copurchase triangular-decode kernel), one hash(pair) shuffle
+    folding partial counts, a per-partition sum of C(c, 2), and a
+    #partitions-row driver fold. All integers end-to-end."""
 
     def tag(t: pa.Table) -> pa.Table:
         ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2252,31 +2260,32 @@ def butterfly_count(
 
     def _wedge_fold(t: pa.Table) -> pa.Table:
         d = t["d"].to_numpy()
+        over = int((d > max_deg).sum()) if max_deg is not None else 0
         return pa.table(
-            {"w": pa.array([int((d * (d - 1) // 2).sum())], pa.int64())}
+            {
+                "w": pa.array([int((d * (d - 1) // 2).sum())], pa.int64()),
+                "over": pa.array([over], pa.int64()),
+            }
         )
 
-    def _wedge_sum(col: str) -> int:
-        # exact: per-batch key partials -> one keyed sum -> C(d,2) folded
-        # over the aggregated (one row per key) table
+    def _wedge_sum(col: str) -> tuple[int, int]:
+        # exact: per-batch key partials -> one keyed sum -> C(d,2) (and the
+        # over-cap center count) folded over the aggregated table
         agg = (
             edges.map_batches(_deg_partial(col), batch_format="pyarrow")
             .groupby("k")
             .aggregate(Sum("c", alias_name="d"))
         )
-        return sum(
-            r["w"]
-            for r in agg.map_batches(
-                _wedge_fold, batch_format="pyarrow"
-            ).take_all()
-        )
+        rows = agg.map_batches(_wedge_fold, batch_format="pyarrow").take_all()
+        return sum(r["w"] for r in rows), sum(r["over"] for r in rows)
 
-    wedges_order = _wedge_sum("ok")
-    wedges_part = _wedge_sum("pk")
+    wedges_order, over_order = _wedge_sum("ok")
+    wedges_part, over_part = _wedge_sum("pk")
     n_edges = edges.count()
 
     # enumerate pairs on the cheaper side; relabel so "center" partitions
     center, leaf = ("ok", "pk") if wedges_order <= wedges_part else ("pk", "ok")
+    dropped_centers = over_order if center == "ok" else over_part
 
     def retag(t: pa.Table) -> pa.Table:
         c = t[center].to_numpy()
@@ -2296,6 +2305,10 @@ def butterfly_count(
         starts = np.flatnonzero(np.concatenate([[True], c[1:] != c[:-1]]))
         lens = np.diff(np.concatenate([starts, [len(c)]]))
         npair = lens * (lens - 1) // 2
+        if max_deg is not None:
+            # hub cap: over-cap centers contribute no pairs (counted in
+            # dropped_centers from the degree aggregate, never silent)
+            npair = np.where(lens <= max_deg, npair, 0)
         tot = int(npair.sum())
         if tot == 0:
             z = np.empty(0, np.int64)
@@ -2356,16 +2369,15 @@ def butterfly_count(
         .map_groups(fold_butterflies, batch_format="pyarrow")
         .take_all()
     )
-    return pa.table(
-        {
-            "n_edges": pa.array([int(n_edges)], pa.int64()),
-            "wedges_order": pa.array([wedges_order], pa.int64()),
-            "wedges_part": pa.array([wedges_part], pa.int64()),
-            "butterflies": pa.array(
-                [sum(r["bf"] for r in parts)], pa.int64()
-            ),
-        }
-    )
+    out = {
+        "n_edges": pa.array([int(n_edges)], pa.int64()),
+        "wedges_order": pa.array([wedges_order], pa.int64()),
+        "wedges_part": pa.array([wedges_part], pa.int64()),
+        "butterflies": pa.array([sum(r["bf"] for r in parts)], pa.int64()),
+    }
+    if max_deg is not None:
+        out["dropped_centers"] = pa.array([dropped_centers], pa.int64())
+    return pa.table(out)
 
 
 def snapshot_diff(

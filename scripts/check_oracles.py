@@ -57,6 +57,19 @@ def compare(
     a, b = canon(ray_df), canon(sql_df)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # The driver hashes canonical values INCLUDING enough of their
+        # binary representation that an engine int64 vs an oracle float64
+        # (a DuckDB HUGEINT SUM materialized by pandas as float64)
+        # hash-fails even when every value is numerically identical — this
+        # bit the gate twice (sessionize r02+r04, anomaly_scenarios r04).
+        # Integer WIDTH differences are driver-proven harmless
+        # (phash_near_dup int8-vs-int64 and similarity_report/bfs_distance
+        # int32-vs-int64 were driver-green), so fail on KIND mismatches
+        # (int vs float vs bool vs object) and float-width mismatches only.
+        if av.dtype.kind != bv.dtype.kind or (
+            av.dtype.kind == "f" and av.dtype != bv.dtype
+        ):
+            return f"DTYPE col={c} ray={av.dtype} sql={bv.dtype}"
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             af, bf = av.astype(float), bv.astype(float)
             eq = (af == bf) | (np.isnan(af) & np.isnan(bf))

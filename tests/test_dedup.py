@@ -682,3 +682,66 @@ def test_cdc_dedup_shift_robustness_vs_bruteforce():
     # re-synchronization: the shifted copy still shares most chunks
     assert out.loc[2, "dup_chunks"] >= out.loc[2, "n_chunks"] - 2
     assert out.loc[3, "dup_chunks"] == 0
+
+
+def test_cdc_dedup_long_documents_vs_bruteforce():
+    """Documents far over the old 1023-byte witness bound (the lifted SQL
+    position limit): a 5 KB seeded text, a shifted copy sharing its tail,
+    and an unrelated 3 KB doc, all checked chunk-for-chunk against the
+    from-scratch Python rolling-hash chunker."""
+    from sbustreamspot_core_ray.stages.dedup import cdc_dedup
+    from sbustreamspot_core_ray.stages.text import _MERS, _winnow_pows
+
+    rng = np.random.default_rng(42)
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta"]
+    long_a = " ".join(words[i] for i in rng.integers(0, 7, 900))  # ~5 KB
+    long_c = " ".join(words[i] for i in rng.integers(0, 7, 550))
+    texts = {
+        1: long_a,
+        2: "SHIFT-HEADER-BYTES :: " + long_a,
+        3: long_c,
+    }
+    assert min(len(t.encode()) for t in texts.values()) > 1023
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array(
+                    [texts[i] for i in sorted(texts)], pa.string()
+                ),
+            }
+        )
+    )
+    out = (
+        cdc_dedup(docs, num_parts=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    pows = _winnow_pows(8)
+
+    def chunks(s: str) -> list[str]:
+        b = s.encode()
+        cuts = [0]
+        for i in range(len(b) - 7):
+            h = sum(b[i + j] * pows[j] for j in range(8)) % int(_MERS)
+            if h % 64 == 0 and i + 8 < len(b):
+                cuts.append(i + 8)
+        cuts = sorted(set(cuts)) + [len(b)]
+        return [
+            b[cuts[x] : cuts[x + 1]].decode() for x in range(len(cuts) - 1)
+        ]
+
+    ch = {d: chunks(t) for d, t in texts.items()}
+    holders: dict[str, set[int]] = {}
+    for d, cs in ch.items():
+        for c in cs:
+            holders.setdefault(c, set()).add(d)
+    for d, cs in ch.items():
+        dup = sum(1 for c in cs if len(holders[c]) >= 2)
+        assert out.loc[d, "n_chunks"] == len(cs)
+        assert out.loc[d, "dup_chunks"] == dup
+        assert out.loc[d, "dup_ppm"] == dup * 1_000_000 // len(cs)
+    assert out.loc[1, "n_chunks"] > 10  # real multi-chunk regime
+    assert out.loc[2, "dup_chunks"] >= out.loc[2, "n_chunks"] - 2

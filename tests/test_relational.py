@@ -582,6 +582,67 @@ def test_butterfly_count_hand_and_random():
     assert t["n_edges"].tolist() == [len(rows)]
 
 
+def test_butterfly_count_max_deg_cap():
+    """Hub cap with drop accounting: a star order touching every part
+    exceeds max_deg on the (smaller-wedge) order side, so its pairs are
+    skipped and it is counted in dropped_centers; an uncapped run on the
+    same graph and a brute-force count pin the exact total, and a cap
+    above every degree reproduces the exact census with zero drops."""
+    from itertools import combinations
+
+    from sbustreamspot_core_ray.stages.relational import butterfly_count
+
+    rng = np.random.default_rng(7)
+    rows = {(int(o), int(p)) for o, p in
+            zip(rng.integers(0, 30, 300), rng.integers(100, 120, 300))}
+    rows |= {(999, p) for p in range(100, 120)}  # hub order, deg 20
+
+    def make(r):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([o for o, _ in sorted(r)], pa.int64()),
+                    "l_partkey": pa.array([p for _, p in sorted(r)], pa.int64()),
+                }
+            )
+        )
+
+    parts_of = {}
+    for o, p in rows:
+        parts_of.setdefault(o, set()).add(p)
+
+    def brute(max_deg=None):
+        keep = {o: ps for o, ps in parts_of.items()
+                if max_deg is None or len(ps) <= max_deg}
+        bf = 0
+        for o1, o2 in combinations(sorted(keep), 2):
+            c = len(keep[o1] & keep[o2])
+            bf += c * (c - 1) // 2
+        return bf
+
+    # part degrees here exceed order degrees, so the order side is the
+    # smaller-wedge (center) side — the cap applies to order degrees
+    wedges = lambda d: sum(len(v) * (len(v) - 1) // 2 for v in d.values())
+    inv = {}
+    for o, p in rows:
+        inv.setdefault(p, set()).add(o)
+    assert wedges(parts_of) < wedges(inv)
+
+    capped = butterfly_count(make(rows), num_partitions=3, max_deg=15)
+    t = capped.to_pandas()
+    assert t["dropped_centers"].tolist() == [1]  # only the hub
+    assert t["butterflies"].tolist() == [brute(max_deg=15)]
+
+    loose = butterfly_count(make(rows), num_partitions=3, max_deg=1000)
+    t2 = loose.to_pandas()
+    assert t2["dropped_centers"].tolist() == [0]
+    assert t2["butterflies"].tolist() == [brute()]
+
+    exact = butterfly_count(make(rows), num_partitions=3).to_pandas()
+    assert exact["butterflies"].tolist() == [brute()]
+    assert "dropped_centers" not in exact.columns
+
+
 def test_snapshot_diff_hand_case():
     """A={1:10, 2:20, 3:30}, B={2:20, 3:31, 4:40}: delete 1, update 3,
     insert 4; unchanged 2 emits nothing; sentinels fill absent sides."""
