@@ -647,13 +647,14 @@ SELECT ga AS gid_a, gb AS gid_b,
 FROM raw"""
 
 
-def _anomaly_scenarios_sql() -> str:
+def _anomaly_scenarios_sql(shingle_ctes: str | None = None) -> str:
     """The CLI's per-scenario anomaly evaluation (main.cpp:531-557 +
     test_anomalies): seed-101 SimHash LSH isolation with the index built
     from the NORMAL gids (lower half of 53 graphs -> gids < 26 normal,
-    >= 26 attack), aggregated per scenario (gid//100)."""
+    >= 26 attack), aggregated per scenario (gid//100). `shingle_ctes`
+    swaps in a perturbed fixture (the injected-scramble witness)."""
     return f"""
-WITH {_SQL_SHINGLE_CTES}, {_sketch_bits_ctes(101)}, {_SQL_BANDS_CTE},
+WITH {shingle_ctes or _SQL_SHINGLE_CTES}, {_sketch_bits_ctes(101)}, {_SQL_BANDS_CTE},
 iso AS (
   SELECT q.gid, (COUNT(ix.band_value) = 0) AS isolated
   FROM bands q
@@ -797,7 +798,12 @@ FROM (
 
 # ---- ANN oracles (constants generated lazily in oracle_sql) --------------
 
-_ORACLE_SF = "/root/testdata/sf0.01"  # the driver's compare scale
+# The driver compares at sf0.01; the local gate (scripts/check_oracles.py)
+# overrides this when it runs at another scale so data-derived oracle
+# constants (IVF centroids, embedding dims) match the engine's input —
+# without the override, knn_ivf/ann_recall diverge at sf0.001 because the
+# SQL embeds sf0.01-trained centroids while the engine trains on sf_dir.
+_ORACLE_SF = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def _sql_list(vec) -> str:
@@ -4281,6 +4287,36 @@ def q_anomaly_scenarios(sf_dir: str):
     from sbustreamspot_core_ray.cli import anomaly_report
 
     rep = anomaly_report(_edges_typed(sf_dir), SHINGLE_C)
+    for col in ("precision", "recall"):
+        rep[col] = round_half_away(rep[col].fillna(-1.0), 6)
+    for col in ("scenario", "n_graphs", "n_attack", "n_flagged", "true_pos"):
+        rep[col] = rep[col].astype(np.int64)
+    return rep
+
+
+def q_anomaly_scenarios_injected(sf_dir: str):
+    """Non-sentinel-branch witness for the --evaluate surface
+    (main.cpp:531-557): the edge types of gids >= 48 are deterministically
+    scrambled (lowercase -> uppercase), making those five attack graphs
+    structurally alien, so n_flagged > 0 and the precision/recall
+    real-ratio arithmetic (1.0 and 5/27 at every sf) is driver-covered
+    instead of the -1.0 sentinel the unperturbed fixture produces."""
+    from sbustreamspot_core_ray.cli import anomaly_report
+
+    def scramble(t: pa.Table) -> pa.Table:
+        gid = t["gid"].to_numpy(zero_copy_only=False)
+        et = t["e_type"].to_numpy(zero_copy_only=False).copy()
+        m = gid >= 48
+        et[m] = et[m] - 32  # ascii lower -> upper, the SQL's upper(et)
+        return t.set_column(
+            t.schema.get_field_index("e_type"), "e_type",
+            pa.array(et, pa.uint8()),
+        )
+
+    rep = anomaly_report(
+        _edges_typed(sf_dir).map_batches(scramble, batch_format="pyarrow"),
+        SHINGLE_C,
+    )
     for col in ("precision", "recall"):
         rep[col] = round_half_away(rep[col].fillna(-1.0), 6)
     for col in ("scenario", "n_graphs", "n_attack", "n_flagged", "true_pos"):
@@ -10692,279 +10728,282 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ORDER MATTERS: the driver checks a prefix of this registry each
-        # round. Front: the 4 r02 FAILs (fixed r3, locally exact) and
-        # anomaly_scenarios, then never-driver-checked queries fastest-first,
-        # then queries already driver-green in r01-r03 (all 263 pass
-        # scripts/check_oracles.py --exact at sf0.01, 2026-08-20).
+        # round. Front: the two r04 driver-red rows (oracle dtype artifact,
+        # fixed r5 — must be re-checked), then every never-driver-checked
+        # query fastest-first (driver coverage r01-r04 = 131/268), then the
+        # StreamSpot-pipeline family (last driver-checked r02), then the
+        # already-driver-green remainder. All entries pass
+        # scripts/check_oracles.py --exact at sf0.001+sf0.01 (2026-08-20).
         "sessionize": q_sessionize,
-        "knn_cosine": q_knn_cosine,
-        "knn_ivf": q_knn_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
         "anomaly_scenarios": q_anomaly_scenarios,
-        "substring_dedup": q_substring_dedup,
-        "importance_weights": q_importance_weights,
-        "winnow_dups": q_winnow_dups,
-        "kn_logprob": q_kn_logprob,
-        "cdc_dedup": q_cdc_dedup,
-        "pii_redact": q_pii_redact,
-        "q6_forecast": q_q6_forecast,
-        "embedding_quantize": q_embedding_quantize,
-        "repetition_signals": q_repetition_signals,
-        "char_entropy": q_char_entropy,
-        "winnow": q_winnow,
-        "psi_drift": q_psi_drift,
-        "seasonal_deviation": q_seasonal_deviation,
-        "triad_census": q_triad_census,
-        "stratified_sample": q_stratified_sample,
-        "decontaminate": q_decontaminate,
-        "benford": q_benford,
-        "modal_event_type": q_modal_event_type,
-        "pareto_skyline": q_pareto_skyline,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "user_entropy": q_user_entropy,
-        "lang_confusion": q_lang_confusion,
-        "kmv_overlap": q_kmv_overlap,
-        "interarrival_stats": q_interarrival_stats,
-        "doc_keywords": q_doc_keywords,
-        "q15_top_supplier": q_q15_top_supplier,
-        "supplier_share": q_supplier_share,
-        "linear_attribution": q_linear_attribution,
-        "cms_top_users": q_cms_top_users,
-        "phash_near_dup": q_phash_near_dup,
-        "decay_attribution": q_decay_attribution,
-        "top_users_per_type": q_top_users_per_type,
-        "chunk_documents": q_chunk_documents,
-        "ivm_refresh": q_ivm_refresh,
-        "markov_eval": q_markov_eval,
-        "interval_join": q_interval_join,
-        "sampling_weights": q_sampling_weights,
-        "event_trigrams": q_event_trigrams,
-        "q17_small_orders": q_q17_small_orders,
-        "event_type_pivot": q_event_type_pivot,
-        "q20_excess_suppliers": q_q20_excess_suppliers,
-        "group_sample": q_group_sample,
-        "conversion_lag": q_conversion_lag,
-        "dedup_by_source": q_dedup_by_source,
-        "late_events": q_late_events,
-        "funnel": q_funnel,
-        "corpus_manifest": q_corpus_manifest,
-        "cosine_join": q_cosine_join,
-        "prefix_dups": q_prefix_dups,
+        "anomaly_scenarios_injected": q_anomaly_scenarios_injected,
         "f2_moment": q_f2_moment,
-        "q13_order_counts": q_q13_order_counts,
-        "edit_distance_dedup": q_edit_distance_dedup,
-        "rate_spikes": q_rate_spikes,
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "interval_coverage": q_interval_coverage,
         "longest_streak": q_longest_streak,
+        "q13_order_counts": q_q13_order_counts,
         "events_cumsum": q_events_cumsum,
         "throttle_events": q_throttle_events,
-        "interval_coverage": q_interval_coverage,
-        "event_transitions": q_event_transitions,
-        "ql_search": q_ql_search,
-        "q11_important_parts": q_q11_important_parts,
-        "incremental_near_dup": q_incremental_near_dup,
-        "value_outliers": q_value_outliers,
-        "wau_rolling": q_wau_rolling,
-        "weighted_median": q_weighted_median,
         "embedding_outliers": q_embedding_outliers,
-        "event_pmi": q_event_pmi,
-        "dup_stats": q_dup_stats,
+        "funnel": q_funnel,
         "burstiness": q_burstiness,
-        "ngram_containment": q_ngram_containment,
-        "type_token_ratio": q_type_token_ratio,
-        "weekly_retention": q_weekly_retention,
-        "snapshot_diff": q_snapshot_diff,
-        "scan_stat": q_scan_stat,
-        "value_mad": q_value_mad,
+        "rate_spikes": q_rate_spikes,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "event_pmi": q_event_pmi,
+        "corpus_manifest": q_corpus_manifest,
+        "scene_cuts": q_scene_cuts,
+        "prefix_dups": q_prefix_dups,
         "embedding_centroids": q_embedding_centroids,
-        "chunk_dedup": q_chunk_dedup,
-        "edge_support": q_edge_support,
-        "doc_percentiles": q_doc_percentiles,
+        "q11_important_parts": q_q11_important_parts,
+        "value_outliers": q_value_outliers,
+        "dup_stats": q_dup_stats,
+        "edit_distance_dedup": q_edit_distance_dedup,
+        "ql_search": q_ql_search,
+        "type_token_ratio": q_type_token_ratio,
+        "cosine_join": q_cosine_join,
+        "persistent_hitters": q_persistent_hitters,
+        "hourly_filled": q_hourly_filled,
         "q16_supplier_counts": q_q16_supplier_counts,
         "bm25_search": q_bm25_search,
-        "copurchase_pairs": q_copurchase_pairs,
-        "dup_auc": q_dup_auc,
-        "percolation": q_percolation,
-        "decayed_counts": q_decayed_counts,
-        "source_stats": q_source_stats,
-        "hourly_filled": q_hourly_filled,
-        "persistent_hitters": q_persistent_hitters,
-        "pack_sequences": q_pack_sequences,
-        "abc_classes": q_abc_classes,
-        "value_percentiles": q_value_percentiles,
-        "term_df": q_term_df,
-        "clustering_coefficient": q_clustering_coefficient,
-        "snm_dedup": q_snm_dedup,
         "term_tf": q_term_tf,
-        "ngram_novelty": q_ngram_novelty,
-        "label_margin": q_label_margin,
-        "transitivity": q_transitivity,
-        "daily_users": q_daily_users,
-        "q9_profit": q_q9_profit,
-        "props_stats": q_props_stats,
-        "cooccurrence_links": q_cooccurrence_links,
-        "tfidf_topterms": q_tfidf_topterms,
-        "revenue_rollup": q_revenue_rollup,
+        "event_transitions": q_event_transitions,
         "bpe_pairs": q_bpe_pairs,
-        "fill_rate": q_fill_rate,
-        "open_orders": q_open_orders,
-        "q4_priority": q_q4_priority,
-        "q19_brackets": q_q19_brackets,
-        "q18_large_orders": q_q18_large_orders,
-        "dup_spans": q_dup_spans,
-        "q12_priority_class": q_q12_priority_class,
-        "corpus_split": q_corpus_split,
+        "component_sizes": q_component_sizes,
+        "weighted_median": q_weighted_median,
+        "decayed_counts": q_decayed_counts,
+        "wau_rolling": q_wau_rolling,
+        "weekly_retention": q_weekly_retention,
+        "chunk_dedup": q_chunk_dedup,
+        "percolation": q_percolation,
+        "pack_sequences": q_pack_sequences,
+        "source_stats": q_source_stats,
+        "dup_auc": q_dup_auc,
+        "snapshot_diff": q_snapshot_diff,
+        "daily_users": q_daily_users,
+        "transitivity": q_transitivity,
+        "image_phash": q_image_phash,
+        "knn_lsh": q_knn_lsh,
+        "label_margin": q_label_margin,
+        "embedding_dedup": q_embedding_dedup,
+        "tfidf_topterms": q_tfidf_topterms,
         "q14_promo_share": q_q14_promo_share,
+        "scan_stat": q_scan_stat,
+        "incremental_near_dup": q_incremental_near_dup,
+        "open_orders": q_open_orders,
+        "q19_brackets": q_q19_brackets,
+        "doc_percentiles": q_doc_percentiles,
+        "abc_classes": q_abc_classes,
+        "edge_support": q_edge_support,
+        "clustering_coefficient": q_clustering_coefficient,
+        "vocab_growth": q_vocab_growth,
+        "value_percentiles": q_value_percentiles,
         "revenue_by_nation": q_revenue_by_nation,
         "bigram_logprob": q_bigram_logprob,
-        "hll_users": q_hll_users,
-        "k4_count": q_k4_count,
-        "gap_slo": q_gap_slo,
-        "vocab_growth": q_vocab_growth,
-        "budget_fill": q_budget_fill,
-        "scene_cuts": q_scene_cuts,
+        "q18_large_orders": q_q18_large_orders,
+        "value_mad": q_value_mad,
+        "revenue_rollup": q_revenue_rollup,
+        "copurchase_pairs": q_copurchase_pairs,
+        "q12_priority_class": q_q12_priority_class,
+        "mmr_diversify": q_mmr_diversify,
+        "ngram_novelty": q_ngram_novelty,
+        "dup_spans": q_dup_spans,
+        "fill_rate": q_fill_rate,
+        "q9_profit": q_q9_profit,
+        "q4_priority": q_q4_priority,
         "oov_rate": q_oov_rate,
+        "cooccurrence_links": q_cooccurrence_links,
+        "snm_dedup": q_snm_dedup,
+        "term_df": q_term_df,
+        "doc_logprob": q_doc_logprob,
+        "budget_fill": q_budget_fill,
+        "hll_users": q_hll_users,
         "rank_fusion": q_rank_fusion,
-        "component_sizes": q_component_sizes,
-        "temporal_reach": q_temporal_reach,
-        "allpairs_jaccard": q_allpairs_jaccard,
         "image_resize": q_image_resize,
         "retrieval_overlap": q_retrieval_overlap,
+        "gap_slo": q_gap_slo,
+        "props_stats": q_props_stats,
+        "ngram_containment": q_ngram_containment,
         "q10_returns": q_q10_returns,
-        "q21_waiting_suppliers": q_q21_waiting_suppliers,
-        "bottomk_median": q_bottomk_median,
-        "frequent_triples": q_frequent_triples,
-        "doc_logprob": q_doc_logprob,
-        "edge_jaccard": q_edge_jaccard,
-        "embedding_dedup": q_embedding_dedup,
-        "katz": q_katz,
-        "neighbor_features": q_neighbor_features,
-        "knn_lsh": q_knn_lsh,
-        "walk_centrality": q_walk_centrality,
-        "hits": q_hits,
-        "kcore": q_kcore,
-        "mmr_diversify": q_mmr_diversify,
-        "image_phash": q_image_phash,
-        "path_rollup": q_path_rollup,
-        "butterflies": q_butterflies,
-        "butterfly_cap_witness": q_butterfly_cap_witness,
-        "dedup_stack": q_dedup_stack,
-        "fork_candidates": q_fork_candidates,
         "boilerplate_lines": q_boilerplate_lines,
-        "customers_no_urgent": q_customers_no_urgent,
+        "walk_centrality": q_walk_centrality,
+        "katz": q_katz,
         "identifier_tokens": q_identifier_tokens,
-        "q7_nation_volume": q_q7_nation_volume,
-        "q3_shipping": q_q3_shipping,
-        "linkpred_auc": q_linkpred_auc,
+        "customers_no_urgent": q_customers_no_urgent,
+        "bottomk_median": q_bottomk_median,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
+        "neighbor_features": q_neighbor_features,
+        "frequent_triples": q_frequent_triples,
+        "hits": q_hits,
+        "ktruss": q_ktruss,
+        "fork_candidates": q_fork_candidates,
+        "path_rollup": q_path_rollup,
         "q22_idle_balances": q_q22_idle_balances,
-        "order_360": q_order_360,
+        "corpus_split": q_corpus_split,
+        "kcore": q_kcore,
+        "temporal_reach": q_temporal_reach,
+        "butterfly_cap_witness": q_butterfly_cap_witness,
+        "linkpred_cap_recall": q_linkpred_cap_recall,
         "shared_imports": q_shared_imports,
-        "degree_gini": q_degree_gini,
-        "modularity": q_modularity,
-        "densest_peel": q_densest_peel,
-        "wl_colors": q_wl_colors,
-        "q8_market_share": q_q8_market_share,
         "bloom_semi": q_bloom_semi,
-        "link_negatives": q_link_negatives,
+        "edge_jaccard": q_edge_jaccard,
+        "k4_count": q_k4_count,
+        "order_360": q_order_360,
+        "q7_nation_volume": q_q7_nation_volume,
+        "ann_recall": q_ann_recall,
+        "dedup_stack": q_dedup_stack,
         "cc_incremental": q_cc_incremental,
-        "item_cosine": q_item_cosine,
-        "degree_histogram": q_degree_histogram,
-        "q5_local_supplier": q_q5_local_supplier,
-        "rfm_cells": q_rfm_cells,
+        "q3_shipping": q_q3_shipping,
+        "densest_peel": q_densest_peel,
+        "modularity": q_modularity,
+        "q8_market_share": q_q8_market_share,
+        "degree_gini": q_degree_gini,
         "pagerank_drift": q_pagerank_drift,
+        "linkpred_auc": q_linkpred_auc,
+        "degree_histogram": q_degree_histogram,
+        "wl_colors": q_wl_colors,
+        "link_negatives": q_link_negatives,
+        "q5_local_supplier": q_q5_local_supplier,
+        "item_cosine": q_item_cosine,
         "rich_club": q_rich_club,
+        "butterflies": q_butterflies,
+        "rfm_cells": q_rfm_cells,
+        "common_neighbors": q_common_neighbors,
+        "attack_percolation": q_attack_percolation,
         "adamic_adar": q_adamic_adar,
         "resource_allocation": q_resource_allocation,
-        "common_neighbors": q_common_neighbors,
-        "jaccard_links": q_jaccard_links,
         "conductance": q_conductance,
-        "ann_recall": q_ann_recall,
-        "square_count": q_square_count,
-        "ktruss": q_ktruss,
-        "attack_percolation": q_attack_percolation,
         "kmeans": q_kmeans,
-        "linkpred_cap_recall": q_linkpred_cap_recall,
-        "fingerprints": q_fingerprints,
-        "ols_regression": q_ols_regression,
-        "lang_source_mi": q_lang_source_mi,
-        "decision_stump": q_decision_stump,
-        "k_anonymity": q_k_anonymity,
-        "pearson_corr": q_pearson_corr,
-        "intradoc_dedup": q_intradoc_dedup,
-        "similarity_report": q_similarity_report,
-        "token_counts": q_token_counts,
-        "simhash_dedup": q_simhash_dedup,
-        "embedding_covariance": q_embedding_covariance,
-        "token_fertility": q_token_fertility,
-        "partitioned_write": q_partitioned_write,
-        "doc_quality": q_doc_quality,
-        "lang_id": q_lang_id,
-        "simhash_near_dup": q_simhash_near_dup,
-        "pca_projection": q_pca_projection,
-        "feature_hashing": q_feature_hashing,
-        "graph_summary": q_graph_summary,
-        "cusum_shift": q_cusum_shift,
-        "q1_revenue": q_q1_revenue,
-        "events_windowed": q_events_windowed,
-        "asof_attribution": q_asof_attribution,
-        "triangle_count": q_triangle_count,
-        "top_users": q_top_users,
-        "exact_dedup": q_exact_dedup,
-        "zipf_slope": q_zipf_slope,
-        "triangles_per_vertex": q_triangles_per_vertex,
-        "ngram_jaccard": q_ngram_jaccard,
-        "events_hopping": q_events_hopping,
-        "integrity_audit": q_integrity_audit,
-        "minhash_dedup": q_minhash_dedup,
-        "random_walks": q_random_walks,
-        "walk_skipgrams": q_walk_skipgrams,
-        "neighborhood_sketch": q_neighborhood_sketch,
+        "allpairs_jaccard": q_allpairs_jaccard,
+        "square_count": q_square_count,
+        "jaccard_links": q_jaccard_links,
         "shingles": q_shingles,
-        "neighbor_sample": q_neighbor_sample,
-        "media_features": q_media_features,
+        "streamhash_sketches": q_streamhash_sketches,
+        "incremental_sketches": q_incremental_sketches,
+        "lsh_clusters": q_lsh_clusters,
+        "streamspot_snapshots": q_streamspot_snapshots,
+        "similarity_report": q_similarity_report,
+        "lsh_isolated": q_lsh_isolated,
+        "simhash_sketches": q_simhash_sketches,
+        "pagerank": q_pagerank,
+        "decision_stump": q_decision_stump,
+        "stratified_sample": q_stratified_sample,
+        "k_anonymity": q_k_anonymity,
+        "char_entropy": q_char_entropy,
+        "intradoc_dedup": q_intradoc_dedup,
+        "lang_source_mi": q_lang_source_mi,
+        "q6_forecast": q_q6_forecast,
+        "fingerprints": q_fingerprints,
+        "pareto_skyline": q_pareto_skyline,
+        "embedding_covariance": q_embedding_covariance,
+        "psi_drift": q_psi_drift,
+        "embedding_quantize": q_embedding_quantize,
+        "pii_redact": q_pii_redact,
+        "seasonal_deviation": q_seasonal_deviation,
+        "ols_regression": q_ols_regression,
+        "repetition_signals": q_repetition_signals,
+        "pearson_corr": q_pearson_corr,
+        "winnow": q_winnow,
+        "benford": q_benford,
+        "token_counts": q_token_counts,
+        "token_fertility": q_token_fertility,
+        "pca_projection": q_pca_projection,
+        "phash_near_dup": q_phash_near_dup,
+        "doc_keywords": q_doc_keywords,
+        "partitioned_write": q_partitioned_write,
+        "late_events": q_late_events,
+        "simhash_dedup": q_simhash_dedup,
+        "top_users_per_type": q_top_users_per_type,
+        "conversion_lag": q_conversion_lag,
+        "cdc_dedup": q_cdc_dedup,
+        "user_entropy": q_user_entropy,
+        "modal_event_type": q_modal_event_type,
+        "chunk_documents": q_chunk_documents,
+        "graph_summary": q_graph_summary,
+        "q15_top_supplier": q_q15_top_supplier,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "interarrival_stats": q_interarrival_stats,
+        "kmv_overlap": q_kmv_overlap,
+        "doc_quality": q_doc_quality,
+        "cusum_shift": q_cusum_shift,
+        "sampling_weights": q_sampling_weights,
+        "markov_eval": q_markov_eval,
+        "lang_id": q_lang_id,
+        "event_trigrams": q_event_trigrams,
+        "interval_join": q_interval_join,
+        "decay_attribution": q_decay_attribution,
+        "linear_attribution": q_linear_attribution,
+        "q20_excess_suppliers": q_q20_excess_suppliers,
+        "event_type_pivot": q_event_type_pivot,
+        "asof_attribution": q_asof_attribution,
+        "lang_confusion": q_lang_confusion,
+        "q17_small_orders": q_q17_small_orders,
+        "cms_top_users": q_cms_top_users,
+        "events_windowed": q_events_windowed,
+        "group_sample": q_group_sample,
+        "ivm_refresh": q_ivm_refresh,
+        "dedup_by_source": q_dedup_by_source,
+        "exact_dedup": q_exact_dedup,
+        "supplier_share": q_supplier_share,
+        "feature_hashing": q_feature_hashing,
+        "decontaminate": q_decontaminate,
+        "simhash_near_dup": q_simhash_near_dup,
+        "zipf_slope": q_zipf_slope,
+        "embedding_near_dup": q_embedding_near_dup,
+        "connected_components": q_connected_components,
+        "events_hopping": q_events_hopping,
+        "top_users": q_top_users,
+        "neighborhood_sketch": q_neighborhood_sketch,
+        "triad_census": q_triad_census,
+        "winnow_dups": q_winnow_dups,
+        "label_propagation": q_label_propagation,
+        "knn_cosine": q_knn_cosine,
+        "knn_ivf": q_knn_ivf,
+        "integrity_audit": q_integrity_audit,
+        "kn_logprob": q_kn_logprob,
+        "triangle_count": q_triangle_count,
+        "substring_dedup": q_substring_dedup,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "importance_weights": q_importance_weights,
+        "q1_revenue": q_q1_revenue,
         "audio_frames": q_audio_frames,
         "video_frames": q_video_frames,
-        "weighted_pagerank": q_weighted_pagerank,
-        "hop_histogram": q_hop_histogram,
-        "effective_diameter": q_effective_diameter,
-        "connected_components": q_connected_components,
-        "label_propagation": q_label_propagation,
-        "simhash_sketches": q_simhash_sketches,
-        "degrees": q_degrees,
-        "personalized_pagerank": q_personalized_pagerank,
         "host_pagerank": q_host_pagerank,
-        "bfs_distance": q_bfs_distance,
+        "media_features": q_media_features,
+        "neighbor_sample": q_neighbor_sample,
+        "random_walks": q_random_walks,
+        "weighted_pagerank": q_weighted_pagerank,
+        "ngram_jaccard": q_ngram_jaccard,
+        "personalized_pagerank": q_personalized_pagerank,
+        "spam_mass": q_spam_mass,
+        "walk_skipgrams": q_walk_skipgrams,
         "path_counts": q_path_counts,
+        "effective_diameter": q_effective_diameter,
+        "minhash_dedup": q_minhash_dedup,
+        "sssp_distance": q_sssp_distance,
+        "coloring": q_coloring,
+        "bfs_distance": q_bfs_distance,
+        "mis": q_mis,
         "stress_centrality": q_stress_centrality,
+        "diameter": q_diameter,
+        "scc": q_scc,
+        "hop_histogram": q_hop_histogram,
         "closeness_sample": q_closeness_sample,
         "harmonic_sample": q_harmonic_sample,
-        "mis": q_mis,
-        "coloring": q_coloring,
-        "streamhash_sketches": q_streamhash_sketches,
-        "spam_mass": q_spam_mass,
-        "landmark_distances": q_landmark_distances,
-        "sssp_distance": q_sssp_distance,
-        "incremental_sketches": q_incremental_sketches,
-        "streamspot_snapshots": q_streamspot_snapshots,
-        "pagerank": q_pagerank,
-        "diameter": q_diameter,
-        "matching": q_matching,
-        "partition_skew": q_partition_skew,
-        "neighbor_degree_curve": q_neighbor_degree_curve,
-        "ic_cascade": q_ic_cascade,
-        "lsh_clusters": q_lsh_clusters,
-        "scc": q_scc,
-        "msf": q_msf,
-        "salsa": q_salsa,
         "corpus_pipeline": q_corpus_pipeline,
-        "assortativity": q_assortativity,
-        "pagerank_incremental": q_pagerank_incremental,
-        "lsh_isolated": q_lsh_isolated,
-        "condensation": q_condensation,
         "edge_table": q_edge_table,
+        "matching": q_matching,
+        "landmark_distances": q_landmark_distances,
+        "degrees": q_degrees,
+        "partition_skew": q_partition_skew,
+        "salsa": q_salsa,
+        "ic_cascade": q_ic_cascade,
+        "condensation": q_condensation,
+        "pagerank_incremental": q_pagerank_incremental,
+        "neighbor_degree_curve": q_neighbor_degree_curve,
         "bowtie": q_bowtie,
-        "bipartite": q_bipartite,
         "condensation_depth": q_condensation_depth,
+        "assortativity": q_assortativity,
+        "bipartite": q_bipartite,
+        "msf": q_msf,
     }
 
 
@@ -12719,6 +12758,13 @@ FROM s3 ORDER BY doc_id
         "simhash_sketches": _simhash_sketches_sql(),
         "lsh_isolated": _lsh_isolated_sql(),
         "anomaly_scenarios": _anomaly_scenarios_sql(),
+        "anomaly_scenarios_injected": _anomaly_scenarios_sql(
+            _SQL_SHINGLE_CTES.replace(
+                "string_agg(et || dt, '' ORDER BY dst)",
+                "string_agg(CASE WHEN src % 53 >= 48 THEN upper(et)"
+                " ELSE et END || dt, '' ORDER BY dst)",
+            )
+        ),
         "lsh_clusters": _lsh_clusters_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "ngram_containment": _ngram_containment_sql(),

@@ -94,11 +94,15 @@ def main():
 
     DataContext.get_current().enable_progress_bars = False
 
-    import __ray_entry__ as mod
-
     argv = [a for a in sys.argv[1:] if a != "--exact"]
     exact = "--exact" in sys.argv[1:]
     sf = argv[0] if argv else "/root/testdata/sf0.01"
+    # data-derived oracle constants (IVF centroids, embedding dims) must be
+    # generated from the SAME scale the engine reads, or knn_ivf/ann_recall
+    # falsely diverge at non-sf0.01 scales; must be set before the import
+    os.environ["GRAFT_ORACLE_SF"] = sf
+
+    import __ray_entry__ as mod
     only = set(argv[1:])
     qs = mod.queries()
     oracles = mod.oracle_sql()
