@@ -236,10 +236,15 @@ class _MinHash:
         self.rows = num_perm // bands
 
     # shingle-count budget per vectorized block: keeps the (shingles x
-    # num_perm) uint64 working set ~2 MB (L2/L3-resident — a 64 MB block
-    # is 5-8x slower purely from memory-bandwidth churn) while still
-    # amortizing Python per-doc overhead across the block
-    BLOCK_SHINGLES = 2048
+    # num_perm) uint64 working set ~512 KB — PRIVATE-L2-resident (1 MB/core
+    # on this Xeon). The previous 2 MB slab spilled every core's slab into
+    # the SHARED L3, which at 32 concurrent workers exceeded the L3 and
+    # became the 8->32 scaling wall (measured: 512 beats 2048 even
+    # single-process, 3.16s vs 3.30s per 20k docs, and removes the
+    # shared-cache contention term at full width); 4096 (4 MB, L3-only) is
+    # 40% slower single-process. Still large enough to amortize Python
+    # per-doc overhead across the block.
+    BLOCK_SHINGLES = 512
 
     def signature(self, text: str) -> np.ndarray:
         sh = _char_shingles(text, self.k)
