@@ -8106,6 +8106,36 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample(docs, STRATA_RATES_BP)
 
 
+WS_N = 100
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weighted reservoir sample (Efraimidis-Spirakis A-ES, deterministic
+    hash-u variant): the WS_N docs with the smallest -ln(u)/length keys in
+    integer nanounits. Per-batch combiner top-n, one <= n x blocks cut —
+    the corpus never shuffles."""
+    from sbustreamspot_core_ray.stages.curation import weighted_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return weighted_sample(docs, WS_N)
+
+
+_SQL_WEIGHTED_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS w,
+         (CAST((((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                 % 18446744073709551616) // 2048) AS DOUBLE) + 1.0)
+           / 9007199254740992.0 AS u
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, CAST(w AS BIGINT) AS weight,
+       CAST(floor((-ln(u)) / w * 1e9 + 0.5) AS BIGINT) AS key_e9
+FROM t
+ORDER BY key_e9, doc_id LIMIT {WS_N}"""
+
+
 def q_pii_redact(sf_dir: str):
     """PII counts + redacted-text sha fingerprint (emails→phones→IPv4 in
     fixed order; RE2-compatible patterns, parity pytest-enforced)."""
@@ -10737,6 +10767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "anomaly_scenarios": q_anomaly_scenarios,
         "anomaly_scenarios_injected": q_anomaly_scenarios_injected,
+        "weighted_sample": q_weighted_sample,
         "f2_moment": q_f2_moment,
         "interval_coverage": q_interval_coverage,
         "longest_streak": q_longest_streak,
@@ -12758,6 +12789,7 @@ FROM s3 ORDER BY doc_id
         "simhash_sketches": _simhash_sketches_sql(),
         "lsh_isolated": _lsh_isolated_sql(),
         "anomaly_scenarios": _anomaly_scenarios_sql(),
+        "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "anomaly_scenarios_injected": _anomaly_scenarios_sql(
             _SQL_SHINGLE_CTES.replace(
                 "string_agg(et || dt, '' ORDER BY dst)",

@@ -308,6 +308,8 @@ BENCH_QUERIES = [
     "conversion_lag",
     "decay_attribution",
     "benford",
+    # round-5 addition
+    "weighted_sample",
 ]
 
 

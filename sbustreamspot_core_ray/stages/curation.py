@@ -194,6 +194,69 @@ def group_sample(
     )
 
 
+def weighted_sample(
+    ds: ray.data.Dataset,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Weighted reservoir sampling without replacement (Efraimidis &
+    Spirakis 2006, A-ES): keep the n rows with the smallest -ln(u)/w,
+    where w is the row weight (character length here — token-mass-
+    proportional selection for training mixes) and u is a deterministic
+    uniform in (0, 1] derived from the Fibonacci-mix hash of the id
+    ((hash >> 11) + 1) / 2^53 — no RNG, so the SAME rows are selected on
+    any cluster size, any partitioning, and on resume (the group_sample
+    idempotence argument, weight-proportional).
+
+    Keys are quantized to integer nanounits (floor(key*1e9 + 0.5), the
+    doc_logprob pattern) so ordering is identical to the SQL mirror
+    bit-for-bit. Scale shape: per-batch combiner keeps the n smallest
+    keys, so the final single-partition cut sees <= n x num_blocks rows —
+    the corpus itself never shuffles."""
+    import pyarrow.compute as pc_
+
+    def keys(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = pc_.utf8_length(t[text_col]).to_numpy(zero_copy_only=False)
+        ok = ~pd.isna(w)
+        w = np.where(ok, w, 0).astype(np.int64)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * FIB_MIX
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / float(1 << 53)
+        key = np.negative(np.log(u)) / w.astype(np.float64)
+        key_e9 = np.floor(key * 1e9 + 0.5).astype(np.int64)
+        order = np.lexsort((ids, key_e9))[:n]
+        return pa.table(
+            {
+                "doc_id": ids[order],
+                "weight": w[order],
+                "key_e9": key_e9[order],
+            }
+        )
+
+    def cut(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        key_e9 = t["key_e9"].to_numpy()
+        order = np.lexsort((ids, key_e9))[:n]
+        return pa.table(
+            {
+                "doc_id": ids[order],
+                "weight": t["weight"].to_numpy()[order],
+                "key_e9": key_e9[order],
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(keys, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(cut, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 

@@ -896,3 +896,46 @@ def test_kneser_ney_closed_form_tiny_corpus():
         bgs = bigrams(s)
         assert out.loc[did, "n_bigrams"] == len(bgs)
         assert out.loc[did, "kn_logprob_e9"] == sum(q(a, b) for a, b in bgs)
+
+
+def test_weighted_sample_vs_bruteforce_and_weight_bias():
+    """A-ES weighted reservoir: selection must equal the brute-force
+    smallest-(-ln(u)/w) set (deterministic hash u), and long documents
+    must be overrepresented relative to a uniform sample."""
+    import math
+
+    from sbustreamspot_core_ray.stages.curation import FIB_MIX, weighted_sample
+
+    rng = np.random.default_rng(3)
+    texts = {}
+    for i in range(400):
+        L = 5 + int(rng.integers(0, 20)) if i % 2 else 200 + int(rng.integers(0, 200))
+        texts[i] = "x" * L
+    texts[400] = ""          # zero weight -> excluded
+    texts[401] = None        # null -> excluded
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            }
+        )
+    )
+    n = 50
+    got = weighted_sample(docs, n).to_pandas()
+
+    def key(i):
+        h = (i * int(FIB_MIX)) % (1 << 64)
+        u = ((h >> 11) + 1.0) / float(1 << 53)
+        return math.floor(-math.log(u) / len(texts[i]) * 1e9 + 0.5)
+
+    ref = sorted(
+        (key(i), i) for i in texts if texts[i]
+    )[:n]
+    assert list(got["doc_id"]) == [i for _, i in ref]
+    assert list(got["key_e9"]) == [k for k, _ in ref]
+    assert 400 not in set(got["doc_id"]) and 401 not in set(got["doc_id"])
+    # weight bias: even ids are ~20x heavier -> they should dominate the
+    # sample far beyond their 50% population share
+    frac_heavy = (got["doc_id"] % 2 == 0).mean()
+    assert frac_heavy > 0.75
