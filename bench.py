@@ -467,8 +467,9 @@ def run_minhash_scale(sf_dir: str, num_cpus: int, k: int = 10) -> dict:
         num_cpus * 8
     ).materialize()
     t0 = time.perf_counter()
-    # fixed-size pool: every actor starts immediately (an autoscaling pool
-    # spends the whole short job ramping up)
+    # task-pool stage (minhash_band_table ignores concurrency and runs
+    # plain map_batches tasks — workers are pre-started, so there is no
+    # actor ramp-up to avoid; parallelism follows the cpu budget)
     n = minhash_band_table(big, concurrency=(num_cpus, num_cpus)).count()
     dt = time.perf_counter() - t0
     n_docs = n // 32  # 32 bands per doc
