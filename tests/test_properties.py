@@ -197,3 +197,96 @@ def test_doc_keywords_vs_reference():
     assert got.to_numpy().tolist() == want
     # 'fig' (df=1) must top doc 4 over ubiquitous 'apple' (df=4, idf=0)
     assert got[got["doc_id"] == 4].iloc[0]["term"] == "fig"
+
+
+bip_edges = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(100, 118)),
+    min_size=0,
+    max_size=250,
+)
+
+
+@given(bip_edges, st.integers(1, 12))
+@_settings
+def test_butterfly_count_capped_equals_bruteforce(rows, max_deg):
+    """Capped butterfly census == brute-force C(co-count,2) over centers
+    with degree <= max_deg on the engine's chosen (smaller-wedge) side,
+    with dropped_centers = the over-cap center count, on arbitrary
+    bipartite multigraphs (duplicates must not inflate distinct edges)."""
+    from itertools import combinations
+
+    from sbustreamspot_core_ray.stages.relational import butterfly_count
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+    )
+    t = butterfly_count(ds, num_partitions=3, max_deg=max_deg).to_pandas()
+    es = set(rows)
+    fwd, rev = {}, {}
+    for o, p in es:
+        fwd.setdefault(o, set()).add(p)
+        rev.setdefault(p, set()).add(o)
+    wedges = lambda d: sum(len(v) * (len(v) - 1) // 2 for v in d.values())
+    side = fwd if wedges(fwd) <= wedges(rev) else rev
+    keep = {c: ls for c, ls in side.items() if len(ls) <= max_deg}
+    bf = 0
+    for a, b in combinations(sorted(keep), 2):
+        c = len(keep[a] & keep[b])
+        bf += c * (c - 1) // 2
+    assert t["n_edges"].tolist() == [len(es)]
+    assert t["wedges_order"].tolist() == [wedges(fwd)]
+    assert t["wedges_part"].tolist() == [wedges(rev)]
+    assert t["butterflies"].tolist() == [bf]
+    assert t["dropped_centers"].tolist() == [
+        sum(1 for ls in side.values() if len(ls) > max_deg)
+    ]
+
+
+ws_docs = st.lists(
+    st.tuples(st.integers(0, 10_000_000), st.integers(0, 40)),
+    min_size=0,
+    max_size=120,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(ws_docs, st.integers(1, 30))
+@_settings
+def test_weighted_sample_equals_bruteforce(docs, n):
+    """A-ES selection == the brute-force smallest-(-ln(u)/len) set for
+    arbitrary non-negative ids and lengths (zero-length docs excluded)."""
+    import math
+
+    from sbustreamspot_core_ray.stages.curation import FIB_MIX, weighted_sample
+
+    texts = {i: "a" * ln for i, ln in docs}
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array(
+                    [texts[i] for i in sorted(texts)], pa.string()
+                ),
+            }
+        )
+    )
+    got = weighted_sample(ds, n).to_pandas()
+    if not any(texts.values()):
+        # Ray Data never invokes map_batches on empty blocks, so the empty
+        # result carries no schema — emptiness is the whole contract here
+        assert len(got) == 0
+        return
+
+    def key(i):
+        h = (i * int(FIB_MIX)) % (1 << 64)
+        u = ((h >> 11) + 1.0) / float(1 << 53)
+        return math.floor(-math.log(u) / len(texts[i]) * 1e9 + 0.5)
+
+    ref = sorted((key(i), i) for i in texts if texts[i])[:n]
+    assert list(got["doc_id"]) == [i for _, i in ref]
+    assert list(got["weight"]) == [len(texts[i]) for _, i in ref]
